@@ -1,0 +1,138 @@
+"""Text-analysis column functions for large-scale corpus pipelines.
+
+All of these are compositions of JVM-side built-ins (split / regexp /
+hash / transform) — no Python UDFs in the hot path, so they run inside
+whole-stage codegen and scale linearly with executors. They power the
+``text_*`` and ``dedup_*`` queries in plans/.
+
+The reference has no text surface (SURVEY §2.8: "String: none in
+engine code"); this is the training-data-pipeline extension mandated
+by BASELINE.json's north star.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+TOKEN_SPLIT_RE = r"\s+"
+PUNCT_RE = r"[\.,;:!\?'\"\(\)\[\]\{\}-]"
+
+# Marker words per language for the n-gram/stopword language-ID
+# heuristic. Deliberately small and auditable; scoring is a pure
+# column expression so the DuckDB oracle can replicate it exactly.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "is"],
+    "es": ["el", "la", "de", "que", "los"],
+    "fr": ["le", "la", "et", "les", "des"],
+    "de": ["der", "die", "und", "das", "ist"],
+    "pt": ["o", "a", "de", "que", "em"],
+}
+
+STOPWORDS = sorted({w for ws in LANG_MARKERS.values() for w in ws})
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokenization; empty/blank text → empty array."""
+    trimmed = F.trim(text)
+    return F.when(F.length(trimmed) == 0, F.array().cast("array<string>")).otherwise(
+        F.split(trimmed, TOKEN_SPLIT_RE)
+    )
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens(text))
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    """BPE-ish token estimate: count word pieces + digits + punctuation
+    as separate tokens (regex segmentation, the standard cheap proxy
+    for LLM token budgeting when no tokenizer is shipped)."""
+    return F.size(
+        F.regexp_extract_all(text, F.lit(r"([A-Za-z]+|[0-9]|[^A-Za-z0-9\s])"), F.lit(0))
+    )
+
+
+def punct_ratio(text: Column) -> Column:
+    n = F.length(text)
+    return F.when(n == 0, F.lit(0.0)).otherwise(
+        F.regexp_count(text, F.lit(PUNCT_RE)) / n.cast("double")
+    )
+
+
+def stopword_ratio(text: Column) -> Column:
+    toks = token_count(text)
+    pattern = r"(?i)\b(" + "|".join(STOPWORDS) + r")\b"
+    return F.when(toks == 0, F.lit(0.0)).otherwise(
+        F.regexp_count(text, F.lit(pattern)) / toks.cast("double")
+    )
+
+
+def mean_word_len(text: Column) -> Column:
+    toks = token_count(text)
+    alpha_chars = F.length(F.regexp_replace(text, r"\s+", ""))
+    return F.when(toks == 0, F.lit(0.0)).otherwise(alpha_chars / toks.cast("double"))
+
+
+def quality_score(text: Column) -> Column:
+    """Composite document-quality score in [0,1]: rewards mid-length
+    documents and prose-like punctuation/stopword rates. Heuristic of
+    the Gopher/C4-style quality-filter family, expressed as one
+    codegen-friendly column expression."""
+    toks = token_count(text).cast("double")
+    length_score = F.least(toks / F.lit(50.0), F.lit(1.0))
+    punct_penalty = F.least(punct_ratio(text) * 5.0, F.lit(1.0))
+    stop_score = F.least(stopword_ratio(text) * 4.0, F.lit(1.0))
+    word_len = mean_word_len(text)
+    word_len_ok = F.when((word_len >= 3.0) & (word_len <= 10.0), F.lit(1.0)).otherwise(F.lit(0.5))
+    return F.round(
+        (0.4 * length_score + 0.2 * (1.0 - punct_penalty) + 0.2 * stop_score + 0.2 * word_len_ok),
+        4,
+    )
+
+
+def lang_scores(text: Column) -> dict[str, Column]:
+    """Marker-hit count per language (case-insensitive whole words)."""
+    out = {}
+    for lang, markers in LANG_MARKERS.items():
+        pattern = r"(?i)\b(" + "|".join(markers) + r")\b"
+        out[lang] = F.regexp_count(text, F.lit(pattern))
+    return out
+
+
+def lang_id(text: Column) -> Column:
+    """Pick the language with the highest marker count; ties resolve in
+    LANG_MARKERS declaration order; zero hits → 'und' (undetermined)."""
+    scores = lang_scores(text)
+    best = F.greatest(*scores.values())
+    expr = F.lit("und")
+    for lang in reversed(list(LANG_MARKERS)):
+        expr = F.when((scores[lang] == best) & (best > 0), F.lit(lang)).otherwise(expr)
+    return expr
+
+
+def fingerprint(text: Column) -> Column:
+    """Document fingerprint: md5 of whitespace-normalized, lowercased
+    text — the exact-dedup key. (xxhash64 is cheaper at scale but md5
+    is oracle-replicable; both are exposed.)"""
+    return F.md5(normalized(text))
+
+
+def fingerprint64(text: Column) -> Column:
+    return F.xxhash64(normalized(text))
+
+
+def normalized(text: Column) -> Column:
+    return F.lower(F.regexp_replace(F.trim(text), r"\s+", " "))
+
+
+def word_shingles(text: Column, k: int = 3) -> Column:
+    """Distinct k-word shingles of the normalized text (MinHash /
+    Jaccard input). Pure built-ins: transform over an index sequence."""
+    toks = tokens(normalized(text))
+    n = F.size(toks)
+    joined = F.when(n >= k, F.transform(
+        F.sequence(F.lit(0), n - k),
+        lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j + 1) for j in range(k)]),
+    )).otherwise(F.when(n > 0, F.array(F.concat_ws(" ", toks))).otherwise(F.array().cast("array<string>")))
+    return F.array_distinct(joined)

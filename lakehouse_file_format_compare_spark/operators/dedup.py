@@ -1,0 +1,231 @@
+"""Deduplication operator family for training-data pipelines.
+
+Exact (hash groupBy), MinHash+LSH, SimHash, n-gram Jaccard and
+embedding-cosine near-dup — each returning DataFrames, each designed
+so the expensive pairing step is bounded:
+
+- exact: one shuffle on the fingerprint; canonical = min(doc_id).
+- n-gram Jaccard: shingle-explode + shingle-join. Quadratic in bucket
+  size — the documented small-scale baseline and the verifier for LSH.
+- MinHash+LSH: signature via xxhash64 min-hashing (seeded, JVM-side),
+  banded bucketing → candidate pairs only within equal band-hash
+  buckets, then exact-Jaccard verification of candidates. This is the
+  100 TB path: cost ∝ Σ bucket², controlled by (num_hashes, bands).
+- SimHash: 64-bit signature via per-bit weighted majority, hamming
+  candidate join on rotated prefix blocks.
+- embedding near-dup: cosine ≥ τ pairs, brute-force or LSH-bucketed.
+
+The reference has no dedup beyond ``dropDuplicates`` on PKs (SURVEY
+§2.5 A10/A11); this module is the north-star extension surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import text as T
+from ..functions import vectors as V
+from ..functions.numeric import grid
+
+
+def exact_duplicates(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Map every doc to its canonical duplicate-group representative
+    (min id among docs sharing a normalized-text fingerprint) plus the
+    group size. One hash shuffle on the fingerprint."""
+    with_fp = docs.select(F.col(id_col), T.fingerprint(F.col(text_col)).alias("fp"))
+    groups = with_fp.groupBy("fp").agg(
+        F.min(id_col).alias("canonical_id"), F.count(F.lit(1)).alias("group_size")
+    )
+    return with_fp.join(groups, "fp").select(id_col, "canonical_id", "group_size", "fp")
+
+
+def _shingle_pairs(docs: DataFrame, id_col: str, text_col: str, k: int) -> DataFrame:
+    """(doc_id, shingle) exploded distinct shingle table."""
+    return (
+        docs.select(F.col(id_col).alias("doc"), T.word_shingles(F.col(text_col), k).alias("sh"))
+        .select("doc", F.explode("sh").alias("shingle"))
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """All-pairs n-gram Jaccard ≥ threshold via shingle inverted index:
+    explode shingles → self-join on shingle → per-pair intersection
+    count → |A∪B| from per-doc sizes. Returns (doc_a, doc_b, jaccard)
+    with doc_a < doc_b. Quadratic in per-shingle bucket size — use
+    minhash_lsh_pairs at scale."""
+    sh = _shingle_pairs(docs, id_col, text_col, k).cache()
+    sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("sz"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    common = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc") < F.col("b.doc")))
+        .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    return (
+        common.join(sizes.withColumnRenamed("doc", "doc_a").withColumnRenamed("sz", "sz_a"), "doc_a")
+        .join(sizes.withColumnRenamed("doc", "doc_b").withColumnRenamed("sz", "sz_b"), "doc_b")
+        .withColumn("jaccard", grid(F.col("common") / (F.col("sz_a") + F.col("sz_b") - F.col("common")), 6))
+        .where(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    num_hashes: int = 32,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """MinHash signature per doc: for seed i, sig[i] = min over shingles
+    of xxhash64(shingle, i). All JVM-side (explode + groupBy min)."""
+    sh = _shingle_pairs(docs, id_col, text_col, k)
+    mins = sh.groupBy("doc").agg(
+        *[F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}") for i in range(num_hashes)]
+    )
+    return mins.select("doc", F.array(*[f"h{i}" for i in range(num_hashes)]).alias("signature"))
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    num_hashes: int = 32,
+    bands: int = 8,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """MinHash + banded LSH near-dup detection: docs sharing any band
+    of the signature become candidates; candidates are verified with
+    exact shingle Jaccard. Scale path: the only join is on band-hash
+    buckets (bounded, tunable), never all-pairs."""
+    rows = num_hashes // bands
+    sig = minhash_signatures(docs, num_hashes, k, id_col, text_col).cache()
+    banded = sig.select(
+        "doc",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.xxhash64(*[F.col("signature")[b * rows + r] for r in range(rows)]).alias("bucket"),
+                )
+                for b in range(bands)
+            ])
+        ).alias("bb"),
+    ).select("doc", "bb.band", "bb.bucket")
+    cand = (
+        banded.alias("x")
+        .join(
+            banded.alias("y"),
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.bucket") == F.col("y.bucket"))
+            & (F.col("x.doc") < F.col("y.doc")),
+        )
+        .select(F.col("x.doc").alias("doc_a"), F.col("y.doc").alias("doc_b"))
+        .distinct()
+    )
+    sh = _shingle_pairs(docs, id_col, text_col, k)
+    sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("sz"))
+    common = (
+        cand.join(sh.select(F.col("doc").alias("doc_a"), "shingle"), "doc_a")
+        .join(sh.select(F.col("doc").alias("doc_b"), "shingle"), ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    return (
+        common.join(sizes.select(F.col("doc").alias("doc_a"), F.col("sz").alias("sz_a")), "doc_a")
+        .join(sizes.select(F.col("doc").alias("doc_b"), F.col("sz").alias("sz_b")), "doc_b")
+        .withColumn("jaccard", grid(F.col("common") / (F.col("sz_a") + F.col("sz_b") - F.col("common")), 6))
+        .where(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def simhash_signatures(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 64
+) -> DataFrame:
+    """64-bit SimHash per doc: token-hash bit majority vote, computed
+    as explode → per-bit conditional sums (JVM-side; no UDF)."""
+    toks = docs.select(
+        F.col(id_col).alias("doc"), F.explode(T.tokens(T.normalized(F.col(text_col)))).alias("tok")
+    ).withColumn("h", F.xxhash64("tok"))
+    votes = toks.groupBy("doc").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"b{b}")
+            for b in range(bits)
+        ]
+    )
+    sig = F.lit(0).cast("long")
+    for b in range(bits):
+        sig = sig.bitwiseOR(
+            F.when(F.col(f"b{b}") > 0, F.shiftleft(F.lit(1).cast("long"), b)).otherwise(F.lit(0).cast("long"))
+        )
+    return votes.select("doc", sig.alias("simhash"))
+
+
+def simhash_near_pairs(
+    docs: DataFrame, max_hamming: int = 3, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """SimHash near-dup pairs: block on 16-bit signature quarters (a
+    pair within hamming ≤ 3 of 64 bits must agree on ≥1 of 4 blocks),
+    verify hamming distance via bit_count(xor)."""
+    sig = simhash_signatures(docs, id_col, text_col).cache()
+    blocks = sig.select(
+        "doc",
+        "simhash",
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(q).alias("q"), F.shiftright("simhash", q * 16).bitwiseAND(F.lit(0xFFFF)).alias("blk"))
+                for q in range(4)
+            ])
+        ).alias("qb"),
+    ).select("doc", "simhash", "qb.q", "qb.blk")
+    cand = (
+        blocks.alias("x")
+        .join(
+            blocks.alias("y"),
+            (F.col("x.q") == F.col("y.q")) & (F.col("x.blk") == F.col("y.blk")) & (F.col("x.doc") < F.col("y.doc")),
+        )
+        .select(
+            F.col("x.doc").alias("doc_a"),
+            F.col("y.doc").alias("doc_b"),
+            F.col("x.simhash").alias("sig_a"),
+            F.col("y.simhash").alias("sig_b"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn("hamming", F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))))
+        .where(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
+def embedding_near_dup_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs (brute force). O(n²) distance
+    evaluations — correct baseline and verifier; use the LSH-bucketed
+    variant in operators/similarity.py at scale."""
+    a = embeddings.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = embeddings.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    return (
+        a.crossJoin(b)
+        .where(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", grid(V.cosine(F.col("va"), F.col("vb")), 6))
+        .where(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )

@@ -1,0 +1,29 @@
+"""Query library.
+
+Each plan module exposes:
+- pure DataFrame functions ``fn(spark, sf_dir) -> DataFrame``
+- an ``ORACLES`` dict mapping query name → equivalent DuckDB SQL string
+
+The oracle SQL lives next to the Spark implementation so the two stay
+in sync; ``__spark_entry__.py`` aggregates them for the driver's
+correctness gate. Column aliases MUST match between the two sides
+(the driver sorts columns by name before value-hashing).
+"""
+
+from . import adhoc, dedup_plans, gold, similarity_plans, text_plans, tpch
+
+ALL_PLAN_MODULES = (gold, tpch, adhoc, text_plans, dedup_plans, similarity_plans)
+
+
+def all_queries():
+    out = {}
+    for mod in ALL_PLAN_MODULES:
+        out.update(mod.QUERIES)
+    return out
+
+
+def all_oracles():
+    out = {}
+    for mod in ALL_PLAN_MODULES:
+        out.update(mod.ORACLES)
+    return out

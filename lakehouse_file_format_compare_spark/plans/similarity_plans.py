@@ -1,0 +1,54 @@
+"""Similarity-search queries over the embeddings table (north-star
+extension): brute-force cosine top-k with an exact DuckDB oracle, and
+the LSH-bucketed approximate variant (rows-only check; recall vs the
+exact baseline is asserted in tests/).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import similarity as S
+from ..sources.testdata import table
+
+K = 5
+QUERY_MOD = 50  # vec_id % 50 == 0 → 10 queries at sf0.01, 40 at sf0.1
+
+
+def knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") % QUERY_MOD == 0)
+    return S.knn_bruteforce(queries, emb, k=K)
+
+
+# cosine = exact sequential double fold (see dedup_plans note)
+KNN_BRUTEFORCE_SQL = f"""
+WITH scored AS (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           floor((list_sum(list_transform(range(1, len(q.embedding)+1), i -> q.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE)) / (sqrt(list_sum(list_transform(range(1, len(q.embedding)+1), i -> q.embedding[i]::DOUBLE * q.embedding[i]::DOUBLE))) * sqrt(list_sum(list_transform(range(1, len(c.embedding)+1), i -> c.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE))))) * 1000000 + 0.5) / 1000000 AS cosine
+    FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+    WHERE q.vec_id % {QUERY_MOD} = 0
+), ranked AS (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+    FROM scored
+)
+SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= {K}
+"""
+
+
+def knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") % QUERY_MOD == 0)
+    return S.knn_lsh(queries, emb, k=K, bits=8, dim=64)
+
+
+QUERIES = {
+    "sim_knn_bruteforce": knn_bruteforce,
+    "sim_knn_lsh": knn_lsh,
+}
+
+# knn_lsh absent → rows-only check (approximate by design).
+ORACLES = {
+    "sim_knn_bruteforce": KNN_BRUTEFORCE_SQL,
+}

@@ -1,0 +1,158 @@
+"""TPC-H-style headline queries over the testdata schema.
+
+These are the scale-credibility workload: the same operator families
+as the reference's gold queries (scan → filter → multi-way join →
+hash agg → sort/limit) at the sizes where plan quality matters. Used
+as bench.py's headline set alongside the gold analogs.
+
+Plan expectations (verified via .explain in tests):
+- q1: single shuffle on (returnflag, linestatus); filter pushed to scan.
+- q3: orders⋈lineitem sort-merge/shuffled-hash under AQE, customer
+  broadcast at bench scale; top-k via TakeOrderedAndProject.
+- q5: dims (region, nation, supplier) broadcast; one wide join chain.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.numeric import grid, grid_sql
+from ..sources.testdata import table
+
+
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 analog: big-fact scan, date filter, 2-key group,
+    8 aggregates, ordered output."""
+    li = table(spark, sf_dir, "lineitem")
+    qty = grid(F.col("l_quantity"), 2)
+    price = grid(F.col("l_extendedprice"), 2)
+    disc = grid(F.col("l_discount"), 2)
+    disc_price = grid(F.col("l_extendedprice") * (1 - F.col("l_discount")), 2)
+    charge = grid(F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax")), 2)
+    n = F.count(F.lit(1))
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            grid(F.sum(qty), 2).alias("sum_qty"),
+            grid(F.sum(price), 2).alias("sum_base_price"),
+            grid(F.sum(disc_price), 2).alias("sum_disc_price"),
+            grid(F.sum(charge), 2).alias("sum_charge"),
+            grid(grid(F.sum(qty), 2) / n, 4).alias("avg_qty"),
+            grid(grid(F.sum(price), 2) / n, 4).alias("avg_price"),
+            grid(grid(F.sum(disc), 2) / n, 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+PRICING_SUMMARY_SQL = """
+SELECT l_returnflag, l_linestatus,
+       floor((SUM(floor((l_quantity) * 100 + 0.5) / 100)) * 100 + 0.5) / 100 AS sum_qty,
+       floor((SUM(floor((l_extendedprice) * 100 + 0.5) / 100)) * 100 + 0.5) / 100 AS sum_base_price,
+       floor((SUM(floor((l_extendedprice * (1 - l_discount)) * 100 + 0.5) / 100)) * 100 + 0.5) / 100 AS sum_disc_price,
+       floor((SUM(floor((l_extendedprice * (1 - l_discount) * (1 + l_tax)) * 100 + 0.5) / 100)) * 100 + 0.5) / 100 AS sum_charge,
+       floor((floor((SUM(floor((l_quantity) * 100 + 0.5) / 100)) * 100 + 0.5) / 100 / COUNT(*)) * 10000 + 0.5) / 10000 AS avg_qty,
+       floor((floor((SUM(floor((l_extendedprice) * 100 + 0.5) / 100)) * 100 + 0.5) / 100 / COUNT(*)) * 10000 + 0.5) / 10000 AS avg_price,
+       floor((floor((SUM(floor((l_discount) * 100 + 0.5) / 100)) * 100 + 0.5) / 100 / COUNT(*)) * 10000 + 0.5) / 10000 AS avg_disc,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 analog: 3-way join, segment + date filters, revenue
+    agg, ORDER BY + LIMIT top-k (the reference computes rankings but
+    never truncates — this adds the top-k surface, SURVEY §2.7)."""
+    cust = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    cutoff = F.lit("1997-01-01").cast("timestamp")
+    return (
+        cust.where(F.col("c_mktsegment") == "BUILDING")
+        .join(orders, F.col("c_custkey") == F.col("o_custkey"))
+        .where(F.col("o_orderdate") < cutoff)
+        .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .where(F.col("l_shipdate") > cutoff)
+        .groupBy(
+            F.col("l_orderkey").alias("orderkey"),
+            F.col("o_orderdate").alias("orderdate"),
+            F.col("o_orderpriority").alias("orderpriority"),
+        )
+        .agg(grid(F.sum(grid(F.col("l_extendedprice") * (1 - F.col("l_discount")), 2)), 2).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("orderkey"))
+        .limit(10)
+    )
+
+
+SHIPPING_PRIORITY_SQL = """
+SELECT l_orderkey AS orderkey,
+       o_orderdate AS orderdate,
+       o_orderpriority AS orderpriority,
+       floor((SUM(floor((l_extendedprice * (1 - l_discount)) * 100 + 0.5) / 100)) * 100 + 0.5) / 100 AS revenue
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1997-01-01'
+  AND l_shipdate > TIMESTAMP '1997-01-01'
+GROUP BY 1, 2, 3
+ORDER BY revenue DESC, orderkey
+LIMIT 10
+"""
+
+
+def local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 analog: 6-way join through region/nation dims
+    (broadcast), customer-supplier nation co-location predicate,
+    revenue per nation."""
+    region = table(spark, sf_dir, "region")
+    nation = table(spark, sf_dir, "nation")
+    cust = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    supp = table(spark, sf_dir, "supplier")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(supp), (F.col("l_suppkey") == F.col("s_suppkey")) & (F.col("c_nationkey") == F.col("s_nationkey")))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .where(F.col("r_name") == "ASIA")
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(grid(F.sum(grid(F.col("l_extendedprice") * (1 - F.col("l_discount")), 2)), 2).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("nation"))
+    )
+
+
+LOCAL_SUPPLIER_VOLUME_SQL = """
+SELECT n_name AS nation,
+       floor((SUM(floor((l_extendedprice * (1 - l_discount)) * 100 + 0.5) / 100)) * 100 + 0.5) / 100 AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+GROUP BY n_name
+ORDER BY revenue DESC, nation
+"""
+
+
+QUERIES = {
+    "tpch_pricing_summary": pricing_summary,
+    "tpch_shipping_priority": shipping_priority,
+    "tpch_local_supplier_volume": local_supplier_volume,
+}
+
+ORACLES = {
+    "tpch_pricing_summary": PRICING_SUMMARY_SQL,
+    "tpch_shipping_priority": SHIPPING_PRIORITY_SQL,
+    "tpch_local_supplier_volume": LOCAL_SUPPLIER_VOLUME_SQL,
+}

@@ -1,0 +1,75 @@
+"""SparkSession factory.
+
+The reference builds sessions per Airflow task with Iceberg extensions,
+two Hive catalogs and S3A credentials (dags/2_bronze_to_silver.py:22-58,
+dags/3_silver_to_gold.py:22-57). This engine is local-first and
+infra-free: one factory, deterministic configs, optional format
+extensions applied only when their jars are actually on the classpath.
+
+Scale posture (100 TB): every setting here is either
+cluster-size-neutral (UTC, Arrow, AQE) or explicitly overridable. AQE +
+skew-join + coalesce mirrors the reference's only tuning
+(dags/3_silver_to_gold.py:55-57) and is exactly what a 1000-executor
+deployment wants for runtime re-planning.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def build_session(
+    app_name: str = "lakehouse-ffc-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Create (or reuse) a SparkSession with the engine's defaults.
+
+    Defaults are safe for both ``local[*]`` tests and a real cluster:
+    - UTC session timezone (kills YEAR/MONTH/DATE tz drift — SURVEY §7.3)
+    - AQE + partition coalescing + skew-join (reference parity)
+    - Arrow for pandas interchange (fast path for the ext/ operators)
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    builder = SparkSession.builder.appName(app_name).master(
+        master or f"local[{cpus}]"
+    )
+    conf = {
+        "spark.sql.session.timeZone": "UTC",
+        "spark.sql.shuffle.partitions": str(
+            shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS
+        ),
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.coalescePartitions.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.execution.arrow.pyspark.enabled": "true",
+        "spark.sql.parquet.compression.codec": "snappy",
+        # 128 MB target files, mirroring write.target-file-size-bytes
+        # (dags/2_bronze_to_silver.py:247)
+        "spark.sql.files.maxPartitionBytes": "134217728",
+        "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+        "spark.ui.enabled": "false",
+    }
+    if extra_conf:
+        conf.update(extra_conf)
+    for k, v in conf.items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
+
+
+def apply_runtime_defaults(spark: SparkSession) -> SparkSession:
+    """Pin runtime-settable confs on an externally-provided session.
+
+    The correctness driver hands us its own SparkSession; timezone and
+    AQE are runtime-settable so we pin them here instead of trusting
+    the ambient config.
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    return spark
