@@ -1,0 +1,64 @@
+"""Benchmark harness: runs the headline query set at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query executes to a ``noop`` sink (full execution, no driver
+materialization cost), mirroring how the reference's gold stage
+writes tables rather than collecting (dags/3_silver_to_gold.py:188-195).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+from lakehouse_file_format_compare_spark.plans import all_queries
+from lakehouse_file_format_compare_spark.session import build_session
+
+HEADLINE = [
+    "gold_monthly_balance",
+    "gold_customer_summary",
+    "gold_daily_transaction_metrics",
+    "gold_product_ranking",
+    "tpch_pricing_summary",
+    "tpch_shipping_priority",
+    "tpch_local_supplier_volume",
+    "dedup_exact",
+    "text_quality",
+    "sim_knn_bruteforce",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+    spark = build_session(app_name="lakehouse-ffc-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    queries = all_queries()
+
+    # JVM/codegen warm-up on an untimed tiny query
+    queries["tpch_local_supplier_volume"](spark, sf_dir).write.format("noop").mode("overwrite").save()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        start = time.perf_counter()
+        queries[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - start, 3)
+
+    result = {
+        "metric": "headline_suite_total",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    print(json.dumps(result))
+    sys.stdout.flush()
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
