@@ -1,0 +1,147 @@
+"""Multimodal column plumbing for training-data pipelines.
+
+Media (image/audio/video) are opaque ``binary`` columns with typed
+metadata structs; decode / feature-extraction / resize / frame-sample
+run as Arrow-batched ``mapInPandas`` stages. The Spark-side plumbing —
+schemas, batch iteration, partition sizing, UDF signatures — is real
+and tested; the actual codec calls are STUBBED (this container ships
+no image/audio libraries): ``decode_image`` raises
+``NotImplementedError`` unless ``fake=True``, in which case a
+deterministic fake decoder (content-hash-seeded dimensions) stands in
+so the distributed plumbing is exercised end-to-end.
+
+Scale notes (100 TB of media): binary payloads dominate partition
+size, so ``repartition_for_media`` targets a byte budget per
+partition (not row count); metadata-only transformations select away
+the binary column FIRST so Tungsten never carries payload bytes
+through stages that don't need them.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+MEDIA_SCHEMA = StructType([
+    StructField("media_id", LongType(), False),
+    StructField("media_type", StringType(), True),   # image | audio | video
+    StructField("content", BinaryType(), True),
+    StructField("source_uri", StringType(), True),
+])
+
+IMAGE_FEATURES_SCHEMA = StructType([
+    StructField("media_id", LongType(), False),
+    StructField("n_bytes", LongType(), True),
+    StructField("content_sha256", StringType(), True),
+    StructField("width", IntegerType(), True),
+    StructField("height", IntegerType(), True),
+    StructField("channels", IntegerType(), True),
+])
+
+
+def documents_as_media(docs: DataFrame) -> DataFrame:
+    """Adapter: treat document text bytes as opaque media payloads so
+    the binary-column path is testable on the shipped testdata."""
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("media_type"),
+        F.encode("text", "UTF-8").cast("binary").alias("content"),
+        F.concat(F.lit("mem://doc/"), F.col("doc_id")).alias("source_uri"),
+    )
+
+
+def _fake_decode(content: bytes) -> tuple[int, int, int]:
+    """Deterministic stand-in for a real image decoder: dimensions
+    derived from the content hash. Replaced by PIL/libvips in a real
+    deployment."""
+    h = hashlib.sha256(content).digest()
+    width = 64 + h[0] % 192
+    height = 64 + h[1] % 192
+    return width, height, 3
+
+
+def decode_image(content: bytes, fake: bool = False) -> tuple[int, int, int]:
+    if fake:
+        return _fake_decode(content)
+    raise NotImplementedError(
+        "real image decoding requires PIL/libvips (not in this container); "
+        "pass fake=True for the deterministic test decoder"
+    )
+
+
+def extract_image_features(media: DataFrame, fake_decode: bool = True) -> DataFrame:
+    """mapInPandas feature extraction: per Arrow batch, hash + decode
+    each payload. The binary column is consumed here and NOT carried
+    into the output (metadata-only downstream)."""
+
+    # NOTE: the closure must be self-contained (locals + stdlib only).
+    # Referencing module-level names would make cloudpickle serialize
+    # them as references to this package, which executors cannot
+    # import unless the package is shipped via addPyFile — the classic
+    # Python-UDF deployment trap.
+    columns = [f.name for f in IMAGE_FEATURES_SCHEMA.fields]
+    use_fake = fake_decode
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib as _hashlib
+
+        import pandas as _pd
+
+        for pdf in batches:
+            rows = []
+            for media_id, content in zip(pdf["media_id"], pdf["content"]):
+                blob = bytes(content) if content is not None else b""
+                if use_fake:
+                    digest = _hashlib.sha256(blob).digest()
+                    width, height, channels = 64 + digest[0] % 192, 64 + digest[1] % 192, 3
+                else:
+                    raise NotImplementedError(
+                        "real image decoding requires PIL/libvips (not in this container)"
+                    )
+                rows.append({
+                    "media_id": media_id,
+                    "n_bytes": len(blob),
+                    "content_sha256": _hashlib.sha256(blob).hexdigest(),
+                    "width": width,
+                    "height": height,
+                    "channels": channels,
+                })
+            yield _pd.DataFrame(rows, columns=columns)
+
+    return media.select("media_id", "content").mapInPandas(extract, IMAGE_FEATURES_SCHEMA)
+
+
+def repartition_for_media(media: DataFrame, target_partition_bytes: int = 128 * 1024 * 1024,
+                          avg_media_bytes: int | None = None) -> DataFrame:
+    """Partition by byte budget: with media columns, rows-per-partition
+    is the wrong unit. Estimates mean payload size from a sample when
+    not provided."""
+    if avg_media_bytes is None:
+        sample = media.select(F.avg(F.length("content")).alias("b")).collect()[0]["b"]
+        avg_media_bytes = int(sample or 1)
+    total = media.count() * max(avg_media_bytes, 1)
+    n = max(1, min(10000, total // target_partition_bytes + 1))
+    return media.repartition(int(n))
+
+
+def frame_sample_stub(media: DataFrame, every_n: int = 30) -> DataFrame:
+    """Video frame-sampling plumbing: emits (media_id, frame_index)
+    pairs for a stubbed frame count derived from payload size — the
+    explode pattern a real ffmpeg-backed sampler would use."""
+    n_frames = (F.length("content") / 1000).cast("int") + 1
+    return media.select(
+        "media_id",
+        F.explode(F.sequence(F.lit(0), n_frames - 1, F.lit(every_n))).alias("frame_index"),
+    )

@@ -10,9 +10,20 @@ correctness gate. Column aliases MUST match between the two sides
 (the driver sorts columns by name before value-hashing).
 """
 
-from . import adhoc, dedup_plans, gold, similarity_plans, text_plans, tpch
+from . import (
+    adhoc,
+    dedup_plans,
+    ext_plans,
+    gold,
+    similarity_plans,
+    streaming_plans,
+    text_plans,
+    tpch,
+)
 
-ALL_PLAN_MODULES = (gold, tpch, adhoc, text_plans, dedup_plans, similarity_plans)
+ALL_PLAN_MODULES = (
+    gold, tpch, adhoc, text_plans, dedup_plans, similarity_plans, streaming_plans, ext_plans,
+)
 
 
 def all_queries():

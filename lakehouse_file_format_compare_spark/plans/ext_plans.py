@@ -1,0 +1,65 @@
+"""Extension-surface queries: the ad-hoc SQL surface (S6/C3, README
+Trino queries) and the multimodal binary-column pipeline.
+
+``op_sql_surface`` / ``op_readme_customer_filter`` run through
+``spark.sql`` over registered temp views — the engine's second query
+API (SURVEY §3.4: one engine answers both). Their SQL text is written
+in the dialect intersection so the DuckDB oracle executes the SAME
+string.
+
+``mm_image_features`` drives the mapInPandas multimodal plumbing
+(ext/multimodal.py) with the deterministic fake decoder — rows-only
+check (sha256-derived dims are not reasonably SQL-expressible);
+determinism and schema are unit-tested in tests/test_ext.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..ext.multimodal import documents_as_media, extract_image_features
+from ..functions.numeric import grid_sql
+from ..sources.testdata import register_views, table
+
+_VOLUME = grid_sql(f"SUM({grid_sql('l_extendedprice * (1 - l_discount)', 2)})", 2)
+
+SQL_SURFACE = f"""
+SELECT p_brand AS product_name, {_VOLUME} AS total_volume
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY p_brand
+ORDER BY total_volume DESC, product_name
+"""
+
+README_CUSTOMER_FILTER = """
+SELECT c_custkey, c_name, c_acctbal
+FROM customer
+WHERE c_acctbal > 9000
+ORDER BY c_acctbal DESC, c_custkey
+"""
+
+
+def sql_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(SQL_SURFACE)
+
+
+def readme_customer_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(README_CUSTOMER_FILTER)
+
+
+def mm_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return extract_image_features(documents_as_media(docs), fake_decode=True)
+
+
+QUERIES = {
+    "op_sql_surface": sql_surface,
+    "op_readme_customer_filter": readme_customer_filter,
+    "mm_image_features": mm_image_features,
+}
+
+ORACLES = {
+    "op_sql_surface": SQL_SURFACE,
+    "op_readme_customer_filter": README_CUSTOMER_FILTER,
+}

@@ -40,7 +40,7 @@ SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= {K}
 def knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = table(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") % QUERY_MOD == 0)
-    return S.knn_lsh(queries, emb, k=K, bits=8, dim=64)
+    return S.knn_lsh(queries, emb, k=K, bits=6, tables=8, dim=64)
 
 
 QUERIES = {

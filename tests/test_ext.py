@@ -1,0 +1,100 @@
+"""Extension surfaces: multimodal plumbing, LSH recall vs exact
+baselines, windowed-aggregation semantics."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from lakehouse_file_format_compare_spark.ext.multimodal import (
+    documents_as_media,
+    extract_image_features,
+    frame_sample_stub,
+    repartition_for_media,
+)
+from lakehouse_file_format_compare_spark.operators import dedup as D
+from lakehouse_file_format_compare_spark.operators import similarity as S
+from lakehouse_file_format_compare_spark.sources.testdata import table
+
+from .conftest import SF_CORRECTNESS
+
+
+def test_multimodal_features_deterministic(spark):
+    docs = table(spark, SF_CORRECTNESS, "documents").limit(50)
+    media = documents_as_media(docs)
+    a = sorted(map(tuple, extract_image_features(media, fake_decode=True).collect()))
+    b = sorted(map(tuple, extract_image_features(media, fake_decode=True).collect()))
+    assert a == b
+    assert len(a) == 50
+    row = dict(zip(["media_id", "n_bytes", "content_sha256", "width", "height", "channels"], a[0]))
+    assert row["n_bytes"] > 0 and len(row["content_sha256"]) == 64
+    assert 64 <= row["width"] < 256 and 64 <= row["height"] < 256
+
+
+def test_multimodal_real_decoder_is_stubbed(spark):
+    import pytest
+
+    from lakehouse_file_format_compare_spark.ext.multimodal import decode_image
+
+    with pytest.raises(NotImplementedError):
+        decode_image(b"not-an-image", fake=False)
+
+
+def test_media_repartition_by_bytes(spark):
+    docs = table(spark, SF_CORRECTNESS, "documents")
+    media = documents_as_media(docs)
+    out = repartition_for_media(media, target_partition_bytes=64 * 1024)
+    assert out.rdd.getNumPartitions() >= 2
+
+
+def test_frame_sampling_plumbing(spark):
+    docs = table(spark, SF_CORRECTNESS, "documents").limit(5)
+    frames = frame_sample_stub(documents_as_media(docs), every_n=1)
+    counts = frames.groupBy("media_id").count().collect()
+    assert all(r["count"] >= 1 for r in counts)
+
+
+def test_minhash_lsh_recall_vs_exact(spark):
+    docs = table(spark, SF_CORRECTNESS, "documents")
+    exact = {
+        (r.doc_a, r.doc_b)
+        for r in D.ngram_jaccard_pairs(docs, threshold=0.8).collect()
+    }
+    approx = {
+        (r.doc_a, r.doc_b)
+        for r in D.minhash_lsh_pairs(docs, threshold=0.8).collect()
+    }
+    # verified-candidate design: approx ⊆ exact always; recall high
+    assert approx <= exact
+    if exact:
+        recall = len(approx & exact) / len(exact)
+        assert recall >= 0.8, f"LSH recall too low: {recall}"
+
+
+def test_knn_lsh_recall_vs_bruteforce(spark):
+    emb = table(spark, SF_CORRECTNESS, "embeddings")
+    queries = emb.where(F.col("vec_id") % 100 == 0)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in S.knn_bruteforce(queries, emb, k=5).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in S.knn_lsh(queries, emb, k=5, bits=6, tables=8, dim=64).collect()
+    }
+    recall = len(approx & exact) / len(exact)
+    assert recall >= 0.6, f"multi-table LSH recall vs exact top-5: {recall}"
+
+
+def test_simhash_finds_exact_duplicates(spark):
+    docs = table(spark, SF_CORRECTNESS, "documents")
+    # exact dups (identical normalized text) must be hamming-0 pairs
+    exact_dup_pairs = {
+        tuple(sorted((r.doc_id, r.canonical_id)))
+        for r in D.exact_duplicates(docs).where(F.col("group_size") > 1).collect()
+        if r.doc_id != r.canonical_id
+    }
+    sim_pairs = {
+        (r.doc_a, r.doc_b): r.hamming for r in D.simhash_near_pairs(docs, max_hamming=0).collect()
+    }
+    for pair in exact_dup_pairs:
+        assert pair in sim_pairs or (pair[1], pair[0]) in sim_pairs
