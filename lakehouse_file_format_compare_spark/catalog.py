@@ -1,0 +1,56 @@
+"""Catalog / DDL surface (SURVEY §2.11, C1-C6).
+
+The reference manages tables through two Iceberg catalogs over a Hive
+metastore (dags/2_bronze_to_silver.py:31-44); this engine uses the
+built-in ``spark_catalog`` with a local warehouse by default — the
+same API, zero infra — and takes external catalogs purely as session
+config (session.py ``extra_conf``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def ensure_database(spark: SparkSession, name: str) -> None:
+    """C1 (2_…py:67): CREATE DATABASE IF NOT EXISTS."""
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS {name}")
+
+
+def table_exists(spark: SparkSession, name: str) -> bool:
+    """C2 (2_…py:239)."""
+    return spark.catalog.tableExists(name)
+
+
+def save_table(
+    df: DataFrame,
+    name: str,
+    fmt: str = "parquet",
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+) -> None:
+    """K3-analog through the catalog: managed CTAS (saveAsTable)."""
+    writer = df.write.format(fmt).mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.saveAsTable(name)
+
+
+def drop_table(spark: SparkSession, name: str) -> None:
+    """K8 (3_…py:188): DROP TABLE IF EXISTS (full-refresh pattern)."""
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
+def register_temp_view(df: DataFrame, name: str) -> None:
+    """C3 (2_…py:229)."""
+    df.createOrReplaceTempView(name)
+
+
+def drop_temp_view(spark: SparkSession, name: str) -> None:
+    """C4 (2_…py:305)."""
+    spark.catalog.dropTempView(name)
+
+
+def row_count(spark: SparkSession, name: str) -> int:
+    """C5 validation probe (2_…py:296) — lazy metadata-friendly count."""
+    return spark.table(name).count()

@@ -1,0 +1,75 @@
+"""Physical-plan regression tests — the 100 TB design assertions
+(SURVEY §4): predicate pushdown reaches the scan, projections prune
+the read schema, small dims broadcast, top-k avoids full sorts, and
+no core plan falls back to Python row evaluation.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from lakehouse_file_format_compare_spark.plans import all_queries
+
+from .conftest import SF_CORRECTNESS
+
+QUERIES = all_queries()
+
+
+def _formatted(spark, name: str) -> str:
+    df = QUERIES[name](spark, SF_CORRECTNESS)
+    return df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    plan = _formatted(spark, "op_filter_project")
+    assert "PushedFilters: [" in plan and "GreaterThan(l_quantity,45.0)" in plan
+    # column pruning: only the 5 needed columns are read
+    assert "ReadSchema: struct<l_orderkey:bigint,l_linenumber:int,l_quantity:double," in plan
+
+
+def test_dim_joins_broadcast(spark):
+    for name in ["op_dim_join_broadcast", "gold_monthly_balance", "tpch_local_supplier_volume"]:
+        plan = _formatted(spark, name)
+        assert "BroadcastHashJoin" in plan, f"{name}: dim join is not broadcast"
+
+
+def test_topk_uses_take_ordered(spark):
+    plan = _formatted(spark, "op_topk_orders")
+    assert "TakeOrderedAndProject" in plan, "global sort instead of top-k"
+
+
+def test_left_joins_preserved(spark):
+    plan = _formatted(spark, "gold_customer_summary")
+    assert "LeftOuter" in plan
+
+
+def test_no_python_row_udfs_in_core_plans(spark):
+    # everything except the multimodal mapInPandas stage must stay JVM-side
+    for name in QUERIES:
+        if name.startswith("mm_"):
+            continue
+        plan = _formatted(spark, name)
+        assert "BatchEvalPython" not in plan, f"{name} fell back to row-at-a-time Python"
+
+
+def test_codegen_active(spark):
+    # AQE-wrapped plans don't annotate codegen ids before execution;
+    # the exchange-free scan plan shows them directly
+    plan = _formatted(spark, "op_filter_project")
+    assert "codegen id" in plan, "whole-stage codegen not active on the scan pipeline"
+    assert spark.conf.get("spark.sql.codegen.wholeStage") == "true"
+
+
+def test_partial_aggregation_before_shuffle(spark):
+    # hash agg must be partial+final (map-side combine), not single-phase
+    plan = _formatted(spark, "tpch_pricing_summary")
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_window_is_partitioned_and_group_limited(spark):
+    plan = _formatted(spark, "op_window_rank_per_group")
+    # partition key retained AND the rank<=3 filter pushed down as a
+    # group-limit BELOW the shuffle (partial WindowGroupLimit) — the
+    # plan shape that keeps per-group top-k scalable
+    assert "c_nationkey" in plan, "window lost its partition key"
+    assert plan.count("WindowGroupLimit") >= 2, "rank filter not pushed as partial group-limit"
