@@ -342,6 +342,62 @@ FROM orders
 """
 
 
+def semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join (EXISTS): customers holding at least one open
+    order. Absent from the reference (§2.4: equi-joins only) — part of
+    the complete-engine join surface."""
+    cust = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders")
+    open_orders = orders.where(F.col("o_orderstatus") == "O")
+    return cust.join(
+        open_orders, F.col("c_custkey") == F.col("o_custkey"), "left_semi"
+    ).select("c_custkey", "c_name", "c_mktsegment")
+
+
+SEMI_JOIN_SQL = """
+SELECT c_custkey, c_name, c_mktsegment
+FROM customer
+WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'O')
+"""
+
+
+def anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join (NOT EXISTS): customers with no orders at all —
+    the null-safe complement (NOT IN would drop rows on null keys)."""
+    cust = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders")
+    return cust.join(
+        orders, F.col("c_custkey") == F.col("o_custkey"), "left_anti"
+    ).select("c_custkey", "c_name", "c_acctbal")
+
+
+ANTI_JOIN_SQL = """
+SELECT c_custkey, c_name, c_acctbal
+FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+"""
+
+
+def scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-subquery pattern: orders priced above 1.5x the global
+    average — expressed as a broadcast join against the 1-row
+    aggregate (the distributed-friendly form of a scalar subquery)."""
+    orders = table(spark, sf_dir, "orders")
+    avg_price = orders.agg(F.avg("o_totalprice").alias("avg_price"))
+    return (
+        orders.crossJoin(F.broadcast(avg_price))
+        .where(F.col("o_totalprice") > 1.5 * F.col("avg_price"))
+        .select("o_orderkey", "o_totalprice")
+    )
+
+
+SCALAR_SUBQUERY_SQL = """
+SELECT o_orderkey, o_totalprice
+FROM orders
+WHERE o_totalprice > 1.5 * (SELECT AVG(o_totalprice) FROM orders)
+"""
+
+
 QUERIES = {
     "op_filter_project": filter_project,
     "op_dim_join_broadcast": dim_join_broadcast,
@@ -356,6 +412,9 @@ QUERIES = {
     "op_rollup_revenue": rollup_revenue,
     "op_merge_upsert": merge_upsert_demo,
     "op_merge_insert_only": merge_insert_only_demo,
+    "op_semi_join": semi_join,
+    "op_anti_join": anti_join,
+    "op_scalar_subquery": scalar_subquery,
 }
 
 ORACLES = {
@@ -372,4 +431,7 @@ ORACLES = {
     "op_rollup_revenue": ROLLUP_REVENUE_SQL,
     "op_merge_upsert": MERGE_UPSERT_DEMO_SQL,
     "op_merge_insert_only": MERGE_INSERT_ONLY_DEMO_SQL,
+    "op_semi_join": SEMI_JOIN_SQL,
+    "op_anti_join": ANTI_JOIN_SQL,
+    "op_scalar_subquery": SCALAR_SUBQUERY_SQL,
 }
