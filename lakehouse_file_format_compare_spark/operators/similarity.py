@@ -1,19 +1,21 @@
 """Approximate-nearest-neighbor search over embedding columns.
 
-Two strategies sharing the cosine kernel (functions/vectors.py):
+Three strategies sharing the cosine kernel (functions/vectors.py):
 
 - brute-force top-k: query⨯corpus cross join + per-query window
   rank. Exact; cost |Q|·|C| distance evals. The correctness baseline
   and the right choice when |Q| is small (batch lookup joins).
-- random-hyperplane LSH buckets: each vector gets a b-bit signature
-  (sign of dot with seeded Gaussian hyperplanes); search joins only
-  same-bucket (+ optional multi-probe) candidates. At 100 TB this is
-  the serving path: bucket join instead of cross join, recall tunable
-  via (bits, probes).
+- multi-table random-hyperplane LSH: per-table b-bit sign signatures
+  (seeded Gaussian hyperplanes); search joins only same-bucket
+  (+ 1-bit multiprobe) candidates across tables. Recall tunable via
+  (bits, tables) without touching the query.
+- IVF (inverted file): seeded k-means centroids trained on a bounded
+  sample; corpus bucketed by nearest centroid; queries probe their
+  nprobe closest lists. Cost ∝ |Q|·(nprobe/n_lists)·|C|.
 
-Hyperplanes are generated driver-side from a fixed seed (numpy) and
-shipped as literal arrays — deterministic across runs and cluster
-sizes, no UDF, no state.
+Hyperplanes/centroids are generated driver-side from a fixed seed
+(numpy) and shipped as literal arrays — deterministic across runs and
+cluster sizes, no UDF, no state.
 """
 
 from __future__ import annotations
@@ -113,6 +115,96 @@ def knn_lsh(
     )
     scored = (
         q_probed.join(buckets, ["p"])
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", "qv", "cv")
+        .distinct()
+        .withColumn("cosine", grid(V.cosine(F.col("qv"), F.col("cv")), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN — the clustering-based scale path
+# ---------------------------------------------------------------------------
+
+def train_ivf_centroids(
+    corpus: DataFrame,
+    n_lists: int = 16,
+    iters: int = 8,
+    sample_size: int = 2048,
+    seed: int = 42,
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Train IVF centroids with seeded Lloyd iterations on a bounded
+    driver-side sample — the standard IVF recipe (train small, assign
+    big). The returned centroids are plain literals: broadcastable,
+    deterministic, no state to ship."""
+    rows = corpus.select(vec_col).limit(sample_size).collect()
+    x = np.array([r[0] for r in rows], dtype=np.float64)
+    rng = np.random.RandomState(seed)
+    centroids = x[rng.choice(len(x), size=min(n_lists, len(x)), replace=False)]
+    for _ in range(iters):
+        # cosine assignment on normalized vectors ≡ max dot product
+        xn = x / np.linalg.norm(x, axis=1, keepdims=True)
+        cn = centroids / np.linalg.norm(centroids, axis=1, keepdims=True)
+        assign = (xn @ cn.T).argmax(axis=1)
+        for j in range(len(centroids)):
+            members = x[assign == j]
+            if len(members):
+                centroids[j] = members.mean(axis=0)
+    return [[float(v) for v in c] for c in centroids]
+
+
+def _centroid_sims(vec_col, centroids: list[list[float]]):
+    return F.array(*[
+        V.cosine(vec_col, F.array(*[F.lit(p) for p in c])) for c in centroids
+    ])
+
+
+def ivf_assign(df: DataFrame, centroids: list[list[float]], vec_col: str) -> DataFrame:
+    """Assign each vector to its nearest centroid (max cosine) — one
+    narrow projection, no shuffle."""
+    sims = _centroid_sims(F.col(vec_col), centroids)
+    return df.withColumn(
+        "__list", (F.array_position(sims, F.array_max(sims)) - 1).cast("int")
+    )
+
+
+def knn_ivf(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    n_lists: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: list[list[float]] | None = None,
+) -> DataFrame:
+    """IVF approximate top-k: corpus bucketed by nearest centroid;
+    each query probes its ``nprobe`` closest lists; exact cosine rank
+    within the probed lists. Cost ∝ |Q| · (nprobe/n_lists) · |C| —
+    the tunable recall/cost dial of the clustering-based scale path."""
+    centroids = centroids or train_ivf_centroids(corpus, n_lists=n_lists, vec_col=vec_col)
+    c = ivf_assign(
+        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")),
+        centroids, "cv",
+    )
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    sims = _centroid_sims(F.col("qv"), centroids)
+    ranked = F.sort_array(
+        F.arrays_zip(sims.alias("s"), F.sequence(F.lit(0), F.lit(len(centroids) - 1)).alias("i")),
+        asc=False,
+    )
+    q_probed = q.withColumn(
+        "__list", F.explode(F.transform(F.slice(ranked, 1, nprobe), lambda z: z["i"].cast("int")))
+    )
+    scored = (
+        q_probed.join(c, "__list")
         .where(F.col("query_id") != F.col("neighbor_id"))
         .select("query_id", "neighbor_id", "qv", "cv")
         .distinct()

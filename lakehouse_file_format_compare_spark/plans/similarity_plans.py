@@ -37,6 +37,12 @@ SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= {K}
 """
 
 
+def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") % QUERY_MOD == 0)
+    return S.knn_ivf(queries, emb, k=K, n_lists=16, nprobe=6)
+
+
 def knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = table(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") % QUERY_MOD == 0)
@@ -46,9 +52,10 @@ def knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "sim_knn_bruteforce": knn_bruteforce,
     "sim_knn_lsh": knn_lsh,
+    "sim_knn_ivf": knn_ivf,
 }
 
-# knn_lsh absent → rows-only check (approximate by design).
+# knn_lsh / knn_ivf absent → rows-only check (approximate by design).
 ORACLES = {
     "sim_knn_bruteforce": KNN_BRUTEFORCE_SQL,
 }

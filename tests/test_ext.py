@@ -85,6 +85,28 @@ def test_knn_lsh_recall_vs_bruteforce(spark):
     assert recall >= 0.6, f"multi-table LSH recall vs exact top-5: {recall}"
 
 
+def test_knn_ivf_recall_vs_bruteforce(spark):
+    emb = table(spark, SF_CORRECTNESS, "embeddings")
+    queries = emb.where(F.col("vec_id") % 100 == 0)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in S.knn_bruteforce(queries, emb, k=5).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in S.knn_ivf(queries, emb, k=5, n_lists=16, nprobe=6).collect()
+    }
+    recall = len(approx & exact) / len(exact)
+    assert recall >= 0.5, f"IVF nprobe=6/16 recall vs exact top-5: {recall}"
+
+
+def test_ivf_deterministic(spark):
+    emb = table(spark, SF_CORRECTNESS, "embeddings")
+    c1 = S.train_ivf_centroids(emb, n_lists=8, seed=5)
+    c2 = S.train_ivf_centroids(emb, n_lists=8, seed=5)
+    assert c1 == c2
+
+
 def test_simhash_finds_exact_duplicates(spark):
     docs = table(spark, SF_CORRECTNESS, "documents")
     # exact dups (identical normalized text) must be hamming-0 pairs
