@@ -398,6 +398,78 @@ WHERE o_totalprice > 1.5 * (SELECT AVG(o_totalprice) FROM orders)
 """
 
 
+def window_functions_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window-function breadth beyond the reference's two ROW_NUMBERs
+    (SURVEY §2.6 "no lag/lead, no rank/dense_rank/ntile, no frame
+    specs"): lag, lead, rank, dense_rank, ntile and a ROWS BETWEEN
+    running frame, all over one pass of the orders-per-customer
+    window."""
+    orders = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    frame = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    price = grid(F.col("o_totalprice"), 2)
+    return orders.where(F.col("o_custkey") < 200).select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderkey").alias("orderkey"),
+        F.to_date("o_orderdate").alias("orderdate"),
+        F.lag("o_orderkey").over(w).alias("prev_orderkey"),
+        F.lead("o_orderkey").over(w).alias("next_orderkey"),
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.ntile(4).over(w).alias("quartile"),
+        grid(F.sum(price).over(frame), 2).alias("running_total"),
+    )
+
+
+WINDOW_FUNCTIONS_SUITE_SQL = f"""
+SELECT o_custkey AS custkey,
+       o_orderkey AS orderkey,
+       CAST(o_orderdate AS DATE) AS orderdate,
+       LAG(o_orderkey) OVER w AS prev_orderkey,
+       LEAD(o_orderkey) OVER w AS next_orderkey,
+       RANK() OVER w AS rnk,
+       DENSE_RANK() OVER w AS drnk,
+       NTILE(4) OVER w AS quartile,
+       {grid_sql(f"SUM({grid_sql('o_totalprice', 2)}) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)", 2)} AS running_total
+FROM orders
+WHERE o_custkey < 200
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+"""
+
+
+def cube_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping sets (absent from the reference, SURVEY §2.5):
+    all combinations of (status, priority) incl. grand total."""
+    orders = table(spark, sf_dir, "orders")
+    price = grid(F.col("o_totalprice"), 2)
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(grid(F.sum(price), 2).alias("revenue"), F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+CUBE_REVENUE_SQL = f"""
+SELECT o_orderstatus, o_orderpriority,
+       {grid_sql(f"SUM({grid_sql('o_totalprice', 2)})", 2)} AS revenue,
+       COUNT(*) AS n_orders
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+
+
+def approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate aggregates (absent from the reference, SURVEY §2.5
+    "no approximate aggregates"): HyperLogLog++ distinct counts +
+    exact counterpart per order status. Sketch-based → rows-only
+    driver check; ±2% accuracy asserted in tests/test_ext.py."""
+    orders = table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderstatus").agg(
+        F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx_customers"),
+        F.countDistinct("o_custkey").alias("exact_customers"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
 QUERIES = {
     "op_filter_project": filter_project,
     "op_dim_join_broadcast": dim_join_broadcast,
@@ -415,6 +487,9 @@ QUERIES = {
     "op_semi_join": semi_join,
     "op_anti_join": anti_join,
     "op_scalar_subquery": scalar_subquery,
+    "op_window_functions_suite": window_functions_suite,
+    "op_cube_revenue": cube_revenue,
+    "op_approx_distinct": approx_distinct,
 }
 
 ORACLES = {
@@ -434,4 +509,6 @@ ORACLES = {
     "op_semi_join": SEMI_JOIN_SQL,
     "op_anti_join": ANTI_JOIN_SQL,
     "op_scalar_subquery": SCALAR_SUBQUERY_SQL,
+    "op_window_functions_suite": WINDOW_FUNCTIONS_SUITE_SQL,
+    "op_cube_revenue": CUBE_REVENUE_SQL,
 }

@@ -106,16 +106,14 @@ def customer_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         grid(F.sum(_amt()), 2).alias("saldo_contrato"),
         F.max("l_shipdate").alias("ultima_atividade_contrato"),
     )
-    enriched = (
-        customer.join(orders, F.col("c_custkey") == F.col("o_custkey"), "left")
-        .join(fs, F.col("o_orderkey") == F.col("l_orderkey"), "left")
-    )
-    return (
-        enriched.groupBy(
-            F.col("c_custkey").alias("customer_id"),
-            F.col("c_name").alias("customer_name"),
-            F.col("c_mktsegment").alias("segmento"),
-        )
+    # aggregate at the orders grain FIRST, then join the (small)
+    # per-customer rollup to customer attributes: the count-distinct
+    # expand never carries customer columns, and the final join is
+    # dim-sized. Same result as grouping the 3-way join directly —
+    # the plan a 100 TB run wants.
+    per_cust = (
+        orders.join(fs, F.col("o_orderkey") == F.col("l_orderkey"), "left")
+        .groupBy("o_custkey")
         .agg(
             F.countDistinct("o_orderkey").alias("total_contratos"),
             F.countDistinct("o_orderstatus").alias("categorias_produtos"),
@@ -123,6 +121,18 @@ def customer_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             grid(F.sum(F.coalesce(F.col("saldo_contrato"), F.lit(0.0))), 2).alias("saldo_total_cliente"),
             F.max("ultima_atividade_contrato").alias("ultima_atividade"),
         )
+    )
+    return customer.join(
+        per_cust, F.col("c_custkey") == F.col("o_custkey"), "left"
+    ).select(
+        F.col("c_custkey").alias("customer_id"),
+        F.col("c_name").alias("customer_name"),
+        F.col("c_mktsegment").alias("segmento"),
+        F.coalesce(F.col("total_contratos"), F.lit(0)).alias("total_contratos"),
+        F.coalesce(F.col("categorias_produtos"), F.lit(0)).alias("categorias_produtos"),
+        F.coalesce(F.col("produtos_utilizados"), F.lit("")).alias("produtos_utilizados"),
+        F.coalesce(F.col("saldo_total_cliente"), F.lit(0.0)).alias("saldo_total_cliente"),
+        F.col("ultima_atividade"),
     )
 
 

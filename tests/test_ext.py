@@ -107,6 +107,13 @@ def test_ivf_deterministic(spark):
     assert c1 == c2
 
 
+def test_approx_distinct_accuracy(spark):
+    from lakehouse_file_format_compare_spark.plans.adhoc import approx_distinct
+
+    for r in approx_distinct(spark, SF_CORRECTNESS).collect():
+        assert abs(r.approx_customers - r.exact_customers) / r.exact_customers < 0.05
+
+
 def test_simhash_finds_exact_duplicates(spark):
     docs = table(spark, SF_CORRECTNESS, "documents")
     # exact dups (identical normalized text) must be hamming-0 pairs
