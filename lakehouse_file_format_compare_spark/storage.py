@@ -27,6 +27,7 @@ the format axis is pluggable.
 
 from __future__ import annotations
 
+import json
 import os
 import shutil
 import tempfile
@@ -82,7 +83,9 @@ class Warehouse:
         p = self.path(layer, name, fmt)
         if not os.path.isdir(p):
             return False
-        return any(not e.startswith((".", "_tmp")) for e in os.listdir(p))
+        if fmt and self._read_manifest(layer, name, fmt) is not None:
+            return True
+        return any(not e.startswith((".", "_")) for e in os.listdir(p))
 
     def write_table(
         self,
@@ -105,11 +108,29 @@ class Warehouse:
         return path
 
     def read_table(
-        self, layer: str, name: str, fmt: str = "parquet", schema: StructType | None = None
+        self,
+        layer: str,
+        name: str,
+        fmt: str = "parquet",
+        schema: StructType | None = None,
+        version: int | None = None,
     ) -> DataFrame:
         """S2/S4/S5 analog. CSV/JSON require an explicit schema — the
-        engine never re-infers (SURVEY §1.4 hazard)."""
+        engine never re-infers (SURVEY §1.4 hazard). For snapshot-
+        versioned tables (merge targets), resolves the manifest's
+        current snapshot — or ``version=N`` for time travel."""
         path = self.path(layer, name, fmt)
+        manifest = self._read_manifest(layer, name, fmt)
+        if manifest is not None:
+            v = version if version is not None else manifest["current"]
+            known = {entry["version"] for entry in manifest["versions"]}
+            if v not in known:
+                raise ValueError(
+                    f"unknown version {v} for {layer}/{name}_{fmt}; known: {sorted(known)}"
+                )
+            path = os.path.join(path, f"v{v}")
+        elif version is not None:
+            raise ValueError(f"{layer}/{name}_{fmt} is not a versioned table")
         reader = self.spark.read.format(fmt)
         if fmt in ("csv", "json"):
             if schema is None:
@@ -118,6 +139,70 @@ class Warehouse:
         elif schema is not None:
             reader = reader.schema(schema)
         return reader.load(path)
+
+    # -- snapshot-versioned tables (merge path) --------------------------
+    #
+    # MERGE targets use the lakehouse metadata-pointer commit protocol
+    # (what Iceberg snapshots / Delta log give on object stores, scaled
+    # down to a JSON manifest on local/HDFS):
+    #
+    #   {table}_{fmt}/_manifest.json   {"current": N, "versions": [...]}
+    #   {table}_{fmt}/v{N}/            immutable data snapshot
+    #
+    # A merge writes the NEW snapshot dir first, then atomically
+    # replaces the manifest (os.replace). Readers resolve the manifest
+    # at plan time → snapshot isolation, time travel (version=), and
+    # rollback, with no destructive swap.
+
+    def _manifest_path(self, layer: str, name: str, fmt: str) -> str:
+        return os.path.join(self.path(layer, name, fmt), "_manifest.json")
+
+    def _read_manifest(self, layer: str, name: str, fmt: str) -> dict | None:
+        p = self._manifest_path(layer, name, fmt)
+        if not os.path.isfile(p):
+            return None
+        with open(p) as f:
+            return json.load(f)
+
+    def _commit_version(
+        self, df: DataFrame, layer: str, name: str, fmt: str, op: str
+    ) -> int:
+        root = self.path(layer, name, fmt)
+        os.makedirs(root, exist_ok=True)
+        manifest = self._read_manifest(layer, name, fmt) or {"current": 0, "versions": []}
+        version = manifest["current"] + 1
+        data_dir = os.path.join(root, f"v{version}")
+        writer = df.write.format(fmt).mode("overwrite")
+        if fmt == "csv":
+            writer = writer.option("header", "true")
+        writer.save(data_dir)
+        manifest["current"] = version
+        manifest["versions"].append({"version": version, "op": op})
+        tmp = os.path.join(root, f"_manifest_{uuid.uuid4().hex}.json")
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+        os.replace(tmp, self._manifest_path(layer, name, fmt))
+        return version
+
+    def current_version(self, layer: str, name: str, fmt: str = "parquet") -> int | None:
+        m = self._read_manifest(layer, name, fmt)
+        return m["current"] if m else None
+
+    def history(self, layer: str, name: str, fmt: str = "parquet") -> list[dict]:
+        m = self._read_manifest(layer, name, fmt)
+        return m["versions"] if m else []
+
+    def rollback(self, layer: str, name: str, fmt: str, version: int) -> None:
+        """Re-point the table to an earlier snapshot (metadata-only)."""
+        m = self._read_manifest(layer, name, fmt)
+        if not m or version > len(m["versions"]) or version < 1:
+            raise ValueError(f"unknown version {version} for {layer}/{name}_{fmt}")
+        m["current"] = version
+        m["versions"].append({"version": version, "op": "rollback"})
+        tmp = os.path.join(self.path(layer, name, fmt), f"_manifest_{uuid.uuid4().hex}.json")
+        with open(tmp, "w") as f:
+            json.dump(m, f)
+        os.replace(tmp, self._manifest_path(layer, name, fmt))
 
     def merge_table(
         self,
@@ -131,24 +216,15 @@ class Warehouse:
         schema: StructType | None = None,
     ) -> None:
         """K4/K5: MERGE INTO {layer}.{name}_{fmt}. First load is a CTAS
-        (2_…py:239-258); after that, relational merge + atomic swap
-        (copy-on-write). Staging is deduped to one row per key first
+        (2_…py:239-258); after that, relational merge committed as a
+        new snapshot version (copy-on-write + metadata-pointer
+        commit). Staging is deduped to one row per key first
         (2_…py:219, deterministically)."""
         if dedup_order_by:
             staging = keep_latest(staging, list(keys), list(dedup_order_by))
         if not self.exists(layer, name, fmt):
-            self.write_table(staging, layer, name, fmt)
+            self._commit_version(staging, layer, name, fmt, op="create")
             return
         target = self.read_table(layer, name, fmt, schema=schema)
         merged = merge(target, staging, keys=keys, policy=policy)
-        path = self.path(layer, name, fmt)
-        tmp = os.path.join(os.path.dirname(path), f"_tmp_{name}_{fmt}_{uuid.uuid4().hex}")
-        writer = merged.write.format(fmt).mode("overwrite")
-        if fmt == "csv":
-            writer = writer.option("header", "true")
-        writer.save(tmp)
-        # atomic swap (local/HDFS rename semantics)
-        old = path + f"_old_{uuid.uuid4().hex}"
-        os.rename(path, old)
-        os.rename(tmp, path)
-        shutil.rmtree(old, ignore_errors=True)
+        self._commit_version(merged, layer, name, fmt, op=f"merge_{policy}")
