@@ -36,6 +36,7 @@ from collections.abc import Sequence
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
 from .operators.merge import keep_latest, merge
@@ -228,3 +229,121 @@ class Warehouse:
         target = self.read_table(layer, name, fmt, schema=schema)
         merged = merge(target, staging, keys=keys, policy=policy)
         self._commit_version(merged, layer, name, fmt, op=f"merge_{policy}")
+
+    def vacuum(self, layer: str, name: str, fmt: str = "parquet", keep_last: int = 2) -> int:
+        """Remove snapshot data dirs no longer reachable from the last
+        ``keep_last`` manifest entries (and not the current). Returns
+        number of snapshots removed. The production companion of
+        time travel — old snapshots otherwise accumulate forever."""
+        m = self._read_manifest(layer, name, fmt)
+        if not m:
+            return 0
+        keep = {e["version"] for e in m["versions"][-keep_last:]} | {m["current"]}
+        reachable_partition_dirs = set()
+        for e in m["versions"]:
+            if e["version"] in keep:
+                reachable_partition_dirs.update(e.get("partitions", {}).values())
+        root = self.path(layer, name, fmt)
+        removed = 0
+        for entry in os.listdir(root):
+            full = os.path.join(root, entry)
+            is_stale_snapshot = (
+                entry.startswith("v") and entry[1:].isdigit() and int(entry[1:]) not in keep
+            )
+            is_stale_partition = entry.startswith("p_") and entry not in reachable_partition_dirs
+            if is_stale_snapshot or is_stale_partition:
+                shutil.rmtree(full, ignore_errors=True)
+                removed += 1
+        return removed
+
+    # -- partition-level copy-on-write merge -----------------------------
+    #
+    # The 100 TB merge path: the table is bucketed by a partition
+    # column (the reference partitions gold by ano/mes and
+    # data_transacao, 3_…py:193,333); a merge rewrites ONLY the
+    # partitions the staging batch touches and carries every other
+    # partition forward BY REFERENCE in the manifest. Merge cost is
+    # O(touched partitions), not O(table) — the same file-level
+    # copy-on-write contract Iceberg/Delta implement.
+
+    def merge_table_partitioned(
+        self,
+        staging: DataFrame,
+        layer: str,
+        name: str,
+        keys: Sequence[str],
+        partition_col: str,
+        fmt: str = "parquet",
+        policy: str = "upsert",
+        dedup_order_by: Sequence[str] | None = None,
+    ) -> dict:
+        """Partition-level COW MERGE. Returns {"touched": [...],
+        "carried": n} for observability."""
+        if dedup_order_by:
+            staging = keep_latest(staging, list(keys), list(dedup_order_by))
+        root = self.path(layer, name, fmt)
+        os.makedirs(root, exist_ok=True)
+        manifest = self._read_manifest(layer, name, fmt) or {"current": 0, "versions": []}
+        prev = {}
+        ptype = staging.schema[partition_col].dataType.simpleString()
+        if manifest["versions"]:
+            last = manifest["versions"][-1]
+            if "partitions" not in last:
+                raise ValueError(f"{layer}/{name}_{fmt} is not a partitioned table")
+            prev = dict(last["partitions"])
+            ptype = last["partition_type"]
+
+        touched_vals = [
+            r[0] for r in staging.select(partition_col).distinct().collect()
+        ]
+        partitions = dict(prev)
+        for val in touched_vals:
+            part_staging = staging.where(F.col(partition_col) == F.lit(val).cast(ptype))
+            if str(val) in prev:
+                old = self.spark.read.format(fmt).load(os.path.join(root, prev[str(val)]))
+                merged = merge(old, part_staging.select(*old.columns), keys=keys, policy=policy)
+            else:
+                merged = part_staging
+            rel = f"p_{uuid.uuid4().hex}"
+            merged.write.format(fmt).mode("overwrite").save(os.path.join(root, rel))
+            partitions[str(val)] = rel
+
+        version = manifest["current"] + 1
+        manifest["current"] = version
+        manifest["versions"].append({
+            "version": version,
+            "op": f"merge_{policy}_partitioned",
+            "partitions": partitions,
+            "partition_type": ptype,
+            "partition_col": partition_col,
+        })
+        tmp = os.path.join(root, f"_manifest_{uuid.uuid4().hex}.json")
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+        os.replace(tmp, self._manifest_path(layer, name, fmt))
+        return {"touched": touched_vals, "carried": len(prev) - sum(1 for v in touched_vals if str(v) in prev)}
+
+    def read_table_partitioned(
+        self, layer: str, name: str, fmt: str = "parquet", version: int | None = None,
+        partition_values: Sequence | None = None,
+    ) -> DataFrame:
+        """Read a partitioned-COW table: union of the manifest's
+        partition dirs (partition-pruned when ``partition_values`` is
+        given — the reader-side analog of partition pruning)."""
+        root = self.path(layer, name, fmt)
+        manifest = self._read_manifest(layer, name, fmt)
+        if not manifest:
+            raise ValueError(f"{layer}/{name}_{fmt} has no manifest")
+        entries = [e for e in manifest["versions"]
+                   if e["version"] == (version if version is not None else manifest["current"])]
+        if not entries or "partitions" not in entries[-1]:
+            raise ValueError(f"{layer}/{name}_{fmt} v{version} is not a partitioned snapshot")
+        entry = entries[-1]
+        wanted = (
+            {str(v) for v in partition_values} if partition_values is not None
+            else set(entry["partitions"])
+        )
+        paths = [os.path.join(root, rel) for val, rel in entry["partitions"].items() if val in wanted]
+        if not paths:
+            raise ValueError(f"no matching partitions among {sorted(entry['partitions'])}")
+        return self.spark.read.format(fmt).load(paths)

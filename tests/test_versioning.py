@@ -64,3 +64,65 @@ def test_plain_tables_unaffected(spark, wh):
     assert wh.current_version("gold", "plain") is None
     with pytest.raises(ValueError):
         wh.read_table("gold", "plain", version=1)
+
+
+def test_partitioned_cow_merge_touches_only_staged_partitions(spark, wh):
+    import os
+
+    from pyspark.sql import functions as F
+
+    def batch(months, price):
+        return (
+            spark.range(len(months) * 10)
+            .select(
+                F.col("id").alias("k"),
+                F.lit(price).cast("double").alias("price"),
+            )
+            .withColumn("mes", F.element_at(
+                F.array(*[F.lit(m) for m in months]), (F.col("k") % len(months) + 1).cast("int")
+            ))
+        )
+
+    r1 = wh.merge_table_partitioned(
+        batch([1, 2, 3], 1.0), "gold", "mb", keys=["k"], partition_col="mes"
+    )
+    assert sorted(r1["touched"]) == [1, 2, 3]
+    m1 = wh._read_manifest("gold", "mb", "parquet")
+    dirs_v1 = dict(m1["versions"][-1]["partitions"])
+
+    # second merge touches month 2 only
+    delta = batch([2], 9.0)
+    r2 = wh.merge_table_partitioned(delta, "gold", "mb", keys=["k"], partition_col="mes")
+    assert r2["touched"] == [2] and r2["carried"] == 2
+    m2 = wh._read_manifest("gold", "mb", "parquet")
+    dirs_v2 = dict(m2["versions"][-1]["partitions"])
+    # untouched partitions carried BY REFERENCE (same dirs)
+    assert dirs_v2["1"] == dirs_v1["1"] and dirs_v2["3"] == dirs_v1["3"]
+    assert dirs_v2["2"] != dirs_v1["2"]
+
+    # reads: current reflects the upsert in month 2 only
+    cur = wh.read_table_partitioned("gold", "mb")
+    assert cur.where(F.col("price") == 9.0).count() == delta.count()
+    # partition-pruned read loads only month 2's dir
+    pruned = wh.read_table_partitioned("gold", "mb", partition_values=[2])
+    assert pruned.count() == cur.where(F.col("mes") == 2).count()
+    # time travel to v1 still sees old month 2
+    old = wh.read_table_partitioned("gold", "mb", version=1)
+    assert old.where(F.col("price") == 9.0).count() == 0
+
+
+def test_vacuum_removes_unreachable_snapshots(spark, wh):
+    import os
+
+    from pyspark.sql import functions as F
+
+    df = spark.range(5).select(F.col("id").alias("k"), F.lit(1.0).alias("price"))
+    for i in range(4):
+        wh.merge_table(df, "silver", "t", keys=["k"])
+    root = wh.path("silver", "t", "parquet")
+    assert len([e for e in os.listdir(root) if e.startswith("v")]) == 4
+    removed = wh.vacuum("silver", "t", keep_last=2)
+    assert removed == 2
+    remaining = {e for e in os.listdir(root) if e.startswith("v")}
+    assert remaining == {"v3", "v4"}
+    assert wh.read_table("silver", "t").count() == 5
