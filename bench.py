@@ -28,7 +28,12 @@ HEADLINE = [
     "tpch_local_supplier_volume",
     "dedup_exact",
     "text_quality",
+    "text_token_stats",
     "sim_knn_bruteforce",
+    "sim_knn_ivf",
+    "stream_tumbling_window",
+    "op_window_functions_suite",
+    "op_merge_upsert",
 ]
 
 

@@ -126,13 +126,26 @@ def normalized(text: Column) -> Column:
     return F.lower(F.regexp_replace(F.trim(text), r"\s+", " "))
 
 
-def word_shingles(text: Column, k: int = 3) -> Column:
-    """Distinct k-word shingles of the normalized text (MinHash /
-    Jaccard input). Pure built-ins: transform over an index sequence."""
-    toks = tokens(normalized(text))
+def shingles_from_tokens(toks: Column, k: int = 3) -> Column:
+    """Distinct k-word shingles from a MATERIALIZED token-array column.
+
+    PERFORMANCE: ``toks`` must be a resolved column reference (project
+    the token array first), not a nested expression — Catalyst does
+    not common-subexpression-eliminate inside higher-order-function
+    lambdas, so a nested tokenize would be re-evaluated for every
+    element access (measured 60x slowdown on the shingle explode).
+    """
     n = F.size(toks)
     joined = F.when(n >= k, F.transform(
         F.sequence(F.lit(0), n - k),
         lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j + 1) for j in range(k)]),
     )).otherwise(F.when(n > 0, F.array(F.concat_ws(" ", toks))).otherwise(F.array().cast("array<string>")))
     return F.array_distinct(joined)
+
+
+def word_shingles(text: Column, k: int = 3) -> Column:
+    """Distinct k-word shingles of the normalized text (MinHash /
+    Jaccard input). Prefer projecting ``tokens(normalized(text))``
+    into a column and calling :func:`shingles_from_tokens` in hot
+    paths (see that docstring)."""
+    return shingles_from_tokens(tokens(normalized(text)), k)

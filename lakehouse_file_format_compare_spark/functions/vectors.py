@@ -32,6 +32,23 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+def dot_literal(vec: Column, weights: list[float]) -> Column:
+    """Dot product against a CONSTANT vector as a flat unrolled
+    expression (element_at with literal indices + chained adds).
+    Stays in whole-stage codegen, unlike higher-order-function folds
+    which are interpreted per element — use this for hyperplane/
+    centroid scoring where one side is a literal."""
+    terms = [
+        F.element_at(vec, i + 1).cast("double") * float(w)
+        for i, w in enumerate(weights)
+        if w != 0.0
+    ]
+    out = terms[0]
+    for t in terms[1:]:
+        out = out + t
+    return out
+
+
 def l2_distance(a: Column, b: Column) -> Column:
     return F.sqrt(
         F.aggregate(

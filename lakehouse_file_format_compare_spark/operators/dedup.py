@@ -41,11 +41,39 @@ def exact_duplicates(docs: DataFrame, id_col: str = "doc_id", text_col: str = "t
 
 
 def _shingle_pairs(docs: DataFrame, id_col: str, text_col: str, k: int) -> DataFrame:
-    """(doc_id, shingle) exploded distinct shingle table."""
-    return (
-        docs.select(F.col(id_col).alias("doc"), T.word_shingles(F.col(text_col), k).alias("sh"))
-        .select("doc", F.explode("sh").alias("shingle"))
+    """(doc_id, shingle) exploded distinct shingle table.
+
+    Built as posexplode(tokens) + window LEAD instead of a
+    higher-order-function transform: HOF lambdas re-evaluate their
+    argument subtree per element (no CSE, and CollapseProject undoes
+    any pre-projection), which measured ~60x slower on the shingle
+    explode. The lead-window form stays in whole-stage codegen.
+    Semantics identical to functions/text.py::word_shingles (distinct
+    k-shingles; docs shorter than k tokens contribute their full text
+    as a single shingle)."""
+    from pyspark.sql import Window
+
+    toks = docs.select(
+        F.col(id_col).alias("doc"),
+        F.posexplode(T.tokens(T.normalized(F.col(text_col)))).alias("pos", "tok"),
     )
+    w = Window.partitionBy("doc").orderBy("pos")
+    leads = [F.col("tok")] + [F.lead("tok", j).over(w) for j in range(1, k)]
+    shingled = (
+        toks.withColumn("__last", leads[-1])
+        .withColumn("shingle", F.concat_ws(" ", *leads))
+        .where(F.col("__last").isNotNull())
+        .select("doc", "shingle")
+    )
+    # fallback for docs with <k tokens: whole normalized text as one shingle
+    short = (
+        docs.select(
+            F.col(id_col).alias("doc"), T.normalized(F.col(text_col)).alias("shingle")
+        )
+        .where(T.token_count(F.col(text_col)) < k)
+        .where(F.length("shingle") > 0)
+    )
+    return shingled.unionByName(short).distinct()
 
 
 def ngram_jaccard_pairs(
