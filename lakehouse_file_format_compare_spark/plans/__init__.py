@@ -14,6 +14,7 @@ from . import (
     adhoc,
     dedup_plans,
     ext_plans,
+    fintech_plans,
     gold,
     similarity_plans,
     streaming_plans,
@@ -22,7 +23,8 @@ from . import (
 )
 
 ALL_PLAN_MODULES = (
-    gold, tpch, adhoc, text_plans, dedup_plans, similarity_plans, streaming_plans, ext_plans,
+    gold, tpch, adhoc, text_plans, dedup_plans, similarity_plans, streaming_plans,
+    ext_plans, fintech_plans,
 )
 
 
