@@ -54,3 +54,27 @@ def drop_temp_view(spark: SparkSession, name: str) -> None:
 def row_count(spark: SparkSession, name: str) -> int:
     """C5 validation probe (2_…py:296) — lazy metadata-friendly count."""
     return spark.table(name).count()
+
+
+def save_bucketed_table(
+    df: DataFrame,
+    name: str,
+    bucket_cols: list[str],
+    n_buckets: int = 16,
+    fmt: str = "parquet",
+    sort_cols: list[str] | None = None,
+) -> None:
+    """Bucketed managed table: pre-shuffles data into ``n_buckets`` by
+    ``bucket_cols`` at write time so later equi-joins/aggregations on
+    those columns skip their shuffle entirely (the Exchange disappears
+    from the plan — asserted in tests/test_plan_quality.py).
+
+    The 100 TB pattern: bucket both sides of a recurring fact-fact
+    join by the join key once, then every subsequent join is
+    co-located. The reference reshuffles on every silver merge and
+    gold rebuild; bucketing amortizes that cost across cycles.
+    """
+    writer = df.write.format(fmt).mode("overwrite").bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(name)

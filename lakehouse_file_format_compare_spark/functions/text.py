@@ -122,6 +122,20 @@ def fingerprint64(text: Column) -> Column:
     return F.xxhash64(normalized(text))
 
 
+def rolling_fingerprint(text: Column, base: int = 1_000_003) -> Column:
+    """Rabin-Karp-style polynomial rolling hash over the token stream,
+    modulo the Mersenne prime 2^31-1 (keeps every intermediate under
+    2^51 — no 64-bit overflow, which ANSI mode would reject):
+    order-sensitive where the set-based fingerprints aren't — 'a b'
+    and 'b a' differ. One fold, JVM-side."""
+    m = F.lit(2147483647).cast("long")
+    return F.aggregate(
+        tokens(normalized(text)),
+        F.lit(0).cast("long"),
+        lambda acc, tok: F.pmod(acc * base + F.pmod(F.xxhash64(tok), m), m),
+    )
+
+
 def normalized(text: Column) -> Column:
     return F.lower(F.regexp_replace(F.trim(text), r"\s+", " "))
 

@@ -22,11 +22,29 @@ from pyspark.sql import SparkSession
 DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
 
+# Format-extension session config (SURVEY §7.3: "session-extension
+# config, not code"). Applying these requires the respective jars on
+# the classpath (delta-spark pip package / iceberg-spark-runtime);
+# storage.available_formats probes whether they actually work.
+FORMAT_EXTENSION_CONF: dict[str, dict[str, str]] = {
+    "delta": {
+        "spark.sql.extensions": "io.delta.sql.DeltaSparkSessionExtension",
+        "spark.sql.catalog.spark_catalog": "org.apache.spark.sql.delta.catalog.DeltaCatalog",
+    },
+    "iceberg": {
+        "spark.sql.extensions": "org.apache.iceberg.spark.extensions.IcebergSparkSessionExtensions",
+        "spark.sql.catalog.local": "org.apache.iceberg.spark.SparkCatalog",
+        "spark.sql.catalog.local.type": "hadoop",
+    },
+}
+
+
 def build_session(
     app_name: str = "lakehouse-ffc-spark",
     master: str | None = None,
     shuffle_partitions: int | None = None,
     extra_conf: dict[str, str] | None = None,
+    table_format_extensions: tuple[str, ...] = (),
 ) -> SparkSession:
     """Create (or reuse) a SparkSession with the engine's defaults.
 
@@ -55,6 +73,8 @@ def build_session(
         "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
         "spark.ui.enabled": "false",
     }
+    for ext in table_format_extensions:
+        conf.update(FORMAT_EXTENSION_CONF[ext])
     if extra_conf:
         conf.update(extra_conf)
     for k, v in conf.items():

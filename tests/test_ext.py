@@ -127,3 +127,17 @@ def test_simhash_finds_exact_duplicates(spark):
     }
     for pair in exact_dup_pairs:
         assert pair in sim_pairs or (pair[1], pair[0]) in sim_pairs
+
+
+def test_rolling_fingerprint_is_order_sensitive(spark):
+    from lakehouse_file_format_compare_spark.functions.text import rolling_fingerprint
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "gamma beta alpha"), (3, "alpha beta gamma"),
+         (4, "Alpha  Beta   Gamma")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r.fp for r in df.select("doc_id", rolling_fingerprint(F.col("text")).alias("fp")).collect()}
+    assert out[1] == out[3], "identical text must fingerprint equal"
+    assert out[1] == out[4], "whitespace/case normalization must apply"
+    assert out[1] != out[2], "token order must matter"

@@ -52,3 +52,28 @@ def test_incremental_touches_only_delta_groups(spark):
     empty_delta = b1["f_transactions"].where(F.lit(False))
     incr = incremental_monthly_balance(gold1, empty_delta, types)
     assert sorted(map(tuple, incr.collect())) == sorted(map(tuple, gold1.collect()))
+
+
+def test_runner_incremental_gold_equals_full(spark, tmp_path_factory):
+    from lakehouse_file_format_compare_spark.pipeline.runner import MedallionPipeline
+
+    p = MedallionPipeline(spark, str(tmp_path_factory.mktemp("incr_wh")))
+    for _ in range(3):
+        p.run_bronze(n_customers=15, n_contracts=20, n_transactions=150, n_attributes=20)
+        p.run_silver()
+        p.run_gold_incremental()
+
+    full = monthly_balance(
+        p._silver("f_transactions", "parquet"), p._silver("d_transaction_types", "parquet")
+    )
+    incr = p.warehouse.read_table("gold", "monthly_balance_inc", "parquet")
+    assert p.warehouse.current_version("gold", "monthly_balance_inc") == 3
+
+    def canon(df):
+        cols = sorted(df.columns)
+        return sorted(
+            tuple(round(v, 6) if isinstance(v, float) else v for v in (r[c] for c in cols))
+            for r in df.collect()
+        )
+
+    assert canon(incr) == canon(full)

@@ -73,3 +73,42 @@ def test_window_is_partitioned_and_group_limited(spark):
     # plan shape that keeps per-group top-k scalable
     assert "c_nationkey" in plan, "window lost its partition key"
     assert plan.count("WindowGroupLimit") >= 2, "rank filter not pushed as partial group-limit"
+
+
+def test_bucketed_join_skips_shuffle(spark):
+    from lakehouse_file_format_compare_spark import catalog as C
+    from lakehouse_file_format_compare_spark.sources.testdata import table as tt
+
+    from .conftest import SF_SMOKE
+
+    import shutil
+
+    spark.sql("DROP DATABASE IF EXISTS bkt CASCADE")
+    shutil.rmtree(spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:") + "/bkt.db",
+                  ignore_errors=True)
+    spark.sql("CREATE DATABASE bkt")
+    C.save_bucketed_table(tt(spark, SF_SMOKE, "orders"), "bkt.orders_b",
+                          ["o_orderkey"], n_buckets=8)
+    C.save_bucketed_table(tt(spark, SF_SMOKE, "lineitem"), "bkt.lineitem_b",
+                          ["l_orderkey"], n_buckets=8)
+    # at smoke scale the planner would broadcast (bucketing "disabled
+    # by query planner"); force the sort-merge path to show the
+    # shuffle-free bucketed join that matters at fact-fact scale
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = spark.table("bkt.lineitem_b").join(
+            spark.table("bkt.orders_b"),
+            spark.table("bkt.lineitem_b")["l_orderkey"] == spark.table("bkt.orders_b")["o_orderkey"],
+        )
+        plan = joined._sc._jvm.PythonSQLUtils.explainString(
+            joined._jdf.queryExecution(), "formatted"
+        )
+        assert "SortMergeJoin" in plan
+        assert "Exchange hashpartitioning" not in plan, "bucketed join still shuffles:\n" + plan
+        assert "Bucketed: true" in plan
+        assert joined.count() == tt(spark, SF_SMOKE, "lineitem").count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    C.drop_table(spark, "bkt.orders_b")
+    C.drop_table(spark, "bkt.lineitem_b")
