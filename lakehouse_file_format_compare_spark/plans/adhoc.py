@@ -470,6 +470,36 @@ def approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated-subquery pattern (TPC-H Q17 shape): lineitems whose
+    quantity is below half their part's average quantity — decorrelated
+    as a per-part aggregate join, the plan Catalyst itself produces
+    for the correlated form."""
+    li = table(spark, sf_dir, "lineitem")
+    per_part = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.avg("l_quantity").alias("avg_qty")
+    )
+    return (
+        li.join(per_part, F.col("l_partkey") == F.col("pk"))
+        .where(F.col("l_quantity") < 0.5 * F.col("avg_qty"))
+        .select(
+            "l_orderkey", "l_linenumber", "l_partkey",
+            F.col("l_quantity").alias("qty"),
+            grid(F.col("avg_qty"), 4).alias("part_avg_qty"),
+        )
+    )
+
+
+CORRELATED_SUBQUERY_SQL = f"""
+SELECT l_orderkey, l_linenumber, l_partkey, l_quantity AS qty,
+       {grid_sql("avg_qty", 4)} AS part_avg_qty
+FROM lineitem
+JOIN (SELECT l_partkey AS pk, AVG(l_quantity) AS avg_qty FROM lineitem GROUP BY 1) p
+  ON l_partkey = pk
+WHERE l_quantity < 0.5 * avg_qty
+"""
+
+
 QUERIES = {
     "op_filter_project": filter_project,
     "op_dim_join_broadcast": dim_join_broadcast,
@@ -490,6 +520,7 @@ QUERIES = {
     "op_window_functions_suite": window_functions_suite,
     "op_cube_revenue": cube_revenue,
     "op_approx_distinct": approx_distinct,
+    "op_correlated_subquery": correlated_subquery,
 }
 
 ORACLES = {
@@ -511,4 +542,5 @@ ORACLES = {
     "op_scalar_subquery": SCALAR_SUBQUERY_SQL,
     "op_window_functions_suite": WINDOW_FUNCTIONS_SUITE_SQL,
     "op_cube_revenue": CUBE_REVENUE_SQL,
+    "op_correlated_subquery": CORRELATED_SUBQUERY_SQL,
 }

@@ -112,3 +112,23 @@ def test_bucketed_join_skips_shuffle(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
     C.drop_table(spark, "bkt.orders_b")
     C.drop_table(spark, "bkt.lineitem_b")
+
+
+def test_disk_partition_pruning(spark, tmp_path_factory):
+    # value-partitioned write (K6 analog) must partition-prune on read:
+    # the scan's partition filters carry the predicate and only one
+    # partition directory is listed
+    import pyspark.sql.functions as F
+
+    from lakehouse_file_format_compare_spark.sources.testdata import table as tt
+
+    from .conftest import SF_SMOKE
+
+    path = str(tmp_path_factory.mktemp("pruned")) + "/events_by_type"
+    tt(spark, SF_SMOKE, "events").write.partitionBy("event_type").parquet(path)
+    df = spark.read.parquet(path).where(F.col("event_type") == "purchase")
+    plan = df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+    assert "PartitionFilters" in plan and "purchase" in plan
+    got = df.count()
+    want = tt(spark, SF_SMOKE, "events").where(F.col("event_type") == "purchase").count()
+    assert got == want
