@@ -500,6 +500,60 @@ WHERE l_quantity < 0.5 * avg_qty
 """
 
 
+def pivot_status_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT operator (wide reshape — absent from the reference):
+    order counts by priority x status, fixed pivot values so the
+    output schema is static (the scale-safe form: no value-discovery
+    scan)."""
+    orders = table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .count()
+        .withColumnRenamed("F", "n_f")
+        .withColumnRenamed("O", "n_o")
+        .withColumnRenamed("P", "n_p")
+    )
+
+
+PIVOT_STATUS_MATRIX_SQL = """
+SELECT o_orderpriority,
+       SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_f,
+       SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS n_o,
+       SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS n_p
+FROM orders
+GROUP BY o_orderpriority
+"""
+
+
+def explode_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXPLODE/UNNEST surface: token frequency over the documents
+    corpus, top 50 (deterministic tie-break on the token)."""
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("token")
+    ).where(F.length("token") > 0)
+    return (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("token"))
+        .limit(50)
+    )
+
+
+EXPLODE_TOKEN_COUNTS_SQL = """
+SELECT token, COUNT(*) AS n
+FROM (
+    SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS token
+    FROM documents
+)
+WHERE length(token) > 0
+GROUP BY token
+ORDER BY n DESC, token
+LIMIT 50
+"""
+
+
 QUERIES = {
     "op_filter_project": filter_project,
     "op_dim_join_broadcast": dim_join_broadcast,
@@ -521,6 +575,8 @@ QUERIES = {
     "op_cube_revenue": cube_revenue,
     "op_approx_distinct": approx_distinct,
     "op_correlated_subquery": correlated_subquery,
+    "op_pivot_status_matrix": pivot_status_matrix,
+    "op_explode_token_counts": explode_token_counts,
 }
 
 ORACLES = {
@@ -543,4 +599,6 @@ ORACLES = {
     "op_window_functions_suite": WINDOW_FUNCTIONS_SUITE_SQL,
     "op_cube_revenue": CUBE_REVENUE_SQL,
     "op_correlated_subquery": CORRELATED_SUBQUERY_SQL,
+    "op_pivot_status_matrix": PIVOT_STATUS_MATRIX_SQL,
+    "op_explode_token_counts": EXPLODE_TOKEN_COUNTS_SQL,
 }

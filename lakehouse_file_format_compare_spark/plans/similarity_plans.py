@@ -49,13 +49,43 @@ def knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.knn_lsh(queries, emb, k=K, bits=6, tables=8, dim=64)
 
 
+def vector_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-math surface over the embedding column: dimensionality,
+    L2 norm and element mean via JVM-side folds (functions/vectors)."""
+    from ..functions import vectors as V
+    from ..functions.numeric import grid
+
+    emb = table(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        grid(V.norm(F.col("embedding")), 6).alias("l2_norm"),
+        grid(
+            V.dot(F.col("embedding"), F.transform(F.col("embedding"), lambda x: F.lit(1.0)))
+            / F.size("embedding"),
+            6,
+        ).alias("mean_val"),
+    )
+
+
+VECTOR_STATS_SQL = f"""
+SELECT vec_id,
+       len(embedding) AS dim,
+       floor((sqrt(list_sum(list_transform(range(1, len(embedding)+1), i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE)))) * 1000000 + 0.5) / 1000000 AS l2_norm,
+       floor((list_sum(list_transform(range(1, len(embedding)+1), i -> embedding[i]::DOUBLE * 1.0)) / len(embedding)) * 1000000 + 0.5) / 1000000 AS mean_val
+FROM embeddings
+"""
+
+
 QUERIES = {
     "sim_knn_bruteforce": knn_bruteforce,
     "sim_knn_lsh": knn_lsh,
     "sim_knn_ivf": knn_ivf,
+    "sim_vector_stats": vector_stats,
 }
 
 # knn_lsh / knn_ivf absent → rows-only check (approximate by design).
 ORACLES = {
     "sim_knn_bruteforce": KNN_BRUTEFORCE_SQL,
+    "sim_vector_stats": VECTOR_STATS_SQL,
 }

@@ -37,17 +37,20 @@ class StreamingSilverLoader:
     checkpoint_root: str
     fmt: str = "parquet"
     bronze_fmt: str = "csv"
+    max_files_per_trigger: int | None = None
 
     def run_table(self, name: str, timeout_sec: int = 120) -> None:
         """Drain all unprocessed bronze files for one table into its
-        silver table (AvailableNow), merging per the table's policy."""
+        silver table (AvailableNow), merging per the table's policy.
+        ``max_files_per_trigger`` bounds each micro-batch (backpressure
+        for large backlogs — AvailableNow still drains everything, in
+        several batches instead of one)."""
         cfg = FINTECH_TABLE_CONFIGS[name]
         bronze_path = self.warehouse.path("bronze", name, self.bronze_fmt)
-        stream = (
-            self.warehouse.spark.readStream.schema(cfg.schema)
-            .option("header", "true")
-            .csv(bronze_path)
-        )
+        reader = self.warehouse.spark.readStream.schema(cfg.schema).option("header", "true")
+        if self.max_files_per_trigger:
+            reader = reader.option("maxFilesPerTrigger", str(self.max_files_per_trigger))
+        stream = reader.csv(bronze_path)
 
         def merge_batch(batch_df, batch_id: int) -> None:
             staged = batch_df.drop("batch_id")

@@ -56,3 +56,19 @@ def test_streaming_rerun_is_noop(dual_warehouses, spark):
     # (keyed upsert) must still keep counts identical
     loader.run(("f_transactions",))
     assert _read(stream_p, "f_transactions").count() == before
+
+
+def test_bounded_micro_batches_match_single_drain(spark, tmp_path_factory):
+    # maxFilesPerTrigger=1 → many small keyed merges; final silver must
+    # equal the unbounded drain (merge idempotency under micro-batching)
+    root = str(tmp_path_factory.mktemp("bounded_wh"))
+    p = MedallionPipeline(spark, root, formats=("parquet",))
+    p.run_bronze(n_customers=10, n_contracts=15, n_transactions=60, n_attributes=10)
+    p.run_bronze(n_customers=10, n_contracts=15, n_transactions=60, n_attributes=10)
+    loader = StreamingSilverLoader(
+        Warehouse(spark, root), str(tmp_path_factory.mktemp("ck_bounded")),
+        max_files_per_trigger=1,
+    )
+    loader.run(("f_transactions",))
+    got = _read(p, "f_transactions").count()
+    assert got == 120
