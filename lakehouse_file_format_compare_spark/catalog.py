@@ -78,3 +78,21 @@ def save_bucketed_table(
     if sort_cols:
         writer = writer.sortBy(*sort_cols)
     writer.saveAsTable(name)
+
+
+def analyze_table(spark: SparkSession, name: str, columns: list[str] | None = None) -> None:
+    """Collect table (and optionally column) statistics for Catalyst's
+    cost-based optimizer — join reordering and broadcast decisions get
+    real cardinalities instead of file-size guesses. The reference
+    never analyzes (SURVEY §4: CBO 'available; nothing custom'); at
+    100 TB, stats-driven planning is what keeps 6-way joins sane."""
+    spark.sql(f"ANALYZE TABLE {name} COMPUTE STATISTICS")
+    if columns:
+        cols = ", ".join(columns)
+        spark.sql(f"ANALYZE TABLE {name} COMPUTE STATISTICS FOR COLUMNS {cols}")
+
+
+def table_stats(spark: SparkSession, name: str) -> dict:
+    rows = spark.sql(f"DESCRIBE TABLE EXTENDED {name}").collect()
+    stats = next((r["data_type"] for r in rows if r["col_name"] == "Statistics"), None)
+    return {"statistics": stats}

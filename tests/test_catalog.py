@@ -29,3 +29,18 @@ def test_temp_view_lifecycle(spark):
     assert spark.sql("SELECT COUNT(*) AS n FROM v_region").collect()[0]["n"] == 5
     C.drop_temp_view(spark, "v_region")
     assert not spark.catalog.tableExists("v_region")
+
+
+def test_analyze_table_collects_stats(spark):
+    C.ensure_database(spark, "stats_db")
+    name = "stats_db.orders_s"
+    C.drop_table(spark, name)
+    C.save_table(table(spark, SF_SMOKE, "orders"), name)
+    C.analyze_table(spark, name, columns=["o_custkey", "o_totalprice"])
+    stats = C.table_stats(spark, name)["statistics"]
+    assert stats is not None and "rows" in stats, f"no stats: {stats}"
+    # column-level stats visible to the optimizer
+    desc = spark.sql(f"DESCRIBE EXTENDED {name} o_custkey").collect()
+    kv = {r["info_name"]: r["info_value"] for r in desc}
+    assert kv.get("distinct_count") not in (None, "NULL")
+    C.drop_table(spark, name)
