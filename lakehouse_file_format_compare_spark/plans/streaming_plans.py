@@ -87,8 +87,9 @@ GROUP BY 1
 
 def session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user session windows with a 5-minute inactivity gap —
-    F.session_window, the stateful-streaming-native operator
-    (rows-only check; semantics unit-tested)."""
+    F.session_window, the stateful-streaming-native operator. Oracle:
+    gap-flag + cumulative-sum sessionization, with Spark's
+    end-extension semantics (session end = last event + gap)."""
     events = table(spark, sf_dir, "events")
     return (
         events.groupBy(F.session_window("ts", "5 minutes").alias("w"), F.col("user_id"))
@@ -102,6 +103,28 @@ def session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SESSION_WINDOW_SQL = """
+WITH flagged AS (
+    SELECT user_id, ts,
+           CASE WHEN lag(ts) OVER w IS NULL
+                  OR epoch(ts) - epoch(lag(ts) OVER w) > 300 THEN 1 ELSE 0 END AS new_session
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), numbered AS (
+    SELECT user_id, ts,
+           SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+    FROM flagged
+)
+SELECT MIN(ts) AS session_start,
+       MAX(ts) + INTERVAL 5 MINUTE AS session_end,
+       user_id,
+       COUNT(*) AS n_events
+FROM numbered
+GROUP BY user_id, session_id
+"""
+
+
 QUERIES = {
     "stream_tumbling_window": tumbling_window,
     "stream_hopping_window": hopping_window,
@@ -111,4 +134,5 @@ QUERIES = {
 ORACLES = {
     "stream_tumbling_window": TUMBLING_WINDOW_SQL,
     "stream_hopping_window": HOPPING_WINDOW_SQL,
+    "stream_session_window": SESSION_WINDOW_SQL,
 }
