@@ -1,0 +1,101 @@
+"""Temporal join operators Spark lacks as built-ins, composed from
+DataFrame primitives (the (a)-strategy of the custom-operator ladder:
+composition before Pandas UDFs before mapPartitions).
+
+- as-of join: for each left row, the latest right row with the same
+  key and right_ts <= left_ts. Implemented as union + partitioned
+  window last-value carry-forward: ONE shuffle on the key, no
+  row-at-a-time logic, no state — scales like any window aggregate.
+- range join: point-in-interval equi-ification by binning both sides
+  to fixed-width buckets, joining on the bucket, then refining with
+  the exact predicate. Turns an O(n·m) theta-join into a bucket hash
+  join — the standard Spark range-join trick (Databricks' range-join
+  hint does the same under the hood).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    right_cols: list[str] | None = None,
+    suffix: str = "_asof",
+) -> DataFrame:
+    """Left as-of join: each left row gains the most recent right row
+    (same ``key``, ``right_ts`` <= ``left_ts``); ties on equal
+    timestamps prefer the right row (standard as-of backward
+    semantics). Left rows with no prior right row keep NULLs.
+    """
+    right_cols = right_cols or [c for c in right.columns if c not in (key, right_ts)]
+    left_types = dict(left.dtypes)
+    right_types = dict(right.dtypes)
+    lhs = left.select(
+        *left.columns,
+        F.col(left_ts).alias("__t"),
+        F.lit(1).alias("__side"),
+        *[F.lit(None).cast(right_types[c]).alias(f"{c}{suffix}") for c in right_cols],
+    )
+    rhs = right.select(
+        *[
+            (F.col(key) if c == key else F.lit(None).cast(left_types[c])).alias(c)
+            for c in left.columns
+        ],
+        F.col(right_ts).alias("__t"),
+        F.lit(0).alias("__side"),
+        *[F.col(c).alias(f"{c}{suffix}") for c in right_cols],
+    )
+    unioned = lhs.unionByName(rhs)
+    # right rows sort before left rows at equal __t (side 0 < 1) so a
+    # same-instant right row is visible to the left row
+    w = (
+        Window.partitionBy(key)
+        .orderBy("__t", "__side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = unioned.select(
+        "*",
+        *[
+            F.last(f"{c}{suffix}", ignorenulls=True).over(w).alias(f"__carry_{c}")
+            for c in right_cols
+        ],
+    )
+    out = carried.where(F.col("__side") == 1)
+    for c in right_cols:
+        out = out.drop(f"{c}{suffix}").withColumnRenamed(f"__carry_{c}", f"{c}{suffix}")
+    return out.drop("__t", "__side")
+
+
+def range_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_col: str,
+    lo_col: str,
+    hi_col: str,
+    bucket_width: float,
+) -> DataFrame:
+    """Join point rows to interval rows where
+    ``lo_col <= point < hi_col``, via bucket equi-join + refine.
+    Intervals spanning multiple buckets are exploded once per bucket
+    (cost ∝ interval length / bucket_width — pick the width near the
+    median interval length)."""
+    p = points.withColumn("__bucket", F.floor(F.col(point_col) / bucket_width).cast("long"))
+    iv = intervals.withColumn(
+        "__bucket",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(lo_col) / bucket_width).cast("long"),
+                F.floor((F.col(hi_col) - 1e-9) / bucket_width).cast("long"),
+            )
+        ),
+    )
+    joined = p.join(iv, "__bucket").where(
+        (F.col(point_col) >= F.col(lo_col)) & (F.col(point_col) < F.col(hi_col))
+    )
+    return joined.drop("__bucket")

@@ -18,13 +18,14 @@ from . import (
     gold,
     similarity_plans,
     streaming_plans,
+    temporal_plans,
     text_plans,
     tpch,
 )
 
 ALL_PLAN_MODULES = (
     gold, tpch, adhoc, text_plans, dedup_plans, similarity_plans, streaming_plans,
-    ext_plans, fintech_plans,
+    ext_plans, fintech_plans, temporal_plans,
 )
 
 

@@ -1,0 +1,93 @@
+"""As-of and range join queries (operators/temporal.py) — the
+custom-operator ladder's composition strategy, oracle-checked against
+DuckDB's native ASOF JOIN / theta join.
+
+``op_asof_join``: attribution — each purchase event picks up the most
+recent prior 'view' event of the same user.
+``op_range_join``: events bucketed into literal value tiers via the
+bin-and-refine range join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.numeric import grid, grid_sql
+from ..operators.temporal import asof_join, range_join
+from ..sources.testdata import table
+
+TIERS = [
+    ("bronze", 0.0, 100.0),
+    ("silver", 100.0, 200.0),
+    ("gold", 200.0, 350.0),
+    ("platinum", 350.0, 1000.0),
+]
+
+
+def asof_view_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = table(spark, sf_dir, "events")
+    purchases = events.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    views = events.where(F.col("event_type") == "view").select(
+        "user_id", "ts", F.col("event_id").alias("view_event_id")
+    )
+    out = asof_join(
+        purchases, views, key="user_id", left_ts="ts", right_ts="ts",
+        right_cols=["view_event_id"],
+    )
+    return out.select(
+        "event_id", "user_id", "ts", F.col("view_event_id_asof").alias("attributed_view")
+    )
+
+
+ASOF_VIEW_ATTRIBUTION_SQL = """
+WITH purchases AS (
+    SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+), views AS (
+    SELECT event_id AS view_event_id, user_id, ts FROM events WHERE event_type = 'view'
+)
+SELECT p.event_id, p.user_id, p.ts, v.view_event_id AS attributed_view
+FROM purchases p
+ASOF LEFT JOIN views v ON p.user_id = v.user_id AND v.ts <= p.ts
+"""
+
+
+def range_join_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = table(spark, sf_dir, "events")
+    intervals = spark.createDataFrame(TIERS, "tier string, lo double, hi double")
+    joined = range_join(
+        events.select("event_id", "value"), intervals,
+        point_col="value", lo_col="lo", hi_col="hi", bucket_width=50.0,
+    )
+    return (
+        joined.groupBy("tier")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            grid(F.sum(grid(F.col("value"), 2)), 2).alias("volume"),
+        )
+    )
+
+
+_TIER_VALUES = ", ".join(f"('{t}', {lo}, {hi})" for t, lo, hi in TIERS)
+
+RANGE_JOIN_TIERS_SQL = f"""
+SELECT tier, COUNT(*) AS n_events,
+       {grid_sql(f"SUM({grid_sql('value', 2)})", 2)} AS volume
+FROM events
+JOIN (VALUES {_TIER_VALUES}) AS tiers(tier, lo, hi)
+  ON value >= lo AND value < hi
+GROUP BY tier
+"""
+
+
+QUERIES = {
+    "op_asof_join": asof_view_attribution,
+    "op_range_join": range_join_tiers,
+}
+
+ORACLES = {
+    "op_asof_join": ASOF_VIEW_ATTRIBUTION_SQL,
+    "op_range_join": RANGE_JOIN_TIERS_SQL,
+}

@@ -40,3 +40,47 @@ def test_salt_distributes_hot_key(spark):
     assert n_buckets == 16
     out = skew.salted_join(hot, dim, "k", salt_buckets=16)
     assert out.count() == 10000
+
+
+def test_asof_join_semantics(spark):
+    from lakehouse_file_format_compare_spark.operators.temporal import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 10, "p1"), (1, 20, "p2"), (2, 5, "p3")], "k long, t long, pname string"
+    )
+    right = spark.createDataFrame(
+        [(1, 8, "v1"), (1, 15, "v2"), (1, 20, "v3"), (3, 1, "vx")],
+        "k long, t long, vname string",
+    )
+    out = {r.pname: r.vname_asof for r in asof_join(
+        left, right, key="k", left_ts="t", right_ts="t", right_cols=["vname"]
+    ).collect()}
+    assert out == {
+        "p1": "v1",   # latest right at t<=10 is t=8
+        "p2": "v3",   # equal timestamps: right row visible (backward incl.)
+        "p3": None,   # no right rows for key 2
+    }
+
+
+def test_range_join_matches_theta_join(spark):
+    import pyspark.sql.functions as F
+
+    from lakehouse_file_format_compare_spark.operators.temporal import range_join
+    from lakehouse_file_format_compare_spark.sources.testdata import table
+
+    events = table(spark, SF_SMOKE, "events").select("event_id", "value")
+    intervals = spark.createDataFrame(
+        [("a", 0.0, 123.0), ("b", 90.0, 260.5), ("c", 260.5, 600.0)],
+        "tier string, lo double, hi double",
+    )  # overlapping + bucket-spanning intervals
+    got = sorted(
+        (r.event_id, r.tier)
+        for r in range_join(events, intervals, "value", "lo", "hi", bucket_width=37.0).collect()
+    )
+    want = sorted(
+        (r.event_id, r.tier)
+        for r in events.join(
+            intervals, (F.col("value") >= F.col("lo")) & (F.col("value") < F.col("hi"))
+        ).collect()
+    )
+    assert got == want and len(got) > 0
