@@ -125,14 +125,37 @@ GROUP BY user_id, session_id
 """
 
 
+def hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style hourly rollup (operators/rollup.py) — the
+    batch view of the continuous aggregate; incremental maintenance
+    is tested in tests/test_rollup.py."""
+    from ..operators.rollup import time_rollup
+
+    return time_rollup(table(spark, sf_dir, "events"), bucket="1 hour")
+
+
+HOURLY_ROLLUP_SQL = f"""
+SELECT time_bucket(INTERVAL 1 HOUR, ts) AS bucket_start,
+       event_type,
+       COUNT(*) AS n_events,
+       {grid_sql(f"SUM({grid_sql('value', 2)})", 2)} AS value_sum,
+       MIN({grid_sql('value', 2)}) AS value_min,
+       MAX({grid_sql('value', 2)}) AS value_max
+FROM events
+GROUP BY 1, 2
+"""
+
+
 QUERIES = {
     "stream_tumbling_window": tumbling_window,
     "stream_hopping_window": hopping_window,
     "stream_session_window": session_window,
+    "stream_hourly_rollup": hourly_rollup,
 }
 
 ORACLES = {
     "stream_tumbling_window": TUMBLING_WINDOW_SQL,
     "stream_hopping_window": HOPPING_WINDOW_SQL,
     "stream_session_window": SESSION_WINDOW_SQL,
+    "stream_hourly_rollup": HOURLY_ROLLUP_SQL,
 }

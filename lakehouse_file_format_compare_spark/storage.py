@@ -347,3 +347,33 @@ class Warehouse:
         if not paths:
             raise ValueError(f"no matching partitions among {sorted(entry['partitions'])}")
         return self.spark.read.format(fmt).load(paths)
+
+    def compact(
+        self, layer: str, name: str, fmt: str = "parquet",
+        target_file_bytes: int = 134_217_728,
+    ) -> int:
+        """Compact the current snapshot into ~target-sized files
+        (the reference's write.target-file-size-bytes=128MB as an
+        explicit maintenance op, 2_…py:247). Small-file proliferation
+        is the chronic cost of frequent incremental merges; compaction
+        rewrites the CURRENT snapshot as a new version with
+        ceil(size/target) files — time travel to pre-compaction
+        versions still works. Returns the new file count."""
+        import math
+
+        manifest = self._read_manifest(layer, name, fmt)
+        if not manifest:
+            raise ValueError(f"{layer}/{name}_{fmt} is not a versioned table")
+        current_dir = os.path.join(self.path(layer, name, fmt), f"v{manifest['current']}")
+        size = _dir_bytes(current_dir)
+        n_files = max(1, math.ceil(size / target_file_bytes))
+        df = self.spark.read.format(fmt).load(current_dir).coalesce(n_files)
+        self._commit_version(df, layer, name, fmt, op="compact")
+        return n_files
+
+
+def _dir_bytes(path: str) -> int:
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        total += sum(os.path.getsize(os.path.join(root, f)) for f in files)
+    return total

@@ -126,3 +126,22 @@ def test_vacuum_removes_unreachable_snapshots(spark, wh):
     remaining = {e for e in os.listdir(root) if e.startswith("v")}
     assert remaining == {"v3", "v4"}
     assert wh.read_table("silver", "t").count() == 5
+
+
+def test_compact_reduces_files_and_preserves_data(spark, wh):
+    import glob
+    import os
+
+    df = _orders(spark, 2000, 1.0).repartition(16)
+    wh.merge_table(df, "silver", "big", keys=["k"])
+    root = wh.path("silver", "big", "parquet")
+    v1_files = glob.glob(os.path.join(root, "v1", "part-*"))
+    assert len(v1_files) >= 16
+    before = sorted(map(tuple, wh.read_table("silver", "big").collect()))
+    wh.compact("silver", "big", target_file_bytes=10 * 1024 * 1024)
+    v2_files = glob.glob(os.path.join(root, "v2", "part-*"))
+    assert len(v2_files) < len(v1_files)
+    after = sorted(map(tuple, wh.read_table("silver", "big").collect()))
+    assert after == before
+    # pre-compaction snapshot still time-travelable
+    assert wh.read_table("silver", "big", version=1).count() == 2000
