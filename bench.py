@@ -32,8 +32,11 @@ HEADLINE = [
     "sim_knn_bruteforce",
     "sim_knn_ivf",
     "stream_tumbling_window",
+    "stream_hourly_rollup",
     "op_window_functions_suite",
     "op_merge_upsert",
+    "op_asof_join",
+    "op_range_join",
 ]
 
 
