@@ -115,7 +115,10 @@ def customer_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders.join(fs, F.col("o_orderkey") == F.col("l_orderkey"), "left")
         .groupBy("o_custkey")
         .agg(
-            F.countDistinct("o_orderkey").alias("total_contratos"),
+            # o_orderkey is the orders PK — COUNT == COUNT DISTINCT per
+            # group, and dropping DISTINCT removes one expand branch
+            # from the multi-distinct aggregate
+            F.count("o_orderkey").alias("total_contratos"),
             F.countDistinct("o_orderstatus").alias("categorias_produtos"),
             F.array_join(F.sort_array(F.collect_set("o_orderpriority")), ",").alias("produtos_utilizados"),
             grid(F.sum(F.coalesce(F.col("saldo_contrato"), F.lit(0.0))), 2).alias("saldo_total_cliente"),
