@@ -69,6 +69,37 @@ def lsh_signature(vec_col, planes: list[list[float]]):
     return sig
 
 
+def _all_signatures_pandas(planes_per_table: list, bits: int):
+    """Arrow-vectorized signature computation: ONE numpy matmul per
+    batch computes every table's b-bit signature at once. This is the
+    sanctioned Pandas-UDF fast path — the pure-builtin alternative is
+    tables*bits interpreted HOF dot-folds per row (~50x slower for
+    8x6 signatures on 64-dim vectors). Closure is self-contained
+    (planes captured by value; numpy imported inside)."""
+    import numpy as _np
+
+    planes = _np.array(planes_per_table, dtype=_np.float64)  # (tables*bits, dim)
+    n_tables = planes.shape[0] // bits
+    weights = (1 << _np.arange(bits)).astype(_np.int64)
+
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    @pandas_udf("array<long>")
+    def sigs(vecs):
+        import pandas as _pd
+
+        m = _np.vstack(vecs.to_numpy())  # (n, dim)
+        bits_m = (m @ planes.T) >= 0  # (n, tables*bits)
+        out = []
+        for t in range(n_tables):
+            block = bits_m[:, t * bits:(t + 1) * bits].astype(_np.int64)
+            out.append(block @ weights)
+        stacked = _np.stack(out, axis=1)  # (n, tables)
+        return _pd.Series(list(stacked))
+
+    return sigs
+
+
 def knn_lsh(
     queries: DataFrame,
     corpus: DataFrame,
@@ -92,32 +123,41 @@ def knn_lsh(
     testdata) use more tables / fewer bits."""
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
     c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    all_planes = []
     for t in range(tables):
-        planes = _hyperplanes(dim, bits, seed + 7919 * t)
-        q = q.withColumn(f"qsig{t}", lsh_signature(F.col("qv"), planes))
-        c = c.withColumn(f"csig{t}", lsh_signature(F.col("cv"), planes))
+        all_planes.extend(_hyperplanes(dim, bits, seed + 7919 * t))
+    sig_udf = _all_signatures_pandas(all_planes, bits)
+    q = q.withColumn("qsigs", sig_udf(F.col("qv")))
+    c = c.withColumn("csigs", sig_udf(F.col("cv")))
     # probe buckets per table: own + each 1-bit flip, tagged by table id
     probes = F.array(*[
         F.struct(
             F.lit(t).alias("t"),
-            (F.col(f"qsig{t}") if i < 0 else
-             F.col(f"qsig{t}").bitwiseXOR(F.shiftleft(F.lit(1).cast("long"), i))).alias("b"),
+            (F.col("qsigs")[t] if i < 0 else
+             F.col("qsigs")[t].bitwiseXOR(F.shiftleft(F.lit(1).cast("long"), i))).alias("b"),
         )
         for t in range(tables)
         for i in range(-1, bits)
     ])
-    q_probed = q.select("query_id", "qv", F.explode(probes).alias("p"))
+    q_probed = q.select("query_id", F.explode(probes).alias("p"))
     buckets = c.select(
-        "neighbor_id", "cv",
+        "neighbor_id",
         F.explode(F.array(*[
-            F.struct(F.lit(t).alias("t"), F.col(f"csig{t}").alias("b")) for t in range(tables)
+            F.struct(F.lit(t).alias("t"), F.col("csigs")[t].alias("b")) for t in range(tables)
         ])).alias("p"),
     )
-    scored = (
+    # dedup candidates on the (int, int) pair BEFORE re-attaching the
+    # vectors: the distinct shuffle moves 16 bytes/row instead of two
+    # 64-float arrays
+    cand = (
         q_probed.join(buckets, ["p"])
         .where(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id", "qv", "cv")
+        .select("query_id", "neighbor_id")
         .distinct()
+    )
+    scored = (
+        cand.join(q.select("query_id", "qv"), "query_id")
+        .join(c.select("neighbor_id", "cv"), "neighbor_id")
         .withColumn("cosine", grid(V.cosine(F.col("qv"), F.col("cv")), 6))
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
@@ -211,11 +251,15 @@ def knn_ivf(
     q_probed = q.withColumn(
         "__list", F.explode(F.transform(F.slice(ranked, 1, nprobe), lambda z: z["i"].cast("int")))
     )
-    scored = (
-        q_probed.join(c, "__list")
+    cand = (
+        q_probed.join(c.drop("cv"), "__list")
         .where(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id", "qv", "cv")
+        .select("query_id", "neighbor_id")
         .distinct()
+    )
+    scored = (
+        cand.join(q.select("query_id", "qv"), "query_id")
+        .join(c.select("neighbor_id", "cv"), "neighbor_id")
         .withColumn("cosine", grid(V.cosine(F.col("qv"), F.col("cv")), 6))
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
