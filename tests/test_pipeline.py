@@ -130,3 +130,36 @@ def test_generator_is_deterministic(spark, tmp_path_factory):
     b2 = generate_batch(GeneratorState(seed=7), n_customers=10, n_contracts=10,
                         n_transactions=20, n_attributes=10)
     assert b1 == b2
+
+
+def test_customer_summary_degraded_no_financial(spark, pipeline):
+    # 3_…py:226-242: customers/contracts/products only — zero balances,
+    # CAST(NULL AS TIMESTAMP) activity
+    from lakehouse_file_format_compare_spark.pipeline import gold as pgold
+
+    out = pgold.customer_summary(
+        _silver(pipeline, "d_customers"),
+        _silver(pipeline, "f_contracts"),
+        _silver(pipeline, "d_products"),
+    ).collect()
+    assert len(out) == 80
+    assert all(r.saldo_total_cliente == 0.0 and r.ultima_atividade is None for r in out)
+    assert any(r.total_contratos > 0 for r in out)
+
+
+def test_product_ranking_degraded_contracts_only(spark, pipeline):
+    # 3_…py:350-365: no financial transactions → contracts-only metrics
+    from pyspark.sql import functions as F
+
+    from lakehouse_file_format_compare_spark.pipeline import gold as pgold
+
+    empty_txn = _silver(pipeline, "f_transactions").where(F.lit(False))
+    out = pgold.product_ranking(
+        empty_txn,
+        _silver(pipeline, "d_transaction_types"),
+        _silver(pipeline, "f_contracts"),
+        _silver(pipeline, "d_products"),
+    ).collect()
+    assert len(out) == 8
+    assert all(r.volume_financeiro == 0.0 and r.total_transacoes == 0 for r in out)
+    assert sorted(r.rank_volume for r in out) == list(range(1, 9))

@@ -145,3 +145,14 @@ def test_compact_reduces_files_and_preserves_data(spark, wh):
     assert after == before
     # pre-compaction snapshot still time-travelable
     assert wh.read_table("silver", "big", version=1).count() == 2000
+
+
+def test_time_travel_to_vacuumed_version_named_error(spark, wh):
+    df = _orders(spark, 5, 1.0)
+    for _ in range(3):
+        wh.merge_table(df, "silver", "tv", keys=["k"])
+    wh.vacuum("silver", "tv", keep_last=1)
+    with pytest.raises(ValueError, match="vacuumed"):
+        wh.read_table("silver", "tv", version=1)
+    # retained snapshots still fine
+    assert wh.read_table("silver", "tv").count() == 5
