@@ -5,9 +5,15 @@ the fintech silver tables.
 Differences vs plans/gold.py: these run on the engine's OWN pipeline
 output (generate → bronze → silver) with the reference's exact
 columns, including the degraded no-financial-data variants
-(3_…py:226-242, 350-365) behind ``allow_empty_financial``. The
+(3_…py:226-242, 350-365) behind ``has_financial=False`` (the caller
+resolves the reference's COUNT gate, 3_…py:149-155). The
 ``created_at = CURRENT_TIMESTAMP`` audit column (3_…py:174 et al.) is
 optional so tests can freeze it.
+
+Two deliberate non-semantic deviations, both determinism-only:
+COLLECT_SET results are sorted (set order is engine-undefined), and
+ROW_NUMBER ranks are tie-broken on product_name (the reference's
+unqualified ORDER BY is nondeterministic across runs).
 
 Every query is Catalyst-optimized: dim joins broadcast, epoch→ts
 casts stay in codegen, aggregations partial+final.
@@ -40,7 +46,11 @@ def monthly_balance(
     with_created_at: bool = False,
 ) -> DataFrame:
     """Q1 (3_…py:162-183): YEAR/MONTH of completed ts × contract_id,
-    entradas/saidas via amount-sign CASE, ABS on the negative side."""
+    entradas/saidas via amount-sign CASE, ABS on the negative side.
+    maior_entrada/maior_saida are MAX(amount)/MIN(amount) verbatim
+    (3_…py:172-173) — NOT max-of-positives / max-of-abs-negatives, so
+    an all-negative month has a negative maior_entrada, exactly as the
+    reference produces."""
     base = _financial_txns(f_transactions, d_transaction_types)
     amt = F.col("amount")
     pos = F.when(amt > 0, amt).otherwise(F.lit(0.0))
@@ -57,8 +67,8 @@ def monthly_balance(
             F.sum(amt).alias("saldo_liquido"),
             F.count(F.lit(1)).alias("total_transacoes"),
             F.avg(amt).alias("valor_medio_transacao"),
-            F.max(pos).alias("maior_entrada"),
-            F.max(neg).alias("maior_saida"),
+            F.max(amt).alias("maior_entrada"),
+            F.min(amt).alias("maior_saida"),
         )
     )
     if with_created_at:
@@ -76,9 +86,12 @@ def customer_summary(
 ) -> DataFrame:
     """Q2 (3_…py:226-287): two-level rollup. With financial data: per-
     contract saldo/txn-count/last-activity first (3_…py:245-257), then
-    per-customer with COLLECT_SET of product names + COALESCE
-    (3_…py:260-277). Without (degraded variant 3_…py:226-242):
-    contracts/products only, zeros and CAST(NULL AS TIMESTAMP)."""
+    per-customer with COLLECT_SET of product CATEGORIES + COALESCE
+    (3_…py:260-277; produtos_utilizados is COLLECT_SET(product_category),
+    3_…py:270 — not product_name). Without (degraded variant
+    3_…py:226-242): contracts/products only, zeros and
+    CAST(NULL AS TIMESTAMP). The set is sorted for determinism
+    (COLLECT_SET order is undefined in both engines)."""
     enriched = (
         d_customers.join(f_contracts, "customer_id", "left")
         .join(F.broadcast(d_products), "product_id", "left")
@@ -89,10 +102,10 @@ def customer_summary(
             .agg(
                 F.countDistinct("contract_id").alias("total_contratos"),
                 F.countDistinct("product_category").alias("categorias_produtos"),
-                F.lit(0.0).alias("saldo_total_cliente"),
+                F.lit(0.0).alias("saldo_total"),
                 F.lit(0).cast("long").alias("total_transacoes"),
                 F.lit(None).cast("timestamp").alias("ultima_atividade"),
-                F.sort_array(F.collect_set("product_name")).alias("produtos_utilizados"),
+                F.sort_array(F.collect_set("product_category")).alias("produtos_utilizados"),
             )
         )
     fs = (
@@ -110,10 +123,10 @@ def customer_summary(
         .agg(
             F.countDistinct("contract_id").alias("total_contratos"),
             F.countDistinct("product_category").alias("categorias_produtos"),
-            F.sum(F.coalesce(F.col("saldo_contrato"), F.lit(0.0))).alias("saldo_total_cliente"),
+            F.sum(F.coalesce(F.col("saldo_contrato"), F.lit(0.0))).alias("saldo_total"),
             F.sum(F.coalesce(F.col("txns_contrato"), F.lit(0))).alias("total_transacoes"),
             F.max("ultima_atividade_contrato").alias("ultima_atividade"),
-            F.sort_array(F.collect_set("product_name")).alias("produtos_utilizados"),
+            F.sort_array(F.collect_set("product_category")).alias("produtos_utilizados"),
         )
     )
     if with_created_at:
@@ -127,12 +140,11 @@ def daily_transaction_metrics(
     with_created_at: bool = False,
 ) -> DataFrame:
     """Q3 (3_…py:303-324): DATE(completed) × type × is_financial, 8
-    aggregates incl. sample stddev + distinct contracts. Unlike Q1 it
-    keeps non-financial rows (no is_financial filter, only ts-null)."""
-    base = (
-        f_transactions.join(F.broadcast(d_transaction_types), "transaction_type_id")
-        .where(_completed_ts().isNotNull())
-    )
+    aggregates incl. sample stddev + distinct contracts. Filters to
+    is_financial = true like Q1 (3_…py:318) — the is_financial group
+    column is therefore constant true, but the reference keeps it in
+    the schema, so we do too."""
+    base = _financial_txns(f_transactions, d_transaction_types)
     out = (
         base.groupBy(
             F.to_date(_completed_ts()).alias("data_transacao"),
@@ -159,27 +171,33 @@ def product_ranking(
     d_transaction_types: DataFrame,
     f_contracts: DataFrame,
     d_products: DataFrame,
-    allow_empty_financial: bool = True,
+    has_financial: bool = True,
     with_created_at: bool = False,
 ) -> DataFrame:
     """Q4 (3_…py:368-402): 4-way inner join CTE grouped by product,
     then two global ROW_NUMBER ranks (tie-broken on product_name for
-    determinism — SURVEY §7.3). Degraded contracts-only variant
-    (3_…py:350-365) used when there is no financial data."""
-    fin = _financial_txns(f_transactions, d_transaction_types)
-    metrics = (
-        fin.join(f_contracts, "contract_id")
-        .join(F.broadcast(d_products), "product_id")
-        .groupBy("product_name", "product_category")
-        .agg(
-            F.count(F.lit(1)).alias("total_transacoes"),
-            F.sum(F.abs(F.col("amount"))).alias("volume_financeiro"),
-            F.countDistinct("contract_id").alias("contratos_ativos"),
-            F.countDistinct("customer_id").alias("clientes_unicos"),
-            F.avg(F.abs(F.col("amount"))).alias("ticket_medio"),
+    determinism — SURVEY §7.3). volume_financeiro/ticket_medio are
+    SUM(amount)/AVG(amount) verbatim (3_…py:374,377) — signed, not
+    ABS, so refund-heavy products rank LOW on volume, exactly as the
+    reference ranks them. Degraded contracts-only variant
+    (3_…py:350-365) selected by ``has_financial=False`` — the caller
+    resolves the gate (the reference's COUNT probe, 3_…py:149-155, is
+    the runner's job), keeping this builder action-free/lazy."""
+    if has_financial:
+        fin = _financial_txns(f_transactions, d_transaction_types)
+        metrics = (
+            fin.join(f_contracts, "contract_id")
+            .join(F.broadcast(d_products), "product_id")
+            .groupBy("product_name", "product_category")
+            .agg(
+                F.count(F.lit(1)).alias("total_transacoes"),
+                F.sum(F.col("amount")).alias("volume_financeiro"),
+                F.countDistinct("contract_id").alias("contratos_ativos"),
+                F.countDistinct("customer_id").alias("clientes_unicos"),
+                F.avg(F.col("amount")).alias("ticket_medio"),
+            )
         )
-    )
-    if allow_empty_financial and not metrics.take(1):
+    else:
         metrics = (
             f_contracts.join(F.broadcast(d_products), "product_id")
             .groupBy("product_name", "product_category")

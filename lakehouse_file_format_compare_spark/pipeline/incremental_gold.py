@@ -64,12 +64,9 @@ def incremental_monthly_balance(
         total.alias("total_transacoes"),
         # AVG is algebraic: derivable from the maintained sums
         (saldo / total).alias("valor_medio_transacao"),
-        F.greatest(
-            F.coalesce(F.col("g.maior_entrada"), F.lit(0.0)),
-            F.coalesce(F.col("d.maior_entrada"), F.lit(0.0)),
-        ).alias("maior_entrada"),
-        F.greatest(
-            F.coalesce(F.col("g.maior_saida"), F.lit(0.0)),
-            F.coalesce(F.col("d.maior_saida"), F.lit(0.0)),
-        ).alias("maior_saida"),
+        # maior_entrada/maior_saida are MAX/MIN(amount) (signed, can be
+        # negative/positive respectively) — greatest/least skip NULLs in
+        # Spark, so a group present on only one side keeps its own value.
+        F.greatest(F.col("g.maior_entrada"), F.col("d.maior_entrada")).alias("maior_entrada"),
+        F.least(F.col("g.maior_saida"), F.col("d.maior_saida")).alias("maior_saida"),
     )

@@ -55,11 +55,21 @@ class MedallionPipeline:
         customers = self._silver("d_customers", fmt)
         contracts = self._silver("f_contracts", fmt)
         products = self._silver("d_products", fmt)
+        # The reference's financial_count gate (3_…py:149-155) — resolved
+        # HERE, at the orchestration layer, so the query builders stay
+        # lazy/action-free. take(1) is a bounded existence probe.
+        has_financial = bool(gold._financial_txns(txn, types).take(1))
         return {
             "monthly_balance": gold.monthly_balance(txn, types),
-            "customer_summary": gold.customer_summary(customers, contracts, products, txn, types),
+            "customer_summary": gold.customer_summary(
+                customers, contracts, products,
+                txn if has_financial else None,
+                types if has_financial else None,
+            ),
             "daily_transaction_metrics": gold.daily_transaction_metrics(txn, types),
-            "product_ranking": gold.product_ranking(txn, types, contracts, products),
+            "product_ranking": gold.product_ranking(
+                txn, types, contracts, products, has_financial=has_financial
+            ),
         }
 
     def run_gold(self) -> dict[str, int]:

@@ -506,21 +506,29 @@ def pivot_status_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     output schema is static (the scale-safe form: no value-discovery
     scan)."""
     orders = table(spark, sf_dir, "orders")
-    return (
+    pivoted = (
         orders.groupBy("o_orderpriority")
         .pivot("o_orderstatus", ["F", "O", "P"])
         .count()
-        .withColumnRenamed("F", "n_f")
-        .withColumnRenamed("O", "n_o")
-        .withColumnRenamed("P", "n_p")
+    )
+    # pivot().count() yields NULL (not 0) for absent (priority, status)
+    # combos — coalesce to 0 so the result is stable at scale factors
+    # where a combo is empty.
+    return pivoted.select(
+        "o_orderpriority",
+        F.coalesce(F.col("F"), F.lit(0)).alias("n_f"),
+        F.coalesce(F.col("O"), F.lit(0)).alias("n_o"),
+        F.coalesce(F.col("P"), F.lit(0)).alias("n_p"),
     )
 
 
+# CAST AS BIGINT: DuckDB's SUM(CASE ...) is HUGEINT (int128) while Spark's
+# pivot count() is BIGINT — same values, different hash rendering.
 PIVOT_STATUS_MATRIX_SQL = """
 SELECT o_orderpriority,
-       SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_f,
-       SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS n_o,
-       SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS n_p
+       CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
+       CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o,
+       CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_p
 FROM orders
 GROUP BY o_orderpriority
 """
@@ -541,7 +549,7 @@ def explode_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-EXPLODE_TOKEN_COUNTS_SQL = """
+EXPLODE_TOKEN_COUNTS_SQL = r"""
 SELECT token, COUNT(*) AS n
 FROM (
     SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS token

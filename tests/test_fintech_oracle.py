@@ -63,8 +63,8 @@ def test_q1_monthly_balance_matches_reference_sql(spark, data):
                SUM(t.amount) AS saldo_liquido,
                COUNT(*) AS total_transacoes,
                AVG(t.amount) AS valor_medio_transacao,
-               MAX(CASE WHEN t.amount > 0 THEN t.amount ELSE 0 END) AS maior_entrada,
-               MAX(CASE WHEN t.amount < 0 THEN ABS(t.amount) ELSE 0 END) AS maior_saida
+               MAX(t.amount) AS maior_entrada,
+               MIN(t.amount) AS maior_saida
         FROM f_transactions t
         JOIN d_transaction_types tt USING (transaction_type_id)
         WHERE tt.is_financial = true AND to_timestamp(t.completed_at_time_id) IS NOT NULL
@@ -90,7 +90,7 @@ def test_q3_daily_metrics_matches_reference_sql(spark, data):
                COUNT(DISTINCT t.contract_id) AS contratos_unicos
         FROM f_transactions t
         JOIN d_transaction_types tt USING (transaction_type_id)
-        WHERE to_timestamp(t.completed_at_time_id) IS NOT NULL
+        WHERE tt.is_financial = true AND to_timestamp(t.completed_at_time_id) IS NOT NULL
         GROUP BY 1, 2, 3
     """).fetchall()
     _assert_match(got, want, n_keys=3)
@@ -105,10 +105,10 @@ def test_q4_product_ranking_matches_reference_sql(spark, data):
         WITH product_metrics AS (
             SELECT p.product_name, p.product_category,
                    COUNT(*) AS total_transacoes,
-                   SUM(ABS(t.amount)) AS volume_financeiro,
+                   SUM(t.amount) AS volume_financeiro,
                    COUNT(DISTINCT c.contract_id) AS contratos_ativos,
                    COUNT(DISTINCT c.customer_id) AS clientes_unicos,
-                   AVG(ABS(t.amount)) AS ticket_medio
+                   AVG(t.amount) AS ticket_medio
             FROM f_transactions t
             JOIN d_transaction_types tt USING (transaction_type_id)
             JOIN f_contracts c USING (contract_id)
@@ -143,10 +143,10 @@ def test_q2_customer_summary_matches_reference_sql(spark, data):
         SELECT cu.customer_id, cu.first_name, cu.last_name,
                COUNT(DISTINCT c.contract_id) AS total_contratos,
                COUNT(DISTINCT p.product_category) AS categorias_produtos,
-               SUM(COALESCE(fs.saldo_contrato, 0)) AS saldo_total_cliente,
+               SUM(COALESCE(fs.saldo_contrato, 0)) AS saldo_total,
                SUM(COALESCE(fs.txns_contrato, 0)) AS total_transacoes,
                MAX(fs.ultima_atividade_contrato) AS ultima_atividade,
-               COALESCE(list_sort(list_distinct(list(p.product_name) FILTER (p.product_name IS NOT NULL))), []) AS produtos_utilizados
+               COALESCE(list_sort(list_distinct(list(p.product_category) FILTER (p.product_category IS NOT NULL))), []) AS produtos_utilizados
         FROM d_customers cu
         LEFT JOIN f_contracts c USING (customer_id)
         LEFT JOIN d_products p USING (product_id)

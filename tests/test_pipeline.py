@@ -143,7 +143,7 @@ def test_customer_summary_degraded_no_financial(spark, pipeline):
         _silver(pipeline, "d_products"),
     ).collect()
     assert len(out) == 80
-    assert all(r.saldo_total_cliente == 0.0 and r.ultima_atividade is None for r in out)
+    assert all(r.saldo_total == 0.0 and r.ultima_atividade is None for r in out)
     assert any(r.total_contratos > 0 for r in out)
 
 
@@ -159,6 +159,7 @@ def test_product_ranking_degraded_contracts_only(spark, pipeline):
         _silver(pipeline, "d_transaction_types"),
         _silver(pipeline, "f_contracts"),
         _silver(pipeline, "d_products"),
+        has_financial=False,
     ).collect()
     assert len(out) == 8
     assert all(r.volume_financeiro == 0.0 and r.total_transacoes == 0 for r in out)
