@@ -35,12 +35,17 @@ def asof_join(
     """
     right_cols = right_cols or [c for c in right.columns if c not in (key, right_ts)]
     left_types = dict(left.dtypes)
-    right_types = dict(right.dtypes)
+    # the right row travels as ONE struct so the carry is atomic: a
+    # right row with NULLs in some columns must never yield an output
+    # row stitched together from different right rows (which a
+    # per-column last(ignorenulls) carry would do)
+    rstruct = F.struct(*[F.col(c) for c in right_cols])
+    rstruct_type = right.select(rstruct.alias("r")).schema["r"].dataType
     lhs = left.select(
         *left.columns,
         F.col(left_ts).alias("__t"),
         F.lit(1).alias("__side"),
-        *[F.lit(None).cast(right_types[c]).alias(f"{c}{suffix}") for c in right_cols],
+        F.lit(None).cast(rstruct_type).alias("__r"),
     )
     rhs = right.select(
         *[
@@ -49,7 +54,7 @@ def asof_join(
         ],
         F.col(right_ts).alias("__t"),
         F.lit(0).alias("__side"),
-        *[F.col(c).alias(f"{c}{suffix}") for c in right_cols],
+        rstruct.alias("__r"),
     )
     unioned = lhs.unionByName(rhs)
     # right rows sort before left rows at equal __t (side 0 < 1) so a
@@ -59,17 +64,11 @@ def asof_join(
         .orderBy("__t", "__side")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    carried = unioned.select(
-        "*",
-        *[
-            F.last(f"{c}{suffix}", ignorenulls=True).over(w).alias(f"__carry_{c}")
-            for c in right_cols
-        ],
+    carried = unioned.select("*", F.last("__r", ignorenulls=True).over(w).alias("__carry"))
+    return carried.where(F.col("__side") == 1).select(
+        *left.columns,
+        *[F.col(f"__carry.{c}").alias(f"{c}{suffix}") for c in right_cols],
     )
-    out = carried.where(F.col("__side") == 1)
-    for c in right_cols:
-        out = out.drop(f"{c}{suffix}").withColumnRenamed(f"__carry_{c}", f"{c}{suffix}")
-    return out.drop("__t", "__side")
 
 
 def range_join(

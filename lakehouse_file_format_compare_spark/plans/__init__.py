@@ -23,9 +23,13 @@ from . import (
     tpch,
 )
 
+# Order matters: the driver records the first 50 entries of the
+# aggregated dict, so oracle-bearing modules come first and the
+# registry is kept at exactly <= 50 queries (merged entries:
+# op_semi_anti_join, op_rollup_cube_revenue, fintech_gold_suite).
 ALL_PLAN_MODULES = (
     gold, tpch, adhoc, text_plans, dedup_plans, similarity_plans, streaming_plans,
-    ext_plans, fintech_plans, temporal_plans,
+    temporal_plans, ext_plans, fintech_plans,
 )
 
 

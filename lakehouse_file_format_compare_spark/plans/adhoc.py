@@ -378,6 +378,30 @@ WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
 """
 
 
+def semi_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi (EXISTS) + left-anti (NOT EXISTS) in one tagged
+    result — both join types exercised by a single driver entry so the
+    query registry stays inside the driver's recording window."""
+    semi = semi_join(spark, sf_dir).select(
+        "c_custkey", "c_name", F.lit("has_open_order").alias("bucket")
+    )
+    anti = anti_join(spark, sf_dir).select(
+        "c_custkey", "c_name", F.lit("no_orders").alias("bucket")
+    )
+    return semi.unionByName(anti)
+
+
+SEMI_ANTI_JOIN_SQL = """
+SELECT c_custkey, c_name, 'has_open_order' AS bucket
+FROM customer
+WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'O')
+UNION ALL
+SELECT c_custkey, c_name, 'no_orders' AS bucket
+FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+"""
+
+
 def scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scalar-subquery pattern: orders priced above 1.5x the global
     average — expressed as a broadcast join against the 1-row
@@ -457,17 +481,82 @@ GROUP BY CUBE (o_orderstatus, o_orderpriority)
 """
 
 
-def approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+def rollup_cube_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP (lineitem) + CUBE (orders) grouping sets as one tagged
+    union — both grouping-set shapes exercised by a single driver
+    entry. Columns normalized to (src, key1, key2, revenue, n)."""
+    ru = rollup_revenue(spark, sf_dir).select(
+        F.lit("rollup").alias("src"),
+        F.col("l_returnflag").alias("key1"),
+        F.col("l_linestatus").alias("key2"),
+        F.col("revenue"),
+        F.col("n_items").alias("n"),
+    )
+    cu = cube_revenue(spark, sf_dir).select(
+        F.lit("cube").alias("src"),
+        F.col("o_orderstatus").alias("key1"),
+        F.col("o_orderpriority").alias("key2"),
+        F.col("revenue"),
+        F.col("n_orders").alias("n"),
+    )
+    return ru.unionByName(cu)
+
+
+ROLLUP_CUBE_REVENUE_SQL = f"""
+SELECT 'rollup' AS src, l_returnflag AS key1, l_linestatus AS key2,
+       ROUND(SUM(l_extendedprice), 2) AS revenue, COUNT(*) AS n
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+UNION ALL
+SELECT 'cube' AS src, o_orderstatus AS key1, o_orderpriority AS key2,
+       {grid_sql(f"SUM({grid_sql('o_totalprice', 2)})", 2)} AS revenue,
+       COUNT(*) AS n
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+
+
+APPROX_DISTINCT_TOLERANCE = 0.05  # HLL++ rsd=0.02 → 2.5σ bound
+
+
+def approx_distinct_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate aggregates (absent from the reference, SURVEY §2.5
     "no approximate aggregates"): HyperLogLog++ distinct counts +
-    exact counterpart per order status. Sketch-based → rows-only
-    driver check; ±2% accuracy asserted in tests/test_ext.py."""
+    exact counterpart per order status."""
     orders = table(spark, sf_dir, "orders")
     return orders.groupBy("o_orderstatus").agg(
         F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx_customers"),
         F.countDistinct("o_custkey").alias("exact_customers"),
         F.count(F.lit(1)).alias("n_orders"),
     )
+
+
+def approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-checkable form: the exact columns ARE the oracle row;
+    the sketch value is pinned by an in-row tolerance check instead of
+    being emitted raw (a DuckDB oracle cannot replicate Spark's HLL++
+    register values, but it CAN assert the sketch landed within rsd of
+    the exact count it computes itself)."""
+    raw = approx_distinct_raw(spark, sf_dir)
+    return raw.select(
+        "o_orderstatus",
+        "exact_customers",
+        "n_orders",
+        (
+            F.abs(F.col("approx_customers") - F.col("exact_customers"))
+            <= APPROX_DISTINCT_TOLERANCE * F.col("exact_customers")
+        ).alias("approx_within_tolerance"),
+    )
+
+
+APPROX_DISTINCT_SQL = """
+SELECT o_orderstatus,
+       COUNT(DISTINCT o_custkey) AS exact_customers,
+       COUNT(*) AS n_orders,
+       true AS approx_within_tolerance
+FROM orders
+GROUP BY o_orderstatus
+"""
 
 
 def correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -573,14 +662,12 @@ QUERIES = {
     "op_scalar_functions": scalar_functions,
     "op_json_extract_props": json_extract_props,
     "op_set_ops": set_ops,
-    "op_rollup_revenue": rollup_revenue,
+    "op_rollup_cube_revenue": rollup_cube_revenue,
     "op_merge_upsert": merge_upsert_demo,
     "op_merge_insert_only": merge_insert_only_demo,
-    "op_semi_join": semi_join,
-    "op_anti_join": anti_join,
+    "op_semi_anti_join": semi_anti_join,
     "op_scalar_subquery": scalar_subquery,
     "op_window_functions_suite": window_functions_suite,
-    "op_cube_revenue": cube_revenue,
     "op_approx_distinct": approx_distinct,
     "op_correlated_subquery": correlated_subquery,
     "op_pivot_status_matrix": pivot_status_matrix,
@@ -598,14 +685,13 @@ ORACLES = {
     "op_scalar_functions": SCALAR_FUNCTIONS_SQL,
     "op_json_extract_props": JSON_EXTRACT_PROPS_SQL,
     "op_set_ops": SET_OPS_SQL,
-    "op_rollup_revenue": ROLLUP_REVENUE_SQL,
+    "op_rollup_cube_revenue": ROLLUP_CUBE_REVENUE_SQL,
     "op_merge_upsert": MERGE_UPSERT_DEMO_SQL,
     "op_merge_insert_only": MERGE_INSERT_ONLY_DEMO_SQL,
-    "op_semi_join": SEMI_JOIN_SQL,
-    "op_anti_join": ANTI_JOIN_SQL,
+    "op_semi_anti_join": SEMI_ANTI_JOIN_SQL,
     "op_scalar_subquery": SCALAR_SUBQUERY_SQL,
     "op_window_functions_suite": WINDOW_FUNCTIONS_SUITE_SQL,
-    "op_cube_revenue": CUBE_REVENUE_SQL,
+    "op_approx_distinct": APPROX_DISTINCT_SQL,
     "op_correlated_subquery": CORRELATED_SUBQUERY_SQL,
     "op_pivot_status_matrix": PIVOT_STATUS_MATRIX_SQL,
     "op_explode_token_counts": EXPLODE_TOKEN_COUNTS_SQL,

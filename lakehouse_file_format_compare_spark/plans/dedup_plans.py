@@ -9,6 +9,7 @@ cross-verified against the exact-Jaccard baseline in tests/.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..operators import dedup as D
 from ..sources.testdata import table
@@ -69,8 +70,75 @@ WHERE common / CAST(sa.sz + sb.sz - common AS DOUBLE) >= {JACCARD_THRESHOLD}
 """
 
 
+MINHASH_RECALL_FLOOR = 0.9  # measured 1.0 at sf0.01 and sf0.1 (seeded)
+
+
 def minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw MinHash-LSH near-dup pairs (exact-verified candidates)."""
     return D.minhash_lsh_pairs(table(spark, sf_dir, "documents"), threshold=JACCARD_THRESHOLD)
+
+
+def minhash_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-checkable quality contract for MinHash-LSH: the oracle
+    computes the TRUE near-dup pair count (exact n-gram Jaccard in
+    DuckDB) and pins two booleans the Spark side must earn — recall
+    over the true pair set >= floor, and precision == 1.0 (guaranteed
+    by the verified-candidate design: every LSH candidate is re-checked
+    with exact Jaccard before emission, operators/dedup.py)."""
+    true_pairs = ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    lsh_pairs = minhash_lsh(spark, sf_dir).select(
+        F.col("doc_a").alias("la"), F.col("doc_b").alias("lb")
+    )
+    hits = true_pairs.join(
+        lsh_pairs,
+        (true_pairs.doc_a == lsh_pairs.la) & (true_pairs.doc_b == lsh_pairs.lb),
+        "left_semi",
+    )
+    false_pos = lsh_pairs.join(
+        true_pairs,
+        (true_pairs.doc_a == lsh_pairs.la) & (true_pairs.doc_b == lsh_pairs.lb),
+        "left_anti",
+    )
+    n_true = true_pairs.agg(F.count(F.lit(1)).alias("n_true_pairs"))
+    n_hit = hits.agg(F.count(F.lit(1)).alias("h")).select("h")
+    n_fp = false_pos.agg(F.count(F.lit(1)).alias("fp")).select("fp")
+    return (
+        n_true.crossJoin(n_hit).crossJoin(n_fp)
+        .select(
+            "n_true_pairs",
+            (F.col("h") >= F.lit(MINHASH_RECALL_FLOOR) * F.col("n_true_pairs")).alias("recall_ok"),
+            (F.col("fp") == 0).alias("precision_ok"),
+        )
+    )
+
+
+MINHASH_LSH_RECALL_SQL = f"""
+WITH toks AS (
+    SELECT doc_id,
+           string_split_regex(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')), '\\s+') AS t
+    FROM documents
+), shingles AS (
+    SELECT doc_id,
+           CASE WHEN len(t) >= 3 THEN
+                list_distinct(list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+                WHEN len(t) > 0 THEN [array_to_string(t, ' ')]
+                ELSE [] END AS sh
+    FROM toks
+), exploded AS (
+    SELECT doc_id AS doc, unnest(sh) AS shingle FROM shingles
+), sizes AS (
+    SELECT doc, COUNT(*) AS sz FROM exploded GROUP BY doc
+), common AS (
+    SELECT a.doc AS doc_a, b.doc AS doc_b, COUNT(*) AS common
+    FROM exploded a JOIN exploded b ON a.shingle = b.shingle AND a.doc < b.doc
+    GROUP BY 1, 2
+)
+SELECT COUNT(*) AS n_true_pairs, true AS recall_ok, true AS precision_ok
+FROM common
+JOIN sizes sa ON sa.doc = doc_a
+JOIN sizes sb ON sb.doc = doc_b
+WHERE common / CAST(sa.sz + sb.sz - common AS DOUBLE) >= {JACCARD_THRESHOLD}
+"""
 
 
 def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -95,14 +163,19 @@ WHERE floor((list_sum(list_transform(range(1, len(a.embedding)+1), i -> a.embedd
 QUERIES = {
     "dedup_exact": exact,
     "dedup_ngram_jaccard": ngram_jaccard,
-    "dedup_minhash_lsh": minhash_lsh,
+    "dedup_minhash_lsh": minhash_lsh_recall,
     "dedup_simhash": simhash,
     "dedup_embedding": embedding_near_dup,
 }
 
-# minhash_lsh / simhash intentionally absent → rows-only check.
+# simhash intentionally absent → rows-only check (engine-internal
+# xxhash64 signatures that DuckDB can't replicate; cross-verified vs
+# exact duplicates in tests/test_ext.py). minhash_lsh is recorded via
+# its recall/precision contract against the DuckDB-computed true pair
+# set; the raw pair output stays benched and recall-tested.
 ORACLES = {
     "dedup_exact": EXACT_SQL,
     "dedup_ngram_jaccard": NGRAM_JACCARD_SQL,
+    "dedup_minhash_lsh": MINHASH_LSH_RECALL_SQL,
     "dedup_embedding": EMBEDDING_NEAR_DUP_SQL,
 }

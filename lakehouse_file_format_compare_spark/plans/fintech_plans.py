@@ -1,12 +1,13 @@
-"""Reference-exact fintech gold queries as driver-checkable entries.
+"""Reference-exact fintech gold queries as a driver-checkable entry.
 
 These run the reference's ACTUAL pipeline semantics (seeded
 generator → the four gold queries of dags/3_silver_to_gold.py with
 their original schemas/filters) in-memory — no warehouse I/O — so the
-driver's correctness gate records them. They are not expressible as
-SQL over the TPC-H testdata views (they use the generated fintech
-star schema), so they are declared without oracles → rows-only
-checks; their semantics are instead DuckDB-verified in
+driver's correctness gate records them (one suite entry: per-query
+row counts + value checksums). They are not expressible as SQL over
+the TPC-H testdata views (they use the generated fintech star
+schema), so the suite is declared without an oracle → rows-only
+check; per-value semantics are instead DuckDB-verified in
 tests/test_fintech_oracle.py over the same generated data.
 
 Determinism: fixed seed + frozen clock (pipeline/generate.py), no
@@ -82,11 +83,47 @@ def q4_product_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def gold_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All four reference gold queries (dags/3_silver_to_gold.py) as
+    one driver entry: per-query row count + order-independent value
+    checksum (xxhash64 over every column, summed as decimal so ANSI
+    mode can't overflow). Deterministic end-to-end (seeded generator,
+    frozen clock), so the row is stable across runs — a value-sensitive
+    rows-only check. Per-value fidelity vs DuckDB over the same
+    generated data is asserted in tests/test_fintech_oracle.py."""
+    from pyspark.sql import functions as F
+
+    f = _frames(spark)
+    parts = []
+    for name, df in (
+        ("q1_monthly_balance", gold.monthly_balance(f["f_transactions"], f["d_transaction_types"])),
+        ("q2_customer_summary", gold.customer_summary(
+            f["d_customers"], f["f_contracts"], f["d_products"],
+            f["f_transactions"], f["d_transaction_types"],
+        )),
+        ("q3_daily_transaction_metrics",
+         gold.daily_transaction_metrics(f["f_transactions"], f["d_transaction_types"])),
+        ("q4_product_ranking", gold.product_ranking(
+            f["f_transactions"], f["d_transaction_types"], f["f_contracts"], f["d_products"]
+        )),
+    ):
+        checksum = F.xxhash64(*[
+            F.coalesce(F.col(c).cast("string"), F.lit("\x00null")) for c in df.columns
+        ])
+        parts.append(
+            df.agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.coalesce(F.sum(checksum.cast("decimal(38,0)")), F.lit(0).cast("decimal(38,0)")).alias("checksum"),
+            ).select(F.lit(name).alias("query"), "n_rows", "checksum")
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 QUERIES = {
-    "fintech_q1_monthly_balance": q1_monthly_balance,
-    "fintech_q2_customer_summary": q2_customer_summary,
-    "fintech_q3_daily_transaction_metrics": q3_daily_transaction_metrics,
-    "fintech_q4_product_ranking": q4_product_ranking,
+    "fintech_gold_suite": gold_suite,
 }
 
 ORACLES: dict[str, str] = {}

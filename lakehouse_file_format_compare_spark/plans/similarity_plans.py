@@ -39,8 +39,15 @@ SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= {K}
 
 _IVF_CENTROID_CACHE: dict[str, list] = {}
 
+# pinned recall floors, measured at sf0.01/sf0.1 (seeded/deterministic:
+# lsh 0.92/0.935, ivf 0.82/0.765 at nprobe=6/16)
+LSH_RECALL_FLOOR = 0.9
+IVF_RECALL_FLOOR = 0.7
+IVF_NPROBE = 6
+
 
 def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw IVF top-k (the serving-path output; benched as headline)."""
     emb = table(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") % QUERY_MOD == 0)
     # index build amortized per corpus (the IVF deployment model:
@@ -48,14 +55,59 @@ def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     if sf_dir not in _IVF_CENTROID_CACHE:
         _IVF_CENTROID_CACHE[sf_dir] = S.train_ivf_centroids(emb, n_lists=16)
     return S.knn_ivf(
-        queries, emb, k=K, n_lists=16, nprobe=6, centroids=_IVF_CENTROID_CACHE[sf_dir]
+        queries, emb, k=K, n_lists=16, nprobe=IVF_NPROBE,
+        centroids=_IVF_CENTROID_CACHE[sf_dir],
     )
 
 
 def knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw multi-table LSH top-k (the serving-path output)."""
     emb = table(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") % QUERY_MOD == 0)
     return S.knn_lsh(queries, emb, k=K, bits=6, tables=8, dim=64)
+
+
+def _recall_summary(spark, sf_dir, approx_fn, floor: float) -> DataFrame:
+    """Driver-checkable quality contract for an approximate ANN
+    operator: recall@k vs the exact brute-force baseline, folded to a
+    row the DuckDB oracle can independently pin (n_queries and k are
+    SQL-computable; the recall floor is asserted as a boolean the
+    oracle expects to be true). Both result sets use the same
+    deterministic tie-break, so recall is exact set overlap."""
+    exact = knn_bruteforce(spark, sf_dir).select("query_id", "neighbor_id")
+    approx = approx_fn(spark, sf_dir).select(
+        "query_id", F.col("neighbor_id").alias("approx_neighbor_id")
+    )
+    hits = exact.join(
+        approx,
+        (exact.query_id == approx.query_id)
+        & (exact.neighbor_id == approx.approx_neighbor_id),
+        "left_semi",
+    )
+    n_exact = exact.agg(F.count(F.lit(1)).alias("n")).select("n")
+    n_hit = hits.agg(F.count(F.lit(1)).alias("h")).select("h")
+    return (
+        n_exact.crossJoin(n_hit)
+        .select(
+            (F.col("n") / K).cast("long").alias("n_queries"),
+            F.lit(K).alias("k"),
+            (F.col("h") >= F.lit(floor) * F.col("n")).alias("recall_ok"),
+        )
+    )
+
+
+def knn_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _recall_summary(spark, sf_dir, knn_lsh, LSH_RECALL_FLOOR)
+
+
+def knn_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _recall_summary(spark, sf_dir, knn_ivf, IVF_RECALL_FLOOR)
+
+
+KNN_RECALL_SQL = f"""
+SELECT COUNT(*) AS n_queries, {K} AS k, true AS recall_ok
+FROM embeddings WHERE vec_id % {QUERY_MOD} = 0
+"""
 
 
 def vector_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -88,13 +140,17 @@ FROM embeddings
 
 QUERIES = {
     "sim_knn_bruteforce": knn_bruteforce,
-    "sim_knn_lsh": knn_lsh,
-    "sim_knn_ivf": knn_ivf,
+    "sim_knn_lsh": knn_lsh_recall,
+    "sim_knn_ivf": knn_ivf_recall,
     "sim_vector_stats": vector_stats,
 }
 
-# knn_lsh / knn_ivf absent → rows-only check (approximate by design).
+# The approximate entries are recorded via their recall contract
+# (driver-hashable); the raw top-k outputs stay benched (bench.py) and
+# recall-tested (tests/test_ext.py).
 ORACLES = {
     "sim_knn_bruteforce": KNN_BRUTEFORCE_SQL,
+    "sim_knn_lsh": KNN_RECALL_SQL,
+    "sim_knn_ivf": KNN_RECALL_SQL,
     "sim_vector_stats": VECTOR_STATS_SQL,
 }

@@ -108,10 +108,15 @@ def test_ivf_deterministic(spark):
 
 
 def test_approx_distinct_accuracy(spark):
-    from lakehouse_file_format_compare_spark.plans.adhoc import approx_distinct
+    from lakehouse_file_format_compare_spark.plans.adhoc import (
+        approx_distinct,
+        approx_distinct_raw,
+    )
 
-    for r in approx_distinct(spark, SF_CORRECTNESS).collect():
+    for r in approx_distinct_raw(spark, SF_CORRECTNESS).collect():
         assert abs(r.approx_customers - r.exact_customers) / r.exact_customers < 0.05
+    # driver-facing form pins the same bound as an in-row boolean
+    assert all(r.approx_within_tolerance for r in approx_distinct(spark, SF_CORRECTNESS).collect())
 
 
 def test_simhash_finds_exact_duplicates(spark):

@@ -62,6 +62,42 @@ def test_asof_join_semantics(spark):
     }
 
 
+def test_asof_join_carries_right_row_atomically(spark):
+    """A right row with NULLs in SOME columns must be carried as-is:
+    the output must never stitch together non-null values from
+    DIFFERENT right rows (regression for the per-column
+    last(ignorenulls) carry)."""
+    from lakehouse_file_format_compare_spark.operators.temporal import asof_join
+
+    left = spark.createDataFrame([(1, 30, "p1")], "k long, t long, pname string")
+    right = spark.createDataFrame(
+        [(1, 10, "a-old", 100), (1, 20, None, 200), (1, 25, "c-new", None)],
+        "k long, t long, sval string, ival long",
+    )
+    row = asof_join(
+        left, right, key="k", left_ts="t", right_ts="t", right_cols=["sval", "ival"]
+    ).collect()[0]
+    # latest right row at t<=30 is (25, "c-new", NULL) — ival must be
+    # NULL, not 200 carried forward from the t=20 row
+    assert row.sval_asof == "c-new"
+    assert row.ival_asof is None
+
+
+def test_asof_join_all_null_right_row_is_latest(spark):
+    """A right row whose every carried column is NULL still counts as
+    the most recent right row (it is a row, not an absence)."""
+    from lakehouse_file_format_compare_spark.operators.temporal import asof_join
+
+    left = spark.createDataFrame([(1, 30, "p1")], "k long, t long, pname string")
+    right = spark.createDataFrame(
+        [(1, 10, "a", 1), (1, 20, None, None)], "k long, t long, sval string, ival long"
+    )
+    row = asof_join(
+        left, right, key="k", left_ts="t", right_ts="t", right_cols=["sval", "ival"]
+    ).collect()[0]
+    assert row.sval_asof is None and row.ival_asof is None
+
+
 def test_range_join_matches_theta_join(spark):
     import pyspark.sql.functions as F
 
