@@ -177,7 +177,7 @@ class Warehouse:
         root = self.path(layer, name, fmt)
         os.makedirs(root, exist_ok=True)
         manifest = self._read_manifest(layer, name, fmt) or {"current": 0, "versions": []}
-        version = manifest["current"] + 1
+        version = _next_version(manifest)
         data_dir = os.path.join(root, f"v{version}")
         writer = df.write.format(fmt).mode("overwrite")
         if fmt == "csv":
@@ -200,10 +200,22 @@ class Warehouse:
         return m["versions"] if m else []
 
     def rollback(self, layer: str, name: str, fmt: str, version: int) -> None:
-        """Re-point the table to an earlier snapshot (metadata-only)."""
+        """Re-point the table to an earlier snapshot (metadata-only).
+
+        Validates against the SET of real snapshot versions — not the
+        manifest entry count: rollback entries repeat version numbers,
+        so after any rollback the entry count exceeds the newest
+        snapshot number and a count-based check would accept
+        never-created versions (bricking subsequent reads)."""
         m = self._read_manifest(layer, name, fmt)
-        if not m or version > len(m["versions"]) or version < 1:
-            raise ValueError(f"unknown version {version} for {layer}/{name}_{fmt}")
+        snapshots = (
+            {e["version"] for e in m["versions"] if e["op"] != "rollback"} if m else set()
+        )
+        if version not in snapshots:
+            raise ValueError(
+                f"unknown version {version} for {layer}/{name}_{fmt}; "
+                f"snapshots: {sorted(snapshots)}"
+            )
         m["current"] = version
         m["versions"].append({"version": version, "op": "rollback"})
         tmp = os.path.join(self.path(layer, name, fmt), f"_manifest_{uuid.uuid4().hex}.json")
@@ -248,7 +260,11 @@ class Warehouse:
         reachable_partition_dirs = set()
         for e in m["versions"]:
             if e["version"] in keep:
-                reachable_partition_dirs.update(e.get("partitions", {}).values())
+                # pointers may be nested leaf dirs (p_x/__part=v); the
+                # unit of retention is the top-level snapshot dir
+                reachable_partition_dirs.update(
+                    rel.split("/", 1)[0] for rel in e.get("partitions", {}).values()
+                )
         root = self.path(layer, name, fmt)
         removed = 0
         for entry in os.listdir(root):
@@ -284,7 +300,22 @@ class Warehouse:
         dedup_order_by: Sequence[str] | None = None,
     ) -> dict:
         """Partition-level COW MERGE. Returns {"touched": [...],
-        "carried": n} for observability."""
+        "carried": n} for observability.
+
+        O(1) Spark jobs regardless of how many partitions the batch
+        touches: ONE small distinct scan discovers the touched values,
+        ONE scan reads exactly those partitions' previous data, and
+        ONE ``partitionBy`` write lands every rewritten partition as a
+        leaf dir of a single snapshot directory — the manifest then
+        points each touched value at its leaf and carries every
+        untouched partition forward by reference. (The previous
+        design looped a separate Spark job per touched partition,
+        which serializes into N jobs at 100 TB batch sizes.)
+
+        NULL partition values are rejected (identity-partitioning
+        contract — the reference's gold partition columns ano/mes and
+        data_transacao are never NULL, dags/3_silver_to_gold.py:193,333).
+        """
         if dedup_order_by:
             staging = keep_latest(staging, list(keys), list(dedup_order_by))
         root = self.path(layer, name, fmt)
@@ -293,7 +324,10 @@ class Warehouse:
         prev = {}
         ptype = staging.schema[partition_col].dataType.simpleString()
         if manifest["versions"]:
-            last = manifest["versions"][-1]
+            last = next(
+                e for e in reversed(manifest["versions"])
+                if e["version"] == manifest["current"] and e["op"] != "rollback"
+            )
             if "partitions" not in last:
                 raise ValueError(f"{layer}/{name}_{fmt} is not a partitioned table")
             prev = dict(last["partitions"])
@@ -302,19 +336,41 @@ class Warehouse:
         touched_vals = [
             r[0] for r in staging.select(partition_col).distinct().collect()
         ]
-        partitions = dict(prev)
-        for val in touched_vals:
-            part_staging = staging.where(F.col(partition_col) == F.lit(val).cast(ptype))
-            if str(val) in prev:
-                old = self.spark.read.format(fmt).load(os.path.join(root, prev[str(val)]))
-                merged = merge(old, part_staging.select(*old.columns), keys=keys, policy=policy)
-            else:
-                merged = part_staging
-            rel = f"p_{uuid.uuid4().hex}"
-            merged.write.format(fmt).mode("overwrite").save(os.path.join(root, rel))
-            partitions[str(val)] = rel
+        if any(v is None for v in touched_vals):
+            raise ValueError(
+                f"NULL {partition_col} in staging batch: partitioned COW "
+                f"merge requires non-null identity partition values"
+            )
 
-        version = manifest["current"] + 1
+        old_paths = [os.path.join(root, prev[str(v)]) for v in touched_vals if str(v) in prev]
+        if old_paths:
+            old = self.spark.read.format(fmt).load(old_paths)
+            merged = merge(old, staging.select(*old.columns), keys=keys, policy=policy)
+        else:
+            merged = staging
+        # partition by a COPY of the column so the real column stays in
+        # the data files: manifest pointers reference the leaf dirs
+        # directly and readers need no basePath/partition inference
+        rel = f"p_{uuid.uuid4().hex}"
+        out_dir = os.path.join(root, rel)
+        (
+            merged.withColumn("__part", F.col(partition_col).cast("string"))
+            .write.format(fmt).partitionBy("__part").mode("overwrite").save(out_dir)
+        )
+        from urllib.parse import unquote
+
+        partitions = dict(prev)
+        written = {
+            unquote(entry[len("__part="):]): f"{rel}/{entry}"
+            for entry in os.listdir(out_dir)
+            if entry.startswith("__part=")
+        }
+        missing = {str(v) for v in touched_vals} - set(written)
+        if missing:  # defensive: a touched value must land as a leaf dir
+            raise RuntimeError(f"partitioned write lost partitions: {sorted(missing)}")
+        partitions.update(written)
+
+        version = _next_version(manifest)
         manifest["current"] = version
         manifest["versions"].append({
             "version": version,
@@ -340,10 +396,13 @@ class Warehouse:
         manifest = self._read_manifest(layer, name, fmt)
         if not manifest:
             raise ValueError(f"{layer}/{name}_{fmt} has no manifest")
+        want = version if version is not None else manifest["current"]
+        # skip rollback markers (they repeat a version number but carry
+        # no partition map — the real snapshot entry does)
         entries = [e for e in manifest["versions"]
-                   if e["version"] == (version if version is not None else manifest["current"])]
-        if not entries or "partitions" not in entries[-1]:
-            raise ValueError(f"{layer}/{name}_{fmt} v{version} is not a partitioned snapshot")
+                   if e["version"] == want and "partitions" in e]
+        if not entries:
+            raise ValueError(f"{layer}/{name}_{fmt} v{want} is not a partitioned snapshot")
         entry = entries[-1]
         wanted = (
             {str(v) for v in partition_values} if partition_values is not None
@@ -376,6 +435,16 @@ class Warehouse:
         df = self.spark.read.format(fmt).load(current_dir).coalesce(n_files)
         self._commit_version(df, layer, name, fmt, op="compact")
         return n_files
+
+
+def _next_version(manifest: dict) -> int:
+    """Next snapshot number = max REAL snapshot + 1 (never current+1):
+    after a rollback, current points at an old snapshot and current+1
+    would silently overwrite a later snapshot's data dir, destroying
+    time travel to it. Iceberg likewise never reuses snapshot ids."""
+    return max(
+        (e["version"] for e in manifest["versions"] if e["op"] != "rollback"), default=0
+    ) + 1
 
 
 def _dir_bytes(path: str) -> int:

@@ -46,16 +46,38 @@ def test_rollback_is_metadata_only(spark, wh):
     assert wh.read_table("silver", "t").count() == 5
     # rolling forward again still possible: v2 data untouched
     assert wh.read_table("silver", "t", version=2).count() == 8
-    # a new merge on top of the rollback builds from v1
+    # a new merge on top of the rollback builds from v1 — and gets a
+    # FRESH snapshot number (v3), never clobbering v2's data dir
     wh.merge_table(_orders(spark, 2, 9.0), "silver", "t", keys=["k"])
+    assert wh.current_version("silver", "t") == 3
     cur = {r.k: r.price for r in wh.read_table("silver", "t").collect()}
     assert len(cur) == 5 and cur[0] == 9.0 and cur[4] == 1.0
+    # time travel to the rolled-over v2 still sees its original data
+    v2 = wh.read_table("silver", "t", version=2).collect()
+    assert len(v2) == 8 and all(r.price == 2.0 for r in v2)
 
 
 def test_rollback_unknown_version_rejected(spark, wh):
     wh.merge_table(_orders(spark, 3, 1.0), "silver", "t", keys=["k"])
     with pytest.raises(ValueError):
         wh.rollback("silver", "t", "parquet", 7)
+
+
+def test_rollback_after_rollback_validates_against_snapshots(spark, wh):
+    """Regression: rollback entries repeat version numbers, so an
+    entry-count check would accept a never-created version after any
+    rollback — bricking every subsequent read."""
+    wh.merge_table(_orders(spark, 5, 1.0), "silver", "t", keys=["k"])
+    wh.merge_table(_orders(spark, 8, 2.0), "silver", "t", keys=["k"])
+    wh.rollback("silver", "t", "parquet", 1)
+    # 3 manifest entries now, but only snapshots {1, 2} exist
+    with pytest.raises(ValueError, match="unknown version 3"):
+        wh.rollback("silver", "t", "parquet", 3)
+    # table still readable, still at v1
+    assert wh.read_table("silver", "t").count() == 5
+    # rolling back to a real snapshot still works after the rejection
+    wh.rollback("silver", "t", "parquet", 2)
+    assert wh.read_table("silver", "t").count() == 8
 
 
 def test_plain_tables_unaffected(spark, wh):
@@ -109,6 +131,79 @@ def test_partitioned_cow_merge_touches_only_staged_partitions(spark, wh):
     # time travel to v1 still sees old month 2
     old = wh.read_table_partitioned("gold", "mb", version=1)
     assert old.where(F.col("price") == 9.0).count() == 0
+
+
+def _jobs_run(spark, fn):
+    import uuid
+
+    sc = spark.sparkContext
+    group = uuid.uuid4().hex
+    sc.setJobGroup(group, "job-count probe")
+    try:
+        fn()
+    finally:
+        sc.setJobGroup("", "")
+    return len(sc.statusTracker().getJobIdsForGroup(group))
+
+
+def test_partitioned_cow_merge_is_constant_job_count(spark, wh):
+    """The 100 TB contract: Spark job count must NOT grow with the
+    number of touched partitions (the old design ran one job per
+    touched partition)."""
+    from pyspark.sql import functions as F
+
+    def batch(months, price):
+        return (
+            spark.range(len(months) * 10)
+            .select(F.col("id").alias("k"), F.lit(price).cast("double").alias("price"))
+            .withColumn("mes", F.element_at(
+                F.array(*[F.lit(m) for m in months]), (F.col("k") % len(months) + 1).cast("int")
+            ))
+        )
+
+    wh.merge_table_partitioned(batch(list(range(1, 13)), 1.0), "gold", "jc",
+                               keys=["k"], partition_col="mes")
+    jobs_2 = _jobs_run(spark, lambda: wh.merge_table_partitioned(
+        batch([1, 2], 2.0), "gold", "jc", keys=["k"], partition_col="mes"))
+    jobs_12 = _jobs_run(spark, lambda: wh.merge_table_partitioned(
+        batch(list(range(1, 13)), 3.0), "gold", "jc", keys=["k"], partition_col="mes"))
+    assert jobs_12 <= jobs_2 + 1, f"job count grew with partitions: {jobs_2} -> {jobs_12}"
+    # and the data is right: 12 months all at price 3.0
+    cur = wh.read_table_partitioned("gold", "jc")
+    assert cur.count() == 120 and cur.where(F.col("price") != 3.0).count() == 0
+
+
+def test_partitioned_cow_merge_rejects_null_partition(spark, wh):
+    from pyspark.sql import functions as F
+
+    staging = spark.range(4).select(
+        F.col("id").alias("k"), F.lit(1.0).alias("price"),
+        F.when(F.col("id") % 2 == 0, F.col("id")).alias("mes"),
+    )
+    with pytest.raises(ValueError, match="NULL"):
+        wh.merge_table_partitioned(staging, "gold", "np", keys=["k"], partition_col="mes")
+
+
+def test_partitioned_table_rollback_readable(spark, wh):
+    """read_table_partitioned must resolve the real snapshot entry, not
+    the rollback marker that repeats its version number."""
+    from pyspark.sql import functions as F
+
+    def batch(price):
+        return spark.range(10).select(
+            F.col("id").alias("k"), F.lit(price).cast("double").alias("price"),
+            (F.col("id") % 3).alias("mes"),
+        )
+
+    wh.merge_table_partitioned(batch(1.0), "gold", "rb", keys=["k"], partition_col="mes")
+    wh.merge_table_partitioned(batch(2.0), "gold", "rb", keys=["k"], partition_col="mes")
+    wh.rollback("gold", "rb", "parquet", 1)
+    rows = wh.read_table_partitioned("gold", "rb").collect()
+    assert len(rows) == 10 and all(r.price == 1.0 for r in rows)
+    # merging on top of the rollback builds from v1
+    wh.merge_table_partitioned(batch(5.0), "gold", "rb", keys=["k"], partition_col="mes")
+    cur = wh.read_table_partitioned("gold", "rb").collect()
+    assert len(cur) == 10 and all(r.price == 5.0 for r in cur)
 
 
 def test_vacuum_removes_unreachable_snapshots(spark, wh):
