@@ -179,12 +179,22 @@ def train_ivf_centroids(
     sample_size: int = 2048,
     seed: int = 42,
     vec_col: str = "embedding",
+    id_col: str = "vec_id",
 ) -> list[list[float]]:
     """Train IVF centroids with seeded Lloyd iterations on a bounded
     driver-side sample — the standard IVF recipe (train small, assign
     big). The returned centroids are plain literals: broadcastable,
-    deterministic, no state to ship."""
-    rows = corpus.select(vec_col).limit(sample_size).collect()
+    deterministic, no state to ship.
+
+    The sample is the ``sample_size`` smallest ``id_col`` rows
+    (TakeOrderedAndProject: per-partition top-k then a driver merge, no
+    full sort) — a bare ``limit()`` takes whichever partitions answer
+    first, so centroids would vary with partition layout / cluster
+    size, contradicting the determinism contract."""
+    rows = (
+        corpus.select(id_col, vec_col).orderBy(id_col).limit(sample_size)
+        .select(vec_col).collect()
+    )
     x = np.array([r[0] for r in rows], dtype=np.float64)
     rng = np.random.RandomState(seed)
     centroids = x[rng.choice(len(x), size=min(n_lists, len(x)), replace=False)]
@@ -237,7 +247,9 @@ def knn_ivf(
     each query probes its ``nprobe`` closest lists; exact cosine rank
     within the probed lists. Cost ∝ |Q| · (nprobe/n_lists) · |C| —
     the tunable recall/cost dial of the clustering-based scale path."""
-    centroids = centroids or train_ivf_centroids(corpus, n_lists=n_lists, vec_col=vec_col)
+    centroids = centroids or train_ivf_centroids(
+        corpus, n_lists=n_lists, vec_col=vec_col, id_col=id_col
+    )
     c = ivf_assign(
         corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")),
         centroids, "cv",

@@ -33,8 +33,8 @@ from ..storage import Warehouse
 class LoadReport:
     table: str
     fmt: str
-    bronze_rows: int
-    staged_rows: int
+    bronze_rows: int  # -1 when count reporting is disabled (default)
+    staged_rows: int  # -1 when count reporting is disabled (default)
     policy: str
 
 
@@ -53,8 +53,14 @@ def load_table(
     fmt: str = "parquet",
     bronze_fmt: str = "csv",
     strict_watermark: bool = True,
+    report_counts: bool = False,
 ) -> LoadReport:
-    """One table × one format incremental load."""
+    """One table × one format incremental load.
+
+    ``report_counts=True`` adds two full-scan ``count()`` jobs per table
+    purely for the report dict — off by default so the hot path runs
+    the watermark probe, an is-empty peek (stops at the first surviving
+    row), and the merge write, nothing else."""
     config = FINTECH_TABLE_CONFIGS[name]
     # batch_id is a discovered partition column on bronze, not part of
     # the logical table — silver stores only the declared schema
@@ -69,9 +75,14 @@ def load_table(
     else:
         staged = bronze
 
-    n_bronze = bronze.count()
-    n_staged = staged.count()
-    if n_staged > 0:
+    if report_counts:
+        n_bronze = bronze.count()
+        n_staged = staged.count()
+        has_rows = n_staged > 0
+    else:
+        n_bronze = n_staged = -1
+        has_rows = not staged.isEmpty()
+    if has_rows:
         wh.merge_table(
             staged,
             "silver",
@@ -86,13 +97,16 @@ def load_table(
 
 
 def load_all(
-    wh: Warehouse, formats: tuple[str, ...] = ("parquet",), tables: tuple[str, ...] | None = None
+    wh: Warehouse,
+    formats: tuple[str, ...] = ("parquet",),
+    tables: tuple[str, ...] | None = None,
+    report_counts: bool = False,
 ) -> list[LoadReport]:
     """The 15-table × format loop (2_…py:167, 232)."""
     reports = []
     for name in tables or tuple(FINTECH_TABLE_CONFIGS):
         for fmt in formats:
-            reports.append(load_table(wh, name, fmt))
+            reports.append(load_table(wh, name, fmt, report_counts=report_counts))
     return reports
 
 

@@ -38,9 +38,9 @@ class MedallionPipeline:
         write_bronze_batch(self.warehouse, frames, batch_id)
         return batch_id
 
-    def run_silver(self) -> list[LoadReport]:
+    def run_silver(self, report_counts: bool = False) -> list[LoadReport]:
         """DAG 2: incremental watermark + merge load, all tables × formats."""
-        return load_all(self.warehouse, self.formats)
+        return load_all(self.warehouse, self.formats, report_counts=report_counts)
 
     def _silver(self, name: str, fmt: str) -> DataFrame:
         from ..schemas import FINTECH_TABLE_CONFIGS

@@ -107,6 +107,17 @@ def test_ivf_deterministic(spark):
     assert c1 == c2
 
 
+def test_ivf_centroids_independent_of_partition_layout(spark):
+    """Regression: a bare limit() sample made centroids depend on which
+    partitions answered first — same data repartitioned must train
+    identical centroids."""
+    emb = table(spark, SF_CORRECTNESS, "embeddings")
+    c1 = S.train_ivf_centroids(emb, n_lists=8, seed=5)
+    c2 = S.train_ivf_centroids(emb.repartition(7), n_lists=8, seed=5)
+    c3 = S.train_ivf_centroids(emb.repartition(1), n_lists=8, seed=5)
+    assert c1 == c2 == c3
+
+
 def test_approx_distinct_accuracy(spark):
     from lakehouse_file_format_compare_spark.plans.adhoc import (
         approx_distinct,

@@ -70,7 +70,7 @@ def test_upsert_overwrites_colliding_pks(pipeline):
 def test_silver_rerun_is_idempotent(pipeline):
     # re-running silver with no new bronze rows must change nothing
     before = {n: _silver(pipeline, n).count() for n in FINTECH_TABLE_CONFIGS}
-    reports = pipeline.run_silver()
+    reports = pipeline.run_silver(report_counts=True)
     after = {n: _silver(pipeline, n).count() for n in FINTECH_TABLE_CONFIGS}
     assert before == after
     # upsert tables: watermark must skip everything. Static dims
@@ -81,6 +81,11 @@ def test_silver_rerun_is_idempotent(pipeline):
     assert all(r.staged_rows == 0 for r in reports if r.policy == "upsert"), (
         "watermark did not skip already-loaded rows"
     )
+    # default path skips the two reporting count() jobs: sentinel -1s,
+    # and a no-new-rows rerun must still change nothing
+    default_reports = pipeline.run_silver()
+    assert all(r.bronze_rows == -1 and r.staged_rows == -1 for r in default_reports)
+    assert {n: _silver(pipeline, n).count() for n in FINTECH_TABLE_CONFIGS} == after
 
 
 def test_gold_conservation(pipeline):
