@@ -215,7 +215,10 @@ def _centroid_sims(vec_col, centroids: list[list[float]]):
     fixed v, so argmax/ordering (all IVF needs) is identical while
     skipping |v|. (Unrolled literal-index expressions measured SLOWER
     than the fold here: 16x64 terms blow past codegen limits and fall
-    back to a giant interpreted tree.)"""
+    back to a giant interpreted tree.) Kept as the no-UDF fallback;
+    the hot path is ``_centroid_sims_pandas`` below (HOF folds are
+    CodegenFallback, so this tree is interpreted AND re-evaluated at
+    every reference — profiled at ~1.7s for 2k rows x 16 lists)."""
     import math
 
     return F.array(*[
@@ -224,12 +227,66 @@ def _centroid_sims(vec_col, centroids: list[list[float]]):
     ])
 
 
+def _centroid_sims_pandas(centroids: list[list[float]]):
+    """Arrow-vectorized centroid scores: ONE numpy matmul per batch
+    computes dot(v,c)/|c| against every centroid at once — same
+    ordering semantics as ``_centroid_sims``. Python UDF results are
+    materialized by a dedicated ArrowEvalPython node, so downstream
+    argmax/top-nprobe references never re-evaluate the scores (the
+    builtin HOF fold was interpreted and re-evaluated per reference).
+    Closure is self-contained (centroids captured by value, numpy
+    imported inside) — mirrors ``_all_signatures_pandas``."""
+    import numpy as _np
+
+    c = _np.array(centroids, dtype=_np.float64)  # (lists, dim)
+    c_scaled = (c / _np.linalg.norm(c, axis=1, keepdims=True)).T  # (dim, lists)
+
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    @pandas_udf("array<double>")
+    def sims(vecs):
+        import pandas as _pd
+
+        m = _np.vstack(vecs.to_numpy())  # (n, dim)
+        return _pd.Series(list(m @ c_scaled))
+
+    return sims
+
+
+def _pair_cosine_pandas():
+    """Arrow-vectorized exact cosine for candidate pairs: one
+    elementwise-product reduction per batch instead of an interpreted
+    64-term HOF fold per row. Used on the IVF scoring path, whose
+    oracle is a recall contract (pair sets), not a value hash —
+    ``knn_bruteforce`` keeps the JVM fold (``V.cosine``) because its
+    cosine column IS hash-compared against the DuckDB fold."""
+    import numpy as _np
+
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    @pandas_udf("double")
+    def cos(qv, cv):
+        import pandas as _pd
+
+        a = _np.vstack(qv.to_numpy())
+        b = _np.vstack(cv.to_numpy())
+        num = (a * b).sum(axis=1)
+        den = _np.linalg.norm(a, axis=1) * _np.linalg.norm(b, axis=1)
+        return _pd.Series(num / den)
+
+    return cos
+
+
 def ivf_assign(df: DataFrame, centroids: list[list[float]], vec_col: str) -> DataFrame:
     """Assign each vector to its nearest centroid (max cosine) — one
-    narrow projection, no shuffle."""
-    sims = _centroid_sims(F.col(vec_col), centroids)
-    return df.withColumn(
-        "__list", (F.array_position(sims, F.array_max(sims)) - 1).cast("int")
+    narrow projection, no shuffle. The scores land in their own column
+    first (an alias of a non-cheap expression survives CollapseProject)
+    so argmax reads the materialized array instead of re-evaluating."""
+    sims = F.col("__sims")
+    return (
+        df.withColumn("__sims", _centroid_sims_pandas(centroids)(F.col(vec_col)))
+        .withColumn("__list", (F.array_position(sims, F.array_max(sims)) - 1).cast("int"))
+        .drop("__sims")
     )
 
 
@@ -255,13 +312,20 @@ def knn_ivf(
         centroids, "cv",
     )
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
-    sims = _centroid_sims(F.col("qv"), centroids)
     ranked = F.sort_array(
-        F.arrays_zip(sims.alias("s"), F.sequence(F.lit(0), F.lit(len(centroids) - 1)).alias("i")),
+        F.arrays_zip(
+            F.col("__sims").alias("s"),
+            F.sequence(F.lit(0), F.lit(len(centroids) - 1)).alias("i"),
+        ),
         asc=False,
     )
-    q_probed = q.withColumn(
-        "__list", F.explode(F.transform(F.slice(ranked, 1, nprobe), lambda z: z["i"].cast("int")))
+    q_probed = (
+        q.withColumn("__sims", _centroid_sims_pandas(centroids)(F.col("qv")))
+        .withColumn(
+            "__list",
+            F.explode(F.transform(F.slice(ranked, 1, nprobe), lambda z: z["i"].cast("int"))),
+        )
+        .drop("__sims")
     )
     cand = (
         q_probed.join(c.drop("cv"), "__list")
@@ -272,7 +336,7 @@ def knn_ivf(
     scored = (
         cand.join(q.select("query_id", "qv"), "query_id")
         .join(c.select("neighbor_id", "cv"), "neighbor_id")
-        .withColumn("cosine", grid(V.cosine(F.col("qv"), F.col("cv")), 6))
+        .withColumn("cosine", grid(_pair_cosine_pandas()(F.col("qv"), F.col("cv")), 6))
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
     return (
