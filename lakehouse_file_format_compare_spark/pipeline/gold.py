@@ -10,10 +10,15 @@ resolves the reference's COUNT gate, 3_…py:149-155). The
 ``created_at = CURRENT_TIMESTAMP`` audit column (3_…py:174 et al.) is
 optional so tests can freeze it.
 
-Two deliberate non-semantic deviations, both determinism-only:
-COLLECT_SET results are sorted (set order is engine-undefined), and
-ROW_NUMBER ranks are tie-broken on product_name (the reference's
-unqualified ORDER BY is nondeterministic across runs).
+Three deliberate non-semantic deviations:
+- COLLECT_SET results are sorted (set order is engine-undefined);
+- ROW_NUMBER ranks are tie-broken on product_name (the reference's
+  unqualified ORDER BY is nondeterministic across runs);
+- degraded-variant zero columns keep the financial branch's types
+  (DOUBLE 0.0 / BIGINT 0 for saldo_total, total_transacoes,
+  volume_financeiro, ticket_medio) where the reference emits INT 0
+  (3_…py:234-237, 354-358) — so a table's schema does not flip with
+  data presence across refresh cycles.
 
 Every query is Catalyst-optimized: dim joins broadcast, epoch→ts
 casts stay in codegen, aggregations partial+final.
@@ -31,13 +36,68 @@ def _completed_ts():
     return F.timestamp_seconds(F.col("completed_at_time_id"))
 
 
-def _financial_txns(f_transactions: DataFrame, d_transaction_types: DataFrame) -> DataFrame:
+def financial_txns(f_transactions: DataFrame, d_transaction_types: DataFrame) -> DataFrame:
     """Shared base: txn ⋈ type (J1), financial + completed filter
-    (3_…py:149-155)."""
+    (3_…py:149-155). Public: the runner's existence probe and the
+    incremental-gold state builders consume it too."""
     return (
         f_transactions.join(F.broadcast(d_transaction_types), "transaction_type_id")
         .where((F.col("is_financial") == True) & _completed_ts().isNotNull())  # noqa: E712
     )
+
+
+# backwards-compatible alias (promoted to public per round-2 advice)
+_financial_txns = financial_txns
+
+
+def contract_financials(
+    f_transactions: DataFrame, d_transaction_types: DataFrame
+) -> DataFrame:
+    """Q2's per-contract rollup CTE (3_…py:245-257), exposed as the
+    contract-grain state the incremental path maintains O(batch):
+    saldo/count fold by addition, last-activity by greatest."""
+    return (
+        financial_txns(f_transactions, d_transaction_types)
+        .groupBy("contract_id")
+        .agg(
+            F.sum("amount").alias("saldo_contrato"),
+            F.count(F.lit(1)).alias("txns_contrato"),
+            F.max(_completed_ts()).alias("ultima_atividade_contrato"),
+        )
+    )
+
+
+def customer_summary_from_contract_state(
+    d_customers: DataFrame,
+    f_contracts: DataFrame,
+    d_products: DataFrame,
+    contract_state: DataFrame,
+    with_created_at: bool = False,
+) -> DataFrame:
+    """Q2 serving rollup from a maintained contract-grain state
+    (3_…py:260-277): O(contracts + dims), never O(transactions). With
+    an EMPTY state this reproduces the reference's degraded variant
+    values (zeros / NULL timestamp) by construction of the
+    left-join + COALESCE."""
+    enriched = (
+        d_customers.join(f_contracts, "customer_id", "left")
+        .join(F.broadcast(d_products), "product_id", "left")
+    )
+    out = (
+        enriched.join(contract_state, "contract_id", "left")
+        .groupBy("customer_id", "first_name", "last_name")
+        .agg(
+            F.countDistinct("contract_id").alias("total_contratos"),
+            F.countDistinct("product_category").alias("categorias_produtos"),
+            F.sum(F.coalesce(F.col("saldo_contrato"), F.lit(0.0))).alias("saldo_total"),
+            F.sum(F.coalesce(F.col("txns_contrato"), F.lit(0))).alias("total_transacoes"),
+            F.max("ultima_atividade_contrato").alias("ultima_atividade"),
+            F.sort_array(F.collect_set("product_category")).alias("produtos_utilizados"),
+        )
+    )
+    if with_created_at:
+        out = out.withColumn("created_at", F.current_timestamp())
+    return out
 
 
 def monthly_balance(
@@ -108,30 +168,11 @@ def customer_summary(
                 F.sort_array(F.collect_set("product_category")).alias("produtos_utilizados"),
             )
         )
-    fs = (
-        _financial_txns(f_transactions, d_transaction_types)
-        .groupBy("contract_id")
-        .agg(
-            F.sum("amount").alias("saldo_contrato"),
-            F.count(F.lit(1)).alias("txns_contrato"),
-            F.max(_completed_ts()).alias("ultima_atividade_contrato"),
-        )
+    return customer_summary_from_contract_state(
+        d_customers, f_contracts, d_products,
+        contract_financials(f_transactions, d_transaction_types),
+        with_created_at=with_created_at,
     )
-    out = (
-        enriched.join(fs, "contract_id", "left")
-        .groupBy("customer_id", "first_name", "last_name")
-        .agg(
-            F.countDistinct("contract_id").alias("total_contratos"),
-            F.countDistinct("product_category").alias("categorias_produtos"),
-            F.sum(F.coalesce(F.col("saldo_contrato"), F.lit(0.0))).alias("saldo_total"),
-            F.sum(F.coalesce(F.col("txns_contrato"), F.lit(0))).alias("total_transacoes"),
-            F.max("ultima_atividade_contrato").alias("ultima_atividade"),
-            F.sort_array(F.collect_set("product_category")).alias("produtos_utilizados"),
-        )
-    )
-    if with_created_at:
-        out = out.withColumn("created_at", F.current_timestamp())
-    return out
 
 
 def daily_transaction_metrics(
@@ -198,6 +239,8 @@ def product_ranking(
             )
         )
     else:
+        # degraded variant emits CONSTANT rank 1 for both ranks
+        # (3_…py:359-360) — no window at all, matched verbatim
         metrics = (
             f_contracts.join(F.broadcast(d_products), "product_id")
             .groupBy("product_name", "product_category")
@@ -209,6 +252,12 @@ def product_ranking(
                 F.lit(0.0).alias("ticket_medio"),
             )
         )
+        out = metrics.select(
+            "*", F.lit(1).alias("rank_volume"), F.lit(1).alias("rank_transacoes")
+        )
+        if with_created_at:
+            out = out.withColumn("created_at", F.current_timestamp())
+        return out
     w_vol = Window.orderBy(F.col("volume_financeiro").desc(), F.col("product_name"))
     w_txn = Window.orderBy(F.col("total_transacoes").desc(), F.col("product_name"))
     out = metrics.select(

@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .gold import monthly_balance
+from .gold import _completed_ts, contract_financials, financial_txns, monthly_balance
 
 GROUP_KEYS = ("ano", "mes", "contract_id")
 
@@ -69,4 +69,146 @@ def incremental_monthly_balance(
         # Spark, so a group present on only one side keeps its own value.
         F.greatest(F.col("g.maior_entrada"), F.col("d.maior_entrada")).alias("maior_entrada"),
         F.least(F.col("g.maior_saida"), F.col("d.maior_saida")).alias("maior_saida"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q3 daily_transaction_metrics — partial-state maintenance
+# ---------------------------------------------------------------------------
+# The Q3 aggregates are not all distributive over the GOLD grain:
+# COUNT(DISTINCT contract_id) and STDDEV need more than the output row
+# to fold a delta in. The state table therefore lives ONE level finer —
+# (data_transacao, transaction_type_name, is_financial, contract_id) —
+# holding the distributive partials (n, sum, sum-of-squares, min, max).
+# At that grain everything folds by addition/extrema, the distinct
+# contract count is exactly the state row count per gold group, and
+# sample stddev derives from (n, s, ssq). State size is bounded by
+# days x types x contracts — orders of magnitude below the transaction
+# count the full refresh rescans (reference: 3_silver_to_gold.py:188).
+
+DAILY_STATE_KEYS = ("data_transacao", "transaction_type_name", "is_financial", "contract_id")
+
+
+def daily_metrics_state(
+    f_transactions: DataFrame, d_transaction_types: DataFrame
+) -> DataFrame:
+    """Distributive partials of Q3 at (gold grain x contract)."""
+    amt = F.col("amount")
+    return (
+        financial_txns(f_transactions, d_transaction_types)
+        .groupBy(
+            F.to_date(_completed_ts()).alias("data_transacao"),
+            F.col("transaction_type_name"),
+            F.col("is_financial"),
+            F.col("contract_id"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(amt).alias("s"),
+            F.sum(amt * amt).alias("ssq"),
+            F.min(amt).alias("mn"),
+            F.max(amt).alias("mx"),
+        )
+    )
+
+
+def incremental_daily_metrics_state(
+    state: DataFrame, delta_transactions: DataFrame, d_transaction_types: DataFrame
+) -> DataFrame:
+    """Fold an append-only transaction delta into the Q3 state: sums
+    and counts add, extrema take least/greatest (NULL-skipping, so a
+    key present on only one side keeps its own value)."""
+    d = daily_metrics_state(delta_transactions, d_transaction_types)
+    g = state.alias("g")
+    joined = g.join(d.alias("d"), on=list(DAILY_STATE_KEYS), how="full_outer")
+
+    def _sum(col, zero):
+        return (
+            F.coalesce(F.col(f"g.{col}"), F.lit(zero))
+            + F.coalesce(F.col(f"d.{col}"), F.lit(zero))
+        ).alias(col)
+
+    return joined.select(
+        *DAILY_STATE_KEYS,
+        _sum("n", 0),
+        _sum("s", 0.0),
+        _sum("ssq", 0.0),
+        F.least(F.col("g.mn"), F.col("d.mn")).alias("mn"),
+        F.greatest(F.col("g.mx"), F.col("d.mx")).alias("mx"),
+    )
+
+
+def daily_transaction_metrics_from_state(
+    state: DataFrame, with_created_at: bool = False
+) -> DataFrame:
+    """Q3 serving rollup from the maintained state — O(state), never
+    O(transactions). desvio_padrao uses the sum-of-squares identity
+    var = (ssq - s^2/n)/(n-1), clamped at 0 against fp cancellation;
+    NULL for n=1 groups (Spark's stddev_samp and DuckDB's stddev agree
+    on NULL there). contratos_unicos = COUNT(*) of state rows: the
+    state grain makes the distinct count exact, no sketch needed."""
+    n, s, ssq = F.col("_n"), F.col("_s"), F.col("_ssq")
+    var = (ssq - (s * s) / n) / (n - F.lit(1))
+    out = (
+        state.groupBy("data_transacao", "transaction_type_name", "is_financial")
+        .agg(
+            F.sum("n").alias("_n"),
+            F.sum("s").alias("_s"),
+            F.sum("ssq").alias("_ssq"),
+            F.min("mn").alias("valor_minimo"),
+            F.max("mx").alias("valor_maximo"),
+            F.count(F.lit(1)).alias("contratos_unicos"),
+        )
+        .select(
+            "data_transacao",
+            "transaction_type_name",
+            "is_financial",
+            n.alias("quantidade_transacoes"),
+            s.alias("volume_total"),
+            (s / n).alias("valor_medio"),
+            F.when(n > 1, F.sqrt(F.greatest(var, F.lit(0.0)))).alias("desvio_padrao"),
+            "valor_minimo",
+            "valor_maximo",
+            "contratos_unicos",
+        )
+    )
+    if with_created_at:
+        out = out.withColumn("created_at", F.current_timestamp())
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Q2 customer_summary — contract-grain state + O(dims) serving
+# ---------------------------------------------------------------------------
+# Q2's only O(transactions) input is the per-contract financial rollup
+# (3_…py:245-257); everything above it joins dimensions. The state is
+# therefore exactly that rollup (gold.contract_financials), folded
+# O(batch); the serving rollup (gold.customer_summary_from_contract_state)
+# recomputes the customer grouping from current dims + state —
+# O(contracts + dims) per cycle. The sorted COLLECT_SET folds as
+# set-union implicitly: it is re-collected from the dims at serving,
+# which is both cheaper and immune to product re-categorization.
+
+
+def incremental_contract_financials(
+    state: DataFrame, delta_transactions: DataFrame, d_transaction_types: DataFrame
+) -> DataFrame:
+    """Fold an append-only transaction delta into the per-contract
+    financial state: saldo/count add, last-activity takes greatest."""
+    d = contract_financials(delta_transactions, d_transaction_types)
+    g = state.alias("g")
+    joined = g.join(d.alias("d"), on="contract_id", how="full_outer")
+    return joined.select(
+        "contract_id",
+        (
+            F.coalesce(F.col("g.saldo_contrato"), F.lit(0.0))
+            + F.coalesce(F.col("d.saldo_contrato"), F.lit(0.0))
+        ).alias("saldo_contrato"),
+        (
+            F.coalesce(F.col("g.txns_contrato"), F.lit(0))
+            + F.coalesce(F.col("d.txns_contrato"), F.lit(0))
+        ).alias("txns_contrato"),
+        F.greatest(
+            F.col("g.ultima_atividade_contrato"), F.col("d.ultima_atividade_contrato")
+        ).alias("ultima_atividade_contrato"),
     )

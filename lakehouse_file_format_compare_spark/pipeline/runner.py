@@ -58,7 +58,7 @@ class MedallionPipeline:
         # The reference's financial_count gate (3_…py:149-155) — resolved
         # HERE, at the orchestration layer, so the query builders stay
         # lazy/action-free. take(1) is a bounded existence probe.
-        has_financial = bool(gold._financial_txns(txn, types).take(1))
+        has_financial = bool(gold.financial_txns(txn, types).take(1))
         return {
             "monthly_balance": gold.monthly_balance(txn, types),
             "customer_summary": gold.customer_summary(
@@ -99,38 +99,86 @@ class MedallionPipeline:
 
     def run_gold_incremental(self, fmt: str = "parquet") -> dict:
         """Scale-path gold maintenance (pipeline/incremental_gold.py):
-        monthly_balance folded forward from only the transactions that
-        arrived since the last gold sync, committed as a snapshot
-        version. O(new batch) per cycle instead of O(history); result
-        equals full refresh (tested)."""
-        import json
+        the O(transactions) inputs of Q1/Q2/Q3 are folded forward from
+        only the transactions that arrived since each table's last gold
+        sync, committed as snapshot versions — O(new batch) per cycle
+        instead of the reference's full refresh O(history)
+        (3_silver_to_gold.py:188). Results equal full refresh (tested).
+
+        - monthly_balance_inc: Q1 folded directly at the gold grain
+          (all its aggregates are distributive/algebraic).
+        - daily_metrics_state -> daily_transaction_metrics_inc: Q3 via
+          (gold grain x contract) partials (exact COUNT DISTINCT +
+          stddev from (n, s, ssq)); serving rollup is O(state).
+        - contract_financials_state -> customer_summary_inc: Q2 via the
+          per-contract rollup; serving re-joins current dims,
+          O(contracts + dims)."""
         import os
 
         from pyspark.sql import functions as F
 
-        from .incremental_gold import incremental_monthly_balance
+        from . import incremental_gold as ig
 
         txn = self._silver("f_transactions", fmt)
         types = self._silver("d_transaction_types", fmt)
-        state_path = os.path.join(
-            self.warehouse.path("gold", "monthly_balance_inc", fmt), "_state.json"
+
+        def fold(name, full_fn, fold_fn):
+            """Create-or-fold one maintained table behind its own
+            ingestion-timestamp watermark (kept per table so a new
+            maintained table backfills on its first cycle)."""
+            state_path = os.path.join(self.warehouse.path("gold", name, fmt), "_state.json")
+            if not self.warehouse.exists("gold", name, fmt):
+                self.warehouse._commit_version(full_fn(), "gold", name, fmt, "create")
+            else:
+                with open(state_path) as f:
+                    wm = f.read().strip()
+                delta = txn.where(F.col("ingestion_timestamp") > F.lit(wm).cast("timestamp"))
+                existing = self.warehouse.read_table("gold", name, fmt)
+                self.warehouse._commit_version(
+                    fold_fn(existing, delta), "gold", name, fmt, "incremental_fold"
+                )
+            new_wm = txn.agg(F.max("ingestion_timestamp")).collect()[0][0]
+            with open(state_path, "w") as f:
+                f.write(new_wm.strftime("%Y-%m-%d %H:%M:%S.%f"))
+
+        fold(
+            "monthly_balance_inc",
+            lambda: gold.monthly_balance(txn, types),
+            lambda existing, delta: ig.incremental_monthly_balance(existing, delta, types),
         )
-        if not self.warehouse.exists("gold", "monthly_balance_inc", fmt):
-            full = gold.monthly_balance(txn, types)
-            self.warehouse._commit_version(full, "gold", "monthly_balance_inc", fmt, "create")
-        else:
-            with open(state_path) as f:
-                wm = f.read().strip()
-            delta = txn.where(F.col("ingestion_timestamp") > F.lit(wm).cast("timestamp"))
-            existing = self.warehouse.read_table("gold", "monthly_balance_inc", fmt)
-            updated = incremental_monthly_balance(existing, delta, types)
-            self.warehouse._commit_version(
-                updated, "gold", "monthly_balance_inc", fmt, "incremental_fold"
-            )
-        new_wm = txn.agg(F.max("ingestion_timestamp")).collect()[0][0]
-        with open(state_path, "w") as f:
-            f.write(new_wm.strftime("%Y-%m-%d %H:%M:%S.%f"))
+        fold(
+            "daily_metrics_state",
+            lambda: ig.daily_metrics_state(txn, types),
+            lambda existing, delta: ig.incremental_daily_metrics_state(existing, delta, types),
+        )
+        fold(
+            "contract_financials_state",
+            lambda: gold.contract_financials(txn, types),
+            lambda existing, delta: ig.incremental_contract_financials(existing, delta, types),
+        )
+
+        # serving tables derived from the maintained states — O(state)
+        # / O(dims) writes, no transaction rescan
+        self.warehouse._commit_version(
+            ig.daily_transaction_metrics_from_state(
+                self.warehouse.read_table("gold", "daily_metrics_state", fmt)
+            ),
+            "gold", "daily_transaction_metrics_inc", fmt, "serve",
+        )
+        self.warehouse._commit_version(
+            gold.customer_summary_from_contract_state(
+                self._silver("d_customers", fmt),
+                self._silver("f_contracts", fmt),
+                self._silver("d_products", fmt),
+                self.warehouse.read_table("gold", "contract_financials_state", fmt),
+            ),
+            "gold", "customer_summary_inc", fmt, "serve",
+        )
+        serving = ("monthly_balance_inc", "daily_transaction_metrics_inc", "customer_summary_inc")
         return {
-            "rows": self.warehouse.read_table("gold", "monthly_balance_inc", fmt).count(),
-            "version": self.warehouse.current_version("gold", "monthly_balance_inc", fmt),
+            name: {
+                "rows": self.warehouse.read_table("gold", name, fmt).count(),
+                "version": self.warehouse.current_version("gold", name, fmt),
+            }
+            for name in serving
         }

@@ -77,3 +77,128 @@ def test_runner_incremental_gold_equals_full(spark, tmp_path_factory):
         )
 
     assert canon(incr) == canon(full)
+
+
+def test_incremental_daily_metrics_equals_full_refresh(spark):
+    from lakehouse_file_format_compare_spark.pipeline.gold import daily_transaction_metrics
+    from lakehouse_file_format_compare_spark.pipeline.incremental_gold import (
+        daily_metrics_state,
+        daily_transaction_metrics_from_state,
+        incremental_daily_metrics_state,
+    )
+
+    state_gen = GeneratorState(seed=21)
+    b1 = _frames(spark, state_gen, n_customers=30, n_contracts=40, n_transactions=400, n_attributes=50)
+    b2 = _frames(spark, state_gen, n_customers=30, n_contracts=40, n_transactions=400, n_attributes=50)
+    types = b1["d_transaction_types"]
+
+    full = daily_transaction_metrics(
+        b1["f_transactions"].unionByName(b2["f_transactions"]), types
+    )
+    st = daily_metrics_state(b1["f_transactions"], types)
+    st = incremental_daily_metrics_state(st, b2["f_transactions"], types)
+    incr = daily_transaction_metrics_from_state(st)
+
+    def canon(df):
+        # stddev: full refresh uses Spark's central-moment merge, the
+        # state path the sum-of-squares identity — equal to fp noise
+        return sorted(
+            (r["data_transacao"], r["transaction_type_name"], r["is_financial"],
+             r["quantidade_transacoes"], round(r["volume_total"], 5),
+             round(r["valor_medio"], 5),
+             None if r["desvio_padrao"] is None else round(r["desvio_padrao"], 4),
+             round(r["valor_minimo"], 5), round(r["valor_maximo"], 5),
+             r["contratos_unicos"])
+            for r in df.collect()
+        )
+
+    assert canon(incr) == canon(full)
+    assert incr.columns == full.columns
+
+
+def test_incremental_customer_summary_equals_full_refresh(spark):
+    from lakehouse_file_format_compare_spark.pipeline.gold import (
+        contract_financials,
+        customer_summary,
+        customer_summary_from_contract_state,
+    )
+    from lakehouse_file_format_compare_spark.pipeline.incremental_gold import (
+        incremental_contract_financials,
+    )
+
+    state_gen = GeneratorState(seed=22)
+    b1 = _frames(spark, state_gen, n_customers=30, n_contracts=40, n_transactions=400, n_attributes=50)
+    b2 = _frames(spark, state_gen, n_customers=30, n_contracts=40, n_transactions=400, n_attributes=50)
+    types = b1["d_transaction_types"]
+    # dims as the pipeline would see them after both batches (keep-latest per PK)
+    from lakehouse_file_format_compare_spark.operators.merge import keep_latest
+
+    def merged(name, keys):
+        return keep_latest(
+            b1[name].unionByName(b2[name]), keys, ["ingestion_timestamp"] + keys
+        )
+
+    customers = merged("d_customers", ["customer_id"])
+    contracts = merged("f_contracts", ["contract_id"])
+    products = merged("d_products", ["product_id"])
+    all_txn = b1["f_transactions"].unionByName(b2["f_transactions"])
+
+    full = customer_summary(customers, contracts, products, all_txn, types)
+    st = contract_financials(b1["f_transactions"], types)
+    st = incremental_contract_financials(st, b2["f_transactions"], types)
+    incr = customer_summary_from_contract_state(customers, contracts, products, st)
+
+    def canon(df):
+        return sorted(
+            (r["customer_id"], r["first_name"], r["last_name"], r["total_contratos"],
+             r["categorias_produtos"], round(r["saldo_total"], 5), r["total_transacoes"],
+             r["ultima_atividade"], tuple(r["produtos_utilizados"]))
+            for r in df.collect()
+        )
+
+    assert canon(incr) == canon(full)
+    assert incr.columns == full.columns
+
+
+def test_runner_incremental_covers_three_gold_tables(spark, tmp_path_factory):
+    """VERDICT r2 #6: >=3 maintained gold tables, each equal to its
+    full-refresh counterpart after multiple cycles."""
+    from lakehouse_file_format_compare_spark.pipeline.gold import (
+        customer_summary,
+        daily_transaction_metrics,
+    )
+    from lakehouse_file_format_compare_spark.pipeline.runner import MedallionPipeline
+
+    p = MedallionPipeline(spark, str(tmp_path_factory.mktemp("incr3_wh")))
+    for _ in range(3):
+        p.run_bronze(n_customers=15, n_contracts=20, n_transactions=150, n_attributes=20)
+        p.run_silver()
+        out = p.run_gold_incremental()
+    assert set(out) == {
+        "monthly_balance_inc", "daily_transaction_metrics_inc", "customer_summary_inc"
+    }
+    assert all(v["version"] == 3 for v in out.values())
+
+    txn = p._silver("f_transactions", "parquet")
+    types = p._silver("d_transaction_types", "parquet")
+
+    def canon(df, ndigits=5):
+        cols = sorted(df.columns)
+        def norm(v):
+            if isinstance(v, float):
+                return round(v, ndigits)
+            if isinstance(v, list):
+                return tuple(v)
+            return v
+        return sorted(tuple(norm(r[c]) for c in cols) for r in df.collect())
+
+    full_q3 = daily_transaction_metrics(txn, types)
+    incr_q3 = p.warehouse.read_table("gold", "daily_transaction_metrics_inc", "parquet")
+    assert canon(incr_q3, 4) == canon(full_q3, 4)
+
+    full_q2 = customer_summary(
+        p._silver("d_customers", "parquet"), p._silver("f_contracts", "parquet"),
+        p._silver("d_products", "parquet"), txn, types,
+    )
+    incr_q2 = p.warehouse.read_table("gold", "customer_summary_inc", "parquet")
+    assert canon(incr_q2) == canon(full_q2)

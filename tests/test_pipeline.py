@@ -168,4 +168,6 @@ def test_product_ranking_degraded_contracts_only(spark, pipeline):
     ).collect()
     assert len(out) == 8
     assert all(r.volume_financeiro == 0.0 and r.total_transacoes == 0 for r in out)
-    assert sorted(r.rank_volume for r in out) == list(range(1, 9))
+    # reference emits CONSTANT 1 for both ranks in the degraded
+    # variant (3_…py:359-360) — matched verbatim since round 3
+    assert all(r.rank_volume == 1 and r.rank_transacoes == 1 for r in out)
