@@ -175,6 +175,46 @@ def customer_summary(
     )
 
 
+def product_ranking_from_contract_state(
+    contract_state: DataFrame,
+    f_contracts: DataFrame,
+    d_products: DataFrame,
+    with_created_at: bool = False,
+) -> DataFrame:
+    """Q4 serving rollup from the SAME contract-grain state Q2
+    maintains — no additional state needed, because every Q4 aggregate
+    collapses onto contract grain first: total_transacoes/
+    volume_financeiro are sums of the per-contract count/sum,
+    ticket_medio is their ratio (AVG over all transaction rows),
+    contratos_ativos is the per-product state row count (the state
+    holds exactly the contracts with >=1 financial transaction — Q4's
+    inner join semantics, 3_…py:368-384), and clientes_unicos counts
+    the distinct customers of those contracts. O(contracts + dims) per
+    cycle. Precondition (same as Q2): dims joined at serving time, so
+    contract->product re-mapping is picked up automatically."""
+    base = (
+        contract_state.join(f_contracts, "contract_id")
+        .join(F.broadcast(d_products), "product_id")
+    )
+    metrics = base.groupBy("product_name", "product_category").agg(
+        F.sum("txns_contrato").alias("total_transacoes"),
+        F.sum("saldo_contrato").alias("volume_financeiro"),
+        F.countDistinct("contract_id").alias("contratos_ativos"),
+        F.countDistinct("customer_id").alias("clientes_unicos"),
+        (F.sum("saldo_contrato") / F.sum("txns_contrato")).alias("ticket_medio"),
+    )
+    w_vol = Window.orderBy(F.col("volume_financeiro").desc(), F.col("product_name"))
+    w_txn = Window.orderBy(F.col("total_transacoes").desc(), F.col("product_name"))
+    out = metrics.select(
+        "*",
+        F.row_number().over(w_vol).alias("rank_volume"),
+        F.row_number().over(w_txn).alias("rank_transacoes"),
+    )
+    if with_created_at:
+        out = out.withColumn("created_at", F.current_timestamp())
+    return out
+
+
 def daily_transaction_metrics(
     f_transactions: DataFrame,
     d_transaction_types: DataFrame,

@@ -110,7 +110,8 @@ class MedallionPipeline:
         - daily_metrics_state -> daily_transaction_metrics_inc: Q3 via
           (gold grain x contract) partials (exact COUNT DISTINCT +
           stddev from (n, s, ssq)); serving rollup is O(state).
-        - contract_financials_state -> customer_summary_inc: Q2 via the
+        - contract_financials_state -> customer_summary_inc AND
+          product_ranking_inc: Q2 and Q4 both collapse onto the
           per-contract rollup; serving re-joins current dims,
           O(contracts + dims)."""
         import os
@@ -165,16 +166,27 @@ class MedallionPipeline:
             ),
             "gold", "daily_transaction_metrics_inc", fmt, "serve",
         )
+        contract_state = self.warehouse.read_table("gold", "contract_financials_state", fmt)
+        contracts = self._silver("f_contracts", fmt)
+        products = self._silver("d_products", fmt)
         self.warehouse._commit_version(
             gold.customer_summary_from_contract_state(
-                self._silver("d_customers", fmt),
-                self._silver("f_contracts", fmt),
-                self._silver("d_products", fmt),
-                self.warehouse.read_table("gold", "contract_financials_state", fmt),
+                self._silver("d_customers", fmt), contracts, products, contract_state,
             ),
             "gold", "customer_summary_inc", fmt, "serve",
         )
-        serving = ("monthly_balance_inc", "daily_transaction_metrics_inc", "customer_summary_inc")
+        # Q4 reuses the SAME contract-grain state; an empty state is the
+        # reference's degraded no-financial variant (3_…py:350-365)
+        ranking = (
+            gold.product_ranking_from_contract_state(contract_state, contracts, products)
+            if not contract_state.isEmpty()
+            else gold.product_ranking(txn, types, contracts, products, has_financial=False)
+        )
+        self.warehouse._commit_version(ranking, "gold", "product_ranking_inc", fmt, "serve")
+        serving = (
+            "monthly_balance_inc", "daily_transaction_metrics_inc",
+            "customer_summary_inc", "product_ranking_inc",
+        )
         return {
             name: {
                 "rows": self.warehouse.read_table("gold", name, fmt).count(),

@@ -160,12 +160,13 @@ def test_incremental_customer_summary_equals_full_refresh(spark):
     assert incr.columns == full.columns
 
 
-def test_runner_incremental_covers_three_gold_tables(spark, tmp_path_factory):
-    """VERDICT r2 #6: >=3 maintained gold tables, each equal to its
-    full-refresh counterpart after multiple cycles."""
+def test_runner_incremental_covers_all_gold_tables(spark, tmp_path_factory):
+    """VERDICT r2 #6: every gold query maintained incrementally, each
+    equal to its full-refresh counterpart after multiple cycles."""
     from lakehouse_file_format_compare_spark.pipeline.gold import (
         customer_summary,
         daily_transaction_metrics,
+        product_ranking,
     )
     from lakehouse_file_format_compare_spark.pipeline.runner import MedallionPipeline
 
@@ -175,7 +176,8 @@ def test_runner_incremental_covers_three_gold_tables(spark, tmp_path_factory):
         p.run_silver()
         out = p.run_gold_incremental()
     assert set(out) == {
-        "monthly_balance_inc", "daily_transaction_metrics_inc", "customer_summary_inc"
+        "monthly_balance_inc", "daily_transaction_metrics_inc",
+        "customer_summary_inc", "product_ranking_inc",
     }
     assert all(v["version"] == 3 for v in out.values())
 
@@ -202,3 +204,9 @@ def test_runner_incremental_covers_three_gold_tables(spark, tmp_path_factory):
     )
     incr_q2 = p.warehouse.read_table("gold", "customer_summary_inc", "parquet")
     assert canon(incr_q2) == canon(full_q2)
+
+    full_q4 = product_ranking(
+        txn, types, p._silver("f_contracts", "parquet"), p._silver("d_products", "parquet"),
+    )
+    incr_q4 = p.warehouse.read_table("gold", "product_ranking_inc", "parquet")
+    assert canon(incr_q4) == canon(full_q4)

@@ -1,0 +1,124 @@
+"""Scale contracts for the bucketed approximate operators (VERDICT r2
+#8): at the largest local SF, prove the LSH paths are bucket-joins —
+no all-pairs physical shape, and candidate volume bounded by the
+bucket histogram, not |Q|x|C| / C(n,2).
+
+These pin the property that survives a 1000x scale-up: the only
+quadratic term is per-bucket, and bucket sizes are controlled by the
+(bits, tables) / (bands, rows) dials, never by corpus size alone.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+import lakehouse_file_format_compare_spark.operators.dedup as D
+import lakehouse_file_format_compare_spark.operators.similarity as S
+from lakehouse_file_format_compare_spark.sources.testdata import table
+
+SF_SCALE = "/root/testdata/sf0.1"
+
+
+def _physical_plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.mark.scale
+def test_knn_lsh_plan_has_no_cartesian_product(spark):
+    emb = table(spark, SF_SCALE, "embeddings")
+    queries = emb.where(F.col("vec_id") % 50 == 0)
+    plan = _physical_plan(S.knn_lsh(queries, emb, k=5, bits=6, tables=8, dim=64))
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    # the exact baseline IS a cross join by design — the contrast that
+    # proves the assertion above is meaningful
+    bf_plan = _physical_plan(S.knn_bruteforce(queries, emb, k=5))
+    assert "CartesianProduct" in bf_plan or "BroadcastNestedLoopJoin" in bf_plan
+
+
+@pytest.mark.scale
+def test_minhash_lsh_plan_has_no_cartesian_product(spark):
+    docs = table(spark, SF_SCALE, "documents")
+    plan = _physical_plan(D.minhash_lsh_pairs(docs, threshold=0.5))
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+@pytest.mark.scale
+def test_minhash_candidate_volume_bounded_by_bucket_histogram(spark):
+    """Candidate pairs = sum over (band, bucket) of C(size, 2). On the
+    real sf0.1 corpus this must be a small fraction of C(n, 2) — the
+    selectivity that makes the operator viable at 100 TB."""
+    docs = table(spark, SF_SCALE, "documents")
+    n = docs.count()
+    num_hashes, bands = 32, 8
+    rows = num_hashes // bands
+    sig = D.minhash_signatures(docs, num_hashes=num_hashes)
+    banded = sig.select(
+        "doc",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(*[F.col("signature")[b * rows + r] for r in range(rows)]).alias("bucket"),
+            )
+            for b in range(bands)
+        ])).alias("bb"),
+    ).select("doc", "bb.band", "bb.bucket")
+    hist = banded.groupBy("band", "bucket").count()
+    cand_bound = hist.agg(
+        F.sum(F.col("count") * (F.col("count") - 1) / 2).alias("pairs")
+    ).collect()[0]["pairs"]
+    all_pairs = n * (n - 1) / 2
+    assert cand_bound < 0.05 * all_pairs, (
+        f"bucket histogram implies {cand_bound} candidate pairs vs "
+        f"{all_pairs} all-pairs — bucketing is not selective"
+    )
+
+
+def _lsh_probe_work(spark, emb, queries, bits: int, tables: int, dim: int = 64) -> int:
+    """Sum over probe buckets of q_b * c_b — the bucket-join row volume
+    knn_lsh feeds into candidate dedup."""
+    all_planes = []
+    for t in range(tables):
+        all_planes.extend(S._hyperplanes(dim, bits, 42 + 7919 * t))
+    sig_udf = S._all_signatures_pandas(all_planes, bits)
+    csig = emb.select(F.explode(F.array(*[
+        F.struct(F.lit(t).alias("t"), sig_udf(F.col("embedding"))[t].alias("b"))
+        for t in range(tables)
+    ])).alias("p")).groupBy("p").agg(F.count(F.lit(1)).alias("c_b"))
+    # queries probe own bucket + each 1-bit flip
+    qsig = queries.select(F.explode(F.array(*[
+        F.struct(
+            F.lit(t).alias("t"),
+            (sig_udf(F.col("embedding"))[t] if i < 0 else
+             sig_udf(F.col("embedding"))[t].bitwiseXOR(
+                 F.shiftleft(F.lit(1).cast("long"), i))).alias("b"),
+        )
+        for t in range(tables)
+        for i in range(-1, bits)
+    ])).alias("p")).groupBy("p").agg(F.count(F.lit(1)).alias("q_b"))
+    work = qsig.join(csig, "p").agg(F.sum(F.col("q_b") * F.col("c_b")).alias("w"))
+    return work.collect()[0]["w"] or 0
+
+
+@pytest.mark.scale
+def test_knn_lsh_probe_volume_scales_with_bits_dial(spark):
+    """The LSH scale contract is the (bits, tables) DIAL, not an
+    absolute: per-table collision probability ~ 2^-bits, so raising
+    bits must collapse the bucket-join work. (At the recall-tuned
+    bits=6 on the weakly-similar synthetic vectors, multiprobe work is
+    deliberately near all-pairs — recall 0.9 costs that here; a 100 TB
+    deployment with clustered real embeddings runs bits 12-16.)"""
+    emb = table(spark, SF_SCALE, "embeddings")
+    n_corpus = emb.count()
+    queries = emb.where(F.col("vec_id") % 50 == 0)
+    n_q = queries.count()
+    work_6 = _lsh_probe_work(spark, emb, queries, bits=6, tables=8)
+    work_12 = _lsh_probe_work(spark, emb, queries, bits=12, tables=8)
+    all_pairs = n_q * n_corpus
+    assert work_12 < work_6 / 4, (
+        f"bits dial ineffective: work(12)={work_12} vs work(6)={work_6}"
+    )
+    assert work_12 < 0.2 * all_pairs, (
+        f"probe-bucket work {work_12} at bits=12 not meaningfully below "
+        f"all-pairs {all_pairs}"
+    )
