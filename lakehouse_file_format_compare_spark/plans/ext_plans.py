@@ -8,9 +8,11 @@ in the dialect intersection so the DuckDB oracle executes the SAME
 string.
 
 ``mm_image_features`` drives the mapInPandas multimodal plumbing
-(ext/multimodal.py) with the deterministic fake decoder — rows-only
-check (sha256-derived dims are not reasonably SQL-expressible);
-determinism and schema are unit-tested in tests/test_ext.py.
+(ext/multimodal.py) with the deterministic fake decoder. Since round
+3 it has a FULL value oracle: DuckDB's sha256() reproduces the
+content hash, and the fake-decode dimensions (64 + digest_byte % 192)
+are recovered from the hex digest with a strpos-based nibble parse —
+so the whole mapInPandas path is hash-compared, not rows-only.
 """
 
 from __future__ import annotations
@@ -53,6 +55,27 @@ def mm_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_image_features(documents_as_media(docs), fake_decode=True)
 
 
+# The fake decoder derives width/height from the first two sha256
+# digest bytes (ext/multimodal.py::_fake_decode); the hex digest's
+# nibbles are parsed back to byte values in SQL (strpos is 1-based).
+_NIBBLE = "strpos('0123456789abcdef', substr(content_sha256, {pos}, 1)) - 1"
+_BYTE0 = f"16 * ({_NIBBLE.format(pos=1)}) + ({_NIBBLE.format(pos=2)})"
+_BYTE1 = f"16 * ({_NIBBLE.format(pos=3)}) + ({_NIBBLE.format(pos=4)})"
+
+MM_IMAGE_FEATURES_SQL = f"""
+WITH feat AS (
+    SELECT doc_id AS media_id,
+           octet_length(encode(text)) AS n_bytes,
+           sha256(text) AS content_sha256
+    FROM documents
+)
+SELECT media_id, n_bytes, content_sha256,
+       64 + ({_BYTE0}) % 192 AS width,
+       64 + ({_BYTE1}) % 192 AS height,
+       3 AS channels
+FROM feat
+"""
+
 QUERIES = {
     "op_sql_surface": sql_surface,
     "op_readme_customer_filter": readme_customer_filter,
@@ -62,4 +85,5 @@ QUERIES = {
 ORACLES = {
     "op_sql_surface": SQL_SURFACE,
     "op_readme_customer_filter": README_CUSTOMER_FILTER,
+    "mm_image_features": MM_IMAGE_FEATURES_SQL,
 }
