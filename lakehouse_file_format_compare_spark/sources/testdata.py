@@ -9,36 +9,65 @@ upstream type drift fails loudly instead of silently changing results.
 
 from __future__ import annotations
 
+import functools
 import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import StructField, StructType, TimestampType
 
 from ..schemas import TESTDATA_SCHEMAS, TESTDATA_TABLES
 from ..session import apply_runtime_defaults
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+# events.ts read as a plain micros timestamp (used when the parquet
+# physical type is already us/ms precision).
+_EVENTS_TS_TIMESTAMP_SCHEMA = StructType(
+    [
+        f if f.name != "ts" else StructField("ts", TimestampType(), True)
+        for f in TESTDATA_SCHEMAS["events"].fields
+    ]
+)
+
+
+@functools.lru_cache(maxsize=None)
+def _events_ts_is_nanos(path: str) -> bool:
+    """Probe the parquet footer for events.ts precision.
+
+    Bounded metadata-only read (one footer), cached per path. The
+    driver has shipped both nanosecond- and microsecond-precision
+    testdata across rounds; branching on the footer keeps both
+    readable without regenerating anything.
+    """
+    try:
+        import pyarrow.parquet as pq
+
+        return getattr(pq.read_schema(path).field("ts").type, "unit", None) == "ns"
+    except Exception:
+        return False
+
 
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one testdata table with its pinned schema.
 
-    events.ts is nanosecond-precision naive parquet (illegal as a
-    Spark 4 timestamp): it is read as raw nanos (LongType) under
-    ``nanosAsLong`` and converted to a micros TimestampType here, the
-    same truncation DuckDB applies.
+    When events.ts is nanosecond-precision naive parquet (illegal as a
+    Spark 4 timestamp, [PARQUET_TYPE_ILLEGAL]) it is read as raw nanos
+    (LongType) under ``nanosAsLong`` and converted to a micros
+    TimestampType here, the same truncation DuckDB applies; when the
+    file is already micros it is read directly as TimestampType.
     """
     if name not in TESTDATA_SCHEMAS:
         raise KeyError(f"unknown testdata table {name!r}")
     apply_runtime_defaults(spark)
+    path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.schema(TESTDATA_SCHEMAS[name]).parquet(
-        os.path.join(sf_dir, f"{name}.parquet")
-    )
-    if name == "events":
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return df
+        if _events_ts_is_nanos(path):
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+            df = spark.read.schema(TESTDATA_SCHEMAS[name]).parquet(path)
+            return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return spark.read.schema(_EVENTS_TS_TIMESTAMP_SCHEMA).parquet(path)
+    return spark.read.schema(TESTDATA_SCHEMAS[name]).parquet(path)
 
 
 def load_tables(
