@@ -1,0 +1,144 @@
+"""Connected components over a candidate-pair graph — the step that
+turns pairwise near-dup hits (operators/dedup.py emits doc_a/doc_b
+pairs) into per-document canonical assignments, which is what a
+training-data pipeline actually consumes (keep one doc per duplicate
+cluster, drop the rest).
+
+Algorithm: alternating large-star / small-star (Kiveris, Lattanzi,
+Mirrokni, Rastogi, Vassilvitskii — "Connected Components in MapReduce
+and Beyond", SoCC'14; public). Each round is two bounded shuffles
+(groupBy-min + join); the edge set converges to a star forest (every
+node points at its component minimum) in O(log n) rounds — unlike
+plain label propagation, which needs O(diameter) rounds and dies on
+long duplicate chains at 100 TB.
+
+Scale notes:
+- no ``collect()`` of edges or labels; the only driver-side values are
+  the per-round convergence checksum (2 scalars).
+- ``localCheckpoint(eager=True)`` per round truncates the iterative
+  join lineage — without it, round k re-executes rounds 1..k-1.
+- worst case O(log n) rounds; near-dup graphs (small dense clusters)
+  typically converge in 2-3.
+
+The reference has no graph/clustering surface (its dedup story ends
+at dropDuplicates, dags/2_bronze_to_silver.py:214); this module is
+extension surface, exercised by the dedup family.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _symmetrize(edges: DataFrame) -> DataFrame:
+    """Both directions of every edge, self-loops dropped."""
+    e = edges.where(F.col("u") != F.col("v"))
+    return e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v"))).distinct()
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """For each node u with neighborhood G(u): connect every neighbor
+    v > u to m = min(G(u) + {u}). Operates on the symmetric adjacency."""
+    nbr = _symmetrize(edges)
+    mins = nbr.groupBy("u").agg(F.min("v").alias("_mv")).select(
+        "u", F.least(F.col("_mv"), F.col("u")).alias("m")
+    )
+    return (
+        nbr.join(mins, "u")
+        .where(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """Orient every edge large→small, then for each node u connect all
+    smaller neighbors (and u itself) to m = min of that set."""
+    e = edges.select(
+        F.greatest(F.col("u"), F.col("v")).alias("u"),
+        F.least(F.col("u"), F.col("v")).alias("v"),
+    ).where(F.col("u") != F.col("v")).distinct()
+    mins = e.groupBy("u").agg(F.min("v").alias("m"))
+    linked = (
+        e.join(mins, "u")
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .unionByName(mins.select("u", F.col("m").alias("v")))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    return linked
+
+
+def _checksum(edges: DataFrame) -> tuple[int, int]:
+    # bit_xor fold: order-insensitive and overflow-free (ANSI-safe)
+    row = edges.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(F.expr("bit_xor(xxhash64(u, v))"), F.lit(0)).alias("h"),
+    ).collect()[0]
+    return int(row["n"]), int(row["h"])
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    max_rounds: int = 20,
+) -> DataFrame:
+    """(node, component) for every node appearing in ``edges``, where
+    component = min node id reachable — deterministic canonical labels.
+
+    ``edges`` is an undirected pair list (duplicate/reversed rows fine).
+    Raises if not converged within ``max_rounds`` (paper bound is
+    O(log n); 20 covers any realistic graph).
+    """
+    e = (
+        edges.select(F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v"))
+        .where(F.col("u").isNotNull() & F.col("v").isNotNull())
+    )
+    nodes = e.select(F.col("u").alias("node")).unionByName(
+        e.select(F.col("v").alias("node"))
+    ).distinct()
+
+    cur = _symmetrize(e).localCheckpoint(eager=True)
+    prev_sig = None
+    for _ in range(max_rounds):
+        cur = _small_star(_large_star(cur)).localCheckpoint(eager=True)
+        sig = _checksum(cur)
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+    else:
+        raise RuntimeError(f"connected_components did not converge in {max_rounds} rounds")
+
+    # converged edge set is a star forest: (node → component min)
+    stars = cur.groupBy("u").agg(F.min("v").alias("component")).select(
+        F.col("u").alias("node"), "component"
+    )
+    return (
+        nodes.join(stars, "node", "left")
+        .select("node", F.least(F.coalesce("component", "node"), "node").alias("component"))
+    )
+
+
+def canonicalize(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    src: str = "doc_a",
+    dst: str = "doc_b",
+) -> DataFrame:
+    """Per-document canonical assignment from near-dup pairs: every doc
+    gets (canonical_id, is_canonical); docs in no pair are their own
+    canonical. Downstream keeps ``is_canonical`` rows only — the
+    standard corpus-dedup contract."""
+    comp = connected_components(pairs, src=src, dst=dst)
+    return (
+        docs.join(comp, docs[id_col] == comp["node"], "left")
+        .select(
+            docs["*"],
+            F.coalesce(F.col("component"), F.col(id_col)).alias("canonical_id"),
+        )
+        .withColumn("is_canonical", F.col(id_col) == F.col("canonical_id"))
+    )

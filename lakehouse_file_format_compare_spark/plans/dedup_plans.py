@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..operators import components as C
 from ..operators import dedup as D
 from ..sources.testdata import table
 
@@ -215,6 +216,70 @@ WHERE common / CAST(sa.sz + sb.sz - common AS DOUBLE) >= {JACCARD_THRESHOLD}
 """
 
 
+def components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairs → canonical assignment: exact n-gram Jaccard pairs fed
+    through alternating-star connected components
+    (operators/components.py), giving every document its duplicate-
+    cluster canonical id. The edge source is the EXACT pair op (not
+    LSH) so the DuckDB oracle — a recursive-CTE transitive closure
+    over the identical SQL pair set — value-matches the full output."""
+    docs = table(spark, sf_dir, "documents")
+    pairs = D.ngram_jaccard_pairs(docs, threshold=JACCARD_THRESHOLD)
+    return C.canonicalize(docs, pairs).select("doc_id", "canonical_id", "is_canonical")
+
+
+# Transitive closure by min-label reach: the recursive CTE enumerates
+# (node, reachable) pairs over the symmetrized edge set (UNION dedups,
+# so it terminates); MIN(reachable) per node is the component label —
+# the same canonical-minimum the alternating-star algorithm converges
+# to. O(n * component_size) rows: fine at oracle scale, which is the
+# point of having the O(log n) Spark implementation for 100 TB.
+COMPONENTS_SQL = f"""
+WITH RECURSIVE toks AS (
+    SELECT doc_id,
+           string_split_regex(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')), '\\s+') AS t
+    FROM documents
+), shingles AS (
+    SELECT doc_id,
+           CASE WHEN len(t) >= 3 THEN
+                list_distinct(list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+                WHEN len(t) > 0 THEN [array_to_string(t, ' ')]
+                ELSE [] END AS sh
+    FROM toks
+), exploded AS (
+    SELECT doc_id AS doc, unnest(sh) AS shingle FROM shingles
+), sizes AS (
+    SELECT doc, COUNT(*) AS sz FROM exploded GROUP BY doc
+), common AS (
+    SELECT a.doc AS doc_a, b.doc AS doc_b, COUNT(*) AS common
+    FROM exploded a JOIN exploded b ON a.shingle = b.shingle AND a.doc < b.doc
+    GROUP BY 1, 2
+), pairs AS (
+    SELECT doc_a, doc_b
+    FROM common
+    JOIN sizes sa ON sa.doc = doc_a
+    JOIN sizes sb ON sb.doc = doc_b
+    WHERE common / CAST(sa.sz + sb.sz - common AS DOUBLE) >= {JACCARD_THRESHOLD}
+), edges AS (
+    SELECT doc_a AS u, doc_b AS v FROM pairs
+    UNION
+    SELECT doc_b, doc_a FROM pairs
+), reach(node, r) AS (
+    SELECT u, v FROM edges
+    UNION
+    SELECT u, u FROM edges
+    UNION
+    SELECT w.node, e.v FROM reach w JOIN edges e ON w.r = e.u
+), comp AS (
+    SELECT node, MIN(r) AS component FROM reach GROUP BY node
+)
+SELECT d.doc_id,
+       COALESCE(c.component, d.doc_id) AS canonical_id,
+       d.doc_id = COALESCE(c.component, d.doc_id) AS is_canonical
+FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
+"""
+
+
 def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.embedding_near_dup_pairs(table(spark, sf_dir, "embeddings"), threshold=EMBED_THRESHOLD)
 
@@ -236,6 +301,7 @@ QUERIES = {
     "dedup_minhash_lsh": minhash_lsh_recall,
     "dedup_simhash": simhash_recall,
     "dedup_embedding": embedding_near_dup,
+    "dedup_components": components,
 }
 
 # minhash_lsh and simhash are recorded via recall contracts against
@@ -248,4 +314,5 @@ ORACLES = {
     "dedup_minhash_lsh": MINHASH_LSH_RECALL_SQL,
     "dedup_simhash": SIMHASH_RECALL_SQL,
     "dedup_embedding": EMBEDDING_NEAR_DUP_SQL,
+    "dedup_components": COMPONENTS_SQL,
 }

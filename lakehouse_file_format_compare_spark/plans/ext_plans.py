@@ -76,14 +76,17 @@ SELECT media_id, n_bytes, content_sha256,
 FROM feat
 """
 
+# op_readme_customer_filter is NOT a driver row (the driver records
+# exactly 50 entries; its slot went to dedup_components, which carries
+# a full value oracle). It stays oracle-checked in
+# tests/test_ext.py::test_readme_customer_filter_oracle — same compare,
+# pytest-level.
 QUERIES = {
     "op_sql_surface": sql_surface,
-    "op_readme_customer_filter": readme_customer_filter,
     "mm_image_features": mm_image_features,
 }
 
 ORACLES = {
     "op_sql_surface": SQL_SURFACE,
-    "op_readme_customer_filter": README_CUSTOMER_FILTER,
     "mm_image_features": MM_IMAGE_FEATURES_SQL,
 }

@@ -1,0 +1,84 @@
+"""Connected components (operators/components.py): alternating-star
+correctness vs a pure-Python union-find on seeded random graphs, plus
+the canonicalize contract."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+
+from lakehouse_file_format_compare_spark.operators.components import (
+    canonicalize,
+    connected_components,
+)
+
+
+def _union_find_components(edges, nodes):
+    parent = {n: n for n in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for u, v in edges:
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[max(ru, rv)] = min(ru, rv)
+    # canonical label = min node id in the component
+    comp = {}
+    for n in nodes:
+        comp.setdefault(find(n), []).append(n)
+    return {n: min(members) for members in comp.values() for n in members}
+
+
+def _spark_components(spark, edges):
+    df = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    return {
+        r["node"]: r["component"]
+        for r in connected_components(df).collect()
+    }
+
+
+def test_components_simple_chain(spark):
+    # chain 1-2-3-4 plus isolated pair 10-11: worst case for label
+    # propagation, trivial for alternating-star
+    got = _spark_components(spark, [(1, 2), (2, 3), (3, 4), (10, 11)])
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+def test_components_duplicate_and_reversed_edges(spark):
+    got = _spark_components(spark, [(5, 9), (9, 5), (5, 9), (7, 7)])
+    # self-loop contributes its node; duplicates collapse
+    assert got == {5: 5, 9: 5, 7: 7}
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_components_random_vs_union_find(spark, seed):
+    rng = random.Random(seed)
+    nodes = list(range(200))
+    edges = [(rng.choice(nodes), rng.choice(nodes)) for _ in range(150)]
+    want = _union_find_components(edges, {n for e in edges for n in e})
+    got = _spark_components(spark, edges)
+    assert got == want
+
+
+def test_canonicalize_keeps_unpaired_docs(spark):
+    docs = spark.createDataFrame(
+        [(i, f"text {i}") for i in range(6)], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame([(0, 3), (3, 5)], "doc_a long, doc_b long")
+    out = {r["doc_id"]: (r["canonical_id"], r["is_canonical"]) for r in canonicalize(docs, pairs).collect()}
+    assert out == {
+        0: (0, True),
+        1: (1, True),
+        2: (2, True),
+        3: (0, False),
+        4: (4, True),
+        5: (0, False),
+    }
+    # the dedup contract: keeping is_canonical rows keeps one doc per cluster
+    kept = [d for d, (_, keep) in out.items() if keep]
+    assert sorted(kept) == [0, 1, 2, 4]

@@ -157,3 +157,17 @@ def test_rolling_fingerprint_is_order_sensitive(spark):
     assert out[1] == out[3], "identical text must fingerprint equal"
     assert out[1] == out[4], "whitespace/case normalization must apply"
     assert out[1] != out[2], "token order must matter"
+
+
+def test_readme_customer_filter_oracle(spark):
+    # demoted from the driver registry (50-row cap; slot went to
+    # dedup_components) but the oracle compare stays pinned here
+    from lakehouse_file_format_compare_spark.plans.ext_plans import (
+        README_CUSTOMER_FILTER,
+        readme_customer_filter,
+    )
+
+    from .oracle import compare
+
+    ok, msg = compare(spark, SF_CORRECTNESS, readme_customer_filter, README_CUSTOMER_FILTER)
+    assert ok, msg
