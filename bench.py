@@ -56,10 +56,18 @@ def main() -> None:
     queries["tpch_local_supplier_volume"](spark, sf_dir).write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
+    steady: dict[str, float] = {}
     for name in HEADLINE:
         start = time.perf_counter()
         queries[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - start, 3)
+        # second run: whole-stage-codegen compiled, JIT warm — the
+        # per-query cost that amortizes at scale. Recorded as data so
+        # compile overhead and plan cost are separable; the headline
+        # metric stays the cold run (round 1/2 protocol).
+        start = time.perf_counter()
+        queries[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        steady[name] = round(time.perf_counter() - start, 3)
 
     avail = available_formats(spark)
     result = {
@@ -67,6 +75,8 @@ def main() -> None:
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
+        "value_steady": round(sum(steady.values()), 3),
+        "queries_steady": steady,
         "sf": sf,
         # environment-blocked formats recorded as data, not silence:
         # the format axis (Iceberg × {parquet,orc,avro}) needs jars the

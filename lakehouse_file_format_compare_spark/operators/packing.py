@@ -1,0 +1,58 @@
+"""Document → training-sequence packing.
+
+Groups documents into fixed token-budget packs (the preprocessing step
+between a deduped corpus and an LLM data loader). Packing is
+document-atomic and CONTIGUOUS by doc id: docs are laid out in id
+order and a pack boundary falls wherever the running token count
+crosses the budget — so a pack may overflow by at most one document
+(standard bin-chunking; true best-fit packing is order-dependent and
+non-reproducible across cluster layouts, which disqualifies it here).
+
+Scale: a single global ordering would serialize into one partition.
+``groups > 1`` salts the layout by ``doc_id % groups``: each salt
+group packs independently (one window per group, all groups in
+parallel), trading ≤ one underfull pack per group for full
+parallelism. Pack ids are globally unique: ``salt * 2^40 + bin``.
+
+Deterministic by construction (pure function of ids + token counts),
+so it has an exact DuckDB oracle — tests/test_sampling.py runs the
+identical window SQL on both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+_PACK_STRIDE = 1 << 40
+
+
+def pack_sequences(
+    df: DataFrame,
+    budget: int,
+    token_col: str = "n_tokens",
+    id_col: str = "doc_id",
+    groups: int = 1,
+) -> DataFrame:
+    """Assign every document a ``pack_id`` such that docs sharing a
+    pack fit the token budget (± one overflowing doc). Adds
+    ``pack_id``; preserves all input columns."""
+    if budget <= 0:
+        raise ValueError(f"budget must be positive, got {budget}")
+    if groups <= 0:
+        raise ValueError(f"groups must be positive, got {groups}")
+    salt = F.pmod(F.col(id_col), F.lit(groups))
+    w = Window.partitionBy(salt).orderBy(F.col(id_col))
+    cum = F.sum(F.col(token_col)).over(w)
+    # bin index by where the doc STARTS (cum - its own tokens)
+    bin_ix = F.floor((cum - F.col(token_col)) / F.lit(budget))
+    return df.withColumn("pack_id", salt * F.lit(_PACK_STRIDE) + bin_ix)
+
+
+def pack_summary(packed: DataFrame, token_col: str = "n_tokens") -> DataFrame:
+    """Per-pack roll-up: doc count + token fill (for loader manifests
+    and fill-rate monitoring)."""
+    return packed.groupBy("pack_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(token_col).alias("pack_tokens"),
+    )

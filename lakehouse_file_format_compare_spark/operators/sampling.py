@@ -1,0 +1,95 @@
+"""Deterministic sampling & splitting for training-data pipelines.
+
+``df.sample()`` is partition-order-dependent (re-partition the input
+and the sample changes), which is unacceptable for reproducible
+training mixes. Everything here derives from row KEYS instead:
+
+- ``stratified_sample``: exact n-per-stratum via a window rank over a
+  key-derived md5 order. One shuffle on the strata columns; the md5
+  order is engine-portable, so the result has an exact DuckDB oracle
+  (tests/test_sampling.py) — and is identical on 1 or 1000 executors.
+- ``hash_split``: train/val/test assignment by hashing the key into
+  10k buckets — narrow (zero-shuffle), stable under any repartition,
+  and new rows never move existing rows between splits (the property
+  that matters for incremental corpus builds).
+- ``fraction_sample``: keyed Bernoulli via the same bucket trick.
+
+The reference has no sampling surface at all (its generator slices by
+row ranges, dags/1_generate_bronze_batch.py); this is extension
+surface for the 100 TB corpus-construction story.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+_BUCKETS = 10_000
+
+
+def _order_hash(key_cols: tuple[str, ...]):
+    # md5 of the concatenated key: portable (DuckDB md5 == Spark md5),
+    # uniform enough for sampling, and a total order when tie-broken
+    # by the key itself.
+    return F.md5(F.concat_ws("\x1f", *[F.col(c).cast("string") for c in key_cols]))
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_cols: tuple[str, ...],
+    n_per_stratum: int,
+    key_cols: tuple[str, ...],
+) -> DataFrame:
+    """Exactly min(n, stratum size) rows per stratum, chosen by md5
+    order of the key — deterministic, partition-layout-independent.
+    Plan: one hash shuffle on strata + WindowGroupLimit pushdown (rank
+    filter is recognized by Catalyst, so only n rows per stratum
+    survive the partial sort)."""
+    w = Window.partitionBy(*strata_cols).orderBy(
+        _order_hash(key_cols), *[F.col(c) for c in key_cols]
+    )
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= n_per_stratum)
+        .drop("__rn")
+    )
+
+
+def hash_split(
+    df: DataFrame,
+    weights: dict[str, float],
+    key_cols: tuple[str, ...],
+    seed: int = 42,
+) -> DataFrame:
+    """Add a ``split`` column assigning each row to a named split with
+    the given weights (must sum to ~1). Assignment = which cumulative
+    weight range the key's hash bucket falls in: stable per-key, zero
+    shuffle, and unaffected by rows added or removed elsewhere."""
+    total = sum(weights.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"weights must sum to 1, got {total}")
+    bucket = F.pmod(
+        F.xxhash64(*[F.col(c) for c in key_cols], F.lit(seed)), F.lit(_BUCKETS)
+    )
+    expr = None
+    cum = 0.0
+    names = list(weights)
+    for name in names[:-1]:
+        cum += weights[name]
+        cond = bucket < int(round(cum * _BUCKETS))
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    expr = (expr.otherwise(names[-1]) if expr is not None else F.lit(names[-1]))
+    return df.withColumn("split", expr)
+
+
+def fraction_sample(
+    df: DataFrame, fraction: float, key_cols: tuple[str, ...], seed: int = 42
+) -> DataFrame:
+    """Keyed Bernoulli sample: keep rows whose key-hash bucket falls
+    under the fraction. Deterministic per key; zero shuffle."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0,1], got {fraction}")
+    bucket = F.pmod(
+        F.xxhash64(*[F.col(c) for c in key_cols], F.lit(seed)), F.lit(_BUCKETS)
+    )
+    return df.where(bucket < int(round(fraction * _BUCKETS)))

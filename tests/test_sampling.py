@@ -1,0 +1,127 @@
+"""Deterministic sampling, splitting and sequence packing
+(operators/sampling.py, operators/packing.py): DuckDB oracle compares
+for the portable md5/window paths, distribution + stability contracts
+for the xxhash64 paths."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from lakehouse_file_format_compare_spark.operators.packing import (
+    pack_sequences,
+    pack_summary,
+)
+from lakehouse_file_format_compare_spark.operators.sampling import (
+    fraction_sample,
+    hash_split,
+    stratified_sample,
+)
+from lakehouse_file_format_compare_spark.sources.testdata import table
+
+from .conftest import SF_CORRECTNESS
+from .oracle import compare
+
+N_PER_LANG = 20
+
+STRATIFIED_SQL = f"""
+SELECT doc_id, text, lang, source, n_chars
+FROM documents
+QUALIFY row_number() OVER (
+    PARTITION BY lang
+    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+) <= {N_PER_LANG}
+"""
+
+
+def _stratified(spark, sf_dir):
+    return stratified_sample(
+        table(spark, sf_dir, "documents"),
+        strata_cols=("lang",),
+        n_per_stratum=N_PER_LANG,
+        key_cols=("doc_id",),
+    )
+
+
+def test_stratified_sample_oracle(spark):
+    ok, msg = compare(spark, SF_CORRECTNESS, _stratified, STRATIFIED_SQL)
+    assert ok, msg
+
+
+def test_stratified_sample_partition_independent(spark):
+    docs = table(spark, SF_CORRECTNESS, "documents")
+    a = _stratified(spark, SF_CORRECTNESS).collect()
+    b = stratified_sample(
+        docs.repartition(7), ("lang",), N_PER_LANG, ("doc_id",)
+    ).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    per_lang = {}
+    for r in a:
+        per_lang[r["lang"]] = per_lang.get(r["lang"], 0) + 1
+    assert all(n <= N_PER_LANG for n in per_lang.values())
+
+
+def test_hash_split_contracts(spark):
+    docs = table(spark, SF_CORRECTNESS, "documents")
+    weights = {"train": 0.8, "val": 0.1, "test": 0.1}
+    out = hash_split(docs, weights, key_cols=("doc_id",))
+    counts = {r["split"]: r["n"] for r in out.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()}
+    total = sum(counts.values())
+    assert total == docs.count()
+    # proportions within ±5pp at 500 docs
+    for name, w in weights.items():
+        assert abs(counts.get(name, 0) / total - w) < 0.05, (name, counts)
+    # per-key stability: assignment is identical on an arbitrary subset
+    # (rows added/removed elsewhere never move a doc between splits)
+    sub = hash_split(docs.where(F.col("doc_id") % 3 == 0), weights, key_cols=("doc_id",))
+    full = {r["doc_id"]: r["split"] for r in out.select("doc_id", "split").collect()}
+    for r in sub.select("doc_id", "split").collect():
+        assert full[r["doc_id"]] == r["split"]
+
+
+def test_fraction_sample_deterministic_and_sized(spark):
+    docs = table(spark, SF_CORRECTNESS, "documents")
+    s1 = fraction_sample(docs, 0.25, key_cols=("doc_id",))
+    s2 = fraction_sample(docs.repartition(5), 0.25, key_cols=("doc_id",))
+    ids1 = sorted(r["doc_id"] for r in s1.select("doc_id").collect())
+    ids2 = sorted(r["doc_id"] for r in s2.select("doc_id").collect())
+    assert ids1 == ids2
+    n = docs.count()
+    assert 0.15 * n < len(ids1) < 0.35 * n
+
+
+BUDGET = 512
+
+PACKING_SQL = f"""
+WITH toks AS (
+    SELECT doc_id, n_chars AS n_tokens FROM documents
+)
+SELECT doc_id, n_tokens,
+       (doc_id % 4) * {1 << 40}
+       + CAST(floor((SUM(n_tokens) OVER (
+             PARTITION BY doc_id % 4 ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) - n_tokens) / {BUDGET}.0) AS BIGINT) AS pack_id
+FROM toks
+"""
+
+
+def _packed(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", F.col("n_chars").alias("n_tokens")
+    )
+    return pack_sequences(docs, budget=BUDGET, groups=4)
+
+
+def test_packing_oracle(spark):
+    ok, msg = compare(spark, SF_CORRECTNESS, _packed, PACKING_SQL)
+    assert ok, msg
+
+
+def test_packing_document_atomic_overflow_bound(spark):
+    packed = _packed(spark, SF_CORRECTNESS)
+    max_doc = packed.agg(F.max("n_tokens")).collect()[0][0]
+    fills = pack_summary(packed).collect()
+    assert all(r["pack_tokens"] < BUDGET + max_doc for r in fills)
+    # every doc appears exactly once
+    n_docs = packed.count()
+    assert sum(r["n_docs"] for r in fills) == n_docs
