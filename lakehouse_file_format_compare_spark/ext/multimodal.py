@@ -145,3 +145,106 @@ def frame_sample_stub(media: DataFrame, every_n: int = 30) -> DataFrame:
         "media_id",
         F.explode(F.sequence(F.lit(0), n_frames - 1, F.lit(every_n))).alias("frame_index"),
     )
+
+
+RESIZED_SCHEMA = StructType([
+    StructField("media_id", LongType(), False),
+    StructField("width", IntegerType(), True),
+    StructField("height", IntegerType(), True),
+    StructField("content", BinaryType(), True),
+])
+
+
+def resize_images(media: DataFrame, max_side: int = 128, fake_decode: bool = True) -> DataFrame:
+    """mapInPandas resize: decode → scale longest side to ``max_side``
+    (aspect-preserving) → re-encode. Binary in AND out — the batch
+    shape a real PIL/libvips resize uses. The fake path derives source
+    dims from the content hash (same rule as extract_image_features)
+    and passes the payload through unchanged; a real deployment swaps
+    the two marked lines."""
+    use_fake = fake_decode
+    columns = [f.name for f in RESIZED_SCHEMA.fields]
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib as _hashlib
+
+        import pandas as _pd
+
+        for pdf in batches:
+            rows = []
+            for media_id, content in zip(pdf["media_id"], pdf["content"]):
+                blob = bytes(content) if content is not None else b""
+                if use_fake:
+                    digest = _hashlib.sha256(blob).digest()
+                    w, h = 64 + digest[0] % 192, 64 + digest[1] % 192   # decode_image()
+                    out_blob = blob                                     # img.resize(...).tobytes()
+                else:
+                    raise NotImplementedError(
+                        "real image resize requires PIL/libvips (not in this container)"
+                    )
+                scale = min(1.0, max_side / max(w, h))
+                rows.append({
+                    "media_id": media_id,
+                    "width": max(1, int(w * scale)),
+                    "height": max(1, int(h * scale)),
+                    "content": out_blob,
+                })
+            yield _pd.DataFrame(rows, columns=columns)
+
+    return media.select("media_id", "content").mapInPandas(resize, RESIZED_SCHEMA)
+
+
+AUDIO_FEATURES_SCHEMA = StructType([
+    StructField("media_id", LongType(), False),
+    StructField("n_bytes", LongType(), True),
+    StructField("content_sha256", StringType(), True),
+    StructField("duration_ms", LongType(), True),
+    StructField("sample_rate", IntegerType(), True),
+    StructField("n_channels", IntegerType(), True),
+])
+
+
+def extract_audio_features(media: DataFrame, fake_decode: bool = True) -> DataFrame:
+    """Audio analog of extract_image_features: mapInPandas header
+    probe. Fake path: 16 kHz mono PCM16 assumption → duration from
+    byte length (deterministic, so tests pin exact values)."""
+    use_fake = fake_decode
+    columns = [f.name for f in AUDIO_FEATURES_SCHEMA.fields]
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib as _hashlib
+
+        import pandas as _pd
+
+        for pdf in batches:
+            rows = []
+            for media_id, content in zip(pdf["media_id"], pdf["content"]):
+                blob = bytes(content) if content is not None else b""
+                if not use_fake:
+                    raise NotImplementedError(
+                        "real audio probing requires soundfile/ffmpeg (not in this container)"
+                    )
+                rows.append({
+                    "media_id": media_id,
+                    "n_bytes": len(blob),
+                    "content_sha256": _hashlib.sha256(blob).hexdigest(),
+                    "duration_ms": len(blob) * 1000 // (16_000 * 2),    # sf.info(blob)
+                    "sample_rate": 16_000,
+                    "n_channels": 1,
+                })
+            yield _pd.DataFrame(rows, columns=columns)
+
+    return media.select("media_id", "content").mapInPandas(extract, AUDIO_FEATURES_SCHEMA)
+
+
+def chunk_audio_stub(media: DataFrame, chunk_ms: int = 30_000) -> DataFrame:
+    """Audio chunking plumbing: (media_id, chunk_index, chunk_start_ms)
+    rows from the stub duration — the explode pattern a real
+    streaming-decode chunker would use (chunk boundaries computed from
+    header metadata, payload sliced executor-side)."""
+    duration_ms = (F.length("content") * 1000 / (16_000 * 2)).cast("long")
+    n_chunks = F.greatest((duration_ms / chunk_ms).cast("int") + 1, F.lit(1))
+    return media.select(
+        "media_id",
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_index"),
+    ).withColumn("chunk_start_ms", F.col("chunk_index").cast("long") * chunk_ms)

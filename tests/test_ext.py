@@ -171,3 +171,54 @@ def test_readme_customer_filter_oracle(spark):
 
     ok, msg = compare(spark, SF_CORRECTNESS, readme_customer_filter, README_CUSTOMER_FILTER)
     assert ok, msg
+
+
+def test_resize_images_plumbing(spark):
+    from lakehouse_file_format_compare_spark.ext.multimodal import (
+        documents_as_media,
+        extract_image_features,
+        resize_images,
+    )
+
+    docs = table(spark, SF_CORRECTNESS, "documents").limit(40)
+    media = documents_as_media(docs)
+    src = {r["media_id"]: (r["width"], r["height"])
+           for r in extract_image_features(media, fake_decode=True).collect()}
+    out = resize_images(media, max_side=100, fake_decode=True).collect()
+    assert len(out) == 40
+    for r in out:
+        w0, h0 = src[r["media_id"]]
+        assert max(r["width"], r["height"]) <= 100
+        # aspect preserved within integer rounding
+        if max(w0, h0) > 100:
+            assert abs(r["width"] / r["height"] - w0 / h0) < 0.1
+        else:
+            assert (r["width"], r["height"]) == (w0, h0)
+        assert r["content"] is not None  # binary out survives Arrow round-trip
+
+
+def test_audio_features_and_chunking(spark):
+    from lakehouse_file_format_compare_spark.ext.multimodal import (
+        chunk_audio_stub,
+        documents_as_media,
+        extract_audio_features,
+    )
+
+    docs = table(spark, SF_CORRECTNESS, "documents").limit(40)
+    media = documents_as_media(docs)
+    feats = extract_audio_features(media, fake_decode=True).collect()
+    assert len(feats) == 40
+    for r in feats:
+        assert r["duration_ms"] == r["n_bytes"] * 1000 // 32000
+        assert r["sample_rate"] == 16000 and r["n_channels"] == 1
+
+    chunks = chunk_audio_stub(media, chunk_ms=5).collect()
+    per_media = {}
+    for r in chunks:
+        per_media.setdefault(r["media_id"], []).append((r["chunk_index"], r["chunk_start_ms"]))
+    dur = {r["media_id"]: r["duration_ms"] for r in feats}
+    for mid, cs in per_media.items():
+        idxs = sorted(i for i, _ in cs)
+        assert idxs == list(range(len(idxs)))  # contiguous chunk indices
+        assert len(idxs) == dur[mid] // 5 + 1
+        assert all(start == i * 5 for i, start in sorted(cs))

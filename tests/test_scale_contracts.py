@@ -122,3 +122,31 @@ def test_knn_lsh_probe_volume_scales_with_bits_dial(spark):
         f"probe-bucket work {work_12} at bits=12 not meaningfully below "
         f"all-pairs {all_pairs}"
     )
+
+
+@pytest.mark.scale
+def test_connected_components_round_and_state_bounds(spark):
+    """Components over the sf0.1 MinHash near-dup graph: must converge
+    well inside the O(log n) bound, with label count == node count
+    (no dropped/duplicated assignments) and cluster minima as labels."""
+    from lakehouse_file_format_compare_spark.operators.components import (
+        connected_components,
+    )
+
+    pairs = D.minhash_lsh_pairs(
+        table(spark, SF_SCALE, "documents"), threshold=0.5
+    ).cache()
+    n_nodes = (
+        pairs.select(F.col("doc_a").alias("n"))
+        .unionByName(pairs.select(F.col("doc_b").alias("n")))
+        .distinct()
+        .count()
+    )
+    comp = connected_components(pairs, max_rounds=12)
+    rows = comp.collect()
+    assert len(rows) == n_nodes
+    by_comp = {}
+    for r in rows:
+        by_comp.setdefault(r["component"], []).append(r["node"])
+    # every label is its own cluster minimum
+    assert all(label == min(members) for label, members in by_comp.items())
