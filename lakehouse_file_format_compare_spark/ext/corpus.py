@@ -1,0 +1,96 @@
+"""End-to-end corpus construction: the composed pipeline a
+training-data team actually runs, built entirely from this repo's
+operators — filter → dedup → canonicalize → sample → split → pack.
+
+Stage order is the cost-ordered one for 100 TB:
+1. quality + language gates first (cheap, codegen-friendly column
+   math; cuts the corpus before anything shuffles),
+2. exact dedup (one fingerprint shuffle),
+3. MinHash-LSH near-dup pairs → connected components → keep cluster
+   canonicals (bucketed joins + O(log n) star rounds; never
+   all-pairs),
+4. deterministic train/val/test hash split (zero shuffle),
+5. token-budget sequence packing per split (salted windows).
+
+Every stage is individually oracle- or contract-tested elsewhere;
+tests/test_corpus.py pins the composition: monotone row shrinkage,
+split disjointness, pack budget bounds, and end-to-end determinism
+across partition layouts.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import text as T
+from ..operators.components import canonicalize
+from ..operators.dedup import exact_duplicates, minhash_lsh_pairs
+from ..operators.packing import pack_sequences
+from ..operators.sampling import hash_split
+
+
+@dataclass(frozen=True)
+class CorpusConfig:
+    min_chars: int = 80
+    max_chars: int = 100_000
+    min_quality: float = 0.35
+    languages: tuple[str, ...] = ()          # empty = keep all
+    jaccard_threshold: float = 0.5
+    pack_budget_tokens: int = 512
+    pack_groups: int = 8
+    splits: dict[str, float] = field(
+        default_factory=lambda: {"train": 0.9, "val": 0.05, "test": 0.05}
+    )
+
+
+def quality_gate(docs: DataFrame, cfg: CorpusConfig) -> DataFrame:
+    """Stage 1: length, quality-score and language filters — pure
+    column math, pushed to the scan."""
+    txt = F.col("text")
+    out = docs.where(
+        F.length(txt).between(cfg.min_chars, cfg.max_chars)
+        & (T.quality_score(txt) >= cfg.min_quality)
+    )
+    if cfg.languages:
+        out = out.where(T.lang_id(txt).isin(*cfg.languages))
+    return out
+
+
+def dedup_stage(docs: DataFrame, cfg: CorpusConfig) -> DataFrame:
+    """Stages 2+3: drop exact duplicates (keep min doc_id), then drop
+    near-duplicate cluster non-canonicals."""
+    exact = exact_duplicates(docs)
+    kept = docs.join(
+        exact.where(F.col("doc_id") == F.col("canonical_id")).select("doc_id"),
+        "doc_id",
+        "left_semi",
+    )
+    pairs = minhash_lsh_pairs(kept, threshold=cfg.jaccard_threshold)
+    return canonicalize(kept, pairs).where(F.col("is_canonical")).drop(
+        "canonical_id", "is_canonical"
+    )
+
+
+def build_corpus(docs: DataFrame, cfg: CorpusConfig | None = None) -> DataFrame:
+    """Full pipeline → one DataFrame with ``split``, ``n_tokens`` and
+    ``pack_id`` added. Pack identity is (split, pack_id) — ids are
+    scoped per split. Deterministic: every stage is a pure function of
+    document content/ids."""
+    cfg = cfg or CorpusConfig()
+    gated = quality_gate(docs, cfg)
+    deduped = dedup_stage(gated, cfg)
+    with_tokens = deduped.withColumn("n_tokens", T.token_count(F.col("text")))
+    split = hash_split(with_tokens, cfg.splits, key_cols=("doc_id",))
+    # pack WITHIN each split: window partition includes the split
+    # column, so a pack can never straddle train/val/test
+    return pack_sequences(
+        split,
+        budget=cfg.pack_budget_tokens,
+        token_col="n_tokens",
+        id_col="doc_id",
+        groups=cfg.pack_groups,
+        partition_cols=("split",),
+    )

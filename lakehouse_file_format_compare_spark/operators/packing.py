@@ -33,16 +33,20 @@ def pack_sequences(
     token_col: str = "n_tokens",
     id_col: str = "doc_id",
     groups: int = 1,
+    partition_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Assign every document a ``pack_id`` such that docs sharing a
     pack fit the token budget (± one overflowing doc). Adds
-    ``pack_id``; preserves all input columns."""
+    ``pack_id``; preserves all input columns. ``partition_cols``
+    scope packing (e.g. per split: a pack must never straddle
+    train/val) — pack_id is then only unique within a scope; prefix
+    it with the scope key if a global id is needed."""
     if budget <= 0:
         raise ValueError(f"budget must be positive, got {budget}")
     if groups <= 0:
         raise ValueError(f"groups must be positive, got {groups}")
     salt = F.pmod(F.col(id_col), F.lit(groups))
-    w = Window.partitionBy(salt).orderBy(F.col(id_col))
+    w = Window.partitionBy(*partition_cols, salt).orderBy(F.col(id_col))
     cum = F.sum(F.col(token_col)).over(w)
     # bin index by where the doc STARTS (cum - its own tokens)
     bin_ix = F.floor((cum - F.col(token_col)) / F.lit(budget))

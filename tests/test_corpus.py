@@ -1,0 +1,57 @@
+"""Composed corpus pipeline (ext/corpus.py): stage monotonicity,
+split/pack contracts, and end-to-end determinism."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from lakehouse_file_format_compare_spark.ext.corpus import (
+    CorpusConfig,
+    build_corpus,
+    dedup_stage,
+    quality_gate,
+)
+from lakehouse_file_format_compare_spark.sources.testdata import table
+
+from .conftest import SF_CORRECTNESS
+
+CFG = CorpusConfig(min_chars=50, min_quality=0.2, pack_budget_tokens=256, pack_groups=4)
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    return build_corpus(table(spark, SF_CORRECTNESS, "documents"), CFG).cache()
+
+
+def test_stage_monotonicity(spark, corpus):
+    docs = table(spark, SF_CORRECTNESS, "documents")
+    n_raw = docs.count()
+    n_gated = quality_gate(docs, CFG).count()
+    n_deduped = dedup_stage(quality_gate(docs, CFG), CFG).count()
+    n_final = corpus.count()
+    assert n_raw >= n_gated >= n_deduped == n_final
+    assert n_final > 100  # the gates must not annihilate the corpus
+
+
+def test_split_and_pack_contracts(corpus):
+    rows = corpus.select("doc_id", "split", "pack_id", "n_tokens").collect()
+    assert {r["split"] for r in rows} <= {"train", "val", "test"}
+    # a pack never straddles splits: key packs by (split, pack_id)
+    packs = {}
+    for r in rows:
+        packs.setdefault((r["split"], r["pack_id"]), []).append(r["n_tokens"])
+    max_doc = max(r["n_tokens"] for r in rows)
+    for (_, _), toks in packs.items():
+        assert sum(toks) < CFG.pack_budget_tokens + max_doc
+    # every doc exactly once
+    assert len(rows) == len({r["doc_id"] for r in rows})
+
+
+def test_end_to_end_deterministic_across_layouts(spark, corpus):
+    shuffled = build_corpus(
+        table(spark, SF_CORRECTNESS, "documents").repartition(13), CFG
+    )
+    a = sorted(map(tuple, corpus.select("doc_id", "split", "pack_id").collect()))
+    b = sorted(map(tuple, shuffled.select("doc_id", "split", "pack_id").collect()))
+    assert a == b
