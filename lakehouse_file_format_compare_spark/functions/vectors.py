@@ -57,3 +57,27 @@ def l2_distance(a: Column, b: Column) -> Column:
             lambda acc, v: acc + v,
         )
     )
+
+
+def quantize_int8(vec: Column) -> Column:
+    """Symmetric per-vector int8 quantization: struct(scale, q) with
+    scale = max|x| / 127 and q[i] = round(x[i] / scale). Cuts
+    embedding storage 4x (the standard trick for 100 TB-scale vector
+    corpora); dot products on q need one scale_a * scale_b fixup.
+    Pure column math — transform + fold, no UDF."""
+    mx = F.aggregate(
+        F.transform(vec, lambda x: F.abs(x.cast("double"))),
+        F.lit(0.0),
+        lambda acc, v: F.greatest(acc, v),
+    )
+    scale = F.when(mx > 0, mx / F.lit(127.0)).otherwise(F.lit(1.0))
+    return F.struct(
+        scale.alias("scale"),
+        F.transform(vec, lambda x: F.round(x.cast("double") / scale).cast("tinyint")).alias("q"),
+    )
+
+
+def dequantize_int8(qv: Column) -> Column:
+    """Inverse of quantize_int8: array<float> with per-element error
+    <= scale/2."""
+    return F.transform(qv["q"], lambda q: (q.cast("double") * qv["scale"]).cast("float"))

@@ -130,11 +130,20 @@ def minhash_lsh_pairs(
     k: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """MinHash + banded LSH near-dup detection: docs sharing any band
     of the signature become candidates; candidates are verified with
     exact shingle Jaccard. Scale path: the only join is on band-hash
-    buckets (bounded, tunable), never all-pairs."""
+    buckets (bounded, tunable), never all-pairs.
+
+    ``max_bucket_size`` is the 100 TB hot-bucket guard: boilerplate
+    text (licence headers, templated pages) can put 10^5+ docs in one
+    band-bucket, making that bucket's self-join quadratic. Capping
+    skips oversized buckets entirely — bounded work, with recall
+    degrading only for clusters so dense they collide in EVERY band
+    (those are exact-dup-shaped; run exact_duplicates first, as
+    ext/corpus.py does). Default None preserves exhaustive behavior."""
     rows = num_hashes // bands
     sig = minhash_signatures(docs, num_hashes, k, id_col, text_col).cache()
     banded = sig.select(
@@ -149,6 +158,14 @@ def minhash_lsh_pairs(
             ])
         ).alias("bb"),
     ).select("doc", "bb.band", "bb.bucket")
+    if max_bucket_size is not None:
+        ok_buckets = (
+            banded.groupBy("band", "bucket")
+            .agg(F.count(F.lit(1)).alias("bsz"))
+            .where(F.col("bsz") <= max_bucket_size)
+            .select("band", "bucket")
+        )
+        banded = banded.join(ok_buckets, ["band", "bucket"], "left_semi")
     cand = (
         banded.alias("x")
         .join(

@@ -222,3 +222,56 @@ def test_audio_features_and_chunking(spark):
         assert idxs == list(range(len(idxs)))  # contiguous chunk indices
         assert len(idxs) == dur[mid] // 5 + 1
         assert all(start == i * 5 for i, start in sorted(cs))
+
+
+def test_minhash_hot_bucket_cap(spark):
+    # 60 identical boilerplate docs (one hot bucket in EVERY band) +
+    # 2 genuine near-dup docs. With the cap, boilerplate pairs are
+    # skipped (bounded work) while the normal pair survives.
+    boiler = [(i, "the same licence header repeated verbatim in many files " * 3)
+              for i in range(60)]
+    near = [
+        (100, "a quick brown fox jumps over the lazy dog near the river bank today"),
+        (101, "a quick brown fox jumps over the lazy dog near the river bank tonight"),
+    ]
+    docs = spark.createDataFrame(boiler + near, "doc_id long, text string")
+    capped = D.minhash_lsh_pairs(docs, threshold=0.5, max_bucket_size=10)
+    pairs = {(r.doc_a, r.doc_b) for r in capped.collect()}
+    assert (100, 101) in pairs
+    assert not any(a < 60 and b < 60 for a, b in pairs), "hot bucket must be skipped"
+    # uncapped finds the boilerplate cluster (the contrast that proves
+    # the cap changed behavior, not the data)
+    full = {(r.doc_a, r.doc_b) for r in D.minhash_lsh_pairs(docs, threshold=0.5).collect()}
+    assert any(a < 60 and b < 60 for a, b in full)
+
+
+def test_int8_quantization_roundtrip(spark):
+    from lakehouse_file_format_compare_spark.functions.vectors import (
+        cosine,
+        dequantize_int8,
+        quantize_int8,
+    )
+
+    emb = table(spark, SF_CORRECTNESS, "embeddings").limit(200)
+    rt = emb.select(
+        "vec_id",
+        F.col("embedding").alias("orig"),
+        dequantize_int8(quantize_int8(F.col("embedding"))).alias("rt"),
+        quantize_int8(F.col("embedding")).alias("qv"),
+    )
+    checked = rt.select(
+        "vec_id",
+        cosine(F.col("orig"), F.col("rt")).alias("cos_sim"),
+        F.aggregate(
+            F.zip_with("orig", "rt", lambda a, b: F.abs(a.cast("double") - b.cast("double"))),
+            F.lit(0.0), lambda acc, v: F.greatest(acc, v),
+        ).alias("max_err"),
+        (F.col("qv.scale") / 2 + 1e-12).alias("err_bound"),
+        F.aggregate(
+            F.transform("qv.q", lambda q: F.abs(q.cast("int"))), F.lit(0), lambda acc, v: F.greatest(acc, v)
+        ).alias("max_q"),
+    ).collect()
+    for r in checked:
+        assert r["max_q"] <= 127
+        assert r["max_err"] <= r["err_bound"] * 1.0000001, (r["vec_id"], r["max_err"], r["err_bound"])
+        assert r["cos_sim"] > 0.999
