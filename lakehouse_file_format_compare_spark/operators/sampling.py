@@ -93,3 +93,30 @@ def fraction_sample(
         F.xxhash64(*[F.col(c) for c in key_cols], F.lit(seed)), F.lit(_BUCKETS)
     )
     return df.where(bucket < int(round(fraction * _BUCKETS)))
+
+
+def mixture_sample(
+    df: DataFrame,
+    source_col: str,
+    keep_fractions: dict[str, float],
+    key_cols: tuple[str, ...],
+    seed: int = 42,
+) -> DataFrame:
+    """Corpus mixing: keep a different fraction per source (e.g. keep
+    100% of books, 30% of common-crawl). Keyed Bernoulli per source —
+    zero shuffle, per-key stable, so re-running on a grown corpus
+    never flips earlier keep/drop decisions. Sources absent from
+    ``keep_fractions`` are kept whole."""
+    for name, f in keep_fractions.items():
+        if not 0.0 <= f <= 1.0:
+            raise ValueError(f"fraction for {name!r} must be in [0,1], got {f}")
+    bucket = F.pmod(
+        F.xxhash64(*[F.col(c) for c in key_cols], F.lit(seed)), F.lit(_BUCKETS)
+    )
+    thresh = None
+    for name, f in keep_fractions.items():
+        cond = F.col(source_col) == name
+        val = F.lit(int(round(f * _BUCKETS)))
+        thresh = F.when(cond, val) if thresh is None else thresh.when(cond, val)
+    thresh = thresh.otherwise(F.lit(_BUCKETS)) if thresh is not None else F.lit(_BUCKETS)
+    return df.where(bucket < thresh)

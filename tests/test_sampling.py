@@ -125,3 +125,26 @@ def test_packing_document_atomic_overflow_bound(spark):
     # every doc appears exactly once
     n_docs = packed.count()
     assert sum(r["n_docs"] for r in fills) == n_docs
+
+
+def test_mixture_sample_per_source_fractions(spark):
+    from lakehouse_file_format_compare_spark.operators.sampling import mixture_sample
+
+    docs = table(spark, SF_CORRECTNESS, "documents")
+    # downweight half the sources to 30%, keep the rest whole
+    fracs = {f"src{i}": 0.3 for i in range(10)}
+    out = mixture_sample(docs, "source", fracs, key_cols=("doc_id",))
+    before = {r["source"]: r["n"] for r in docs.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
+    after = {r["source"]: r["n"] for r in out.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert set(fracs) <= set(before), "test assumes src0..src9 exist in testdata"
+    for src, n in before.items():
+        if src not in fracs:
+            assert after.get(src, 0) == n                          # unlisted kept whole
+    down_before = sum(before[s] for s in fracs)
+    down_after = sum(after.get(s, 0) for s in fracs)
+    assert 0.2 < down_after / down_before < 0.4                    # ~30% aggregate
+    # subset stability: same keys keep their decision on a shrunk corpus
+    sub = mixture_sample(docs.where(F.col("doc_id") % 2 == 0), "source", fracs, key_cols=("doc_id",))
+    kept_full = {r["doc_id"] for r in out.select("doc_id").collect()}
+    kept_sub = {r["doc_id"] for r in sub.select("doc_id").collect()}
+    assert kept_sub == {d for d in kept_full if d % 2 == 0}
