@@ -132,3 +132,18 @@ def test_disk_partition_pruning(spark, tmp_path_factory):
     got = df.count()
     want = tt(spark, SF_SMOKE, "events").where(F.col("event_type") == "purchase").count()
     assert got == want
+
+
+def test_stratified_sample_window_group_limit(spark):
+    # the rank filter must push a Partial WindowGroupLimit below the
+    # shuffle: at scale only n rows per stratum leave the map side
+    from lakehouse_file_format_compare_spark.operators.sampling import (
+        stratified_sample,
+    )
+    from lakehouse_file_format_compare_spark.sources.testdata import table as tt
+
+    from .conftest import SF_SMOKE
+
+    df = stratified_sample(tt(spark, SF_SMOKE, "documents"), ("lang",), 5, ("doc_id",))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("WindowGroupLimit") >= 2, plan  # Partial + Final
