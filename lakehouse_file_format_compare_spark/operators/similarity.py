@@ -53,6 +53,38 @@ def knn_bruteforce(
     )
 
 
+def knn_bruteforce_int8(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-k over int8-quantized vectors: the memory-bandwidth path
+    for 100 TB vector corpora (4x smaller scan than float32). Cosine
+    is scale-invariant, so the per-vector quantization scales cancel
+    and the kernel runs directly on the tinyint arrays — no
+    dequantize step. Recall vs the float baseline is pinned in
+    tests/test_ext.py (quantization error ~1/254 per element)."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), V.quantize_int8(F.col(vec_col))["q"].alias("qq")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), V.quantize_int8(F.col(vec_col))["q"].alias("cq")
+    )
+    scored = (
+        q.crossJoin(c)
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine", grid(V.cosine(F.col("qq"), F.col("cq")), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
 def _hyperplanes(dim: int, bits: int, seed: int = 42) -> list[list[float]]:
     rng = np.random.RandomState(seed)
     return [[float(x) for x in row] for row in rng.randn(bits, dim)]

@@ -275,3 +275,14 @@ def test_int8_quantization_roundtrip(spark):
         assert r["max_q"] <= 127
         assert r["max_err"] <= r["err_bound"] * 1.0000001, (r["vec_id"], r["max_err"], r["err_bound"])
         assert r["cos_sim"] > 0.999
+
+
+def test_int8_knn_recall_vs_float(spark):
+    emb = table(spark, SF_CORRECTNESS, "embeddings")
+    queries = emb.where(F.col("vec_id") % 20 == 0)
+    K = 10
+    base = {(r.query_id, r.neighbor_id) for r in S.knn_bruteforce(queries, emb, k=K).collect()}
+    quant = {(r.query_id, r.neighbor_id) for r in S.knn_bruteforce_int8(queries, emb, k=K).collect()}
+    assert len(base) == len(quant)
+    recall = len(base & quant) / len(base)
+    assert recall >= 0.9, f"int8 recall@{K} = {recall:.3f}"
