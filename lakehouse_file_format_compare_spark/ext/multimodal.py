@@ -241,9 +241,14 @@ def chunk_audio_stub(media: DataFrame, chunk_ms: int = 30_000) -> DataFrame:
     """Audio chunking plumbing: (media_id, chunk_index, chunk_start_ms)
     rows from the stub duration — the explode pattern a real
     streaming-decode chunker would use (chunk boundaries computed from
-    header metadata, payload sliced executor-side)."""
+    header metadata, payload sliced executor-side). Chunk count is
+    ceil(duration/chunk_ms): no zero-length tail chunk when the
+    duration is an exact multiple, minimum one chunk per media row."""
     duration_ms = (F.length("content") * 1000 / (16_000 * 2)).cast("long")
-    n_chunks = F.greatest((duration_ms / chunk_ms).cast("int") + 1, F.lit(1))
+    n_chunks = F.greatest(
+        F.floor((duration_ms + chunk_ms - 1) / F.lit(chunk_ms)).cast("int"),
+        F.lit(1),
+    )
     return media.select(
         "media_id",
         F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_index"),

@@ -53,10 +53,18 @@ def pack_sequences(
     return df.withColumn("pack_id", salt * F.lit(_PACK_STRIDE) + bin_ix)
 
 
-def pack_summary(packed: DataFrame, token_col: str = "n_tokens") -> DataFrame:
+def pack_summary(
+    packed: DataFrame,
+    token_col: str = "n_tokens",
+    partition_cols: tuple[str, ...] = (),
+) -> DataFrame:
     """Per-pack roll-up: doc count + token fill (for loader manifests
-    and fill-rate monitoring)."""
-    return packed.groupBy("pack_id").agg(
+    and fill-rate monitoring). Pass the SAME ``partition_cols`` used
+    in ``pack_sequences`` — pack_id is only unique within a scope, so
+    summarizing scoped output without them silently merges packs
+    across scopes (e.g. a train pack and a val pack with the same id
+    collapse into one inflated row)."""
+    return packed.groupBy(*partition_cols, "pack_id").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(token_col).alias("pack_tokens"),
     )

@@ -27,6 +27,18 @@ from pyspark.sql import functions as F
 _BUCKETS = 10_000
 
 
+def _bucket(tag: str, key_cols: tuple[str, ...], seed: int):
+    # Domain-separated key hash: each sampler folds its own tag into
+    # the xxhash64 so composing samplers on the same key (mix → split,
+    # the normal corpus recipe) draws INDEPENDENT buckets. Without the
+    # tag, mixture_sample(keep 0.3) keeps exactly buckets 0-2999 and a
+    # subsequent hash_split would map every survivor to 'train'.
+    return F.pmod(
+        F.xxhash64(F.lit(tag), *[F.col(c) for c in key_cols], F.lit(seed)),
+        F.lit(_BUCKETS),
+    )
+
+
 def _order_hash(key_cols: tuple[str, ...]):
     # md5 of the concatenated key: portable (DuckDB md5 == Spark md5),
     # uniform enough for sampling, and a total order when tie-broken
@@ -64,13 +76,13 @@ def hash_split(
     """Add a ``split`` column assigning each row to a named split with
     the given weights (must sum to ~1). Assignment = which cumulative
     weight range the key's hash bucket falls in: stable per-key, zero
-    shuffle, and unaffected by rows added or removed elsewhere."""
+    shuffle, and unaffected by rows added or removed elsewhere. The
+    hash is domain-tagged ('split'), so it is independent of the
+    fraction_sample/mixture_sample buckets for the same key."""
     total = sum(weights.values())
     if abs(total - 1.0) > 1e-9:
         raise ValueError(f"weights must sum to 1, got {total}")
-    bucket = F.pmod(
-        F.xxhash64(*[F.col(c) for c in key_cols], F.lit(seed)), F.lit(_BUCKETS)
-    )
+    bucket = _bucket("split", key_cols, seed)
     expr = None
     cum = 0.0
     names = list(weights)
@@ -86,12 +98,12 @@ def fraction_sample(
     df: DataFrame, fraction: float, key_cols: tuple[str, ...], seed: int = 42
 ) -> DataFrame:
     """Keyed Bernoulli sample: keep rows whose key-hash bucket falls
-    under the fraction. Deterministic per key; zero shuffle."""
+    under the fraction. Deterministic per key; zero shuffle. Hash is
+    domain-tagged ('sample') — independent of hash_split for the same
+    key."""
     if not 0.0 <= fraction <= 1.0:
         raise ValueError(f"fraction must be in [0,1], got {fraction}")
-    bucket = F.pmod(
-        F.xxhash64(*[F.col(c) for c in key_cols], F.lit(seed)), F.lit(_BUCKETS)
-    )
+    bucket = _bucket("sample", key_cols, seed)
     return df.where(bucket < int(round(fraction * _BUCKETS)))
 
 
@@ -106,13 +118,13 @@ def mixture_sample(
     100% of books, 30% of common-crawl). Keyed Bernoulli per source —
     zero shuffle, per-key stable, so re-running on a grown corpus
     never flips earlier keep/drop decisions. Sources absent from
-    ``keep_fractions`` are kept whole."""
+    ``keep_fractions`` are kept whole. Hash is domain-tagged
+    ('mixture'), so mix-then-split (the standard corpus recipe) draws
+    independent buckets per stage instead of correlating."""
     for name, f in keep_fractions.items():
         if not 0.0 <= f <= 1.0:
             raise ValueError(f"fraction for {name!r} must be in [0,1], got {f}")
-    bucket = F.pmod(
-        F.xxhash64(*[F.col(c) for c in key_cols], F.lit(seed)), F.lit(_BUCKETS)
-    )
+    bucket = _bucket("mixture", key_cols, seed)
     thresh = None
     for name, f in keep_fractions.items():
         cond = F.col(source_col) == name

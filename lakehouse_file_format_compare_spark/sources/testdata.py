@@ -32,20 +32,31 @@ _EVENTS_TS_TIMESTAMP_SCHEMA = StructType(
 
 
 @functools.lru_cache(maxsize=None)
+def _events_ts_is_nanos_cached(path: str, mtime_ns: int) -> bool:
+    try:
+        import pyarrow.parquet as pq
+    except ImportError:
+        # No pyarrow → assume micros (the Spark read will fail loudly
+        # with PARQUET_TYPE_ILLEGAL if it is actually nanos, rather
+        # than us silently masking a broken probe).
+        return False
+    return getattr(pq.read_schema(path).field("ts").type, "unit", None) == "ns"
+
+
 def _events_ts_is_nanos(path: str) -> bool:
     """Probe the parquet footer for events.ts precision.
 
-    Bounded metadata-only read (one footer), cached per path. The
-    driver has shipped both nanosecond- and microsecond-precision
-    testdata across rounds; branching on the footer keeps both
-    readable without regenerating anything.
+    Bounded metadata-only read (one footer), cached per (path, mtime)
+    so a regenerated file at the same path (the driver rewrites
+    testdata between rounds) re-probes instead of serving a stale
+    answer. Only ImportError is swallowed — a genuine probe failure
+    (corrupt footer, missing column) surfaces.
     """
     try:
-        import pyarrow.parquet as pq
-
-        return getattr(pq.read_schema(path).field("ts").type, "unit", None) == "ns"
-    except Exception:
-        return False
+        mtime_ns = os.stat(path).st_mtime_ns
+    except OSError:
+        mtime_ns = -1
+    return _events_ts_is_nanos_cached(path, mtime_ns)
 
 
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

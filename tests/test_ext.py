@@ -220,7 +220,7 @@ def test_audio_features_and_chunking(spark):
     for mid, cs in per_media.items():
         idxs = sorted(i for i, _ in cs)
         assert idxs == list(range(len(idxs)))  # contiguous chunk indices
-        assert len(idxs) == dur[mid] // 5 + 1
+        assert len(idxs) == max(-(-dur[mid] // 5), 1)  # ceil, min 1
         assert all(start == i * 5 for i, start in sorted(cs))
 
 

@@ -148,3 +148,51 @@ def test_mixture_sample_per_source_fractions(spark):
     kept_full = {r["doc_id"] for r in out.select("doc_id").collect()}
     kept_sub = {r["doc_id"] for r in sub.select("doc_id").collect()}
     assert kept_sub == {d for d in kept_full if d % 2 == 0}
+
+
+def test_samplers_are_decorrelated_when_composed(spark):
+    """Mix-then-split (the standard corpus recipe) must draw
+    independent buckets per stage: without domain-separated hashes,
+    mixture_sample(0.3) keeps only buckets 0-2999 and hash_split then
+    maps EVERY survivor to 'train' (ADVICE r3)."""
+    from lakehouse_file_format_compare_spark.operators.sampling import mixture_sample
+
+    docs = table(spark, SF_CORRECTNESS, "documents")
+    sources = [r["source"] for r in docs.select("source").distinct().collect()]
+    mixed = mixture_sample(docs, "source", {s: 0.3 for s in sources}, key_cols=("doc_id",))
+    weights = {"train": 0.9, "val": 0.05, "test": 0.05}
+    split = hash_split(mixed, weights, key_cols=("doc_id",))
+    counts = {r["split"]: r["n"] for r in split.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert counts.get("val", 0) > 0 and counts.get("test", 0) > 0, counts
+    total = sum(counts.values())
+    assert counts["train"] / total < 0.97  # not everything in train
+    # fraction_sample after a split is decorrelated too
+    from lakehouse_file_format_compare_spark.operators.sampling import fraction_sample
+
+    sampled = fraction_sample(split.where(F.col("split") == "train"), 0.5, key_cols=("doc_id",))
+    n_train = counts["train"]
+    assert 0.35 * n_train < sampled.count() < 0.65 * n_train
+
+
+def test_pack_summary_scoped_by_partition_cols(spark):
+    """pack_summary must group on (*partition_cols, pack_id): scoped
+    pack ids collide across splits, and an unscoped summary would
+    silently merge a train pack with a val pack (ADVICE r3)."""
+    docs = table(spark, SF_CORRECTNESS, "documents").select(
+        "doc_id", F.col("n_chars").alias("n_tokens")
+    )
+    split = hash_split(docs, {"train": 0.5, "val": 0.5}, key_cols=("doc_id",))
+    packed = pack_sequences(split, budget=BUDGET, groups=2, partition_cols=("split",))
+    scoped = pack_summary(packed, partition_cols=("split",))
+    assert scoped.count() == packed.select("split", "pack_id").distinct().count()
+    # scoped totals preserve the doc count; per-row docs never exceed
+    # what an unscoped merge would inflate
+    assert sum(r["n_docs"] for r in scoped.collect()) == packed.count()
+    # at least one pack_id appears in both splits (the collision the
+    # scoped grouping protects against) — if not, the guard is moot
+    dup_ids = (
+        packed.select("split", "pack_id").distinct()
+        .groupBy("pack_id").agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") > 1).count()
+    )
+    assert dup_ids > 0
