@@ -30,6 +30,34 @@ from .gold import _completed_ts, contract_financials, financial_txns, monthly_ba
 GROUP_KEYS = ("ano", "mes", "contract_id")
 
 
+class AppendOnlyViolation(RuntimeError):
+    """The incremental-fold precondition (delta rows are NEW facts,
+    never updates of already-folded rows) does not hold; folding would
+    silently double-count. Callers fall back to full refresh."""
+
+
+def check_append_only(
+    delta: DataFrame, max_seen_pk: int | None, pk_col: str = "transaction_id"
+) -> None:
+    """Runtime guard for the append-only precondition.
+
+    Transaction PKs are monotone (batch-epoch-micros + i,
+    generate.py:283), so "every delta PK is unseen" reduces to
+    ``min(delta.pk) > max PK folded so far`` — one O(batch) scalar
+    aggregate, no join against history. An UPDATED row keeps its old
+    (smaller) PK while its bumped ingestion_timestamp lands it in the
+    watermark delta, so updates are exactly what this catches.
+    """
+    if max_seen_pk is None:
+        return
+    mn = delta.agg(F.min(pk_col)).collect()[0][0]
+    if mn is not None and mn <= max_seen_pk:
+        raise AppendOnlyViolation(
+            f"delta contains {pk_col} {mn} <= already-folded max {max_seen_pk}: "
+            "not append-only (updated or replayed rows); use full refresh"
+        )
+
+
 def _add(col: str) -> F.Column:
     return (F.coalesce(F.col(f"g.{col}"), F.lit(0.0)) + F.coalesce(F.col(f"d.{col}"), F.lit(0.0))).alias(col)
 

@@ -126,21 +126,46 @@ class MedallionPipeline:
         def fold(name, full_fn, fold_fn):
             """Create-or-fold one maintained table behind its own
             ingestion-timestamp watermark (kept per table so a new
-            maintained table backfills on its first cycle)."""
+            maintained table backfills on its first cycle). The fold
+            path is guarded by the append-only precondition
+            (incremental_gold.check_append_only): a delta carrying an
+            already-folded PK (i.e. an updating silver merge) falls
+            back to a full refresh instead of double-counting."""
+            import json as _json
+
             state_path = os.path.join(self.warehouse.path("gold", name, fmt), "_state.json")
             if not self.warehouse.exists("gold", name, fmt):
                 self.warehouse._commit_version(full_fn(), "gold", name, fmt, "create")
             else:
                 with open(state_path) as f:
-                    wm = f.read().strip()
+                    raw = f.read().strip()
+                try:
+                    st = _json.loads(raw)
+                    wm, max_pk = st["watermark"], st.get("max_pk")
+                except ValueError:  # pre-r4 plain-string watermark file
+                    wm, max_pk = raw, None
                 delta = txn.where(F.col("ingestion_timestamp") > F.lit(wm).cast("timestamp"))
-                existing = self.warehouse.read_table("gold", name, fmt)
-                self.warehouse._commit_version(
-                    fold_fn(existing, delta), "gold", name, fmt, "incremental_fold"
-                )
-            new_wm = txn.agg(F.max("ingestion_timestamp")).collect()[0][0]
+                try:
+                    ig.check_append_only(delta, max_pk)
+                    existing = self.warehouse.read_table("gold", name, fmt)
+                    self.warehouse._commit_version(
+                        fold_fn(existing, delta), "gold", name, fmt, "incremental_fold"
+                    )
+                except ig.AppendOnlyViolation:
+                    self.warehouse._commit_version(
+                        full_fn(), "gold", name, fmt, "full_refresh_fallback"
+                    )
+            new_wm, new_max_pk = txn.agg(
+                F.max("ingestion_timestamp"), F.max("transaction_id")
+            ).collect()[0]
             with open(state_path, "w") as f:
-                f.write(new_wm.strftime("%Y-%m-%d %H:%M:%S.%f"))
+                _json.dump(
+                    {
+                        "watermark": new_wm.strftime("%Y-%m-%d %H:%M:%S.%f"),
+                        "max_pk": new_max_pk,
+                    },
+                    f,
+                )
 
         fold(
             "monthly_balance_inc",
