@@ -12,6 +12,7 @@ correctness gate. Column aliases MUST match between the two sides
 
 from . import (
     adhoc,
+    corpus_plans,
     dedup_plans,
     ext_plans,
     fintech_plans,
@@ -26,10 +27,12 @@ from . import (
 # Order matters: the driver records the first 50 entries of the
 # aggregated dict, so oracle-bearing modules come first and the
 # registry is kept at exactly <= 50 queries (merged entries:
-# op_semi_anti_join, op_rollup_cube_revenue, fintech_gold_suite).
+# op_semi_anti_join, op_rollup_cube_revenue, fintech_gold_suite;
+# demoted to pytest-only: op_distinct_projection — swapped for
+# corpus_build_summary in r4).
 ALL_PLAN_MODULES = (
     gold, tpch, adhoc, text_plans, dedup_plans, similarity_plans, streaming_plans,
-    temporal_plans, ext_plans, fintech_plans,
+    temporal_plans, corpus_plans, ext_plans, fintech_plans,
 )
 
 

@@ -656,7 +656,10 @@ QUERIES = {
     "op_dim_join_broadcast": dim_join_broadcast,
     "op_left_join_coalesce": left_join_coalesce,
     "op_dedup_keep_latest": dedup_keep_latest,
-    "op_distinct_projection": distinct_projection,
+    # op_distinct_projection is demoted to a pytest oracle
+    # (tests/test_adhoc.py) to keep the 50-entry driver registry open
+    # for corpus_build_summary — A11 DISTINCT coverage also lives in
+    # op_set_ops.
     "op_topk_orders": topk_orders,
     "op_window_rank_per_group": window_rank_per_group,
     "op_scalar_functions": scalar_functions,
@@ -679,7 +682,6 @@ ORACLES = {
     "op_dim_join_broadcast": DIM_JOIN_BROADCAST_SQL,
     "op_left_join_coalesce": LEFT_JOIN_COALESCE_SQL,
     "op_dedup_keep_latest": DEDUP_KEEP_LATEST_SQL,
-    "op_distinct_projection": DISTINCT_PROJECTION_SQL,
     "op_topk_orders": TOPK_ORDERS_SQL,
     "op_window_rank_per_group": WINDOW_RANK_PER_GROUP_SQL,
     "op_scalar_functions": SCALAR_FUNCTIONS_SQL,

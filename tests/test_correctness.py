@@ -26,3 +26,22 @@ def test_rows_only_queries_run(spark, name):
     df = QUERIES[name](spark, SF_CORRECTNESS)
     assert df.count() >= 0
     assert len(df.schema.fields) > 0
+
+
+def test_registry_is_exactly_50(spark):
+    """The driver records only the first 50 queries() entries; a 51st
+    silently drops off the correctness artifact."""
+    assert len(QUERIES) == 50, sorted(QUERIES)
+    assert len(ORACLES) == 49
+
+
+def test_demoted_distinct_projection_oracle(spark):
+    """op_distinct_projection left the driver registry in r4 (swapped
+    for corpus_build_summary); its oracle coverage continues here."""
+    from lakehouse_file_format_compare_spark.plans.adhoc import (
+        DISTINCT_PROJECTION_SQL,
+        distinct_projection,
+    )
+
+    ok, msg = compare(spark, SF_CORRECTNESS, distinct_projection, DISTINCT_PROJECTION_SQL)
+    assert ok, msg
