@@ -4,11 +4,13 @@ Media (image/audio/video) are opaque ``binary`` columns with typed
 metadata structs; decode / feature-extraction / resize / frame-sample
 run as Arrow-batched ``mapInPandas`` stages. The Spark-side plumbing —
 schemas, batch iteration, partition sizing, UDF signatures — is real
-and tested; the actual codec calls are STUBBED (this container ships
-no image/audio libraries): ``decode_image`` raises
-``NotImplementedError`` unless ``fake=True``, in which case a
-deterministic fake decoder (content-hash-seeded dimensions) stands in
-so the distributed plumbing is exercised end-to-end.
+and tested. Image decode/resize use REAL PIL when the library is
+importable (runtime probe, ``pil_available``); this container ships
+no image/audio libraries, so the test default is the deterministic
+fake decoder (content-hash-seeded dimensions, ``fake_decode=True``)
+and calling the real path without PIL raises a clear
+``NotImplementedError``. Audio probing still requires
+soundfile/ffmpeg and remains an honest stub.
 
 Scale notes (100 TB of media): binary payloads dominate partition
 size, so ``repartition_for_media`` targets a byte budget per
@@ -72,9 +74,31 @@ def _fake_decode(content: bytes) -> tuple[int, int, int]:
     return width, height, 3
 
 
+def pil_available() -> bool:
+    """Runtime probe for a real image codec. The container this repo
+    is built in ships no PIL (re-checked r4: no network, no vendored
+    wheels), but the real path below lights up wherever PIL exists."""
+    try:
+        import PIL.Image  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
 def decode_image(content: bytes, fake: bool = False) -> tuple[int, int, int]:
+    """(width, height, channels) of an encoded image. Real PIL decode
+    when the library is present; deterministic fake with ``fake=True``
+    (the test default); otherwise a clear NotImplementedError."""
     if fake:
         return _fake_decode(content)
+    if pil_available():
+        import io
+
+        from PIL import Image
+
+        with Image.open(io.BytesIO(content)) as img:
+            return img.width, img.height, len(img.getbands())
     raise NotImplementedError(
         "real image decoding requires PIL/libvips (not in this container); "
         "pass fake=True for the deterministic test decoder"
@@ -107,9 +131,16 @@ def extract_image_features(media: DataFrame, fake_decode: bool = True) -> DataFr
                     digest = _hashlib.sha256(blob).digest()
                     width, height, channels = 64 + digest[0] % 192, 64 + digest[1] % 192, 3
                 else:
-                    raise NotImplementedError(
-                        "real image decoding requires PIL/libvips (not in this container)"
-                    )
+                    try:
+                        import io as _io
+
+                        from PIL import Image as _Image
+                    except ImportError as exc:
+                        raise NotImplementedError(
+                            "real image decoding requires PIL/libvips (absent here)"
+                        ) from exc
+                    with _Image.open(_io.BytesIO(blob)) as img:
+                        width, height, channels = img.width, img.height, len(img.getbands())
                 rows.append({
                     "media_id": media_id,
                     "n_bytes": len(blob),
@@ -177,16 +208,29 @@ def resize_images(media: DataFrame, max_side: int = 128, fake_decode: bool = Tru
                 if use_fake:
                     digest = _hashlib.sha256(blob).digest()
                     w, h = 64 + digest[0] % 192, 64 + digest[1] % 192   # decode_image()
-                    out_blob = blob                                     # img.resize(...).tobytes()
+                    scale = min(1.0, max_side / max(w, h))
+                    out_w, out_h = max(1, int(w * scale)), max(1, int(h * scale))
+                    out_blob = blob                                     # passthrough
                 else:
-                    raise NotImplementedError(
-                        "real image resize requires PIL/libvips (not in this container)"
-                    )
-                scale = min(1.0, max_side / max(w, h))
+                    try:
+                        import io as _io
+
+                        from PIL import Image as _Image
+                    except ImportError as exc:
+                        raise NotImplementedError(
+                            "real image resize requires PIL/libvips (absent here)"
+                        ) from exc
+                    with _Image.open(_io.BytesIO(blob)) as img:
+                        w, h = img.width, img.height
+                        scale = min(1.0, max_side / max(w, h))
+                        out_w, out_h = max(1, int(w * scale)), max(1, int(h * scale))
+                        buf = _io.BytesIO()
+                        img.resize((out_w, out_h)).save(buf, format=img.format or "PNG")
+                        out_blob = buf.getvalue()
                 rows.append({
                     "media_id": media_id,
-                    "width": max(1, int(w * scale)),
-                    "height": max(1, int(h * scale)),
+                    "width": out_w,
+                    "height": out_h,
                     "content": out_blob,
                 })
             yield _pd.DataFrame(rows, columns=columns)

@@ -286,3 +286,41 @@ def test_int8_knn_recall_vs_float(spark):
     assert len(base) == len(quant)
     recall = len(base & quant) / len(base)
     assert recall >= 0.9, f"int8 recall@{K} = {recall:.3f}"
+
+
+def test_decode_image_real_path_probe(spark):
+    """Real codec path: PIL-backed when importable, loud
+    NotImplementedError otherwise (never a silent fake)."""
+    import pytest
+
+    from lakehouse_file_format_compare_spark.ext.multimodal import (
+        decode_image,
+        extract_image_features,
+        pil_available,
+        resize_images,
+    )
+
+    if not pil_available():
+        with pytest.raises(NotImplementedError):
+            decode_image(b"not-an-image", fake=False)
+        return
+
+    # With PIL present: round-trip a generated PNG through decode,
+    # the mapInPandas extractor, and resize.
+    import io
+
+    from PIL import Image
+
+    buf = io.BytesIO()
+    Image.new("RGB", (200, 100)).save(buf, format="PNG")
+    png = buf.getvalue()
+    assert decode_image(png, fake=False) == (200, 100, 3)
+
+    media = spark.createDataFrame(
+        [(1, "image", bytearray(png), "mem://t/1")],
+        "media_id long, media_type string, content binary, source_uri string",
+    )
+    feats = extract_image_features(media, fake_decode=False).collect()
+    assert (feats[0]["width"], feats[0]["height"], feats[0]["channels"]) == (200, 100, 3)
+    resized = resize_images(media, max_side=50, fake_decode=False).collect()
+    assert max(resized[0]["width"], resized[0]["height"]) == 50
