@@ -114,3 +114,153 @@ def test_stream_stream_interval_join_matches_batch(spark, events_src, tmp_path_f
     want_set = sorted(set(map(tuple, want.collect())))
     assert got_set == want_set
     assert len(got_set) > 0
+
+
+SF_SCALE = "/root/testdata/sf0.1"
+N_SLICES = 20
+
+
+@pytest.fixture(scope="module")
+def sliced_events_10x(spark, tmp_path_factory):
+    """sf0.1 events (100k rows / 30 days — 10x the smoke fixtures)
+    written as N_SLICES time-ordered files so an AvailableNow drain
+    with maxFilesPerTrigger=1 replays them as ordered micro-batches
+    and the watermark actually advances between batches."""
+    from pyspark.sql import Window
+
+    src = str(tmp_path_factory.mktemp("ev_scale"))
+    ev = (
+        table(spark, SF_SCALE, "events")
+        .select("event_id", "ts", "user_id", "event_type", "value")
+        .withColumn("__rn", F.row_number().over(Window.partitionBy().orderBy("ts")))
+    )
+    n = ev.count()
+    per = -(-n // N_SLICES)
+    cached = ev.cache()
+    try:
+        for i in range(N_SLICES):
+            (
+                cached.where(
+                    (F.col("__rn") > i * per) & (F.col("__rn") <= (i + 1) * per)
+                )
+                .drop("__rn")
+                .coalesce(1)
+                .write.mode("append")
+                .parquet(src)
+            )
+    finally:
+        cached.unpersist()
+    return src, n
+
+
+def _drain_with_progress(spark, df, name, tmp_path_factory):
+    ckpt = str(tmp_path_factory.mktemp(f"ckpt_{name}"))
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    drain_available_now(q)
+    return spark.table(name), q.lastProgress
+
+
+@pytest.mark.scale
+def test_stream_dedup_state_bounded_by_watermark_10x(spark, sliced_events_10x, tmp_path_factory):
+    """VERDICT r3 #7: at 10x the smoke volume, dedup state must stay
+    bounded by the watermark horizon, not grow with total keys. 100k
+    distinct event_ids flow through; with a 30-minute horizon over a
+    30-day span the state can only hold the still-unevictable tail
+    (final slice + horizon, lagging one batch), and eviction must have
+    actually happened."""
+    src, n_total = sliced_events_10x
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    out, prog = _drain_with_progress(
+        spark,
+        dedup_stream(stream, keys=("event_id",), delay="30 minutes"),
+        "dedup_scale_out",
+        tmp_path_factory,
+    )
+    assert out.count() == n_total  # all ids unique -> nothing dropped
+    state = prog["stateOperators"][0]
+    per_slice = -(-n_total // N_SLICES)
+    # lastProgress reports the FINAL micro-batch: state must have
+    # shrunk to at most the still-unevictable tail (measured ~130 rows
+    # for the 30-minute horizon — vs the ~n_total rows an unbounded
+    # dropDuplicates would hold), with eviction active in that batch.
+    assert 0 < state["numRowsTotal"] <= per_slice, state
+    assert state["numRowsTotal"] < n_total // 100
+    assert state["numRowsRemoved"] > 0, state
+
+
+@pytest.mark.scale
+def test_stream_interval_join_state_bounded_10x(spark, sliced_events_10x, tmp_path_factory):
+    """Stream-stream interval join at 10x: state on both sides is
+    evicted as the watermark passes the interval upper bound."""
+    src, n_total = sliced_events_10x
+    sub = "user_id % 7 = 0"
+    left = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+        .where(sub)
+        .where("event_type = 'purchase'")
+    )
+    right = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+        .where(sub)
+        .where("event_type = 'click'")
+        .select(
+            F.col("event_id").alias("r_event_id"),
+            F.col("ts").alias("r_ts"),
+            F.col("user_id").alias("r_user_id"),
+        )
+    )
+    joined = interval_join(
+        left.withColumnRenamed("user_id", "k").withColumn("key", F.col("k")).drop("k"),
+        right.withColumnRenamed("r_user_id", "key"),
+        key="key",
+        left_ts="ts",
+        right_ts="r_ts",
+        lower_sec=0,
+        upper_sec=900,
+        delay="30 minutes",
+    )
+    out, prog = _drain_with_progress(spark, joined, "ij_scale_out", tmp_path_factory)
+
+    # batch equivalence at full 10x volume
+    batch = spark.read.parquet(src).where(sub)
+    bl = batch.where("event_type = 'purchase'")
+    br = (
+        batch.where("event_type = 'click'")
+        .select(
+            F.col("event_id").alias("r_event_id"),
+            F.col("ts").alias("r_ts"),
+            F.col("user_id").alias("key"),
+        )
+    )
+    want = (
+        bl.withColumnRenamed("user_id", "key")
+        .join(br, "key")
+        .where(
+            (F.col("r_ts") >= F.col("ts"))
+            & (F.col("r_ts") <= F.col("ts") + F.expr("INTERVAL 900 SECONDS"))
+        )
+        .count()
+    )
+    assert out.count() == want
+
+    state = prog["stateOperators"][0]
+    total_stream_rows = batch.where(
+        "event_type = 'purchase' or event_type = 'click'"
+    ).count()
+    assert 0 < state["numRowsTotal"] < total_stream_rows // 2, state
+    assert state["numRowsRemoved"] > 0, state
