@@ -9,8 +9,10 @@ importable (runtime probe, ``pil_available``); this container ships
 no image/audio libraries, so the test default is the deterministic
 fake decoder (content-hash-seeded dimensions, ``fake_decode=True``)
 and calling the real path without PIL raises a clear
-``NotImplementedError``. Audio probing still requires
-soundfile/ffmpeg and remains an honest stub.
+``NotImplementedError``. Audio probing is REAL for WAV/PCM payloads
+(stdlib ``wave`` header parse — works here, tested on generated
+PCM16 files); compressed formats (mp3/ogg/flac) still need
+soundfile/ffmpeg and raise until those exist.
 
 Scale notes (100 TB of media): binary payloads dominate partition
 size, so ``repartition_for_media`` targets a byte budget per
@@ -248,15 +250,37 @@ AUDIO_FEATURES_SCHEMA = StructType([
 ])
 
 
+def probe_wav(blob: bytes) -> tuple[int, int, int]:
+    """REAL audio header probe for WAV/PCM: (duration_ms, sample_rate,
+    n_channels) via the stdlib ``wave`` reader — no external codec
+    needed. Raises ``NotImplementedError`` for non-RIFF payloads
+    (mp3/ogg/flac need soundfile/ffmpeg, absent in this container)."""
+    import io
+    import wave
+
+    if blob[:4] != b"RIFF":
+        raise NotImplementedError(
+            "real probing of non-WAV audio requires soundfile/ffmpeg (absent here)"
+        )
+    with wave.open(io.BytesIO(blob)) as w:
+        rate = w.getframerate()
+        return w.getnframes() * 1000 // rate, rate, w.getnchannels()
+
+
 def extract_audio_features(media: DataFrame, fake_decode: bool = True) -> DataFrame:
     """Audio analog of extract_image_features: mapInPandas header
-    probe. Fake path: 16 kHz mono PCM16 assumption → duration from
-    byte length (deterministic, so tests pin exact values)."""
+    probe. Real path parses WAV/RIFF headers with the stdlib ``wave``
+    module (works in this container — tested on generated PCM16 WAVs);
+    non-WAV formats raise until soundfile/ffmpeg exist. Fake path:
+    16 kHz mono PCM16 assumption → duration from byte length
+    (deterministic, so tests pin exact values)."""
     use_fake = fake_decode
     columns = [f.name for f in AUDIO_FEATURES_SCHEMA.fields]
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib as _hashlib
+        import io as _io
+        import wave as _wave
 
         import pandas as _pd
 
@@ -264,17 +288,25 @@ def extract_audio_features(media: DataFrame, fake_decode: bool = True) -> DataFr
             rows = []
             for media_id, content in zip(pdf["media_id"], pdf["content"]):
                 blob = bytes(content) if content is not None else b""
-                if not use_fake:
+                if use_fake:
+                    duration_ms = len(blob) * 1000 // (16_000 * 2)
+                    rate, channels = 16_000, 1
+                elif blob[:4] == b"RIFF":
+                    with _wave.open(_io.BytesIO(blob)) as w:
+                        rate = w.getframerate()
+                        channels = w.getnchannels()
+                        duration_ms = w.getnframes() * 1000 // rate
+                else:
                     raise NotImplementedError(
-                        "real audio probing requires soundfile/ffmpeg (not in this container)"
+                        "real probing of non-WAV audio requires soundfile/ffmpeg (absent here)"
                     )
                 rows.append({
                     "media_id": media_id,
                     "n_bytes": len(blob),
                     "content_sha256": _hashlib.sha256(blob).hexdigest(),
-                    "duration_ms": len(blob) * 1000 // (16_000 * 2),    # sf.info(blob)
-                    "sample_rate": 16_000,
-                    "n_channels": 1,
+                    "duration_ms": duration_ms,
+                    "sample_rate": rate,
+                    "n_channels": channels,
                 })
             yield _pd.DataFrame(rows, columns=columns)
 

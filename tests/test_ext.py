@@ -324,3 +324,50 @@ def test_decode_image_real_path_probe(spark):
     assert (feats[0]["width"], feats[0]["height"], feats[0]["channels"]) == (200, 100, 3)
     resized = resize_images(media, max_side=50, fake_decode=False).collect()
     assert max(resized[0]["width"], resized[0]["height"]) == 50
+
+
+def test_audio_real_wav_probe(spark):
+    """Real (non-fake) audio path: stdlib wave parses genuine PCM16
+    RIFF payloads — duration/rate/channels come from the header, not
+    the fake formula; non-RIFF bytes raise loudly."""
+    import io
+    import struct
+    import wave
+
+    import pytest
+
+    from lakehouse_file_format_compare_spark.ext.multimodal import (
+        extract_audio_features,
+        probe_wav,
+    )
+
+    def make_wav(rate, channels, n_frames):
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(channels)
+            w.setsampwidth(2)
+            w.setframerate(rate)
+            w.writeframes(struct.pack(
+                f"<{n_frames * channels}h",
+                *((i % 30000) - 15000 for i in range(n_frames * channels)),
+            ))
+        return buf.getvalue()
+
+    cases = [(1, 8000, 1, 4000), (2, 44100, 2, 22050), (3, 16000, 1, 16000)]
+    media = spark.createDataFrame(
+        [(mid, "audio", bytearray(make_wav(r, c, n)), f"mem://wav/{mid}")
+         for mid, r, c, n in cases],
+        "media_id long, media_type string, content binary, source_uri string",
+    )
+    feats = {r["media_id"]: r for r in
+             extract_audio_features(media, fake_decode=False).collect()}
+    for mid, rate, channels, n_frames in cases:
+        r = feats[mid]
+        assert r["sample_rate"] == rate
+        assert r["n_channels"] == channels
+        assert r["duration_ms"] == n_frames * 1000 // rate
+    # driver-side probe agrees with the distributed path
+    blob = make_wav(8000, 1, 4000)
+    assert probe_wav(blob) == (500, 8000, 1)
+    with pytest.raises(NotImplementedError):
+        probe_wav(b"\xffID3 not riff")
