@@ -38,6 +38,10 @@ class CorpusConfig:
     max_chars: int = 100_000
     min_quality: float = 0.35
     languages: tuple[str, ...] = ()          # empty = keep all
+    # None = PII gate off (the default keeps the driver-visible
+    # corpus_build_summary oracle purely length+quality); set a
+    # hits-per-1000-chars ceiling to drop PII-dense documents
+    max_pii_per_kchar: float | None = None
     jaccard_threshold: float = 0.5
     pack_budget_tokens: int = 512
     pack_groups: int = 8
@@ -56,6 +60,10 @@ def quality_gate(docs: DataFrame, cfg: CorpusConfig) -> DataFrame:
     )
     if cfg.languages:
         out = out.where(T.lang_id(txt).isin(*cfg.languages))
+    if cfg.max_pii_per_kchar is not None:
+        from ..functions.pii import pii_score
+
+        out = out.where(pii_score(txt) <= cfg.max_pii_per_kchar)
     return out
 
 
