@@ -263,13 +263,83 @@ def embedding_near_dup_pairs(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs (brute force). O(n²) distance
-    evaluations — correct baseline and verifier; use the LSH-bucketed
-    variant in operators/similarity.py at scale."""
+    evaluations — correct baseline and verifier; use
+    ``embedding_near_dup_lsh`` below at scale."""
     a = embeddings.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
     b = embeddings.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
     return (
         a.crossJoin(b)
         .where(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", grid(V.cosine(F.col("va"), F.col("vb")), 6))
+        .where(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
+def embedding_near_dup_lsh(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    bits: int = 8,
+    tables: int = 6,
+    dim: int = 64,
+    seed: int = 42,
+    max_bucket_size: int | None = 2000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Scale path for embedding near-dup: multi-table random-hyperplane
+    LSH bucketing -> exact-cosine verification of candidates.
+
+    Verified-candidate design (same contract as minhash_lsh_pairs):
+    output is always a SUBSET of the brute-force pair set — every
+    candidate is re-scored with exact cosine before emission, so
+    precision is 1.0 and only recall is probabilistic:
+    recall ≈ 1-(1-(1-θ/π)^bits)^tables, θ = acos(threshold). At the
+    operator's designed regime (near-duplicates, cos ≥ 0.95, θ ≤ 18°)
+    that is ≥ 0.95 with the defaults; the contract is pinned against
+    brute force in tests/test_embedding_neardup.py.
+
+    Cost: signatures are one Arrow matmul per batch
+    (similarity._all_signatures_pandas); pairing is a self-join on
+    (table, signature) buckets — Σ bucket² work, never C(n,2); the
+    candidate set is deduplicated across tables BEFORE vectors are
+    re-joined, so each surviving pair is scored once. Hot buckets
+    (e.g. zero-vector clusters) are optionally capped like the MinHash
+    path: buckets above ``max_bucket_size`` are dropped (bounded work,
+    documented recall loss on degenerate clusters).
+    """
+    from .similarity import _all_signatures_pandas, _hyperplanes
+
+    all_planes: list[list[float]] = []
+    for t in range(tables):
+        all_planes.extend(_hyperplanes(dim, bits, seed + 7919 * t))
+    sig_udf = _all_signatures_pandas(all_planes, bits)
+
+    ids = embeddings.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("vec"))
+    buckets = (
+        ids.withColumn("sigs", sig_udf(F.col("vec")))
+        .select("vid", F.posexplode("sigs").alias("t", "sig"))
+    )
+    if max_bucket_size is not None:
+        counts = buckets.groupBy("t", "sig").agg(F.count(F.lit(1)).alias("__n"))
+        buckets = (
+            buckets.join(counts, ["t", "sig"])
+            .where(F.col("__n") <= max_bucket_size)
+            .drop("__n")
+        )
+    a = buckets.select("t", "sig", F.col("vid").alias("id_a"))
+    b = buckets.select("t", "sig", F.col("vid").alias("id_b"))
+    cand = (
+        a.join(b, ["t", "sig"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    va = ids.select(F.col("vid").alias("id_a"), F.col("vec").alias("va"))
+    vb = ids.select(F.col("vid").alias("id_b"), F.col("vec").alias("vb"))
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
         .withColumn("cosine", grid(V.cosine(F.col("va"), F.col("vb")), 6))
         .where(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")

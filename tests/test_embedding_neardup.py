@@ -118,3 +118,78 @@ def test_injected_pairs_duckdb_oracle(spark, neardup_fixture):
     for (sa, sb, sc), (da, db, dc) in zip(spark_rows, duck_rows):
         assert (sa, sb) == (da, db)
         assert abs(sc - dc) < 1e-9
+
+
+def test_lsh_near_dup_subset_and_recall(spark, neardup_fixture):
+    """Scale path (embedding_near_dup_lsh): verified-candidate subset
+    of brute force (precision 1.0) with near-total recall at the
+    designed near-duplicate regime (injected pairs have cos ≈ 1)."""
+    from lakehouse_file_format_compare_spark.operators.dedup import (
+        embedding_near_dup_lsh,
+    )
+
+    path, expected = neardup_fixture
+    emb = spark.read.parquet(path)
+    brute = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in embedding_near_dup_pairs(emb, threshold=FIXTURE_THRESHOLD).collect()
+    }
+    lsh = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in embedding_near_dup_lsh(emb, threshold=FIXTURE_THRESHOLD).collect()
+    }
+    assert set(lsh) <= set(brute)                       # precision == 1.0
+    assert len(lsh) >= 0.9 * len(brute) > 0             # recall at cos≈1
+    for pair, cos in lsh.items():
+        assert cos == brute[pair]                       # identical exact scores
+
+
+def test_lsh_near_dup_plan_has_no_cartesian(spark, neardup_fixture):
+    """The LSH path must never degenerate to an all-pairs plan."""
+    from lakehouse_file_format_compare_spark.operators.dedup import (
+        embedding_near_dup_lsh,
+    )
+
+    path, _ = neardup_fixture
+    emb = spark.read.parquet(path)
+    plan = (
+        embedding_near_dup_lsh(emb, threshold=FIXTURE_THRESHOLD)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_lsh_near_dup_hot_bucket_cap(spark):
+    """Degenerate clusters (many identical vectors -> one hot bucket
+    in every table) are dropped by the cap, while a genuine near-dup
+    pair in a small bucket survives."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from lakehouse_file_format_compare_spark.operators.dedup import (
+        embedding_near_dup_lsh,
+    )
+
+    base = [0.5] * 64
+    near = [0.5] * 63 + [0.51]
+    other = [(-1.0) ** i * (1.0 + i % 7) for i in range(64)]
+    other_near = list(other)
+    other_near[0] += 0.01
+    vecs = [base] * 40 + [other, other_near]
+    ids = list(range(40)) + [100, 101]
+    import tempfile, os
+    path = os.path.join(tempfile.mkdtemp(), "emb.parquet")
+    pq.write_table(
+        pa.table({
+            "vec_id": pa.array(ids, type=pa.int64()),
+            "embedding": pa.array([list(map(float, v)) for v in vecs],
+                                  type=pa.list_(pa.float32())),
+        }),
+        path,
+    )
+    emb = spark.read.parquet(path)
+    capped = embedding_near_dup_lsh(emb, threshold=0.95, max_bucket_size=10)
+    pairs = {(r["id_a"], r["id_b"]) for r in capped.collect()}
+    assert (100, 101) in pairs                      # small bucket survives
+    assert not any(a < 40 and b < 40 for a, b in pairs)  # hot cluster dropped
