@@ -1,0 +1,138 @@
+"""BM25 / TF-IDF (operators/ranking.py): exact DuckDB oracle on the
+documents table (same tokenization + double math, 1e-6 grid), plus
+hand-checkable values on a tiny fixture and a plan-shape pin
+(term-stats joins must broadcast; no cartesian on the corpus side)."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from lakehouse_file_format_compare_spark.operators.ranking import (
+    bm25_scores,
+    tfidf_scores,
+)
+from lakehouse_file_format_compare_spark.sources.testdata import table
+
+from .conftest import SF_CORRECTNESS
+
+TERMS = ["data", "system", "the"]
+K1, B = 1.2, 0.75
+
+
+def _bm25_sql(path: str, terms: list[str], k1: float, b: float) -> str:
+    tl = ", ".join(f"'{t}'" for t in terms)
+    return f"""
+WITH toks AS (
+    SELECT doc_id,
+           list_filter(string_split_regex(lower(trim(text)), '\\s+'), t -> length(t) > 0) AS t
+    FROM read_parquet('{path}')
+), dt AS (
+    SELECT doc_id, len(t) AS doc_len, unnest(t) AS term FROM toks
+), tf AS (
+    SELECT doc_id, doc_len, term, COUNT(*) AS tf FROM dt GROUP BY ALL
+), corpus AS (
+    SELECT COUNT(DISTINCT doc_id) AS n_docs,
+           SUM(tf) / COUNT(DISTINCT doc_id) AS avg_len
+    FROM tf
+), dfs AS (
+    SELECT term, COUNT(DISTINCT doc_id) AS df FROM tf
+    WHERE term IN ({tl}) GROUP BY term
+)
+SELECT tf.doc_id,
+       FLOOR(SUM(
+           ln(1.0 + (c.n_docs - dfs.df + 0.5) / (dfs.df + 0.5))
+           * tf.tf * ({k1} + 1)
+           / (tf.tf + {k1} * (1 - {b} + {b} * tf.doc_len / c.avg_len))
+       ) * 1000000 + 0.5) / 1000000 AS bm25,
+       COUNT(*) AS n_terms_matched
+FROM tf JOIN dfs USING (term) CROSS JOIN corpus c
+WHERE tf.term IN ({tl})
+GROUP BY tf.doc_id
+"""
+
+
+def test_bm25_oracle_on_documents(spark):
+    import os
+
+    path = os.path.join(SF_CORRECTNESS, "documents.parquet")
+    got = sorted(
+        map(tuple, bm25_scores(table(spark, SF_CORRECTNESS, "documents"),
+                               TERMS, k1=K1, b=B).collect())
+    )
+    assert len(got) > 0  # terms chosen to hit the synthetic corpus
+    con = duckdb.connect()
+    want = sorted(map(tuple, con.execute(_bm25_sql(path, TERMS, K1, B)).fetchall()))
+    con.close()
+    assert len(got) == len(want)
+    for (gd, gs, gn), (wd, ws, wn) in zip(got, want):
+        assert (gd, gn) == (wd, wn)
+        assert gs == pytest.approx(ws, abs=2e-6)
+
+
+def test_bm25_hand_values(spark):
+    docs = spark.createDataFrame(
+        [(1, "apple banana apple"), (2, "banana cherry"), (3, "durian")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in bm25_scores(docs, ["apple"], k1=K1, b=B).collect()}
+    assert set(rows) == {1}                 # only doc 1 matches
+    import math
+
+    idf = math.log(1 + (3 - 1 + 0.5) / (1 + 0.5))
+    tfn = 2 * (K1 + 1) / (2 + K1 * (1 - B + B * 3 / 2))  # tf=2, len=3, avg=2
+    assert rows[1]["bm25"] == pytest.approx(idf * tfn, abs=2e-6)
+    assert rows[1]["n_terms_matched"] == 1
+
+    # two-term query ranks the doc containing both terms first
+    scored = {r["doc_id"]: r["bm25"]
+              for r in bm25_scores(docs, ["banana", "cherry"], k1=K1, b=B).collect()}
+    assert scored[2] > scored[1]
+
+
+def test_tfidf_matches_duckdb(spark):
+    import os
+
+    path = os.path.join(SF_CORRECTNESS, "documents.parquet")
+    tl = ", ".join(f"'{t}'" for t in TERMS)
+    sql = f"""
+WITH toks AS (
+    SELECT doc_id,
+           list_filter(string_split_regex(lower(trim(text)), '\\s+'), t -> length(t) > 0) AS t
+    FROM read_parquet('{path}')
+), dt AS (
+    SELECT doc_id, unnest(t) AS term FROM toks
+), tf AS (
+    SELECT doc_id, term, COUNT(*) AS tf FROM dt GROUP BY ALL
+), n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM tf),
+dfs AS (
+    SELECT term, COUNT(DISTINCT doc_id) AS df FROM tf
+    WHERE term IN ({tl}) GROUP BY term
+)
+SELECT tf.doc_id,
+       FLOOR(SUM(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / dfs.df)) * 1000000 + 0.5) / 1000000 AS tfidf
+FROM tf JOIN dfs USING (term) CROSS JOIN n
+WHERE tf.term IN ({tl})
+GROUP BY tf.doc_id
+"""
+    got = sorted(map(tuple, tfidf_scores(
+        table(spark, SF_CORRECTNESS, "documents"), TERMS).collect()))
+    con = duckdb.connect()
+    want = sorted(map(tuple, con.execute(sql).fetchall()))
+    con.close()
+    assert len(got) == len(want) > 0
+    for (gd, gs), (wd, ws) in zip(got, want):
+        assert gd == wd
+        assert gs == pytest.approx(ws, abs=2e-6)
+
+
+def test_bm25_plan_broadcasts_term_stats(spark):
+    docs = table(spark, SF_CORRECTNESS, "documents")
+    plan = (
+        bm25_scores(docs, TERMS)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+    # corpus-side scan stays single: no join shuffles the full corpus
+    assert plan.count("SortMergeJoin") == 0
