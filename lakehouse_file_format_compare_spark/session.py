@@ -67,6 +67,12 @@ def build_session(
         "spark.sql.adaptive.skewJoin.enabled": "true",
         "spark.sql.execution.arrow.pyspark.enabled": "true",
         "spark.sql.parquet.compression.codec": "snappy",
+        # Spark's default INT96 parquet timestamps carry NO column
+        # statistics, silently defeating row-group min/max pruning on
+        # event-time predicates — at 100 TB that turns every
+        # time-range query into a full scan. INT64 micros restores
+        # stats (and matches DuckDB/pyarrow interop).
+        "spark.sql.parquet.outputTimestampType": "TIMESTAMP_MICROS",
         # 128 MB target files, mirroring write.target-file-size-bytes
         # (dags/2_bronze_to_silver.py:247)
         "spark.sql.files.maxPartitionBytes": "134217728",
@@ -92,4 +98,7 @@ def apply_runtime_defaults(spark: SparkSession) -> SparkSession:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    # INT64-micros timestamps keep parquet min/max stats (INT96 has
+    # none -> no row-group pruning on event time); runtime-settable
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
     return spark

@@ -436,6 +436,33 @@ class Warehouse:
         self._commit_version(df, layer, name, fmt, op="compact")
         return n_files
 
+    def cluster_by(
+        self, layer: str, name: str, cols: Sequence[str],
+        fmt: str = "parquet", n_files: int = 8,
+    ) -> int:
+        """Rewrite the current snapshot range-clustered on ``cols``
+        (repartitionByRange + sortWithinPartitions) — the maintenance
+        op behind Delta OPTIMIZE ZORDER / Iceberg sort orders, in its
+        1-D form. Range partitioning makes per-file min/max intervals
+        on the leading column pairwise disjoint, so format-level
+        statistics (parquet row-group min/max, ORC stripe stats) prune
+        point/range predicates to ~1 file instead of all of them —
+        data skipping is a LAYOUT property, free at read time once
+        paid at write time. At 100 TB this is the difference between
+        a timestamp-range query scanning one clustered file span and
+        scanning the whole fact table. Committed as a new snapshot
+        version (``op='cluster'``); time travel to the unclustered
+        layout still works. Returns the new version number."""
+        manifest = self._read_manifest(layer, name, fmt)
+        if not manifest:
+            raise ValueError(f"{layer}/{name}_{fmt} is not a versioned table")
+        current_dir = os.path.join(self.path(layer, name, fmt), f"v{manifest['current']}")
+        df = self.spark.read.format(fmt).load(current_dir)
+        out = df.repartitionByRange(n_files, *[F.col(c) for c in cols]).sortWithinPartitions(
+            *[F.col(c) for c in cols]
+        )
+        return self._commit_version(out, layer, name, fmt, op="cluster")
+
 
 def _next_version(manifest: dict) -> int:
     """Next snapshot number = max REAL snapshot + 1 (never current+1):

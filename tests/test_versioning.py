@@ -251,3 +251,64 @@ def test_time_travel_to_vacuumed_version_named_error(spark, wh):
         wh.read_table("silver", "tv", version=1)
     # retained snapshots still fine
     assert wh.read_table("silver", "tv").count() == 5
+
+
+def test_cluster_by_produces_disjoint_file_ranges(spark, wh):
+    """cluster_by must turn overlapping per-file min/max intervals on
+    the clustering column into pairwise-disjoint ones (the layout
+    property parquet row-group pruning skips on), preserve content,
+    and keep the unclustered snapshot time-travelable."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    # deliberately scatter ts across files: round-robin partitioning
+    # of a shuffled id order -> every file spans ~the whole ts range
+    from lakehouse_file_format_compare_spark.sources.testdata import table
+
+    ev = (
+        table(spark, "/root/testdata/sf0.01", "events")
+        .select("event_id", "ts", "user_id", "value")
+        .repartition(8, F.col("event_id") % 8)
+    )
+    wh.write_table(ev, "silver", "ev_cluster")
+    wh.merge_table(ev, "silver", "ev_clustered", keys=["event_id"])  # v1 snapshot
+    root = wh.path("silver", "ev_clustered", "parquet")
+
+    def file_ranges(version):
+        ranges = []
+        for f in sorted(glob.glob(os.path.join(root, f"v{version}", "part-*.parquet"))):
+            md = pq.read_metadata(f)
+            mins, maxs = [], []
+            for rg in range(md.num_row_groups):
+                col = next(
+                    md.row_group(rg).column(i)
+                    for i in range(md.row_group(rg).num_columns)
+                    if md.row_group(rg).column(i).path_in_schema == "ts"
+                )
+                mins.append(col.statistics.min)
+                maxs.append(col.statistics.max)
+            if mins:
+                ranges.append((min(mins), max(maxs)))
+        return ranges
+
+    before = sorted(map(tuple, wh.read_table("silver", "ev_clustered").collect()))
+    v2 = wh.cluster_by("silver", "ev_clustered", ["ts"], n_files=6)
+    assert v2 == 2
+
+    r1 = sorted(file_ranges(1))
+    r2 = sorted(file_ranges(2))
+    assert len(r1) > 1 and len(r2) > 1
+
+    def overlaps(rs):
+        return sum(1 for (a, b) in zip(rs, rs[1:]) if a[1] > b[0])
+
+    assert overlaps(r1) > 0          # scattered layout: ranges overlap
+    assert overlaps(r2) == 0         # clustered: pairwise disjoint
+
+    after = sorted(map(tuple, wh.read_table("silver", "ev_clustered").collect()))
+    assert after == before           # content identical
+    assert wh.read_table("silver", "ev_clustered", version=1).count() == len(before)
+    assert wh.history("silver", "ev_clustered")[-1]["op"] == "cluster"
