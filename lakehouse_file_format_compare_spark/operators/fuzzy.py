@@ -16,7 +16,12 @@ Two paths, the house pattern for approximate-by-blocking operators:
   L-1-2k > 0 bigrams when L > 2k+1. Below that length the blocked
   path may miss pairs — callers with very short keys use the
   baseline (tiny anyway at those lengths). Cost ∝ Σ bucket² over
-  bigram buckets, never |L|x|R|.
+  bigram buckets — which DEGENERATES to |L|x|R| on shared-prefix
+  corpora (every 'Customer#00…' shares every prefix bigram); use
+  ``edit_distance_pairs_passjoin`` there.
+- ``edit_distance_pairs_passjoin``: segment blocking (PassJoin),
+  exact at every length, and bucket sizes track the DISTINGUISHING
+  substrings — the right default at scale.
 
 Both sides lowercase before comparison (matching the dedup family's
 normalization). The bigram explode is bounded: L-1 rows per string.
@@ -108,3 +113,126 @@ def edit_distance_pairs_blocked(
         .where(F.col("distance") <= max_distance)
         .select("id_a", "id_b", "distance")
     )
+
+
+def _passjoin_layouts(lengths: list[int], k: int) -> list[tuple[int, int, int, int]]:
+    """PassJoin segment layouts: for each left-string length l, the
+    k+1 (segment_idx, start, seg_len) partitions (Li/Deng/Feng 2011).
+    l = q(k+1) + r -> r segments of length q+1 first, then k+1-r of
+    length q. Returns rows (l, seg_idx, start_1based, seg_len)."""
+    rows = []
+    for ln in lengths:
+        q, r = divmod(ln, k + 1)
+        start = 1
+        for i in range(k + 1):
+            seg_len = q + 1 if i < r else q
+            if seg_len <= 0:
+                continue
+            rows.append((ln, i, start, seg_len))
+            start += seg_len
+    return rows
+
+
+def edit_distance_pairs_passjoin(
+    left: DataFrame,
+    right: DataFrame,
+    left_id: str = "id_a",
+    left_col: str = "name",
+    right_id: str = "id_b",
+    right_col: str = "name",
+    max_distance: int = 2,
+) -> DataFrame:
+    """Scale path for edit-distance joins that stays sub-quadratic on
+    SHARED-PREFIX corpora, where bigram blocking degenerates (every
+    'Customer#00…' name shares every prefix bigram, so bigram buckets
+    hold the whole table and Σ bucket² = |L|·|R|).
+
+    PassJoin pigeonhole: split each left string into k+1 disjoint
+    segments; any right string within edit distance k must contain at
+    least one segment VERBATIM, shifted by at most k positions. So:
+    block on (left_length, segment_idx, segment_text) where the right
+    side enumerates its substrings at the compatible positions — for
+    uniform-prefix corpora the distinguishing digit tail lands in its
+    own segment and bucket sizes track suffix diversity, not corpus
+    size. Exact: recall 1.0 for ALL lengths (no length floor, unlike
+    the bigram block) and precision 1.0 via levenshtein re-verify.
+
+    The segment-layout dimension is built driver-side from the
+    DISTINCT LEFT STRING LENGTHS (one bounded collect — at most
+    max-length rows, the same bounded-metadata class as the IVF
+    training sample) and broadcast. Right-side enumeration is
+    ≤ (2k+1)·(k+1) substrings per row — a constant-factor explode,
+    never |L|·|R|.
+    """
+    k = max_distance
+    a = left.select(F.col(left_id).alias("id_a"), _norm(F.col(left_col)).alias("sa"))
+    b = right.select(F.col(right_id).alias("id_b"), _norm(F.col(right_col)).alias("sb"))
+
+    # Pigeonhole needs k+1 NON-EMPTY segments, so strings of length
+    # <= k can have every segment touched by an edit — route them
+    # through a direct short×short join instead (left len <= k can
+    # only match right len <= 2k; both sides are the tiny-length
+    # sliver of the data, so this stays bounded).
+    short_pairs = (
+        a.where(F.length("sa") <= k)
+        .join(b.where(F.length("sb") <= 2 * k), F.lit(True))
+        .withColumn("distance", F.levenshtein(F.col("sa"), F.col("sb")))
+        .where(F.col("distance") <= k)
+        .select("id_a", "id_b", "distance")
+    )
+    a = a.where(F.length("sa") > k)
+
+    lengths = [
+        r["l"] for r in a.select(F.length("sa").alias("l")).distinct().collect()
+    ]
+    if not lengths:
+        return short_pairs
+    layouts = _passjoin_layouts(lengths, k)
+    spark = left.sparkSession
+    layout_df = spark.createDataFrame(
+        layouts, "l int, seg_idx int, start int, seg_len int"
+    )
+
+    ea = (
+        a.withColumn("l", F.length("sa"))
+        .join(F.broadcast(layout_df), "l")
+        .select(
+            "id_a", "sa", "l", "seg_idx",
+            F.col("sa").substr(F.col("start"), F.col("seg_len")).alias("seg_text"),
+        )
+    )
+    # right side: for each compatible left length l and segment, try
+    # every start within ±k of the segment's nominal position
+    eb = (
+        b.withColumn("m", F.length("sb"))
+        .join(
+            F.broadcast(layout_df),
+            (F.col("l") >= F.col("m") - k) & (F.col("l") <= F.col("m") + k),
+        )
+        .select(
+            "id_b", "sb", "l", "seg_idx", "seg_len",
+            F.explode(
+                F.sequence(
+                    F.greatest(F.col("start") - k, F.lit(1)),
+                    F.least(F.col("start") + k, F.col("m") - F.col("seg_len") + 1),
+                )
+            ).alias("p"),
+        )
+        .where(F.col("p") >= 1)
+        .select(
+            "id_b", "sb", "l", "seg_idx",
+            F.col("sb").substr(F.col("p"), F.col("seg_len")).alias("seg_text"),
+        )
+        .distinct()
+    )
+    cand = (
+        ea.join(eb, ["l", "seg_idx", "seg_text"])
+        .select("id_a", "sa", "id_b", "sb")
+        .distinct()
+    )
+    long_pairs = (
+        cand.withColumn("distance", F.levenshtein(F.col("sa"), F.col("sb")))
+        .where(F.col("distance") <= k)
+        .select("id_a", "id_b", "distance")
+    )
+    return long_pairs.unionByName(short_pairs)

@@ -95,3 +95,51 @@ def test_blocked_plan_no_cartesian(spark, names_df):
     )
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_passjoin_equals_exact_on_fixture(spark, names_df):
+    from lakehouse_file_format_compare_spark.operators.fuzzy import (
+        edit_distance_pairs_passjoin,
+    )
+
+    exact = sorted(map(tuple, edit_distance_pairs(
+        names_df, names_df, "id", "name", "id", "name", max_distance=2).collect()))
+    pj = sorted(map(tuple, edit_distance_pairs_passjoin(
+        names_df, names_df, "id", "name", "id", "name", max_distance=2).collect()))
+    assert pj == exact
+
+
+def test_passjoin_exact_on_shared_prefix_corpus(spark):
+    """The regime where bigram blocking degenerates (uniform
+    'Customer#…' prefixes): PassJoin must still equal brute force —
+    its buckets key on the distinguishing digit-tail segments."""
+    from lakehouse_file_format_compare_spark.operators.fuzzy import (
+        edit_distance_pairs_passjoin,
+    )
+
+    cust = table(spark, SF_CORRECTNESS, "customer").select("c_custkey", "c_name").limit(500)
+    exact = sorted(map(tuple, edit_distance_pairs(
+        cust, cust, "c_custkey", "c_name", "c_custkey", "c_name", max_distance=2
+    ).collect()))
+    pj = sorted(map(tuple, edit_distance_pairs_passjoin(
+        cust, cust, "c_custkey", "c_name", "c_custkey", "c_name", max_distance=2
+    ).collect()))
+    assert pj == exact
+    assert len(exact) > 500
+
+
+def test_passjoin_short_and_empty_strings(spark):
+    """No length floor: strings of length <= k (where pigeonhole
+    fails) and empty strings route through the exact short path."""
+    from lakehouse_file_format_compare_spark.operators.fuzzy import (
+        edit_distance_pairs_passjoin,
+    )
+
+    rows = [(1, ""), (2, "a"), (3, "ab"), (4, "abc"), (5, "xy"), (6, "abcdef")]
+    df = spark.createDataFrame(rows, "id long, name string")
+    exact = sorted(map(tuple, edit_distance_pairs(
+        df, df, "id", "name", "id", "name", max_distance=2).collect()))
+    pj = sorted(map(tuple, edit_distance_pairs_passjoin(
+        df, df, "id", "name", "id", "name", max_distance=2).collect()))
+    assert pj == exact
+    assert (1, 3, 2) in pj          # "" -> "ab" distance 2 found
