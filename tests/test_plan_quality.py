@@ -147,3 +147,46 @@ def test_stratified_sample_window_group_limit(spark):
     df = stratified_sample(tt(spark, SF_SMOKE, "documents"), ("lang",), 5, ("doc_id",))
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("WindowGroupLimit") >= 2, plan  # Partial + Final
+
+
+def test_no_python_row_udfs_in_r4_operators(spark):
+    """The round-4 operator additions (PII, repetition, BM25,
+    decontamination, fuzzy joins) must also stay JVM-side — only the
+    similarity pandas_udf matmuls are sanctioned Python."""
+    from pyspark.sql import functions as F
+
+    from lakehouse_file_format_compare_spark.functions import pii
+    from lakehouse_file_format_compare_spark.functions.repetition import (
+        duplicate_line_char_fraction,
+        duplicate_line_fraction,
+        top_ngram_char_fraction,
+    )
+    from lakehouse_file_format_compare_spark.operators.decontaminate import (
+        ngram_contamination,
+    )
+    from lakehouse_file_format_compare_spark.operators.fuzzy import (
+        edit_distance_pairs_blocked,
+        edit_distance_pairs_passjoin,
+    )
+    from lakehouse_file_format_compare_spark.operators.ranking import bm25_scores
+    from lakehouse_file_format_compare_spark.sources.testdata import table
+
+    docs = table(spark, SF_CORRECTNESS, "documents")
+    cust = table(spark, SF_CORRECTNESS, "customer").select("c_custkey", "c_name").limit(50)
+    frames = [
+        docs.select(
+            pii.pii_score(F.col("text")).alias("s"),
+            pii.redact_pii(F.col("text")).alias("r"),
+            duplicate_line_fraction(F.col("text")).alias("dl"),
+            duplicate_line_char_fraction(F.col("text")).alias("dc"),
+        ),
+        top_ngram_char_fraction(docs, n=2),
+        bm25_scores(docs, ["data", "the"]),
+        ngram_contamination(docs, docs.limit(3), n=5),
+        edit_distance_pairs_blocked(cust, cust, "c_custkey", "c_name", "c_custkey", "c_name"),
+        edit_distance_pairs_passjoin(cust, cust, "c_custkey", "c_name", "c_custkey", "c_name"),
+    ]
+    for df in frames:
+        plan = df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+        assert "BatchEvalPython" not in plan
+        assert "ArrowEvalPython" not in plan
