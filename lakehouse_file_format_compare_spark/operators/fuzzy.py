@@ -16,12 +16,21 @@ Two paths, the house pattern for approximate-by-blocking operators:
   L-1-2k > 0 bigrams when L > 2k+1. Below that length the blocked
   path may miss pairs — callers with very short keys use the
   baseline (tiny anyway at those lengths). Cost ∝ Σ bucket² over
-  bigram buckets — which DEGENERATES to |L|x|R| on shared-prefix
-  corpora (every 'Customer#00…' shares every prefix bigram); use
-  ``edit_distance_pairs_passjoin`` there.
+  bigram buckets.
 - ``edit_distance_pairs_passjoin``: segment blocking (PassJoin),
-  exact at every length, and bucket sizes track the DISTINGUISHING
-  substrings — the right default at scale.
+  exact at EVERY length (no 2k+1 floor) and far fewer candidates
+  than bigram blocking on diverse strings (k+1 segment buckets per
+  row vs L-1 bigram buckets).
+
+HONEST LIMIT (measured r4): on uniform-ID corpora ('Customer#00…',
+15k rows) BOTH blockings degenerate — the constant prefix fills one
+segment/bigram bucket with the whole table, and pairs whose edits
+all fall in the suffix are found ONLY via that hot bucket, so no
+exact signature scheme can cap it without losing exactly those
+pairs. Measured: PassJoin exact-equal to brute force through ~500
+such rows; beyond that, treat structured IDs with domain keys
+(split the numeric tail into its own column) instead of generic
+edit distance.
 
 Both sides lowercase before comparison (matching the dedup family's
 normalization). The bigram explode is bounded: L-1 rows per string.
@@ -142,20 +151,19 @@ def edit_distance_pairs_passjoin(
     right_col: str = "name",
     max_distance: int = 2,
 ) -> DataFrame:
-    """Scale path for edit-distance joins that stays sub-quadratic on
-    SHARED-PREFIX corpora, where bigram blocking degenerates (every
-    'Customer#00…' name shares every prefix bigram, so bigram buckets
-    hold the whole table and Σ bucket² = |L|·|R|).
-
-    PassJoin pigeonhole: split each left string into k+1 disjoint
-    segments; any right string within edit distance k must contain at
-    least one segment VERBATIM, shifted by at most k positions. So:
-    block on (left_length, segment_idx, segment_text) where the right
-    side enumerates its substrings at the compatible positions — for
-    uniform-prefix corpora the distinguishing digit tail lands in its
-    own segment and bucket sizes track suffix diversity, not corpus
-    size. Exact: recall 1.0 for ALL lengths (no length floor, unlike
-    the bigram block) and precision 1.0 via levenshtein re-verify.
+    """Segment-blocked edit-distance join (PassJoin, Li/Deng/Feng
+    2011): split each left string into k+1 disjoint segments; any
+    right string within edit distance k must contain at least one
+    segment VERBATIM, shifted by at most k positions. Block on
+    (left_length, segment_idx, segment_text) with the right side
+    enumerating substrings at the compatible positions. Exact: recall
+    1.0 for ALL lengths (no length floor, unlike the bigram block —
+    lengths <= k route through a bounded short×short join) and
+    precision 1.0 via levenshtein re-verify. Candidate volume is
+    Σ bucket² over segment buckets — k+1 buckets per row (vs L-1 for
+    bigrams), so far fewer candidates on diverse strings; see the
+    module docstring for the measured uniform-ID degenerate regime
+    that no exact signature blocking escapes.
 
     The segment-layout dimension is built driver-side from the
     DISTINCT LEFT STRING LENGTHS (one bounded collect — at most

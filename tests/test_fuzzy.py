@@ -110,9 +110,11 @@ def test_passjoin_equals_exact_on_fixture(spark, names_df):
 
 
 def test_passjoin_exact_on_shared_prefix_corpus(spark):
-    """The regime where bigram blocking degenerates (uniform
-    'Customer#…' prefixes): PassJoin must still equal brute force —
-    its buckets key on the distinguishing digit-tail segments."""
+    """Uniform 'Customer#…' prefixes at the measured-workable scale
+    (~500 rows): PassJoin must equal brute force exactly. (Beyond
+    that this corpus shape degenerates for ANY exact signature
+    blocking — the constant prefix segment buckets the whole table;
+    documented in operators/fuzzy.py.)"""
     from lakehouse_file_format_compare_spark.operators.fuzzy import (
         edit_distance_pairs_passjoin,
     )
