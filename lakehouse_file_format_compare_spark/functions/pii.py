@@ -43,8 +43,22 @@ REDACTED = "[PII]"
 
 
 def pii_counts(text: Column) -> dict[str, Column]:
-    """Per-kind match counts (codegen'd regexp_count)."""
-    return {kind: F.regexp_count(text, F.lit(p)) for kind, p in PII_PATTERNS.items()}
+    """Per-kind match counts (codegen'd regexp_count).
+
+    Overlap rule: a dotted IPv4 whose last octets are 3-4 digits
+    (e.g. 192.168.100.200) also matches PHONE_RE, so phones are
+    counted on text with IPv4 matches first blanked to ';' (a
+    non-digit, non-joiner char that cannot create new phone matches
+    across the splice) — each such hit counts once, as ipv4.
+    Redaction is unaffected: both kinds replace with the same token.
+    """
+    out = {}
+    for kind, p in PII_PATTERNS.items():
+        subject = (
+            F.regexp_replace(text, IPV4_RE, ";") if kind == "phone" else text
+        )
+        out[kind] = F.regexp_count(subject, F.lit(p))
+    return out
 
 
 def pii_score(text: Column) -> Column:

@@ -94,10 +94,13 @@ def edit_distance_pairs_blocked(
     band), exact levenshtein verify. Recall 1.0 for strings longer
     than 2·max_distance+1 (pigeonhole, see module docstring);
     precision 1.0 always. Hot bigram buckets (e.g. a constant prefix
-    shared by every row) can be capped — with the cap the remaining
-    bigrams still block correctly when L-1-2k exceeds the number of
-    capped buckets a pair relies on; the default cap only drops
-    pathological single-bigram-only matches."""
+    shared by every row) can be capped, but the cap TRADES RECALL:
+    recall 1.0 is only guaranteed with ``max_bucket_size=None`` — a
+    true pair whose L-1-2k guaranteed shared bigrams are ALL hot
+    (highly repetitive text) loses every blocking bigram under the
+    default cap and is silently missed even above the length bound.
+    Callers needing guaranteed recall pass None (or use the PassJoin /
+    structured paths)."""
     a = left.select(F.col(left_id).alias("id_a"), _norm(F.col(left_col)).alias("sa"))
     b = right.select(F.col(right_id).alias("id_b"), _norm(F.col(right_col)).alias("sb"))
     ea = a.select("id_a", "sa", F.explode(_bigrams(F.col("sa"))).alias("bg"))
@@ -219,11 +222,20 @@ def edit_distance_pairs_passjoin(
         )
         .select(
             "id_b", "sb", "l", "seg_idx", "seg_len",
+            # guard empty windows: Spark's sequence(start, stop) steps
+            # -1 when start > stop, which would emit positions OUTSIDE
+            # [start-k, start+k] (junk candidates; correctness was
+            # saved only by the levenshtein re-verify). Emit zero rows
+            # instead.
             F.explode(
-                F.sequence(
-                    F.greatest(F.col("start") - k, F.lit(1)),
-                    F.least(F.col("start") + k, F.col("m") - F.col("seg_len") + 1),
-                )
+                F.when(
+                    F.greatest(F.col("start") - k, F.lit(1))
+                    <= F.least(F.col("start") + k, F.col("m") - F.col("seg_len") + 1),
+                    F.sequence(
+                        F.greatest(F.col("start") - k, F.lit(1)),
+                        F.least(F.col("start") + k, F.col("m") - F.col("seg_len") + 1),
+                    ),
+                ).otherwise(F.array().cast("array<int>"))
             ).alias("p"),
         )
         .where(F.col("p") >= 1)

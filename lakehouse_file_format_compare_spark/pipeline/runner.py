@@ -139,13 +139,22 @@ class MedallionPipeline:
             else:
                 with open(state_path) as f:
                     raw = f.read().strip()
+                legacy = False
                 try:
                     st = _json.loads(raw)
                     wm, max_pk = st["watermark"], st.get("max_pk")
                 except ValueError:  # pre-r4 plain-string watermark file
-                    wm, max_pk = raw, None
+                    # no max_pk recorded -> the append-only guard can't
+                    # fire; folding unguarded could silently double-count
+                    # an updating merge, so force one full refresh (which
+                    # also rewrites the state in the guarded format).
+                    wm, max_pk, legacy = raw, None, True
                 delta = txn.where(F.col("ingestion_timestamp") > F.lit(wm).cast("timestamp"))
                 try:
+                    if legacy:
+                        raise ig.AppendOnlyViolation(
+                            "legacy state file has no max_pk: refreshing instead of folding unguarded"
+                        )
                     ig.check_append_only(delta, max_pk)
                     existing = self.warehouse.read_table("gold", name, fmt)
                     self.warehouse._commit_version(

@@ -226,6 +226,67 @@ def test_check_append_only_unit(spark):
         check_append_only(delta, 5)      # PK 5 already folded
 
 
+def test_legacy_state_file_forces_full_refresh(spark, tmp_path_factory):
+    """A pre-r4 plain-string watermark file has no max_pk, so the
+    append-only guard cannot fire for the first post-upgrade cycle; an
+    updating merge in that cycle would fold unguarded and double-count.
+    The runner must full-refresh on legacy state (and rewrite it in the
+    guarded format) instead (r4 ADVICE #4)."""
+    import json
+    import os
+
+    from lakehouse_file_format_compare_spark.pipeline.runner import MedallionPipeline
+    from lakehouse_file_format_compare_spark.schemas import FINTECH_TABLE_CONFIGS
+
+    p = MedallionPipeline(spark, str(tmp_path_factory.mktemp("incr_legacy")))
+    p.run_bronze(n_customers=10, n_contracts=15, n_transactions=120, n_attributes=15)
+    p.run_silver()
+    p.run_gold_incremental()
+
+    # downgrade every state file to the legacy plain-string format
+    state_paths = []
+    for name in ("monthly_balance_inc", "daily_metrics_state", "contract_financials_state"):
+        sp = os.path.join(p.warehouse.path("gold", name, "parquet"), "_state.json")
+        st = json.load(open(sp))
+        with open(sp, "w") as f:
+            f.write(st["watermark"])
+        state_paths.append(sp)
+
+    # an UPDATE that the guard could not have caught without max_pk
+    txn = p._silver("f_transactions", "parquet")
+    staged = (
+        txn.orderBy("transaction_id").limit(1)
+        .withColumn("amount", F.col("amount") + 500.0)
+        .withColumn("ingestion_timestamp", F.current_timestamp())
+    )
+    p.warehouse.merge_table(
+        staged, "silver", "f_transactions", keys=("transaction_id",),
+        fmt="parquet", schema=FINTECH_TABLE_CONFIGS["f_transactions"].schema,
+    )
+
+    p.run_gold_incremental()
+    for name in ("monthly_balance_inc", "daily_metrics_state", "contract_financials_state"):
+        hist = p.warehouse.history("gold", name)
+        assert hist[-1]["op"] == "full_refresh_fallback", (name, hist[-1])
+    # state files rewritten in the guarded format
+    for sp in state_paths:
+        assert json.load(open(sp)).get("max_pk") is not None
+
+    full = monthly_balance(
+        p._silver("f_transactions", "parquet"), p._silver("d_transaction_types", "parquet")
+    )
+    incr = p.warehouse.read_table("gold", "monthly_balance_inc", "parquet")
+    cols = sorted(incr.columns)
+
+    def canon(df):
+        return sorted(
+            tuple(round(v, 6) if isinstance(v, float) else v for v in (r[c] for c in cols))
+            for r in df.collect()
+        )
+
+    assert canon(incr) == canon(full)
+
+
 def test_incremental_rejects_updates(spark, tmp_path_factory):
     """An updating silver merge (same PK, bumped ingestion_timestamp)
     would double-count if folded; the guard must catch it and fall

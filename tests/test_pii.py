@@ -23,6 +23,9 @@ DOCS = [
     (6, "mixed: eve@corp.io, +44 20 7946 0958, 5500005555555559, 8.8.8.8"),
     (7, ""),
     (8, "email-ish a@b.c and version 1.2.3.4 of the lib"),
+    # dotted IPv4 with 3-digit tail octets ALSO matches PHONE_RE —
+    # must count once, as ipv4 (r4 ADVICE overlap fix)
+    (9, "gateway 192.168.100.200 up, peer 10.20.300.400 down"),
 ]
 
 
@@ -57,12 +60,20 @@ def _duck_sql(path):
     def esc(p):
         return p.replace("'", "''")
 
+    def subject(kind):
+        # mirror pii_counts' overlap rule: phones counted on
+        # IPv4-blanked text so dotted IPs count once (as ipv4)
+        if kind == "phone":
+            return f"regexp_replace(text, '{esc(pii.IPV4_RE)}', ';', 'g')"
+        return "text"
+
     n_cols = ", ".join(
-        f"len(regexp_extract_all(text, '{esc(p)}')) AS n_{k}"
+        f"len(regexp_extract_all({subject(k)}, '{esc(p)}')) AS n_{k}"
         for k, p in pii.PII_PATTERNS.items()
     )
     total = " + ".join(
-        f"len(regexp_extract_all(text, '{esc(p)}'))" for p in pii.PII_PATTERNS.values()
+        f"len(regexp_extract_all({subject(k)}, '{esc(p)}'))"
+        for k, p in pii.PII_PATTERNS.items()
     )
     redact = "text"
     for kind in ("email", "phone", "card", "ipv4"):
@@ -99,6 +110,9 @@ def test_pii_fixture_is_non_vacuous(spark, pii_fixture):
     assert rows[7]["redacted"] == ""                  # empty-safe
     assert "alice" not in rows[1]["redacted"]
     assert "4111111111111111" not in rows[3]["redacted"]
+    # overlap rule: phone-shaped dotted IPs count once, as ipv4
+    assert rows[9]["n_ipv4"] == 2 and rows[9]["n_phone"] == 0
+    assert "192.168.100.200" not in rows[9]["redacted"]
 
 
 def test_pii_scales_over_documents_table(spark):
