@@ -17,7 +17,7 @@ repetition plus the raw documents table.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
@@ -52,14 +52,37 @@ def top_ngram_char_fraction(docs: DataFrame, n: int = 2, id_col: str = "doc_id",
     """Per-document: the most frequent word n-gram and the fraction of
     document characters its occurrences cover.
 
-    Plan shape: explode n-grams → groupBy (doc, ngram) count →
-    row_number window keyed by doc (count desc, ngram asc tie-break)
-    → keep rank 1. Both shuffles hash on doc_id; no global ordering.
-    Documents with < n tokens emit ngram = NULL, fraction 0.
+    Plan shape (r5 rewrite of the r4 profile's most expensive op): the
+    group-max is per-DOCUMENT, so it never needed a shuffle at all —
+    ``array_sort`` the gram array within the row, then a single
+    run-length fold (``F.aggregate``) finds the longest run, which IS
+    the most frequent gram. Tie-break matches the previous
+    (occurrences desc, ngram asc) window exactly: the fold replaces
+    the best only on a STRICTLY longer run, and in ascending sorted
+    order the first run of a given length is the lexicographically
+    smallest gram. Zero shuffles, zero UDFs — a 100 TB sweep is
+    scan-bound and embarrassingly parallel (the r4 shape shuffled
+    every distinct (doc, gram) pair twice; measured speedup in
+    PROFILE_r05.md). O(g log g) per doc vs the hash-agg's O(g), paid
+    row-locally with no exchange. Documents with < n tokens emit
+    ngram = NULL, fraction 0.
+
+    Materialization note (measured 20x at sf0.1): expressions
+    referenced inside higher-order lambdas are RE-EVALUATED per
+    element (no CSE inside lambdas), so the token array and the gram
+    array are each pinned in their own projection before the next
+    stage consumes them — otherwise ``slice(toks, i, n)`` re-splits
+    the whole document once per gram.
     """
-    toks = F.filter(
+    toks_expr = F.filter(
         F.split(F.lower(F.trim(F.col(text_col))), r"\s+"), lambda t: F.length(t) > 0
     )
+    staged = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.length(text_col).alias("n_chars_doc"),
+        toks_expr.alias("__toks"),
+    )
+    toks = F.col("__toks")
     grams = F.when(
         F.size(toks) >= n,
         F.transform(
@@ -67,36 +90,37 @@ def top_ngram_char_fraction(docs: DataFrame, n: int = 2, id_col: str = "doc_id",
             lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
         ),
     ).otherwise(F.array().cast("array<string>"))
+    staged = staged.select("doc_id", "n_chars_doc", F.array_sort(grams).alias("__grams"))
 
-    base = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.length(text_col).alias("n_chars_doc"),
-        F.explode_outer(grams).alias("ngram"),
+    # run-length fold over the sorted gram array: acc = (best gram,
+    # best count, current gram, current run length)
+    init = F.struct(
+        F.lit(None).cast("string").alias("bg"),
+        F.lit(0).alias("bc"),
+        F.lit(None).cast("string").alias("cg"),
+        F.lit(0).alias("cc"),
     )
-    counted = base.groupBy("doc_id", "n_chars_doc", "ngram").agg(
-        F.count(F.lit(1)).alias("occurrences")
-    )
-    w = Window.partitionBy("doc_id").orderBy(
-        F.col("ngram").isNull(),  # real grams beat the NULL placeholder
-        F.col("occurrences").desc(),
-        F.col("ngram"),
-    )
-    return (
-        counted.withColumn("__rn", F.row_number().over(w))
-        .where(F.col("__rn") == 1)
-        .select(
-            "doc_id",
-            F.col("ngram").alias("top_ngram"),
-            F.when(F.col("ngram").isNull(), F.lit(0)).otherwise(
-                F.col("occurrences")
-            ).alias("occurrences"),
-            F.when(
-                F.col("ngram").isNotNull() & (F.col("n_chars_doc") > 0),
-                F.round(
-                    F.col("occurrences") * F.length("ngram")
-                    / F.col("n_chars_doc").cast("double"),
-                    6,
-                ),
-            ).otherwise(F.lit(0.0)).alias("top_ngram_char_frac"),
+
+    def step(acc, g):
+        run = F.when(acc["cg"] == g, acc["cc"] + 1).otherwise(F.lit(1))
+        better = run > acc["bc"]
+        return F.struct(
+            F.when(better, g).otherwise(acc["bg"]).alias("bg"),
+            F.when(better, run).otherwise(acc["bc"]).alias("bc"),
+            g.alias("cg"),
+            run.alias("cc"),
         )
+
+    staged = staged.select(
+        "doc_id", "n_chars_doc", F.aggregate(F.col("__grams"), init, step).alias("__top")
+    )
+    gram, occ = F.col("__top")["bg"], F.col("__top")["bc"]
+    return staged.select(
+        "doc_id",
+        gram.alias("top_ngram"),
+        occ.alias("occurrences"),
+        F.when(
+            gram.isNotNull() & (F.col("n_chars_doc") > 0),
+            F.round(occ * F.length(gram) / F.col("n_chars_doc").cast("double"), 6),
+        ).otherwise(F.lit(0.0)).alias("top_ngram_char_frac"),
     )

@@ -23,10 +23,21 @@ from pyspark.sql import functions as F
 
 
 def _ngram_set(docs: DataFrame, n: int, id_col: str, text_col: str, out_id: str) -> DataFrame:
-    """(out_id, ngram) — DISTINCT word n-grams per document."""
-    toks = F.filter(
-        F.split(F.lower(F.trim(F.col(text_col))), r"\s+"), lambda t: F.length(t) > 0
+    """(out_id, ngram) — DISTINCT word n-grams per document.
+
+    The token array is pinned in its own projection before the gram
+    transform consumes it: expressions referenced inside higher-order
+    lambdas re-evaluate per element (no CSE inside lambdas), so an
+    unstaged ``slice(toks, i, n)`` would re-split the whole document
+    once per gram (measured ~5x on this op at sf0.1, PROFILE_r05.md).
+    """
+    staged = docs.select(
+        F.col(id_col).alias(out_id),
+        F.filter(
+            F.split(F.lower(F.trim(F.col(text_col))), r"\s+"), lambda t: F.length(t) > 0
+        ).alias("__toks"),
     )
+    toks = F.col("__toks")
     grams = F.when(
         F.size(toks) >= n,
         F.array_distinct(
@@ -36,7 +47,7 @@ def _ngram_set(docs: DataFrame, n: int, id_col: str, text_col: str, out_id: str)
             )
         ),
     ).otherwise(F.array().cast("array<string>"))
-    return docs.select(F.col(id_col).alias(out_id), F.explode(grams).alias("ngram"))
+    return staged.select(out_id, F.explode(grams).alias("ngram"))
 
 
 def ngram_contamination(
