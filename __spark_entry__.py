@@ -3,9 +3,11 @@
 ``entry(spark)`` runs the flagship gold query on sf0.001;
 ``queries()`` exposes every implemented operator from SURVEY.md §2
 plus the training-data-pipeline extensions; ``oracle_sql()`` gives the
-DuckDB-equivalent SQL for each (queries without an oracle are
-non-SQL-expressible by design — engine-internal hashing or
-approximate results — and are cross-verified in tests/ instead).
+DuckDB-equivalent SQL for each. As of r5 all 50 registry entries
+carry a full DuckDB oracle (fintech_gold_suite gained one via the
+committed silver fixture in fixtures/fintech_silver/; approximate
+operators expose earned contract columns the oracle pins, per the
+recall-contract pattern).
 """
 
 from __future__ import annotations

@@ -17,6 +17,7 @@ from . import (
     ext_plans,
     fintech_plans,
     gold,
+    hygiene_plans,
     similarity_plans,
     streaming_plans,
     temporal_plans,
@@ -29,10 +30,11 @@ from . import (
 # registry is kept at exactly <= 50 queries (merged entries:
 # op_semi_anti_join, op_rollup_cube_revenue, fintech_gold_suite;
 # demoted to pytest-only: op_distinct_projection — swapped for
-# corpus_build_summary in r4).
+# corpus_build_summary in r4; op_scalar_subquery — swapped for
+# corpus_hygiene_suite in r5).
 ALL_PLAN_MODULES = (
     gold, tpch, adhoc, text_plans, dedup_plans, similarity_plans, streaming_plans,
-    temporal_plans, corpus_plans, ext_plans, fintech_plans,
+    temporal_plans, corpus_plans, ext_plans, hygiene_plans, fintech_plans,
 )
 
 

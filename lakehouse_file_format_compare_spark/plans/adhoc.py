@@ -669,7 +669,10 @@ QUERIES = {
     "op_merge_upsert": merge_upsert_demo,
     "op_merge_insert_only": merge_insert_only_demo,
     "op_semi_anti_join": semi_anti_join,
-    "op_scalar_subquery": scalar_subquery,
+    # op_scalar_subquery demoted from the 50-cap registry in r5
+    # (subsumed by op_correlated_subquery; swapped for
+    # corpus_hygiene_suite) — its oracle runs in
+    # tests/test_correctness.py::test_demoted_scalar_subquery_oracle
     "op_window_functions_suite": window_functions_suite,
     "op_approx_distinct": approx_distinct,
     "op_correlated_subquery": correlated_subquery,
@@ -691,7 +694,6 @@ ORACLES = {
     "op_merge_upsert": MERGE_UPSERT_DEMO_SQL,
     "op_merge_insert_only": MERGE_INSERT_ONLY_DEMO_SQL,
     "op_semi_anti_join": SEMI_ANTI_JOIN_SQL,
-    "op_scalar_subquery": SCALAR_SUBQUERY_SQL,
     "op_window_functions_suite": WINDOW_FUNCTIONS_SUITE_SQL,
     "op_approx_distinct": APPROX_DISTINCT_SQL,
     "op_correlated_subquery": CORRELATED_SUBQUERY_SQL,

@@ -1,51 +1,77 @@
-"""Reference-exact fintech gold queries as a driver-checkable entry.
+"""Reference-exact fintech gold queries as a driver-checkable entry
+with a FULL DuckDB oracle (r4 verdict item #2 — this row was the lone
+`no_oracle` through r2-r4).
 
-These run the reference's ACTUAL pipeline semantics (seeded
-generator → the four gold queries of dags/3_silver_to_gold.py with
-their original schemas/filters) in-memory — no warehouse I/O — so the
-driver's correctness gate records them (one suite entry: per-query
-row counts + value checksums). They are not expressible as SQL over
-the TPC-H testdata views (they use the generated fintech star
-schema), so the suite is declared without an oracle → rows-only
-check; per-value semantics are instead DuckDB-verified in
-tests/test_fintech_oracle.py over the same generated data.
+The four gold queries (pipeline/gold.py <- dags/3_silver_to_gold.py
+:162-402) run over committed parquet fixtures
+(fixtures/fintech_silver/, materialized from the seeded deterministic
+generator by scripts/build_fintech_fixtures.py; equality with a fresh
+generator run is asserted in tests/test_fintech_fixture.py). The
+DuckDB oracle replicates the same four queries via read_parquet on the
+SAME files, so both engines compute the gold semantics independently
+from identical rows.
 
-Determinism: fixed seed + frozen clock (pipeline/generate.py), no
-created_at columns, sorted collect_set, tie-broken rankings.
+The suite row per query carries engine-portable evidence:
+- n_rows — exact;
+- sum_money — money aggregates snapped per group to the 2-decimal
+  grid (functions/numeric.grid: pure IEEE floor math, bit-identical
+  across engines; group sums of the generator's 2-decimal amounts sit
+  ~1e-12 from grid points, never near a boundary), then summed and
+  re-snapped — invariant to summation order;
+- sum_counts — every COUNT/COUNT(DISTINCT) column, exact;
+- int_fp — a per-row integer fingerprint over group keys, string
+  lengths, ranks, dates and epoch timestamps (ids reduced mod 1000003
+  to keep sums < 2^53), exact.
+AVG/STDDEV-derived columns (valor_medio*, desvio_padrao,
+ticket_medio) are division results of unrounded doubles — not
+order-invariant across engines — and stay covered by the
+tolerance-based per-value oracle in tests/test_fintech_oracle.py.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+import os
 
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.numeric import grid, grid_sql
 from ..pipeline import gold
 from ..pipeline.generate import GeneratorState, batch_to_dataframes, generate_batch
 
 _BATCHES = 2
 _SIZES = dict(n_customers=100, n_contracts=150, n_transactions=800, n_attributes=200)
 
+FIXTURE_ROOT = os.path.abspath(
+    os.path.join(os.path.dirname(__file__), "..", "..", "fixtures", "fintech_silver")
+)
+GOLD_INPUT_TABLES = (
+    "f_transactions", "d_transaction_types", "d_customers", "f_contracts", "d_products",
+)
+_MOD = 1_000_003
+
 
 def _frames(spark: SparkSession) -> dict[str, DataFrame]:
-    state = GeneratorState(seed=42)
+    """The silver outcome of two seeded generator batches, computed
+    relationally (facts keep unique PKs, static dims keep the earliest
+    version, mutable dims keep the latest — the silver merge policy of
+    dags/2_bronze_to_silver.py:70-161). Source of the committed
+    fixture; kept for the determinism test and the per-value pytest
+    oracle."""
     merged: dict[str, DataFrame] = {}
+    state = GeneratorState(seed=42)
     for _ in range(_BATCHES):
         batch = batch_to_dataframes(spark, generate_batch(state, **_SIZES))
         for name, df in batch.items():
             merged[name] = df if name not in merged else merged[name].unionByName(df)
-    # facts have unique PKs across batches; static dims dedup by PK
-    # (insert-only analog), mutable dims keep latest — replicate the
-    # silver outcome relationally
     from ..operators.merge import keep_latest
     from ..schemas import FINTECH_TABLE_CONFIGS
 
     out = {}
     for name, df in merged.items():
         cfg = FINTECH_TABLE_CONFIGS[name]
-        order = ["ingestion_timestamp"] if cfg.merge_policy == "upsert" else []
         if cfg.is_static_dim:
             # first version wins: keep EARLIEST ingestion
-            from pyspark.sql import functions as F
-
             df = keep_latest(
                 df.withColumn("__neg", -F.col("ingestion_timestamp").cast("double")),
                 list(cfg.key_columns),
@@ -58,13 +84,20 @@ def _frames(spark: SparkSession) -> dict[str, DataFrame]:
     return out
 
 
+def _fixture_frames(spark: SparkSession) -> dict[str, DataFrame]:
+    return {
+        name: spark.read.parquet(os.path.join(FIXTURE_ROOT, name))
+        for name in GOLD_INPUT_TABLES
+    }
+
+
 def q1_monthly_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
-    f = _frames(spark)
+    f = _fixture_frames(spark)
     return gold.monthly_balance(f["f_transactions"], f["d_transaction_types"])
 
 
 def q2_customer_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    f = _frames(spark)
+    f = _fixture_frames(spark)
     return gold.customer_summary(
         f["d_customers"], f["f_contracts"], f["d_products"],
         f["f_transactions"], f["d_transaction_types"],
@@ -72,58 +105,201 @@ def q2_customer_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q3_daily_transaction_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
-    f = _frames(spark)
+    f = _fixture_frames(spark)
     return gold.daily_transaction_metrics(f["f_transactions"], f["d_transaction_types"])
 
 
 def q4_product_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
-    f = _frames(spark)
+    f = _fixture_frames(spark)
     return gold.product_ranking(
         f["f_transactions"], f["d_transaction_types"], f["f_contracts"], f["d_products"]
     )
 
 
-def gold_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """All four reference gold queries (dags/3_silver_to_gold.py) as
-    one driver entry: per-query row count + order-independent value
-    checksum (xxhash64 over every column, summed as decimal so ANSI
-    mode can't overflow). Deterministic end-to-end (seeded generator,
-    frozen clock), so the row is stable across runs — a value-sensitive
-    rows-only check. Per-value fidelity vs DuckDB over the same
-    generated data is asserted in tests/test_fintech_oracle.py."""
-    from pyspark.sql import functions as F
+def _summarize(name: str, df: DataFrame, money, counts, fp) -> DataFrame:
+    """One suite row: portable aggregates of a gold result (see module
+    docstring for why each column is engine-exact)."""
+    staged = df.select(
+        money.alias("__m"), counts.cast("long").alias("__c"), fp.cast("long").alias("__fp")
+    )
+    return staged.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        grid(F.coalesce(F.sum("__m"), F.lit(0.0)), 2).alias("sum_money"),
+        F.coalesce(F.sum("__c"), F.lit(0)).alias("sum_counts"),
+        F.coalesce(F.sum("__fp"), F.lit(0)).alias("int_fp"),
+    ).select(F.lit(name).alias("query"), "n_rows", "sum_money", "sum_counts", "int_fp")
 
-    f = _frames(spark)
-    parts = []
-    for name, df in (
-        ("q1_monthly_balance", gold.monthly_balance(f["f_transactions"], f["d_transaction_types"])),
-        ("q2_customer_summary", gold.customer_summary(
-            f["d_customers"], f["f_contracts"], f["d_products"],
-            f["f_transactions"], f["d_transaction_types"],
-        )),
-        ("q3_daily_transaction_metrics",
-         gold.daily_transaction_metrics(f["f_transactions"], f["d_transaction_types"])),
-        ("q4_product_ranking", gold.product_ranking(
-            f["f_transactions"], f["d_transaction_types"], f["f_contracts"], f["d_products"]
-        )),
-    ):
-        checksum = F.xxhash64(*[
-            F.coalesce(F.col(c).cast("string"), F.lit("\x00null")) for c in df.columns
-        ])
-        parts.append(
-            df.agg(
-                F.count(F.lit(1)).alias("n_rows"),
-                F.coalesce(F.sum(checksum.cast("decimal(38,0)")), F.lit(0).cast("decimal(38,0)")).alias("checksum"),
-            ).select(F.lit(name).alias("query"), "n_rows", "checksum")
-        )
-    out = parts[0]
-    for p in parts[1:]:
+
+def gold_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All four reference gold queries as one driver entry, fully
+    DuckDB-oracled (FINTECH_GOLD_SUITE_SQL replays the same queries on
+    the same fixture files)."""
+    f = _fixture_frames(spark)
+    epoch0 = F.lit("1970-01-01")
+
+    q1 = gold.monthly_balance(f["f_transactions"], f["d_transaction_types"])
+    s1 = _summarize(
+        "q1_monthly_balance", q1,
+        money=sum(grid(F.col(c), 2) for c in
+                  ("entradas", "saidas", "saldo_liquido", "maior_entrada", "maior_saida")),
+        counts=F.col("total_transacoes"),
+        fp=F.col("ano") * 10000 + F.col("mes") * 100 + F.pmod(F.col("contract_id"), F.lit(_MOD)),
+    )
+
+    q2 = gold.customer_summary(
+        f["d_customers"], f["f_contracts"], f["d_products"],
+        f["f_transactions"], f["d_transaction_types"],
+    )
+    s2 = _summarize(
+        "q2_customer_summary", q2,
+        money=grid(F.col("saldo_total"), 2),
+        counts=F.col("total_contratos") + F.col("categorias_produtos") + F.col("total_transacoes"),
+        fp=F.pmod(F.col("customer_id"), F.lit(_MOD))
+        + F.length("first_name") * 1009
+        + F.length("last_name") * 31
+        + F.length(F.concat_ws(",", F.col("produtos_utilizados"))) * 7
+        + F.coalesce(F.unix_timestamp("ultima_atividade"), F.lit(0)),
+    )
+
+    q3 = gold.daily_transaction_metrics(f["f_transactions"], f["d_transaction_types"])
+    s3 = _summarize(
+        "q3_daily_transaction_metrics", q3,
+        money=sum(grid(F.col(c), 2) for c in ("volume_total", "valor_minimo", "valor_maximo")),
+        counts=F.col("quantidade_transacoes") + F.col("contratos_unicos"),
+        fp=F.datediff(F.col("data_transacao"), epoch0) * 1009
+        + F.length("transaction_type_name"),
+    )
+
+    q4 = gold.product_ranking(
+        f["f_transactions"], f["d_transaction_types"], f["f_contracts"], f["d_products"]
+    )
+    s4 = _summarize(
+        "q4_product_ranking", q4,
+        money=grid(F.col("volume_financeiro"), 2),
+        counts=F.col("total_transacoes") + F.col("contratos_ativos") + F.col("clientes_unicos"),
+        fp=F.col("rank_volume") * 1009
+        + F.col("rank_transacoes") * 31
+        + F.length("product_name")
+        + F.length("product_category") * 7,
+    )
+
+    out = s1
+    for p in (s2, s3, s4):
         out = out.unionByName(p)
     return out
+
+
+def _fx(table: str) -> str:
+    return f"read_parquet('{os.path.join(FIXTURE_ROOT, table)}/*.parquet')"
+
+
+def _g(expr: str) -> str:
+    return grid_sql(expr, 2)
+
+
+# DuckDB replication of the four gold queries (translations proven
+# per-value in tests/test_fintech_oracle.py) + the same summaries.
+FINTECH_GOLD_SUITE_SQL = f"""
+WITH fin AS (
+    SELECT t.*, tt.transaction_type_name, tt.is_financial
+    FROM {_fx('f_transactions')} t
+    JOIN {_fx('d_transaction_types')} tt USING (transaction_type_id)
+    WHERE tt.is_financial = true AND to_timestamp(t.completed_at_time_id) IS NOT NULL
+), q1 AS (
+    SELECT year(to_timestamp(completed_at_time_id)) AS ano,
+           month(to_timestamp(completed_at_time_id)) AS mes,
+           contract_id,
+           SUM(CASE WHEN amount > 0 THEN amount ELSE 0 END) AS entradas,
+           SUM(CASE WHEN amount < 0 THEN ABS(amount) ELSE 0 END) AS saidas,
+           SUM(amount) AS saldo_liquido,
+           COUNT(*) AS total_transacoes,
+           MAX(amount) AS maior_entrada,
+           MIN(amount) AS maior_saida
+    FROM fin GROUP BY 1, 2, 3
+), contract_fin AS (
+    SELECT contract_id,
+           SUM(amount) AS saldo_contrato,
+           COUNT(*) AS txns_contrato,
+           MAX(make_timestamp(completed_at_time_id * 1000000)) AS ultima_atividade_contrato
+    FROM fin GROUP BY 1
+), q2 AS (
+    SELECT cu.customer_id, cu.first_name, cu.last_name,
+           COUNT(DISTINCT c.contract_id) AS total_contratos,
+           COUNT(DISTINCT p.product_category) AS categorias_produtos,
+           SUM(COALESCE(fs.saldo_contrato, 0)) AS saldo_total,
+           SUM(COALESCE(fs.txns_contrato, 0)) AS total_transacoes,
+           MAX(fs.ultima_atividade_contrato) AS ultima_atividade,
+           COALESCE(list_sort(list_distinct(list(p.product_category)
+               FILTER (p.product_category IS NOT NULL))), []) AS produtos_utilizados
+    FROM {_fx('d_customers')} cu
+    LEFT JOIN {_fx('f_contracts')} c USING (customer_id)
+    LEFT JOIN {_fx('d_products')} p USING (product_id)
+    LEFT JOIN contract_fin fs ON c.contract_id = fs.contract_id
+    GROUP BY 1, 2, 3
+), q3 AS (
+    SELECT CAST(to_timestamp(completed_at_time_id) AS DATE) AS data_transacao,
+           transaction_type_name,
+           COUNT(*) AS quantidade_transacoes,
+           SUM(amount) AS volume_total,
+           MIN(amount) AS valor_minimo,
+           MAX(amount) AS valor_maximo,
+           COUNT(DISTINCT contract_id) AS contratos_unicos
+    FROM fin GROUP BY 1, 2
+), q4m AS (
+    SELECT p.product_name, p.product_category,
+           COUNT(*) AS total_transacoes,
+           SUM(t.amount) AS volume_financeiro,
+           COUNT(DISTINCT c.contract_id) AS contratos_ativos,
+           COUNT(DISTINCT c.customer_id) AS clientes_unicos
+    FROM fin t
+    JOIN {_fx('f_contracts')} c USING (contract_id)
+    JOIN {_fx('d_products')} p USING (product_id)
+    GROUP BY 1, 2
+), q4 AS (
+    SELECT *,
+           ROW_NUMBER() OVER (ORDER BY volume_financeiro DESC, product_name) AS rank_volume,
+           ROW_NUMBER() OVER (ORDER BY total_transacoes DESC, product_name) AS rank_transacoes
+    FROM q4m
+)
+SELECT 'q1_monthly_balance' AS query,
+       COUNT(*) AS n_rows,
+       {_g("COALESCE(SUM(" + " + ".join(_g(c) for c in ("entradas", "saidas", "saldo_liquido", "maior_entrada", "maior_saida")) + "), 0)")} AS sum_money,
+       CAST(COALESCE(SUM(total_transacoes), 0) AS BIGINT) AS sum_counts,
+       CAST(COALESCE(SUM(ano * 10000 + mes * 100 + contract_id % {_MOD}), 0) AS BIGINT) AS int_fp
+FROM q1
+UNION ALL
+SELECT 'q2_customer_summary',
+       COUNT(*),
+       {_g("COALESCE(SUM(" + _g("saldo_total") + "), 0)")},
+       CAST(COALESCE(SUM(total_contratos + categorias_produtos + total_transacoes), 0) AS BIGINT),
+       CAST(COALESCE(SUM(customer_id % {_MOD}
+            + length(first_name) * 1009 + length(last_name) * 31
+            + COALESCE(length(array_to_string(produtos_utilizados, ',')), 0) * 7
+            + COALESCE(CAST(epoch(ultima_atividade) AS BIGINT), 0)), 0) AS BIGINT)
+FROM q2
+UNION ALL
+SELECT 'q3_daily_transaction_metrics',
+       COUNT(*),
+       {_g("COALESCE(SUM(" + " + ".join(_g(c) for c in ("volume_total", "valor_minimo", "valor_maximo")) + "), 0)")},
+       CAST(COALESCE(SUM(quantidade_transacoes + contratos_unicos), 0) AS BIGINT),
+       CAST(COALESCE(SUM((data_transacao - DATE '1970-01-01') * 1009
+            + length(transaction_type_name)), 0) AS BIGINT)
+FROM q3
+UNION ALL
+SELECT 'q4_product_ranking',
+       COUNT(*),
+       {_g("COALESCE(SUM(" + _g("volume_financeiro") + "), 0)")},
+       CAST(COALESCE(SUM(total_transacoes + contratos_ativos + clientes_unicos), 0) AS BIGINT),
+       CAST(COALESCE(SUM(rank_volume * 1009 + rank_transacoes * 31
+            + length(product_name) + length(product_category) * 7), 0) AS BIGINT)
+FROM q4
+"""
 
 
 QUERIES = {
     "fintech_gold_suite": gold_suite,
 }
 
-ORACLES: dict[str, str] = {}
+ORACLES = {
+    "fintech_gold_suite": FINTECH_GOLD_SUITE_SQL,
+}

@@ -1,0 +1,266 @@
+"""Driver-visible corpus-hygiene suite (r4 verdict item #1): one
+CORRECTNESS row with a FULL DuckDB oracle covering the round-4
+operator families that were pytest-oracled only — PII density
+(functions/pii.py), repetition signals (functions/repetition.py),
+BM25 relevance (operators/ranking.py), benchmark decontamination
+(operators/decontaminate.py) and percentile summaries
+(functions/stats.py).
+
+Output: ONE wide row of labeled portable aggregates over the
+``documents`` table. Integer metrics are exact; bm25_total snaps the
+per-document grid-6 scores to the 2-decimal grid before summing
+(functions/numeric.py: order-invariant, engine-identical); the
+percentiles are Spark's exact ``percentile`` vs DuckDB
+``quantile_cont`` (both linear interpolation — bit-identical on the
+1e-6 grid, tests/test_stats.py). The oracle SQL replays every metric
+from scratch in DuckDB (same patterns, tokenization and math as the
+per-operator pytest oracles in tests/test_pii.py, test_repetition.py,
+test_ranking.py, test_decontaminate.py, test_stats.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import pii
+from ..functions.numeric import grid, grid_sql
+from ..functions.repetition import _lines, top_ngram_char_fraction
+from ..functions.stats import percentile_summary
+from ..operators.decontaminate import ngram_contamination
+from ..operators.ranking import bm25_scores
+from ..sources.testdata import table
+
+BM25_TERMS = ["data", "system", "the"]
+DECON_N = 8
+DECON_EVAL_DOCS = 25
+TOP_NGRAM_N = 2
+
+
+def _augmented_text() -> F.Column:
+    """The synthetic documents contain no PII and no duplicate lines,
+    which would make those metrics vacuously zero (the r3
+    dedup_embedding lesson). Deterministically inject both into a
+    doc_id-keyed subset — pure column math, replicated verbatim in the
+    oracle SQL — so the patterns and line signals are genuinely
+    exercised and any regression moves the row."""
+    did = F.col("doc_id")
+    out = F.col("text")
+    out = F.when(
+        F.pmod(did, F.lit(7)) == 0,
+        F.concat(
+            out, F.lit(" contact user"), did.cast("string"),
+            F.lit("@example.com from ip 10.0."),
+            F.pmod(did, F.lit(256)).cast("string"), F.lit(".1"),
+        ),
+    ).otherwise(out)
+    out = F.when(
+        F.pmod(did, F.lit(11)) == 0,
+        F.concat(out, F.lit(" call 415-555-0133 or card 4111111111111111")),
+    ).otherwise(out)
+    out = F.when(
+        F.pmod(did, F.lit(5)) == 0,
+        F.concat(out, F.lit("\nfooter boilerplate line\nfooter boilerplate line")),
+    ).otherwise(out)
+    return out
+
+
+def corpus_hygiene_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    aug = docs.select("doc_id", _augmented_text().alias("text"))
+
+    counts = pii.pii_counts(F.col("text"))
+    total_hits = None
+    for c in counts.values():
+        total_hits = c if total_hits is None else total_hits + c
+    pii_agg = aug.agg(
+        F.sum(counts["email"]).cast("long").alias("pii_email_hits"),
+        F.sum(counts["phone"]).cast("long").alias("pii_phone_hits"),
+        F.sum(counts["ipv4"]).cast("long").alias("pii_ipv4_hits"),
+        F.sum(counts["card"]).cast("long").alias("pii_card_hits"),
+        F.sum((total_hits > 0).cast("long")).alias("pii_docs_flagged"),
+    )
+
+    nl = F.size(_lines(F.col("text")))
+    nd = F.size(F.array_distinct(_lines(F.col("text"))))
+    rep_agg = aug.agg(
+        F.sum((nl - nd).cast("long")).alias("rep_dup_lines_total"),
+        F.sum(((nl - nd) > 0).cast("long")).alias("rep_dup_line_docs"),
+    )
+
+    top_agg = top_ngram_char_fraction(docs, n=TOP_NGRAM_N).agg(
+        F.sum("occurrences").cast("long").alias("rep_top_ngram_occurrences"),
+        F.sum(
+            F.when(
+                F.col("top_ngram").isNotNull(),
+                F.col("occurrences") * F.length("top_ngram"),
+            ).otherwise(F.lit(0))
+        ).cast("long").alias("rep_top_ngram_chars"),
+    )
+
+    bm_agg = bm25_scores(docs, BM25_TERMS).agg(
+        F.count(F.lit(1)).alias("bm25_matched_docs"),
+        F.sum("n_terms_matched").cast("long").alias("bm25_terms_matched"),
+        grid(F.coalesce(F.sum(grid(F.col("bm25"), 2)), F.lit(0.0)), 2).alias("bm25_total"),
+    )
+
+    eval_docs = docs.orderBy("doc_id").limit(DECON_EVAL_DOCS)
+    dec_agg = ngram_contamination(docs, eval_docs, n=DECON_N).agg(
+        F.count(F.lit(1)).alias("decon_pairs"),
+        F.sum("shared_ngrams").cast("long").alias("decon_shared_total"),
+    )
+
+    pct = percentile_summary(docs, "n_chars", probs=(0.5, 0.95)).select(
+        F.col("p50").alias("len_p50"), F.col("p95").alias("len_p95")
+    )
+
+    return (
+        pii_agg.crossJoin(rep_agg).crossJoin(top_agg)
+        .crossJoin(bm_agg).crossJoin(dec_agg).crossJoin(pct)
+    )
+
+
+def _esc(p: str) -> str:
+    return p.replace("'", "''")
+
+
+def _pii_count(kind: str) -> str:
+    subject = "text"
+    if kind == "phone":
+        subject = "regexp_replace(text, '" + _esc(pii.IPV4_RE) + "', ';', 'g')"
+    return "len(regexp_extract_all(" + subject + ", '" + _esc(pii.PII_PATTERNS[kind]) + "'))"
+
+
+def _hygiene_sql() -> str:
+    n, k = TOP_NGRAM_N, DECON_N
+    terms = ", ".join(f"'{t}'" for t in BM25_TERMS)
+    total = " + ".join(_pii_count(kind) for kind in pii.PII_PATTERNS)
+    return f"""
+WITH aug AS (
+    SELECT doc_id,
+           (CASE WHEN (doc_id % 5) = 0
+                 THEN t2 || chr(10) || 'footer boilerplate line' || chr(10) || 'footer boilerplate line'
+                 ELSE t2 END) AS text
+    FROM (
+        SELECT doc_id,
+               (CASE WHEN (doc_id % 11) = 0
+                     THEN t1 || ' call 415-555-0133 or card 4111111111111111'
+                     ELSE t1 END) AS t2
+        FROM (
+            SELECT doc_id,
+                   (CASE WHEN (doc_id % 7) = 0
+                         THEN text || ' contact user' || CAST(doc_id AS VARCHAR)
+                              || '@example.com from ip 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.1'
+                         ELSE text END) AS t1
+            FROM documents
+        )
+    )
+), pii_per_doc AS (
+    SELECT {_pii_count('email')} AS e, {_pii_count('phone')} AS p,
+           {_pii_count('ipv4')} AS i, {_pii_count('card')} AS c,
+           ({total}) AS tot
+    FROM aug
+), pii_agg AS (
+    SELECT SUM(e) AS pii_email_hits, SUM(p) AS pii_phone_hits,
+           SUM(i) AS pii_ipv4_hits, SUM(c) AS pii_card_hits,
+           SUM(CASE WHEN tot > 0 THEN 1 ELSE 0 END) AS pii_docs_flagged
+    FROM pii_per_doc
+), rep_lines AS (
+    SELECT list_filter(string_split(text, chr(10)), l -> length(l) > 0) AS ls
+    FROM aug
+), rep_agg AS (
+    SELECT SUM(len(ls) - len(list_distinct(ls))) AS rep_dup_lines_total,
+           SUM(CASE WHEN len(ls) > len(list_distinct(ls)) THEN 1 ELSE 0 END) AS rep_dup_line_docs
+    FROM rep_lines
+), toks AS (
+    SELECT doc_id,
+           list_filter(string_split_regex(lower(trim(text)), '\\s+'), t -> length(t) > 0) AS t
+    FROM documents
+), grams AS (
+    SELECT doc_id,
+           CASE WHEN len(t) >= {n}
+                THEN list_transform(range(1, len(t) - {n} + 2),
+                                    i -> array_to_string(t[i:i+{n}-1], ' '))
+                ELSE [] END AS gs
+    FROM toks
+), gram_counted AS (
+    SELECT doc_id, ngram, COUNT(*) AS occurrences
+    FROM (SELECT doc_id, unnest(gs) AS ngram FROM grams)
+    GROUP BY ALL
+), gram_top AS (
+    SELECT doc_id, ngram, occurrences,
+           row_number() OVER (PARTITION BY doc_id ORDER BY occurrences DESC, ngram) AS rn
+    FROM gram_counted
+), top_agg AS (
+    SELECT COALESCE(SUM(occurrences), 0) AS rep_top_ngram_occurrences,
+           COALESCE(SUM(occurrences * length(ngram)), 0) AS rep_top_ngram_chars
+    FROM gram_top WHERE rn = 1
+), dt AS (
+    SELECT doc_id, len(t) AS doc_len, unnest(t) AS term FROM toks
+), tf AS (
+    SELECT doc_id, doc_len, term, COUNT(*) AS tf FROM dt GROUP BY ALL
+), corpus AS (
+    SELECT COUNT(DISTINCT doc_id) AS n_docs,
+           SUM(tf) / COUNT(DISTINCT doc_id) AS avg_len
+    FROM tf
+), dfs AS (
+    SELECT term, COUNT(DISTINCT doc_id) AS df FROM tf
+    WHERE term IN ({terms}) GROUP BY term
+), bm25_per_doc AS (
+    SELECT tf.doc_id,
+           {grid_sql("SUM(ln(1.0 + (c.n_docs - dfs.df + 0.5) / (dfs.df + 0.5)) * tf.tf * (1.2 + 1) / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * tf.doc_len / c.avg_len)))", 6)} AS bm25,
+           COUNT(*) AS n_terms_matched
+    FROM tf JOIN dfs USING (term) CROSS JOIN corpus c
+    WHERE tf.term IN ({terms})
+    GROUP BY tf.doc_id
+), bm_agg AS (
+    SELECT COUNT(*) AS bm25_matched_docs,
+           SUM(n_terms_matched) AS bm25_terms_matched,
+           {grid_sql("COALESCE(SUM(" + grid_sql("bm25", 2) + "), 0)", 2)} AS bm25_total
+    FROM bm25_per_doc
+), dec_grams AS (
+    SELECT doc_id,
+           CASE WHEN len(t) >= {k}
+                THEN list_distinct(list_transform(range(1, len(t) - {k} + 2),
+                                                  i -> array_to_string(t[i:i+{k}-1], ' ')))
+                ELSE [] END AS gs
+    FROM toks
+), corpus_g AS (
+    SELECT doc_id, unnest(gs) AS ngram FROM dec_grams
+), eval_g AS (
+    SELECT doc_id AS eval_id, unnest(gs) AS ngram FROM dec_grams
+    WHERE doc_id IN (SELECT doc_id FROM documents ORDER BY doc_id LIMIT {DECON_EVAL_DOCS})
+), dec_pairs AS (
+    SELECT c.doc_id, e.eval_id, COUNT(*) AS shared_ngrams
+    FROM corpus_g c JOIN eval_g e USING (ngram)
+    GROUP BY 1, 2
+), dec_agg AS (
+    SELECT COUNT(*) AS decon_pairs, COALESCE(SUM(shared_ngrams), 0) AS decon_shared_total
+    FROM dec_pairs
+), pct AS (
+    SELECT {grid_sql("quantile_cont(n_chars, 0.5)", 6)} AS len_p50,
+           {grid_sql("quantile_cont(n_chars, 0.95)", 6)} AS len_p95
+    FROM documents
+)
+SELECT CAST(pii_email_hits AS BIGINT) AS pii_email_hits,
+       CAST(pii_phone_hits AS BIGINT) AS pii_phone_hits,
+       CAST(pii_ipv4_hits AS BIGINT) AS pii_ipv4_hits,
+       CAST(pii_card_hits AS BIGINT) AS pii_card_hits,
+       CAST(pii_docs_flagged AS BIGINT) AS pii_docs_flagged,
+       CAST(rep_dup_lines_total AS BIGINT) AS rep_dup_lines_total,
+       CAST(rep_dup_line_docs AS BIGINT) AS rep_dup_line_docs,
+       CAST(rep_top_ngram_occurrences AS BIGINT) AS rep_top_ngram_occurrences,
+       CAST(rep_top_ngram_chars AS BIGINT) AS rep_top_ngram_chars,
+       CAST(bm25_matched_docs AS BIGINT) AS bm25_matched_docs,
+       CAST(bm25_terms_matched AS BIGINT) AS bm25_terms_matched,
+       bm25_total,
+       CAST(decon_pairs AS BIGINT) AS decon_pairs,
+       CAST(decon_shared_total AS BIGINT) AS decon_shared_total,
+       len_p50, len_p95
+FROM pii_agg, rep_agg, top_agg, bm_agg, dec_agg, pct
+"""
+
+
+CORPUS_HYGIENE_SUITE_SQL = _hygiene_sql()
+
+QUERIES = {"corpus_hygiene_suite": corpus_hygiene_suite}
+ORACLES = {"corpus_hygiene_suite": CORPUS_HYGIENE_SUITE_SQL}

@@ -30,9 +30,11 @@ def test_rows_only_queries_run(spark, name):
 
 def test_registry_is_exactly_50(spark):
     """The driver records only the first 50 queries() entries; a 51st
-    silently drops off the correctness artifact."""
+    silently drops off the correctness artifact. As of r5 EVERY entry
+    carries a DuckDB oracle (fintech_gold_suite gained one via the
+    committed silver fixture)."""
     assert len(QUERIES) == 50, sorted(QUERIES)
-    assert len(ORACLES) == 49
+    assert len(ORACLES) == 50
 
 
 def test_demoted_distinct_projection_oracle(spark):
@@ -44,4 +46,17 @@ def test_demoted_distinct_projection_oracle(spark):
     )
 
     ok, msg = compare(spark, SF_CORRECTNESS, distinct_projection, DISTINCT_PROJECTION_SQL)
+    assert ok, msg
+
+
+def test_demoted_scalar_subquery_oracle(spark):
+    """op_scalar_subquery left the driver registry in r5 (subsumed by
+    op_correlated_subquery; swapped for corpus_hygiene_suite); its
+    oracle coverage continues here."""
+    from lakehouse_file_format_compare_spark.plans.adhoc import (
+        SCALAR_SUBQUERY_SQL,
+        scalar_subquery,
+    )
+
+    ok, msg = compare(spark, SF_CORRECTNESS, scalar_subquery, SCALAR_SUBQUERY_SQL)
     assert ok, msg
