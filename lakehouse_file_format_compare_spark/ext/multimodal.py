@@ -5,11 +5,15 @@ metadata structs; decode / feature-extraction / resize / frame-sample
 run as Arrow-batched ``mapInPandas`` stages. The Spark-side plumbing —
 schemas, batch iteration, partition sizing, UDF signatures — is real
 and tested. Image decode/resize use REAL PIL when the library is
-importable (runtime probe, ``pil_available``); this container ships
-no image/audio libraries, so the test default is the deterministic
-fake decoder (content-hash-seeded dimensions, ``fake_decode=True``)
-and calling the real path without PIL raises a clear
-``NotImplementedError``. Audio probing is REAL for WAV/PCM payloads
+importable (runtime probe, ``pil_available``); without PIL, image
+metadata (width/height/channels) is still REAL via a stdlib header
+probe (:func:`probe_image` — PNG IHDR / GIF LSD / BMP info header /
+JPEG SOFn markers), so the metadata use-case works in this container
+on actual image bytes. Only full pixel decode (resize, re-encode)
+still requires PIL and raises a clear ``NotImplementedError``; the
+deterministic fake decoder (content-hash-seeded dimensions,
+``fake_decode=True``) remains for hash-stable driver oracles.
+Audio probing is REAL for WAV/PCM payloads
 (stdlib ``wave`` header parse — works here, tested on generated
 PCM16 files); compressed formats (mp3/ogg/flac) still need
 soundfile/ffmpeg and raise until those exist.
@@ -88,10 +92,54 @@ def pil_available() -> bool:
         return False
 
 
+def probe_image(blob: bytes) -> tuple[int, int, int]:
+    """REAL image header probe: (width, height, channels) parsed from
+    PNG IHDR, GIF logical-screen descriptor, BMP info header, or JPEG
+    SOF0/1/2 frame markers with stdlib ``struct`` alone — the image
+    analog of :func:`probe_wav` (r4 verdict item #3). Covers the
+    metadata use-case (dimension filters, aspect-ratio gates, byte
+    accounting) without any codec; full pixel decode still needs
+    PIL/libvips. Raises ``NotImplementedError`` for unrecognized
+    payloads — never a silent fake."""
+    import struct
+
+    if blob[:8] == b"\x89PNG\r\n\x1a\n" and len(blob) >= 26 and blob[12:16] == b"IHDR":
+        w, h = struct.unpack(">II", blob[16:24])
+        # color type -> samples per pixel (palette counts as 1 stored
+        # channel, matching what the header physically encodes)
+        channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(blob[25], 3)
+        return w, h, channels
+    if blob[:6] in (b"GIF87a", b"GIF89a") and len(blob) >= 10:
+        w, h = struct.unpack("<HH", blob[6:10])
+        return w, h, 3
+    if blob[:2] == b"BM" and len(blob) >= 30:
+        w, h = struct.unpack("<ii", blob[18:26])
+        return w, abs(h), 3
+    if blob[:2] == b"\xff\xd8":
+        i = 2
+        while i + 9 < len(blob) and blob[i] == 0xFF:
+            marker = blob[i + 1]
+            if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:  # no-payload markers
+                i += 2
+                continue
+            if marker in (0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                          0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):  # SOFn
+                h, w = struct.unpack(">HH", blob[i + 5:i + 9])
+                return w, h, blob[i + 9]
+            i += 2 + struct.unpack(">H", blob[i + 2:i + 4])[0]
+    raise NotImplementedError(
+        "unrecognized image payload (not PNG/GIF/BMP/JPEG): full decode "
+        "requires PIL/libvips (absent here)"
+    )
+
+
 def decode_image(content: bytes, fake: bool = False) -> tuple[int, int, int]:
     """(width, height, channels) of an encoded image. Real PIL decode
-    when the library is present; deterministic fake with ``fake=True``
-    (the test default); otherwise a clear NotImplementedError."""
+    when the library is present; stdlib header probe
+    (:func:`probe_image`) otherwise — works in this container on
+    actual PNG/GIF/BMP/JPEG bytes; deterministic fake with
+    ``fake=True``; unrecognized payloads raise a clear
+    NotImplementedError."""
     if fake:
         return _fake_decode(content)
     if pil_available():
@@ -101,10 +149,7 @@ def decode_image(content: bytes, fake: bool = False) -> tuple[int, int, int]:
 
         with Image.open(io.BytesIO(content)) as img:
             return img.width, img.height, len(img.getbands())
-    raise NotImplementedError(
-        "real image decoding requires PIL/libvips (not in this container); "
-        "pass fake=True for the deterministic test decoder"
-    )
+    return probe_image(content)
 
 
 def extract_image_features(media: DataFrame, fake_decode: bool = True) -> DataFrame:
@@ -122,8 +167,36 @@ def extract_image_features(media: DataFrame, fake_decode: bool = True) -> DataFr
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib as _hashlib
+        import struct as _struct
 
         import pandas as _pd
+
+        def _probe(blob: bytes) -> tuple[int, int, int]:
+            if blob[:8] == b"\x89PNG\r\n\x1a\n" and len(blob) >= 26 and blob[12:16] == b"IHDR":
+                w, h = _struct.unpack(">II", blob[16:24])
+                return w, h, {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(blob[25], 3)
+            if blob[:6] in (b"GIF87a", b"GIF89a") and len(blob) >= 10:
+                w, h = _struct.unpack("<HH", blob[6:10])
+                return w, h, 3
+            if blob[:2] == b"BM" and len(blob) >= 30:
+                w, h = _struct.unpack("<ii", blob[18:26])
+                return w, abs(h), 3
+            if blob[:2] == b"\xff\xd8":
+                i = 2
+                while i + 9 < len(blob) and blob[i] == 0xFF:
+                    marker = blob[i + 1]
+                    if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                        i += 2
+                        continue
+                    if marker in (0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                                  0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+                        h, w = _struct.unpack(">HH", blob[i + 5:i + 9])
+                        return w, h, blob[i + 9]
+                    i += 2 + _struct.unpack(">H", blob[i + 2:i + 4])[0]
+            raise NotImplementedError(
+                "unrecognized image payload (not PNG/GIF/BMP/JPEG): full "
+                "decode requires PIL/libvips (absent here)"
+            )
 
         for pdf in batches:
             rows = []
@@ -137,12 +210,13 @@ def extract_image_features(media: DataFrame, fake_decode: bool = True) -> DataFr
                         import io as _io
 
                         from PIL import Image as _Image
-                    except ImportError as exc:
-                        raise NotImplementedError(
-                            "real image decoding requires PIL/libvips (absent here)"
-                        ) from exc
-                    with _Image.open(_io.BytesIO(blob)) as img:
-                        width, height, channels = img.width, img.height, len(img.getbands())
+
+                        with _Image.open(_io.BytesIO(blob)) as img:
+                            width, height, channels = img.width, img.height, len(img.getbands())
+                    except ImportError:
+                        # stdlib header probe (self-contained copy of
+                        # probe_image — see the closure NOTE above)
+                        width, height, channels = _probe(blob)
                 rows.append({
                     "media_id": media_id,
                     "n_bytes": len(blob),
