@@ -100,6 +100,89 @@ def incremental_monthly_balance(
     )
 
 
+def _group_keys_of(txns: DataFrame, d_transaction_types: DataFrame) -> DataFrame:
+    """Distinct (ano, mes, contract_id) gold groups a set of
+    transaction rows lands in (financial filter applied — only rows
+    monthly_balance would actually count)."""
+    ts = _completed_ts()
+    return (
+        financial_txns(txns, d_transaction_types)
+        .select(
+            F.year(ts).alias("ano"),
+            F.month(ts).alias("mes"),
+            "contract_id",
+        )
+        .distinct()
+    )
+
+
+def incremental_monthly_balance_with_updates(
+    existing_gold: DataFrame,
+    delta: DataFrame,
+    max_seen_pk: int | None,
+    silver_old: DataFrame,
+    silver_current: DataFrame,
+    d_transaction_types: DataFrame,
+    pk_col: str = "transaction_id",
+) -> DataFrame:
+    """Retraction-capable fold (r4 verdict #6): handles a delta that
+    CONTAINS UPDATES of already-folded rows without falling back to a
+    full O(history) refresh.
+
+    Split the watermark delta on the folded PK horizon: rows with
+    pk > max_seen_pk are genuine appends and fold arithmetically
+    (``incremental_monthly_balance``). Rows with pk <= max_seen_pk are
+    updates; their OLD images come from the pre-merge silver snapshot
+    (time travel on the versioned store). SUM/COUNT would subtract
+    cleanly, but maior_entrada/maior_saida are MAX/MIN — not
+    retractable from the output row alone — so the AFFECTED GOLD
+    GROUPS (the distinct (ano, mes, contract_id) keys of the old AND
+    new images — both, because an updated completed-timestamp moves a
+    row between months) are recomputed from current silver restricted
+    to those keys and swapped in wholesale. Exactness: recomputation
+    is ground truth for the affected groups; untouched groups keep
+    their folded values bit-for-bit.
+
+    Scale: O(new batch) for the append fold + O(affected-group
+    history) for the repair. Updates are rare and touch few groups, so
+    the group-key set is broadcast and the repair scan is
+    partition-prunable on (ano, mes) — never O(history). (A
+    pathological batch updating most of history degrades gracefully
+    toward full-refresh cost, which is exactly the right asymptote.)
+    """
+    pk = F.col(pk_col)
+    if max_seen_pk is None:
+        new_rows, upd_new = delta, delta.where(F.lit(False))
+    else:
+        new_rows = delta.where(pk > max_seen_pk)
+        upd_new = delta.where(pk <= max_seen_pk)
+    folded = incremental_monthly_balance(existing_gold, new_rows, d_transaction_types)
+
+    upd_old = silver_old.join(
+        upd_new.select(pk_col).distinct(), pk_col, "left_semi"
+    )
+    groups = (
+        _group_keys_of(upd_new, d_transaction_types)
+        .unionByName(_group_keys_of(upd_old, d_transaction_types))
+        .distinct()
+    )
+    # All current-silver rows landing in an affected group. Group keys
+    # are computable pre-join (ano/mes from the completed ts,
+    # contract_id on the fact), so the semi-join prunes BEFORE the
+    # dimension join and monthly_balance recomputes only those groups.
+    ts = _completed_ts()
+    affected_raw = (
+        silver_current.withColumn("ano", F.year(ts)).withColumn("mes", F.month(ts))
+        .join(F.broadcast(groups), ["ano", "mes", "contract_id"], "left_semi")
+        .drop("ano", "mes")
+    )
+    recomputed = monthly_balance(affected_raw, d_transaction_types)
+    return (
+        folded.join(F.broadcast(groups), list(GROUP_KEYS), "left_anti")
+        .unionByName(recomputed)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Q3 daily_transaction_metrics — partial-state maintenance
 # ---------------------------------------------------------------------------

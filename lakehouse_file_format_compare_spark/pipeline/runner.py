@@ -123,14 +123,20 @@ class MedallionPipeline:
         txn = self._silver("f_transactions", fmt)
         types = self._silver("d_transaction_types", fmt)
 
-        def fold(name, full_fn, fold_fn):
+        def fold(name, full_fn, fold_fn, update_fold_fn=None):
             """Create-or-fold one maintained table behind its own
             ingestion-timestamp watermark (kept per table so a new
             maintained table backfills on its first cycle). The fold
             path is guarded by the append-only precondition
-            (incremental_gold.check_append_only): a delta carrying an
-            already-folded PK (i.e. an updating silver merge) falls
-            back to a full refresh instead of double-counting."""
+            (incremental_gold.check_append_only); when a delta carries
+            an already-folded PK (an updating silver merge):
+
+            - tables with an ``update_fold_fn`` repair incrementally —
+              the retraction-capable fold gets the pre-merge silver
+              snapshot (time travel on the version recorded at the
+              last sync) and recomputes only the affected groups;
+            - others fall back to a full refresh rather than silently
+              double-count."""
             import json as _json
 
             state_path = os.path.join(self.warehouse.path("gold", name, fmt), "_state.json")
@@ -140,9 +146,11 @@ class MedallionPipeline:
                 with open(state_path) as f:
                     raw = f.read().strip()
                 legacy = False
+                silver_ver = None
                 try:
                     st = _json.loads(raw)
                     wm, max_pk = st["watermark"], st.get("max_pk")
+                    silver_ver = st.get("silver_version")
                 except ValueError:  # pre-r4 plain-string watermark file
                     # no max_pk recorded -> the append-only guard can't
                     # fire; folding unguarded could silently double-count
@@ -161,9 +169,23 @@ class MedallionPipeline:
                         fold_fn(existing, delta), "gold", name, fmt, "incremental_fold"
                     )
                 except ig.AppendOnlyViolation:
-                    self.warehouse._commit_version(
-                        full_fn(), "gold", name, fmt, "full_refresh_fallback"
-                    )
+                    if update_fold_fn is not None and not legacy and silver_ver is not None:
+                        from ..schemas import FINTECH_TABLE_CONFIGS
+
+                        existing = self.warehouse.read_table("gold", name, fmt)
+                        silver_old = self.warehouse.read_table(
+                            "silver", "f_transactions", fmt,
+                            schema=FINTECH_TABLE_CONFIGS["f_transactions"].schema,
+                            version=silver_ver,
+                        )
+                        self.warehouse._commit_version(
+                            update_fold_fn(existing, delta, max_pk, silver_old),
+                            "gold", name, fmt, "incremental_fold_with_retractions",
+                        )
+                    else:
+                        self.warehouse._commit_version(
+                            full_fn(), "gold", name, fmt, "full_refresh_fallback"
+                        )
             new_wm, new_max_pk = txn.agg(
                 F.max("ingestion_timestamp"), F.max("transaction_id")
             ).collect()[0]
@@ -172,6 +194,9 @@ class MedallionPipeline:
                     {
                         "watermark": new_wm.strftime("%Y-%m-%d %H:%M:%S.%f"),
                         "max_pk": new_max_pk,
+                        "silver_version": self.warehouse.current_version(
+                            "silver", "f_transactions", fmt
+                        ),
                     },
                     f,
                 )
@@ -180,6 +205,10 @@ class MedallionPipeline:
             "monthly_balance_inc",
             lambda: gold.monthly_balance(txn, types),
             lambda existing, delta: ig.incremental_monthly_balance(existing, delta, types),
+            update_fold_fn=lambda existing, delta, max_pk, silver_old:
+                ig.incremental_monthly_balance_with_updates(
+                    existing, delta, max_pk, silver_old, txn, types
+                ),
         )
         fold(
             "daily_metrics_state",

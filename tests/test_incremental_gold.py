@@ -289,9 +289,10 @@ def test_legacy_state_file_forces_full_refresh(spark, tmp_path_factory):
 
 def test_incremental_rejects_updates(spark, tmp_path_factory):
     """An updating silver merge (same PK, bumped ingestion_timestamp)
-    would double-count if folded; the guard must catch it and fall
-    back to a full refresh that stays equal to recompute-from-scratch
-    (VERDICT r3 #5)."""
+    would double-count if folded naively; the guard must catch it.
+    monthly_balance repairs via the retraction-capable fold (r5); the
+    finer state tables fall back to a full refresh. Both must stay
+    equal to recompute-from-scratch (VERDICT r3 #5, r4 #6)."""
     from lakehouse_file_format_compare_spark.pipeline.runner import MedallionPipeline
     from lakehouse_file_format_compare_spark.schemas import FINTECH_TABLE_CONFIGS
 
@@ -316,7 +317,11 @@ def test_incremental_rejects_updates(spark, tmp_path_factory):
     )
 
     p.run_gold_incremental()
-    for name in ("monthly_balance_inc", "daily_metrics_state", "contract_financials_state"):
+    # monthly_balance is retraction-capable (r5): it repairs in place;
+    # the state tables still take the full-refresh fallback
+    hist = p.warehouse.history("gold", "monthly_balance_inc")
+    assert hist[-1]["op"] == "incremental_fold_with_retractions", hist[-1]
+    for name in ("daily_metrics_state", "contract_financials_state"):
         hist = p.warehouse.history("gold", name)
         assert hist[-1]["op"] == "full_refresh_fallback", (name, hist[-1])
 
@@ -340,6 +345,74 @@ def test_incremental_rejects_updates(spark, tmp_path_factory):
     p.run_gold_incremental()
     hist = p.warehouse.history("gold", "monthly_balance_inc")
     assert hist[-1]["op"] == "incremental_fold"
+    full2 = monthly_balance(
+        p._silver("f_transactions", "parquet"), p._silver("d_transaction_types", "parquet")
+    )
+    incr2 = p.warehouse.read_table("gold", "monthly_balance_inc", "parquet")
+    assert canon(incr2) == canon(full2)
+
+
+def test_incremental_handles_updates(spark, tmp_path_factory):
+    """Retraction-capable fold (r4 verdict #6): a delta MIXING genuine
+    appends with updates of already-folded rows — including an update
+    that MOVES a transaction to a different month (changed completed
+    timestamp, so both the old and the new gold group need repair) —
+    must produce exactly the full-refresh result via
+    incremental_fold_with_retractions, never a full refresh."""
+    from lakehouse_file_format_compare_spark.pipeline.runner import MedallionPipeline
+    from lakehouse_file_format_compare_spark.schemas import FINTECH_TABLE_CONFIGS
+
+    p = MedallionPipeline(spark, str(tmp_path_factory.mktemp("incr_retract")))
+    for _ in range(2):
+        p.run_bronze(n_customers=10, n_contracts=15, n_transactions=150, n_attributes=15)
+        p.run_silver()
+        p.run_gold_incremental()
+
+    # two updates: an amount change (repairs one group in place) and a
+    # ~35-day completed-timestamp shift (moves the row across months —
+    # the old group must shrink AND the new group must grow)
+    txn = p._silver("f_transactions", "parquet")
+    first_two = txn.orderBy("transaction_id").limit(2)
+    staged = first_two.withColumn(
+        "amount",
+        F.when(F.col("transaction_id") == first_two.collect()[0]["transaction_id"],
+               F.col("amount") + 777.0).otherwise(F.col("amount")),
+    ).withColumn(
+        "completed_at_time_id",
+        F.when(F.col("transaction_id") == first_two.collect()[1]["transaction_id"],
+               F.col("completed_at_time_id") + 35 * 86400).otherwise(F.col("completed_at_time_id")),
+    ).withColumn("ingestion_timestamp", F.current_timestamp())
+    p.warehouse.merge_table(
+        staged, "silver", "f_transactions", keys=("transaction_id",),
+        fmt="parquet", schema=FINTECH_TABLE_CONFIGS["f_transactions"].schema,
+    )
+    # plus a fresh batch of genuine appends in the SAME watermark delta
+    p.run_bronze(n_customers=5, n_contracts=8, n_transactions=90, n_attributes=8)
+    p.run_silver()
+
+    p.run_gold_incremental()
+    hist = p.warehouse.history("gold", "monthly_balance_inc")
+    assert hist[-1]["op"] == "incremental_fold_with_retractions", hist[-1]
+
+    full = monthly_balance(
+        p._silver("f_transactions", "parquet"), p._silver("d_transaction_types", "parquet")
+    )
+    incr = p.warehouse.read_table("gold", "monthly_balance_inc", "parquet")
+
+    def canon(df):
+        cols = sorted(df.columns)
+        return sorted(
+            tuple(round(v, 6) if isinstance(v, float) else v for v in (r[c] for c in cols))
+            for r in df.collect()
+        )
+
+    assert canon(incr) == canon(full)
+
+    # next cycle is a plain append fold again and still equal
+    p.run_bronze(n_customers=5, n_contracts=8, n_transactions=90, n_attributes=8)
+    p.run_silver()
+    p.run_gold_incremental()
+    assert p.warehouse.history("gold", "monthly_balance_inc")[-1]["op"] == "incremental_fold"
     full2 = monthly_balance(
         p._silver("f_transactions", "parquet"), p._silver("d_transaction_types", "parquet")
     )
