@@ -98,3 +98,75 @@ def range_join(
         (F.col(point_col) >= F.col(lo_col)) & (F.col(point_col) < F.col(hi_col))
     )
     return joined.drop("__bucket")
+
+
+def sessionize(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    order_cols: tuple[str, ...] = ("event_id",),
+) -> DataFrame:
+    """Gap-based batch sessionization: within each key, a new session
+    starts whenever the time since the previous event exceeds ``gap``.
+    Adds ``session_seq`` (1-based per-key session ordinal) and a
+    globally unique ``session_id`` = xxhash64(key, session_seq).
+
+    The batch counterpart of the streaming session window
+    (plans/streaming_plans.py) — reference parity is the ad-hoc
+    analytics surface; the gap rule matches Spark's
+    ``session_window`` semantics (a gap of exactly ``gap`` closes the
+    session: boundary when ts - prev_ts > gap).
+
+    Plan shape / 100 TB: ONE shuffle (window partitioned by the key);
+    the boundary flag is a lag comparison and the ordinal a running
+    sum over the same window spec, so both windows share one sort.
+    ``order_cols`` break timestamp ties deterministically. Hot keys
+    (one user with millions of events) sort within one partition —
+    the same skew profile as any per-entity window; salt upstream if
+    a single entity exceeds a partition."""
+    w = Window.partitionBy(key_col).orderBy(ts_col, *order_cols)
+    gap_expr = F.expr(f"INTERVAL {gap}")
+    prev_ts = F.lag(ts_col).over(w)
+    is_new = F.when(
+        prev_ts.isNull() | (F.col(ts_col).cast("timestamp") > prev_ts + gap_expr),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    out = events.withColumn("__new", is_new).withColumn(
+        "session_seq",
+        F.sum("__new").over(
+            Window.partitionBy(key_col).orderBy(ts_col, *order_cols)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return out.drop("__new").withColumn(
+        "session_id", F.xxhash64(F.col(key_col), F.col("session_seq"))
+    )
+
+
+def session_stats(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str | None = "value",
+    order_cols: tuple[str, ...] = ("event_id",),
+) -> DataFrame:
+    """Per-session rollup over :func:`sessionize`: start/end, event
+    count, duration seconds, and (optionally) the value sum. Same
+    single key-shuffle; the groupBy reuses the session keys."""
+    s = sessionize(events, gap=gap, key_col=key_col, ts_col=ts_col, order_cols=order_cols)
+    aggs = [
+        F.min(ts_col).alias("session_start"),
+        F.max(ts_col).alias("session_end"),
+        F.count(F.lit(1)).alias("n_events"),
+        # floor of the FRACTIONAL difference (not a difference of
+        # floored endpoints, which over-counts by 1 when the start's
+        # sub-second part exceeds the end's)
+        F.floor(
+            F.max(F.col(ts_col).cast("double")) - F.min(F.col(ts_col).cast("double"))
+        ).cast("long").alias("duration_sec"),
+    ]
+    if value_col is not None:
+        aggs.append(F.sum(value_col).alias("value_sum"))
+    return s.groupBy(key_col, "session_seq").agg(*aggs)

@@ -1,0 +1,113 @@
+"""Batch sessionization (operators/temporal.py::sessionize /
+session_stats): exact DuckDB window-SQL value oracle on the events
+table, plus contract checks (gap boundary inclusive/exclusive, tie
+determinism, single-shuffle plan)."""
+
+from __future__ import annotations
+
+import duckdb
+from pyspark.sql import functions as F
+
+from lakehouse_file_format_compare_spark.operators.temporal import (
+    session_stats,
+    sessionize,
+)
+from lakehouse_file_format_compare_spark.sources.testdata import table
+
+from .conftest import SF_CORRECTNESS
+
+ORACLE_SESS = """
+WITH ordered AS (
+  SELECT event_id, user_id, ts, value,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+  FROM events
+), flagged AS (
+  SELECT *, CASE WHEN prev_ts IS NULL OR ts > prev_ts + INTERVAL 30 MINUTE
+                 THEN 1 ELSE 0 END AS is_new
+  FROM ordered
+)
+SELECT event_id, user_id,
+       SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS UNBOUNDED PRECEDING) AS session_seq
+FROM flagged
+"""
+
+
+def _con(sf_dir):
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{sf_dir}/events.parquet')"
+    )
+    return con
+
+
+def test_sessionize_duckdb_oracle(spark):
+    events = table(spark, SF_CORRECTNESS, "events")
+    got = {
+        r["event_id"]: r["session_seq"]
+        for r in sessionize(events, gap="30 minutes").select("event_id", "session_seq").collect()
+    }
+    con = _con(SF_CORRECTNESS)
+    want = {eid: seq for eid, _, seq in con.execute(ORACLE_SESS).fetchall()}
+    con.close()
+    assert got == want
+    assert max(want.values()) > 1  # corpus actually splits into sessions
+
+
+def test_session_stats_duckdb_oracle(spark):
+    events = table(spark, SF_CORRECTNESS, "events")
+    got = sorted(
+        (
+            r["user_id"], r["session_seq"], r["session_start"], r["session_end"],
+            r["n_events"], r["duration_sec"], round(r["value_sum"], 6),
+        )
+        for r in session_stats(events, gap="30 minutes").collect()
+    )
+    con = _con(SF_CORRECTNESS)
+    want = sorted(
+        (u, int(seq), st, en, n, int(d), round(v, 6))
+        for u, seq, st, en, n, d, v in con.execute(f"""
+            WITH sess AS ({ORACLE_SESS.replace("SELECT event_id, user_id,",
+                                               "SELECT event_id, user_id, ts, value,")})
+            SELECT user_id, session_seq, min(ts), max(ts), count(*),
+                   floor(epoch(max(ts)) - epoch(min(ts))), sum(value)
+            FROM sess GROUP BY user_id, session_seq
+        """).fetchall()
+    )
+    con.close()
+    assert got == want
+
+
+def test_sessionize_gap_boundary_and_ties(spark):
+    """Boundary semantics: exactly-gap spacing stays in the session
+    (> gap, not >=); equal timestamps tie-break on event_id so the
+    assignment is deterministic."""
+    rows = [
+        # user 1: 0s, +30m exactly (same session), +30m+1s (new session)
+        (1, 7, "2026-01-01 00:00:00", 1.0),
+        (2, 7, "2026-01-01 00:30:00", 1.0),
+        (3, 7, "2026-01-01 01:00:01", 1.0),
+        # user 2: equal timestamps
+        (4, 8, "2026-01-01 00:00:00", 1.0),
+        (5, 8, "2026-01-01 00:00:00", 1.0),
+    ]
+    df = (
+        spark.createDataFrame(rows, "event_id long, user_id long, ts string, value double")
+        .withColumn("ts", F.to_timestamp("ts"))
+    )
+    seqs = {r["event_id"]: r["session_seq"] for r in sessionize(df).collect()}
+    assert seqs[1] == 1 and seqs[2] == 1  # exactly 30m: same session
+    assert seqs[3] == 2                   # 30m1s after event 2: new
+    assert seqs[4] == 1 and seqs[5] == 1  # simultaneous: one session
+    ids = {r["event_id"]: r["session_id"] for r in sessionize(df).collect()}
+    assert ids[1] == ids[2] != ids[3]     # session_id unique per (key, seq)
+
+
+def test_sessionize_plan_single_shuffle(spark):
+    """Both windows and the stats groupBy reuse ONE key shuffle."""
+    events = table(spark, SF_CORRECTNESS, "events")
+    plan = (
+        session_stats(events)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Exchange") <= 2  # key shuffle (+ AQE read), never per-window
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
