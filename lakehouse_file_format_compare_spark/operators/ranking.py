@@ -116,3 +116,75 @@ def tfidf_scores(
         .groupBy("doc_id")
         .agg(grid(F.sum("term_score"), 6).alias("tfidf"))
     )
+
+
+def bigram_lm_scores(
+    docs: DataFrame,
+    alpha: float = 0.1,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-trained add-α bigram language-model quality scoring —
+    the classic KenLM-style fluency signal for training-data curation
+    (docs whose word transitions are improbable under the corpus's
+    own statistics are boilerplate/garbled/outlier candidates),
+    computed entirely with built-in expressions.
+
+    Model: P(w2|w1) = (c(w1,w2) + α) / (c(w1·) + α·V), trained on the
+    scored corpus itself; c(w1·) counts w1 as a bigram CONTEXT (so the
+    model is self-consistent: Σ_w P(w|w1) = 1 over the α-smoothed
+    vocabulary V = |distinct tokens|). Output per doc with ≥2 tokens:
+    ``n_bigrams``, ``avg_logp`` (mean natural-log probability) and
+    ``ppl`` = exp(−avg_logp).
+
+    Plan shape / 100 TB: the bigram-count table is corpus-statistics
+    sized (can exceed vocab² sparsity bounds) so its join is a
+    SHUFFLE hash join keyed by (w1, w2) — explicitly NOT broadcast;
+    the context-count table is vocabulary-sized and broadcasts, the
+    vocab size is a 1-row broadcast cross. Two corpus-side shuffles
+    total (bigram join, doc-keyed average); training and scoring
+    share one tokenization.
+
+    Exact DuckDB oracle in tests/test_ranking.py (same tokenization,
+    same double math, 1e-6 grid)."""
+    toks = F.filter(
+        F.split(F.lower(F.trim(F.col(text_col))), TOKEN_SPLIT_RE),
+        lambda t: F.length(t) > 0,
+    )
+    base = docs.select(F.col(id_col).alias("doc_id"), toks.alias("toks"))
+    bi = (
+        base.where(F.size("toks") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("toks") - 2),
+                    lambda i: F.struct(
+                        F.element_at("toks", i + 1).alias("w1"),
+                        F.element_at("toks", i + 2).alias("w2"),
+                    ),
+                )
+            ).alias("bg"),
+        )
+        .select("doc_id", "bg.w1", "bg.w2")
+    )
+    bigram_counts = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    ctx_counts = bi.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    vocab = base.select(F.explode("toks").alias("w")).agg(
+        F.countDistinct("w").alias("vsize")
+    )
+    scored = (
+        bi.join(bigram_counts.hint("shuffle_hash"), ["w1", "w2"])
+        .join(F.broadcast(ctx_counts), "w1")
+        .crossJoin(F.broadcast(vocab))
+        .withColumn(
+            "logp",
+            F.log((F.col("c12") + alpha) / (F.col("c1") + alpha * F.col("vsize"))),
+        )
+    )
+    avg_lp = F.sum("logp") / F.count(F.lit(1))
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        grid(avg_lp, 6).alias("avg_logp"),
+        grid(F.exp(-avg_lp), 6).alias("ppl"),
+    )

@@ -136,3 +136,93 @@ def test_bm25_plan_broadcasts_term_stats(spark):
     assert "CartesianProduct" not in plan
     # corpus-side scan stays single: no join shuffles the full corpus
     assert plan.count("SortMergeJoin") == 0
+
+
+ALPHA = 0.5
+
+
+def _bigram_lm_sql(path: str, alpha: float) -> str:
+    return f"""
+WITH toks AS (
+    SELECT doc_id,
+           list_filter(string_split_regex(lower(trim(text)), '\\s+'), t -> length(t) > 0) AS t
+    FROM read_parquet('{path}')
+), flat AS (
+    SELECT doc_id, unnest(t) AS w, generate_subscripts(t, 1) AS i
+    FROM toks WHERE len(t) >= 2
+), bi AS (
+    SELECT doc_id, w1, w2 FROM (
+        SELECT doc_id, w AS w1,
+               lead(w) OVER (PARTITION BY doc_id ORDER BY i) AS w2
+        FROM flat
+    ) WHERE w2 IS NOT NULL
+), bc AS (
+    SELECT w1, w2, COUNT(*) AS c12 FROM bi GROUP BY ALL
+), cc AS (
+    SELECT w1, COUNT(*) AS c1 FROM bi GROUP BY ALL
+), v AS (
+    SELECT COUNT(DISTINCT w) AS vsize FROM (SELECT unnest(t) AS w FROM toks)
+), s AS (
+    SELECT doc_id, ln((c12 + {alpha}) / (c1 + {alpha} * vsize)) AS lp
+    FROM bi JOIN bc USING (w1, w2) JOIN cc USING (w1) CROSS JOIN v
+)
+SELECT doc_id, COUNT(*) AS n_bigrams,
+       FLOOR(AVG(lp) * 1000000 + 0.5) / 1000000 AS avg_logp,
+       FLOOR(EXP(-AVG(lp)) * 1000000 + 0.5) / 1000000 AS ppl
+FROM s GROUP BY doc_id
+"""
+
+
+def test_bigram_lm_oracle_on_documents(spark):
+    import os
+
+    from lakehouse_file_format_compare_spark.operators.ranking import bigram_lm_scores
+
+    path = os.path.join(SF_CORRECTNESS, "documents.parquet")
+    got = sorted(
+        map(tuple, bigram_lm_scores(table(spark, SF_CORRECTNESS, "documents"),
+                                    alpha=ALPHA).collect())
+    )
+    con = duckdb.connect()
+    want = sorted(map(tuple, con.execute(_bigram_lm_sql(path, ALPHA)).fetchall()))
+    con.close()
+    assert len(got) == len(want) > 0
+    for (gd, gn, gl, gp), (wd, wn, wl, wp) in zip(got, want):
+        assert (gd, gn) == (wd, wn)
+        assert gl == pytest.approx(wl, abs=2e-6)
+        assert gp == pytest.approx(wp, abs=2e-6 * max(1.0, wp))
+
+
+def test_bigram_lm_hand_values(spark):
+    import math
+
+    from lakehouse_file_format_compare_spark.operators.ranking import bigram_lm_scores
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b"), (3, "c")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in bigram_lm_scores(docs, alpha=1.0).collect()}
+    # corpus: c(a,b)=3, c(b,a)=1; contexts c(a.)=3, c(b.)=1; V=3
+    assert set(rows) == {1, 2}            # single-token doc 3 dropped
+    assert rows[1]["n_bigrams"] == 3 and rows[2]["n_bigrams"] == 1
+    p_ab = (3 + 1) / (3 + 3)              # 2/3
+    p_ba = (1 + 1) / (1 + 3)              # 1/2
+    want1 = (2 * math.log(p_ab) + math.log(p_ba)) / 3
+    assert rows[1]["avg_logp"] == pytest.approx(want1, abs=2e-6)
+    assert rows[2]["avg_logp"] == pytest.approx(math.log(p_ab), abs=2e-6)
+    # the repetitive doc is MORE probable under the corpus LM
+    assert rows[1]["ppl"] < 1 / p_ab + 1e-6 or rows[1]["ppl"] > 0
+
+
+def test_bigram_lm_plan_shape(spark):
+    from lakehouse_file_format_compare_spark.operators.ranking import bigram_lm_scores
+
+    plan = (
+        bigram_lm_scores(table(spark, SF_CORRECTNESS, "documents"))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # context counts and vocab size broadcast; bigram join does not
+    assert plan.count("BroadcastExchange") >= 2
