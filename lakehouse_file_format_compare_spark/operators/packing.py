@@ -68,3 +68,63 @@ def pack_summary(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(token_col).alias("pack_tokens"),
     )
+
+
+def chunk_documents(
+    docs: DataFrame,
+    chunk_tokens: int = 128,
+    overlap_tokens: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Packing's sibling: split each document into OVERLAPPING
+    token-window chunks (context-window preparation for training /
+    retrieval indexing). Chunk i covers tokens
+    [i·stride, i·stride + chunk_tokens), stride = chunk − overlap;
+    chunk count = 1 for docs that fit, else
+    ceil((n − chunk) / stride) + 1 (the final chunk is allowed to be
+    short — no token is dropped, every consecutive pair of chunks
+    shares exactly ``overlap_tokens`` tokens except possibly the
+    last). Docs with zero tokens produce no chunks.
+
+    Output: (doc_id, chunk_index, n_tokens, chunk_text) with
+    chunk_text whitespace-normalized (tokens re-joined by single
+    spaces — the same token stream a loader would consume).
+
+    Plan shape / 100 TB: per-row explode, ZERO shuffles — chunking is
+    embarrassingly parallel and stays inside whole-stage codegen.
+    Tokenization matches the ranking/decontamination family
+    (lowercase, whitespace split). Exact DuckDB oracle in
+    tests/test_sampling.py."""
+    if not 0 <= overlap_tokens < chunk_tokens:
+        raise ValueError("need 0 <= overlap_tokens < chunk_tokens")
+    stride = chunk_tokens - overlap_tokens
+    toks = F.filter(
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
+        lambda t: F.length(t) > 0,
+    )
+    n = F.size("toks")
+    n_chunks = F.when(n <= chunk_tokens, F.lit(1)).otherwise(
+        F.ceil((n - chunk_tokens) / F.lit(stride)).cast("int") + 1
+    )
+    chunked = (
+        docs.select(F.col(id_col).alias("doc_id"), toks.alias("toks"))
+        .where(n > 0)
+        .select(
+            "doc_id", "toks",
+            F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_index"),
+        )
+        .select(
+            "doc_id",
+            "chunk_index",
+            F.slice(
+                "toks", F.col("chunk_index") * stride + 1, chunk_tokens
+            ).alias("ct"),
+        )
+    )
+    return chunked.select(
+        "doc_id",
+        "chunk_index",
+        F.size("ct").alias("n_tokens"),
+        F.array_join("ct", " ").alias("chunk_text"),
+    )

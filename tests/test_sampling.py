@@ -196,3 +196,93 @@ def test_pack_summary_scoped_by_partition_cols(spark):
         .where(F.col("n") > 1).count()
     )
     assert dup_ids > 0
+
+
+def test_chunk_documents_duckdb_oracle(spark):
+    """Overlapping token-window chunking: exact DuckDB oracle (same
+    tokenization, same ceil arithmetic) on the sf0.01 documents."""
+    import duckdb
+
+    from lakehouse_file_format_compare_spark.operators.packing import chunk_documents
+    from lakehouse_file_format_compare_spark.sources.testdata import table
+
+    from .conftest import SF_CORRECTNESS
+
+    CHUNK, OVER = 40, 8
+    got = sorted(
+        map(tuple, chunk_documents(
+            table(spark, SF_CORRECTNESS, "documents"),
+            chunk_tokens=CHUNK, overlap_tokens=OVER,
+        ).collect())
+    )
+    stride = CHUNK - OVER
+    con = duckdb.connect()
+    want = sorted(map(tuple, con.execute(f"""
+        WITH toks AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                               t -> length(t) > 0) AS t
+            FROM read_parquet('{SF_CORRECTNESS}/documents.parquet')
+        ), sized AS (
+            SELECT doc_id, t, len(t) AS n,
+                   CASE WHEN len(t) <= {CHUNK} THEN 1
+                        ELSE CAST(ceil((len(t) - {CHUNK}) / {stride}.0) AS INT) + 1
+                   END AS n_chunks
+            FROM toks WHERE len(t) > 0
+        ), chunks AS (
+            SELECT doc_id, ci AS chunk_index,
+                   list_slice(t, ci * {stride} + 1, ci * {stride} + {CHUNK}) AS ct
+            FROM sized, range(0, 4096) r(ci)
+            WHERE ci < n_chunks
+        )
+        SELECT doc_id, chunk_index, len(ct) AS n_tokens,
+               array_to_string(ct, ' ') AS chunk_text
+        FROM chunks
+    """).fetchall()))
+    con.close()
+    assert got == want
+    assert len(got) > len({d for d, *_ in got})  # some docs really split
+
+
+def test_chunk_documents_overlap_invariants(spark):
+    """Every consecutive chunk pair shares exactly overlap tokens
+    (except a short final chunk), no token dropped, order preserved."""
+    from lakehouse_file_format_compare_spark.operators.packing import chunk_documents
+
+    text = " ".join(f"w{i}" for i in range(103))
+    docs = spark.createDataFrame([(1, text), (2, "solo"), (3, "  ")],
+                                 "doc_id long, text string")
+    rows = sorted(
+        ((r["doc_id"], r["chunk_index"], r["chunk_text"].split()))
+        for r in chunk_documents(docs, chunk_tokens=40, overlap_tokens=10).collect()
+    )
+    by_doc = {}
+    for d, ci, ct in rows:
+        by_doc.setdefault(d, []).append((ci, ct))
+    assert 3 not in by_doc                       # empty doc: no chunks
+    assert by_doc[2] == [(0, ["solo"])]
+    chunks = [ct for _, ct in sorted(by_doc[1])]
+    # stride 30: starts 0, 30, 60, 90 -> 4 chunks, last short (13)
+    assert [len(c) for c in chunks] == [40, 40, 40, 13]
+    reassembled = chunks[0] + [t for c in chunks[1:] for t in c[10:]]
+    assert reassembled == text.split()           # lossless
+    for a, b in zip(chunks, chunks[1:]):
+        assert a[-10:] == b[:10]                 # exact overlap
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        chunk_documents(docs, chunk_tokens=10, overlap_tokens=10)
+
+
+def test_chunk_documents_plan_zero_shuffle(spark):
+    from lakehouse_file_format_compare_spark.operators.packing import chunk_documents
+    from lakehouse_file_format_compare_spark.sources.testdata import table
+
+    from .conftest import SF_CORRECTNESS
+
+    plan = (
+        chunk_documents(table(spark, SF_CORRECTNESS, "documents"))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan                # embarrassingly parallel
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
