@@ -4,7 +4,9 @@ operator families that were pytest-oracled only — PII density
 (functions/pii.py), repetition signals (functions/repetition.py),
 BM25 relevance (operators/ranking.py), benchmark decontamination
 (operators/decontaminate.py) and percentile summaries
-(functions/stats.py).
+(functions/stats.py) — extended in r5 with bigram-LM quality scoring
+(operators/ranking.py::bigram_lm_scores) and overlapping
+token-window chunking (operators/packing.py::chunk_documents).
 
 Output: ONE wide row of labeled portable aggregates over the
 ``documents`` table. Integer metrics are exact; bm25_total snaps the
@@ -27,13 +29,16 @@ from ..functions.numeric import grid, grid_sql
 from ..functions.repetition import _lines, top_ngram_char_fraction
 from ..functions.stats import percentile_summary
 from ..operators.decontaminate import ngram_contamination
-from ..operators.ranking import bm25_scores
+from ..operators.packing import chunk_documents
+from ..operators.ranking import bigram_lm_scores, bm25_scores
 from ..sources.testdata import table
 
 BM25_TERMS = ["data", "system", "the"]
 DECON_N = 8
 DECON_EVAL_DOCS = 25
 TOP_NGRAM_N = 2
+LM_ALPHA = 0.5
+CHUNK_TOKENS, CHUNK_OVERLAP = 40, 8
 
 
 def _augmented_text() -> F.Column:
@@ -113,9 +118,27 @@ def corpus_hygiene_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p50").alias("len_p50"), F.col("p95").alias("len_p95")
     )
 
+    # r5 additions: bigram-LM quality scoring and overlapping chunking
+    # (same grid-2 snap-then-sum pattern as bm25_total for the float)
+    lm_agg = bigram_lm_scores(docs, alpha=LM_ALPHA).agg(
+        F.count(F.lit(1)).alias("lm_scored_docs"),
+        F.sum("n_bigrams").cast("long").alias("lm_bigrams_total"),
+        grid(F.coalesce(F.sum(grid(F.col("avg_logp"), 2)), F.lit(0.0)), 2).alias("lm_logp_total"),
+    )
+    ch_agg = chunk_documents(
+        docs, chunk_tokens=CHUNK_TOKENS, overlap_tokens=CHUNK_OVERLAP
+    ).agg(
+        F.count(F.lit(1)).alias("chunk_count"),
+        F.sum("n_tokens").cast("long").alias("chunk_tokens_total"),
+        F.countDistinct(
+            F.when(F.col("chunk_index") >= 1, F.col("doc_id"))
+        ).alias("chunk_split_docs"),
+    )
+
     return (
         pii_agg.crossJoin(rep_agg).crossJoin(top_agg)
         .crossJoin(bm_agg).crossJoin(dec_agg).crossJoin(pct)
+        .crossJoin(lm_agg).crossJoin(ch_agg)
     )
 
 
@@ -240,6 +263,39 @@ WITH aug AS (
     SELECT {grid_sql("quantile_cont(n_chars, 0.5)", 6)} AS len_p50,
            {grid_sql("quantile_cont(n_chars, 0.95)", 6)} AS len_p95
     FROM documents
+), lm_bi AS (
+    SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+    FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS i FROM toks WHERE len(t) >= 2)
+), lm_bc AS (
+    SELECT w1, w2, COUNT(*) AS c12 FROM lm_bi GROUP BY ALL
+), lm_cc AS (
+    SELECT w1, COUNT(*) AS c1 FROM lm_bi GROUP BY ALL
+), lm_v AS (
+    SELECT COUNT(DISTINCT term) AS vsize FROM dt
+), lm_per_doc AS (
+    SELECT doc_id, COUNT(*) AS n_bigrams,
+           {grid_sql(f"AVG(ln((c12 + {LM_ALPHA}) / (c1 + {LM_ALPHA} * vsize)))", 6)} AS avg_logp
+    FROM lm_bi JOIN lm_bc USING (w1, w2) JOIN lm_cc USING (w1) CROSS JOIN lm_v
+    GROUP BY doc_id
+), lm_agg AS (
+    SELECT COUNT(*) AS lm_scored_docs, SUM(n_bigrams) AS lm_bigrams_total,
+           {grid_sql("COALESCE(SUM(" + grid_sql("avg_logp", 2) + "), 0)", 2)} AS lm_logp_total
+    FROM lm_per_doc
+), chunk_sized AS (
+    SELECT doc_id, t,
+           CASE WHEN len(t) <= {CHUNK_TOKENS} THEN 1
+                ELSE CAST(ceil((len(t) - {CHUNK_TOKENS}) / {CHUNK_TOKENS - CHUNK_OVERLAP}.0) AS INT) + 1
+           END AS n_chunks
+    FROM toks WHERE len(t) > 0
+), chunk_rows AS (
+    SELECT doc_id, ci,
+           len(list_slice(t, ci * {CHUNK_TOKENS - CHUNK_OVERLAP} + 1,
+                          ci * {CHUNK_TOKENS - CHUNK_OVERLAP} + {CHUNK_TOKENS})) AS n_tokens
+    FROM (SELECT doc_id, t, unnest(range(0, n_chunks)) AS ci FROM chunk_sized)
+), chunk_agg AS (
+    SELECT COUNT(*) AS chunk_count, SUM(n_tokens) AS chunk_tokens_total,
+           COUNT(DISTINCT CASE WHEN ci >= 1 THEN doc_id END) AS chunk_split_docs
+    FROM chunk_rows
 )
 SELECT CAST(pii_email_hits AS BIGINT) AS pii_email_hits,
        CAST(pii_phone_hits AS BIGINT) AS pii_phone_hits,
@@ -255,8 +311,14 @@ SELECT CAST(pii_email_hits AS BIGINT) AS pii_email_hits,
        bm25_total,
        CAST(decon_pairs AS BIGINT) AS decon_pairs,
        CAST(decon_shared_total AS BIGINT) AS decon_shared_total,
-       len_p50, len_p95
-FROM pii_agg, rep_agg, top_agg, bm_agg, dec_agg, pct
+       len_p50, len_p95,
+       CAST(lm_scored_docs AS BIGINT) AS lm_scored_docs,
+       CAST(lm_bigrams_total AS BIGINT) AS lm_bigrams_total,
+       lm_logp_total,
+       CAST(chunk_count AS BIGINT) AS chunk_count,
+       CAST(chunk_tokens_total AS BIGINT) AS chunk_tokens_total,
+       CAST(chunk_split_docs AS BIGINT) AS chunk_split_docs
+FROM pii_agg, rep_agg, top_agg, bm_agg, dec_agg, pct, lm_agg, chunk_agg
 """
 
 
