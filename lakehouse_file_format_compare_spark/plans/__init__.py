@@ -31,7 +31,8 @@ from . import (
 # op_semi_anti_join, op_rollup_cube_revenue, fintech_gold_suite;
 # demoted to pytest-only: op_distinct_projection — swapped for
 # corpus_build_summary in r4; op_scalar_subquery — swapped for
-# corpus_hygiene_suite in r5).
+# corpus_hygiene_suite in r5; op_explode_token_counts — swapped for
+# op_sessionization in r5).
 ALL_PLAN_MODULES = (
     gold, tpch, adhoc, text_plans, dedup_plans, similarity_plans, streaming_plans,
     temporal_plans, corpus_plans, ext_plans, hygiene_plans, fintech_plans,

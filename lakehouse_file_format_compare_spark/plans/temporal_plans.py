@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.numeric import grid, grid_sql
-from ..operators.temporal import asof_join, range_join
+from ..operators.temporal import asof_join, range_join, sessionize
 from ..sources.testdata import table
 
 TIERS = [
@@ -82,12 +82,57 @@ GROUP BY tier
 """
 
 
+def sessionization_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch gap-based sessionization over events
+    (operators/temporal.py::sessionize, r5): per-session rollup with
+    order-invariant value math (grid-2 snapped addends sum exactly in
+    doubles, so Spark's partition order and DuckDB's scan order give
+    the same bits)."""
+    ev = table(spark, sf_dir, "events")
+    s = sessionize(ev, gap="30 minutes")
+    return s.groupBy("user_id", "session_seq").agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.floor(
+            F.max(F.col("ts").cast("double")) - F.min(F.col("ts").cast("double"))
+        ).cast("long").alias("duration_sec"),
+        grid(F.sum(grid(F.col("value"), 2)), 2).alias("value_sum"),
+    )
+
+
+SESSIONIZATION_STATS_SQL = f"""
+WITH ordered AS (
+    SELECT event_id, user_id, ts, value,
+           lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+    FROM events
+), flagged AS (
+    SELECT *, CASE WHEN prev_ts IS NULL OR ts > prev_ts + INTERVAL 30 MINUTE
+                   THEN 1 ELSE 0 END AS is_new
+    FROM ordered
+), sess AS (
+    SELECT user_id, ts, value,
+           SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS session_seq
+    FROM flagged
+)
+SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+       MIN(ts) AS session_start, MAX(ts) AS session_end,
+       COUNT(*) AS n_events,
+       CAST(FLOOR(epoch(MAX(ts)) - epoch(MIN(ts))) AS BIGINT) AS duration_sec,
+       {grid_sql(f"SUM({grid_sql('value', 2)})", 2)} AS value_sum
+FROM sess GROUP BY user_id, session_seq
+"""
+
+
 QUERIES = {
     "op_asof_join": asof_view_attribution,
     "op_range_join": range_join_tiers,
+    "op_sessionization": sessionization_stats,
 }
 
 ORACLES = {
     "op_asof_join": ASOF_VIEW_ATTRIBUTION_SQL,
     "op_range_join": RANGE_JOIN_TIERS_SQL,
+    "op_sessionization": SESSIONIZATION_STATS_SQL,
 }

@@ -60,3 +60,17 @@ def test_demoted_scalar_subquery_oracle(spark):
 
     ok, msg = compare(spark, SF_CORRECTNESS, scalar_subquery, SCALAR_SUBQUERY_SQL)
     assert ok, msg
+
+
+def test_demoted_explode_token_counts_oracle(spark):
+    """op_explode_token_counts left the driver registry in r5 (explode
+    stays driver-visible via dedup_ngram_jaccard's inverted index and
+    text_token_stats; swapped for op_sessionization); its oracle
+    coverage continues here."""
+    from lakehouse_file_format_compare_spark.plans.adhoc import (
+        EXPLODE_TOKEN_COUNTS_SQL,
+        explode_token_counts,
+    )
+
+    ok, msg = compare(spark, SF_CORRECTNESS, explode_token_counts, EXPLODE_TOKEN_COUNTS_SQL)
+    assert ok, msg
