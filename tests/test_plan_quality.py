@@ -190,3 +190,36 @@ def test_no_python_row_udfs_in_r4_operators(spark):
         plan = df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
         assert "BatchEvalPython" not in plan
         assert "ArrowEvalPython" not in plan
+
+
+def test_no_python_row_udfs_in_r5_operators(spark):
+    """Round-5 additions (structured fuzzy join, batch sessionization,
+    bigram LM, document chunking) stay JVM-side too."""
+    from lakehouse_file_format_compare_spark.operators.fuzzy import (
+        edit_distance_pairs_structured,
+    )
+    from lakehouse_file_format_compare_spark.operators.packing import chunk_documents
+    from lakehouse_file_format_compare_spark.operators.ranking import bigram_lm_scores
+    from lakehouse_file_format_compare_spark.operators.temporal import (
+        session_stats,
+        sessionize,
+    )
+    from lakehouse_file_format_compare_spark.sources.testdata import table
+
+    docs = table(spark, SF_CORRECTNESS, "documents")
+    events = table(spark, SF_CORRECTNESS, "events")
+    cust = table(spark, SF_CORRECTNESS, "customer").select("c_custkey", "c_name").limit(50)
+    frames = [
+        edit_distance_pairs_structured(
+            cust, cust, "c_custkey", "c_name", "c_custkey", "c_name",
+            prefix_re=r"^(customer#0*)",
+        ),
+        sessionize(events),
+        session_stats(events),
+        bigram_lm_scores(docs),
+        chunk_documents(docs),
+    ]
+    for df in frames:
+        plan = df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+        assert "BatchEvalPython" not in plan
+        assert "ArrowEvalPython" not in plan
