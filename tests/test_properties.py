@@ -85,3 +85,86 @@ def test_keep_latest_properties(spark, rows):
         if k not in want or (v, p) > want[k]:
             want[k] = (v, p)
     assert got == want
+
+
+CHUNK_CASE = st.tuples(
+    st.integers(min_value=0, max_value=90),   # token count
+    st.integers(min_value=2, max_value=20),   # chunk_tokens
+    st.integers(min_value=0, max_value=19),   # overlap (< chunk enforced below)
+)
+
+
+@given(cases=st.lists(CHUNK_CASE, min_size=1, max_size=6))
+@settings(**_SETTINGS)
+def test_chunk_documents_properties(spark, cases):
+    """For arbitrary (n_tokens, chunk, overlap): reassembly is
+    lossless, every chunk except the last is full-size, consecutive
+    chunks share exactly `overlap` tokens, and the chunk count matches
+    the closed form."""
+    import math
+
+    from lakehouse_file_format_compare_spark.operators.packing import chunk_documents
+
+    for n, chunk, overlap in cases:
+        overlap = overlap % chunk  # enforce overlap < chunk
+        stride = chunk - overlap
+        text = " ".join(f"t{i}" for i in range(n))
+        docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
+        rows = sorted(
+            (r["chunk_index"], r["chunk_text"].split())
+            for r in chunk_documents(docs, chunk_tokens=chunk,
+                                     overlap_tokens=overlap).collect()
+        )
+        if n == 0:
+            assert rows == []
+            continue
+        want_chunks = 1 if n <= chunk else math.ceil((n - chunk) / stride) + 1
+        assert [ci for ci, _ in rows] == list(range(want_chunks))
+        chunks = [ct for _, ct in rows]
+        assert all(len(c) == chunk for c in chunks[:-1])
+        reassembled = list(chunks[0])
+        for c in chunks[1:]:
+            assert reassembled[-overlap:] == c[:overlap] or overlap == 0
+            reassembled.extend(c[overlap:])
+        assert reassembled == text.split()
+
+
+EVENT = st.tuples(
+    st.integers(min_value=1, max_value=3),     # user (dense -> interleaving)
+    st.integers(min_value=0, max_value=7200),  # offset seconds
+)
+
+
+@given(events=st.lists(EVENT, min_size=1, max_size=15, unique=True))
+@settings(**_SETTINGS)
+def test_sessionize_properties(spark, events):
+    """Session assignment is order-independent (set semantics), every
+    event lands in exactly one session, and consecutive events in a
+    session are <= gap apart while session boundaries are > gap."""
+    from lakehouse_file_format_compare_spark.operators.temporal import sessionize
+
+    GAP = 600  # 10 minutes
+    rows = [
+        (i, u, f"2026-01-01 00:00:00", off)
+        for i, (u, off) in enumerate(events)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, base string, off long"
+    ).select(
+        "event_id", "user_id",
+        (F.to_timestamp("base") + F.make_interval(secs=F.col("off"))).alias("ts"),
+    )
+    out = sessionize(df, gap="10 minutes").collect()
+    assert len(out) == len(events)
+    by_user: dict[int, list] = {}
+    for r in out:
+        by_user.setdefault(r["user_id"], []).append((r["ts"], r["event_id"], r["session_seq"]))
+    for _, evs in by_user.items():
+        evs.sort()
+        for (t0, _, s0), (t1, _, s1) in zip(evs, evs[1:]):
+            delta = (t1 - t0).total_seconds()
+            if s1 == s0:
+                assert delta <= GAP
+            else:
+                assert s1 == s0 + 1 and delta > GAP
+        assert evs[0][2] == 1  # first session is 1
