@@ -188,3 +188,53 @@ def bigram_lm_scores(
         grid(avg_lp, 6).alias("avg_logp"),
         grid(F.exp(-avg_lp), 6).alias("ppl"),
     )
+
+
+def oov_rate_scores(
+    docs: DataFrame,
+    vocab_size: int = 10_000,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Out-of-vocabulary rate against the corpus's own top-K
+    vocabulary — the coverage quality gate (docs dominated by tokens
+    outside the frequent vocabulary are code dumps, foreign-language
+    leaks, or mojibake candidates).
+
+    The vocabulary is the ``vocab_size`` most frequent tokens, ties
+    broken lexicographically so the cut is deterministic. Output per
+    doc with ≥1 token: ``n_tokens``, ``oov_tokens``, ``oov_rate``
+    (fraction of token INSTANCES outside the vocabulary, grid-6).
+
+    Plan shape / 100 TB: token counts aggregate corpus-wide once;
+    the top-K cut is a TakeOrderedAndProject (per-partition partial
+    top-K, never a global sort shuffle) and the resulting
+    vocabulary-sized set broadcasts into the scoring join — one
+    corpus scan for stats, one for scoring, no UDFs."""
+    toks = F.filter(
+        F.split(F.lower(F.trim(F.col(text_col))), TOKEN_SPLIT_RE),
+        lambda t: F.length(t) > 0,
+    )
+    flat = docs.select(F.col(id_col).alias("doc_id"), F.explode(toks).alias("term"))
+    vocab = (
+        flat.groupBy("term").agg(F.count(F.lit(1)).alias("__n"))
+        .orderBy(F.col("__n").desc(), F.col("term"))
+        .limit(vocab_size)
+        .select("term", F.lit(1).alias("__in_vocab"))
+    )
+    return (
+        flat.join(F.broadcast(vocab), "term", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(
+                F.when(F.col("__in_vocab").isNull(), F.lit(1)).otherwise(F.lit(0))
+            ).cast("long").alias("oov_tokens"),
+            grid(
+                F.sum(
+                    F.when(F.col("__in_vocab").isNull(), F.lit(1.0)).otherwise(F.lit(0.0))
+                ) / F.count(F.lit(1)),
+                6,
+            ).alias("oov_rate"),
+        )
+    )

@@ -226,3 +226,68 @@ def test_bigram_lm_plan_shape(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     # context counts and vocab size broadcast; bigram join does not
     assert plan.count("BroadcastExchange") >= 2
+
+
+def test_oov_rate_oracle_on_documents(spark):
+    import os
+
+    from lakehouse_file_format_compare_spark.operators.ranking import oov_rate_scores
+
+    VOCAB = 20  # the synthetic corpus has ~31 distinct tokens; 20 makes a real cut
+    path = os.path.join(SF_CORRECTNESS, "documents.parquet")
+    got = sorted(
+        map(tuple, oov_rate_scores(table(spark, SF_CORRECTNESS, "documents"),
+                                   vocab_size=VOCAB).collect())
+    )
+    con = duckdb.connect()
+    want = sorted(map(tuple, con.execute(f"""
+        WITH toks AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                               t -> length(t) > 0) AS t
+            FROM read_parquet('{path}')
+        ), flat AS (
+            SELECT doc_id, unnest(t) AS term FROM toks
+        ), vocab AS (
+            SELECT term FROM (
+                SELECT term, COUNT(*) AS n FROM flat GROUP BY term
+                ORDER BY n DESC, term LIMIT {VOCAB}
+            )
+        )
+        SELECT doc_id, COUNT(*) AS n_tokens,
+               SUM(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) AS oov_tokens,
+               FLOOR(SUM(CASE WHEN v.term IS NULL THEN 1.0 ELSE 0.0 END) / COUNT(*)
+                     * 1000000 + 0.5) / 1000000 AS oov_rate
+        FROM flat f LEFT JOIN vocab v USING (term)
+        GROUP BY doc_id
+    """).fetchall()))
+    con.close()
+    assert got == want
+    rates = [r[3] for r in got]
+    assert 0.0 < sum(rates) / len(rates) < 1.0  # non-vacuous cut
+
+
+def test_oov_rate_hand_values(spark):
+    from lakehouse_file_format_compare_spark.operators.ranking import oov_rate_scores
+
+    docs = spark.createDataFrame(
+        [(1, "a a a b"), (2, "a zz qq"), (3, "")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in oov_rate_scores(docs, vocab_size=2).collect()}
+    # counts: a=4, b=1, zz=1, qq=1 -> top-2 by (count desc, term asc) = {a, b}
+    assert set(rows) == {1, 2}
+    assert rows[1]["oov_tokens"] == 0 and rows[1]["oov_rate"] == 0.0
+    assert rows[2]["oov_tokens"] == 2 and rows[2]["oov_rate"] == pytest.approx(2 / 3, abs=1e-6)
+
+
+def test_oov_rate_plan_shape(spark):
+    from lakehouse_file_format_compare_spark.operators.ranking import oov_rate_scores
+
+    plan = (
+        oov_rate_scores(table(spark, SF_CORRECTNESS, "documents"))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "TakeOrderedAndProject" in plan      # top-K cut, not a global sort
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
