@@ -111,3 +111,26 @@ def test_sessionize_plan_single_shuffle(spark):
     )
     assert plan.count("Exchange") <= 2  # key shuffle (+ AQE read), never per-window
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_batch_sessionize_agrees_with_streaming_oracle(spark):
+    """The two sessionization surfaces — the batch operator
+    (operators/temporal.sessionize) and the streaming stateful
+    operator's batch oracle (streaming/stateful.sessionize_batch) —
+    implement the same gap rule and must produce identical sessions
+    on the same events (same gap; boundaries depend only on the
+    timestamp sequence, so tie-order differences cannot move them)."""
+    from lakehouse_file_format_compare_spark.streaming.stateful import (
+        sessionize_batch,
+    )
+
+    events = table(spark, SF_CORRECTNESS, "events")
+    a = sorted(
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in session_stats(events, gap="5 minutes").collect()
+    )
+    b = sorted(
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in sessionize_batch(events, gap_seconds=300).collect()
+    )
+    assert a == b
