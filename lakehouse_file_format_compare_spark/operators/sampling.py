@@ -132,3 +132,35 @@ def mixture_sample(
         thresh = F.when(cond, val) if thresh is None else thresh.when(cond, val)
     thresh = thresh.otherwise(F.lit(_BUCKETS)) if thresh is not None else F.lit(_BUCKETS)
     return df.where(bucket < thresh)
+
+
+def temperature_fractions(
+    source_counts: dict[str, int],
+    temperature: float,
+    target_total: int,
+) -> dict[str, float]:
+    """Temperature-scaled source rebalancing (the multilingual /
+    source-mixing recipe): sampling weights p_s ∝ n_s^(1/T)
+    renormalized, converted to per-source keep fractions
+    f_s = min(1, target_total · p_s / n_s) for ``mixture_sample``.
+
+    T = 1 reproduces natural proportions; T → ∞ approaches uniform
+    source weights (upsampling the tail — capped at keep-all since
+    this sampler drops, never duplicates); T < 1 sharpens toward the
+    head. Pure driver-side arithmetic on the per-source counts (a
+    vocabulary-sized aggregate), deterministic."""
+    if temperature <= 0:
+        raise ValueError(f"temperature must be > 0, got {temperature}")
+    if target_total < 0:
+        raise ValueError(f"target_total must be >= 0, got {target_total}")
+    pos = {s: n for s, n in source_counts.items() if n > 0}
+    if not pos:
+        return {s: 0.0 for s in source_counts}
+    weights = {s: n ** (1.0 / temperature) for s, n in pos.items()}
+    z = sum(weights.values())
+    out = {
+        s: min(1.0, target_total * (w / z) / pos[s]) for s, w in weights.items()
+    }
+    for s in source_counts:
+        out.setdefault(s, 0.0)
+    return out

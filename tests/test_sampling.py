@@ -286,3 +286,52 @@ def test_chunk_documents_plan_zero_shuffle(spark):
     )
     assert "Exchange" not in plan                # embarrassingly parallel
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_temperature_fractions_math():
+    from lakehouse_file_format_compare_spark.operators.sampling import (
+        temperature_fractions,
+    )
+
+    counts = {"web": 8000, "books": 1000, "code": 1000}
+    # T=1: natural proportions -> every source keeps target/total
+    f1 = temperature_fractions(counts, temperature=1.0, target_total=5000)
+    assert all(abs(f - 0.5) < 1e-12 for f in f1.values())
+    # T large: near-uniform weights -> tail sources keep (capped) more
+    fu = temperature_fractions(counts, temperature=100.0, target_total=3000)
+    assert fu["books"] > f1["books"] and fu["web"] < f1["web"]
+    assert all(0.0 <= f <= 1.0 for f in fu.values())
+    # zero-count source well-defined; impossible temperature rejected
+    assert temperature_fractions({"a": 0}, 1.0, 10) == {"a": 0.0}
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        temperature_fractions(counts, temperature=0.0, target_total=10)
+
+
+def test_temperature_mixture_end_to_end(spark):
+    from lakehouse_file_format_compare_spark.operators.sampling import (
+        mixture_sample,
+        temperature_fractions,
+    )
+    from lakehouse_file_format_compare_spark.sources.testdata import table
+
+    from .conftest import SF_CORRECTNESS
+
+    docs = table(spark, SF_CORRECTNESS, "documents")
+    counts = {r["source"]: r["n"] for r in
+              docs.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
+    total = sum(counts.values())
+    target = total // 2
+    fr = temperature_fractions(counts, temperature=3.0, target_total=target)
+    kept = mixture_sample(docs, "source", fr, key_cols=("doc_id",))
+    got = {r["source"]: r["n"] for r in
+           kept.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
+    # per-source keeps land near fraction * count (keyed-hash Bernoulli)
+    for s, n in counts.items():
+        expect = fr[s] * n
+        assert abs(got.get(s, 0) - expect) <= max(10, 0.15 * n), (s, got.get(s), expect)
+    # flattening: the rarest source keeps a larger share than the richest
+    rich = max(counts, key=counts.get)
+    rare = min(counts, key=counts.get)
+    if counts[rare] < counts[rich]:
+        assert fr[rare] >= fr[rich]
