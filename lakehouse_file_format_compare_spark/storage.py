@@ -463,6 +463,68 @@ class Warehouse:
         )
         return self._commit_version(out, layer, name, fmt, op="cluster")
 
+    def cluster_by_zorder(
+        self, layer: str, name: str, cols: Sequence[str],
+        fmt: str = "parquet", n_files: int = 16, bits: int = 16,
+    ) -> int:
+        """Rewrite the current snapshot MULTI-dimensionally clustered
+        on ``cols`` via a Z-order (Morton) curve — the full analog of
+        Delta ``OPTIMIZE ZORDER BY`` / Iceberg's z-ordered sort.
+        Where :meth:`cluster_by` makes per-file ranges tight on the
+        LEADING column only (later columns still span the full
+        domain), z-ordering interleaves the bit patterns of all
+        columns so every file covers a small hyper-rectangle:
+        per-file min/max shrink on EVERY clustered column
+        simultaneously and predicates on any subset of them prune.
+
+        Each column is min/max-normalized to a ``bits``-bit integer
+        (one tiny agg for the bounds, broadcast), the bits are
+        interleaved into a single long with pure bitwise expressions
+        (codegen'd — no UDF), and the rewrite range-partitions + sorts
+        on that z-value. NULLs map to 0 (cluster low, standard
+        z-order convention). Committed as a new snapshot version
+        (``op='zorder'``); time travel to the old layout still works.
+        Returns the new version number."""
+        if not cols or bits * len(cols) > 63:
+            raise ValueError(
+                f"need 1..{63 // max(1, bits)} columns at {bits} bits "
+                f"(got {len(cols)}): the interleaved z-value must fit a long"
+            )
+        manifest = self._read_manifest(layer, name, fmt)
+        if not manifest:
+            raise ValueError(f"{layer}/{name}_{fmt} is not a versioned table")
+        current_dir = os.path.join(self.path(layer, name, fmt), f"v{manifest['current']}")
+        df = self.spark.read.format(fmt).load(current_dir)
+        bounds = df.agg(
+            *[F.min(F.col(c).cast("double")).alias(f"__mn_{c}") for c in cols],
+            *[F.max(F.col(c).cast("double")).alias(f"__mx_{c}") for c in cols],
+        )
+        scaled = df.crossJoin(F.broadcast(bounds))
+        top = (1 << bits) - 1
+        ints = []
+        for c in cols:
+            mn, mx = F.col(f"__mn_{c}"), F.col(f"__mx_{c}")
+            span = F.when(mx > mn, mx - mn).otherwise(F.lit(1.0))
+            norm = (F.col(c).cast("double") - mn) / span * top
+            ints.append(
+                F.coalesce(
+                    F.least(F.greatest(F.floor(norm), F.lit(0)), F.lit(top)),
+                    F.lit(0),
+                ).cast("long")
+            )
+        z = F.lit(0).cast("long")
+        for k in range(bits):
+            for j, ic in enumerate(ints):
+                bit = F.shiftright(ic, k).bitwiseAND(F.lit(1))
+                z = z.bitwiseOR(F.shiftleft(bit, k * len(cols) + j))
+        out = (
+            scaled.withColumn("__z", z)
+            .repartitionByRange(n_files, F.col("__z"))
+            .sortWithinPartitions("__z")
+            .drop("__z", *[f"__mn_{c}" for c in cols], *[f"__mx_{c}" for c in cols])
+        )
+        return self._commit_version(out, layer, name, fmt, op="zorder")
+
 
 def _next_version(manifest: dict) -> int:
     """Next snapshot number = max REAL snapshot + 1 (never current+1):

@@ -312,3 +312,73 @@ def test_cluster_by_produces_disjoint_file_ranges(spark, wh):
     assert after == before           # content identical
     assert wh.read_table("silver", "ev_clustered", version=1).count() == len(before)
     assert wh.history("silver", "ev_clustered")[-1]["op"] == "cluster"
+
+
+def test_cluster_by_zorder_tightens_all_dimensions(spark, wh):
+    """Z-order clustering must shrink per-file min/max spans on EVERY
+    clustered column simultaneously — the multi-dimensional skipping
+    property 1-D range clustering cannot give (its trailing columns
+    still span the full domain per file). Content preserved, old
+    layout time-travelable."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from lakehouse_file_format_compare_spark.sources.testdata import table
+
+    ev = (
+        table(spark, "/root/testdata/sf0.01", "events")
+        .select("event_id", "user_id", "value")
+        .repartition(8, F.col("event_id") % 8)   # scatter both dims across files
+    )
+    wh.merge_table(ev, "silver", "ev_zorder", keys=["event_id"])
+    root = wh.path("silver", "ev_zorder", "parquet")
+
+    def avg_span(version, column):
+        glo_min, glo_max, spans = None, None, []
+        per_file = []
+        for f in sorted(glob.glob(os.path.join(root, f"v{version}", "part-*.parquet"))):
+            md = pq.read_metadata(f)
+            mins, maxs = [], []
+            for rg in range(md.num_row_groups):
+                col = next(
+                    md.row_group(rg).column(i)
+                    for i in range(md.row_group(rg).num_columns)
+                    if md.row_group(rg).column(i).path_in_schema == column
+                )
+                mins.append(col.statistics.min)
+                maxs.append(col.statistics.max)
+            if mins:
+                per_file.append((min(mins), max(maxs)))
+        glo_min = min(mn for mn, _ in per_file)
+        glo_max = max(mx for _, mx in per_file)
+        width = float(glo_max - glo_min) or 1.0
+        spans = [(mx - mn) / width for mn, mx in per_file]
+        return sum(spans) / len(spans), len(per_file)
+
+    v1 = wh.current_version("silver", "ev_zorder")
+    v_1d = wh.cluster_by("silver", "ev_zorder", ["value"], n_files=16)
+    v_z = wh.cluster_by_zorder("silver", "ev_zorder", ["value", "user_id"], n_files=16)
+
+    # scattered baseline: both dims near-full span per file
+    for colname in ("value", "user_id"):
+        s, _ = avg_span(v1, colname)
+        assert s > 0.7, (colname, s)
+    # 1-D clustering: leading dim tight, trailing dim still full
+    s_val, _ = avg_span(v_1d, "value")
+    s_uid, _ = avg_span(v_1d, "user_id")
+    assert s_val < 0.3 and s_uid > 0.7, (s_val, s_uid)
+    # z-order: BOTH dims tight
+    z_val, n_files = avg_span(v_z, "value")
+    z_uid, _ = avg_span(v_z, "user_id")
+    assert n_files > 4
+    assert z_val < 0.55 and z_uid < 0.55, (z_val, z_uid)
+
+    # content identical across layouts; old layout still readable
+    base = wh.read_table("silver", "ev_zorder", "parquet", version=v1)
+    zed = wh.read_table("silver", "ev_zorder", "parquet")
+    assert zed.count() == base.count()
+    chk = lambda df: df.agg(F.bit_xor(F.xxhash64("event_id", "user_id"))).collect()[0][0]
+    assert chk(zed) == chk(base)
