@@ -145,10 +145,92 @@ ORDER BY revenue DESC, nation
 """
 
 
+def order_priority_checking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 analog (EXISTS semi-join shape): orders in a quarter
+    with at least one line item shipped after the order date, counted
+    per priority. The correlated EXISTS compiles to a LeftSemi join —
+    the scan side never widens (pytest-oracled; SURVEY §2.4's
+    semi-join family on the TPC-H tables)."""
+    orders = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    lo = F.lit("1996-01-01").cast("timestamp")
+    hi = F.lit("1996-04-01").cast("timestamp")
+    late = (
+        orders.where((F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi))
+        .join(
+            li,
+            (F.col("o_orderkey") == F.col("l_orderkey"))
+            & (F.col("l_shipdate") > F.col("o_orderdate")),
+            "left_semi",
+        )
+    )
+    return (
+        late.groupBy(F.col("o_orderpriority").alias("orderpriority"))
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("orderpriority")
+    )
+
+
+ORDER_PRIORITY_CHECKING_SQL = """
+SELECT o_orderpriority AS orderpriority, COUNT(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1996-04-01'
+  AND EXISTS (
+      SELECT 1 FROM lineitem
+      WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate
+  )
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+def customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 analog (count-of-counts histogram): orders per
+    customer via LEFT join (zero-order customers kept), then the
+    distribution of those counts — two grouping levels chained on
+    different keys, the shape that stresses partial aggregation."""
+    cust = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders")
+    per_cust = (
+        cust.join(orders, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+CUSTOMER_DISTRIBUTION_SQL = """
+SELECT c_count, COUNT(*) AS custdist
+FROM (
+    SELECT c_custkey, COUNT(o_orderkey) AS c_count
+    FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_custkey
+)
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+
 QUERIES = {
     "tpch_pricing_summary": pricing_summary,
     "tpch_shipping_priority": shipping_priority,
     "tpch_local_supplier_volume": local_supplier_volume,
+}
+
+# Q4/Q13 analogs stay OUT of the 50-cap driver registry; their oracles
+# run in tests/test_correctness.py::test_tpch_extended_oracles.
+EXTENDED_QUERIES = {
+    "tpch_order_priority_checking": order_priority_checking,
+    "tpch_customer_distribution": customer_distribution,
+}
+EXTENDED_ORACLES = {
+    "tpch_order_priority_checking": ORDER_PRIORITY_CHECKING_SQL,
+    "tpch_customer_distribution": CUSTOMER_DISTRIBUTION_SQL,
 }
 
 ORACLES = {

@@ -74,3 +74,16 @@ def test_demoted_explode_token_counts_oracle(spark):
 
     ok, msg = compare(spark, SF_CORRECTNESS, explode_token_counts, EXPLODE_TOKEN_COUNTS_SQL)
     assert ok, msg
+
+
+def test_tpch_extended_oracles(spark):
+    """Q4 (EXISTS semi-join) and Q13 (count-of-counts histogram)
+    analogs — pytest-oracled outside the 50-cap registry."""
+    from lakehouse_file_format_compare_spark.plans.tpch import (
+        EXTENDED_ORACLES,
+        EXTENDED_QUERIES,
+    )
+
+    for name, fn in EXTENDED_QUERIES.items():
+        ok, msg = compare(spark, SF_CORRECTNESS, fn, EXTENDED_ORACLES[name])
+        assert ok, (name, msg)
