@@ -12,12 +12,15 @@ fold in exactly:
     combined = full_outer_join(gold, delta_gold, group_keys)
                sums/counts add, maxes take greatest, avg recomputed
 
-Validity: correct for APPEND-ONLY facts. The fintech pipeline's
-f_transactions PKs are unique per batch (batch-epoch-micros + i), so
-silver merges are pure inserts and the precondition holds; a general
-updating merge would need retraction handling (delta of old vs new
-row), which full refresh sidesteps — keep full refresh for mutable
-facts.
+Validity: the plain folds are correct for APPEND-ONLY facts. The
+fintech pipeline's f_transactions PKs are unique per batch
+(batch-epoch-micros + i), so silver merges are pure inserts and the
+precondition holds. When an updating merge DOES slip rows under the
+folded PK horizon, the ``*_with_updates`` variants (r5) handle it
+incrementally: appends still fold arithmetically, while the state
+rows/groups touched by an updated row's old or new image are
+recomputed from current silver (time travel supplies the old image)
+and spliced in — O(batch + affected-key history), never O(history).
 """
 
 from __future__ import annotations
@@ -322,4 +325,93 @@ def incremental_contract_financials(
         F.greatest(
             F.col("g.ultima_atividade_contrato"), F.col("d.ultima_atividade_contrato")
         ).alias("ultima_atividade_contrato"),
+    )
+
+
+def _split_delta(delta: DataFrame, max_seen_pk: int | None, pk_col: str):
+    pk = F.col(pk_col)
+    if max_seen_pk is None:
+        return delta, delta.where(F.lit(False))
+    return delta.where(pk > max_seen_pk), delta.where(pk <= max_seen_pk)
+
+
+def _date_contract_keys(txns: DataFrame, d_transaction_types: DataFrame) -> DataFrame:
+    """Distinct (data_transacao, contract_id) keys a set of transaction
+    rows lands in under the Q3 state grain (financial filter applied)."""
+    return (
+        financial_txns(txns, d_transaction_types)
+        .select(
+            F.to_date(_completed_ts()).alias("data_transacao"),
+            "contract_id",
+        )
+        .distinct()
+    )
+
+
+def incremental_daily_metrics_state_with_updates(
+    state: DataFrame,
+    delta: DataFrame,
+    max_seen_pk: int | None,
+    silver_old: DataFrame,
+    silver_current: DataFrame,
+    d_transaction_types: DataFrame,
+    pk_col: str = "transaction_id",
+) -> DataFrame:
+    """Retraction-capable Q3 state fold: appends fold arithmetically;
+    updated rows invalidate their (data_transacao, contract_id) key
+    pairs — old AND new images, since an updated completed timestamp
+    moves a row across days — and every state cell under those pairs
+    is recomputed from current silver and spliced in. The pair grain
+    is deliberately COARSER than the 4-column state grain: it is
+    derivable from the fact row alone (no dimension join needed for
+    the invalidation set), and recomputing a few extra type-cells for
+    a touched (day, contract) is O(that day's transactions), not
+    O(history)."""
+    new_rows, upd_new = _split_delta(delta, max_seen_pk, pk_col)
+    folded = incremental_daily_metrics_state(state, new_rows, d_transaction_types)
+    upd_old = silver_old.join(upd_new.select(pk_col).distinct(), pk_col, "left_semi")
+    keys = (
+        _date_contract_keys(upd_new, d_transaction_types)
+        .unionByName(_date_contract_keys(upd_old, d_transaction_types))
+        .distinct()
+    )
+    affected_raw = (
+        silver_current.withColumn("data_transacao", F.to_date(_completed_ts()))
+        .join(F.broadcast(keys), ["data_transacao", "contract_id"], "left_semi")
+        .drop("data_transacao")
+    )
+    recomputed = daily_metrics_state(affected_raw, d_transaction_types)
+    return (
+        folded.join(F.broadcast(keys), ["data_transacao", "contract_id"], "left_anti")
+        .unionByName(recomputed)
+    )
+
+
+def incremental_contract_financials_with_updates(
+    state: DataFrame,
+    delta: DataFrame,
+    max_seen_pk: int | None,
+    silver_old: DataFrame,
+    silver_current: DataFrame,
+    d_transaction_types: DataFrame,
+    pk_col: str = "transaction_id",
+) -> DataFrame:
+    """Retraction-capable Q2/Q4 contract-state fold: appends fold
+    arithmetically; contracts touched by an updated row (old or new
+    image — contract reassignment moves a row between contracts) are
+    recomputed from current silver and spliced in. O(batch +
+    affected-contract history)."""
+    new_rows, upd_new = _split_delta(delta, max_seen_pk, pk_col)
+    folded = incremental_contract_financials(state, new_rows, d_transaction_types)
+    upd_old = silver_old.join(upd_new.select(pk_col).distinct(), pk_col, "left_semi")
+    keys = (
+        upd_new.select("contract_id")
+        .unionByName(upd_old.select("contract_id"))
+        .distinct()
+    )
+    affected_raw = silver_current.join(F.broadcast(keys), "contract_id", "left_semi")
+    recomputed = contract_financials(affected_raw, d_transaction_types)
+    return (
+        folded.join(F.broadcast(keys), "contract_id", "left_anti")
+        .unionByName(recomputed)
     )

@@ -214,11 +214,19 @@ class MedallionPipeline:
             "daily_metrics_state",
             lambda: ig.daily_metrics_state(txn, types),
             lambda existing, delta: ig.incremental_daily_metrics_state(existing, delta, types),
+            update_fold_fn=lambda existing, delta, max_pk, silver_old:
+                ig.incremental_daily_metrics_state_with_updates(
+                    existing, delta, max_pk, silver_old, txn, types
+                ),
         )
         fold(
             "contract_financials_state",
             lambda: gold.contract_financials(txn, types),
             lambda existing, delta: ig.incremental_contract_financials(existing, delta, types),
+            update_fold_fn=lambda existing, delta, max_pk, silver_old:
+                ig.incremental_contract_financials_with_updates(
+                    existing, delta, max_pk, silver_old, txn, types
+                ),
         )
 
         # serving tables derived from the maintained states — O(state)

@@ -289,10 +289,10 @@ def test_legacy_state_file_forces_full_refresh(spark, tmp_path_factory):
 
 def test_incremental_rejects_updates(spark, tmp_path_factory):
     """An updating silver merge (same PK, bumped ingestion_timestamp)
-    would double-count if folded naively; the guard must catch it.
-    monthly_balance repairs via the retraction-capable fold (r5); the
-    finer state tables fall back to a full refresh. Both must stay
-    equal to recompute-from-scratch (VERDICT r3 #5, r4 #6)."""
+    would double-count if folded naively; the guard must catch it and
+    every maintained table must repair via its retraction-capable fold
+    (r5), staying equal to recompute-from-scratch (VERDICT r3 #5,
+    r4 #6)."""
     from lakehouse_file_format_compare_spark.pipeline.runner import MedallionPipeline
     from lakehouse_file_format_compare_spark.schemas import FINTECH_TABLE_CONFIGS
 
@@ -317,13 +317,11 @@ def test_incremental_rejects_updates(spark, tmp_path_factory):
     )
 
     p.run_gold_incremental()
-    # monthly_balance is retraction-capable (r5): it repairs in place;
-    # the state tables still take the full-refresh fallback
-    hist = p.warehouse.history("gold", "monthly_balance_inc")
-    assert hist[-1]["op"] == "incremental_fold_with_retractions", hist[-1]
-    for name in ("daily_metrics_state", "contract_financials_state"):
+    # every maintained table is retraction-capable (r5): updates repair
+    # in place instead of forcing a full refresh
+    for name in ("monthly_balance_inc", "daily_metrics_state", "contract_financials_state"):
         hist = p.warehouse.history("gold", name)
-        assert hist[-1]["op"] == "full_refresh_fallback", (name, hist[-1])
+        assert hist[-1]["op"] == "incremental_fold_with_retractions", (name, hist[-1])
 
     full = monthly_balance(
         p._silver("f_transactions", "parquet"), p._silver("d_transaction_types", "parquet")
@@ -391,22 +389,46 @@ def test_incremental_handles_updates(spark, tmp_path_factory):
     p.run_silver()
 
     p.run_gold_incremental()
-    hist = p.warehouse.history("gold", "monthly_balance_inc")
-    assert hist[-1]["op"] == "incremental_fold_with_retractions", hist[-1]
+    for name in ("monthly_balance_inc", "daily_metrics_state", "contract_financials_state"):
+        hist = p.warehouse.history("gold", name)
+        assert hist[-1]["op"] == "incremental_fold_with_retractions", (name, hist[-1])
 
-    full = monthly_balance(
-        p._silver("f_transactions", "parquet"), p._silver("d_transaction_types", "parquet")
-    )
-    incr = p.warehouse.read_table("gold", "monthly_balance_inc", "parquet")
+    txn = p._silver("f_transactions", "parquet")
+    types = p._silver("d_transaction_types", "parquet")
 
-    def canon(df):
+    def canon(df, ndigits=5):
         cols = sorted(df.columns)
-        return sorted(
-            tuple(round(v, 6) if isinstance(v, float) else v for v in (r[c] for c in cols))
-            for r in df.collect()
-        )
 
+        def norm(v):
+            if isinstance(v, float):
+                return round(v, ndigits)
+            if isinstance(v, list):
+                return tuple(v)
+            return v
+
+        # key=repr: total order even with NULLs (n=1 stddev) in a column
+        return sorted((tuple(norm(r[c]) for c in cols) for r in df.collect()), key=repr)
+
+    full = monthly_balance(txn, types)
+    incr = p.warehouse.read_table("gold", "monthly_balance_inc", "parquet")
     assert canon(incr) == canon(full)
+
+    # the repaired state tables also serve results equal to full refresh
+    from lakehouse_file_format_compare_spark.pipeline.gold import (
+        customer_summary,
+        daily_transaction_metrics,
+    )
+
+    full_q3 = daily_transaction_metrics(txn, types)
+    incr_q3 = p.warehouse.read_table("gold", "daily_transaction_metrics_inc", "parquet")
+    assert canon(incr_q3, 4) == canon(full_q3, 4)
+
+    full_q2 = customer_summary(
+        p._silver("d_customers", "parquet"), p._silver("f_contracts", "parquet"),
+        p._silver("d_products", "parquet"), txn, types,
+    )
+    incr_q2 = p.warehouse.read_table("gold", "customer_summary_inc", "parquet")
+    assert canon(incr_q2) == canon(full_q2)
 
     # next cycle is a plain append fold again and still equal
     p.run_bronze(n_customers=5, n_contracts=8, n_transactions=90, n_attributes=8)
