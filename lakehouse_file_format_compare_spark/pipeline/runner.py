@@ -169,15 +169,23 @@ class MedallionPipeline:
                         fold_fn(existing, delta), "gold", name, fmt, "incremental_fold"
                     )
                 except ig.AppendOnlyViolation:
+                    silver_old = None
                     if update_fold_fn is not None and not legacy and silver_ver is not None:
                         from ..schemas import FINTECH_TABLE_CONFIGS
 
+                        try:
+                            silver_old = self.warehouse.read_table(
+                                "silver", "f_transactions", fmt,
+                                schema=FINTECH_TABLE_CONFIGS["f_transactions"].schema,
+                                version=silver_ver,
+                            )
+                        except ValueError:
+                            # recorded snapshot vacuumed away: the old
+                            # images are gone, retraction impossible —
+                            # full refresh is the correct degradation
+                            silver_old = None
+                    if silver_old is not None:
                         existing = self.warehouse.read_table("gold", name, fmt)
-                        silver_old = self.warehouse.read_table(
-                            "silver", "f_transactions", fmt,
-                            schema=FINTECH_TABLE_CONFIGS["f_transactions"].schema,
-                            version=silver_ver,
-                        )
                         self.warehouse._commit_version(
                             update_fold_fn(existing, delta, max_pk, silver_old),
                             "gold", name, fmt, "incremental_fold_with_retractions",

@@ -440,3 +440,48 @@ def test_incremental_handles_updates(spark, tmp_path_factory):
     )
     incr2 = p.warehouse.read_table("gold", "monthly_balance_inc", "parquet")
     assert canon(incr2) == canon(full2)
+
+
+def test_vacuumed_silver_snapshot_falls_back_to_full_refresh(spark, tmp_path_factory):
+    """If the silver snapshot recorded at the last sync was vacuumed,
+    the old images needed for retraction are gone — the runner must
+    degrade to a full refresh (still exact), never crash."""
+    from lakehouse_file_format_compare_spark.pipeline.runner import MedallionPipeline
+    from lakehouse_file_format_compare_spark.schemas import FINTECH_TABLE_CONFIGS
+
+    p = MedallionPipeline(spark, str(tmp_path_factory.mktemp("incr_vac")))
+    for _ in range(3):
+        p.run_bronze(n_customers=10, n_contracts=15, n_transactions=100, n_attributes=15)
+        p.run_silver()
+        p.run_gold_incremental()
+
+    txn = p._silver("f_transactions", "parquet")
+    staged = (
+        txn.orderBy("transaction_id").limit(1)
+        .withColumn("amount", F.col("amount") + 333.0)
+        .withColumn("ingestion_timestamp", F.current_timestamp())
+    )
+    p.warehouse.merge_table(
+        staged, "silver", "f_transactions", keys=("transaction_id",),
+        fmt="parquet", schema=FINTECH_TABLE_CONFIGS["f_transactions"].schema,
+    )
+    # vacuum aggressively: only the newest snapshot survives, removing
+    # the version recorded in the gold state files
+    p.warehouse.vacuum("silver", "f_transactions", keep_last=1)
+
+    p.run_gold_incremental()
+    for name in ("monthly_balance_inc", "daily_metrics_state", "contract_financials_state"):
+        hist = p.warehouse.history("gold", name)
+        assert hist[-1]["op"] == "full_refresh_fallback", (name, hist[-1])
+
+    full = monthly_balance(
+        p._silver("f_transactions", "parquet"), p._silver("d_transaction_types", "parquet")
+    )
+    incr = p.warehouse.read_table("gold", "monthly_balance_inc", "parquet")
+    a = sorted((tuple(r) for r in incr.collect()), key=repr)
+    b = sorted((tuple(r) for r in full.select(*incr.columns).collect()), key=repr)
+
+    def rr(t):
+        return tuple(round(v, 6) if isinstance(v, float) else v for v in t)
+
+    assert [rr(t) for t in a] == [rr(t) for t in b]
