@@ -166,3 +166,83 @@ def sessionize_batch(events: DataFrame, gap_seconds: int = 300) -> DataFrame:
         )
         .drop("session_id")
     )
+
+
+from pyspark.sql.streaming.stateful_processor import (  # noqa: E402
+    StatefulProcessor,
+)
+
+
+class _SessionProcessor(StatefulProcessor):
+    """StatefulProcessor for :func:`sessionize_stream_tws` — defined
+    module-level with plain instance attributes so cloudpickle ships
+    it whole (same self-containment rule as the closure operators)."""
+
+    def __init__(self, gap_us: int):
+        self.gap_us = gap_us
+
+    def init(self, handle) -> None:
+        self.state = handle.getValueState("sess", STATE_SCHEMA)
+
+    def handleInputRows(self, key, rows, timerValues):
+        import datetime as _dt
+
+        import pandas as _pd
+
+        (user_id,) = key
+        existing = self.state.get() if self.state.exists() else None
+        if existing is not None:
+            start_us, last_us, n, vsum = existing
+        else:
+            start_us = last_us = None
+            n, vsum = 0, 0.0
+        closed = []
+        events = []
+        for pdf in rows:
+            for ts, value in zip(pdf["ts"], pdf["value"]):
+                events.append((int(_pd.Timestamp(ts).value // 1000), float(value)))
+        events.sort()
+        for ts_us, value in events:
+            if last_us is not None and ts_us - last_us > self.gap_us:
+                closed.append((user_id,
+                               _dt.datetime.utcfromtimestamp(start_us / 1e6),
+                               _dt.datetime.utcfromtimestamp(last_us / 1e6),
+                               n, round(vsum, 2)))
+                start_us, n, vsum = ts_us, 0, 0.0
+            if start_us is None:
+                start_us = ts_us
+            last_us = ts_us
+            n += 1
+            vsum += value
+        self.state.update((start_us, last_us, n, vsum))
+        cols = ["user_id", "session_start", "session_end", "n_events", "value_sum"]
+        yield _pd.DataFrame(closed, columns=cols)
+
+    def close(self) -> None:
+        pass
+
+
+def sessionize_stream_tws(events_stream: DataFrame, gap_seconds: int = 300) -> DataFrame:
+    """Spark-4-native sessionization via ``transformWithStateInPandas``
+    (the StatefulProcessor successor to applyInPandasWithState): same
+    gap semantics and output as :func:`sessionize_stream`, expressed
+    against the new arbitrary-state API (named ValueState handle,
+    Append output, no time mode — open tails stay in the store).
+    Requires the RocksDB state store provider
+    (``spark.sql.streaming.stateStore.providerClass``), which is what
+    a 100 TB deployment runs anyway for state that exceeds executor
+    heap — and a working ``protobuf`` install for the TWS Python
+    runner (this container ships none, so the operator is wired but
+    the equivalence test skips; applyInPandasWithState above is the
+    proven path here)."""
+    proc = _SessionProcessor(gap_seconds * 1_000_000)
+    return (
+        events_stream.select("user_id", "ts", "value")
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            proc,
+            outputStructType=SESSION_SCHEMA,
+            outputMode="Append",
+            timeMode="None",
+        )
+    )
