@@ -163,3 +163,34 @@ def word_shingles(text: Column, k: int = 3) -> Column:
     into a column and calling :func:`shingles_from_tokens` in hot
     paths (see that docstring)."""
     return shingles_from_tokens(tokens(normalized(text)), k)
+
+
+# Mojibake / encoding-noise markers, all RE2-safe (no lookaround):
+# - U+FFFD replacement characters (decode failures)
+# - C1 control block (U+0080-U+009F: bytes that survive a bad
+#   Latin-1 round trip)
+# - the classic UTF-8-read-as-Latin-1/cp1252 digraphs ("\u00c3\u00a9",
+#   "\u00e2\u20ac\u2122", ...): lead chars \u00c3/\u00c2/\u00e2 followed by
+#   their continuation symbols
+ENCODING_NOISE_RE = (
+    "\uFFFD"
+    "|[\u0080-\u009F]"
+    "|\u00c3[\u0080-\u00bf]"
+    "|\u00c2[\u00a0-\u00bf]"
+    "|\u00e2\u20ac[\u0098\u0099\u009c\u009d\u2018\u2019\u201c\u201d\u00a2\u00a6\u2122]"
+)
+
+
+def encoding_noise_count(text: Column) -> Column:
+    """Number of mojibake markers in the text (see ENCODING_NOISE_RE)."""
+    return F.regexp_count(text, F.lit(ENCODING_NOISE_RE))
+
+
+def encoding_noise_score(text: Column) -> Column:
+    """Mojibake markers per character in [0,1] — the encoding-health
+    quality signal (corrupted scrapes score high and get filtered).
+    Empty/NULL-free text scores 0."""
+    n = F.length(text)
+    return F.when(
+        n > 0, F.least(encoding_noise_count(text).cast("double") / n, F.lit(1.0))
+    ).otherwise(F.lit(0.0))

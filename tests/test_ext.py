@@ -414,3 +414,50 @@ def test_audio_real_wav_probe(spark):
     assert probe_wav(blob) == (500, 8000, 1)
     with pytest.raises(NotImplementedError):
         probe_wav(b"\xffID3 not riff")
+
+
+def test_encoding_noise_score(spark):
+    """Mojibake detection: UTF-8-as-cp1252/Latin-1 digraphs, C1
+    controls, and U+FFFD all count; clean prose scores 0. Cross-checked
+    against DuckDB running the same RE2 pattern."""
+    import duckdb
+
+    from lakehouse_file_format_compare_spark.functions.text import (
+        ENCODING_NOISE_RE,
+        encoding_noise_count,
+        encoding_noise_score,
+    )
+
+    rows = [
+        (1, "clean plain prose with no artifacts"),
+        (2, "cafÃ© menu"),                      # "café" double-encoded
+        (3, "itâ€™s broken"),              # cp1252 right-quote mojibake
+        (4, "bad byte � here � twice"),
+        (5, "nbspÂ glued"),                     # Â + NBSP
+        (6, ""),
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    from pyspark.sql import functions as FF
+
+    got = {
+        r["id"]: (r["c"], r["s"])
+        for r in df.select(
+            "id",
+            encoding_noise_count(FF.col("text")).alias("c"),
+            encoding_noise_score(FF.col("text")).alias("s"),
+        ).collect()
+    }
+    assert got[1] == (0, 0.0)
+    assert got[2][0] >= 1 and got[3][0] >= 1 and got[5][0] >= 1
+    assert got[4][0] == 2
+    assert got[6] == (0, 0.0)
+    for i in (2, 3, 4, 5):
+        assert got[i][1] > 0
+
+    con = duckdb.connect()
+    for i, text in rows:
+        want = con.execute(
+            "SELECT len(regexp_extract_all(?, ?))", [text, ENCODING_NOISE_RE]
+        ).fetchone()[0]
+        assert got[i][0] == want, (i, got[i][0], want)
+    con.close()
