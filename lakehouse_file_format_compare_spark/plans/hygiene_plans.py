@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions import pii
+from ..functions.text import ENCODING_NOISE_RE, encoding_noise_count
 from ..functions.numeric import grid, grid_sql
 from ..functions.repetition import _lines, top_ngram_char_fraction
 from ..functions.stats import percentile_summary
@@ -66,6 +67,12 @@ def _augmented_text() -> F.Column:
         F.pmod(did, F.lit(5)) == 0,
         F.concat(out, F.lit("\nfooter boilerplate line\nfooter boilerplate line")),
     ).otherwise(out)
+    # r5: mojibake markers for the encoding-noise metric (a cp1252
+    # right-quote digraph and a double-encoded é)
+    out = F.when(
+        F.pmod(did, F.lit(13)) == 0,
+        F.concat(out, F.lit(" corrupted: cafÃ© itâ€™s")),
+    ).otherwise(out)
     return out
 
 
@@ -90,6 +97,12 @@ def corpus_hygiene_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     rep_agg = aug.agg(
         F.sum((nl - nd).cast("long")).alias("rep_dup_lines_total"),
         F.sum(((nl - nd) > 0).cast("long")).alias("rep_dup_line_docs"),
+    )
+
+    enc = encoding_noise_count(F.col("text"))
+    enc_agg = aug.agg(
+        F.sum(enc).cast("long").alias("enc_noise_hits"),
+        F.sum((enc > 0).cast("long")).alias("enc_noise_docs"),
     )
 
     top_agg = top_ngram_char_fraction(docs, n=TOP_NGRAM_N).agg(
@@ -138,7 +151,7 @@ def corpus_hygiene_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         pii_agg.crossJoin(rep_agg).crossJoin(top_agg)
         .crossJoin(bm_agg).crossJoin(dec_agg).crossJoin(pct)
-        .crossJoin(lm_agg).crossJoin(ch_agg)
+        .crossJoin(lm_agg).crossJoin(ch_agg).crossJoin(enc_agg)
     )
 
 
@@ -160,9 +173,14 @@ def _hygiene_sql() -> str:
     return f"""
 WITH aug AS (
     SELECT doc_id,
+           (CASE WHEN (doc_id % 13) = 0
+                 THEN t3 || ' corrupted: caf\u00c3\u00a9 it\u00e2\u20ac\u2122s'
+                 ELSE t3 END) AS text
+    FROM (
+    SELECT doc_id,
            (CASE WHEN (doc_id % 5) = 0
                  THEN t2 || chr(10) || 'footer boilerplate line' || chr(10) || 'footer boilerplate line'
-                 ELSE t2 END) AS text
+                 ELSE t2 END) AS t3
     FROM (
         SELECT doc_id,
                (CASE WHEN (doc_id % 11) = 0
@@ -176,6 +194,7 @@ WITH aug AS (
                          ELSE text END) AS t1
             FROM documents
         )
+    )
     )
 ), pii_per_doc AS (
     SELECT {_pii_count('email')} AS e, {_pii_count('phone')} AS p,
@@ -296,6 +315,12 @@ WITH aug AS (
     SELECT COUNT(*) AS chunk_count, SUM(n_tokens) AS chunk_tokens_total,
            COUNT(DISTINCT CASE WHEN ci >= 1 THEN doc_id END) AS chunk_split_docs
     FROM chunk_rows
+), enc_per_doc AS (
+    SELECT len(regexp_extract_all(text, '{_esc(ENCODING_NOISE_RE)}')) AS e FROM aug
+), enc_agg AS (
+    SELECT SUM(e) AS enc_noise_hits,
+           SUM(CASE WHEN e > 0 THEN 1 ELSE 0 END) AS enc_noise_docs
+    FROM enc_per_doc
 )
 SELECT CAST(pii_email_hits AS BIGINT) AS pii_email_hits,
        CAST(pii_phone_hits AS BIGINT) AS pii_phone_hits,
@@ -317,8 +342,10 @@ SELECT CAST(pii_email_hits AS BIGINT) AS pii_email_hits,
        lm_logp_total,
        CAST(chunk_count AS BIGINT) AS chunk_count,
        CAST(chunk_tokens_total AS BIGINT) AS chunk_tokens_total,
-       CAST(chunk_split_docs AS BIGINT) AS chunk_split_docs
-FROM pii_agg, rep_agg, top_agg, bm_agg, dec_agg, pct, lm_agg, chunk_agg
+       CAST(chunk_split_docs AS BIGINT) AS chunk_split_docs,
+       CAST(enc_noise_hits AS BIGINT) AS enc_noise_hits,
+       CAST(enc_noise_docs AS BIGINT) AS enc_noise_docs
+FROM pii_agg, rep_agg, top_agg, bm_agg, dec_agg, pct, lm_agg, chunk_agg, enc_agg
 """
 
 
