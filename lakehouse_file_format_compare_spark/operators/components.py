@@ -142,3 +142,54 @@ def canonicalize(
         )
         .withColumn("is_canonical", F.col(id_col) == F.col("canonical_id"))
     )
+
+
+def resolve_duplicates(
+    docs: DataFrame,
+    pairs: DataFrame,
+    score: F.Column | None = None,
+    id_col: str = "doc_id",
+    src: str = "doc_a",
+    dst: str = "doc_b",
+) -> DataFrame:
+    """Quality-aware duplicate resolution: within each near-dup
+    cluster keep the BEST document, not the min-id one. ``score`` is
+    any column expression over ``docs`` (default:
+    ``functions.text.quality_score`` on ``text``); ties break on the
+    smaller id so the choice is deterministic. Output = ``docs``
+    plus (cluster_id, keep) — downstream filters ``keep``.
+
+    This is the curation-grade contract (min-id canonicalization can
+    keep the truncated/mojibake copy of a page; scoring keeps the
+    clean one). Plan: components (O(log n) rounds) + one max_by per
+    cluster + one broadcast-friendly membership join — no window over
+    the full corpus."""
+    if score is None:
+        from ..functions.text import quality_score
+
+        score = quality_score(F.col("text"))
+    comp = connected_components(pairs, src=src, dst=dst)
+    labeled = (
+        docs.join(comp, docs[id_col] == comp["node"], "left")
+        .select(
+            docs["*"],
+            F.coalesce(F.col("component"), F.col(id_col)).alias("cluster_id"),
+            score.alias("__score"),
+        )
+    )
+    # argmax per cluster: max_by over a (score, -id) struct — higher
+    # score wins, smaller id wins ties; singleton clusters keep
+    # themselves trivially
+    best = (
+        labeled.groupBy("cluster_id")
+        .agg(
+            F.max_by(
+                F.col(id_col), F.struct(F.col("__score"), -F.col(id_col))
+            ).alias("__best_id")
+        )
+    )
+    return (
+        labeled.join(best, "cluster_id")
+        .withColumn("keep", F.col(id_col) == F.col("__best_id"))
+        .drop("__score", "__best_id")
+    )

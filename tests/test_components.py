@@ -82,3 +82,55 @@ def test_canonicalize_keeps_unpaired_docs(spark):
     # the dedup contract: keeping is_canonical rows keeps one doc per cluster
     kept = [d for d, (_, keep) in out.items() if keep]
     assert sorted(kept) == [0, 1, 2, 4]
+
+
+def test_resolve_duplicates_keeps_best_scoring(spark):
+    """Quality-aware resolution: within each cluster exactly one keeper
+    — the max-score doc (ties to the smaller id); singletons keep
+    themselves; cluster membership matches connected components."""
+    from pyspark.sql import functions as F
+
+    from lakehouse_file_format_compare_spark.operators.components import (
+        resolve_duplicates,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "x", 0.2), (2, "x", 0.9), (3, "x", 0.9),   # cluster {1,2,3}: 2 wins (tie 2<3)
+         (4, "y", 0.5), (5, "y", 0.1),                  # cluster {4,5}: 4 wins
+         (6, "z", 0.0)],                                # singleton
+        "doc_id long, text string, q double",
+    )
+    pairs = spark.createDataFrame([(1, 2), (2, 3), (4, 5)], "doc_a long, doc_b long")
+    out = resolve_duplicates(docs, pairs, score=F.col("q"))
+    rows = {r["doc_id"]: (r["cluster_id"], r["keep"]) for r in out.collect()}
+    assert rows[1][0] == rows[2][0] == rows[3][0]
+    assert rows[4][0] == rows[5][0] != rows[1][0]
+    keepers = {d for d, (_, k) in rows.items() if k}
+    assert keepers == {2, 4, 6}
+    # default score path (quality_score over text) runs end-to-end
+    out2 = resolve_duplicates(docs, pairs)
+    assert sum(1 for r in out2.collect() if r["keep"]) == 3
+
+
+def test_resolve_duplicates_on_corpus(spark):
+    """On the real corpus near-dup graph: exactly one keeper per
+    cluster, total keepers == number of clusters + singletons."""
+    import lakehouse_file_format_compare_spark.operators.dedup as D
+    from pyspark.sql import functions as F
+
+    from lakehouse_file_format_compare_spark.operators.components import (
+        resolve_duplicates,
+    )
+    from lakehouse_file_format_compare_spark.sources.testdata import table
+
+    from .conftest import SF_CORRECTNESS
+
+    docs = table(spark, SF_CORRECTNESS, "documents")
+    pairs = D.minhash_lsh_pairs(docs, threshold=0.5)
+    out = resolve_duplicates(docs, pairs).cache()
+    assert out.count() == docs.count()
+    per_cluster = out.groupBy("cluster_id").agg(
+        F.sum(F.col("keep").cast("int")).alias("keepers")
+    )
+    assert per_cluster.where(F.col("keepers") != 1).count() == 0
+    out.unpersist()
