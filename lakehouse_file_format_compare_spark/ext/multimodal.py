@@ -111,14 +111,22 @@ def probe_image(blob: bytes) -> tuple[int, int, int]:
         return w, h, channels
     if blob[:6] in (b"GIF87a", b"GIF89a") and len(blob) >= 10:
         w, h = struct.unpack("<HH", blob[6:10])
-        return w, h, 3
+        # GIF is always palette-indexed: 1 stored channel (matches
+        # PIL's 'P' mode), same convention as palette PNG above
+        return w, h, 1
     if blob[:2] == b"BM" and len(blob) >= 30:
         w, h = struct.unpack("<ii", blob[18:26])
-        return w, abs(h), 3
+        bitcount = struct.unpack("<H", blob[28:30])[0]
+        # channels from the header bit depth: <=8bpp palette -> 1,
+        # 24bpp -> 3, 32bpp -> 4 (matches PIL's P/RGB/RGBA modes)
+        return w, abs(h), max(1, bitcount // 8)
     if blob[:2] == b"\xff\xd8":
         i = 2
         while i + 9 < len(blob) and blob[i] == 0xFF:
             marker = blob[i + 1]
+            if marker == 0xFF:  # spec-legal fill byte before a marker
+                i += 1
+                continue
             if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:  # no-payload markers
                 i += 2
                 continue
@@ -177,14 +185,18 @@ def extract_image_features(media: DataFrame, fake_decode: bool = True) -> DataFr
                 return w, h, {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(blob[25], 3)
             if blob[:6] in (b"GIF87a", b"GIF89a") and len(blob) >= 10:
                 w, h = _struct.unpack("<HH", blob[6:10])
-                return w, h, 3
+                return w, h, 1
             if blob[:2] == b"BM" and len(blob) >= 30:
                 w, h = _struct.unpack("<ii", blob[18:26])
-                return w, abs(h), 3
+                bitcount = _struct.unpack("<H", blob[28:30])[0]
+                return w, abs(h), max(1, bitcount // 8)
             if blob[:2] == b"\xff\xd8":
                 i = 2
                 while i + 9 < len(blob) and blob[i] == 0xFF:
                     marker = blob[i + 1]
+                    if marker == 0xFF:
+                        i += 1
+                        continue
                     if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
                         i += 2
                         continue

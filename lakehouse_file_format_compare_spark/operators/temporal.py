@@ -108,15 +108,18 @@ def sessionize(
     order_cols: tuple[str, ...] = ("event_id",),
 ) -> DataFrame:
     """Gap-based batch sessionization: within each key, a new session
-    starts whenever the time since the previous event exceeds ``gap``.
+    starts whenever the time since the previous event reaches ``gap``.
     Adds ``session_seq`` (1-based per-key session ordinal) and a
-    globally unique ``session_id`` = xxhash64(key, session_seq).
+    globally unique ``session_id`` string ``"<key>#<seq>"`` (an exact
+    composite key, not a hash — 64-bit hashes birthday-collide at the
+    billions-of-sessions scale this module targets).
 
     The batch counterpart of the streaming session window
     (plans/streaming_plans.py) — reference parity is the ad-hoc
     analytics surface; the gap rule matches Spark's
-    ``session_window`` semantics (a gap of exactly ``gap`` closes the
-    session: boundary when ts - prev_ts > gap).
+    ``session_window`` semantics exactly: a session window spans
+    [start, last + gap), so an event at precisely last + gap falls
+    OUTSIDE it (boundary when ts - prev_ts >= gap).
 
     Plan shape / 100 TB: ONE shuffle (window partitioned by the key);
     the boundary flag is a lag comparison and the ordinal a running
@@ -129,7 +132,7 @@ def sessionize(
     gap_expr = F.expr(f"INTERVAL {gap}")
     prev_ts = F.lag(ts_col).over(w)
     is_new = F.when(
-        prev_ts.isNull() | (F.col(ts_col).cast("timestamp") > prev_ts + gap_expr),
+        prev_ts.isNull() | (F.col(ts_col).cast("timestamp") >= prev_ts + gap_expr),
         F.lit(1),
     ).otherwise(F.lit(0))
     out = events.withColumn("__new", is_new).withColumn(
@@ -140,7 +143,8 @@ def sessionize(
         ),
     )
     return out.drop("__new").withColumn(
-        "session_id", F.xxhash64(F.col(key_col), F.col("session_seq"))
+        "session_id",
+        F.concat(F.col(key_col).cast("string"), F.lit("#"), F.col("session_seq")),
     )
 
 
@@ -151,10 +155,14 @@ def session_stats(
     ts_col: str = "ts",
     value_col: str | None = "value",
     order_cols: tuple[str, ...] = ("event_id",),
+    value_agg: F.Column | None = None,
 ) -> DataFrame:
     """Per-session rollup over :func:`sessionize`: start/end, event
     count, duration seconds, and (optionally) the value sum. Same
-    single key-shuffle; the groupBy reuses the session keys."""
+    single key-shuffle; the groupBy reuses the session keys.
+    ``value_agg`` overrides the value aggregate (e.g. a grid-snapped
+    sum for oracle-bearing plans) so callers never re-implement the
+    duration math."""
     s = sessionize(events, gap=gap, key_col=key_col, ts_col=ts_col, order_cols=order_cols)
     aggs = [
         F.min(ts_col).alias("session_start"),
@@ -167,6 +175,8 @@ def session_stats(
             F.max(F.col(ts_col).cast("double")) - F.min(F.col(ts_col).cast("double"))
         ).cast("long").alias("duration_sec"),
     ]
-    if value_col is not None:
+    if value_agg is not None:
+        aggs.append(value_agg)
+    elif value_col is not None:
         aggs.append(F.sum(value_col).alias("value_sum"))
     return s.groupBy(key_col, "session_seq").agg(*aggs)

@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.numeric import grid, grid_sql
-from ..operators.temporal import asof_join, range_join, sessionize
+from ..operators.temporal import asof_join, range_join, session_stats
 from ..sources.testdata import table
 
 TIERS = [
@@ -89,15 +89,9 @@ def sessionization_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     doubles, so Spark's partition order and DuckDB's scan order give
     the same bits)."""
     ev = table(spark, sf_dir, "events")
-    s = sessionize(ev, gap="30 minutes")
-    return s.groupBy("user_id", "session_seq").agg(
-        F.min("ts").alias("session_start"),
-        F.max("ts").alias("session_end"),
-        F.count(F.lit(1)).alias("n_events"),
-        F.floor(
-            F.max(F.col("ts").cast("double")) - F.min(F.col("ts").cast("double"))
-        ).cast("long").alias("duration_sec"),
-        grid(F.sum(grid(F.col("value"), 2)), 2).alias("value_sum"),
+    return session_stats(
+        ev, gap="30 minutes",
+        value_agg=grid(F.sum(grid(F.col("value"), 2)), 2).alias("value_sum"),
     )
 
 
@@ -107,7 +101,7 @@ WITH ordered AS (
            lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
     FROM events
 ), flagged AS (
-    SELECT *, CASE WHEN prev_ts IS NULL OR ts > prev_ts + INTERVAL 30 MINUTE
+    SELECT *, CASE WHEN prev_ts IS NULL OR ts >= prev_ts + INTERVAL 30 MINUTE
                    THEN 1 ELSE 0 END AS is_new
     FROM ordered
 ), sess AS (

@@ -495,9 +495,31 @@ class Warehouse:
             raise ValueError(f"{layer}/{name}_{fmt} is not a versioned table")
         current_dir = os.path.join(self.path(layer, name, fmt), f"v{manifest['current']}")
         df = self.spark.read.format(fmt).load(current_dir)
+
+        # columns must be orderable on a numeric axis: numerics and
+        # timestamps cast straight to double, dates via timestamp.
+        # Anything else (strings!) would either crash mid-rewrite under
+        # ANSI mode or silently z-order on constant 0 with ANSI off —
+        # fail fast instead, like the bits*cols check above.
+        numeric = {"tinyint", "smallint", "int", "bigint", "float", "double"}
+        dtypes = dict(df.dtypes)
+        def _axis(c: str):
+            t = dtypes.get(c, "")
+            if t in numeric or t.startswith("decimal"):
+                return F.col(c).cast("double")
+            if t.startswith("timestamp"):
+                return F.col(c).cast("double")
+            if t == "date":
+                return F.col(c).cast("timestamp").cast("double")
+            raise ValueError(
+                f"cluster_by_zorder needs numeric/timestamp/date columns; "
+                f"{c!r} is {t or 'missing'}"
+            )
+        axes = {c: _axis(c) for c in cols}
+
         bounds = df.agg(
-            *[F.min(F.col(c).cast("double")).alias(f"__mn_{c}") for c in cols],
-            *[F.max(F.col(c).cast("double")).alias(f"__mx_{c}") for c in cols],
+            *[F.min(axes[c]).alias(f"__mn_{c}") for c in cols],
+            *[F.max(axes[c]).alias(f"__mx_{c}") for c in cols],
         )
         scaled = df.crossJoin(F.broadcast(bounds))
         top = (1 << bits) - 1
@@ -505,7 +527,7 @@ class Warehouse:
         for c in cols:
             mn, mx = F.col(f"__mn_{c}"), F.col(f"__mx_{c}")
             span = F.when(mx > mn, mx - mn).otherwise(F.lit(1.0))
-            norm = (F.col(c).cast("double") - mn) / span * top
+            norm = (axes[c] - mn) / span * top
             ints.append(
                 F.coalesce(
                     F.least(F.greatest(F.floor(norm), F.lit(0)), F.lit(top)),

@@ -9,8 +9,10 @@ value_sum); the runtime shuffles by user_id once and keeps state in
 the state store, so cost per micro-batch is O(batch + touched keys).
 The UDF closure is self-contained (no package imports on executors).
 
-A closed session is emitted when a new event arrives more than
-``gap`` after the previous one; the final open session per key is
+A closed session is emitted when a new event arrives ``gap`` or
+more after the previous one (the session_window rule: the window
+spans [start, last + gap), so an event at exactly last + gap starts
+a new session); the final open session per key is
 emitted on state timeout (processing-time) in continuous operation.
 Under AvailableNow test runs the open tails stay in the store —
 asserted against the equivalent batch computation over closed
@@ -72,7 +74,7 @@ def _session_fn_factory(gap_seconds: int):
                 events.append((int(_pd.Timestamp(ts).value // 1000), float(value)))
         events.sort()
         for ts_us, value in events:
-            if last_us is not None and ts_us - last_us > gap_us:
+            if last_us is not None and ts_us - last_us >= gap_us:
                 closed.append((user_id,
                                _dt.datetime.utcfromtimestamp(start_us / 1e6),
                                _dt.datetime.utcfromtimestamp(last_us / 1e6),
@@ -154,7 +156,7 @@ def sessionize_batch(events: DataFrame, gap_seconds: int = 300) -> DataFrame:
     ).withColumn(
         "new_session",
         (F.col("prev_ts").isNull())
-        | (F.col("ts").cast("double") - F.col("prev_ts").cast("double") > gap_seconds),
+        | (F.col("ts").cast("double") - F.col("prev_ts").cast("double") >= gap_seconds),
     ).withColumn("session_id", F.sum(F.col("new_session").cast("int")).over(w))
     return (
         with_gap.groupBy("user_id", "session_id")
@@ -203,7 +205,7 @@ class _SessionProcessor(StatefulProcessor):
                 events.append((int(_pd.Timestamp(ts).value // 1000), float(value)))
         events.sort()
         for ts_us, value in events:
-            if last_us is not None and ts_us - last_us > self.gap_us:
+            if last_us is not None and ts_us - last_us >= self.gap_us:
                 closed.append((user_id,
                                _dt.datetime.utcfromtimestamp(start_us / 1e6),
                                _dt.datetime.utcfromtimestamp(last_us / 1e6),

@@ -330,15 +330,22 @@ def test_image_header_probe(spark):
     with pytest.raises(NotImplementedError):
         decode_image(b"not-an-image", fake=False)
 
-    # GIF89a logical screen descriptor (little-endian w,h).
+    # GIF89a logical screen descriptor (little-endian w,h); GIF is
+    # palette-indexed -> 1 stored channel (PIL 'P' mode parity).
     gif = b"GIF89a" + struct.pack("<HH", 320, 240) + b"\xf7\x00\x00"
-    assert probe_image(gif) == (320, 240, 3)
-    # BMP: 'BM' + file header (14 bytes) + BITMAPINFOHEADER w,h at 18;
-    # negative height means top-down — probe reports abs().
-    bmp = b"BM" + b"\x00" * 16 + struct.pack("<ii", 640, -480) + b"\x00" * 8
+    assert probe_image(gif) == (320, 240, 1)
+    # BMP: 'BM' + file header (14 bytes) + BITMAPINFOHEADER w,h at 18,
+    # bit depth at 28; negative height means top-down — probe abs()s.
+    bmp = (b"BM" + b"\x00" * 16 + struct.pack("<ii", 640, -480)
+           + struct.pack("<HH", 1, 24) + b"\x00" * 4)
     assert probe_image(bmp) == (640, 480, 3)
-    # JPEG: SOI, APP0 skipped by length, SOF0 carries height,width,channels.
-    jpg = (b"\xff\xd8" + b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" + b"\x00" * 9
+    bmp32 = (b"BM" + b"\x00" * 16 + struct.pack("<ii", 64, 48)
+             + struct.pack("<HH", 1, 32) + b"\x00" * 4)
+    assert probe_image(bmp32) == (64, 48, 4)
+    # JPEG: SOI, a spec-legal 0xFF fill byte, APP0 skipped by length,
+    # SOF0 carries height,width,channels.
+    jpg = (b"\xff\xd8" + b"\xff"
+           + b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" + b"\x00" * 9
            + b"\xff\xc0" + struct.pack(">H", 17) + b"\x08" + struct.pack(">HH", 480, 640)
            + b"\x03" + b"\x00" * 10)
     assert probe_image(jpg) == (640, 480, 3)
@@ -361,7 +368,7 @@ def test_image_header_probe(spark):
     assert (feats[2]["width"], feats[2]["height"]) == (33, 77)
     if not pil_available():
         # GIF dims come from the header even though no codec exists...
-        assert (feats[3]["width"], feats[3]["height"]) == (320, 240)
+        assert (feats[3]["width"], feats[3]["height"], feats[3]["channels"]) == (320, 240, 1)
         return
     # ...and with PIL present, resize (true pixel decode) round-trips.
     resized = resize_images(media.where("media_id = 1"), max_side=50,

@@ -140,7 +140,8 @@ EVENT = st.tuples(
 def test_sessionize_properties(spark, events):
     """Session assignment is order-independent (set semantics), every
     event lands in exactly one session, and consecutive events in a
-    session are <= gap apart while session boundaries are > gap."""
+    session are < gap apart while session boundaries are >= gap (the
+    session_window rule)."""
     from lakehouse_file_format_compare_spark.operators.temporal import sessionize
 
     GAP = 600  # 10 minutes
@@ -164,7 +165,7 @@ def test_sessionize_properties(spark, events):
         for (t0, _, s0), (t1, _, s1) in zip(evs, evs[1:]):
             delta = (t1 - t0).total_seconds()
             if s1 == s0:
-                assert delta <= GAP
+                assert delta < GAP
             else:
-                assert s1 == s0 + 1 and delta > GAP
+                assert s1 == s0 + 1 and delta >= GAP
         assert evs[0][2] == 1  # first session is 1

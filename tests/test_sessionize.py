@@ -22,7 +22,7 @@ WITH ordered AS (
          lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
   FROM events
 ), flagged AS (
-  SELECT *, CASE WHEN prev_ts IS NULL OR ts > prev_ts + INTERVAL 30 MINUTE
+  SELECT *, CASE WHEN prev_ts IS NULL OR ts >= prev_ts + INTERVAL 30 MINUTE
                  THEN 1 ELSE 0 END AS is_new
   FROM ordered
 )
@@ -79,14 +79,15 @@ def test_session_stats_duckdb_oracle(spark):
 
 
 def test_sessionize_gap_boundary_and_ties(spark):
-    """Boundary semantics: exactly-gap spacing stays in the session
-    (> gap, not >=); equal timestamps tie-break on event_id so the
+    """Boundary semantics match F.session_window: the window spans
+    [start, last + gap), so exactly-gap spacing STARTS a new session
+    (>= gap splits); equal timestamps tie-break on event_id so the
     assignment is deterministic."""
     rows = [
-        # user 1: 0s, +30m exactly (same session), +30m+1s (new session)
+        # user 1: 0s, +30m-1s (same session), then +30m exactly (new)
         (1, 7, "2026-01-01 00:00:00", 1.0),
-        (2, 7, "2026-01-01 00:30:00", 1.0),
-        (3, 7, "2026-01-01 01:00:01", 1.0),
+        (2, 7, "2026-01-01 00:29:59", 1.0),
+        (3, 7, "2026-01-01 00:59:59", 1.0),
         # user 2: equal timestamps
         (4, 8, "2026-01-01 00:00:00", 1.0),
         (5, 8, "2026-01-01 00:00:00", 1.0),
@@ -96,8 +97,8 @@ def test_sessionize_gap_boundary_and_ties(spark):
         .withColumn("ts", F.to_timestamp("ts"))
     )
     seqs = {r["event_id"]: r["session_seq"] for r in sessionize(df).collect()}
-    assert seqs[1] == 1 and seqs[2] == 1  # exactly 30m: same session
-    assert seqs[3] == 2                   # 30m1s after event 2: new
+    assert seqs[1] == 1 and seqs[2] == 1  # 29m59s: same session
+    assert seqs[3] == 2                   # exactly 30m after event 2: new
     assert seqs[4] == 1 and seqs[5] == 1  # simultaneous: one session
     ids = {r["event_id"]: r["session_id"] for r in sessionize(df).collect()}
     assert ids[1] == ids[2] != ids[3]     # session_id unique per (key, seq)

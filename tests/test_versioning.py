@@ -382,3 +382,17 @@ def test_cluster_by_zorder_tightens_all_dimensions(spark, wh):
     assert zed.count() == base.count()
     chk = lambda df: df.agg(F.bit_xor(F.xxhash64("event_id", "user_id"))).collect()[0][0]
     assert chk(zed) == chk(base)
+
+
+def test_cluster_by_zorder_rejects_non_numeric_columns(spark, wh):
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from lakehouse_file_format_compare_spark.sources.testdata import table
+
+    ev = table(spark, "/root/testdata/sf0.001", "events").select(
+        "event_id", "event_type", "value"
+    )
+    wh.merge_table(ev, "silver", "ev_ztype", keys=["event_id"])
+    with _pytest.raises(ValueError, match="event_type"):
+        wh.cluster_by_zorder("silver", "ev_ztype", ["event_type", "value"])
