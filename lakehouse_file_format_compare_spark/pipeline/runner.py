@@ -122,6 +122,17 @@ class MedallionPipeline:
 
         txn = self._silver("f_transactions", fmt)
         types = self._silver("d_transaction_types", fmt)
+        # Dimension fingerprint: every fold joins d_transaction_types,
+        # so folded history silently goes stale if the dim changes
+        # (e.g. an is_financial flip re-classifies past transactions).
+        # The watermark only sees facts — fingerprint the whole dim
+        # (order-free xor of row hashes + count) and force a full
+        # refresh when it moves. The dim is vocabulary-sized, so this
+        # is one tiny aggregate per cycle.
+        fp_row = types.agg(
+            F.bit_xor(F.xxhash64(*types.columns)), F.count(F.lit(1))
+        ).collect()[0]
+        dims_fp = f"{fp_row[0]}:{fp_row[1]}"
 
         def fold(name, full_fn, fold_fn, update_fold_fn=None):
             """Create-or-fold one maintained table behind its own
@@ -157,8 +168,19 @@ class MedallionPipeline:
                     # an updating merge, so force one full refresh (which
                     # also rewrites the state in the guarded format).
                     wm, max_pk, legacy = raw, None, True
+                stale_dims = (not legacy) and st.get("dims_fp") not in (None, dims_fp)
                 delta = txn.where(F.col("ingestion_timestamp") > F.lit(wm).cast("timestamp"))
                 try:
+                    if stale_dims:
+                        # a changed dimension re-classifies already-
+                        # folded facts; no fact-level retraction can fix
+                        # that, so recompute (update_fold_fn is NOT the
+                        # answer here — it repairs fact updates only)
+                        update_fold_fn = None
+                        raise ig.AppendOnlyViolation(
+                            "d_transaction_types changed since the last fold: "
+                            "folded history is stale, full refresh required"
+                        )
                     if legacy:
                         raise ig.AppendOnlyViolation(
                             "legacy state file has no max_pk: refreshing instead of folding unguarded"
@@ -205,6 +227,7 @@ class MedallionPipeline:
                         "silver_version": self.warehouse.current_version(
                             "silver", "f_transactions", fmt
                         ),
+                        "dims_fp": dims_fp,
                     },
                     f,
                 )

@@ -485,3 +485,55 @@ def test_vacuumed_silver_snapshot_falls_back_to_full_refresh(spark, tmp_path_fac
         return tuple(round(v, 6) if isinstance(v, float) else v for v in t)
 
     assert [rr(t) for t in a] == [rr(t) for t in b]
+
+
+def test_changed_dimension_forces_full_refresh(spark, tmp_path_factory):
+    """A d_transaction_types change (e.g. an is_financial flip)
+    re-classifies already-folded facts — something no fact-level
+    retraction can repair. The dims fingerprint in the fold state must
+    catch it and force a full refresh that equals recompute."""
+    from lakehouse_file_format_compare_spark.pipeline.runner import MedallionPipeline
+    from lakehouse_file_format_compare_spark.schemas import FINTECH_TABLE_CONFIGS
+
+    p = MedallionPipeline(spark, str(tmp_path_factory.mktemp("incr_dims")))
+    for _ in range(2):
+        p.run_bronze(n_customers=10, n_contracts=15, n_transactions=120, n_attributes=15)
+        p.run_silver()
+        p.run_gold_incremental()
+
+    # flip one type's is_financial WITHOUT touching any transaction
+    # (the fact watermark sees nothing; only the fingerprint can)
+    types = p._silver("d_transaction_types", "parquet")
+    flipped = types.orderBy("transaction_type_id").limit(1).withColumn(
+        "is_financial", ~F.col("is_financial")
+    )
+    p.warehouse.merge_table(
+        flipped, "silver", "d_transaction_types", keys=("transaction_type_id",),
+        fmt="parquet", schema=FINTECH_TABLE_CONFIGS["d_transaction_types"].schema,
+    )
+
+    p.run_gold_incremental()
+    for name in ("monthly_balance_inc", "daily_metrics_state", "contract_financials_state"):
+        hist = p.warehouse.history("gold", name)
+        assert hist[-1]["op"] == "full_refresh_fallback", (name, hist[-1])
+
+    full = monthly_balance(
+        p._silver("f_transactions", "parquet"), p._silver("d_transaction_types", "parquet")
+    )
+    incr = p.warehouse.read_table("gold", "monthly_balance_inc", "parquet")
+
+    def canon(df):
+        cols = sorted(df.columns)
+        return sorted(
+            (tuple(round(v, 6) if isinstance(v, float) else v for v in (r[c] for c in cols))
+             for r in df.collect()),
+            key=repr,
+        )
+
+    assert canon(incr) == canon(full)
+
+    # steady state resumes: next cycle folds incrementally again
+    p.run_bronze(n_customers=5, n_contracts=8, n_transactions=80, n_attributes=8)
+    p.run_silver()
+    p.run_gold_incremental()
+    assert p.warehouse.history("gold", "monthly_balance_inc")[-1]["op"] == "incremental_fold"
