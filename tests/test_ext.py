@@ -468,3 +468,49 @@ def test_encoding_noise_score(spark):
         ).fetchone()[0]
         assert got[i][0] == want, (i, got[i][0], want)
     con.close()
+
+
+def test_knn_pq_recall_vs_bruteforce(spark):
+    """PQ + exact re-rank: recall pinned vs the float brute force;
+    emitted cosines are exact (verified-candidate contract), and the
+    codebooks/codes are deterministic."""
+    import lakehouse_file_format_compare_spark.operators.similarity as SS
+
+    emb = table(spark, SF_CORRECTNESS, "embeddings")
+    queries = emb.where(F.col("vec_id") % 100 == 0)
+    K = 5
+    exact = {}
+    for r in SS.knn_bruteforce(queries, emb, k=K).collect():
+        exact.setdefault(r.query_id, {})[r.neighbor_id] = r.cosine
+    books = SS.train_pq_codebooks(emb, m=8, ks=16)
+    assert books == SS.train_pq_codebooks(emb, m=8, ks=16)  # deterministic
+    got = SS.knn_pq(queries, emb, codebooks=books, k=K, refine=4).collect()
+    hit = sum(1 for r in got if r.neighbor_id in exact.get(r.query_id, {}))
+    recall = hit / sum(len(v) for v in exact.values())
+    assert recall >= 0.6, f"PQ recall@{K} = {recall:.3f}"
+    # scores on true hits are the exact cosine, bit-for-bit
+    for r in got:
+        if r.neighbor_id in exact.get(r.query_id, {}):
+            assert r.cosine == exact[r.query_id][r.neighbor_id]
+
+
+def test_knn_pq_hot_path_is_jvm(spark):
+    """Only the bounded query-side LUT/encode stages use Arrow; the
+    |Q|x|C| ADC scan itself is a JVM aggregate (no Python eval above
+    the cross join in the plan tree)."""
+    import lakehouse_file_format_compare_spark.operators.similarity as SS
+
+    emb = table(spark, SF_CORRECTNESS, "embeddings")
+    queries = emb.where(F.col("vec_id") % 100 == 0)
+    plan = (
+        SS.knn_pq(queries, emb, k=3)
+        ._sc._jvm.PythonSQLUtils.explainString(
+            SS.knn_pq(queries, emb, k=3)._jdf.queryExecution(), "formatted"
+        )
+    )
+    # Arrow appears only for the per-row-bounded stages (query LUT +
+    # corpus encode; each may print twice with subtree reuse) — never
+    # row-at-a-time Python, and the ADC aggregate itself is codegen
+    assert 1 <= plan.count("ArrowEvalPython") <= 4
+    assert "BatchEvalPython" not in plan
+    assert "aggregate(" in plan  # the ADC fold is a JVM higher-order fn
