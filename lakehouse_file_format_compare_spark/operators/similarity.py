@@ -1,6 +1,6 @@
 """Approximate-nearest-neighbor search over embedding columns.
 
-Three strategies sharing the cosine kernel (functions/vectors.py):
+Strategies sharing the cosine kernel (functions/vectors.py):
 
 - brute-force top-k: query⨯corpus cross join + per-query window
   rank. Exact; cost |Q|·|C| distance evals. The correctness baseline
@@ -12,6 +12,9 @@ Three strategies sharing the cosine kernel (functions/vectors.py):
 - IVF (inverted file): seeded k-means centroids trained on a bounded
   sample; corpus bucketed by nearest centroid; queries probe their
   nprobe closest lists. Cost ∝ |Q|·(nprobe/n_lists)·|C|.
+- int8 quantized brute force: 4x smaller scan, scale-invariant cosine.
+- product quantization (PQ): m-byte codes (32x smaller scan), ADC
+  lookup-table scoring in pure JVM, exact-cosine re-rank.
 
 Hyperplanes/centroids are generated driver-side from a fixed seed
 (numpy) and shipped as literal arrays — deterministic across runs and
