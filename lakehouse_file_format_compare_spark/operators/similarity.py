@@ -543,3 +543,98 @@ def knn_pq(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
+
+
+def knn_ivf_pq(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    n_lists: int = 16,
+    nprobe: int = 4,
+    refine: int = 4,
+    codebooks: list[list[list[float]]] | None = None,
+    centroids: list[list[float]] | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF·PQ composed — the canonical billion-scale ANN recipe
+    (FAISS IVFPQ shape): queries probe their ``nprobe`` closest IVF
+    lists, the candidates inside those lists are scored by the
+    pure-JVM PQ asymmetric distance (32× smaller scan at m=8), and
+    the top ``refine``·k per query re-rank with exact cosine. Cost ∝
+    |Q| · (nprobe/n_lists) · |C| ADC lookups — both dials (probe
+    count, code size) turn independently. Emitted scores exact;
+    recall pinned vs brute force in tests/test_ext.py."""
+    centroids = centroids or train_ivf_centroids(
+        corpus, n_lists=n_lists, vec_col=vec_col, id_col=id_col
+    )
+    if codebooks is None:
+        codebooks = train_pq_codebooks(corpus, vec_col=vec_col, id_col=id_col)
+    m, ks = len(codebooks), len(codebooks[0])
+    books = [np.array(b, dtype=np.float64) for b in codebooks]
+
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    @pandas_udf("array<double>")
+    def lut(vecs):
+        import numpy as _np
+        import pandas as _pd
+
+        mat = _np.array(vecs.tolist(), dtype=_np.float64)
+        mat = mat / _np.maximum(_np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+        sub = mat.shape[1] // len(books)
+        parts = [mat[:, j * sub:(j + 1) * sub] @ books[j].T for j in range(len(books))]
+        return _pd.Series(list(_np.concatenate(parts, axis=1)))
+
+    # corpus side: IVF list + PQ codes + the original vector for re-rank
+    c = ivf_assign(
+        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")),
+        centroids, "cv",
+    )
+    codes = pq_encode(corpus, codebooks, vec_col=vec_col, id_col=id_col)
+    c = c.join(codes, "neighbor_id")
+
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    ranked = F.sort_array(
+        F.arrays_zip(
+            F.col("__sims").alias("s"),
+            F.sequence(F.lit(0), F.lit(len(centroids) - 1)).alias("i"),
+        ),
+        asc=False,
+    )
+    q_probed = (
+        q.withColumn("__sims", _centroid_sims_pandas(centroids)(F.col("qv")))
+        .withColumn("__lut", lut(F.col("qv")))
+        .withColumn(
+            "__list",
+            F.explode(F.transform(F.slice(ranked, 1, nprobe), lambda z: z["i"].cast("int"))),
+        )
+        .drop("__sims")
+    )
+    adc = F.aggregate(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        F.lit(0.0),
+        lambda acc, j: acc
+        + F.element_at("__lut", j * ks + F.element_at("codes", j + 1) + 1),
+    )
+    scored = (
+        q_probed.join(c.drop("cv"), "__list")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("__adc", adc)
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("__adc").desc(), F.col("neighbor_id"))
+    cand = (
+        scored.withColumn("__r", F.row_number().over(w))
+        .where(F.col("__r") <= refine * k)
+        .select("query_id", "qv", "neighbor_id")
+        .distinct()
+    )
+    rescored = cand.join(
+        c.select("neighbor_id", "cv").distinct(), "neighbor_id"
+    ).withColumn("cosine", grid(_pair_cosine_pandas()(F.col("qv"), F.col("cv")), 6))
+    w2 = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        rescored.withColumn("rank", F.row_number().over(w2))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )

@@ -514,3 +514,24 @@ def test_knn_pq_hot_path_is_jvm(spark):
     assert 1 <= plan.count("ArrowEvalPython") <= 4
     assert "BatchEvalPython" not in plan
     assert "aggregate(" in plan  # the ADC fold is a JVM higher-order fn
+
+
+def test_knn_ivf_pq_recall_vs_bruteforce(spark):
+    """The composed IVF-PQ path (probe lists, ADC-score inside them,
+    exact re-rank): recall vs brute force with both dials at moderate
+    settings; scores on true hits bit-equal to the float baseline."""
+    import lakehouse_file_format_compare_spark.operators.similarity as SS
+
+    emb = table(spark, SF_CORRECTNESS, "embeddings")
+    queries = emb.where(F.col("vec_id") % 100 == 0)
+    K = 5
+    exact = {}
+    for r in SS.knn_bruteforce(queries, emb, k=K).collect():
+        exact.setdefault(r.query_id, {})[r.neighbor_id] = r.cosine
+    got = SS.knn_ivf_pq(queries, emb, k=K, n_lists=16, nprobe=6, refine=4).collect()
+    hit = sum(1 for r in got if r.neighbor_id in exact.get(r.query_id, {}))
+    recall = hit / sum(len(v) for v in exact.values())
+    assert recall >= 0.5, f"IVF-PQ recall@{K} = {recall:.3f}"
+    for r in got:
+        if r.neighbor_id in exact.get(r.query_id, {}):
+            assert r.cosine == exact[r.query_id][r.neighbor_id]
