@@ -38,6 +38,11 @@ HEADLINE = [
     "op_merge_upsert",
     "op_asof_join",
     "op_range_join",
+    # r5 surfaces added to the round-over-round signal (r5 verdict #3)
+    "op_sessionization",
+    "corpus_hygiene_suite",
+    "fintech_gold_suite",
+    "dedup_minhash_lsh",
 ]
 
 

@@ -92,9 +92,21 @@ def connected_components(
     ``edges`` is an undirected pair list (duplicate/reversed rows fine).
     Raises if not converged within ``max_rounds`` (paper bound is
     O(log n); 20 covers any realistic graph).
+
+    Node ids may be any orderable type (the algorithm needs only a
+    total order for the min-label convention): integer ids are widened
+    to long for a stable label type; string ids pass through and label
+    by lexical minimum (r5 advice — the former unconditional
+    ``cast("long")`` broke string doc ids under ANSI mode).
     """
+    int_types = {"tinyint", "smallint", "int", "bigint"}
+    dtypes = dict(edges.dtypes)
+    if dtypes[src] in int_types and dtypes[dst] in int_types:
+        u, v = F.col(src).cast("long"), F.col(dst).cast("long")
+    else:
+        u, v = F.col(src), F.col(dst)
     e = (
-        edges.select(F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v"))
+        edges.select(u.alias("u"), v.alias("v"))
         .where(F.col("u").isNotNull() & F.col("v").isNotNull())
     )
     nodes = e.select(F.col("u").alias("node")).unionByName(
@@ -177,14 +189,17 @@ def resolve_duplicates(
             score.alias("__score"),
         )
     )
-    # argmax per cluster: max_by over a (score, -id) struct — higher
+    # argmax per cluster: min_by over a (-score, id) struct — higher
     # score wins, smaller id wins ties; singleton clusters keep
-    # themselves trivially
+    # themselves trivially. The id is NOT negated, so the tie-break is
+    # type-agnostic (string doc ids order lexically; the former
+    # -F.col(id) form assumed numeric ids and errored under ANSI mode
+    # for strings). ``score`` itself must be numeric — it is negated.
     best = (
         labeled.groupBy("cluster_id")
         .agg(
-            F.max_by(
-                F.col(id_col), F.struct(F.col("__score"), -F.col(id_col))
+            F.min_by(
+                F.col(id_col), F.struct(-F.col("__score"), F.col(id_col))
             ).alias("__best_id")
         )
     )

@@ -357,10 +357,21 @@ def edit_distance_pairs_structured(
             .select("id_a", "id_b", "distance")
         )
 
-    # residual × everything (and everything × residual, counted once)
-    out = verified(ra.select("id_a", "sa").crossJoin(b.select("id_b", "sb")))
+    # residual × everything (and everything × residual, counted once).
+    # The crossJoin left sides are repartitioned to the session's
+    # default parallelism — same single-partition-Cartesian guard as
+    # edit_distance_pairs: a single-file parquet side arrives as ONE
+    # partition and CartesianProduct task count is nL×nR, so a sizable
+    # residual would otherwise run its whole levenshtein sweep as one
+    # task.
+    par = left.sparkSession.sparkContext.defaultParallelism
+    out = verified(
+        ra.select("id_a", "sa").repartition(par).crossJoin(b.select("id_b", "sb"))
+    )
     out = out.unionByName(
-        verified(ma.select("id_a", "sa").crossJoin(rb.select("id_b", "sb")))
+        verified(
+            ma.select("id_a", "sa").repartition(par).crossJoin(rb.select("id_b", "sb"))
+        )
     )
 
     prefixes = sorted(

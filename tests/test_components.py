@@ -112,6 +112,30 @@ def test_resolve_duplicates_keeps_best_scoring(spark):
     assert sum(1 for r in out2.collect() if r["keep"]) == 3
 
 
+def test_resolve_duplicates_string_ids(spark):
+    """Type-agnostic tie-break (r5 advice): string doc ids must work —
+    the former -id argmax assumed numeric ids and errored under ANSI
+    mode. Ties on score break to the lexically smaller id."""
+    from pyspark.sql import functions as F
+
+    from lakehouse_file_format_compare_spark.operators.components import (
+        resolve_duplicates,
+    )
+
+    docs = spark.createDataFrame(
+        [("a1", 0.2), ("a2", 0.9), ("a3", 0.9),   # cluster: a2 wins (tie a2 < a3)
+         ("b1", 0.5), ("b2", 0.7),                # cluster: b2 wins
+         ("c1", 0.0)],                            # singleton
+        "doc_id string, q double",
+    )
+    pairs = spark.createDataFrame(
+        [("a1", "a2"), ("a2", "a3"), ("b1", "b2")], "doc_a string, doc_b string"
+    )
+    out = resolve_duplicates(docs, pairs, score=F.col("q"))
+    keepers = {r["doc_id"] for r in out.collect() if r["keep"]}
+    assert keepers == {"a2", "b2", "c1"}
+
+
 def test_resolve_duplicates_on_corpus(spark):
     """On the real corpus near-dup graph: exactly one keeper per
     cluster, total keepers == number of clusters + singletons."""
