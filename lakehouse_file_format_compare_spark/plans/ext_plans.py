@@ -7,15 +7,31 @@ API (SURVEY §3.4: one engine answers both). Their SQL text is written
 in the dialect intersection so the DuckDB oracle executes the SAME
 string.
 
-``mm_image_features`` drives the mapInPandas multimodal plumbing
-(ext/multimodal.py) with the deterministic fake decoder. Since round
-3 it has a FULL value oracle: DuckDB's sha256() reproduces the
-content hash, and the fake-decode dimensions (64 + digest_byte % 192)
-are recovered from the hex digest with a strpos-based nibble parse —
-so the whole mapInPandas path is hash-compared, not rows-only.
+``mm_image_features`` (r6) drives the REAL stdlib header probe
+(ext/multimodal.py::probe_image — PNG IHDR / BMP info header parsed
+with ``struct``, no codec) through the distributed mapInPandas path
+over a committed corpus of genuine image files
+(fixtures/media_images.parquet: fully valid PNG RGB/RGBA and 24bpp
+BMP payloads, built by scripts/build_media_fixture.py — the fintech
+silver fixture pattern, since media bytes don't scale with the TPC-H
+sf). The DuckDB oracle independently RE-PARSES the same bytes — magic
+detection plus big-endian (PNG) / little-endian (BMP) dimension and
+channel fields recovered from ``hex(content)`` with nibble arithmetic
+— so the row compares two independent header parsers over identical
+real files. The payload sha256 can't be oracled in SQL (DuckDB's
+sha256 is VARCHAR-only, and a BLOB→VARCHAR cast escapes bytes), so it
+is value-tested against hashlib in tests/test_ext.py instead and
+excluded from the driver row's columns.
+
+The r3-r5 fake-decode variant (content-hash-seeded dimensions over
+documents-as-media) is demoted to a pytest oracle
+(tests/test_correctness.py::test_demoted_mm_fake_decode_oracle) —
+kept because it exercises the no-payload fallback and scales with sf.
 """
 
 from __future__ import annotations
+
+import os
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -50,9 +66,76 @@ def readme_customer_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(README_CUSTOMER_FILTER)
 
 
+MEDIA_FIXTURE = os.path.abspath(
+    os.path.join(os.path.dirname(__file__), "..", "..", "fixtures", "media_images.parquet")
+)
+
+
 def mm_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL header-probe path (``fake_decode=False``): width/height/
+    channels come from parsing actual PNG/BMP bytes executor-side. The
+    sha256 column is computed but projected away here (SQL-oracle
+    limitation above); tests/test_ext.py hash-checks it."""
+    media = spark.read.parquet(MEDIA_FIXTURE)
+    return extract_image_features(media, fake_decode=False).select(
+        "media_id", "n_bytes", "width", "height", "channels"
+    )
+
+
+def mm_image_features_fake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The deterministic fake-decode variant (hash-seeded dimensions)
+    over documents-as-media — the no-payload fallback, pytest-oracled."""
     docs = table(spark, sf_dir, "documents")
     return extract_image_features(documents_as_media(docs), fake_decode=True)
+
+
+# --- oracle SQL: independent header re-parse from hex(content) -------------
+
+def _hx_nib(pos: int) -> str:
+    """0-15 value of 1-based hex char ``pos`` (DuckDB hex() is uppercase)."""
+    return f"(strpos('0123456789ABCDEF', substr(hx, {pos}, 1)) - 1)"
+
+
+def _hx_byte(i: int) -> str:
+    """0-255 value of 1-based byte ``i`` of the blob."""
+    return f"(16 * {_hx_nib(2 * i - 1)} + {_hx_nib(2 * i)})"
+
+
+def _be32(first: int) -> str:
+    return " + ".join(f"{_hx_byte(first + j)} * {256 ** (3 - j)}" for j in range(4))
+
+
+def _le32(first: int) -> str:
+    return " + ".join(f"{_hx_byte(first + j)} * {256 ** j}" for j in range(4))
+
+
+def _le16(first: int) -> str:
+    return f"({_hx_byte(first)} + {_hx_byte(first + 1)} * 256)"
+
+
+# Byte layout (1-based): PNG sig 1-8, IHDR width 17-20 / height 21-24
+# big-endian, color type 26. BMP 'BM' 1-2, info-header width 19-22 /
+# height 23-26 little-endian signed (fixture heights positive),
+# bit count 29-30. Same offsets the Spark-side probe reads
+# (ext/multimodal.py:106-122).
+_IS_PNG = "substr(hx, 1, 16) = '89504E470D0A1A0A'"
+
+MM_IMAGE_FEATURES_SQL = f"""
+WITH hxed AS (
+    SELECT media_id, octet_length(content) AS n_bytes, hex(content) AS hx
+    FROM read_parquet('{MEDIA_FIXTURE}')
+)
+SELECT media_id,
+       CAST(n_bytes AS BIGINT) AS n_bytes,
+       CAST(CASE WHEN {_IS_PNG} THEN {_be32(17)} ELSE {_le32(19)} END AS INTEGER) AS width,
+       CAST(CASE WHEN {_IS_PNG} THEN {_be32(21)} ELSE {_le32(23)} END AS INTEGER) AS height,
+       CAST(CASE WHEN {_IS_PNG}
+                 THEN (CASE {_hx_byte(26)} WHEN 0 THEN 1 WHEN 2 THEN 3 WHEN 3 THEN 1
+                                           WHEN 4 THEN 2 WHEN 6 THEN 4 ELSE 3 END)
+                 ELSE greatest(1, CAST(floor({_le16(29)} / 8) AS INTEGER))
+            END AS INTEGER) AS channels
+FROM hxed
+"""
 
 
 # The fake decoder derives width/height from the first two sha256
@@ -62,7 +145,7 @@ _NIBBLE = "strpos('0123456789abcdef', substr(content_sha256, {pos}, 1)) - 1"
 _BYTE0 = f"16 * ({_NIBBLE.format(pos=1)}) + ({_NIBBLE.format(pos=2)})"
 _BYTE1 = f"16 * ({_NIBBLE.format(pos=3)}) + ({_NIBBLE.format(pos=4)})"
 
-MM_IMAGE_FEATURES_SQL = f"""
+MM_IMAGE_FEATURES_FAKE_SQL = f"""
 WITH feat AS (
     SELECT doc_id AS media_id,
            octet_length(encode(text)) AS n_bytes,

@@ -76,6 +76,20 @@ def test_demoted_explode_token_counts_oracle(spark):
     assert ok, msg
 
 
+def test_demoted_mm_fake_decode_oracle(spark):
+    """The r3-r5 fake-decode multimodal row left the driver registry
+    in r6 (the slot now runs the REAL header probe over the committed
+    media fixture); the fake path — the no-payload fallback — keeps
+    its full sha256-derived value oracle here."""
+    from lakehouse_file_format_compare_spark.plans.ext_plans import (
+        MM_IMAGE_FEATURES_FAKE_SQL,
+        mm_image_features_fake,
+    )
+
+    ok, msg = compare(spark, SF_CORRECTNESS, mm_image_features_fake, MM_IMAGE_FEATURES_FAKE_SQL)
+    assert ok, msg
+
+
 def test_tpch_extended_oracles(spark):
     """Q4 (EXISTS semi-join) and Q13 (count-of-counts histogram)
     analogs — pytest-oracled outside the 50-cap registry."""

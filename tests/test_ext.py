@@ -30,6 +30,60 @@ def test_multimodal_features_deterministic(spark):
     assert 64 <= row["width"] < 256 and 64 <= row["height"] < 256
 
 
+def test_media_fixture_real_probe_and_sha(spark):
+    """The committed media fixture (r6): the distributed REAL probe
+    path must reproduce, for every row, the dimensions the local
+    probe_image parse gives AND the exact hashlib sha256 of the
+    payload — the value check the SQL oracle can't carry (DuckDB
+    sha256 is VARCHAR-only)."""
+    import hashlib
+
+    import pyarrow.parquet as pq
+
+    from lakehouse_file_format_compare_spark.ext.multimodal import probe_image
+    from lakehouse_file_format_compare_spark.plans.ext_plans import MEDIA_FIXTURE
+
+    expected = {}
+    for r in pq.read_table(MEDIA_FIXTURE).to_pylist():
+        blob = r["content"]
+        w, h, c = probe_image(blob)
+        expected[r["media_id"]] = (
+            len(blob), hashlib.sha256(blob).hexdigest(), w, h, c
+        )
+    media = spark.read.parquet(MEDIA_FIXTURE)
+    out = extract_image_features(media, fake_decode=False).collect()
+    assert len(out) == len(expected) == 500
+    for r in out:
+        assert expected[r["media_id"]] == (
+            r["n_bytes"], r["content_sha256"], r["width"], r["height"], r["channels"]
+        ), r
+
+
+def test_media_fixture_matches_builder(spark):
+    """Drift guard (fintech-fixture pattern): re-running the builder's
+    row generation must reproduce the committed bytes exactly, so the
+    fixture and the script can't silently diverge. (Byte equality
+    holds per zlib build; a zlib upgrade shows up here loudly rather
+    than as a quiet oracle break.)"""
+    import importlib.util
+    import os
+
+    import pyarrow.parquet as pq
+
+    from lakehouse_file_format_compare_spark.plans.ext_plans import MEDIA_FIXTURE
+
+    script = os.path.join(os.path.dirname(MEDIA_FIXTURE), "..", "scripts",
+                          "build_media_fixture.py")
+    spec = importlib.util.spec_from_file_location("build_media_fixture", script)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    ids, _, contents, _ = mod.build_rows()
+    committed = {r["media_id"]: r["content"] for r in pq.read_table(MEDIA_FIXTURE).to_pylist()}
+    assert len(committed) == len(ids)
+    for mid, blob in zip(ids, contents):
+        assert committed[mid] == blob, f"media_id {mid} drifted"
+
+
 def test_multimodal_real_decoder_is_stubbed(spark):
     import pytest
 
