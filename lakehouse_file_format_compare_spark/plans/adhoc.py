@@ -659,12 +659,17 @@ QUERIES = {
     # op_distinct_projection is demoted to a pytest oracle
     # (tests/test_adhoc.py) to keep the 50-entry driver registry open
     # for corpus_build_summary — A11 DISTINCT coverage also lives in
-    # op_set_ops.
+    # the demoted op_set_ops and the dedup family's candidate
+    # distincts.
     "op_topk_orders": topk_orders,
     "op_window_rank_per_group": window_rank_per_group,
     "op_scalar_functions": scalar_functions,
     "op_json_extract_props": json_extract_props,
-    "op_set_ops": set_ops,
+    # op_set_ops demoted from the 50-cap registry in r6 (UNION/
+    # INTERSECT/EXCEPT are engine built-ins with no plan risk; swapped
+    # for similarity_scale_suite) — its oracle runs in
+    # tests/test_correctness.py::test_demoted_set_ops_oracle
+
     "op_rollup_cube_revenue": rollup_cube_revenue,
     "op_merge_upsert": merge_upsert_demo,
     "op_merge_insert_only": merge_insert_only_demo,
@@ -693,7 +698,6 @@ ORACLES = {
     "op_window_rank_per_group": WINDOW_RANK_PER_GROUP_SQL,
     "op_scalar_functions": SCALAR_FUNCTIONS_SQL,
     "op_json_extract_props": JSON_EXTRACT_PROPS_SQL,
-    "op_set_ops": SET_OPS_SQL,
     "op_rollup_cube_revenue": ROLLUP_CUBE_REVENUE_SQL,
     "op_merge_upsert": MERGE_UPSERT_DEMO_SQL,
     "op_merge_insert_only": MERGE_INSERT_ONLY_DEMO_SQL,

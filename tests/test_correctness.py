@@ -76,6 +76,16 @@ def test_demoted_explode_token_counts_oracle(spark):
     assert ok, msg
 
 
+def test_demoted_set_ops_oracle(spark):
+    """op_set_ops left the driver registry in r6 (UNION/INTERSECT/
+    EXCEPT are engine built-ins with no plan risk; swapped for
+    similarity_scale_suite); its oracle coverage continues here."""
+    from lakehouse_file_format_compare_spark.plans.adhoc import SET_OPS_SQL, set_ops
+
+    ok, msg = compare(spark, SF_CORRECTNESS, set_ops, SET_OPS_SQL)
+    assert ok, msg
+
+
 def test_demoted_mm_fake_decode_oracle(spark):
     """The r3-r5 fake-decode multimodal row left the driver registry
     in r6 (the slot now runs the REAL header probe over the committed
