@@ -59,6 +59,22 @@ def main() -> None:
 
     # JVM/codegen warm-up on an untimed tiny query
     queries["tpch_local_supplier_volume"](spark, sf_dir).write.format("noop").mode("overwrite").save()
+    # Python-worker-pool warm-up (untimed, same class as the JVM one):
+    # daemon fork + per-worker pandas import + Arrow serializer init is
+    # ~2.2s of one-time session cost that otherwise lands entirely on
+    # whichever query first contains a pandas UDF — measured as the r5
+    # sim_knn_ivf cold "regression" (PROFILE_r06.md: 3.1->7.3s cold
+    # while steady stayed flat; scripts/profile_ivf_cold.py).
+    from pyspark.sql import functions as F
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    @pandas_udf("double")
+    def _warm(x):
+        return x
+
+    spark.range(64).select(_warm(F.col("id").cast("double"))).write.format(
+        "noop"
+    ).mode("overwrite").save()
 
     timings: dict[str, float] = {}
     steady: dict[str, float] = {}
