@@ -126,8 +126,9 @@ def sessionize(
     sum over the same window spec, so both windows share one sort.
     ``order_cols`` break timestamp ties deterministically. Hot keys
     (one user with millions of events) sort within one partition —
-    the same skew profile as any per-entity window; salt upstream if
-    a single entity exceeds a partition."""
+    the same skew profile as any per-entity window; use
+    :func:`sessionize_salted` (time-sliced two-phase, output-equal)
+    when a single entity exceeds a partition."""
     w = Window.partitionBy(key_col).orderBy(ts_col, *order_cols)
     gap_expr = F.expr(f"INTERVAL {gap}")
     prev_ts = F.lag(ts_col).over(w)
@@ -145,6 +146,97 @@ def sessionize(
     return out.drop("__new").withColumn(
         "session_id",
         F.concat(F.col(key_col).cast("string"), F.lit("#"), F.col("session_seq")),
+    )
+
+
+def sessionize_salted(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    order_cols: tuple[str, ...] = ("event_id",),
+    slice_sec: int = 86_400,
+) -> DataFrame:
+    """Hot-key-safe two-phase sessionization, output-identical to
+    :func:`sessionize` (proven in tests/test_sessionize.py on both the
+    real events table and a one-key-owns-half-the-events corpus).
+
+    :func:`sessionize` sorts each key inside ONE window partition, so
+    a single entity with millions of events serializes on one task —
+    the skew its docstring punted upstream. This variant salts by TIME
+    instead of by hash (a hash salt can't work here: sessions need
+    contiguous time ranges):
+
+    1. slice each key's events into fixed ``slice_sec`` time slices
+       (``floor(ts / slice_sec)`` — a pure column expr, no shuffle of
+       its own) and sessionize WITHIN (key, slice). The window
+       partition is now (key, slice): a hot key splits across
+       time, bounding any one task at the key's densest slice.
+    2. repair the slice boundaries at the SESSION level: per (key,
+       slice, local_seq) take [min ts, max ts]; order the per-key
+       session intervals by start and re-apply the gap rule — a
+       session merges into its predecessor iff start − prev_end <
+       gap. Only the first event of each slice can differ from the
+       global rule (its true previous event sits in the prior slice),
+       and that is exactly the session-level comparison. A running
+       sum over merge boundaries renumbers ``session_seq`` globally;
+       events join back on (key, slice, local_seq).
+
+    The phase-2 window is still per-key but over SESSION rows, whose
+    per-key count is bounded by time_range/gap + n_slices regardless
+    of event density (gap-separation caps sessions per slice at
+    slice_sec/gap + 1) — so the skew bound no longer depends on how
+    many events the hot key has. Pick ``slice_sec`` ≫ gap (default
+    1 day vs 30 min) so phase-2 stays tiny.
+
+    Cost: two key shuffles (phase-1 window + the session join) vs one
+    — the price of the bound; use :func:`sessionize` when no key
+    exceeds a partition."""
+    gap_expr = F.expr(f"INTERVAL {gap}")
+    sliced = events.withColumn(
+        "__slice", F.floor(F.col(ts_col).cast("double") / slice_sec).cast("long")
+    )
+    w = Window.partitionBy(key_col, "__slice").orderBy(ts_col, *order_cols)
+    prev_ts = F.lag(ts_col).over(w)
+    is_new = F.when(
+        prev_ts.isNull() | (F.col(ts_col).cast("timestamp") >= prev_ts + gap_expr),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    local = sliced.withColumn("__new", is_new).withColumn(
+        "__local_seq",
+        F.sum("__new").over(
+            Window.partitionBy(key_col, "__slice").orderBy(ts_col, *order_cols)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    ).drop("__new")
+
+    sessions = local.groupBy(key_col, "__slice", "__local_seq").agg(
+        F.min(ts_col).alias("__start"), F.max(ts_col).alias("__end")
+    )
+    # per-key session intervals are disjoint and start-ordered (slice
+    # boundaries are ts-functions, so cross-slice order follows time)
+    sw = Window.partitionBy(key_col).orderBy("__start", "__slice", "__local_seq")
+    prev_end = F.lag("__end").over(sw)
+    merge_new = F.when(
+        prev_end.isNull()
+        | (F.col("__start").cast("timestamp") >= prev_end + gap_expr),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    renumbered = sessions.withColumn(
+        "session_seq",
+        F.sum(merge_new).over(
+            Window.partitionBy(key_col).orderBy("__start", "__slice", "__local_seq")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    ).select(key_col, "__slice", "__local_seq", "session_seq")
+
+    return (
+        local.join(renumbered, [key_col, "__slice", "__local_seq"])
+        .drop("__slice", "__local_seq")
+        .withColumn(
+            "session_id",
+            F.concat(F.col(key_col).cast("string"), F.lit("#"), F.col("session_seq")),
+        )
     )
 
 

@@ -442,6 +442,87 @@ def test_incremental_handles_updates(spark, tmp_path_factory):
     assert canon(incr2) == canon(full2)
 
 
+def test_adversarial_retraction_fold_cost(spark, tmp_path_factory):
+    """r5 verdict #7: a pathological batch updating ~80% of history
+    must (a) still repair via incremental_fold_with_retractions, (b)
+    produce exactly the full-refresh result, and (c) cost no more
+    than ~1.5x a comparable full-refresh cycle wall (+ a small
+    constant for shared-host noise at seconds scale) — the fold's
+    degradation asymptote is the fallback it replaces, never
+    silently worse."""
+    import time
+
+    from lakehouse_file_format_compare_spark.pipeline.runner import MedallionPipeline
+    from lakehouse_file_format_compare_spark.schemas import FINTECH_TABLE_CONFIGS
+
+    p = MedallionPipeline(spark, str(tmp_path_factory.mktemp("incr_adv")))
+    for _ in range(2):
+        p.run_bronze(n_customers=15, n_contracts=25, n_transactions=400, n_attributes=20)
+        p.run_silver()
+        p.run_gold_incremental()
+
+    def stage_update(frac_pred, bump):
+        txn = p._silver("f_transactions", "parquet")
+        staged = (
+            txn.where(frac_pred)
+            .withColumn("amount", F.col("amount") + bump)
+            .withColumn("ingestion_timestamp", F.current_timestamp())
+        )
+        p.warehouse.merge_table(
+            staged, "silver", "f_transactions", keys=("transaction_id",),
+            fmt="parquet", schema=FINTECH_TABLE_CONFIGS["f_transactions"].schema,
+        )
+
+    # update ~80% of all folded history in one batch
+    stage_update(F.pmod(F.col("transaction_id"), F.lit(5)) != 0, 11.0)
+    t0 = time.perf_counter()
+    p.run_gold_incremental()
+    t_fold = time.perf_counter() - t0
+    for name in ("monthly_balance_inc", "daily_metrics_state", "contract_financials_state"):
+        hist = p.warehouse.history("gold", name)
+        assert hist[-1]["op"] == "incremental_fold_with_retractions", (name, hist[-1])
+
+    txn = p._silver("f_transactions", "parquet")
+    types = p._silver("d_transaction_types", "parquet")
+    full = monthly_balance(txn, types)
+    incr = p.warehouse.read_table("gold", "monthly_balance_inc", "parquet")
+
+    def canon(df):
+        cols = sorted(df.columns)
+        return sorted(
+            (tuple(round(v, 6) if isinstance(v, float) else v for v in (r[c] for c in cols))
+             for r in df.collect()),
+            key=repr,
+        )
+
+    assert canon(incr) == canon(full)
+
+    # comparable FULL-REFRESH cycle wall: legacy state files force the
+    # fallback path for an equivalent small update, same warehouse,
+    # warm JVM — the apples-to-apples denominator
+    import json
+    import os
+
+    for name in ("monthly_balance_inc", "daily_metrics_state", "contract_financials_state"):
+        sp = os.path.join(p.warehouse.path("gold", name, "parquet"), "_state.json")
+        st = json.load(open(sp))
+        with open(sp, "w") as f:
+            f.write(st["watermark"])
+    stage_update(F.col("transaction_id") == txn.orderBy("transaction_id").limit(1)
+                 .collect()[0]["transaction_id"], 3.0)
+    t0 = time.perf_counter()
+    p.run_gold_incremental()
+    t_full = time.perf_counter() - t0
+    for name in ("monthly_balance_inc", "daily_metrics_state", "contract_financials_state"):
+        assert p.warehouse.history("gold", name)[-1]["op"] == "full_refresh_fallback"
+
+    assert t_fold <= 1.5 * t_full + 1.5, (
+        f"80%-update retraction fold took {t_fold:.2f}s vs full refresh "
+        f"{t_full:.2f}s — fold degraded past its fallback"
+    )
+    print(f"adversarial fold: t_fold={t_fold:.2f}s t_full_refresh={t_full:.2f}s")
+
+
 def test_vacuumed_silver_snapshot_falls_back_to_full_refresh(spark, tmp_path_factory):
     """If the silver snapshot recorded at the last sync was vacuumed,
     the old images needed for retraction are gone — the runner must

@@ -208,6 +208,141 @@ def test_minhash_lsh_walltime_scales_subquadratically(spark):
 
 
 @pytest.mark.scale
+def test_sessionize_walltime_scales_linearly_and_hot_key_equal(spark):
+    """r5 verdict #5/#6: (a) 10x events with 10x distinct keys must
+    cost ~linear wall (the single key-shuffle contract); (b) at 10x
+    with ONE key owning ~half the events, the salted two-phase
+    variant must equal the unsalted output exactly — the hot-key
+    regime it exists for — with both walls recorded for PROFILE."""
+    from functools import reduce
+
+    from pyspark.sql import DataFrame
+
+    from lakehouse_file_format_compare_spark.operators.temporal import (
+        sessionize,
+        sessionize_salted,
+    )
+
+    events = table(spark, SF_SCALE, "events").select("event_id", "user_id", "ts")
+    small = events.repartition(32).cache()
+    n1 = small.count()
+    copies = [
+        events.select(
+            (F.col("event_id") + F.lit(i * 100_000_000)).alias("event_id"),
+            (F.col("user_id") + F.lit(i * 10_000_000)).alias("user_id"),
+            "ts",
+        )
+        for i in range(10)
+    ]
+    big = reduce(DataFrame.unionByName, copies).repartition(32).cache()
+    assert big.count() == 10 * n1
+
+    def _timed_sessions(df) -> tuple[float, int]:
+        # count DISTINCT sessions: forces the window computation — a
+        # bare count() lets ColumnPruning drop the unreferenced Window
+        # node entirely (measured: flat 0.16s at both scales)
+        import time as _time
+
+        t0 = _time.perf_counter()
+        n = df.agg(F.count_distinct("user_id", "session_seq").alias("n")).collect()[0]["n"]
+        return _time.perf_counter() - t0, n
+
+    _timed_sessions(sessionize(small))  # warm-up
+    t1, s1 = _timed_sessions(sessionize(small))
+    t10, s10 = _timed_sessions(sessionize(big))
+    assert s10 == 10 * s1  # disjoint key spaces: sessions grow exactly 10x
+    ratio = t10 / max(t1, 1.0)
+    assert ratio <= 35, f"10x events cost {ratio:.1f}x (t1={t1:.2f}s t10={t10:.2f}s)"
+
+    # hot key: every even event id lands on one user -> ~half the 10x
+    # corpus in a single window partition for the unsalted operator
+    hot = big.withColumn(
+        "user_id",
+        F.when(F.pmod(F.col("event_id"), F.lit(2)) == 0, F.lit(999_999_999))
+        .otherwise(F.col("user_id")),
+    ).cache()
+    hot.count()
+    cols = ("event_id", "user_id", "session_seq")
+    t_unsalted, _ = _timed_sessions(sessionize(hot))
+    t_salted, _ = _timed_sessions(sessionize_salted(hot, slice_sec=3600))
+    a = sorted(tuple(r[c] for c in cols)
+               for r in sessionize(hot).select(*cols).collect())
+    b = sorted(tuple(r[c] for c in cols)
+               for r in sessionize_salted(hot, slice_sec=3600).select(*cols).collect())
+    assert a == b
+    print(f"sessionize 10x: t1={t1:.2f}s t10={t10:.2f}s; "
+          f"hot-key unsalted={t_unsalted:.2f}s salted={t_salted:.2f}s")
+    small.unpersist(); big.unpersist(); hot.unpersist()
+
+
+@pytest.mark.scale
+def test_structured_fuzzy_walltime_scales_subquadratically(spark):
+    """r5 verdict #5: the structured edit-distance join from sf0.01
+    (1.5k uniform-ID names) to sf0.1 (15k — the corpus generic
+    PassJoin cannot finish) must grow far below the 100x quadratic
+    bound. True output also grows (same key distribution, denser)."""
+    from lakehouse_file_format_compare_spark.operators.fuzzy import (
+        edit_distance_pairs_structured,
+    )
+
+    def pairs(sf_dir):
+        cust = table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+        return edit_distance_pairs_structured(
+            cust, cust, "c_custkey", "c_name", "c_custkey", "c_name",
+            prefix_re=r"^(customer#0*)",
+        )
+
+    _timed_count(pairs("/root/testdata/sf0.01"))  # warm-up
+    t1, p1 = _timed_count(pairs("/root/testdata/sf0.01"))
+    t10, p10 = _timed_count(pairs(SF_SCALE))
+    assert p10 > p1  # non-vacuous at both scales
+    ratio = t10 / max(t1, 1.0)
+    assert ratio <= 35, f"10x corpus cost {ratio:.1f}x (t1={t1:.2f}s t10={t10:.2f}s)"
+    print(f"structured fuzzy 10x: t1={t1:.2f}s p1={p1} t10={t10:.2f}s p10={p10}")
+
+
+@pytest.mark.scale
+def test_knn_pq_walltime_scales_linearly_in_corpus(spark):
+    """r5 verdict #5: PQ search with a FIXED query set over a 10x
+    corpus (per-copy sign-flip isometries) must cost ~linear wall —
+    the ADC scan is |Q|x|C| with a 32x-smaller constant, so corpus
+    growth is the scaling axis that matters. Codebooks are trained
+    once on the base corpus (train small, assign big)."""
+    from functools import reduce
+
+    from pyspark.sql import DataFrame
+
+    emb = table(spark, SF_SCALE, "embeddings").select("vec_id", "embedding")
+    small = emb.repartition(32).cache()
+    small.count()
+    queries = emb.where(F.col("vec_id") % 50 == 0).cache()
+    nq = queries.count()
+
+    def flipped(i):
+        return emb.select(
+            (F.col("vec_id") + F.lit(i * 10_000_000)).alias("vec_id"),
+            F.transform(
+                "embedding",
+                lambda x, d: (x * F.when(((d * (i + 1)) % 10) < 5, F.lit(-1.0))
+                              .otherwise(F.lit(1.0))).cast("float"),
+            ).alias("embedding"),
+        )
+
+    big = reduce(DataFrame.unionByName, [flipped(i) for i in range(10)]).repartition(32).cache()
+    big.count()
+    books = S.train_pq_codebooks(small)
+
+    _timed_count(S.knn_pq(queries, small, codebooks=books, k=5))  # warm-up
+    t1, p1 = _timed_count(S.knn_pq(queries, small, codebooks=books, k=5))
+    t10, p10 = _timed_count(S.knn_pq(queries, big, codebooks=books, k=5))
+    assert p1 == p10 == nq * 5  # top-k per query, both scales
+    ratio = t10 / max(t1, 1.0)
+    assert ratio <= 35, f"10x corpus cost {ratio:.1f}x (t1={t1:.2f}s t10={t10:.2f}s)"
+    print(f"knn_pq 10x corpus: t1={t1:.2f}s t10={t10:.2f}s")
+    small.unpersist(); big.unpersist(); queries.unpersist()
+
+
+@pytest.mark.scale
 def test_embedding_lsh_walltime_scales_subquadratically(spark):
     from functools import reduce
 

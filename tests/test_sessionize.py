@@ -114,6 +114,89 @@ def test_sessionize_plan_single_shuffle(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
+def test_sessionize_salted_equals_unsalted_on_corpus(spark):
+    """The time-sliced two-phase variant must be output-IDENTICAL to
+    the single-window operator on the real corpus — with a slice width
+    (1h) deliberately close to the gap (30m) so many sessions cross
+    slice boundaries and the phase-2 repair is genuinely exercised."""
+    from lakehouse_file_format_compare_spark.operators.temporal import (
+        sessionize_salted,
+    )
+
+    events = table(spark, SF_CORRECTNESS, "events")
+    cols = ("event_id", "user_id", "session_seq", "session_id")
+    a = sorted(tuple(r[c] for c in cols) for r in sessionize(events).collect())
+    b = sorted(
+        tuple(r[c] for c in cols)
+        for r in sessionize_salted(events, slice_sec=3600).collect()
+    )
+    assert a == b
+    # non-vacuous: some sessions DID span a slice boundary (phase-2
+    # merged local sessions), i.e. slicing alone over-segments
+    sliced_only = (
+        events.withColumn("__slice", (F.col("ts").cast("double") / 3600).cast("long"))
+        .groupBy("user_id", "__slice").count().count()
+    )
+    n_sessions = len({(u, s) for _, u, s, _ in a for u, s in [(u, s)]})
+    assert sliced_only > n_sessions
+
+
+def test_sessionize_salted_boundary_cases(spark):
+    """Slice-boundary repair semantics: a session continuing across a
+    slice boundary merges; an exactly-gap spacing across the boundary
+    splits (same >= gap rule as the unsalted operator)."""
+    from lakehouse_file_format_compare_spark.operators.temporal import (
+        sessionize_salted,
+    )
+
+    rows = [
+        # user 1: event just before a 1h-slice boundary, next 10 min
+        # later in the next slice -> ONE session across the boundary
+        (1, 7, "2026-01-01 00:55:00", 1.0),
+        (2, 7, "2026-01-01 01:05:00", 1.0),
+        # then exactly 30m later -> new session (>= gap splits)
+        (3, 7, "2026-01-01 01:35:00", 1.0),
+        # user 2: chain spanning THREE slices via short steps
+        (4, 8, "2026-01-01 00:59:00", 1.0),
+        (5, 8, "2026-01-01 01:28:00", 1.0),
+        (6, 8, "2026-01-01 01:57:00", 1.0),
+        (7, 8, "2026-01-01 02:20:00", 1.0),
+    ]
+    df = (
+        spark.createDataFrame(rows, "event_id long, user_id long, ts string, value double")
+        .withColumn("ts", F.to_timestamp("ts"))
+    )
+    got = {r["event_id"]: r["session_seq"]
+           for r in sessionize_salted(df, slice_sec=3600).collect()}
+    want = {r["event_id"]: r["session_seq"] for r in sessionize(df).collect()}
+    assert got == want
+    assert got[1] == got[2] == 1 and got[3] == 2
+    assert got[4] == got[5] == got[6] == got[7] == 1
+
+
+def test_sessionize_salted_equals_unsalted_on_hot_key(spark):
+    """One key owning ~half the events (the skew regime the salted
+    variant exists for): outputs still identical."""
+    from lakehouse_file_format_compare_spark.operators.temporal import (
+        sessionize_salted,
+    )
+
+    events = table(spark, SF_CORRECTNESS, "events")
+    hot = events.withColumn(
+        "user_id",
+        F.when(F.pmod(F.col("event_id"), F.lit(2)) == 0, F.lit(999_999)).otherwise(
+            F.col("user_id")
+        ),
+    )
+    cols = ("event_id", "user_id", "session_seq", "session_id")
+    a = sorted(tuple(r[c] for c in cols) for r in sessionize(hot).collect())
+    b = sorted(
+        tuple(r[c] for c in cols)
+        for r in sessionize_salted(hot, slice_sec=3600).collect()
+    )
+    assert a == b
+
+
 def test_batch_sessionize_agrees_with_streaming_oracle(spark):
     """The two sessionization surfaces — the batch operator
     (operators/temporal.sessionize) and the streaming stateful
