@@ -52,10 +52,15 @@ def main() -> None:
     spark = build_session(app_name="lakehouse-ffc-bench")
     spark.sparkContext.setLogLevel("ERROR")
     queries = all_queries()
-    # bench times the raw ANN serving path, not the driver-facing
-    # recall contract (which deliberately also runs the exact baseline)
+    # bench times the raw serving paths, not the driver-facing recall
+    # contracts (which deliberately also run the exact baselines —
+    # dedup_minhash_lsh's contract executes the full n-gram Jaccard
+    # true-pair set in three subplans)
     queries["sim_knn_ivf"] = similarity_plans.knn_ivf
     queries["sim_knn_lsh"] = similarity_plans.knn_lsh
+    from lakehouse_file_format_compare_spark.plans import dedup_plans
+
+    queries["dedup_minhash_lsh"] = dedup_plans.minhash_lsh
 
     # JVM/codegen warm-up on an untimed tiny query
     queries["tpch_local_supplier_volume"](spark, sf_dir).write.format("noop").mode("overwrite").save()
