@@ -216,21 +216,240 @@ ORDER BY custdist DESC, c_count DESC
 """
 
 
+_REV = grid_sql(f"SUM({grid_sql('l_extendedprice * (1 - l_discount)', 2)})", 2)
+
+
+def volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 analog: two nation ROLES from one dim (supplier's vs
+    customer's), a symmetric two-nation predicate, revenue per
+    (supp_nation, cust_nation, ship year). Exercises dim self-aliasing
+    and date-part grouping; both nation joins broadcast."""
+    li = table(spark, sf_dir, "lineitem")
+    orders = table(spark, sf_dir, "orders")
+    cust = table(spark, sf_dir, "customer")
+    supp = table(spark, sf_dir, "supplier")
+    nation = table(spark, sf_dir, "nation")
+    n1 = nation.select(
+        F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("c_nkey"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (
+        ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+        | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    )
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nkey"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nkey"))
+        .where(pair)
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(grid(F.sum(grid(F.col("l_extendedprice") * (1 - F.col("l_discount")), 2)), 2).alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+VOLUME_SHIPPING_SQL = f"""
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(year(l_shipdate) AS INTEGER) AS l_year, {_REV} AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+   OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+GROUP BY 1, 2, 3
+ORDER BY 1, 2, 3
+"""
+
+
+def returned_item_reporting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 analog: revenue lost to returns ('R' lineitems) per
+    customer over a quarter, top 20 — fact⋈fact⋈dim with a broadcast
+    nation decorate and TakeOrderedAndProject truncation."""
+    li = table(spark, sf_dir, "lineitem")
+    orders = table(spark, sf_dir, "orders")
+    cust = table(spark, sf_dir, "customer")
+    nation = table(spark, sf_dir, "nation")
+    lo = F.lit("1996-01-01").cast("timestamp")
+    hi = F.lit("1996-07-01").cast("timestamp")
+    return (
+        li.where(F.col("l_returnflag") == "R")
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .where((F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            "c_custkey", "c_name",
+            grid(F.col("c_acctbal"), 2).alias("acctbal"),
+            F.col("n_name").alias("nation"),
+        )
+        .agg(grid(F.sum(grid(F.col("l_extendedprice") * (1 - F.col("l_discount")), 2)), 2).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+RETURNED_ITEM_REPORTING_SQL = f"""
+SELECT c_custkey, c_name, {grid_sql('c_acctbal', 2)} AS acctbal,
+       n_name AS nation, {_REV} AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1996-07-01'
+GROUP BY 1, 2, 3, 4
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+
+def promotion_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 analog: promo revenue share over a window —
+    conditional aggregation feeding a scalar ratio. Both sums are
+    grid-snapped so the division operates on identical doubles in
+    both engines (bit-identical quotient), then snapped again."""
+    li = table(spark, sf_dir, "lineitem")
+    part = table(spark, sf_dir, "part")
+    lo = F.lit("1996-01-01").cast("timestamp")
+    hi = F.lit("1997-01-01").cast("timestamp")
+    disc = grid(F.col("l_extendedprice") * (1 - F.col("l_discount")), 2)
+    promo = F.when(F.col("p_type") == "PROMO", disc).otherwise(F.lit(0.0))
+    return (
+        li.where((F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi))
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            grid(
+                F.lit(100.0) * grid(F.sum(promo), 2) / grid(F.sum(disc), 2), 6
+            ).alias("promo_revenue_pct"),
+            grid(F.sum(disc), 2).alias("total_revenue"),
+        )
+    )
+
+
+PROMOTION_EFFECT_SQL = f"""
+WITH w AS (
+    SELECT {grid_sql('l_extendedprice * (1 - l_discount)', 2)} AS d,
+           CASE WHEN p_type = 'PROMO'
+                THEN {grid_sql('l_extendedprice * (1 - l_discount)', 2)}
+                ELSE 0.0 END AS p
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1997-01-01'
+)
+SELECT {grid_sql("100.0 * (" + grid_sql("SUM(p)", 2) + ") / (" + grid_sql("SUM(d)", 2) + ")", 6)} AS promo_revenue_pct,
+       {grid_sql("SUM(d)", 2)} AS total_revenue
+FROM w
+"""
+
+
+def large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 analog: orders whose total quantity exceeds a
+    threshold (HAVING over a fact-grain groupBy), decorated with the
+    customer — aggregate-then-join so the heavy groupBy runs at fact
+    grain before any dimension width is attached."""
+    li = table(spark, sf_dir, "lineitem")
+    orders = table(spark, sf_dir, "orders")
+    cust = table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(grid(F.sum(grid(F.col("l_quantity"), 2)), 2).alias("total_qty"))
+        .where(F.col("total_qty") > 250)
+    )
+    return (
+        big.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_custkey", "c_name",
+            F.col("o_orderkey").alias("orderkey"),
+            F.col("o_orderdate").alias("orderdate"),
+            grid(F.col("o_totalprice"), 2).alias("totalprice"),
+            "total_qty",
+        )
+        .orderBy(F.col("total_qty").desc(), F.col("orderkey"))
+    )
+
+
+LARGE_VOLUME_CUSTOMER_SQL = f"""
+SELECT c_custkey, c_name, o_orderkey AS orderkey, o_orderdate AS orderdate,
+       {grid_sql('o_totalprice', 2)} AS totalprice, total_qty
+FROM (
+    SELECT l_orderkey, {grid_sql(f"SUM({grid_sql('l_quantity', 2)})", 2)} AS total_qty
+    FROM lineitem GROUP BY l_orderkey HAVING total_qty > 250
+)
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY total_qty DESC, orderkey
+"""
+
+
+def discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 analog: a disjunction of brand/size/quantity bands —
+    the multi-clause OR predicate that tests predicate normalization
+    (each disjunct pairs part attributes with lineitem ranges)."""
+    li = table(spark, sf_dir, "lineitem")
+    part = table(spark, sf_dir, "part")
+    q = F.col("l_quantity")
+    clause = (
+        ((F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 10) & q.between(1, 15))
+        | ((F.col("p_brand") == "Brand#2") & F.col("p_size").between(1, 20) & q.between(10, 25))
+        | ((F.col("p_brand") == "Brand#3") & F.col("p_size").between(1, 30) & q.between(20, 35))
+    )
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .where(clause)
+        .agg(
+            grid(F.sum(grid(F.col("l_extendedprice") * (1 - F.col("l_discount")), 2)), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("matched_lines"),
+        )
+    )
+
+
+DISCOUNTED_REVENUE_SQL = f"""
+SELECT {_REV} AS revenue, COUNT(*) AS matched_lines
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 1 AND 15)
+   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 20 AND l_quantity BETWEEN 10 AND 25)
+   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 30 AND l_quantity BETWEEN 20 AND 35)
+"""
+
+
 QUERIES = {
     "tpch_pricing_summary": pricing_summary,
     "tpch_shipping_priority": shipping_priority,
     "tpch_local_supplier_volume": local_supplier_volume,
 }
 
-# Q4/Q13 analogs stay OUT of the 50-cap driver registry; their oracles
-# run in tests/test_correctness.py::test_tpch_extended_oracles.
+# The extended analogs stay OUT of the 50-cap driver registry; their
+# oracles run in tests/test_correctness.py::test_tpch_extended_oracles.
+# r6 widened the pack with Q7/Q10/Q14/Q18/Q19 shapes (adapted to the
+# testdata schema, which lacks shipmode/commitdate/receiptdate — Q12's
+# shape has no faithful analog here and the conditional-aggregation
+# family it stresses is covered by Q14 and the gold plans).
 EXTENDED_QUERIES = {
     "tpch_order_priority_checking": order_priority_checking,
     "tpch_customer_distribution": customer_distribution,
+    "tpch_volume_shipping": volume_shipping,
+    "tpch_returned_item_reporting": returned_item_reporting,
+    "tpch_promotion_effect": promotion_effect,
+    "tpch_large_volume_customer": large_volume_customer,
+    "tpch_discounted_revenue": discounted_revenue,
 }
 EXTENDED_ORACLES = {
     "tpch_order_priority_checking": ORDER_PRIORITY_CHECKING_SQL,
     "tpch_customer_distribution": CUSTOMER_DISTRIBUTION_SQL,
+    "tpch_volume_shipping": VOLUME_SHIPPING_SQL,
+    "tpch_returned_item_reporting": RETURNED_ITEM_REPORTING_SQL,
+    "tpch_promotion_effect": PROMOTION_EFFECT_SQL,
+    "tpch_large_volume_customer": LARGE_VOLUME_CUSTOMER_SQL,
+    "tpch_discounted_revenue": DISCOUNTED_REVENUE_SQL,
 }
 
 ORACLES = {

@@ -107,6 +107,38 @@ def test_temporal_on_empty(spark, empty_events):
                      right_cols=["rid"]).count() == 0
 
 
+def test_salted_sessionize_on_empty(spark, empty_events):
+    from lakehouse_file_format_compare_spark.operators.temporal import (
+        sessionize_salted,
+    )
+
+    assert sessionize_salted(empty_events).count() == 0
+
+
+def test_pq_family_on_empty(spark, empty_emb):
+    """PQ/IVF-PQ need a non-empty corpus to TRAIN (a codebook over
+    zero vectors is undefined — training raises loudly), but serving
+    with pre-trained literals over empty queries or an empty corpus
+    must degrade to zero rows, not crash."""
+    import pytest as _pytest
+
+    import lakehouse_file_format_compare_spark.operators.similarity as S
+    from lakehouse_file_format_compare_spark.sources.testdata import table
+
+    from .conftest import SF_CORRECTNESS
+
+    with _pytest.raises(Exception):
+        S.train_pq_codebooks(
+            spark.createDataFrame([], "vec_id long, embedding array<float>")
+        )
+    emb = table(spark, SF_CORRECTNESS, "embeddings")
+    books = S.train_pq_codebooks(emb)
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    queries = emb.where(F.col("vec_id") % 100 == 0)
+    assert S.knn_pq(empty, emb, codebooks=books, k=3).count() == 0
+    assert S.knn_pq(queries, empty, codebooks=books, k=3).count() == 0
+
+
 def test_sampling_packing_on_empty(spark, empty_docs):
     from lakehouse_file_format_compare_spark.operators.packing import pack_sequences
     from lakehouse_file_format_compare_spark.operators.sampling import (
