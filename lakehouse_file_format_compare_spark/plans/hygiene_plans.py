@@ -84,23 +84,21 @@ def corpus_hygiene_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     total_hits = None
     for c in counts.values():
         total_hits = c if total_hits is None else total_hits + c
-    pii_agg = aug.agg(
+    nl = F.size(_lines(F.col("text")))
+    nd = F.size(F.array_distinct(_lines(F.col("text"))))
+    enc = encoding_noise_count(F.col("text"))
+    # PII, line-repetition and encoding-noise are all per-row column
+    # exprs over the SAME augmented text — ONE aggregate pass computes
+    # the three families (r6: was three separate scans crossJoined;
+    # the oracle SQL keeps its per-family CTEs, values identical)
+    row_agg = aug.agg(
         F.sum(counts["email"]).cast("long").alias("pii_email_hits"),
         F.sum(counts["phone"]).cast("long").alias("pii_phone_hits"),
         F.sum(counts["ipv4"]).cast("long").alias("pii_ipv4_hits"),
         F.sum(counts["card"]).cast("long").alias("pii_card_hits"),
         F.sum((total_hits > 0).cast("long")).alias("pii_docs_flagged"),
-    )
-
-    nl = F.size(_lines(F.col("text")))
-    nd = F.size(F.array_distinct(_lines(F.col("text"))))
-    rep_agg = aug.agg(
         F.sum((nl - nd).cast("long")).alias("rep_dup_lines_total"),
         F.sum(((nl - nd) > 0).cast("long")).alias("rep_dup_line_docs"),
-    )
-
-    enc = encoding_noise_count(F.col("text"))
-    enc_agg = aug.agg(
         F.sum(enc).cast("long").alias("enc_noise_hits"),
         F.sum((enc > 0).cast("long")).alias("enc_noise_docs"),
     )
@@ -149,9 +147,9 @@ def corpus_hygiene_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return (
-        pii_agg.crossJoin(rep_agg).crossJoin(top_agg)
+        row_agg.crossJoin(top_agg)
         .crossJoin(bm_agg).crossJoin(dec_agg).crossJoin(pct)
-        .crossJoin(lm_agg).crossJoin(ch_agg).crossJoin(enc_agg)
+        .crossJoin(lm_agg).crossJoin(ch_agg)
     )
 
 
