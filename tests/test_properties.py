@@ -169,3 +169,37 @@ def test_sessionize_properties(spark, events):
             else:
                 assert s1 == s0 + 1 and delta >= GAP
         assert evs[0][2] == 1  # first session is 1
+
+
+@given(events=st.lists(EVENT, min_size=1, max_size=15, unique=True),
+       slice_sec=st.sampled_from([601, 900, 1800, 3600]))
+@settings(**_SETTINGS)
+def test_sessionize_salted_equals_unsalted_property(spark, events, slice_sec):
+    """For ANY event set and any slice width > gap, the time-sliced
+    two-phase variant must reproduce the single-window operator's
+    session assignment exactly — including chains that cross several
+    slice boundaries."""
+    from lakehouse_file_format_compare_spark.operators.temporal import (
+        sessionize,
+        sessionize_salted,
+    )
+
+    rows = [
+        (i, u, "2026-01-01 00:00:00", off)
+        for i, (u, off) in enumerate(events)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, base string, off long"
+    ).select(
+        "event_id", "user_id",
+        (F.to_timestamp("base") + F.make_interval(secs=F.col("off"))).alias("ts"),
+    )
+    a = sorted(
+        (r["event_id"], r["user_id"], r["session_seq"], r["session_id"])
+        for r in sessionize(df, gap="10 minutes").collect()
+    )
+    b = sorted(
+        (r["event_id"], r["user_id"], r["session_seq"], r["session_id"])
+        for r in sessionize_salted(df, gap="10 minutes", slice_sec=slice_sec).collect()
+    )
+    assert a == b
