@@ -134,6 +134,34 @@ def test_disk_partition_pruning(spark, tmp_path_factory):
     assert got == want
 
 
+def test_mm_real_probe_plan_shape(spark):
+    """r6: the real-probe multimodal row must be ONE Arrow-batched
+    mapInPandas stage over (media_id, content) with the binary column
+    consumed inside it — no payload bytes in the output schema, no
+    row-at-a-time Python."""
+    plan = _formatted(spark, "mm_image_features")
+    assert "MapInPandas" in plan
+    assert "BatchEvalPython" not in plan
+    df = QUERIES["mm_image_features"](spark, SF_CORRECTNESS)
+    assert "binary" not in [t for _, t in df.dtypes]
+
+
+def test_salted_sessionize_plan_bounded_shuffles(spark):
+    """r6: the two-phase variant pays at most phase-1 (key, slice)
+    window + session-level window + the join-back — bounded exchanges,
+    all JVM-side."""
+    from lakehouse_file_format_compare_spark.operators.temporal import (
+        sessionize_salted,
+    )
+    from lakehouse_file_format_compare_spark.sources.testdata import table as tt
+
+    events = tt(spark, SF_CORRECTNESS, "events")
+    df = sessionize_salted(events, slice_sec=3600)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert plan.count("Exchange") <= 5, plan.count("Exchange")
+
+
 def test_stratified_sample_window_group_limit(spark):
     # the rank filter must push a Partial WindowGroupLimit below the
     # shuffle: at scale only n rows per stratum leave the map side
