@@ -43,6 +43,9 @@ HEADLINE = [
     "corpus_hygiene_suite",
     "fintech_gold_suite",
     "dedup_minhash_lsh",
+    # r6: raw PQ serving path (quality is driver-checked via
+    # similarity_scale_suite; this tracks the ADC-scan wall)
+    "sim_knn_pq",
 ]
 
 
@@ -58,6 +61,7 @@ def main() -> None:
     # true-pair set in three subplans)
     queries["sim_knn_ivf"] = similarity_plans.knn_ivf
     queries["sim_knn_lsh"] = similarity_plans.knn_lsh
+    queries["sim_knn_pq"] = similarity_plans.knn_pq_serving
     from lakehouse_file_format_compare_spark.plans import dedup_plans
 
     queries["dedup_minhash_lsh"] = dedup_plans.minhash_lsh

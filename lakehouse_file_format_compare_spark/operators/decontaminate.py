@@ -95,3 +95,115 @@ def decontaminate(
     return corpus.join(
         flagged.withColumnRenamed("doc_id", id_col), id_col, "left_anti"
     )
+
+
+def minhash_contamination(
+    corpus: DataFrame,
+    eval_docs: DataFrame,
+    threshold: float = 0.5,
+    num_hashes: int = 32,
+    bands: int = 16,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    eval_id_col: str = "doc_id",
+    eval_text_col: str = "text",
+) -> DataFrame:
+    """FUZZY decontamination: (doc_id, eval_id, jaccard) for corpus×
+    eval pairs whose k-shingle Jaccard >= threshold, via banded
+    MinHash buckets + exact-Jaccard verification.
+
+    The exact long-n-gram test (:func:`ngram_contamination`) misses
+    paraphrased or lightly edited leaks — a single word change breaks
+    every 13-gram crossing it — while shingle-set Jaccard degrades
+    gracefully with edit density; this is the standard fuzzy fallback
+    (same shingle/banding machinery as operators/dedup.py, which also
+    documents the recall≈1-(1-t^rows)^bands dial).
+
+    Asymmetric plan (the decontamination shape): the eval side is
+    benchmark-sized, so BOTH its banded-signature table and its
+    shingle table broadcast; the corpus is scanned twice (signatures,
+    then verify shingles for candidate ids only) and never shuffled on
+    document identity until the per-candidate-pair count. Precision is
+    1.0 by construction (every emitted pair re-verified with exact
+    Jaccard); recall contracts live in tests/test_decontaminate.py."""
+    from .dedup import _shingle_pairs, minhash_signatures
+
+    rows = num_hashes // bands
+
+    def banded(sig: DataFrame, out_id: str) -> DataFrame:
+        return sig.select(
+            F.col("doc").alias(out_id),
+            F.explode(
+                F.array(*[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            *[F.col("signature")[b * rows + r] for r in range(rows)]
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ])
+            ).alias("bb"),
+        ).select(out_id, "bb.band", "bb.bucket")
+
+    c_banded = banded(
+        minhash_signatures(corpus, num_hashes, k, id_col, text_col), "doc_id"
+    )
+    e_banded = banded(
+        minhash_signatures(eval_docs, num_hashes, k, eval_id_col, eval_text_col),
+        "eval_id",
+    )
+    cand = (
+        c_banded.join(F.broadcast(e_banded), ["band", "bucket"])
+        .select("doc_id", "eval_id")
+        .distinct()
+    )
+    c_sh = _shingle_pairs(corpus, id_col, text_col, k).withColumnRenamed("doc", "doc_id")
+    e_sh = _shingle_pairs(eval_docs, eval_id_col, eval_text_col, k).withColumnRenamed(
+        "doc", "eval_id"
+    )
+    c_sizes = c_sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz_c"))
+    e_sizes = e_sh.groupBy("eval_id").agg(F.count(F.lit(1)).alias("sz_e"))
+    common = (
+        cand.join(c_sh, "doc_id")
+        .join(F.broadcast(e_sh), ["eval_id", "shingle"])
+        .groupBy("doc_id", "eval_id")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    from ..functions.numeric import grid
+
+    return (
+        common.join(c_sizes, "doc_id")
+        .join(F.broadcast(e_sizes), "eval_id")
+        .withColumn(
+            "jaccard",
+            grid(F.col("common") / (F.col("sz_c") + F.col("sz_e") - F.col("common")), 6),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("doc_id", "eval_id", "jaccard")
+    )
+
+
+def decontaminate_fuzzy(
+    corpus: DataFrame,
+    eval_docs: DataFrame,
+    threshold: float = 0.5,
+    num_hashes: int = 32,
+    bands: int = 16,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    eval_id_col: str = "doc_id",
+    eval_text_col: str = "text",
+) -> DataFrame:
+    """Drop corpus documents whose shingle Jaccard with ANY eval doc
+    reaches ``threshold`` (left-anti on the fuzzy-flagged id set) —
+    compose with :func:`decontaminate` for the exact-overlap pass."""
+    flagged = minhash_contamination(
+        corpus, eval_docs, threshold, num_hashes, bands, k,
+        id_col, text_col, eval_id_col, eval_text_col,
+    ).select("doc_id").distinct()
+    return corpus.join(
+        flagged.withColumnRenamed("doc_id", id_col), id_col, "left_anti"
+    )

@@ -145,6 +145,17 @@ def _codebooks(emb: DataFrame, sf_dir: str) -> list:
     return _PQ_CODEBOOK_CACHE[sf_dir]
 
 
+def knn_pq_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw PQ top-k (the serving-path output; benched as headline —
+    not a registry row; quality is driver-checked via
+    similarity_scale_suite). Codebooks cached per corpus."""
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") % QUERY_MOD == 0)
+    return S.knn_pq(
+        queries, emb, codebooks=_codebooks(emb, sf_dir), k=K, refine=SUITE_REFINE
+    )
+
+
 def similarity_scale_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One row: recall@k of PQ / IVF-PQ / int8 vs the exact baseline
     (booleans against the pinned floors above) plus the IVF-PQ

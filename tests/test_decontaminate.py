@@ -120,3 +120,140 @@ def test_contamination_plan_broadcasts_eval_side(spark, eval_fixture):
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" not in plan
+
+
+# ---------------------------------------------------------------------------
+# Fuzzy (MinHash) decontamination — r6: catches paraphrased/edited
+# leaks whose long n-grams are all broken.
+# ---------------------------------------------------------------------------
+
+# every 12th token replaced: any 13 consecutive tokens contain >= 1
+# replacement, so NO original 13-gram survives (exact test blind),
+# while ~75% of 3-shingles survive (Jaccard ~0.6, fuzzy test sees it)
+_EDIT_EVERY = 12
+_FUZZY_TH = 0.4
+
+
+def _edited_eval(spark):
+    """Eval docs = every-12th-token-corrupted copies of 10 corpus docs,
+    built with the SAME normalize/tokenize convention as the shingle
+    machinery so the DuckDB replica is bit-identical."""
+    docs = table(spark, SF_CORRECTNESS, "documents").where(F.col("doc_id") % 50 == 0)
+    toks = F.split(
+        F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " ")), " "
+    )
+    edited = F.array_join(
+        F.transform(
+            toks,
+            lambda t, i: F.when((i + 1) % _EDIT_EVERY == 0, F.lit("xq7")).otherwise(t),
+        ),
+        " ",
+    )
+    return docs.select(
+        (F.col("doc_id") + 100000).alias("doc_id"), edited.alias("text")
+    )
+
+
+def _fuzzy_oracle_sql(corpus_path: str, th: float) -> str:
+    shingles = """
+        SELECT doc_id,
+               CASE WHEN len(t) >= 3 THEN
+                    list_distinct(list_transform(range(1, len(t) - 1),
+                                  i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+                    WHEN len(t) > 0 THEN [array_to_string(t, ' ')]
+                    ELSE [] END AS sh
+        FROM toked"""
+    return f"""
+WITH corpus AS (
+    SELECT doc_id, text FROM read_parquet('{corpus_path}')
+), ctoked AS (
+    SELECT doc_id,
+           string_split_regex(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')), '\\s+') AS t
+    FROM corpus
+), etoked AS (
+    SELECT doc_id + 100000 AS doc_id,
+           list_transform(range(1, len(t) + 1),
+                          i -> CASE WHEN i % {_EDIT_EVERY} = 0 THEN 'xq7' ELSE t[i] END) AS t
+    FROM ctoked WHERE doc_id % 50 = 0
+), csh AS (
+    SELECT doc_id AS doc, unnest(sh) AS shingle
+    FROM (WITH toked AS (SELECT * FROM ctoked) {shingles})
+), esh AS (
+    SELECT doc_id AS eval_id, unnest(sh) AS shingle
+    FROM (WITH toked AS (SELECT * FROM etoked) {shingles})
+), csz AS (SELECT doc, COUNT(*) AS sz_c FROM csh GROUP BY doc),
+   esz AS (SELECT eval_id, COUNT(*) AS sz_e FROM esh GROUP BY eval_id),
+   common AS (
+    SELECT c.doc AS doc_id, e.eval_id, COUNT(*) AS common
+    FROM csh c JOIN esh e USING (shingle) GROUP BY 1, 2
+)
+SELECT doc_id, eval_id,
+       floor((common / CAST(sz_c + sz_e - common AS DOUBLE)) * 1000000 + 0.5) / 1000000 AS jaccard
+FROM common JOIN csz ON doc = doc_id JOIN esz USING (eval_id)
+WHERE common / CAST(sz_c + sz_e - common AS DOUBLE) >= {th}
+"""
+
+
+def test_fuzzy_contamination_oracle_and_exact_blindness(spark):
+    """The edited leaks are INVISIBLE to the exact 13-gram test but
+    fully recovered by the MinHash path, whose output must equal the
+    DuckDB exact cross-frame Jaccard pair set (precision AND recall
+    1.0 on this fixture), values included."""
+    from lakehouse_file_format_compare_spark.operators.decontaminate import (
+        minhash_contamination,
+    )
+
+    corpus = table(spark, SF_CORRECTNESS, "documents")
+    ev = _edited_eval(spark)
+    n_eval = ev.count()
+    assert n_eval == 10
+
+    # exact 13-gram: blind to the edits
+    assert ngram_contamination(corpus, ev, n=13).count() == 0
+
+    got = sorted(map(tuple, minhash_contamination(corpus, ev, threshold=_FUZZY_TH).collect()))
+    corpus_path = os.path.join(SF_CORRECTNESS, "documents.parquet")
+    con = duckdb.connect()
+    want = sorted(map(tuple, con.execute(_fuzzy_oracle_sql(corpus_path, _FUZZY_TH)).fetchall()))
+    con.close()
+    assert got == want
+    # every source doc is recovered for its edited copy
+    pairs = {(a, b) for a, b, _ in got}
+    assert all((e - 100000, e) in pairs for e in
+               (r["doc_id"] for r in ev.select("doc_id").collect()))
+
+
+def test_decontaminate_fuzzy_drops_sources(spark):
+    from lakehouse_file_format_compare_spark.operators.decontaminate import (
+        decontaminate_fuzzy,
+        minhash_contamination,
+    )
+
+    corpus = table(spark, SF_CORRECTNESS, "documents")
+    ev = _edited_eval(spark)
+    flagged = {
+        r["doc_id"]
+        for r in minhash_contamination(corpus, ev, threshold=_FUZZY_TH)
+        .select("doc_id").distinct().collect()
+    }
+    clean = decontaminate_fuzzy(corpus, ev, threshold=_FUZZY_TH)
+    kept = {r["doc_id"] for r in clean.select("doc_id").collect()}
+    assert kept.isdisjoint(flagged)
+    assert kept | flagged == {r["doc_id"] for r in corpus.select("doc_id").collect()}
+    assert len(flagged) >= 10  # at least every source doc
+
+
+def test_fuzzy_contamination_plan_broadcasts_eval(spark):
+    from lakehouse_file_format_compare_spark.operators.decontaminate import (
+        minhash_contamination,
+    )
+
+    corpus = table(spark, SF_CORRECTNESS, "documents")
+    ev = _edited_eval(spark)
+    plan = (
+        minhash_contamination(corpus, ev, threshold=_FUZZY_TH)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
