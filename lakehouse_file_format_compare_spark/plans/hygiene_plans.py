@@ -29,7 +29,7 @@ from ..functions.text import ENCODING_NOISE_RE, encoding_noise_count
 from ..functions.numeric import grid, grid_sql
 from ..functions.repetition import _lines, top_ngram_char_fraction
 from ..functions.stats import percentile_summary
-from ..operators.decontaminate import ngram_contamination
+from ..operators.decontaminate import minhash_contamination, ngram_contamination
 from ..operators.packing import chunk_documents
 from ..operators.ranking import bigram_lm_scores, bm25_scores
 from ..sources.testdata import table
@@ -40,6 +40,12 @@ DECON_EVAL_DOCS = 25
 TOP_NGRAM_N = 2
 LM_ALPHA = 0.5
 CHUNK_TOKENS, CHUNK_OVERLAP = 40, 8
+# fuzzy decontamination (r6): eval = every-12th-token-corrupted copies
+# of doc_id % 50 == 0 docs — invisible to exact long n-grams, caught
+# by shingle Jaccard (tests/test_decontaminate.py proves both halves)
+FDECON_EDIT_EVERY = 12
+FDECON_MOD = 50
+FDECON_TH = 0.4
 
 
 def _augmented_text() -> F.Column:
@@ -146,10 +152,35 @@ def corpus_hygiene_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("chunk_split_docs"),
     )
 
+    # r6: fuzzy decontamination metrics over an injected edited-leak
+    # eval set (same construction as tests/test_decontaminate.py)
+    etoks = F.split(
+        F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " ")), " "
+    )
+    edited = F.array_join(
+        F.transform(
+            etoks,
+            lambda t, i: F.when(
+                (i + 1) % FDECON_EDIT_EVERY == 0, F.lit("xq7")
+            ).otherwise(t),
+        ),
+        " ",
+    )
+    ev = docs.where(F.col("doc_id") % FDECON_MOD == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), edited.alias("text")
+    )
+    fd_agg = minhash_contamination(docs, ev, threshold=FDECON_TH).agg(
+        F.count(F.lit(1)).alias("fdecon_pairs"),
+        F.countDistinct("doc_id").alias("fdecon_flagged_docs"),
+        grid(
+            F.coalesce(F.sum(grid(F.col("jaccard"), 2)), F.lit(0.0)), 2
+        ).alias("fdecon_jaccard_total"),
+    )
+
     return (
         row_agg.crossJoin(top_agg)
         .crossJoin(bm_agg).crossJoin(dec_agg).crossJoin(pct)
-        .crossJoin(lm_agg).crossJoin(ch_agg)
+        .crossJoin(lm_agg).crossJoin(ch_agg).crossJoin(fd_agg)
     )
 
 
@@ -319,6 +350,48 @@ WITH aug AS (
     SELECT SUM(e) AS enc_noise_hits,
            SUM(CASE WHEN e > 0 THEN 1 ELSE 0 END) AS enc_noise_docs
     FROM enc_per_doc
+), fd_ctoked AS (
+    SELECT doc_id,
+           string_split_regex(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')), '\\s+') AS t
+    FROM documents
+), fd_etoked AS (
+    SELECT doc_id + 100000 AS doc_id,
+           list_transform(range(1, len(t) + 1),
+                          i -> CASE WHEN i % {FDECON_EDIT_EVERY} = 0 THEN 'xq7' ELSE t[i] END) AS t
+    FROM fd_ctoked WHERE doc_id % {FDECON_MOD} = 0
+), fd_csh AS (
+    SELECT doc_id AS doc, unnest(sh) AS shingle FROM (
+        SELECT doc_id,
+               CASE WHEN len(t) >= 3 THEN
+                    list_distinct(list_transform(range(1, len(t) - 1),
+                                  i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+                    WHEN len(t) > 0 THEN [array_to_string(t, ' ')]
+                    ELSE [] END AS sh
+        FROM fd_ctoked)
+), fd_esh AS (
+    SELECT doc_id AS eval_id, unnest(sh) AS shingle FROM (
+        SELECT doc_id,
+               CASE WHEN len(t) >= 3 THEN
+                    list_distinct(list_transform(range(1, len(t) - 1),
+                                  i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+                    WHEN len(t) > 0 THEN [array_to_string(t, ' ')]
+                    ELSE [] END AS sh
+        FROM fd_etoked)
+), fd_csz AS (SELECT doc, COUNT(*) AS sz_c FROM fd_csh GROUP BY doc),
+   fd_esz AS (SELECT eval_id, COUNT(*) AS sz_e FROM fd_esh GROUP BY eval_id),
+   fd_common AS (
+    SELECT c.doc AS doc_id, e.eval_id, COUNT(*) AS common
+    FROM fd_csh c JOIN fd_esh e USING (shingle) GROUP BY 1, 2
+), fd_pairs AS (
+    SELECT doc_id, eval_id,
+           floor((common / CAST(sz_c + sz_e - common AS DOUBLE)) * 1000000 + 0.5) / 1000000 AS jaccard
+    FROM fd_common JOIN fd_csz ON doc = doc_id JOIN fd_esz USING (eval_id)
+    WHERE common / CAST(sz_c + sz_e - common AS DOUBLE) >= {FDECON_TH}
+), fd_agg AS (
+    SELECT COUNT(*) AS fdecon_pairs,
+           COUNT(DISTINCT doc_id) AS fdecon_flagged_docs,
+           {grid_sql("COALESCE(SUM(" + grid_sql("jaccard", 2) + "), 0)", 2)} AS fdecon_jaccard_total
+    FROM fd_pairs
 )
 SELECT CAST(pii_email_hits AS BIGINT) AS pii_email_hits,
        CAST(pii_phone_hits AS BIGINT) AS pii_phone_hits,
@@ -342,8 +415,11 @@ SELECT CAST(pii_email_hits AS BIGINT) AS pii_email_hits,
        CAST(chunk_tokens_total AS BIGINT) AS chunk_tokens_total,
        CAST(chunk_split_docs AS BIGINT) AS chunk_split_docs,
        CAST(enc_noise_hits AS BIGINT) AS enc_noise_hits,
-       CAST(enc_noise_docs AS BIGINT) AS enc_noise_docs
-FROM pii_agg, rep_agg, top_agg, bm_agg, dec_agg, pct, lm_agg, chunk_agg, enc_agg
+       CAST(enc_noise_docs AS BIGINT) AS enc_noise_docs,
+       CAST(fdecon_pairs AS BIGINT) AS fdecon_pairs,
+       CAST(fdecon_flagged_docs AS BIGINT) AS fdecon_flagged_docs,
+       fdecon_jaccard_total
+FROM pii_agg, rep_agg, top_agg, bm_agg, dec_agg, pct, lm_agg, chunk_agg, enc_agg, fd_agg
 """
 
 
