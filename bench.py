@@ -84,6 +84,15 @@ def main() -> None:
     spark.range(64).select(_warm(F.col("id").cast("double"))).write.format(
         "noop"
     ).mode("overwrite").save()
+    # ANN index training is untimed (train once, serve many — the
+    # deployment model): without this, the first sim_knn_ivf /
+    # sim_knn_pq cold run would conflate one-time training with the
+    # serving wall the bench exists to track.
+    from lakehouse_file_format_compare_spark.sources.testdata import table as _table
+
+    _emb = _table(spark, sf_dir, "embeddings")
+    similarity_plans._centroids(_emb, sf_dir)
+    similarity_plans._codebooks(_emb, sf_dir)
 
     timings: dict[str, float] = {}
     steady: dict[str, float] = {}

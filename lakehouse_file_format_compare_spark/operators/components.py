@@ -195,11 +195,16 @@ def resolve_duplicates(
     # type-agnostic (string doc ids order lexically; the former
     # -F.col(id) form assumed numeric ids and errored under ANSI mode
     # for strings). ``score`` itself must be numeric — it is negated.
+    # NULL scores must LOSE: struct comparison sorts a null first
+    # field smallest, so a bare -score would make the null-score doc
+    # (exactly the corrupt copy this function exists to discard) win
+    # under min_by — coalesce the negated score to +inf instead.
+    sort_key = F.coalesce(-F.col("__score"), F.lit(float("inf")))
     best = (
         labeled.groupBy("cluster_id")
         .agg(
             F.min_by(
-                F.col(id_col), F.struct(-F.col("__score"), F.col(id_col))
+                F.col(id_col), F.struct(sort_key, F.col(id_col))
             ).alias("__best_id")
         )
     )

@@ -97,6 +97,67 @@ def decontaminate(
     )
 
 
+def _cross_shingles(corpus, eval_docs, k, id_col, text_col, eval_id_col, eval_text_col):
+    from .dedup import _shingle_pairs
+
+    c_sh = _shingle_pairs(corpus, id_col, text_col, k).withColumnRenamed("doc", "doc_id")
+    e_sh = _shingle_pairs(eval_docs, eval_id_col, eval_text_col, k).withColumnRenamed(
+        "doc", "eval_id"
+    )
+    return c_sh, e_sh
+
+
+def _jaccard_pairs(common: DataFrame, c_sh, e_sh, threshold: float) -> DataFrame:
+    from ..functions.numeric import grid
+
+    c_sizes = c_sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz_c"))
+    e_sizes = e_sh.groupBy("eval_id").agg(F.count(F.lit(1)).alias("sz_e"))
+    return (
+        common.join(c_sizes, "doc_id")
+        .join(F.broadcast(e_sizes), "eval_id")
+        .withColumn(
+            "jaccard",
+            grid(F.col("common") / (F.col("sz_c") + F.col("sz_e") - F.col("common")), 6),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("doc_id", "eval_id", "jaccard")
+    )
+
+
+def jaccard_contamination(
+    corpus: DataFrame,
+    eval_docs: DataFrame,
+    threshold: float = 0.5,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    eval_id_col: str = "doc_id",
+    eval_text_col: str = "text",
+) -> DataFrame:
+    """EXACT fuzzy decontamination: (doc_id, eval_id, jaccard) for
+    corpus×eval pairs whose k-shingle Jaccard >= threshold, computed
+    with a full shingle inverted-index join — deterministic, so it can
+    carry an exact value oracle (the driver-visible fdecon_* metrics
+    use this path).
+
+    Still the asymmetric decontamination shape: the eval shingle side
+    is benchmark-sized and broadcasts; the corpus is scanned once and
+    only shingle-sharing (doc, eval) pairs reach the count. Candidate
+    volume is bounded by shingle co-occurrence with the tiny eval set
+    — for corpora with pathological boilerplate overlap, switch to
+    :func:`minhash_contamination`, which bounds candidates by banded
+    buckets at a tunable recall."""
+    c_sh, e_sh = _cross_shingles(
+        corpus, eval_docs, k, id_col, text_col, eval_id_col, eval_text_col
+    )
+    common = (
+        c_sh.join(F.broadcast(e_sh), "shingle")
+        .groupBy("doc_id", "eval_id")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    return _jaccard_pairs(common, c_sh, e_sh, threshold)
+
+
 def minhash_contamination(
     corpus: DataFrame,
     eval_docs: DataFrame,
@@ -109,80 +170,46 @@ def minhash_contamination(
     eval_id_col: str = "doc_id",
     eval_text_col: str = "text",
 ) -> DataFrame:
-    """FUZZY decontamination: (doc_id, eval_id, jaccard) for corpus×
-    eval pairs whose k-shingle Jaccard >= threshold, via banded
-    MinHash buckets + exact-Jaccard verification.
+    """FUZZY decontamination, LSH-bounded: like
+    :func:`jaccard_contamination` but candidates come from banded
+    MinHash buckets (operators/dedup.py::banded_signatures — ONE
+    shared banding definition), so per-bucket work stays bounded even
+    when corpus and eval share heavy boilerplate shingles. Recall is
+    probabilistic (≈1-(1-t^rows)^bands; bands=16/rows=2 gives ~0.99
+    at t=0.5); precision 1.0 (exact-Jaccard verify on candidates).
 
     The exact long-n-gram test (:func:`ngram_contamination`) misses
     paraphrased or lightly edited leaks — a single word change breaks
     every 13-gram crossing it — while shingle-set Jaccard degrades
-    gracefully with edit density; this is the standard fuzzy fallback
-    (same shingle/banding machinery as operators/dedup.py, which also
-    documents the recall≈1-(1-t^rows)^bands dial).
-
-    Asymmetric plan (the decontamination shape): the eval side is
-    benchmark-sized, so BOTH its banded-signature table and its
-    shingle table broadcast; the corpus is scanned twice (signatures,
-    then verify shingles for candidate ids only) and never shuffled on
-    document identity until the per-candidate-pair count. Precision is
-    1.0 by construction (every emitted pair re-verified with exact
-    Jaccard); recall contracts live in tests/test_decontaminate.py."""
-    from .dedup import _shingle_pairs, minhash_signatures
+    gracefully with edit density. Both the eval banded-signature table
+    and the eval shingle table broadcast; the corpus is never shuffled
+    on document identity before the candidate count. Recall/equality
+    contracts: tests/test_decontaminate.py."""
+    from .dedup import banded_signatures, minhash_signatures
 
     rows = num_hashes // bands
-
-    def banded(sig: DataFrame, out_id: str) -> DataFrame:
-        return sig.select(
-            F.col("doc").alias(out_id),
-            F.explode(
-                F.array(*[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.xxhash64(
-                            *[F.col("signature")[b * rows + r] for r in range(rows)]
-                        ).alias("bucket"),
-                    )
-                    for b in range(bands)
-                ])
-            ).alias("bb"),
-        ).select(out_id, "bb.band", "bb.bucket")
-
-    c_banded = banded(
-        minhash_signatures(corpus, num_hashes, k, id_col, text_col), "doc_id"
+    c_banded = banded_signatures(
+        minhash_signatures(corpus, num_hashes, k, id_col, text_col), bands, rows, "doc_id"
     )
-    e_banded = banded(
+    e_banded = banded_signatures(
         minhash_signatures(eval_docs, num_hashes, k, eval_id_col, eval_text_col),
-        "eval_id",
+        bands, rows, "eval_id",
     )
     cand = (
         c_banded.join(F.broadcast(e_banded), ["band", "bucket"])
         .select("doc_id", "eval_id")
         .distinct()
     )
-    c_sh = _shingle_pairs(corpus, id_col, text_col, k).withColumnRenamed("doc", "doc_id")
-    e_sh = _shingle_pairs(eval_docs, eval_id_col, eval_text_col, k).withColumnRenamed(
-        "doc", "eval_id"
+    c_sh, e_sh = _cross_shingles(
+        corpus, eval_docs, k, id_col, text_col, eval_id_col, eval_text_col
     )
-    c_sizes = c_sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz_c"))
-    e_sizes = e_sh.groupBy("eval_id").agg(F.count(F.lit(1)).alias("sz_e"))
     common = (
         cand.join(c_sh, "doc_id")
         .join(F.broadcast(e_sh), ["eval_id", "shingle"])
         .groupBy("doc_id", "eval_id")
         .agg(F.count(F.lit(1)).alias("common"))
     )
-    from ..functions.numeric import grid
-
-    return (
-        common.join(c_sizes, "doc_id")
-        .join(F.broadcast(e_sizes), "eval_id")
-        .withColumn(
-            "jaccard",
-            grid(F.col("common") / (F.col("sz_c") + F.col("sz_e") - F.col("common")), 6),
-        )
-        .where(F.col("jaccard") >= threshold)
-        .select("doc_id", "eval_id", "jaccard")
-    )
+    return _jaccard_pairs(common, c_sh, e_sh, threshold)
 
 
 def decontaminate_fuzzy(

@@ -122,6 +122,31 @@ def minhash_signatures(
     return mins.select("doc", F.array(*[f"h{i}" for i in range(num_hashes)]).alias("signature"))
 
 
+def banded_signatures(
+    sig: DataFrame, bands: int, rows: int, out_id: str = "doc"
+) -> DataFrame:
+    """(out_id, band, bucket): the banded-LSH bucket table for a
+    (doc, signature) frame — bucket = xxhash64 over the band's
+    ``rows`` signature slots. THE single definition of the banding
+    scheme, shared by :func:`minhash_lsh_pairs` and
+    operators/decontaminate.py::minhash_contamination so the
+    recall≈1-(1-t^rows)^bands dial means the same thing everywhere."""
+    return sig.select(
+        F.col("doc").alias(out_id),
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.xxhash64(
+                        *[F.col("signature")[b * rows + r] for r in range(rows)]
+                    ).alias("bucket"),
+                )
+                for b in range(bands)
+            ])
+        ).alias("bb"),
+    ).select(out_id, "bb.band", "bb.bucket")
+
+
 def minhash_lsh_pairs(
     docs: DataFrame,
     threshold: float = 0.5,
@@ -146,18 +171,7 @@ def minhash_lsh_pairs(
     ext/corpus.py does). Default None preserves exhaustive behavior."""
     rows = num_hashes // bands
     sig = minhash_signatures(docs, num_hashes, k, id_col, text_col).cache()
-    banded = sig.select(
-        "doc",
-        F.explode(
-            F.array(*[
-                F.struct(
-                    F.lit(b).alias("band"),
-                    F.xxhash64(*[F.col("signature")[b * rows + r] for r in range(rows)]).alias("bucket"),
-                )
-                for b in range(bands)
-            ])
-        ).alias("bb"),
-    ).select("doc", "bb.band", "bb.bucket")
+    banded = banded_signatures(sig, bands, rows)
     if max_bucket_size is not None:
         ok_buckets = (
             banded.groupBy("band", "bucket")

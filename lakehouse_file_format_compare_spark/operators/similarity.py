@@ -325,6 +325,33 @@ def ivf_assign(df: DataFrame, centroids: list[list[float]], vec_col: str) -> Dat
     )
 
 
+def ivf_probe_lists(
+    df: DataFrame, centroids: list[list[float]], nprobe: int, vec_col: str
+) -> DataFrame:
+    """``__list``-exploded copy of ``df``: each row repeated once per
+    probed list (its ``nprobe`` highest-scoring centroids, ties to
+    the lower index via the stable sort of (score, index) pairs).
+    THE single definition of IVF probe selection — shared by
+    :func:`knn_ivf`, :func:`knn_ivf_pq` and the driver-visible
+    candidate-volume contract (plans/similarity_plans.py), so the
+    certified scan volume is always the scan actually served."""
+    ranked = F.sort_array(
+        F.arrays_zip(
+            F.col("__sims").alias("s"),
+            F.sequence(F.lit(0), F.lit(len(centroids) - 1)).alias("i"),
+        ),
+        asc=False,
+    )
+    return (
+        df.withColumn("__sims", _centroid_sims_pandas(centroids)(F.col(vec_col)))
+        .withColumn(
+            "__list",
+            F.explode(F.transform(F.slice(ranked, 1, nprobe), lambda z: z["i"].cast("int"))),
+        )
+        .drop("__sims")
+    )
+
+
 def knn_ivf(
     queries: DataFrame,
     corpus: DataFrame,
@@ -347,21 +374,7 @@ def knn_ivf(
         centroids, "cv",
     )
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
-    ranked = F.sort_array(
-        F.arrays_zip(
-            F.col("__sims").alias("s"),
-            F.sequence(F.lit(0), F.lit(len(centroids) - 1)).alias("i"),
-        ),
-        asc=False,
-    )
-    q_probed = (
-        q.withColumn("__sims", _centroid_sims_pandas(centroids)(F.col("qv")))
-        .withColumn(
-            "__list",
-            F.explode(F.transform(F.slice(ranked, 1, nprobe), lambda z: z["i"].cast("int"))),
-        )
-        .drop("__sims")
-    )
+    q_probed = ivf_probe_lists(q, centroids, nprobe, "qv")
     cand = (
         q_probed.join(c.drop("cv"), "__list")
         .where(F.col("query_id") != F.col("neighbor_id"))
@@ -595,21 +608,8 @@ def knn_ivf_pq(
     c = c.join(codes, "neighbor_id")
 
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
-    ranked = F.sort_array(
-        F.arrays_zip(
-            F.col("__sims").alias("s"),
-            F.sequence(F.lit(0), F.lit(len(centroids) - 1)).alias("i"),
-        ),
-        asc=False,
-    )
-    q_probed = (
-        q.withColumn("__sims", _centroid_sims_pandas(centroids)(F.col("qv")))
-        .withColumn("__lut", lut(F.col("qv")))
-        .withColumn(
-            "__list",
-            F.explode(F.transform(F.slice(ranked, 1, nprobe), lambda z: z["i"].cast("int"))),
-        )
-        .drop("__sims")
+    q_probed = ivf_probe_lists(
+        q.withColumn("__lut", lut(F.col("qv"))), centroids, nprobe, "qv"
     )
     adc = F.aggregate(
         F.sequence(F.lit(0), F.lit(m - 1)),

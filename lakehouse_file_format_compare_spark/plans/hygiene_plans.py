@@ -29,7 +29,11 @@ from ..functions.text import ENCODING_NOISE_RE, encoding_noise_count
 from ..functions.numeric import grid, grid_sql
 from ..functions.repetition import _lines, top_ngram_char_fraction
 from ..functions.stats import percentile_summary
-from ..operators.decontaminate import minhash_contamination, ngram_contamination
+from ..operators.decontaminate import (
+    jaccard_contamination,
+    minhash_contamination,
+    ngram_contamination,
+)
 from ..operators.packing import chunk_documents
 from ..operators.ranking import bigram_lm_scores, bm25_scores
 from ..sources.testdata import table
@@ -42,10 +46,16 @@ LM_ALPHA = 0.5
 CHUNK_TOKENS, CHUNK_OVERLAP = 40, 8
 # fuzzy decontamination (r6): eval = every-12th-token-corrupted copies
 # of doc_id % 50 == 0 docs — invisible to exact long n-grams, caught
-# by shingle Jaccard (tests/test_decontaminate.py proves both halves)
+# by shingle Jaccard (tests/test_decontaminate.py proves both halves).
+# The VALUE metrics use the exact inverted-index path
+# (jaccard_contamination — deterministic, so the oracle can pin them
+# bit-exact); the probabilistic MinHash path is driver-checked via a
+# recall boolean against that exact set (the dedup_minhash_lsh
+# pattern: never pin an exact oracle on banding-recall output).
 FDECON_EDIT_EVERY = 12
 FDECON_MOD = 50
 FDECON_TH = 0.4
+FDECON_LSH_RECALL_FLOOR = 0.9
 
 
 def _augmented_text() -> F.Column:
@@ -169,12 +179,22 @@ def corpus_hygiene_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = docs.where(F.col("doc_id") % FDECON_MOD == 0).select(
         (F.col("doc_id") + 100000).alias("doc_id"), edited.alias("text")
     )
-    fd_agg = minhash_contamination(docs, ev, threshold=FDECON_TH).agg(
+    fd_agg = jaccard_contamination(docs, ev, threshold=FDECON_TH).agg(
         F.count(F.lit(1)).alias("fdecon_pairs"),
         F.countDistinct("doc_id").alias("fdecon_flagged_docs"),
         grid(
             F.coalesce(F.sum(grid(F.col("jaccard"), 2)), F.lit(0.0)), 2
         ).alias("fdecon_jaccard_total"),
+    )
+    lsh_n = minhash_contamination(docs, ev, threshold=FDECON_TH).agg(
+        F.count(F.lit(1)).alias("__lsh_n")
+    )
+    fd_agg = fd_agg.crossJoin(lsh_n).select(
+        "fdecon_pairs", "fdecon_flagged_docs", "fdecon_jaccard_total",
+        (
+            F.col("__lsh_n")
+            >= F.lit(FDECON_LSH_RECALL_FLOOR) * F.col("fdecon_pairs")
+        ).alias("fdecon_lsh_recall_ok"),
     )
 
     return (
@@ -351,8 +371,12 @@ WITH aug AS (
            SUM(CASE WHEN e > 0 THEN 1 ELSE 0 END) AS enc_noise_docs
     FROM enc_per_doc
 ), fd_ctoked AS (
+    -- list_filter: DuckDB split of an empty string yields [''], which
+    -- would fabricate a shingle for blank docs that the Spark side
+    -- (tokens() -> [] for blanks) never emits
     SELECT doc_id,
-           string_split_regex(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')), '\\s+') AS t
+           list_filter(string_split_regex(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')), '\\s+'),
+                       x -> length(x) > 0) AS t
     FROM documents
 ), fd_etoked AS (
     SELECT doc_id + 100000 AS doc_id,
@@ -390,7 +414,8 @@ WITH aug AS (
 ), fd_agg AS (
     SELECT COUNT(*) AS fdecon_pairs,
            COUNT(DISTINCT doc_id) AS fdecon_flagged_docs,
-           {grid_sql("COALESCE(SUM(" + grid_sql("jaccard", 2) + "), 0)", 2)} AS fdecon_jaccard_total
+           {grid_sql("COALESCE(SUM(" + grid_sql("jaccard", 2) + "), 0)", 2)} AS fdecon_jaccard_total,
+           true AS fdecon_lsh_recall_ok
     FROM fd_pairs
 )
 SELECT CAST(pii_email_hits AS BIGINT) AS pii_email_hits,
@@ -418,7 +443,8 @@ SELECT CAST(pii_email_hits AS BIGINT) AS pii_email_hits,
        CAST(enc_noise_docs AS BIGINT) AS enc_noise_docs,
        CAST(fdecon_pairs AS BIGINT) AS fdecon_pairs,
        CAST(fdecon_flagged_docs AS BIGINT) AS fdecon_flagged_docs,
-       fdecon_jaccard_total
+       fdecon_jaccard_total,
+       fdecon_lsh_recall_ok
 FROM pii_agg, rep_agg, top_agg, bm_agg, dec_agg, pct, lm_agg, chunk_agg, enc_agg, fd_agg
 """
 

@@ -37,7 +37,7 @@ SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= {K}
 """
 
 
-_IVF_CENTROID_CACHE: dict[str, list] = {}
+_IVF_CENTROID_CACHE: dict[tuple, list] = {}
 
 # pinned recall floors, measured at sf0.01/sf0.1 (seeded/deterministic:
 # lsh 0.92/0.935, ivf 0.82/0.765 at nprobe=6/16)
@@ -130,19 +130,36 @@ SUITE_REFINE = 32
 # a strict fraction of |Q|x|C|.
 IVFPQ_CAND_FRAC_CEIL = 0.6
 
-_PQ_CODEBOOK_CACHE: dict[str, list] = {}
+_PQ_CODEBOOK_CACHE: dict[tuple, list] = {}
+
+
+def _corpus_key(sf_dir: str) -> tuple:
+    """Cache key (sf_dir, mtime_ns of embeddings.parquet): the driver
+    rewrites testdata between rounds IN-PROCESS (the same reason
+    sources/testdata.py re-probes by mtime), so a path-only key could
+    serve centroids/codebooks trained on a previous corpus."""
+    import os
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    try:
+        mtime = os.stat(path).st_mtime_ns
+    except OSError:
+        mtime = 0
+    return (sf_dir, mtime)
 
 
 def _centroids(emb: DataFrame, sf_dir: str) -> list:
-    if sf_dir not in _IVF_CENTROID_CACHE:
-        _IVF_CENTROID_CACHE[sf_dir] = S.train_ivf_centroids(emb, n_lists=16)
-    return _IVF_CENTROID_CACHE[sf_dir]
+    key = _corpus_key(sf_dir)
+    if key not in _IVF_CENTROID_CACHE:
+        _IVF_CENTROID_CACHE[key] = S.train_ivf_centroids(emb, n_lists=16)
+    return _IVF_CENTROID_CACHE[key]
 
 
 def _codebooks(emb: DataFrame, sf_dir: str) -> list:
-    if sf_dir not in _PQ_CODEBOOK_CACHE:
-        _PQ_CODEBOOK_CACHE[sf_dir] = S.train_pq_codebooks(emb)
-    return _PQ_CODEBOOK_CACHE[sf_dir]
+    key = _corpus_key(sf_dir)
+    if key not in _PQ_CODEBOOK_CACHE:
+        _PQ_CODEBOOK_CACHE[key] = S.train_pq_codebooks(emb)
+    return _PQ_CODEBOOK_CACHE[key]
 
 
 def knn_pq_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -207,24 +224,12 @@ def similarity_scale_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         cents, "cv",
     )
     list_sizes = c_assigned.groupBy("__list").agg(F.count(F.lit(1)).alias("c_n"))
-    ranked = F.sort_array(
-        F.arrays_zip(
-            F.col("__sims").alias("s"),
-            F.sequence(F.lit(0), F.lit(len(cents) - 1)).alias("i"),
-        ),
-        asc=False,
-    )
-    q_probed = (
-        queries.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"))
-        .withColumn("__sims", S._centroid_sims_pandas(cents)(F.col("qv")))
-        .withColumn(
-            "__list",
-            F.explode(
-                F.transform(F.slice(ranked, 1, IVF_NPROBE), lambda z: z["i"].cast("int"))
-            ),
-        )
-        .select("query_id", "__list")
-    )
+    # probe selection via the OPERATOR's own helper (S.ivf_probe_lists)
+    # so the certified volume is the volume knn_ivf_pq actually scans
+    q_probed = S.ivf_probe_lists(
+        queries.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")),
+        cents, IVF_NPROBE, "qv",
+    ).select("query_id", "__list")
     vol = q_probed.join(list_sizes, "__list").agg(
         F.coalesce(F.sum("c_n"), F.lit(0)).alias("vol")
     )

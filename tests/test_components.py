@@ -136,6 +136,28 @@ def test_resolve_duplicates_string_ids(spark):
     assert keepers == {"a2", "b2", "c1"}
 
 
+def test_resolve_duplicates_null_score_loses(spark):
+    """A NULL score must never win its cluster (struct comparison
+    sorts a null first field smallest, which a bare min_by(-score)
+    would turn into a win for exactly the corrupt doc the operator
+    exists to discard)."""
+    from pyspark.sql import functions as F
+
+    from lakehouse_file_format_compare_spark.operators.components import (
+        resolve_duplicates,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, 0.9), (2, None), (3, 0.5),   # cluster {1,2,3}: 1 wins, not null-scored 2
+         (4, None), (5, None)],           # all-null cluster: smaller id wins
+        "doc_id long, q double",
+    )
+    pairs = spark.createDataFrame([(1, 2), (2, 3), (4, 5)], "doc_a long, doc_b long")
+    out = resolve_duplicates(docs, pairs, score=F.col("q"))
+    keepers = {r["doc_id"] for r in out.collect() if r["keep"]}
+    assert keepers == {1, 4}
+
+
 def test_resolve_duplicates_on_corpus(spark):
     """On the real corpus near-dup graph: exactly one keeper per
     cluster, total keepers == number of clusters + singletons."""
