@@ -11,10 +11,10 @@ string.
 (ext/multimodal.py::probe_image — PNG IHDR / BMP info header parsed
 with ``struct``, no codec) through the distributed mapInPandas path
 over a committed corpus of genuine image files
-(fixtures/media_images.parquet: fully valid PNG RGB/RGBA and 24bpp
-BMP payloads, built by scripts/build_media_fixture.py — the fintech
-silver fixture pattern, since media bytes don't scale with the TPC-H
-sf). The DuckDB oracle independently RE-PARSES the same bytes — magic
+(fixtures/media_images.parquet: fully valid PNG RGB/RGBA, 24bpp BMP
+and real-LZW GIF89a payloads, built by scripts/build_media_fixture.py
+— the fintech silver fixture pattern, since media bytes don't scale
+with the TPC-H sf). The DuckDB oracle independently RE-PARSES the same bytes — magic
 detection plus big-endian (PNG) / little-endian (BMP) dimension and
 channel fields recovered from ``hex(content)`` with nibble arithmetic
 — so the row compares two independent header parsers over identical
@@ -114,11 +114,14 @@ def _le16(first: int) -> str:
 
 
 # Byte layout (1-based): PNG sig 1-8, IHDR width 17-20 / height 21-24
-# big-endian, color type 26. BMP 'BM' 1-2, info-header width 19-22 /
-# height 23-26 little-endian signed (fixture heights positive),
-# bit count 29-30. Same offsets the Spark-side probe reads
+# big-endian, color type 26. GIF sig 1-6 ('GIF87a'/'GIF89a'),
+# logical-screen width 7-8 / height 9-10 little-endian, palette ->
+# 1 stored channel. BMP 'BM' 1-2, info-header width 19-22 / height
+# 23-26 little-endian signed (fixture heights positive), bit count
+# 29-30. Same offsets the Spark-side probe reads
 # (ext/multimodal.py:106-122).
 _IS_PNG = "substr(hx, 1, 16) = '89504E470D0A1A0A'"
+_IS_GIF = "substr(hx, 1, 8) = '47494638'"
 
 MM_IMAGE_FEATURES_SQL = f"""
 WITH hxed AS (
@@ -127,11 +130,16 @@ WITH hxed AS (
 )
 SELECT media_id,
        CAST(n_bytes AS BIGINT) AS n_bytes,
-       CAST(CASE WHEN {_IS_PNG} THEN {_be32(17)} ELSE {_le32(19)} END AS INTEGER) AS width,
-       CAST(CASE WHEN {_IS_PNG} THEN {_be32(21)} ELSE {_le32(23)} END AS INTEGER) AS height,
+       CAST(CASE WHEN {_IS_PNG} THEN {_be32(17)}
+                 WHEN {_IS_GIF} THEN {_le16(7)}
+                 ELSE {_le32(19)} END AS INTEGER) AS width,
+       CAST(CASE WHEN {_IS_PNG} THEN {_be32(21)}
+                 WHEN {_IS_GIF} THEN {_le16(9)}
+                 ELSE {_le32(23)} END AS INTEGER) AS height,
        CAST(CASE WHEN {_IS_PNG}
                  THEN (CASE {_hx_byte(26)} WHEN 0 THEN 1 WHEN 2 THEN 3 WHEN 3 THEN 1
                                            WHEN 4 THEN 2 WHEN 6 THEN 4 ELSE 3 END)
+                 WHEN {_IS_GIF} THEN 1
                  ELSE greatest(1, CAST(floor({_le16(29)} / 8) AS INTEGER))
             END AS INTEGER) AS channels
 FROM hxed

@@ -59,6 +59,50 @@ def test_media_fixture_real_probe_and_sha(spark):
         ), r
 
 
+def test_gif_lzw_encoder_is_valid(spark):
+    """The fixture's GIFs are REAL: the from-scratch LZW encoder
+    round-trips through an independent spec-appendix decoder on
+    patterned and random streams (exercising several code-width
+    bumps), and that decoder also decodes a canonical public-domain
+    1x1 GIF payload — so encoder and decoder aren't just mutually
+    wrong."""
+    import importlib.util
+    import os
+    import random
+
+    from lakehouse_file_format_compare_spark.plans.ext_plans import MEDIA_FIXTURE
+
+    script = os.path.join(os.path.dirname(MEDIA_FIXTURE), "..", "scripts",
+                          "build_media_fixture.py")
+    spec = importlib.util.spec_from_file_location("bmf_lzw", script)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    for w, h, mid in [(1, 1, 0), (4, 3, 5), (50, 45, 7)]:
+        idx = [(x + y + mid) % 4 for y in range(h) for x in range(w)]
+        assert mod.gif_lzw_decode(mod.gif_lzw_encode(idx, 2), 2) == idx
+    rng = random.Random(42)
+    for n in (100, 3000, 8000):  # 8000 random 2-bit symbols -> width bumps to 12
+        idx = [rng.randrange(4) for _ in range(n)]
+        assert mod.gif_lzw_decode(mod.gif_lzw_encode(idx, 2), 2) == idx
+    # canonical 1x1 transparent GIF image data: sub-block [0x44, 0x01]
+    # with min code size 2 decodes to exactly one index-0 pixel
+    assert mod.gif_lzw_decode(bytes([0x44, 0x01]), 2) == [0]
+    # and a generated GIF's stored pixel stream survives the full
+    # container: strip header/LSD/palette/descriptor, reassemble
+    # sub-blocks, decode, compare to the generator's pattern
+    g = mod.make_gif(17, 9, 3)
+    assert g[:6] == b"GIF89a" and g[-1:] == b"\x3b"
+    data, pos = bytearray(), 6 + 7 + 12 + 10 + 1  # LSD + palette + descriptor + mcs
+    while g[pos] != 0:
+        ln = g[pos]
+        data += g[pos + 1:pos + 1 + ln]
+        pos += 1 + ln
+    assert mod.gif_lzw_decode(bytes(data), 2) == [
+        (x + y + 3) % 4 for y in range(9) for x in range(17)
+    ]
+
+
 def test_media_fixture_matches_builder(spark):
     """Drift guard (fintech-fixture pattern): re-running the builder's
     row generation must reproduce the committed bytes exactly, so the
