@@ -343,6 +343,50 @@ def test_knn_pq_walltime_scales_linearly_in_corpus(spark):
 
 
 @pytest.mark.scale
+def test_fuzzy_decontamination_walltime_scales_linearly(spark):
+    """r6 operator: exact cross-frame Jaccard contamination against a
+    FIXED benchmark-sized eval set must cost ~linear wall in corpus
+    size — the corpus side is one shingle explode + a broadcast join
+    whose candidate volume is bounded by shingle co-occurrence with
+    the tiny eval side (vowel-salted copies share ~nothing with it)."""
+    from functools import reduce
+
+    from pyspark.sql import DataFrame
+
+    from lakehouse_file_format_compare_spark.operators.decontaminate import (
+        jaccard_contamination,
+    )
+
+    docs = table(spark, SF_SCALE, "documents").select("doc_id", "text")
+    ev = docs.where(F.col("doc_id") % 500 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    ).cache()
+    n_ev = ev.count()
+    assert n_ev >= 5
+    small = docs.repartition(32).cache()
+    small.count()
+    copies = [
+        docs.select(
+            (F.col("doc_id") + F.lit(i * 10_000_000)).alias("doc_id"),
+            (F.regexp_replace("text", "[aeiou]", str(i)) if i else F.col("text")).alias("text"),
+        )
+        for i in range(10)
+    ]
+    big = reduce(DataFrame.unionByName, copies).repartition(32).cache()
+    big.count()
+
+    _timed_count(jaccard_contamination(small, ev, threshold=0.5))  # warm-up
+    t1, p1 = _timed_count(jaccard_contamination(small, ev, threshold=0.5))
+    t10, p10 = _timed_count(jaccard_contamination(big, ev, threshold=0.5))
+    assert p1 >= n_ev  # each lifted eval doc flags at least its source
+    assert p10 >= p1
+    ratio = t10 / max(t1, 1.0)
+    assert ratio <= 35, f"10x corpus cost {ratio:.1f}x (t1={t1:.2f}s t10={t10:.2f}s)"
+    print(f"fuzzy decon 10x corpus: t1={t1:.2f}s p1={p1} t10={t10:.2f}s p10={p10}")
+    small.unpersist(); big.unpersist(); ev.unpersist()
+
+
+@pytest.mark.scale
 def test_embedding_lsh_walltime_scales_subquadratically(spark):
     from functools import reduce
 
