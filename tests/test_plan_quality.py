@@ -162,6 +162,42 @@ def test_salted_sessionize_plan_bounded_shuffles(spark):
     assert plan.count("Exchange") <= 5, plan.count("Exchange")
 
 
+def test_runtime_bloom_filter_prunes_fact_side(spark):
+    """The 100 TB shuffle-join lever broadcast can't cover: when the
+    filtered build side is too big to broadcast, Spark injects a
+    runtime Bloom filter (bloom_filter_agg on the build side,
+    might_contain on the fact scan side) so non-joining fact rows die
+    BEFORE the shuffle. On local toy data the size thresholds must be
+    lowered to trigger it; at warehouse scale the defaults fire —
+    this pin proves the engine config keeps the rewrite available."""
+    import pyspark.sql.functions as F
+
+    from lakehouse_file_format_compare_spark.sources.testdata import table as tt
+
+    assert spark.conf.get("spark.sql.optimizer.runtime.bloomFilter.enabled") == "true"
+    li = tt(spark, SF_CORRECTNESS, "lineitem")
+    orders = tt(spark, SF_CORRECTNESS, "orders").where(F.col("o_totalprice") > 400000)
+    old_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    old_scan = spark.conf.get(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+    )
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0"
+    )
+    try:
+        j = li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        plan = j._sc._jvm.PythonSQLUtils.explainString(j._jdf.queryExecution(), "formatted")
+        assert "bloom_filter_agg" in plan   # build side sketches the keys
+        assert "might_contain" in plan      # fact side filters pre-shuffle
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_bc)
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            old_scan,
+        )
+
+
 def test_stratified_sample_window_group_limit(spark):
     # the rank filter must push a Partial WindowGroupLimit below the
     # shuffle: at scale only n rows per stratum leave the map side
