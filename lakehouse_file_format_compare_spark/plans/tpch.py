@@ -421,6 +421,175 @@ WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 1 
 """
 
 
+def forecasting_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 analog: pure scan-side revenue forecast — every
+    predicate (date range, discount band, quantity cap) must reach the
+    parquet scan as a pushed filter; no join, one partial+final agg."""
+    li = table(spark, sf_dir, "lineitem")
+    lo = F.lit("1996-01-01").cast("timestamp")
+    hi = F.lit("1997-01-01").cast("timestamp")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi)
+            & F.col("l_discount").between(0.03, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            grid(F.sum(grid(F.col("l_extendedprice") * F.col("l_discount"), 2)), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("matched_lines"),
+        )
+    )
+
+
+FORECASTING_REVENUE_CHANGE_SQL = f"""
+SELECT {grid_sql(f"SUM({grid_sql('l_extendedprice * l_discount', 2)})", 2)} AS revenue,
+       COUNT(*) AS matched_lines
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.03 AND 0.07
+  AND l_quantity < 24
+"""
+
+
+def national_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 analog: a target nation's share of regional revenue per
+    year — 7-way join with two nation roles, then a conditional-sum
+    ratio per group (grid-snapped operands so the quotient is
+    bit-identical across engines)."""
+    li = table(spark, sf_dir, "lineitem")
+    orders = table(spark, sf_dir, "orders")
+    cust = table(spark, sf_dir, "customer")
+    supp = table(spark, sf_dir, "supplier")
+    nation = table(spark, sf_dir, "nation")
+    region = table(spark, sf_dir, "region")
+    part = table(spark, sf_dir, "part")
+    n_cust = nation.select(
+        F.col("n_nationkey").alias("c_nkey"), F.col("n_regionkey").alias("c_rkey")
+    )
+    n_supp = nation.select(
+        F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
+    )
+    vol = grid(F.col("l_extendedprice") * (1 - F.col("l_discount")), 2)
+    target = F.when(F.col("supp_nation") == "NATION_3", vol).otherwise(F.lit(0.0))
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .where(F.col("p_type") == "STANDARD")
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n_cust), F.col("c_nationkey") == F.col("c_nkey"))
+        .join(F.broadcast(region), F.col("c_rkey") == F.col("r_regionkey"))
+        .where(F.col("r_name") == "EUROPE")
+        .join(F.broadcast(n_supp), F.col("s_nationkey") == F.col("s_nkey"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            grid(grid(F.sum(target), 2) / grid(F.sum(vol), 2), 6).alias("mkt_share"),
+            grid(F.sum(vol), 2).alias("region_revenue"),
+        )
+        .orderBy("o_year")
+    )
+
+
+NATIONAL_MARKET_SHARE_SQL = f"""
+WITH w AS (
+    SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+           {grid_sql('l_extendedprice * (1 - l_discount)', 2)} AS vol,
+           CASE WHEN n2.n_name = 'NATION_3'
+                THEN {grid_sql('l_extendedprice * (1 - l_discount)', 2)}
+                ELSE 0.0 END AS tvol
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN part ON l_partkey = p_partkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation n1 ON c_nationkey = n1.n_nationkey
+    JOIN region ON n1.n_regionkey = r_regionkey
+    JOIN nation n2 ON s_nationkey = n2.n_nationkey
+    WHERE p_type = 'STANDARD' AND r_name = 'EUROPE'
+)
+SELECT o_year,
+       {grid_sql("(" + grid_sql("SUM(tvol)", 2) + ") / (" + grid_sql("SUM(vol)", 2) + ")", 6)} AS mkt_share,
+       {grid_sql("SUM(vol)", 2)} AS region_revenue
+FROM w GROUP BY o_year ORDER BY o_year
+"""
+
+
+def small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 analog: revenue from orders below 20%% of a part's
+    average quantity — the correlated-average shape, expressed as an
+    aggregate-then-rejoin (the per-part average is computed once at
+    part grain and broadcast back, never a per-row subquery)."""
+    li = table(spark, sf_dir, "lineitem")
+    part = table(spark, sf_dir, "part")
+    avg_qty = (
+        li.groupBy(F.col("l_partkey").alias("ap_key"))
+        .agg(grid(F.lit(0.2) * F.avg(grid(F.col("l_quantity"), 2)), 6).alias("qty_cap"))
+    )
+    return (
+        li.join(F.broadcast(part.where(F.col("p_brand") == "Brand#5")),
+                F.col("l_partkey") == F.col("p_partkey"))
+        .join(avg_qty, F.col("l_partkey") == F.col("ap_key"))
+        .where(F.col("l_quantity") < F.col("qty_cap"))
+        .agg(
+            grid(F.sum(grid(F.col("l_extendedprice"), 2)) / 7.0, 6).alias("avg_yearly"),
+            F.count(F.lit(1)).alias("matched_lines"),
+        )
+    )
+
+
+SMALL_QUANTITY_REVENUE_SQL = f"""
+WITH caps AS (
+    SELECT l_partkey AS ap_key,
+           {grid_sql(f"0.2 * AVG({grid_sql('l_quantity', 2)})", 6)} AS qty_cap
+    FROM lineitem GROUP BY l_partkey
+)
+SELECT {grid_sql("(" + grid_sql(f"SUM({grid_sql('l_extendedprice', 2)})", 2) + ") / 7.0", 6)} AS avg_yearly,
+       COUNT(*) AS matched_lines
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN caps ON l_partkey = ap_key
+WHERE p_brand = 'Brand#5' AND l_quantity < qty_cap
+"""
+
+
+def global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 analog: high-balance customers with no RECENT orders
+    (every testdata customer has some order, so the dormancy window
+    keeps the anti-join non-vacuous), grouped by a synthetic country
+    code — scalar subquery (the positive-balance average) + left-anti
+    join."""
+    cust = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders")
+    recent = orders.where(
+        F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp")
+    )
+    avg_bal = cust.where(F.col("c_acctbal") > 0).agg(
+        F.avg(grid(F.col("c_acctbal"), 2)).alias("ab")
+    )
+    return (
+        cust.crossJoin(F.broadcast(avg_bal))
+        .where(F.col("c_acctbal") > F.col("ab"))
+        .join(recent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy(F.pmod(F.col("c_nationkey"), F.lit(10)).alias("cntrycode"))
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            grid(F.sum(grid(F.col("c_acctbal"), 2)), 2).alias("totacctbal"),
+        )
+        .orderBy("cntrycode")
+    )
+
+
+GLOBAL_SALES_OPPORTUNITY_SQL = f"""
+SELECT c_nationkey % 10 AS cntrycode, COUNT(*) AS numcust,
+       {grid_sql(f"SUM({grid_sql('c_acctbal', 2)})", 2)} AS totacctbal
+FROM customer
+WHERE c_acctbal > (SELECT AVG({grid_sql('c_acctbal', 2)}) FROM customer WHERE c_acctbal > 0)
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                  AND o_orderdate >= TIMESTAMP '2000-01-01')
+GROUP BY 1 ORDER BY 1
+"""
+
+
 QUERIES = {
     "tpch_pricing_summary": pricing_summary,
     "tpch_shipping_priority": shipping_priority,
@@ -441,6 +610,10 @@ EXTENDED_QUERIES = {
     "tpch_promotion_effect": promotion_effect,
     "tpch_large_volume_customer": large_volume_customer,
     "tpch_discounted_revenue": discounted_revenue,
+    "tpch_forecasting_revenue_change": forecasting_revenue_change,
+    "tpch_national_market_share": national_market_share,
+    "tpch_small_quantity_revenue": small_quantity_revenue,
+    "tpch_global_sales_opportunity": global_sales_opportunity,
 }
 EXTENDED_ORACLES = {
     "tpch_order_priority_checking": ORDER_PRIORITY_CHECKING_SQL,
@@ -450,6 +623,10 @@ EXTENDED_ORACLES = {
     "tpch_promotion_effect": PROMOTION_EFFECT_SQL,
     "tpch_large_volume_customer": LARGE_VOLUME_CUSTOMER_SQL,
     "tpch_discounted_revenue": DISCOUNTED_REVENUE_SQL,
+    "tpch_forecasting_revenue_change": FORECASTING_REVENUE_CHANGE_SQL,
+    "tpch_national_market_share": NATIONAL_MARKET_SHARE_SQL,
+    "tpch_small_quantity_revenue": SMALL_QUANTITY_REVENUE_SQL,
+    "tpch_global_sales_opportunity": GLOBAL_SALES_OPPORTUNITY_SQL,
 }
 
 ORACLES = {
