@@ -77,6 +77,16 @@ def test_text_ops_on_empty(spark, empty_docs):
     assert ngram_contamination(empty_docs, empty_docs).count() == 0
     assert decontaminate(empty_docs, empty_docs).count() == 0
 
+    from lakehouse_file_format_compare_spark.operators.decontaminate import (
+        decontaminate_fuzzy,
+        jaccard_contamination,
+        minhash_contamination,
+    )
+
+    assert jaccard_contamination(empty_docs, empty_docs).count() == 0
+    assert minhash_contamination(empty_docs, empty_docs).count() == 0
+    assert decontaminate_fuzzy(empty_docs, empty_docs).count() == 0
+
 
 def test_fuzzy_on_empty(spark):
     from lakehouse_file_format_compare_spark.operators.fuzzy import (
