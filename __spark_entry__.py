@@ -3,11 +3,13 @@
 ``entry(spark)`` runs the flagship gold query on sf0.001;
 ``queries()`` exposes every implemented operator from SURVEY.md §2
 plus the training-data-pipeline extensions; ``oracle_sql()`` gives the
-DuckDB-equivalent SQL for each. As of r5 all 50 registry entries
-carry a full DuckDB oracle (fintech_gold_suite gained one via the
-committed silver fixture in fixtures/fintech_silver/; approximate
-operators expose earned contract columns the oracle pins, per the
-recall-contract pattern).
+DuckDB-equivalent SQL for each. All 50 registry entries carry a full
+DuckDB oracle (since r5; approximate operators expose earned contract
+columns the oracle pins, per the recall-contract pattern). r6 swaps:
+``mm_image_features`` now drives the REAL header probe over committed
+genuine image files with a header-re-parse oracle, and
+``similarity_scale_suite`` (PQ/IVF-PQ/int8 recall + candidate-volume
+contracts) took the demoted ``op_set_ops`` slot.
 """
 
 from __future__ import annotations
