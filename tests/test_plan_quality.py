@@ -162,6 +162,39 @@ def test_salted_sessionize_plan_bounded_shuffles(spark):
     assert plan.count("Exchange") <= 5, plan.count("Exchange")
 
 
+def test_extended_tpch_plan_shapes(spark):
+    """r6 analogs keep the plan shapes that survive 100x: Q6's
+    predicates all reach the scan; Q8's seven-way join broadcasts
+    every dim and never degenerates to a cartesian; Q17's correlated
+    average is one fact-grain aggregate re-joined (no per-row
+    subquery); Q22's NOT EXISTS compiles to an anti join."""
+    from lakehouse_file_format_compare_spark.plans.tpch import (
+        forecasting_revenue_change,
+        global_sales_opportunity,
+        national_market_share,
+        small_quantity_revenue,
+    )
+
+    def fmt(df):
+        return df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"
+        )
+
+    q6 = fmt(forecasting_revenue_change(spark, SF_CORRECTNESS))
+    assert "PushedFilters:" in q6 and "l_quantity" in q6.split("PushedFilters:")[1].split("]")[0]
+
+    q8 = fmt(national_market_share(spark, SF_CORRECTNESS))
+    assert "BroadcastHashJoin" in q8
+    assert "CartesianProduct" not in q8
+
+    q17 = fmt(small_quantity_revenue(spark, SF_CORRECTNESS))
+    assert "CartesianProduct" not in q17
+    assert q17.count("HashAggregate") >= 4  # partial+final at part grain AND final scalar
+
+    q22 = fmt(global_sales_opportunity(spark, SF_CORRECTNESS))
+    assert "LeftAnti" in q22
+
+
 def test_runtime_bloom_filter_prunes_fact_side(spark):
     """The 100 TB shuffle-join lever broadcast can't cover: when the
     filtered build side is too big to broadcast, Spark injects a
