@@ -49,6 +49,38 @@ HEADLINE = [
 ]
 
 
+def _loadavg() -> list[float]:
+    """1/5/15-minute host load averages (Linux); [] where unsupported."""
+    try:
+        with open("/proc/loadavg") as f:
+            return [float(x) for x in f.read().split()[:3]]
+    except OSError:
+        return []
+
+
+def _sentinel(spark) -> float:
+    """Contention sentinel: a fixed, plan-independent JVM micro-query.
+
+    Timed once at suite start and once at suite end (r6 verdict #1):
+    the workload never changes between rounds, so any drift in its
+    wall time measures HOST contention during the run, not plan cost.
+    A round whose start/end sentinels disagree with a prior round's
+    (or with each other) flags its per-query timings as noisy data —
+    machine-detectably, instead of by post-hoc argument.
+
+    Pure whole-stage-codegen arithmetic over ``spark.range`` — no IO,
+    no shuffle variance, no Python workers — so the number isolates
+    CPU availability.
+    """
+    from pyspark.sql import functions as F
+
+    start = time.perf_counter()
+    spark.range(20_000_000, numPartitions=32).select(
+        F.sum((F.col("id") * 2 + 1) % 7).alias("s")
+    ).write.format("noop").mode("overwrite").save()
+    return round(time.perf_counter() - start, 3)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
@@ -94,6 +126,9 @@ def main() -> None:
     similarity_plans._centroids(_emb, sf_dir)
     similarity_plans._codebooks(_emb, sf_dir)
 
+    load_start = _loadavg()
+    sentinel_start = _sentinel(spark)
+
     timings: dict[str, float] = {}
     steady: dict[str, float] = {}
     for name in HEADLINE:
@@ -107,6 +142,9 @@ def main() -> None:
         start = time.perf_counter()
         queries[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         steady[name] = round(time.perf_counter() - start, 3)
+
+    sentinel_end = _sentinel(spark)
+    load_end = _loadavg()
 
     avail = available_formats(spark)
     result = {
@@ -124,6 +162,12 @@ def main() -> None:
         "formats_unavailable": [
             f for f in ("avro", "delta", "iceberg") if f not in avail
         ],
+        # contention sentinel (r6 verdict #1): the SAME fixed JVM
+        # micro-query timed before and after the suite, plus host
+        # loadavg. Compare sentinel values across rounds to separate
+        # host noise from plan regressions.
+        "sentinel_sec": {"start": sentinel_start, "end": sentinel_end},
+        "loadavg": {"start": load_start, "end": load_end},
     }
     print(json.dumps(result))
     sys.stdout.flush()

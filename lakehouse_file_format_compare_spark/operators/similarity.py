@@ -329,8 +329,9 @@ def ivf_probe_lists(
     df: DataFrame, centroids: list[list[float]], nprobe: int, vec_col: str
 ) -> DataFrame:
     """``__list``-exploded copy of ``df``: each row repeated once per
-    probed list (its ``nprobe`` highest-scoring centroids, ties to
-    the lower index via the stable sort of (score, index) pairs).
+    probed list (its ``nprobe`` highest-scoring centroids; score ties
+    resolve to the HIGHER centroid index — ``sort_array(asc=False)``
+    on (score, index) structs orders the index descending too).
     THE single definition of IVF probe selection — shared by
     :func:`knn_ivf`, :func:`knn_ivf_pq` and the driver-visible
     candidate-volume contract (plans/similarity_plans.py), so the

@@ -164,8 +164,15 @@ def corpus_hygiene_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # r6: fuzzy decontamination metrics over an injected edited-leak
     # eval set (same construction as tests/test_decontaminate.py)
-    etoks = F.split(
-        F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " ")), " "
+    # drop empty tokens before the positional edit: F.trim strips only
+    # ASCII spaces, so a doc starting with \t/\n would yield a leading
+    # '' token here while the oracle's list_filter removes it — shifting
+    # every FDECON_EDIT_EVERY-th edit position by one (r6 ADVICE).
+    etoks = F.filter(
+        F.split(
+            F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " ")), " "
+        ),
+        lambda t: F.length(t) > 0,
     )
     edited = F.array_join(
         F.transform(

@@ -563,8 +563,11 @@ def global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
     recent = orders.where(
         F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp")
     )
+    # grid-6 snap of the average threshold (qty_cap convention, Q17):
+    # float summation order differs between engines, so an unsnapped
+    # AVG could flip membership for a boundary-balance customer.
     avg_bal = cust.where(F.col("c_acctbal") > 0).agg(
-        F.avg(grid(F.col("c_acctbal"), 2)).alias("ab")
+        grid(F.avg(grid(F.col("c_acctbal"), 2)), 6).alias("ab")
     )
     return (
         cust.crossJoin(F.broadcast(avg_bal))
@@ -583,7 +586,7 @@ GLOBAL_SALES_OPPORTUNITY_SQL = f"""
 SELECT c_nationkey % 10 AS cntrycode, COUNT(*) AS numcust,
        {grid_sql(f"SUM({grid_sql('c_acctbal', 2)})", 2)} AS totacctbal
 FROM customer
-WHERE c_acctbal > (SELECT AVG({grid_sql('c_acctbal', 2)}) FROM customer WHERE c_acctbal > 0)
+WHERE c_acctbal > (SELECT {grid_sql(f"AVG({grid_sql('c_acctbal', 2)})", 6)} FROM customer WHERE c_acctbal > 0)
   AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
                   AND o_orderdate >= TIMESTAMP '2000-01-01')
 GROUP BY 1 ORDER BY 1
