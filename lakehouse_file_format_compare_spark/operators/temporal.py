@@ -191,7 +191,9 @@ def sessionize_salted(
 
     Cost: two key shuffles (phase-1 window + the session join) vs one
     — the price of the bound; use :func:`sessionize` when no key
-    exceeds a partition."""
+    exceeds a partition (PROFILE_r06 §4 measured the salted variant
+    2.1x slower on the skewless 750k-event corpus), or let
+    :func:`sessionize_auto` pick from the per-key count."""
     gap_expr = F.expr(f"INTERVAL {gap}")
     sliced = events.withColumn(
         "__slice", F.floor(F.col(ts_col).cast("double") / slice_sec).cast("long")
@@ -237,6 +239,52 @@ def sessionize_salted(
             "session_id",
             F.concat(F.col(key_col).cast("string"), F.lit("#"), F.col("session_seq")),
         )
+    )
+
+
+def sessionize_auto(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    order_cols: tuple[str, ...] = ("event_id",),
+    slice_sec: int = 86_400,
+    hot_key_events: int = 2_000_000,
+) -> DataFrame:
+    """Dispatch between :func:`sessionize` (one shuffle, fastest when
+    no key is hot) and :func:`sessionize_salted` (two shuffles, skew
+    bound independent of event density) from a cheap measured skew
+    statistic, so callers get the hot-key bound without hand-tuning
+    (r6 verdict #8).
+
+    The statistic is the MAX per-key event count — the exact quantity
+    the unsalted variant's single-task sort is bounded by (a lower
+    quantile would miss the one pathological key that motivates
+    salting). Measuring it is one partial-agg key-grain count plus a
+    scalar max — a bounded ``collect()`` (one row), far cheaper than
+    either variant's window sort, and the groupBy count is the same
+    shuffle key the chosen variant reuses.
+
+    ``hot_key_events`` defaults to 2M rows: a single in-partition sort
+    of ~2M narrow rows is comfortably in-memory on a standard
+    executor; past that the sort spills and the salted bound wins
+    (PROFILE_r06 §4: crossover not yet reached at 750k TOTAL events,
+    so the threshold is deliberately above any local-test corpus).
+    Both branches are output-identical (tests/test_sessionize.py), so
+    the dispatch can never change results — only the plan."""
+    max_per_key = (
+        events.groupBy(key_col)
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .agg(F.max("__n").alias("m"))
+        .collect()[0]["m"]
+    )
+    if max_per_key is not None and max_per_key > hot_key_events:
+        return sessionize_salted(
+            events, gap=gap, key_col=key_col, ts_col=ts_col,
+            order_cols=order_cols, slice_sec=slice_sec,
+        )
+    return sessionize(
+        events, gap=gap, key_col=key_col, ts_col=ts_col, order_cols=order_cols
     )
 
 

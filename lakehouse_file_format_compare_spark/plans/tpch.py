@@ -518,16 +518,30 @@ def small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q17 analog: revenue from orders below 20%% of a part's
     average quantity — the correlated-average shape, expressed as an
     aggregate-then-rejoin (the per-part average is computed once at
-    part grain and broadcast back, never a per-row subquery)."""
+    part grain and broadcast back, never a per-row subquery).
+
+    The avg-side scan is semi-joined against the brand-filtered part
+    keys BEFORE the aggregate (classic Q17 pushdown, r6 verdict #5):
+    per-part averages only use rows of that part, so restricting to
+    surviving parts changes nothing for the parts the outer query
+    keeps — but at 100x it turns a full fact-table shuffle at part
+    grain into one over ~1/25th of the parts. Plan pin:
+    tests/test_plan_quality.py asserts the LeftSemi broadcast feeds
+    the aggregate."""
     li = table(spark, sf_dir, "lineitem")
     part = table(spark, sf_dir, "part")
+    part5 = part.where(F.col("p_brand") == "Brand#5")
+    li_b5 = li.join(
+        F.broadcast(part5.select("p_partkey")),
+        li["l_partkey"] == part5["p_partkey"],
+        "left_semi",
+    )
     avg_qty = (
-        li.groupBy(F.col("l_partkey").alias("ap_key"))
+        li_b5.groupBy(F.col("l_partkey").alias("ap_key"))
         .agg(grid(F.lit(0.2) * F.avg(grid(F.col("l_quantity"), 2)), 6).alias("qty_cap"))
     )
     return (
-        li.join(F.broadcast(part.where(F.col("p_brand") == "Brand#5")),
-                F.col("l_partkey") == F.col("p_partkey"))
+        li.join(F.broadcast(part5), F.col("l_partkey") == F.col("p_partkey"))
         .join(avg_qty, F.col("l_partkey") == F.col("ap_key"))
         .where(F.col("l_quantity") < F.col("qty_cap"))
         .agg(

@@ -190,6 +190,10 @@ def test_extended_tpch_plan_shapes(spark):
     q17 = fmt(small_quantity_revenue(spark, SF_CORRECTNESS))
     assert "CartesianProduct" not in q17
     assert q17.count("HashAggregate") >= 4  # partial+final at part grain AND final scalar
+    # r7 (r6 verdict #5): the avg-side lineitem scan is semi-joined
+    # against the Brand#5 part keys BEFORE the part-grain aggregate —
+    # no full-fact shuffle at part grain for a ~1/25th-selective brand
+    assert "LeftSemi" in q17
 
     q22 = fmt(global_sales_opportunity(spark, SF_CORRECTNESS))
     assert "LeftAnti" in q22

@@ -197,6 +197,32 @@ def test_sessionize_salted_equals_unsalted_on_hot_key(spark):
     assert a == b
 
 
+def test_sessionize_auto_dispatch_and_equality(spark):
+    """r7 (r6 verdict #8): the auto-dispatcher picks the variant from
+    the measured max per-key count and both branches yield the exact
+    sessionize output. Branch choice is forced both ways via the
+    threshold so each path is actually exercised."""
+    from lakehouse_file_format_compare_spark.operators.temporal import (
+        sessionize_auto,
+    )
+
+    events = table(spark, SF_CORRECTNESS, "events")
+    cols = ("event_id", "user_id", "session_seq", "session_id")
+    expect = sorted(tuple(r[c] for c in cols) for r in sessionize(events).collect())
+
+    # default threshold (2M) >> any local key count -> unsalted branch
+    auto = sessionize_auto(events)
+    assert sorted(tuple(r[c] for c in cols) for r in auto.collect()) == expect
+    plan = auto._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") <= 2  # single-window variant chosen
+
+    # threshold 1 forces the salted branch; output must not change
+    salted = sessionize_auto(events, hot_key_events=1, slice_sec=3600)
+    assert sorted(tuple(r[c] for c in cols) for r in salted.collect()) == expect
+    splan = salted._jdf.queryExecution().executedPlan().toString()
+    assert splan.count("Exchange") > 2  # two-phase variant chosen
+
+
 def test_batch_sessionize_agrees_with_streaming_oracle(spark):
     """The two sessionization surfaces — the batch operator
     (operators/temporal.sessionize) and the streaming stateful
