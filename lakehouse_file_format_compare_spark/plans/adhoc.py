@@ -536,16 +536,73 @@ def approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     the sketch value is pinned by an in-row tolerance check instead of
     being emitted raw (a DuckDB oracle cannot replicate Spark's HLL++
     register values, but it CAN assert the sketch landed within rsd of
-    the exact count it computes itself)."""
-    raw = approx_distinct_raw(spark, sf_dir)
-    return raw.select(
+    the exact count it computes itself).
+
+    Widened in r7 (r6 verdict #3) to make the mergeable-HLL rollup
+    (operators/sketches.py) driver-visible: per status, partial
+    DataSketches-HLL sketches are built at (status, month) grain and
+    merged up via ``hll_union_agg`` — the no-rescan rollup shape — and
+    three contract booleans ride the row: the merged estimate lands
+    within 5% of the exact distinct the oracle computes itself, the
+    exact row counts riding the partials are conserved bit-exactly,
+    and the merged estimate is invariant to the physical order /
+    partitioning of the partial sketches (what makes a persisted
+    rollup reproducible). Estimate EQUALITY across different union
+    paths is deliberately NOT pinned: it only holds in the
+    coupon-exact (sparse) regime — measured on sf0.01 orders, a
+    (status, month) merge estimates 1441 'O' customers while
+    coarse-grain paths give 1456 (HIP vs composite estimator) and a
+    37-bucket hash grain gives 1459, all within the error envelope.
+    operators/sketches.py documents the regimes; the envelope is the
+    portable contract."""
+    from ..operators.sketches import hll_partial_sketches, hll_rollup
+
+    orders = table(spark, sf_dir, "orders")
+    fine = hll_partial_sketches(
+        orders.withColumn("o_month", F.month("o_orderdate")),
+        ["o_orderstatus", "o_month"],
+        "o_custkey",
+    )
+    merged = hll_rollup(fine, ["o_orderstatus"]).select(
         "o_orderstatus",
-        "exact_customers",
-        "n_orders",
-        (
-            F.abs(F.col("approx_customers") - F.col("exact_customers"))
-            <= APPROX_DISTINCT_TOLERANCE * F.col("exact_customers")
-        ).alias("approx_within_tolerance"),
+        F.col("distinct_est").alias("__merged_est"),
+        F.col("n_rows").alias("__merged_rows"),
+    )
+    # same partial set, shuffled physical layout: the union must not
+    # care what order / which partitions the sketches arrive from
+    shuffled = hll_rollup(
+        hll_partial_sketches(
+            orders.withColumn("o_month", F.month("o_orderdate")).repartition(
+                7, F.col("o_custkey")
+            ),
+            ["o_orderstatus", "o_month"],
+            "o_custkey",
+        ).repartition(5),
+        ["o_orderstatus"],
+    ).select("o_orderstatus", F.col("distinct_est").alias("__shuffled_est"))
+    raw = approx_distinct_raw(spark, sf_dir)
+    return (
+        raw.join(merged, "o_orderstatus")
+        .join(shuffled, "o_orderstatus")
+        .select(
+            "o_orderstatus",
+            "exact_customers",
+            "n_orders",
+            (
+                F.abs(F.col("approx_customers") - F.col("exact_customers"))
+                <= APPROX_DISTINCT_TOLERANCE * F.col("exact_customers")
+            ).alias("approx_within_tolerance"),
+            (
+                F.abs(F.col("__merged_est") - F.col("exact_customers"))
+                <= APPROX_DISTINCT_TOLERANCE * F.col("exact_customers")
+            ).alias("hll_rollup_within_tolerance"),
+            (F.col("__merged_rows") == F.col("n_orders")).alias(
+                "hll_rollup_rows_conserved"
+            ),
+            (F.col("__merged_est") == F.col("__shuffled_est")).alias(
+                "hll_rollup_order_invariant"
+            ),
+        )
     )
 
 
@@ -553,7 +610,10 @@ APPROX_DISTINCT_SQL = """
 SELECT o_orderstatus,
        COUNT(DISTINCT o_custkey) AS exact_customers,
        COUNT(*) AS n_orders,
-       true AS approx_within_tolerance
+       true AS approx_within_tolerance,
+       true AS hll_rollup_within_tolerance,
+       true AS hll_rollup_rows_conserved,
+       true AS hll_rollup_order_invariant
 FROM orders
 GROUP BY o_orderstatus
 """
