@@ -46,6 +46,11 @@ HEADLINE = [
     # r6: raw PQ serving path (quality is driver-checked via
     # similarity_scale_suite; this tracks the ADC-scan wall)
     "sim_knn_pq",
+    # r7 (r6 verdict #4): the hygiene SERVING path — the per-batch
+    # production cost, without the contract row's built-in
+    # verification (LSH recall cross-check / second decon engine);
+    # the contract row stays benched so the two are separable.
+    "corpus_hygiene_serving",
 ]
 
 
@@ -94,9 +99,10 @@ def main() -> None:
     queries["sim_knn_ivf"] = similarity_plans.knn_ivf
     queries["sim_knn_lsh"] = similarity_plans.knn_lsh
     queries["sim_knn_pq"] = similarity_plans.knn_pq_serving
-    from lakehouse_file_format_compare_spark.plans import dedup_plans
+    from lakehouse_file_format_compare_spark.plans import dedup_plans, hygiene_plans
 
     queries["dedup_minhash_lsh"] = dedup_plans.minhash_lsh
+    queries["corpus_hygiene_serving"] = hygiene_plans.corpus_hygiene_serving
 
     # JVM/codegen warm-up on an untimed tiny query
     queries["tpch_local_supplier_volume"](spark, sf_dir).write.format("noop").mode("overwrite").save()

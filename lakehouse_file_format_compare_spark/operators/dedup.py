@@ -208,6 +208,114 @@ def minhash_lsh_pairs(
     )
 
 
+def _positional_grams(
+    docs: DataFrame, n: int, id_col: str, text_col: str
+) -> DataFrame:
+    """(doc, pos, h1, h2): every word n-gram WITH its 1-based token
+    position, keyed by two independent 64-bit gram hashes. Tokens are
+    staged in their own projection before the higher-order transform
+    consumes them (the decontaminate.py::_ngram_set lesson: lambdas
+    re-evaluate unstaged subtrees per element). The gram string never
+    leaves the transform — only the two hashes are emitted, so the
+    shuffle carries 16 bytes per gram instead of ~6·n chars."""
+    staged = docs.select(
+        F.col(id_col).alias("doc"),
+        F.filter(
+            F.split(F.lower(F.trim(F.col(text_col))), r"\s+"), lambda t: F.length(t) > 0
+        ).alias("__toks"),
+    )
+    toks = F.col("__toks")
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return staged.select("doc", F.posexplode(grams).alias("pos0", "g")).select(
+        "doc",
+        (F.col("pos0") + 1).alias("pos"),
+        F.xxhash64("g").alias("h1"),
+        F.xxhash64("g", F.lit(77)).alias("h2"),
+    )
+
+
+def substring_duplicates(
+    docs: DataFrame,
+    min_span_tokens: int = 20,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_gram_docs: int | None = None,
+) -> DataFrame:
+    """Cross-document SUBSTRING duplication — the suffix-array dedup
+    mode of Lee et al. 2022 ("Deduplicating Training Data Makes
+    Language Models Better", public knowledge), re-shaped for Spark:
+    find every maximal verbatim token span of >= ``min_span_tokens``
+    shared between two distinct documents. Doc-level Jaccard dilutes a
+    long copied passage inside otherwise-distinct documents below any
+    sane threshold; this operator catches exactly that case.
+
+    Returns (doc_a, doc_b, a_start, b_start, span_tokens) with
+    doc_a < doc_b: the span starts at 1-based token ``a_start`` in
+    doc_a / ``b_start`` in doc_b and runs for ``span_tokens`` >= L
+    tokens, and is MAXIMAL (extending it one token either way breaks
+    the match). One shared passage yields one row per (position-pair
+    diagonal), not one row per contained window.
+
+    Scale shape — anchor k-gram buckets + within-bucket extension,
+    never a global suffix array (a 100 TB corpus cannot build one):
+
+    1. every L-token window hashes to a 128-bit anchor (two
+       independent xxhash64 values; the gram string itself never
+       shuffles). A span of S >= L shared tokens produces S-L+1
+       consecutive shared anchors.
+    2. anchors self-join on the hash pair — work is Σ per-anchor
+       doc-count², the same bounded-bucket profile as MinHash-LSH.
+       ``max_gram_docs`` is the boilerplate guard: anchors appearing
+       in more documents are dropped (deterministically — the filter
+       is replicated in oracles), bounding any one bucket while only
+       suppressing spans whose every window is corpus-hot.
+    3. matches at (pos_a, pos_b) and (pos_a+1, pos_b+1) are the same
+       passage: group by the (doc_a, doc_b, pos_a - pos_b) diagonal,
+       split runs where consecutive pos_a gaps (the classic
+       pos - row_number() run id), aggregate each run to one maximal
+       span. Window partitions are per-(pair, diagonal) — no global
+       sort anywhere.
+
+    Exactness: pair formation is exact up to a 2^-128 anchor-hash
+    collision (the DuckDB oracle in tests/test_substring_dedup.py
+    joins the literal gram STRINGS and matches bit-for-bit, so a
+    collision on test data would fail the oracle); the run/extension
+    step is exact arithmetic."""
+    from pyspark.sql import Window
+
+    gr = _positional_grams(docs, min_span_tokens, id_col, text_col)
+    if max_gram_docs is not None:
+        ok = (
+            gr.groupBy("h1", "h2")
+            .agg(F.countDistinct("doc").alias("__nd"))
+            .where(F.col("__nd") <= max_gram_docs)
+            .select("h1", "h2")
+        )
+        gr = gr.join(ok, ["h1", "h2"], "left_semi")
+    a = gr.select("h1", "h2", F.col("doc").alias("doc_a"), F.col("pos").alias("pos_a"))
+    b = gr.select("h1", "h2", F.col("doc").alias("doc_b"), F.col("pos").alias("pos_b"))
+    m = (
+        a.join(b, ["h1", "h2"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "pos_a", "pos_b")
+    )
+    w = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pos_a")
+    runs = m.withColumn("diag", F.col("pos_a") - F.col("pos_b")).withColumn(
+        "grp", F.col("pos_a") - F.row_number().over(w)
+    )
+    return runs.groupBy("doc_a", "doc_b", "diag", "grp").agg(
+        F.min("pos_a").alias("a_start"),
+        F.min("pos_b").alias("b_start"),
+        (F.count(F.lit(1)) + (min_span_tokens - 1)).alias("span_tokens"),
+    ).select("doc_a", "doc_b", "a_start", "b_start", "span_tokens")
+
+
 def simhash_signatures(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 64
 ) -> DataFrame:

@@ -6,7 +6,10 @@ BM25 relevance (operators/ranking.py), benchmark decontamination
 (operators/decontaminate.py) and percentile summaries
 (functions/stats.py) — extended in r5 with bigram-LM quality scoring
 (operators/ranking.py::bigram_lm_scores) and overlapping
-token-window chunking (operators/packing.py::chunk_documents).
+token-window chunking (operators/packing.py::chunk_documents); in r6
+with fuzzy decontamination (fdecon_*); and in r7 with cross-document
+substring duplication (sdedup_*, operators/dedup.py::
+substring_duplicates — the Lee et al. 2022 mode).
 
 Output: ONE wide row of labeled portable aggregates over the
 ``documents`` table. Integer metrics are exact; bm25_total snaps the
@@ -34,6 +37,7 @@ from ..operators.decontaminate import (
     minhash_contamination,
     ngram_contamination,
 )
+from ..operators.dedup import substring_duplicates
 from ..operators.packing import chunk_documents
 from ..operators.ranking import bigram_lm_scores, bm25_scores
 from ..sources.testdata import table
@@ -56,6 +60,12 @@ FDECON_EDIT_EVERY = 12
 FDECON_MOD = 50
 FDECON_TH = 0.4
 FDECON_LSH_RECALL_FLOOR = 0.9
+# substring dedup (r7, r6 verdict #2): consecutive doc_id pairs share
+# an injected 13-token span (6 fixed + group token + 6 fixed — the
+# fixed runs are < SDEDUP_MIN_SPAN so only same-group docs can match
+# >= the minimum through the injection); natural >= 12-token overlaps
+# in the synthetic corpus are caught too, and the oracle replays both.
+SDEDUP_MIN_SPAN = 12
 
 
 def _augmented_text() -> F.Column:
@@ -204,10 +214,126 @@ def corpus_hygiene_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("fdecon_lsh_recall_ok"),
     )
 
+    # r7: cross-document substring duplication over the group-span
+    # injected corpus (operators/dedup.py::substring_duplicates)
+    sd = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" sdx aa bb cc dd ee g"),
+            F.floor(F.col("doc_id") / 2).cast("long").cast("string"),
+            F.lit(" ff gg hh ii jj kk"),
+        ).alias("text"),
+    )
+    sd_agg = substring_duplicates(sd, min_span_tokens=SDEDUP_MIN_SPAN).agg(
+        F.countDistinct("doc_a", "doc_b").alias("sdedup_pairs"),
+        F.count(F.lit(1)).alias("sdedup_spans"),
+        F.coalesce(F.sum("span_tokens"), F.lit(0)).cast("long").alias("sdedup_span_tokens"),
+        F.coalesce(F.max("span_tokens"), F.lit(0)).cast("long").alias("sdedup_max_span"),
+    )
+
     return (
         row_agg.crossJoin(top_agg)
         .crossJoin(bm_agg).crossJoin(dec_agg).crossJoin(pct)
         .crossJoin(lm_agg).crossJoin(ch_agg).crossJoin(fd_agg)
+        .crossJoin(sd_agg)
+    )
+
+
+def corpus_hygiene_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SERVING-path variant of the suite for the bench (r6 verdict
+    #4): the driver-facing contract row above deliberately also runs
+    its own verification — the full MinHash re-signing of the corpus
+    for the LSH recall boolean on top of the exact shingle-Jaccard —
+    which is contract cost, not serving cost, and by r6 it dominated
+    the headline total. This entry is what a production pipeline
+    would actually run per batch: the fused per-row metric scan, BM25
+    / bigram-LM / chunking, exact + fuzzy decontamination values, and
+    the substring-duplication metrics — no LSH recall cross-check, no
+    second decon engine. Not in the driver registry (every metric
+    here is already oracle-covered via ``corpus_hygiene_suite``);
+    bench.py times it alongside the contract row so round-over-round
+    drift in serving cost is separable from verification cost."""
+    docs = table(spark, sf_dir, "documents")
+    aug = docs.select("doc_id", _augmented_text().alias("text"))
+
+    counts = pii.pii_counts(F.col("text"))
+    total_hits = None
+    for c in counts.values():
+        total_hits = c if total_hits is None else total_hits + c
+    nl = F.size(_lines(F.col("text")))
+    nd = F.size(F.array_distinct(_lines(F.col("text"))))
+    enc = encoding_noise_count(F.col("text"))
+    row_agg = aug.agg(
+        F.sum(counts["email"]).cast("long").alias("pii_email_hits"),
+        F.sum(counts["phone"]).cast("long").alias("pii_phone_hits"),
+        F.sum(counts["ipv4"]).cast("long").alias("pii_ipv4_hits"),
+        F.sum(counts["card"]).cast("long").alias("pii_card_hits"),
+        F.sum((total_hits > 0).cast("long")).alias("pii_docs_flagged"),
+        F.sum((nl - nd).cast("long")).alias("rep_dup_lines_total"),
+        F.sum(((nl - nd) > 0).cast("long")).alias("rep_dup_line_docs"),
+        F.sum(enc).cast("long").alias("enc_noise_hits"),
+        F.sum((enc > 0).cast("long")).alias("enc_noise_docs"),
+    )
+    bm_agg = bm25_scores(docs, BM25_TERMS).agg(
+        F.count(F.lit(1)).alias("bm25_matched_docs"),
+        grid(F.coalesce(F.sum(grid(F.col("bm25"), 2)), F.lit(0.0)), 2).alias("bm25_total"),
+    )
+    eval_docs = docs.orderBy("doc_id").limit(DECON_EVAL_DOCS)
+    dec_agg = ngram_contamination(docs, eval_docs, n=DECON_N).agg(
+        F.count(F.lit(1)).alias("decon_pairs"),
+        F.sum("shared_ngrams").cast("long").alias("decon_shared_total"),
+    )
+    lm_agg = bigram_lm_scores(docs, alpha=LM_ALPHA).agg(
+        F.count(F.lit(1)).alias("lm_scored_docs"),
+        grid(F.coalesce(F.sum(grid(F.col("avg_logp"), 2)), F.lit(0.0)), 2).alias("lm_logp_total"),
+    )
+    ch_agg = chunk_documents(
+        docs, chunk_tokens=CHUNK_TOKENS, overlap_tokens=CHUNK_OVERLAP
+    ).agg(
+        F.count(F.lit(1)).alias("chunk_count"),
+        F.sum("n_tokens").cast("long").alias("chunk_tokens_total"),
+    )
+    etoks = F.filter(
+        F.split(
+            F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " ")), " "
+        ),
+        lambda t: F.length(t) > 0,
+    )
+    edited = F.array_join(
+        F.transform(
+            etoks,
+            lambda t, i: F.when(
+                (i + 1) % FDECON_EDIT_EVERY == 0, F.lit("xq7")
+            ).otherwise(t),
+        ),
+        " ",
+    )
+    ev = docs.where(F.col("doc_id") % FDECON_MOD == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), edited.alias("text")
+    )
+    fd_agg = jaccard_contamination(docs, ev, threshold=FDECON_TH).agg(
+        F.count(F.lit(1)).alias("fdecon_pairs"),
+        grid(
+            F.coalesce(F.sum(grid(F.col("jaccard"), 2)), F.lit(0.0)), 2
+        ).alias("fdecon_jaccard_total"),
+    )
+    sd = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" sdx aa bb cc dd ee g"),
+            F.floor(F.col("doc_id") / 2).cast("long").cast("string"),
+            F.lit(" ff gg hh ii jj kk"),
+        ).alias("text"),
+    )
+    sd_agg = substring_duplicates(sd, min_span_tokens=SDEDUP_MIN_SPAN).agg(
+        F.count(F.lit(1)).alias("sdedup_spans"),
+        F.coalesce(F.sum("span_tokens"), F.lit(0)).cast("long").alias("sdedup_span_tokens"),
+    )
+    return (
+        row_agg.crossJoin(bm_agg).crossJoin(dec_agg)
+        .crossJoin(lm_agg).crossJoin(ch_agg).crossJoin(fd_agg).crossJoin(sd_agg)
     )
 
 
@@ -424,6 +550,36 @@ WITH aug AS (
            {grid_sql("COALESCE(SUM(" + grid_sql("jaccard", 2) + "), 0)", 2)} AS fdecon_jaccard_total,
            true AS fdecon_lsh_recall_ok
     FROM fd_pairs
+), sd_toks AS (
+    SELECT doc_id,
+           list_filter(string_split_regex(lower(trim(
+               text || ' sdx aa bb cc dd ee g' || CAST(doc_id // 2 AS VARCHAR)
+                    || ' ff gg hh ii jj kk')), '\\s+'),
+               x -> length(x) > 0) AS t
+    FROM documents
+), sd_gr AS (
+    SELECT doc_id, i AS pos, array_to_string(t[i:i+{SDEDUP_MIN_SPAN - 1}], ' ') AS g
+    FROM (SELECT doc_id, t, unnest(range(1, len(t) - {SDEDUP_MIN_SPAN} + 2)) AS i
+          FROM sd_toks WHERE len(t) >= {SDEDUP_MIN_SPAN})
+), sd_m AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.pos AS pos_a, b.pos AS pos_b
+    FROM sd_gr a JOIN sd_gr b USING (g)
+    WHERE a.doc_id < b.doc_id
+), sd_runs AS (
+    SELECT doc_a, doc_b, pos_a - pos_b AS diag,
+           pos_a - row_number() OVER (PARTITION BY doc_a, doc_b, pos_a - pos_b
+                                      ORDER BY pos_a) AS grp,
+           pos_a
+    FROM sd_m
+), sd_spans AS (
+    SELECT doc_a, doc_b, COUNT(*) + {SDEDUP_MIN_SPAN - 1} AS span_tokens
+    FROM sd_runs GROUP BY doc_a, doc_b, diag, grp
+), sd_agg AS (
+    SELECT COUNT(DISTINCT (doc_a, doc_b)) AS sdedup_pairs,
+           COUNT(*) AS sdedup_spans,
+           COALESCE(SUM(span_tokens), 0) AS sdedup_span_tokens,
+           COALESCE(MAX(span_tokens), 0) AS sdedup_max_span
+    FROM sd_spans
 )
 SELECT CAST(pii_email_hits AS BIGINT) AS pii_email_hits,
        CAST(pii_phone_hits AS BIGINT) AS pii_phone_hits,
@@ -451,8 +607,12 @@ SELECT CAST(pii_email_hits AS BIGINT) AS pii_email_hits,
        CAST(fdecon_pairs AS BIGINT) AS fdecon_pairs,
        CAST(fdecon_flagged_docs AS BIGINT) AS fdecon_flagged_docs,
        fdecon_jaccard_total,
-       fdecon_lsh_recall_ok
-FROM pii_agg, rep_agg, top_agg, bm_agg, dec_agg, pct, lm_agg, chunk_agg, enc_agg, fd_agg
+       fdecon_lsh_recall_ok,
+       CAST(sdedup_pairs AS BIGINT) AS sdedup_pairs,
+       CAST(sdedup_spans AS BIGINT) AS sdedup_spans,
+       CAST(sdedup_span_tokens AS BIGINT) AS sdedup_span_tokens,
+       CAST(sdedup_max_span AS BIGINT) AS sdedup_max_span
+FROM pii_agg, rep_agg, top_agg, bm_agg, dec_agg, pct, lm_agg, chunk_agg, enc_agg, fd_agg, sd_agg
 """
 
 

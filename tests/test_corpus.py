@@ -55,3 +55,20 @@ def test_end_to_end_deterministic_across_layouts(spark, corpus):
     a = sorted(map(tuple, corpus.select("doc_id", "split", "pack_id").collect()))
     b = sorted(map(tuple, shuffled.select("doc_id", "split", "pack_id").collect()))
     assert a == b
+
+
+def test_hygiene_serving_path_agrees_with_contract_row(spark):
+    """r7 (r6 verdict #4): corpus_hygiene_serving is the bench's
+    serving-path variant of corpus_hygiene_suite — every column it
+    emits must equal the contract row's same-named column (the serving
+    path drops verification work, never changes metric values)."""
+    from lakehouse_file_format_compare_spark.plans.hygiene_plans import (
+        corpus_hygiene_serving,
+        corpus_hygiene_suite,
+    )
+
+    serving = corpus_hygiene_serving(spark, SF_CORRECTNESS).collect()[0].asDict()
+    contract = corpus_hygiene_suite(spark, SF_CORRECTNESS).collect()[0].asDict()
+    assert set(serving) <= set(contract)
+    for col, val in serving.items():
+        assert val == contract[col], (col, val, contract[col])
