@@ -440,3 +440,148 @@ def test_embedding_lsh_walltime_scales_subquadratically(spark):
     _check_wall_ratio(ratio, f"10x corpus cost {ratio:.1f}x (t1={t1:.2f}s t10={t10:.2f}s)")
     small.unpersist()
     big.unpersist()
+
+
+@pytest.mark.scale
+def test_minhash_decon_bounds_candidates_on_boilerplate_corpus(spark):
+    """r6 verdict #6: the LSH decontamination path exists FOR corpora
+    whose shingle co-occurrence with the eval set is pathological.
+    Construction: a fixed 15-token boilerplate footer on EVERY corpus
+    doc and every eval doc makes the exact path's candidate set the
+    full |C|x|E| cross product (every pair shares the footer
+    shingles) while pairwise background Jaccard stays ~0.1 (far below
+    threshold). Deterministic gating contracts: (a) the exact path's
+    candidate volume IS |C|x|E| — the measured degradation; (b) the
+    banded-bucket candidate volume is <=5% of it — the bound LSH
+    buys; (c) LSH output recall >=0.8 of the exact output (expected
+    ~0.98 at j~0.68, rows=4, bands=16). Wall ratio at 10x recorded
+    for PROFILE_r07 (informational, count proxies gate)."""
+    from functools import reduce
+
+    from pyspark.sql import DataFrame
+
+    from lakehouse_file_format_compare_spark.operators.decontaminate import (
+        _cross_shingles,
+        jaccard_contamination,
+        minhash_contamination,
+    )
+    from lakehouse_file_format_compare_spark.operators.dedup import (
+        banded_signatures,
+        minhash_signatures,
+    )
+
+    BOILER = " bp1 bp2 bp3 bp4 bp5 bp6 bp7 bp8 bp9 bp10 bp11 bp12 bp13 bp14 bp15"
+    NUM_HASHES, BANDS = 64, 16
+    docs = table(spark, SF_SCALE, "documents").select(
+        "doc_id", F.concat("text", F.lit(BOILER)).alias("text")
+    )
+    # eval: every-16th-token-edited copies of doc_id % 250 == 0 docs
+    toks = F.filter(F.split(F.lower(F.trim(F.col("text"))), r"\s+"),
+                    lambda t: F.length(t) > 0)
+    edited = F.array_join(
+        F.transform(toks, lambda t, i: F.when((i + 1) % 16 == 0, F.lit("zq9"))
+                    .otherwise(t)), " ")
+    ev = docs.where(F.col("doc_id") % 250 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), edited.alias("text")
+    ).cache()
+    n_ev = ev.count()
+    assert n_ev >= 10
+
+    small = docs.repartition(32).cache()
+    n_c = small.count()
+
+    # (a) exact-path candidate volume == the full cross product
+    c_sh, e_sh = _cross_shingles(small, ev, 3, "doc_id", "text", "doc_id", "text")
+    exact_cand = (
+        c_sh.join(F.broadcast(e_sh), "shingle").select("doc_id", "eval_id")
+        .distinct().count()
+    )
+    assert exact_cand == n_c * n_ev, (exact_cand, n_c * n_ev)
+
+    # (b) banded-bucket candidate volume
+    rows = NUM_HASHES // BANDS
+    c_b = banded_signatures(minhash_signatures(small, NUM_HASHES), BANDS, rows, "doc_id")
+    e_b = banded_signatures(minhash_signatures(ev, NUM_HASHES), BANDS, rows, "eval_id")
+    lsh_cand = (
+        c_b.join(F.broadcast(e_b), ["band", "bucket"]).select("doc_id", "eval_id")
+        .distinct().count()
+    )
+    assert lsh_cand <= 0.05 * n_c * n_ev, (lsh_cand, n_c * n_ev)
+
+    # (c) recall of the served output vs the exact output
+    exact_pairs = jaccard_contamination(small, ev, threshold=0.5).count()
+    lsh_pairs = minhash_contamination(
+        small, ev, threshold=0.5, num_hashes=NUM_HASHES, bands=BANDS
+    ).count()
+    assert exact_pairs >= n_ev  # every edited doc still flags its source
+    assert lsh_pairs >= 0.8 * exact_pairs, (lsh_pairs, exact_pairs)
+
+    # 10x corpus (vowel-salted natural text, SAME boilerplate footer —
+    # co-occurrence degradation grows with the corpus, as in the wild)
+    base = table(spark, SF_SCALE, "documents").select("doc_id", "text")
+    copies = [
+        base.select(
+            (F.col("doc_id") + F.lit(i * 10_000_000)).alias("doc_id"),
+            F.concat(
+                (F.regexp_replace("text", "[aeiou]", str(i)) if i else F.col("text")),
+                F.lit(BOILER),
+            ).alias("text"),
+        )
+        for i in range(10)
+    ]
+    big = reduce(DataFrame.unionByName, copies).repartition(32).cache()
+    assert big.count() == 10 * n_c
+
+    _timed_count(minhash_contamination(small, ev, threshold=0.5,
+                                       num_hashes=NUM_HASHES, bands=BANDS))  # warm
+    t1, p1 = _timed_count(minhash_contamination(small, ev, threshold=0.5,
+                                                num_hashes=NUM_HASHES, bands=BANDS))
+    t10, p10 = _timed_count(minhash_contamination(big, ev, threshold=0.5,
+                                                  num_hashes=NUM_HASHES, bands=BANDS))
+    assert p10 >= p1  # copy 0 is identity: its pairs survive
+    ratio = t10 / max(t1, 1.0)
+    _check_wall_ratio(ratio, f"10x boilerplate corpus cost {ratio:.1f}x "
+                             f"(t1={t1:.2f}s t10={t10:.2f}s)")
+    print(f"minhash decon boilerplate 10x: t1={t1:.2f}s t10={t10:.2f}s "
+          f"exact_cand={exact_cand} lsh_cand={lsh_cand} "
+          f"exact_pairs={exact_pairs} lsh_pairs={lsh_pairs}")
+    small.unpersist(); big.unpersist(); ev.unpersist()
+
+
+@pytest.mark.scale
+def test_substring_dedup_walltime_scales_linearly(spark):
+    """r7 operator: 10x corpus of isolated copies (per-copy vowel
+    salting preserves token equality WITHIN a copy, breaks it across
+    copies — a cross-copy match would need 12 consecutive vowel-free
+    tokens) must yield EXACTLY 10x the span rows — the determinism +
+    isolation proxy that gates — with the wall ratio informational."""
+    from functools import reduce
+
+    from pyspark.sql import DataFrame
+
+    from lakehouse_file_format_compare_spark.operators.dedup import (
+        substring_duplicates,
+    )
+
+    docs = table(spark, SF_SCALE, "documents").select("doc_id", "text")
+    small = docs.repartition(32).cache()
+    n1 = small.count()
+    copies = [
+        docs.select(
+            (F.col("doc_id") + F.lit(i * 10_000_000)).alias("doc_id"),
+            (F.regexp_replace("text", "[aeiou]", str(i)) if i else F.col("text")).alias("text"),
+        )
+        for i in range(10)
+    ]
+    big = reduce(DataFrame.unionByName, copies).repartition(32).cache()
+    assert big.count() == 10 * n1
+
+    _timed_count(substring_duplicates(small, min_span_tokens=12))  # warm-up
+    t1, p1 = _timed_count(substring_duplicates(small, min_span_tokens=12))
+    t10, p10 = _timed_count(substring_duplicates(big, min_span_tokens=12))
+    assert p1 > 0  # natural >=12-token overlaps exist in the corpus
+    assert p10 == 10 * p1, (p1, p10)
+    ratio = t10 / max(t1, 1.0)
+    _check_wall_ratio(ratio, f"10x corpus cost {ratio:.1f}x (t1={t1:.2f}s t10={t10:.2f}s)")
+    print(f"substring dedup 10x: t1={t1:.2f}s p1={p1} t10={t10:.2f}s p10={p10}")
+    small.unpersist(); big.unpersist()
