@@ -316,6 +316,74 @@ def substring_duplicates(
     ).select("doc_a", "doc_b", "a_start", "b_start", "span_tokens")
 
 
+def remove_duplicate_spans(
+    docs: DataFrame,
+    spans: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The repair half of the Lee et al. 2022 workflow: given the
+    span table from :func:`substring_duplicates`, excise every
+    detected span from the NON-canonical side — per pair the doc with
+    the larger id (``doc_b``) loses tokens
+    [b_start, b_start + span_tokens) — so one verbatim copy of each
+    duplicated passage survives the corpus. Returns (id_col, text_col)
+    for EVERY input doc (repaired or untouched).
+
+    Semantics & caveats, stated exactly:
+
+    - positions refer to the whitespace-token stream, which is
+      IDENTICAL for the original and the lowercased detection pipeline
+      (lowercasing never changes whitespace), so the repair keeps the
+      original casing of surviving tokens;
+    - the rebuilt text is single-space joined — inter-token
+      whitespace is normalized (the detection tokenizer already
+      treats all runs of whitespace as one separator);
+    - overlapping/adjacent intervals need no pre-merge: a token dies
+      if ANY interval covers it;
+    - resolution is per-pair, so a doc that is ``doc_b`` in one pair
+      and ``doc_a`` in another keeps the span it is canonical for —
+      every DETECTED pair is resolved (proven by the
+      re-run-finds-no-old-pair test), while exactly one copy remains
+      corpus-wide per connected group.
+
+    Plan shape: spans aggregate to one interval-list row per repaired
+    doc (bounded by spans-per-doc, tiny), broadcast-joinable back to
+    the corpus; the excision is a JVM-side filter over the token
+    array. One groupBy at doc grain + one join — no shuffle of the
+    corpus beyond the join, no Python. DuckDB value oracle:
+    tests/test_substring_dedup.py."""
+    iv = spans.groupBy(F.col("doc_b").alias("__doc")).agg(
+        F.collect_list(
+            F.struct(
+                F.col("b_start").cast("long").alias("lo"),
+                (F.col("b_start") + F.col("span_tokens")).cast("long").alias("hi"),
+            )
+        ).alias("__iv")
+    )
+    toked = docs.select(
+        F.col(id_col),
+        F.filter(
+            F.split(F.trim(F.col(text_col)), r"\s+"), lambda t: F.length(t) > 0
+        ).alias("__toks"),
+    )
+    joined = toked.join(iv, toked[id_col] == iv["__doc"], "left")
+    kept = F.filter(
+        F.transform(
+            F.col("__toks"),
+            lambda t, i: F.struct(t.alias("t"), (i + 1).alias("pos")),
+        ),
+        lambda s: ~F.exists(
+            F.coalesce(F.col("__iv"), F.array().cast("array<struct<lo:long,hi:long>>")),
+            lambda r: (s["pos"] >= r["lo"]) & (s["pos"] < r["hi"]),
+        ),
+    )
+    return joined.select(
+        F.col(id_col),
+        F.array_join(F.transform(kept, lambda s: s["t"]), " ").alias(text_col),
+    )
+
+
 def simhash_signatures(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 64
 ) -> DataFrame:

@@ -177,3 +177,119 @@ def test_plan_is_bucket_join_no_cartesian(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+_REMOVAL_ORACLE_SQL = f"""
+WITH sd AS (
+    SELECT doc_id,
+           text || ' sdx aa bb cc dd ee g' || CAST(doc_id // 2 AS VARCHAR)
+                || ' ff gg hh ii jj kk' AS text
+    FROM documents
+), lt AS (
+    SELECT doc_id,
+           list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                       t -> length(t) > 0) AS t
+    FROM sd
+), gr AS (
+    SELECT doc_id, i AS pos, array_to_string(t[i:i+{L - 1}], ' ') AS g
+    FROM (SELECT doc_id, t, unnest(range(1, len(t) - {L} + 2)) AS i
+          FROM lt WHERE len(t) >= {L})
+), m AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.pos AS pos_a, b.pos AS pos_b
+    FROM gr a JOIN gr b USING (g)
+    WHERE a.doc_id < b.doc_id
+), runs AS (
+    SELECT doc_a, doc_b, pos_a, pos_b, pos_a - pos_b AS diag,
+           pos_a - row_number() OVER (PARTITION BY doc_a, doc_b, pos_a - pos_b
+                                      ORDER BY pos_a) AS grp
+    FROM m
+), spans AS (
+    SELECT doc_b, MIN(pos_b) AS b_start, COUNT(*) + {L - 1} AS span_tokens
+    FROM runs GROUP BY doc_a, doc_b, diag, grp
+), iv AS (
+    SELECT doc_b AS doc, b_start AS lo, b_start + span_tokens AS hi FROM spans
+), ot AS (
+    -- ORIGINAL casing: whitespace tokenization gives identical
+    -- positions to the lowercased detection stream
+    SELECT doc_id,
+           list_filter(string_split_regex(trim(text), '\\s+'),
+                       t -> length(t) > 0) AS t
+    FROM sd
+), pos AS (
+    SELECT doc_id, p, t[p] AS tok
+    FROM (SELECT doc_id, t, unnest(range(1, len(t) + 1)) AS p FROM ot)
+), keep AS (
+    SELECT doc_id, p, tok FROM pos
+    WHERE NOT EXISTS (SELECT 1 FROM iv
+                      WHERE iv.doc = pos.doc_id AND pos.p >= iv.lo AND pos.p < iv.hi)
+), rebuilt AS (
+    SELECT doc_id, array_to_string(list(tok ORDER BY p), ' ') AS text
+    FROM keep GROUP BY doc_id
+)
+SELECT s.doc_id, COALESCE(r.text, '') AS text
+FROM sd s LEFT JOIN rebuilt r USING (doc_id)
+"""
+
+
+def test_remove_duplicate_spans_matches_duckdb_oracle(spark):
+    from lakehouse_file_format_compare_spark.operators.dedup import (
+        remove_duplicate_spans,
+    )
+
+    sd = _injected(spark, SF_CORRECTNESS)
+    spans = substring_duplicates(sd, min_span_tokens=L)
+    got = sorted(
+        (r["doc_id"], r["text"])
+        for r in remove_duplicate_spans(sd, spans).collect()
+    )
+    con = duck_connection(SF_CORRECTNESS)
+    want = sorted((int(d), t) for d, t in con.execute(_REMOVAL_ORACLE_SQL).fetchall())
+    con.close()
+    assert got == want
+
+
+def test_remove_duplicate_spans_resolves_every_pair(spark):
+    """After the repair, re-detection finds NONE of the previously
+    detected pairs (each pair's b-side lost the shared span), while
+    canonical (a-side) copies survive; docs never named as doc_b keep
+    their token stream verbatim (modulo whitespace normalization)."""
+    from lakehouse_file_format_compare_spark.operators.dedup import (
+        remove_duplicate_spans,
+    )
+
+    sd = _injected(spark, SF_CORRECTNESS)
+    spans = substring_duplicates(sd, min_span_tokens=L).cache()
+    old_pairs = {(r["doc_a"], r["doc_b"]) for r in spans.collect()}
+    assert old_pairs
+    repaired = remove_duplicate_spans(sd, spans).cache()
+    new_pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in substring_duplicates(repaired, min_span_tokens=L).collect()
+    }
+    assert not (old_pairs & new_pairs), sorted(old_pairs & new_pairs)[:5]
+
+    repaired_ids = {b for _, b in old_pairs}
+    untouched = sorted(
+        (r["doc_id"], r["text"].split())
+        for r in sd.collect()
+        if r["doc_id"] not in repaired_ids
+    )
+    untouched_after = sorted(
+        (r["doc_id"], r["text"].split())
+        for r in repaired.collect()
+        if r["doc_id"] not in repaired_ids
+    )
+    assert untouched == untouched_after
+    spans.unpersist(); repaired.unpersist()
+
+
+def test_remove_with_no_spans_is_whitespace_normalized_identity(spark):
+    from lakehouse_file_format_compare_spark.operators.dedup import (
+        remove_duplicate_spans,
+    )
+
+    sd = _injected(spark, SF_CORRECTNESS)
+    no_spans = substring_duplicates(sd, min_span_tokens=L).where(F.lit(False))
+    out = {r["doc_id"]: r["text"] for r in remove_duplicate_spans(sd, no_spans).collect()}
+    for r in sd.collect():
+        assert out[r["doc_id"]] == " ".join(r["text"].split())
