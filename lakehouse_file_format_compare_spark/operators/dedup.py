@@ -316,6 +316,116 @@ def substring_duplicates(
     ).select("doc_a", "doc_b", "a_start", "b_start", "span_tokens")
 
 
+def self_duplicate_spans(
+    docs: DataFrame,
+    min_span_tokens: int = 20,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_gram_occurrences: int | None = 64,
+) -> DataFrame:
+    """WITHIN-document substring duplication — the other half of the
+    Lee et al. 2022 dedup target (a document repeating its own
+    boilerplate, e.g. a scraped page with the same nav block twice):
+    maximal token spans of >= ``min_span_tokens`` occurring at two
+    different positions of the SAME document. Returns
+    (doc_id, a_start, b_start, span_tokens) with a_start < b_start;
+    same anchor-gram + diagonal-run machinery as
+    :func:`substring_duplicates`, with the self-join keyed on
+    (doc, anchor) and the diagonal never 0.
+
+    ``max_gram_occurrences`` bounds the one quadratic risk unique to
+    the self case: a doc degenerating to one repeated token yields
+    O(len²) position pairs. Anchors occurring more than the cap times
+    WITHIN a doc are dropped (deterministic, oracle-replicable);
+    such docs are exactly what the repetition filters
+    (functions/repetition.py) quarantine anyway."""
+    from pyspark.sql import Window
+
+    gr = _positional_grams(docs, min_span_tokens, id_col, text_col)
+    if max_gram_occurrences is not None:
+        ok = (
+            gr.groupBy("doc", "h1", "h2")
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .where(F.col("__n") <= max_gram_occurrences)
+            .select("doc", "h1", "h2")
+        )
+        gr = gr.join(ok, ["doc", "h1", "h2"], "left_semi")
+    a = gr.select("doc", "h1", "h2", F.col("pos").alias("pos_a"))
+    b = gr.select("doc", "h1", "h2", F.col("pos").alias("pos_b"))
+    m = (
+        a.join(b, ["doc", "h1", "h2"])
+        .where(F.col("pos_a") < F.col("pos_b"))
+        .select("doc", "pos_a", "pos_b")
+    )
+    w = Window.partitionBy("doc", "diag").orderBy("pos_a")
+    runs = m.withColumn("diag", F.col("pos_a") - F.col("pos_b")).withColumn(
+        "grp", F.col("pos_a") - F.row_number().over(w)
+    )
+    return runs.groupBy("doc", "diag", "grp").agg(
+        F.min("pos_a").alias("a_start"),
+        F.min("pos_b").alias("b_start"),
+        (F.count(F.lit(1)) + (min_span_tokens - 1)).alias("span_tokens"),
+    ).select(F.col("doc").alias(id_col), "a_start", "b_start", "span_tokens")
+
+
+def remove_boilerplate_lines(
+    docs: DataFrame,
+    max_line_docs: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-WIDE boilerplate line removal (the C4/RefinedWeb
+    cleaning step the per-doc repetition signals don't cover): any
+    exact line occurring in MORE than ``max_line_docs`` distinct
+    documents — nav bars, cookie banners, licence footers — is
+    dropped from every document. Complements
+    functions/repetition.py (which only measures duplication within
+    one doc) and :func:`substring_duplicates` (cross-doc spans at
+    token grain, pairwise): this is the set-global, line-grain drop.
+
+    Returns (id_col, text_col) for every input doc, lines rejoined
+    with \\n in original order; blank lines are preserved (they are
+    never 'boilerplate' — and dropping them would reflow paragraphs).
+
+    Plan shape: one line-grain count aggregate (map-side partial over
+    exploded lines), the hot-line set — tiny by construction — comes
+    back as a broadcast left-anti join, and docs reassemble with one
+    doc-grain groupBy whose collected payload is bounded by the doc's
+    own line count. No corpus shuffle beyond the reassembly; at 100 TB
+    the hot set is the only global state and it is the small side by
+    definition (a line in >K docs appears once in the set no matter
+    how many billions of copies exist)."""
+    lines = docs.select(
+        F.col(id_col).alias("__doc"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("__pos", "__line"),
+    )
+    hot = (
+        lines.where(F.length("__line") > 0)
+        .groupBy("__line")
+        .agg(F.countDistinct("__doc").alias("__nd"))
+        .where(F.col("__nd") > max_line_docs)
+        .select("__line")
+    )
+    kept = lines.join(F.broadcast(hot), "__line", "left_anti")
+    rebuilt = kept.groupBy("__doc").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("__pos"), F.col("__line")))
+                ),
+                lambda s: s["__line"],
+            ),
+            "\n",
+        ).alias(text_col)
+    )
+    # docs whose EVERY line was hot drop out of `kept`; restore as ''
+    return (
+        docs.select(F.col(id_col))
+        .join(rebuilt, docs[id_col] == rebuilt["__doc"], "left")
+        .select(F.col(id_col), F.coalesce(F.col(text_col), F.lit("")).alias(text_col))
+    )
+
+
 def remove_duplicate_spans(
     docs: DataFrame,
     spans: DataFrame,
