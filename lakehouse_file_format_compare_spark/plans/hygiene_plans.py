@@ -37,7 +37,11 @@ from ..operators.decontaminate import (
     minhash_contamination,
     ngram_contamination,
 )
-from ..operators.dedup import substring_duplicates
+from ..operators.dedup import (
+    remove_boilerplate_lines,
+    self_duplicate_spans,
+    substring_duplicates,
+)
 from ..operators.packing import chunk_documents
 from ..operators.ranking import bigram_lm_scores, bm25_scores
 from ..sources.testdata import table
@@ -66,6 +70,13 @@ FDECON_LSH_RECALL_FLOOR = 0.9
 # >= the minimum through the injection); natural >= 12-token overlaps
 # in the synthetic corpus are caught too, and the oracle replays both.
 SDEDUP_MIN_SPAN = 12
+# self-duplication (r7): doc_id % 6 == 0 docs get their own first 15
+# tokens appended — a verbatim within-doc repetition at a known spot
+SSPAN_MOD = 6
+# boilerplate-line removal (r7): runs the REAL operator over the
+# augmented corpus (whose %5 injection plants the duplicated footer
+# line in ~n/5 docs — corpus-hot by construction at >2-doc threshold)
+BLINES_MAX_DOCS = 2
 
 
 def _augmented_text() -> F.Column:
@@ -232,11 +243,62 @@ def corpus_hygiene_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.max("span_tokens"), F.lit(0)).cast("long").alias("sdedup_max_span"),
     )
 
+    # r7: within-doc self-duplication spans over a %SSPAN_MOD
+    # self-copy injection, and the boilerplate-line REMOVAL operator
+    # run end-to-end over the augmented corpus (the %5 footer
+    # injection makes its hot-line set non-vacuous) — chars-removed
+    # and docs-changed fold the reassembled output, so reassembly
+    # order and blank-line preservation are driver-checked too
+    ss = docs.select(
+        "doc_id",
+        F.when(
+            F.pmod(F.col("doc_id"), F.lit(SSPAN_MOD)) == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" "),
+                F.array_join(
+                    F.slice(
+                        F.filter(
+                            F.split(F.trim(F.col("text")), r"\s+"),
+                            lambda t: F.length(t) > 0,
+                        ),
+                        1, 15,
+                    ),
+                    " ",
+                ),
+            ),
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    # cap=None so the oracle (no cap clause) is exact by construction;
+    # the synthetic docs (~54 tokens) can never reach the default cap
+    # anyway (max within-doc occurrences <= len-11)
+    ss_agg = self_duplicate_spans(
+        ss, min_span_tokens=SDEDUP_MIN_SPAN, max_gram_occurrences=None
+    ).agg(
+        F.countDistinct("doc_id").alias("sspan_docs"),
+        F.count(F.lit(1)).alias("sspan_spans"),
+        F.coalesce(F.sum("span_tokens"), F.lit(0)).cast("long").alias("sspan_tokens"),
+    )
+    bl_out = remove_boilerplate_lines(aug, max_line_docs=BLINES_MAX_DOCS).select(
+        "doc_id", F.col("text").alias("__cleaned")
+    )
+    bl_agg = (
+        aug.join(bl_out, "doc_id")
+        .agg(
+            F.sum((F.col("text") != F.col("__cleaned")).cast("long")).alias(
+                "blines_docs_changed"
+            ),
+            F.sum(F.length("text") - F.length("__cleaned")).cast("long").alias(
+                "blines_chars_removed"
+            ),
+        )
+    )
+
     return (
         row_agg.crossJoin(top_agg)
         .crossJoin(bm_agg).crossJoin(dec_agg).crossJoin(pct)
         .crossJoin(lm_agg).crossJoin(ch_agg).crossJoin(fd_agg)
-        .crossJoin(sd_agg)
+        .crossJoin(sd_agg).crossJoin(ss_agg).crossJoin(bl_agg)
     )
 
 
@@ -580,6 +642,59 @@ WITH aug AS (
            COALESCE(SUM(span_tokens), 0) AS sdedup_span_tokens,
            COALESCE(MAX(span_tokens), 0) AS sdedup_max_span
     FROM sd_spans
+), ss_src AS (
+    SELECT doc_id,
+           CASE WHEN doc_id % {SSPAN_MOD} = 0
+                THEN text || ' ' || array_to_string(
+                         list_filter(string_split_regex(trim(text), '\\s+'),
+                                     x -> length(x) > 0)[1:15], ' ')
+                ELSE text END AS text
+    FROM documents
+), ss_toks AS (
+    SELECT doc_id,
+           list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                       x -> length(x) > 0) AS t
+    FROM ss_src
+), ss_gr AS (
+    SELECT doc_id, i AS pos, array_to_string(t[i:i+{SDEDUP_MIN_SPAN - 1}], ' ') AS g
+    FROM (SELECT doc_id, t, unnest(range(1, len(t) - {SDEDUP_MIN_SPAN} + 2)) AS i
+          FROM ss_toks WHERE len(t) >= {SDEDUP_MIN_SPAN})
+), ss_m AS (
+    SELECT a.doc_id AS doc_id, a.pos AS pos_a, b.pos AS pos_b
+    FROM ss_gr a JOIN ss_gr b ON a.doc_id = b.doc_id AND a.g = b.g AND a.pos < b.pos
+), ss_runs AS (
+    SELECT doc_id, pos_a - pos_b AS diag,
+           pos_a - row_number() OVER (PARTITION BY doc_id, pos_a - pos_b
+                                      ORDER BY pos_a) AS grp
+    FROM ss_m
+), ss_spans AS (
+    SELECT doc_id, COUNT(*) + {SDEDUP_MIN_SPAN - 1} AS span_tokens
+    FROM ss_runs GROUP BY doc_id, diag, grp
+), ss_agg AS (
+    SELECT COUNT(DISTINCT doc_id) AS sspan_docs,
+           COUNT(*) AS sspan_spans,
+           COALESCE(SUM(span_tokens), 0) AS sspan_tokens
+    FROM ss_spans
+), bl_ls AS (
+    SELECT doc_id, string_split(text, chr(10)) AS l, text FROM aug
+), bl_lines AS (
+    SELECT doc_id, i AS pos, l[i] AS line
+    FROM (SELECT doc_id, l, unnest(range(1, len(l) + 1)) AS i FROM bl_ls)
+), bl_hot AS (
+    SELECT line FROM bl_lines WHERE length(line) > 0
+    GROUP BY line HAVING COUNT(DISTINCT doc_id) > {BLINES_MAX_DOCS}
+), bl_kept AS (
+    SELECT doc_id, pos, line FROM bl_lines
+    WHERE line NOT IN (SELECT line FROM bl_hot)
+), bl_rebuilt AS (
+    SELECT doc_id, array_to_string(list(line ORDER BY pos), chr(10)) AS cleaned
+    FROM bl_kept GROUP BY doc_id
+), bl_agg AS (
+    SELECT SUM(CASE WHEN a.text != COALESCE(r.cleaned, '') THEN 1 ELSE 0 END)
+               AS blines_docs_changed,
+           SUM(length(a.text) - length(COALESCE(r.cleaned, '')))
+               AS blines_chars_removed
+    FROM aug a LEFT JOIN bl_rebuilt r USING (doc_id)
 )
 SELECT CAST(pii_email_hits AS BIGINT) AS pii_email_hits,
        CAST(pii_phone_hits AS BIGINT) AS pii_phone_hits,
@@ -611,8 +726,13 @@ SELECT CAST(pii_email_hits AS BIGINT) AS pii_email_hits,
        CAST(sdedup_pairs AS BIGINT) AS sdedup_pairs,
        CAST(sdedup_spans AS BIGINT) AS sdedup_spans,
        CAST(sdedup_span_tokens AS BIGINT) AS sdedup_span_tokens,
-       CAST(sdedup_max_span AS BIGINT) AS sdedup_max_span
-FROM pii_agg, rep_agg, top_agg, bm_agg, dec_agg, pct, lm_agg, chunk_agg, enc_agg, fd_agg, sd_agg
+       CAST(sdedup_max_span AS BIGINT) AS sdedup_max_span,
+       CAST(sspan_docs AS BIGINT) AS sspan_docs,
+       CAST(sspan_spans AS BIGINT) AS sspan_spans,
+       CAST(sspan_tokens AS BIGINT) AS sspan_tokens,
+       CAST(blines_docs_changed AS BIGINT) AS blines_docs_changed,
+       CAST(blines_chars_removed AS BIGINT) AS blines_chars_removed
+FROM pii_agg, rep_agg, top_agg, bm_agg, dec_agg, pct, lm_agg, chunk_agg, enc_agg, fd_agg, sd_agg, ss_agg, bl_agg
 """
 
 
