@@ -324,3 +324,36 @@ def test_no_python_row_udfs_in_r5_operators(spark):
         plan = df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
         assert "BatchEvalPython" not in plan
         assert "ArrowEvalPython" not in plan
+
+
+def test_no_python_row_udfs_in_r7_operators(spark):
+    """Round-7 additions (substring dedup detect/repair, self spans,
+    boilerplate-line removal, HLL rollup contract row, hygiene
+    serving path) stay JVM-side."""
+    from lakehouse_file_format_compare_spark.operators.dedup import (
+        remove_boilerplate_lines,
+        remove_duplicate_spans,
+        self_duplicate_spans,
+        substring_duplicates,
+    )
+    from lakehouse_file_format_compare_spark.plans.adhoc import approx_distinct
+    from lakehouse_file_format_compare_spark.plans.hygiene_plans import (
+        corpus_hygiene_serving,
+    )
+    from lakehouse_file_format_compare_spark.sources.testdata import table
+
+    docs = table(spark, SF_CORRECTNESS, "documents")
+    spans = substring_duplicates(docs, min_span_tokens=12)
+    frames = [
+        spans,
+        self_duplicate_spans(docs, min_span_tokens=12),
+        remove_duplicate_spans(docs, spans),
+        remove_boilerplate_lines(docs),
+        approx_distinct(spark, SF_CORRECTNESS),
+        corpus_hygiene_serving(spark, SF_CORRECTNESS),
+    ]
+    for df in frames:
+        plan = df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+        assert "BatchEvalPython" not in plan
+        assert "ArrowEvalPython" not in plan
+        assert "CartesianProduct" not in plan
