@@ -9,7 +9,13 @@ columns the oracle pins, per the recall-contract pattern). r6 swaps:
 ``mm_image_features`` now drives the REAL header probe over committed
 genuine image files with a header-re-parse oracle, and
 ``similarity_scale_suite`` (PQ/IVF-PQ/int8 recall + candidate-volume
-contracts) took the demoted ``op_set_ops`` slot.
+contracts) took the demoted ``op_set_ops`` slot. r7: no registry
+swaps — ``op_approx_distinct`` widened with the mergeable-HLL rollup
+contract booleans, and ``corpus_hygiene_suite`` grew the
+``sdedup_*`` (cross-doc substring duplication), ``sspan_*``
+(within-doc) and ``blines_*`` (corpus-wide boilerplate-line removal,
+run end-to-end) metric families, each replayed verbatim in the
+oracle SQL.
 """
 
 from __future__ import annotations
