@@ -289,7 +289,11 @@ def substring_duplicates(
     step is exact arithmetic."""
     from pyspark.sql import Window
 
-    gr = _positional_grams(docs, min_span_tokens, id_col, text_col)
+    # the gram table feeds both join sides (and the optional cap's
+    # histogram): cache it so the tokenize+explode+hash subtree runs
+    # once, not 2-3 times — locally a cache, at warehouse scale the
+    # persisted anchor table this stands in for
+    gr = _positional_grams(docs, min_span_tokens, id_col, text_col).cache()
     if max_gram_docs is not None:
         ok = (
             gr.groupBy("h1", "h2")
@@ -341,7 +345,7 @@ def self_duplicate_spans(
     (functions/repetition.py) quarantine anyway."""
     from pyspark.sql import Window
 
-    gr = _positional_grams(docs, min_span_tokens, id_col, text_col)
+    gr = _positional_grams(docs, min_span_tokens, id_col, text_col).cache()
     if max_gram_occurrences is not None:
         ok = (
             gr.groupBy("doc", "h1", "h2")
