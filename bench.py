@@ -152,6 +152,22 @@ def main() -> None:
     sentinel_end = _sentinel(spark)
     load_end = _loadavg()
 
+    # the reference's HEADLINE axis — identical workload per storage
+    # format — recorded per-round as its own sub-object (not part of
+    # the headline totals). Fixed sf0.01 keeps the csv/json writes
+    # bounded; avro/delta/iceberg rows appear automatically when
+    # their jars exist (format_bench uses available_formats).
+    import tempfile
+    from dataclasses import asdict
+
+    from lakehouse_file_format_compare_spark.format_bench import run_format_bench
+
+    with tempfile.TemporaryDirectory(prefix="format_bench_") as fb_root:
+        fb = [
+            asdict(r)
+            for r in run_format_bench(spark, "/root/testdata/sf0.01", fb_root)
+        ]
+
     avail = available_formats(spark)
     result = {
         "metric": "headline_suite_total",
@@ -174,6 +190,9 @@ def main() -> None:
         # host noise from plan regressions.
         "sentinel_sec": {"start": sentinel_start, "end": sentinel_end},
         "loadavg": {"start": load_start, "end": load_end},
+        # per-format write/scan/query/size for the identical workload
+        # (the reference's core comparison), at fixed sf0.01
+        "format_bench": {"sf": 0.01, "results": fb},
     }
     print(json.dumps(result))
     sys.stdout.flush()
