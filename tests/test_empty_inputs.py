@@ -174,3 +174,19 @@ def test_stats_on_empty(spark, empty_docs):
     assert len(row) <= 1
     if row:
         assert row[0]["p50"] is None
+
+
+def test_r7_span_and_line_ops_on_empty(spark, empty_docs, empty_events):
+    from lakehouse_file_format_compare_spark.operators import dedup as D
+    from lakehouse_file_format_compare_spark.operators.temporal import (
+        sessionize_auto,
+    )
+
+    assert D.substring_duplicates(empty_docs, min_span_tokens=5).count() == 0
+    assert D.self_duplicate_spans(empty_docs, min_span_tokens=5).count() == 0
+    spans = D.substring_duplicates(empty_docs, min_span_tokens=5)
+    assert D.remove_duplicate_spans(empty_docs, spans).count() == 0
+    assert D.remove_boilerplate_lines(empty_docs).count() == 0
+    # the dispatcher's max-per-key probe on zero rows returns NULL ->
+    # unsalted branch, empty output
+    assert sessionize_auto(empty_events).count() == 0

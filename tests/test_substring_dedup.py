@@ -293,3 +293,63 @@ def test_remove_with_no_spans_is_whitespace_normalized_identity(spark):
     out = {r["doc_id"]: r["text"] for r in remove_duplicate_spans(sd, no_spans).collect()}
     for r in sd.collect():
         assert out[r["doc_id"]] == " ".join(r["text"].split())
+
+
+def test_hypothesis_random_corpora_match_python_reference(spark):
+    """Adversarial sweep: tiny alphabets force dense natural overlap —
+    periodic runs, overlapping matches, repeated grams inside one doc
+    (multiple diagonals), spans touching doc boundaries. The operator
+    must equal the O(n·m) Python diagonal reference on every pair, and
+    the self-operator must equal the reference applied to (doc, doc)
+    restricted to pos_a < pos_b diagonals."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from lakehouse_file_format_compare_spark.operators.dedup import (
+        self_duplicate_spans,
+    )
+
+    MINSPAN = 3
+
+    @settings(max_examples=12, deadline=None)
+    @given(
+        st.lists(
+            st.lists(st.sampled_from("ab"), min_size=0, max_size=24).map(
+                lambda ts: " ".join(ts)
+            ),
+            min_size=2,
+            max_size=5,
+        )
+    )
+    def run(texts):
+        rows = [(i, t) for i, t in enumerate(texts)]
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        got = {}
+        for r in substring_duplicates(
+            df, min_span_tokens=MINSPAN
+        ).collect():
+            got.setdefault((r["doc_a"], r["doc_b"]), []).append(
+                (r["a_start"], r["b_start"], r["span_tokens"])
+            )
+        toks = {i: [x for x in t.split() if x] for i, t in rows}
+        for a in range(len(rows)):
+            for b in range(a + 1, len(rows)):
+                want = _py_maximal_spans(toks[a], toks[b], MINSPAN)
+                assert sorted(got.get((a, b), [])) == want, (a, b)
+
+        sgot = {}
+        for r in self_duplicate_spans(
+            df, min_span_tokens=MINSPAN, max_gram_occurrences=None
+        ).collect():
+            sgot.setdefault(r["doc_id"], []).append(
+                (r["a_start"], r["b_start"], r["span_tokens"])
+            )
+        for i in range(len(rows)):
+            ref = [
+                (sa, sb, ln)
+                for sa, sb, ln in _py_maximal_spans(toks[i], toks[i], MINSPAN)
+                if sa < sb
+            ]
+            assert sorted(sgot.get(i, [])) == sorted(ref), i
+
+    run()
