@@ -154,19 +154,22 @@ def main() -> None:
 
     # the reference's HEADLINE axis — identical workload per storage
     # format — recorded per-round as its own sub-object (not part of
-    # the headline totals). Fixed sf0.01 keeps the csv/json writes
-    # bounded; avro/delta/iceberg rows appear automatically when
-    # their jars exist (format_bench uses available_formats).
+    # the headline totals). Fixed sf0.01 (resolved relative to the
+    # configured testdata root, not hardcoded) keeps the csv/json
+    # writes bounded; avro/delta/iceberg rows appear automatically
+    # when their jars exist. Guarded: a format-bench failure must
+    # never discard the already-measured headline results.
     import tempfile
     from dataclasses import asdict
 
     from lakehouse_file_format_compare_spark.format_bench import run_format_bench
 
-    with tempfile.TemporaryDirectory(prefix="format_bench_") as fb_root:
-        fb = [
-            asdict(r)
-            for r in run_format_bench(spark, "/root/testdata/sf0.01", fb_root)
-        ]
+    fb_dir = os.path.join(os.path.dirname(sf_dir.rstrip("/")), "sf0.01")
+    try:
+        with tempfile.TemporaryDirectory(prefix="format_bench_") as fb_root:
+            fb = [asdict(r) for r in run_format_bench(spark, fb_dir, fb_root)]
+    except Exception as e:  # noqa: BLE001 — headline JSON must survive
+        fb = {"error": str(e)[:200]}
 
     avail = available_formats(spark)
     result = {

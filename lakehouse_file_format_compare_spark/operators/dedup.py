@@ -232,11 +232,18 @@ def _positional_grams(
             lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
         ),
     ).otherwise(F.array().cast("array<string>"))
+    # h2 seeds the fold chain with the CONSTANT first: multi-arg
+    # xxhash64 folds left-to-right using the accumulated hash as the
+    # next seed, so xxhash64(g, lit(77)) would be XXH64(77, seed=h1)
+    # — a pure function of h1 with zero added collision resistance.
+    # xxhash64(lit(77), g) = XXH64(g, seed=XXH64(77, 42)) is a
+    # differently-seeded hash of g, i.e. genuinely independent
+    # (caught by r7 self-review; verified xxhash64(NULL,77)==xxhash64(77)).
     return staged.select("doc", F.posexplode(grams).alias("pos0", "g")).select(
         "doc",
         (F.col("pos0") + 1).alias("pos"),
         F.xxhash64("g").alias("h1"),
-        F.xxhash64("g", F.lit(77)).alias("h2"),
+        F.xxhash64(F.lit(77), "g").alias("h2"),
     )
 
 
@@ -292,7 +299,10 @@ def substring_duplicates(
     # the gram table feeds both join sides (and the optional cap's
     # histogram): cache it so the tokenize+explode+hash subtree runs
     # once, not 2-3 times — locally a cache, at warehouse scale the
-    # persisted anchor table this stands in for
+    # persisted anchor table this stands in for. The cache outlives
+    # the call (a lazy result can't unpersist itself); it is
+    # LRU-evicted storage, ~24 B/token at tested SFs — a deployment
+    # persists the anchor table explicitly and owns its lifecycle.
     gr = _positional_grams(docs, min_span_tokens, id_col, text_col).cache()
     if max_gram_docs is not None:
         ok = (

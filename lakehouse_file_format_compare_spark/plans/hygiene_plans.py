@@ -113,10 +113,20 @@ def _augmented_text() -> F.Column:
     return out
 
 
-def corpus_hygiene_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = table(spark, sf_dir, "documents")
-    aug = docs.select("doc_id", _augmented_text().alias("text"))
+# ---------------------------------------------------------------------------
+# shared metric builders (r7 refactor): corpus_hygiene_suite (the
+# driver contract row) and corpus_hygiene_serving (the benched
+# production path) COMPOSE these, so a metric definition can never
+# silently diverge between the two — tests/test_corpus.py also pins
+# per-column equality of the overlap.
+# ---------------------------------------------------------------------------
 
+
+def _row_agg(aug: DataFrame) -> DataFrame:
+    """PII, line-repetition and encoding-noise are all per-row column
+    exprs over the SAME augmented text — ONE aggregate pass computes
+    the three families (r6: was three separate scans crossJoined;
+    the oracle SQL keeps its per-family CTEs, values identical)."""
     counts = pii.pii_counts(F.col("text"))
     total_hits = None
     for c in counts.values():
@@ -124,11 +134,7 @@ def corpus_hygiene_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     nl = F.size(_lines(F.col("text")))
     nd = F.size(F.array_distinct(_lines(F.col("text"))))
     enc = encoding_noise_count(F.col("text"))
-    # PII, line-repetition and encoding-noise are all per-row column
-    # exprs over the SAME augmented text — ONE aggregate pass computes
-    # the three families (r6: was three separate scans crossJoined;
-    # the oracle SQL keeps its per-family CTEs, values identical)
-    row_agg = aug.agg(
+    return aug.agg(
         F.sum(counts["email"]).cast("long").alias("pii_email_hits"),
         F.sum(counts["phone"]).cast("long").alias("pii_phone_hits"),
         F.sum(counts["ipv4"]).cast("long").alias("pii_ipv4_hits"),
@@ -140,40 +146,34 @@ def corpus_hygiene_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum((enc > 0).cast("long")).alias("enc_noise_docs"),
     )
 
-    top_agg = top_ngram_char_fraction(docs, n=TOP_NGRAM_N).agg(
-        F.sum("occurrences").cast("long").alias("rep_top_ngram_occurrences"),
-        F.sum(
-            F.when(
-                F.col("top_ngram").isNotNull(),
-                F.col("occurrences") * F.length("top_ngram"),
-            ).otherwise(F.lit(0))
-        ).cast("long").alias("rep_top_ngram_chars"),
-    )
 
-    bm_agg = bm25_scores(docs, BM25_TERMS).agg(
+def _bm_agg(docs: DataFrame) -> DataFrame:
+    return bm25_scores(docs, BM25_TERMS).agg(
         F.count(F.lit(1)).alias("bm25_matched_docs"),
         F.sum("n_terms_matched").cast("long").alias("bm25_terms_matched"),
         grid(F.coalesce(F.sum(grid(F.col("bm25"), 2)), F.lit(0.0)), 2).alias("bm25_total"),
     )
 
+
+def _dec_agg(docs: DataFrame) -> DataFrame:
     eval_docs = docs.orderBy("doc_id").limit(DECON_EVAL_DOCS)
-    dec_agg = ngram_contamination(docs, eval_docs, n=DECON_N).agg(
+    return ngram_contamination(docs, eval_docs, n=DECON_N).agg(
         F.count(F.lit(1)).alias("decon_pairs"),
         F.sum("shared_ngrams").cast("long").alias("decon_shared_total"),
     )
 
-    pct = percentile_summary(docs, "n_chars", probs=(0.5, 0.95)).select(
-        F.col("p50").alias("len_p50"), F.col("p95").alias("len_p95")
-    )
 
-    # r5 additions: bigram-LM quality scoring and overlapping chunking
-    # (same grid-2 snap-then-sum pattern as bm25_total for the float)
-    lm_agg = bigram_lm_scores(docs, alpha=LM_ALPHA).agg(
+def _lm_agg(docs: DataFrame) -> DataFrame:
+    # grid-2 snap-then-sum pattern, same as bm25_total
+    return bigram_lm_scores(docs, alpha=LM_ALPHA).agg(
         F.count(F.lit(1)).alias("lm_scored_docs"),
         F.sum("n_bigrams").cast("long").alias("lm_bigrams_total"),
         grid(F.coalesce(F.sum(grid(F.col("avg_logp"), 2)), F.lit(0.0)), 2).alias("lm_logp_total"),
     )
-    ch_agg = chunk_documents(
+
+
+def _ch_agg(docs: DataFrame) -> DataFrame:
+    return chunk_documents(
         docs, chunk_tokens=CHUNK_TOKENS, overlap_tokens=CHUNK_OVERLAP
     ).agg(
         F.count(F.lit(1)).alias("chunk_count"),
@@ -183,12 +183,14 @@ def corpus_hygiene_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("chunk_split_docs"),
     )
 
-    # r6: fuzzy decontamination metrics over an injected edited-leak
-    # eval set (same construction as tests/test_decontaminate.py)
-    # drop empty tokens before the positional edit: F.trim strips only
-    # ASCII spaces, so a doc starting with \t/\n would yield a leading
-    # '' token here while the oracle's list_filter removes it — shifting
-    # every FDECON_EDIT_EVERY-th edit position by one (r6 ADVICE).
+
+def _fdecon_eval(docs: DataFrame) -> DataFrame:
+    """The injected edited-leak eval set (r6; same construction as
+    tests/test_decontaminate.py). Empty tokens are dropped before the
+    positional edit: F.trim strips only ASCII spaces, so a doc
+    starting with \\t/\\n would yield a leading '' token here while
+    the oracle's list_filter removes it — shifting every
+    FDECON_EDIT_EVERY-th edit position by one (r6 ADVICE)."""
     etoks = F.filter(
         F.split(
             F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " ")), " "
@@ -204,30 +206,28 @@ def corpus_hygiene_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         " ",
     )
-    ev = docs.where(F.col("doc_id") % FDECON_MOD == 0).select(
+    return docs.where(F.col("doc_id") % FDECON_MOD == 0).select(
         (F.col("doc_id") + 100000).alias("doc_id"), edited.alias("text")
     )
-    fd_agg = jaccard_contamination(docs, ev, threshold=FDECON_TH).agg(
+
+
+def _fd_values_agg(docs: DataFrame, ev: DataFrame) -> DataFrame:
+    """The exact-path fdecon VALUE metrics (deterministic — the
+    oracle pins them bit-exact); the probabilistic LSH recall boolean
+    is suite-only and layered on top there."""
+    return jaccard_contamination(docs, ev, threshold=FDECON_TH).agg(
         F.count(F.lit(1)).alias("fdecon_pairs"),
         F.countDistinct("doc_id").alias("fdecon_flagged_docs"),
         grid(
             F.coalesce(F.sum(grid(F.col("jaccard"), 2)), F.lit(0.0)), 2
         ).alias("fdecon_jaccard_total"),
     )
-    lsh_n = minhash_contamination(docs, ev, threshold=FDECON_TH).agg(
-        F.count(F.lit(1)).alias("__lsh_n")
-    )
-    fd_agg = fd_agg.crossJoin(lsh_n).select(
-        "fdecon_pairs", "fdecon_flagged_docs", "fdecon_jaccard_total",
-        (
-            F.col("__lsh_n")
-            >= F.lit(FDECON_LSH_RECALL_FLOOR) * F.col("fdecon_pairs")
-        ).alias("fdecon_lsh_recall_ok"),
-    )
 
-    # r7: cross-document substring duplication over the group-span
-    # injected corpus (operators/dedup.py::substring_duplicates)
-    sd = docs.select(
+
+def _sdedup_corpus(docs: DataFrame) -> DataFrame:
+    """The group-span injected corpus: consecutive doc_id pairs share
+    a 13-token span (see SDEDUP_MIN_SPAN comment)."""
+    return docs.select(
         "doc_id",
         F.concat(
             F.col("text"),
@@ -236,12 +236,59 @@ def corpus_hygiene_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(" ff gg hh ii jj kk"),
         ).alias("text"),
     )
-    sd_agg = substring_duplicates(sd, min_span_tokens=SDEDUP_MIN_SPAN).agg(
+
+
+def _sd_agg(docs: DataFrame) -> DataFrame:
+    return substring_duplicates(
+        _sdedup_corpus(docs), min_span_tokens=SDEDUP_MIN_SPAN
+    ).agg(
         F.countDistinct("doc_a", "doc_b").alias("sdedup_pairs"),
         F.count(F.lit(1)).alias("sdedup_spans"),
         F.coalesce(F.sum("span_tokens"), F.lit(0)).cast("long").alias("sdedup_span_tokens"),
         F.coalesce(F.max("span_tokens"), F.lit(0)).cast("long").alias("sdedup_max_span"),
     )
+
+
+def corpus_hygiene_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    aug = docs.select("doc_id", _augmented_text().alias("text"))
+
+    row_agg = _row_agg(aug)
+
+    top_agg = top_ngram_char_fraction(docs, n=TOP_NGRAM_N).agg(
+        F.sum("occurrences").cast("long").alias("rep_top_ngram_occurrences"),
+        F.sum(
+            F.when(
+                F.col("top_ngram").isNotNull(),
+                F.col("occurrences") * F.length("top_ngram"),
+            ).otherwise(F.lit(0))
+        ).cast("long").alias("rep_top_ngram_chars"),
+    )
+
+    bm_agg = _bm_agg(docs)
+    dec_agg = _dec_agg(docs)
+
+    pct = percentile_summary(docs, "n_chars", probs=(0.5, 0.95)).select(
+        F.col("p50").alias("len_p50"), F.col("p95").alias("len_p95")
+    )
+
+    lm_agg = _lm_agg(docs)
+    ch_agg = _ch_agg(docs)
+
+    # exact fdecon values + the suite-only LSH recall boolean
+    ev = _fdecon_eval(docs)
+    lsh_n = minhash_contamination(docs, ev, threshold=FDECON_TH).agg(
+        F.count(F.lit(1)).alias("__lsh_n")
+    )
+    fd_agg = _fd_values_agg(docs, ev).crossJoin(lsh_n).select(
+        "fdecon_pairs", "fdecon_flagged_docs", "fdecon_jaccard_total",
+        (
+            F.col("__lsh_n")
+            >= F.lit(FDECON_LSH_RECALL_FLOOR) * F.col("fdecon_pairs")
+        ).alias("fdecon_lsh_recall_ok"),
+    )
+
+    sd_agg = _sd_agg(docs)
 
     # r7: within-doc self-duplication spans over a %SSPAN_MOD
     # self-copy injection, and the boilerplate-line REMOVAL operator
@@ -315,87 +362,20 @@ def corpus_hygiene_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
     second decon engine. Not in the driver registry (every metric
     here is already oracle-covered via ``corpus_hygiene_suite``);
     bench.py times it alongside the contract row so round-over-round
-    drift in serving cost is separable from verification cost."""
+    drift in serving cost is separable from verification cost.
+
+    Composed from the SAME builders as the suite (r7 refactor): a
+    metric definition cannot diverge between contract and serving —
+    tests/test_corpus.py additionally pins per-column equality of the
+    overlap."""
     docs = table(spark, sf_dir, "documents")
     aug = docs.select("doc_id", _augmented_text().alias("text"))
-
-    counts = pii.pii_counts(F.col("text"))
-    total_hits = None
-    for c in counts.values():
-        total_hits = c if total_hits is None else total_hits + c
-    nl = F.size(_lines(F.col("text")))
-    nd = F.size(F.array_distinct(_lines(F.col("text"))))
-    enc = encoding_noise_count(F.col("text"))
-    row_agg = aug.agg(
-        F.sum(counts["email"]).cast("long").alias("pii_email_hits"),
-        F.sum(counts["phone"]).cast("long").alias("pii_phone_hits"),
-        F.sum(counts["ipv4"]).cast("long").alias("pii_ipv4_hits"),
-        F.sum(counts["card"]).cast("long").alias("pii_card_hits"),
-        F.sum((total_hits > 0).cast("long")).alias("pii_docs_flagged"),
-        F.sum((nl - nd).cast("long")).alias("rep_dup_lines_total"),
-        F.sum(((nl - nd) > 0).cast("long")).alias("rep_dup_line_docs"),
-        F.sum(enc).cast("long").alias("enc_noise_hits"),
-        F.sum((enc > 0).cast("long")).alias("enc_noise_docs"),
-    )
-    bm_agg = bm25_scores(docs, BM25_TERMS).agg(
-        F.count(F.lit(1)).alias("bm25_matched_docs"),
-        grid(F.coalesce(F.sum(grid(F.col("bm25"), 2)), F.lit(0.0)), 2).alias("bm25_total"),
-    )
-    eval_docs = docs.orderBy("doc_id").limit(DECON_EVAL_DOCS)
-    dec_agg = ngram_contamination(docs, eval_docs, n=DECON_N).agg(
-        F.count(F.lit(1)).alias("decon_pairs"),
-        F.sum("shared_ngrams").cast("long").alias("decon_shared_total"),
-    )
-    lm_agg = bigram_lm_scores(docs, alpha=LM_ALPHA).agg(
-        F.count(F.lit(1)).alias("lm_scored_docs"),
-        grid(F.coalesce(F.sum(grid(F.col("avg_logp"), 2)), F.lit(0.0)), 2).alias("lm_logp_total"),
-    )
-    ch_agg = chunk_documents(
-        docs, chunk_tokens=CHUNK_TOKENS, overlap_tokens=CHUNK_OVERLAP
-    ).agg(
-        F.count(F.lit(1)).alias("chunk_count"),
-        F.sum("n_tokens").cast("long").alias("chunk_tokens_total"),
-    )
-    etoks = F.filter(
-        F.split(
-            F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " ")), " "
-        ),
-        lambda t: F.length(t) > 0,
-    )
-    edited = F.array_join(
-        F.transform(
-            etoks,
-            lambda t, i: F.when(
-                (i + 1) % FDECON_EDIT_EVERY == 0, F.lit("xq7")
-            ).otherwise(t),
-        ),
-        " ",
-    )
-    ev = docs.where(F.col("doc_id") % FDECON_MOD == 0).select(
-        (F.col("doc_id") + 100000).alias("doc_id"), edited.alias("text")
-    )
-    fd_agg = jaccard_contamination(docs, ev, threshold=FDECON_TH).agg(
-        F.count(F.lit(1)).alias("fdecon_pairs"),
-        grid(
-            F.coalesce(F.sum(grid(F.col("jaccard"), 2)), F.lit(0.0)), 2
-        ).alias("fdecon_jaccard_total"),
-    )
-    sd = docs.select(
-        "doc_id",
-        F.concat(
-            F.col("text"),
-            F.lit(" sdx aa bb cc dd ee g"),
-            F.floor(F.col("doc_id") / 2).cast("long").cast("string"),
-            F.lit(" ff gg hh ii jj kk"),
-        ).alias("text"),
-    )
-    sd_agg = substring_duplicates(sd, min_span_tokens=SDEDUP_MIN_SPAN).agg(
-        F.count(F.lit(1)).alias("sdedup_spans"),
-        F.coalesce(F.sum("span_tokens"), F.lit(0)).cast("long").alias("sdedup_span_tokens"),
-    )
+    ev = _fdecon_eval(docs)
     return (
-        row_agg.crossJoin(bm_agg).crossJoin(dec_agg)
-        .crossJoin(lm_agg).crossJoin(ch_agg).crossJoin(fd_agg).crossJoin(sd_agg)
+        _row_agg(aug)
+        .crossJoin(_bm_agg(docs)).crossJoin(_dec_agg(docs))
+        .crossJoin(_lm_agg(docs)).crossJoin(_ch_agg(docs))
+        .crossJoin(_fd_values_agg(docs, ev)).crossJoin(_sd_agg(docs))
     )
 
 

@@ -121,8 +121,8 @@ def test_self_span_repeated_token_cap(spark):
     )
     capped = self_duplicate_spans(spark_df, min_span_tokens=L)
     assert capped.where(F.col("doc_id") == 1).count() == 0
-    # doc 2's period-2 repetition also exceeds the 64-occurrence cap
-    # (every gram occurs ~34 times -> kept) — verify it IS kept
+    # doc 2's period-2 repetition stays UNDER the 64-occurrence cap
+    # (every gram occurs ~34 times) — verify its anchors are kept
     assert capped.where(F.col("doc_id") == 2).count() > 0
     # cap=None on the real corpus equals the default (no natural doc
     # repeats an anchor > 64 times)
