@@ -212,6 +212,67 @@ def minhash_contamination(
     return _jaccard_pairs(common, c_sh, e_sh, threshold)
 
 
+def substring_contamination(
+    corpus: DataFrame,
+    eval_docs: DataFrame,
+    min_span_tokens: int = 20,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    eval_id_col: str = "doc_id",
+    eval_text_col: str = "text",
+) -> DataFrame:
+    """SPAN-grain decontamination — the strictest leak test: find
+    every maximal verbatim token span of >= ``min_span_tokens``
+    shared between a corpus document and an evaluation document,
+    regardless of how small a fraction of either document it is.
+    ``ngram_contamination`` counts shared fixed-n grams;
+    ``jaccard_contamination`` needs set-level overlap; this reports
+    the actual copied REGIONS — (doc_id, eval_id, doc_start,
+    eval_start, span_tokens) — so a single embedded benchmark
+    question inside a long web page is caught and localizable.
+
+    Composition of the r7 substring machinery
+    (operators/dedup.py::_positional_grams — anchor windows with two
+    independent 64-bit hashes) with the decontamination family's
+    asymmetric shape: the eval anchor table is benchmark-sized and
+    BROADCAST, the corpus is scanned once and never shuffled — the
+    matches (bounded by true overlap with the tiny eval side) are the
+    only rows that reach the per-diagonal run windows. Exact up to
+    the 2^-128 anchor collision; DuckDB gram-string-join oracle in
+    tests/test_decontaminate.py."""
+    from pyspark.sql import Window
+
+    from .dedup import _positional_grams
+
+    c = _positional_grams(corpus, min_span_tokens, id_col, text_col)
+    e = _positional_grams(eval_docs, min_span_tokens, eval_id_col, eval_text_col)
+    m = (
+        c.join(
+            F.broadcast(
+                e.select(
+                    "h1", "h2",
+                    F.col("doc").alias("eval_id"),
+                    F.col("pos").alias("pos_e"),
+                )
+            ),
+            ["h1", "h2"],
+        )
+        .select(
+            F.col("doc").alias("doc_id"), "eval_id",
+            F.col("pos").alias("pos_c"), "pos_e",
+        )
+    )
+    w = Window.partitionBy("doc_id", "eval_id", "diag").orderBy("pos_c")
+    runs = m.withColumn("diag", F.col("pos_c") - F.col("pos_e")).withColumn(
+        "grp", F.col("pos_c") - F.row_number().over(w)
+    )
+    return runs.groupBy("doc_id", "eval_id", "diag", "grp").agg(
+        F.min("pos_c").alias("doc_start"),
+        F.min("pos_e").alias("eval_start"),
+        (F.count(F.lit(1)) + (min_span_tokens - 1)).alias("span_tokens"),
+    ).select("doc_id", "eval_id", "doc_start", "eval_start", "span_tokens")
+
+
 def decontaminate_fuzzy(
     corpus: DataFrame,
     eval_docs: DataFrame,

@@ -36,6 +36,7 @@ from ..operators.decontaminate import (
     jaccard_contamination,
     minhash_contamination,
     ngram_contamination,
+    substring_contamination,
 )
 from ..operators.dedup import (
     remove_boilerplate_lines,
@@ -77,6 +78,10 @@ SSPAN_MOD = 6
 # augmented corpus (whose %5 injection plants the duplicated footer
 # line in ~n/5 docs — corpus-hot by construction at >2-doc threshold)
 BLINES_MAX_DOCS = 2
+# span-grain decontamination (r7): eval docs are the middle 20 tokens
+# of every %SCON_MOD corpus doc wrapped in eval-only filler — the
+# embedded-verbatim-benchmark regime; the span must localize exactly
+SCON_MOD = 40
 
 
 def _augmented_text() -> F.Column:
@@ -249,6 +254,31 @@ def _sd_agg(docs: DataFrame) -> DataFrame:
     )
 
 
+def _scon_agg(docs: DataFrame) -> DataFrame:
+    """Span-grain decontamination metrics: lifted-snippet eval docs
+    (middle 20 tokens of every %SCON_MOD doc, filler-wrapped) against
+    the corpus — operators/decontaminate.py::substring_contamination."""
+    toks = F.filter(
+        F.split(F.lower(F.trim(F.col("text"))), r"\s+"),
+        lambda t: F.length(t) > 0,
+    )
+    ev = docs.where(F.col("doc_id") % SCON_MOD == 0).select(
+        (F.col("doc_id") + 900000).alias("doc_id"),
+        F.concat(
+            F.lit("evalprefix qq ww "),
+            F.array_join(F.slice(toks, 11, 20), " "),
+            F.lit(" rr tt evalsuffix"),
+        ).alias("text"),
+    )
+    return substring_contamination(
+        docs, ev, min_span_tokens=SDEDUP_MIN_SPAN
+    ).agg(
+        F.countDistinct("doc_id", "eval_id").alias("scon_pairs"),
+        F.count(F.lit(1)).alias("scon_spans"),
+        F.coalesce(F.sum("span_tokens"), F.lit(0)).cast("long").alias("scon_tokens"),
+    )
+
+
 def corpus_hygiene_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     aug = docs.select("doc_id", _augmented_text().alias("text"))
@@ -346,6 +376,7 @@ def corpus_hygiene_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(bm_agg).crossJoin(dec_agg).crossJoin(pct)
         .crossJoin(lm_agg).crossJoin(ch_agg).crossJoin(fd_agg)
         .crossJoin(sd_agg).crossJoin(ss_agg).crossJoin(bl_agg)
+        .crossJoin(_scon_agg(docs))
     )
 
 
@@ -376,6 +407,7 @@ def corpus_hygiene_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(_bm_agg(docs)).crossJoin(_dec_agg(docs))
         .crossJoin(_lm_agg(docs)).crossJoin(_ch_agg(docs))
         .crossJoin(_fd_values_agg(docs, ev)).crossJoin(_sd_agg(docs))
+        .crossJoin(_scon_agg(docs))
     )
 
 
@@ -675,6 +707,42 @@ WITH aug AS (
            SUM(length(a.text) - length(COALESCE(r.cleaned, '')))
                AS blines_chars_removed
     FROM aug a LEFT JOIN bl_rebuilt r USING (doc_id)
+), sc_ct AS (
+    SELECT doc_id,
+           list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                       x -> length(x) > 0) AS t
+    FROM documents
+), sc_ev AS (
+    SELECT doc_id + 900000 AS doc_id,
+           list_filter(string_split_regex(lower(
+               'evalprefix qq ww ' || array_to_string(t[11:30], ' ')
+               || ' rr tt evalsuffix'), '\\s+'),
+               x -> length(x) > 0) AS t
+    FROM sc_ct WHERE doc_id % {SCON_MOD} = 0
+), sc_cg AS (
+    SELECT doc_id, i AS pos, array_to_string(t[i:i+{SDEDUP_MIN_SPAN - 1}], ' ') AS g
+    FROM (SELECT doc_id, t, unnest(range(1, len(t) - {SDEDUP_MIN_SPAN} + 2)) AS i
+          FROM sc_ct WHERE len(t) >= {SDEDUP_MIN_SPAN})
+), sc_eg AS (
+    SELECT doc_id AS eval_id, i AS pos, array_to_string(t[i:i+{SDEDUP_MIN_SPAN - 1}], ' ') AS g
+    FROM (SELECT doc_id, t, unnest(range(1, len(t) - {SDEDUP_MIN_SPAN} + 2)) AS i
+          FROM sc_ev WHERE len(t) >= {SDEDUP_MIN_SPAN})
+), sc_m AS (
+    SELECT c.doc_id, e.eval_id, c.pos AS pos_c, e.pos AS pos_e
+    FROM sc_cg c JOIN sc_eg e USING (g)
+), sc_runs AS (
+    SELECT doc_id, eval_id, pos_c - pos_e AS diag,
+           pos_c - row_number() OVER (PARTITION BY doc_id, eval_id, pos_c - pos_e
+                                      ORDER BY pos_c) AS grp
+    FROM sc_m
+), sc_spans AS (
+    SELECT doc_id, eval_id, COUNT(*) + {SDEDUP_MIN_SPAN - 1} AS span_tokens
+    FROM sc_runs GROUP BY doc_id, eval_id, diag, grp
+), sc_agg AS (
+    SELECT COUNT(DISTINCT (doc_id, eval_id)) AS scon_pairs,
+           COUNT(*) AS scon_spans,
+           COALESCE(SUM(span_tokens), 0) AS scon_tokens
+    FROM sc_spans
 )
 SELECT CAST(pii_email_hits AS BIGINT) AS pii_email_hits,
        CAST(pii_phone_hits AS BIGINT) AS pii_phone_hits,
@@ -711,8 +779,11 @@ SELECT CAST(pii_email_hits AS BIGINT) AS pii_email_hits,
        CAST(sspan_spans AS BIGINT) AS sspan_spans,
        CAST(sspan_tokens AS BIGINT) AS sspan_tokens,
        CAST(blines_docs_changed AS BIGINT) AS blines_docs_changed,
-       CAST(blines_chars_removed AS BIGINT) AS blines_chars_removed
-FROM pii_agg, rep_agg, top_agg, bm_agg, dec_agg, pct, lm_agg, chunk_agg, enc_agg, fd_agg, sd_agg, ss_agg, bl_agg
+       CAST(blines_chars_removed AS BIGINT) AS blines_chars_removed,
+       CAST(scon_pairs AS BIGINT) AS scon_pairs,
+       CAST(scon_spans AS BIGINT) AS scon_spans,
+       CAST(scon_tokens AS BIGINT) AS scon_tokens
+FROM pii_agg, rep_agg, top_agg, bm_agg, dec_agg, pct, lm_agg, chunk_agg, enc_agg, fd_agg, sd_agg, ss_agg, bl_agg, sc_agg
 """
 
 

@@ -270,3 +270,128 @@ def test_fuzzy_contamination_plan_broadcasts_eval(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+# --- span-grain decontamination (r7) ----------------------------------------
+
+SC_L = 12
+
+
+def _sc_eval(spark):
+    """Eval docs = the middle 20 tokens of every doc_id % 40 == 0
+    corpus doc, wrapped in eval-only filler — the 'benchmark question
+    embedded verbatim' regime that n-gram counting localizes poorly
+    and Jaccard dilutes below threshold."""
+    docs = table(spark, SF_CORRECTNESS, "documents")
+    toks = F.filter(F.split(F.lower(F.trim(F.col("text"))), r"\s+"),
+                    lambda t: F.length(t) > 0)
+    snippet = F.array_join(F.slice(toks, 11, 20), " ")
+    return docs.where(F.col("doc_id") % 40 == 0).select(
+        (F.col("doc_id") + 900000).alias("doc_id"),
+        F.concat(
+            F.lit("evalprefix qq ww "), snippet, F.lit(" rr tt evalsuffix")
+        ).alias("text"),
+    )
+
+
+SC_ORACLE_SQL = f"""
+WITH ct AS (
+    SELECT doc_id,
+           list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                       t -> length(t) > 0) AS t
+    FROM read_parquet('{{corpus}}')
+), ev AS (
+    SELECT doc_id + 900000 AS doc_id,
+           'evalprefix qq ww ' || array_to_string(t[11:30], ' ')
+               || ' rr tt evalsuffix' AS text
+    FROM ct WHERE doc_id % 40 = 0
+), et AS (
+    SELECT doc_id,
+           list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                       t -> length(t) > 0) AS t
+    FROM ev
+), cg AS (
+    SELECT doc_id, i AS pos, array_to_string(t[i:i+{SC_L - 1}], ' ') AS g
+    FROM (SELECT doc_id, t, unnest(range(1, len(t) - {SC_L} + 2)) AS i
+          FROM ct WHERE len(t) >= {SC_L})
+), eg AS (
+    SELECT doc_id AS eval_id, i AS pos, array_to_string(t[i:i+{SC_L - 1}], ' ') AS g
+    FROM (SELECT doc_id, t, unnest(range(1, len(t) - {SC_L} + 2)) AS i
+          FROM et WHERE len(t) >= {SC_L})
+), m AS (
+    SELECT c.doc_id, e.eval_id, c.pos AS pos_c, e.pos AS pos_e
+    FROM cg c JOIN eg e USING (g)
+), runs AS (
+    SELECT doc_id, eval_id, pos_c, pos_e, pos_c - pos_e AS diag,
+           pos_c - row_number() OVER (PARTITION BY doc_id, eval_id, pos_c - pos_e
+                                      ORDER BY pos_c) AS grp
+    FROM m
+)
+SELECT doc_id, eval_id, MIN(pos_c) AS doc_start, MIN(pos_e) AS eval_start,
+       COUNT(*) + {SC_L - 1} AS span_tokens
+FROM runs GROUP BY doc_id, eval_id, diag, grp
+"""
+
+
+def test_substring_contamination_matches_duckdb_oracle(spark):
+    from lakehouse_file_format_compare_spark.operators.decontaminate import (
+        substring_contamination,
+    )
+
+    corpus = table(spark, SF_CORRECTNESS, "documents")
+    got = sorted(
+        tuple(r)
+        for r in substring_contamination(
+            corpus, _sc_eval(spark), min_span_tokens=SC_L
+        ).collect()
+    )
+    corpus_path = os.path.join(SF_CORRECTNESS, "documents.parquet")
+    con = duckdb.connect()
+    want = sorted(
+        tuple(int(v) for v in row)
+        for row in con.execute(SC_ORACLE_SQL.format(corpus=corpus_path)).fetchall()
+    )
+    con.close()
+    assert got == want
+    assert len(got) >= 10  # every lifted snippet found
+
+
+def test_substring_contamination_localizes_the_lifted_region(spark):
+    """Each eval doc's snippet is tokens 11..30 of its source doc and
+    sits at eval positions 4..23 — the reported span must cover
+    exactly that region: doc_start=11, eval_start=4, span_tokens=20
+    (filler tokens are eval-only, so the span cannot extend)."""
+    from lakehouse_file_format_compare_spark.operators.decontaminate import (
+        substring_contamination,
+    )
+
+    corpus = table(spark, SF_CORRECTNESS, "documents")
+    n_tok = {
+        r["doc_id"]: len(r["text"].split()) for r in corpus.collect()
+    }
+    spans = {}
+    for r in substring_contamination(
+        corpus, _sc_eval(spark), min_span_tokens=SC_L
+    ).collect():
+        spans.setdefault((r["doc_id"], r["eval_id"]), []).append(
+            (r["doc_start"], r["eval_start"], r["span_tokens"])
+        )
+    checked = 0
+    for did, n in n_tok.items():
+        if did % 40 == 0 and n >= 30:
+            assert (11, 4, 20) in spans.get((did, did + 900000), []), did
+            checked += 1
+    assert checked >= 10
+
+
+def test_substring_contamination_plan_broadcasts_eval_side(spark):
+    from lakehouse_file_format_compare_spark.operators.decontaminate import (
+        substring_contamination,
+    )
+
+    corpus = table(spark, SF_CORRECTNESS, "documents")
+    df = substring_contamination(corpus, _sc_eval(spark), min_span_tokens=SC_L)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
