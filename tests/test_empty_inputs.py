@@ -190,3 +190,16 @@ def test_r7_span_and_line_ops_on_empty(spark, empty_docs, empty_events):
     # the dispatcher's max-per-key probe on zero rows returns NULL ->
     # unsalted branch, empty output
     assert sessionize_auto(empty_events).count() == 0
+
+
+def test_substring_contamination_on_empty(spark, empty_docs):
+    from lakehouse_file_format_compare_spark.operators.decontaminate import (
+        substring_contamination,
+    )
+    from lakehouse_file_format_compare_spark.sources.testdata import table
+
+    from .conftest import SF_CORRECTNESS
+
+    docs = table(spark, SF_CORRECTNESS, "documents")
+    assert substring_contamination(empty_docs, docs, min_span_tokens=5).count() == 0
+    assert substring_contamination(docs, empty_docs, min_span_tokens=5).count() == 0
