@@ -82,6 +82,14 @@ BLINES_MAX_DOCS = 2
 # of every %SCON_MOD corpus doc wrapped in eval-only filler — the
 # embedded-verbatim-benchmark regime; the span must localize exactly
 SCON_MOD = 40
+# Naive-Bayes quality classifier (r7): label-1 docs get a spam-token
+# suffix (decisive, linearly separable by construction), the model
+# trains on the %NBQ_SPLIT_MOD != 0 docs and scores the held-out
+# rest; the oracle replays the full closed-form train+score pipeline
+NBQ_SPAM = " win free prize click now offer deal bonus"
+NBQ_LABEL_MOD = 3
+NBQ_SPLIT_MOD = 4
+NBQ_ALPHA = 1.0
 
 
 def _augmented_text() -> F.Column:
@@ -279,6 +287,42 @@ def _scon_agg(docs: DataFrame) -> DataFrame:
     )
 
 
+def _nbq_agg(docs: DataFrame) -> DataFrame:
+    """Naive-Bayes quality-classifier metrics (r7): train on 3/4 of
+    the spam-injected corpus, score the held-out 1/4. The spam suffix
+    makes the classes separable, so held-out accuracy is a sharp
+    driver-checked contract (nbq_correct == nbq_test_docs) rather
+    than a vacuous count — and the margin total pins the actual
+    log-posterior arithmetic, not just the argmax."""
+    from ..operators.classify import nb_score, nb_train
+
+    src = docs.select(
+        "doc_id",
+        (F.pmod(F.col("doc_id"), F.lit(NBQ_LABEL_MOD)) == 0).cast("int").alias("label"),
+        F.when(
+            F.pmod(F.col("doc_id"), F.lit(NBQ_LABEL_MOD)) == 0,
+            F.concat(F.col("text"), F.lit(NBQ_SPAM)),
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    train = src.where(F.pmod(F.col("doc_id"), F.lit(NBQ_SPLIT_MOD)) != 0)
+    test = src.where(F.pmod(F.col("doc_id"), F.lit(NBQ_SPLIT_MOD)) == 0)
+    model = nb_train(train, alpha=NBQ_ALPHA)
+    scored = nb_score(model, test).join(test.select("doc_id", "label"), "doc_id")
+    agg = scored.agg(
+        F.count(F.lit(1)).alias("nbq_test_docs"),
+        F.coalesce(F.sum("predicted"), F.lit(0)).cast("long").alias("nbq_pred_pos"),
+        F.coalesce(
+            F.sum((F.col("predicted") == F.col("label")).cast("long")), F.lit(0)
+        ).cast("long").alias("nbq_correct"),
+        grid(
+            F.coalesce(F.sum(grid(F.col("margin"), 2)), F.lit(0.0)), 2
+        ).alias("nbq_margin_total"),
+    )
+    return agg.crossJoin(
+        F.broadcast(model.meta.select(F.col("vocab").alias("nbq_vocab")))
+    )
+
+
 def corpus_hygiene_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     aug = docs.select("doc_id", _augmented_text().alias("text"))
@@ -376,7 +420,7 @@ def corpus_hygiene_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(bm_agg).crossJoin(dec_agg).crossJoin(pct)
         .crossJoin(lm_agg).crossJoin(ch_agg).crossJoin(fd_agg)
         .crossJoin(sd_agg).crossJoin(ss_agg).crossJoin(bl_agg)
-        .crossJoin(_scon_agg(docs))
+        .crossJoin(_scon_agg(docs)).crossJoin(_nbq_agg(docs))
     )
 
 
@@ -407,7 +451,7 @@ def corpus_hygiene_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(_bm_agg(docs)).crossJoin(_dec_agg(docs))
         .crossJoin(_lm_agg(docs)).crossJoin(_ch_agg(docs))
         .crossJoin(_fd_values_agg(docs, ev)).crossJoin(_sd_agg(docs))
-        .crossJoin(_scon_agg(docs))
+        .crossJoin(_scon_agg(docs)).crossJoin(_nbq_agg(docs))
     )
 
 
@@ -743,7 +787,64 @@ WITH aug AS (
            COUNT(*) AS scon_spans,
            COALESCE(SUM(span_tokens), 0) AS scon_tokens
     FROM sc_spans
-)
+), nb_src AS (
+    SELECT doc_id,
+           CASE WHEN doc_id % {NBQ_LABEL_MOD} = 0 THEN 1 ELSE 0 END AS label,
+           CASE WHEN doc_id % {NBQ_LABEL_MOD} = 0 THEN text || '{_esc(NBQ_SPAM)}'
+                ELSE text END AS text
+    FROM documents
+), nb_toked AS (
+    SELECT doc_id, label,
+           list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                       x -> length(x) > 0) AS t
+    FROM nb_src
+), nb_tr AS (SELECT * FROM nb_toked WHERE doc_id % {NBQ_SPLIT_MOD} != 0),
+   nb_te AS (SELECT * FROM nb_toked WHERE doc_id % {NBQ_SPLIT_MOD} = 0),
+   nb_occ AS (SELECT label, unnest(t) AS term FROM nb_tr),
+   nb_cnt AS (
+    SELECT term,
+           SUM(CASE WHEN label = 0 THEN 1 ELSE 0 END) AS c0,
+           SUM(CASE WHEN label = 1 THEN 1 ELSE 0 END) AS c1
+    FROM nb_occ GROUP BY term
+), nb_tot AS (
+    SELECT COALESCE(SUM(c0), 0) AS tot0, COALESCE(SUM(c1), 0) AS tot1,
+           COUNT(*) AS v
+    FROM nb_cnt
+), nb_nd AS (
+    SELECT SUM(CASE WHEN label = 0 THEN 1 ELSE 0 END) AS nd0,
+           SUM(CASE WHEN label = 1 THEN 1 ELSE 0 END) AS nd1,
+           COUNT(*) AS n
+    FROM nb_tr
+), nb_meta AS (
+    SELECT {grid_sql("ln(CAST(nd0 AS DOUBLE)) - ln(CAST(n AS DOUBLE))", 6)} AS prior0,
+           {grid_sql("ln(CAST(nd1 AS DOUBLE)) - ln(CAST(n AS DOUBLE))", 6)} AS prior1,
+           {grid_sql(f"ln({NBQ_ALPHA}) - ln(tot0 + {NBQ_ALPHA} * v)", 6)} AS fb0,
+           {grid_sql(f"ln({NBQ_ALPHA}) - ln(tot1 + {NBQ_ALPHA} * v)", 6)} AS fb1
+    FROM nb_tot, nb_nd
+), nb_ll AS (
+    SELECT term,
+           {grid_sql(f"ln(c0 + {NBQ_ALPHA}) - ln(tot0 + {NBQ_ALPHA} * v)", 6)} AS ll0,
+           {grid_sql(f"ln(c1 + {NBQ_ALPHA}) - ln(tot1 + {NBQ_ALPHA} * v)", 6)} AS ll1
+    FROM nb_cnt, nb_tot
+), nb_teocc AS (SELECT doc_id, unnest(t) AS term FROM nb_te),
+   nb_sums AS (
+    SELECT o.doc_id,
+           SUM(COALESCE(ll0, fb0)) AS s0, SUM(COALESCE(ll1, fb1)) AS s1
+    FROM nb_teocc o LEFT JOIN nb_ll USING (term) CROSS JOIN nb_meta
+    GROUP BY o.doc_id
+), nb_scored AS (
+    SELECT t.doc_id, t.label,
+           {grid_sql("(COALESCE(s1, 0) + prior1) - (COALESCE(s0, 0) + prior0)", 2)} AS margin,
+           CASE WHEN {grid_sql("(COALESCE(s1, 0) + prior1) - (COALESCE(s0, 0) + prior0)", 2)} > 0
+                THEN 1 ELSE 0 END AS predicted
+    FROM nb_te t LEFT JOIN nb_sums USING (doc_id) CROSS JOIN nb_meta
+), nbq_agg AS (
+    SELECT COUNT(*) AS nbq_test_docs,
+           COALESCE(SUM(predicted), 0) AS nbq_pred_pos,
+           COALESCE(SUM(CASE WHEN predicted = label THEN 1 ELSE 0 END), 0) AS nbq_correct,
+           {grid_sql("COALESCE(SUM(" + grid_sql("margin", 2) + "), 0)", 2)} AS nbq_margin_total
+    FROM nb_scored
+), nbq_v AS (SELECT v AS nbq_vocab FROM nb_tot)
 SELECT CAST(pii_email_hits AS BIGINT) AS pii_email_hits,
        CAST(pii_phone_hits AS BIGINT) AS pii_phone_hits,
        CAST(pii_ipv4_hits AS BIGINT) AS pii_ipv4_hits,
@@ -782,8 +883,13 @@ SELECT CAST(pii_email_hits AS BIGINT) AS pii_email_hits,
        CAST(blines_chars_removed AS BIGINT) AS blines_chars_removed,
        CAST(scon_pairs AS BIGINT) AS scon_pairs,
        CAST(scon_spans AS BIGINT) AS scon_spans,
-       CAST(scon_tokens AS BIGINT) AS scon_tokens
-FROM pii_agg, rep_agg, top_agg, bm_agg, dec_agg, pct, lm_agg, chunk_agg, enc_agg, fd_agg, sd_agg, ss_agg, bl_agg, sc_agg
+       CAST(scon_tokens AS BIGINT) AS scon_tokens,
+       CAST(nbq_test_docs AS BIGINT) AS nbq_test_docs,
+       CAST(nbq_pred_pos AS BIGINT) AS nbq_pred_pos,
+       CAST(nbq_correct AS BIGINT) AS nbq_correct,
+       nbq_margin_total,
+       CAST(nbq_vocab AS BIGINT) AS nbq_vocab
+FROM pii_agg, rep_agg, top_agg, bm_agg, dec_agg, pct, lm_agg, chunk_agg, enc_agg, fd_agg, sd_agg, ss_agg, bl_agg, sc_agg, nbq_agg, nbq_v
 """
 
 

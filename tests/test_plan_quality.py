@@ -342,8 +342,18 @@ def test_no_python_row_udfs_in_r7_operators(spark):
     )
     from lakehouse_file_format_compare_spark.sources.testdata import table
 
+    from pyspark.sql import functions as F
+
+    from lakehouse_file_format_compare_spark.operators.classify import (
+        nb_score,
+        nb_train,
+    )
+
     docs = table(spark, SF_CORRECTNESS, "documents")
     spans = substring_duplicates(docs, min_span_tokens=12)
+    labeled = docs.select(
+        "doc_id", "text", (F.col("doc_id") % 3 == 0).cast("int").alias("label")
+    )
     frames = [
         spans,
         self_duplicate_spans(docs, min_span_tokens=12),
@@ -351,6 +361,7 @@ def test_no_python_row_udfs_in_r7_operators(spark):
         remove_boilerplate_lines(docs),
         approx_distinct(spark, SF_CORRECTNESS),
         corpus_hygiene_serving(spark, SF_CORRECTNESS),
+        nb_score(nb_train(labeled), docs),
     ]
     for df in frames:
         plan = df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
