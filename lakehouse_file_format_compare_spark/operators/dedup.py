@@ -658,3 +658,81 @@ def embedding_near_dup_lsh(
         .where(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
+
+
+def semantic_near_dup_pairs(
+    embeddings: DataFrame,
+    centroids: list[list[float]],
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_cluster_size: int | None = None,
+) -> DataFrame:
+    """SemDeDup-style semantic near-dup pairs (Abbas et al. 2023,
+    "SemDeDup: Data-efficient learning at web-scale through semantic
+    deduplication" — public): k-means-cluster the embedding space,
+    then compare pairs ONLY within a cluster.
+
+    Same verified-candidate contract as the LSH paths: every emitted
+    pair carries its exact grid-6 cosine and passed the threshold, so
+    precision vs the brute-force pair set is 1.0 by construction and
+    only recall is approximate (cross-cluster near-dups are missed —
+    by design; true near-identical vectors assign to the same nearest
+    centroid, and identical vectors ALWAYS do, deterministically).
+
+    ``centroids`` come from ``similarity.train_ivf_centroids`` (seeded
+    Lloyd on a bounded sample) so assignment is one narrow
+    Arrow-batched projection, no shuffle. The pairing self-join is
+    keyed on the cluster id — Σ cluster², never C(n,2); pass
+    ``max_cluster_size`` to drop degenerate clusters (the hot-bucket
+    cap of the MinHash/LSH paths) for a hard work bound at 100 TB.
+    """
+    from .similarity import ivf_assign
+
+    assigned = ivf_assign(
+        embeddings.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("vec")),
+        centroids,
+        "vec",
+    )
+    if max_cluster_size is not None:
+        counts = assigned.groupBy("__list").agg(F.count(F.lit(1)).alias("__n"))
+        assigned = (
+            assigned.join(counts, "__list")
+            .where(F.col("__n") <= max_cluster_size)
+            .drop("__n")
+        )
+    a = assigned.select("__list", F.col("vid").alias("id_a"), F.col("vec").alias("va"))
+    b = assigned.select("__list", F.col("vid").alias("id_b"), F.col("vec").alias("vb"))
+    return (
+        a.join(b, "__list")
+        .where(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", grid(V.cosine(F.col("va"), F.col("vb")), 6))
+        .where(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
+def semantic_dedup(
+    embeddings: DataFrame,
+    centroids: list[list[float]],
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_cluster_size: int | None = None,
+) -> DataFrame:
+    """End-to-end semantic dedup: cluster-bounded near-dup pairs →
+    connected components → keep the min-id representative of each
+    semantic group (``canonicalize``). Output = ``embeddings`` plus
+    (canonical_id, is_canonical); downstream keeps ``is_canonical``.
+    Within a component exactly one row survives, so no two kept rows
+    are joined by any found pair."""
+    from .components import canonicalize
+
+    pairs = semantic_near_dup_pairs(
+        embeddings, centroids, threshold=threshold,
+        id_col=id_col, vec_col=vec_col, max_cluster_size=max_cluster_size,
+    )
+    return canonicalize(
+        embeddings, pairs.select("id_a", "id_b"), id_col=id_col,
+        src="id_a", dst="id_b",
+    )

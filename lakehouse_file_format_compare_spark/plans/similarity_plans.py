@@ -9,6 +9,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.numeric import grid
 from ..operators import similarity as S
 from ..sources.testdata import table
 
@@ -129,6 +130,14 @@ SUITE_REFINE = 32
 # 0.6 allows for list-size imbalance while still proving the scan is
 # a strict fraction of |Q|x|C|.
 IVFPQ_CAND_FRAC_CEIL = 0.6
+# SemDeDup contract (r7): exact clones of every %SEMDEDUP_CLONE_MOD
+# vector are injected (identical vectors always co-assign, and the
+# raw corpus max pairwise cosine is 0.513 ≪ 0.95), so the true
+# semantic pair set is EXACTLY the planted (i, i+offset) pairs —
+# fully SQL-derivable counts, not just booleans.
+SEMDEDUP_CLONE_MOD = 10
+SEMDEDUP_OFFSET = 1_000_000
+SEMDEDUP_TH = 0.95
 
 _PQ_CODEBOOK_CACHE: dict[tuple, list] = {}
 
@@ -247,16 +256,55 @@ def similarity_scale_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = n_exact.select(
         (F.col("n") / K).cast("long").alias("n_queries"), F.lit(K).alias("k")
     )
+
+    # SemDeDup (r7): planted exact clones → the found pair set must be
+    # exactly the planted set, each at grid-6 cosine 1.0, and dedup
+    # must keep precisely the original corpus (min-id canonical).
+    from ..operators import dedup as D
+
+    clones = emb.where(F.col("vec_id") % SEMDEDUP_CLONE_MOD == 0).select(
+        (F.col("vec_id") + SEMDEDUP_OFFSET).alias("vec_id"), "embedding"
+    )
+    aug = emb.select("vec_id", "embedding").unionByName(clones)
+    sem_pairs = D.semantic_near_dup_pairs(aug, cents, threshold=SEMDEDUP_TH).cache()
+    sem_agg = sem_pairs.agg(
+        F.count(F.lit(1)).alias("semdedup_pairs"),
+        grid(
+            F.coalesce(F.sum(grid(F.col("cosine"), 2)), F.lit(0.0)), 2
+        ).alias("semdedup_cosine_total"),
+        F.coalesce(
+            F.min(
+                (
+                    (F.col("id_b") - F.col("id_a") == SEMDEDUP_OFFSET)
+                    & (F.pmod(F.col("id_a"), F.lit(SEMDEDUP_CLONE_MOD)) == 0)
+                ).cast("int")
+            ).cast("boolean"),
+            F.lit(True),
+        ).alias("semdedup_pairs_planted_ok"),
+    )
+    sem_kept = (
+        D.semantic_dedup(aug, cents, threshold=SEMDEDUP_TH)
+        .where("is_canonical")
+        .agg(F.count(F.lit(1)).alias("semdedup_kept"))
+    )
+
     return (
         base.crossJoin(pq_ok).crossJoin(ivfpq_ok).crossJoin(int8_ok).crossJoin(frac_ok)
+        .crossJoin(sem_agg).crossJoin(sem_kept)
     )
 
 
 SIMILARITY_SCALE_SUITE_SQL = f"""
-SELECT COUNT(*) AS n_queries, {K} AS k,
+SELECT (SELECT COUNT(*) FROM embeddings WHERE vec_id % {QUERY_MOD} = 0) AS n_queries,
+       {K} AS k,
        true AS pq_recall_ok, true AS ivfpq_recall_ok,
-       true AS int8_recall_ok, true AS ivfpq_cand_frac_ok
-FROM embeddings WHERE vec_id % {QUERY_MOD} = 0
+       true AS int8_recall_ok, true AS ivfpq_cand_frac_ok,
+       (SELECT COUNT(*) FROM embeddings WHERE vec_id % {SEMDEDUP_CLONE_MOD} = 0)
+           AS semdedup_pairs,
+       CAST((SELECT COUNT(*) FROM embeddings WHERE vec_id % {SEMDEDUP_CLONE_MOD} = 0)
+            AS DOUBLE) AS semdedup_cosine_total,
+       true AS semdedup_pairs_planted_ok,
+       (SELECT COUNT(*) FROM embeddings) AS semdedup_kept
 """
 
 
