@@ -84,3 +84,107 @@ def merge(
         return kept_target.unionByName(staging)
     new_rows = staging.join(target.select(*keys), on=keys, how="left_anti")
     return target.unionByName(new_rows)
+
+
+def scd2_apply(
+    history: DataFrame,
+    updates: DataFrame,
+    keys: Sequence[str],
+    compare_cols: Sequence[str],
+    effective_col: str = "effective_date",
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+    current_col: str = "is_current",
+    dedup_order_by: Sequence[str] | None = None,
+) -> DataFrame:
+    """Slowly-changing-dimension Type 2 batch apply — the classic
+    lakehouse dimension-history merge (Kimball SCD2; the pattern the
+    reference's Iceberg MERGE would be composed into for versioned
+    dims).
+
+    ``history`` holds the full version history: ``keys`` +
+    ``compare_cols`` + (``valid_from``, ``valid_to``, ``current_col``)
+    — open versions have NULL ``valid_to`` and ``current_col`` true.
+    ``updates`` carries ``keys`` + ``compare_cols`` +
+    ``effective_col``. Per update row:
+
+    - key unknown → insert a new open version (valid_from=effective);
+    - key known, any compare col differs (NULL-safe ``<=>``) → close
+      the open version (valid_to=effective, current=false) and insert
+      a new open version;
+    - attributes identical → no-op (re-applying a batch is idempotent).
+
+    Effective timestamps are assumed monotone per key (late-arriving
+    updates are an upstream ordering problem, as in any MERGE-based
+    SCD2); with multiple rows per key in one batch pass
+    ``dedup_order_by`` to keep only the latest.
+
+    Scale shape (100 TB dim, small batch): the update batch is
+    semi-joined against open versions through a BROADCAST of the batch
+    keys, so change detection happens on batch-sized frames; closing
+    rows is a broadcast join of batch keys against the history scan.
+    The history table is scanned once and never shuffled — the
+    copy-on-write cost profile of a format-native MERGE
+    (storage.py recovers file-level pruning when a format runtime is
+    present).
+    """
+    keys = list(keys)
+    compare_cols = list(compare_cols)
+    expected = set(keys + compare_cols + [valid_from, valid_to, current_col])
+    missing = expected - set(history.columns)
+    if missing:
+        raise ValueError(f"history is missing columns: {sorted(missing)}")
+    missing_u = set(keys + compare_cols + [effective_col]) - set(updates.columns)
+    if missing_u:
+        raise ValueError(f"updates is missing columns: {sorted(missing_u)}")
+    if dedup_order_by:
+        updates = keep_latest(updates, keys, dedup_order_by)
+
+    dtypes = dict(history.dtypes)
+    to_type, from_type = dtypes[valid_to], dtypes[valid_from]
+    hist_cols = history.columns
+    cur = history.where(F.col(current_col))
+    past = history.where(~F.col(current_col))
+
+    u = updates.select(*keys, *compare_cols, F.col(effective_col).alias("__eff"))
+    # batch-sized slice of the open versions: only keys present in the
+    # batch can change, so the change-detection join never touches the
+    # rest of the dimension
+    cur_hit = cur.join(F.broadcast(u.select(*keys).distinct()), keys, "left_semi")
+    c = cur_hit.select(
+        *keys,
+        *[F.col(a).alias(f"__c_{a}") for a in compare_cols],
+        F.lit(True).alias("__exists"),
+    )
+    j = u.join(c, keys, "left")
+    differs = F.lit(False)
+    for a in compare_cols:
+        differs = differs | ~F.col(a).eqNullSafe(F.col(f"__c_{a}"))
+    needs_version = j.where(F.col("__exists").isNull() | differs)
+
+    new_versions = needs_version.select(
+        *keys, *compare_cols,
+        F.col("__eff").cast(from_type).alias(valid_from),
+        F.lit(None).cast(to_type).alias(valid_to),
+        F.lit(True).alias(current_col),
+    ).select(*hist_cols)
+
+    to_close = needs_version.where(F.col("__exists")).select(
+        *keys, F.col("__eff").alias("__close_eff")
+    )
+    closed = (
+        cur.join(F.broadcast(to_close), keys)
+        .withColumn(valid_to, F.col("__close_eff").cast(to_type))
+        .withColumn(current_col, F.lit(False))
+        .select(*hist_cols)
+    )
+    untouched_cur = cur.join(
+        F.broadcast(to_close.select(*keys)), keys, "left_anti"
+    ).select(*hist_cols)
+
+    return (
+        past.select(*hist_cols)
+        .unionByName(untouched_cur)
+        .unionByName(closed)
+        .unionByName(new_versions)
+    )

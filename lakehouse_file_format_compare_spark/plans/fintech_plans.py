@@ -116,6 +116,45 @@ def q4_product_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# SCD2 row (r7): the customer dim as a Type-2 history — %4==0 rows
+# change (last_name suffix), %4==1 re-arrive unchanged (must no-op),
+# %10==0 also arrive as brand-new keys. Closed/open interval
+# arithmetic and the idempotent no-op branch are all fingerprinted.
+SCD2_D0 = "2025-01-01"
+SCD2_D1 = "2025-06-01"
+SCD2_UPD_MOD = 4
+SCD2_NEW_MOD = 10
+SCD2_NEW_OFFSET = 1_000_000
+
+
+def _scd2_result(cust: DataFrame) -> DataFrame:
+    from ..operators.merge import scd2_apply
+
+    hist = cust.select(
+        "customer_id", "first_name", "last_name",
+        F.lit(SCD2_D0).cast("date").alias("valid_from"),
+        F.lit(None).cast("date").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    eff = F.lit(SCD2_D1).cast("date").alias("effective_date")
+    changed = cust.where(F.pmod("customer_id", F.lit(SCD2_UPD_MOD)) == 0).select(
+        "customer_id", "first_name",
+        F.concat(F.col("last_name"), F.lit("-II")).alias("last_name"), eff,
+    )
+    unchanged = cust.where(F.pmod("customer_id", F.lit(SCD2_UPD_MOD)) == 1).select(
+        "customer_id", "first_name", "last_name", eff
+    )
+    new = cust.where(F.pmod("customer_id", F.lit(SCD2_NEW_MOD)) == 0).select(
+        (F.col("customer_id") + SCD2_NEW_OFFSET).alias("customer_id"),
+        F.concat(F.lit("new-"), F.col("first_name")).alias("first_name"),
+        "last_name", eff,
+    )
+    return scd2_apply(
+        hist, changed.unionByName(unchanged).unionByName(new),
+        keys=["customer_id"], compare_cols=["first_name", "last_name"],
+    )
+
+
 def _summarize(name: str, df: DataFrame, money, counts, fp) -> DataFrame:
     """One suite row: portable aggregates of a gold result (see module
     docstring for why each column is engine-exact)."""
@@ -183,8 +222,21 @@ def gold_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         + F.length("product_category") * 7,
     )
 
+    s5 = _summarize(
+        "q5_scd2_customer_history", _scd2_result(f["d_customers"]),
+        money=grid(
+            F.coalesce(F.datediff("valid_to", "valid_from"), F.lit(0)) / F.lit(100.0), 2
+        ),
+        counts=F.col("is_current").cast("long"),
+        fp=F.pmod(F.col("customer_id"), F.lit(_MOD))
+        + F.length("first_name") * 31
+        + F.length("last_name") * 7
+        + F.datediff(F.col("valid_from"), epoch0) * 1009
+        + F.coalesce(F.datediff(F.col("valid_to"), epoch0), F.lit(0)) * 13,
+    )
+
     out = s1
-    for p in (s2, s3, s4):
+    for p in (s2, s3, s4, s5):
         out = out.unionByName(p)
     return out
 
@@ -260,6 +312,40 @@ WITH fin AS (
            ROW_NUMBER() OVER (ORDER BY volume_financeiro DESC, product_name) AS rank_volume,
            ROW_NUMBER() OVER (ORDER BY total_transacoes DESC, product_name) AS rank_transacoes
     FROM q4m
+), scd2_hist AS (
+    SELECT customer_id, first_name, last_name,
+           DATE '{SCD2_D0}' AS valid_from, CAST(NULL AS DATE) AS valid_to,
+           true AS is_current
+    FROM {_fx('d_customers')}
+), scd2_upd AS (
+    SELECT customer_id, first_name, last_name || '-II' AS last_name,
+           DATE '{SCD2_D1}' AS eff
+    FROM {_fx('d_customers')} WHERE customer_id % {SCD2_UPD_MOD} = 0
+    UNION ALL
+    SELECT customer_id, first_name, last_name, DATE '{SCD2_D1}'
+    FROM {_fx('d_customers')} WHERE customer_id % {SCD2_UPD_MOD} = 1
+    UNION ALL
+    SELECT customer_id + {SCD2_NEW_OFFSET}, 'new-' || first_name, last_name,
+           DATE '{SCD2_D1}'
+    FROM {_fx('d_customers')} WHERE customer_id % {SCD2_NEW_MOD} = 0
+), scd2_joined AS (
+    SELECT u.customer_id, u.first_name, u.last_name, u.eff,
+           c.customer_id IS NOT NULL AS key_exists,
+           (u.first_name IS DISTINCT FROM c.first_name
+            OR u.last_name IS DISTINCT FROM c.last_name) AS attrs_differ
+    FROM scd2_upd u LEFT JOIN scd2_hist c USING (customer_id)
+), scd2_needs AS (
+    SELECT * FROM scd2_joined WHERE NOT key_exists OR attrs_differ
+), scd2_result AS (
+    SELECT c.customer_id, c.first_name, c.last_name, c.valid_from,
+           n.eff AS valid_to, false AS is_current
+    FROM scd2_hist c JOIN scd2_needs n USING (customer_id)
+    UNION ALL
+    SELECT * FROM scd2_hist
+    WHERE customer_id NOT IN (SELECT customer_id FROM scd2_needs WHERE key_exists)
+    UNION ALL
+    SELECT customer_id, first_name, last_name, eff, CAST(NULL AS DATE), true
+    FROM scd2_needs
 )
 SELECT 'q1_monthly_balance' AS query,
        COUNT(*) AS n_rows,
@@ -293,6 +379,16 @@ SELECT 'q4_product_ranking',
        CAST(COALESCE(SUM(rank_volume * 1009 + rank_transacoes * 31
             + length(product_name) + length(product_category) * 7), 0) AS BIGINT)
 FROM q4
+UNION ALL
+SELECT 'q5_scd2_customer_history',
+       COUNT(*),
+       {_g("COALESCE(SUM(" + _g("COALESCE(valid_to - valid_from, 0) / 100.0") + "), 0)")},
+       CAST(COALESCE(SUM(CASE WHEN is_current THEN 1 ELSE 0 END), 0) AS BIGINT),
+       CAST(COALESCE(SUM(customer_id % {_MOD}
+            + length(first_name) * 31 + length(last_name) * 7
+            + (valid_from - DATE '1970-01-01') * 1009
+            + COALESCE(valid_to - DATE '1970-01-01', 0) * 13), 0) AS BIGINT)
+FROM scd2_result
 """
 
 
