@@ -719,19 +719,23 @@ def semantic_dedup(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     max_cluster_size: int | None = None,
+    pairs: DataFrame | None = None,
 ) -> DataFrame:
     """End-to-end semantic dedup: cluster-bounded near-dup pairs →
     connected components → keep the min-id representative of each
     semantic group (``canonicalize``). Output = ``embeddings`` plus
     (canonical_id, is_canonical); downstream keeps ``is_canonical``.
     Within a component exactly one row survives, so no two kept rows
-    are joined by any found pair."""
+    are joined by any found pair. Pass ``pairs`` (a cached result of
+    :func:`semantic_near_dup_pairs` on the same inputs) to skip
+    recomputing the pairing when the caller already materialized it."""
     from .components import canonicalize
 
-    pairs = semantic_near_dup_pairs(
-        embeddings, centroids, threshold=threshold,
-        id_col=id_col, vec_col=vec_col, max_cluster_size=max_cluster_size,
-    )
+    if pairs is None:
+        pairs = semantic_near_dup_pairs(
+            embeddings, centroids, threshold=threshold,
+            id_col=id_col, vec_col=vec_col, max_cluster_size=max_cluster_size,
+        )
     return canonicalize(
         embeddings, pairs.select("id_a", "id_b"), id_col=id_col,
         src="id_a", dst="id_b",

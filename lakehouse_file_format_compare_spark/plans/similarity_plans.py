@@ -283,7 +283,7 @@ def similarity_scale_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("semdedup_pairs_planted_ok"),
     )
     sem_kept = (
-        D.semantic_dedup(aug, cents, threshold=SEMDEDUP_TH)
+        D.semantic_dedup(aug, cents, threshold=SEMDEDUP_TH, pairs=sem_pairs)
         .where("is_canonical")
         .agg(F.count(F.lit(1)).alias("semdedup_kept"))
     )

@@ -585,3 +585,127 @@ def test_substring_dedup_walltime_scales_linearly(spark):
     _check_wall_ratio(ratio, f"10x corpus cost {ratio:.1f}x (t1={t1:.2f}s t10={t10:.2f}s)")
     print(f"substring dedup 10x: t1={t1:.2f}s p1={p1} t10={t10:.2f}s p10={p10}")
     small.unpersist(); big.unpersist()
+
+
+@pytest.mark.scale
+def test_nb_classifier_walltime_scales_linearly(spark):
+    """r7: NB train+score is one vocab-keyed partial agg + one
+    broadcast-join scan — 10x docs (vowel-salted per copy so the
+    vocabulary grows too) must cost ~linear wall. Deterministic proxy
+    gates: scored rows grow exactly 10x (the spam suffix is appended
+    after salting, so the label construction is identical per copy)."""
+    from functools import reduce
+
+    from pyspark.sql import DataFrame
+
+    from lakehouse_file_format_compare_spark.operators.classify import (
+        nb_score,
+        nb_train,
+    )
+
+    docs = table(spark, SF_SCALE, "documents").select("doc_id", "text")
+
+    def labeled(src):
+        return src.select(
+            "doc_id",
+            (F.pmod(F.col("doc_id"), F.lit(3)) == 0).cast("int").alias("label"),
+            F.when(
+                F.pmod(F.col("doc_id"), F.lit(3)) == 0,
+                F.concat(F.col("text"), F.lit(" win free prize click now")),
+            ).otherwise(F.col("text")).alias("text"),
+        )
+
+    small = labeled(docs).repartition(32).cache()
+    n1 = small.count()
+    copies = [
+        docs.select(
+            (F.col("doc_id") + F.lit(i * 10_000_000)).alias("doc_id"),
+            (F.regexp_replace("text", "[aeiou]", str(i)) if i else F.col("text")).alias("text"),
+        )
+        for i in range(10)
+    ]
+    big = labeled(reduce(DataFrame.unionByName, copies)).repartition(32).cache()
+    n10 = big.count()
+    assert n10 == 10 * n1
+
+    def run(src):
+        train = src.where(F.pmod(F.col("doc_id"), F.lit(4)) != 0)
+        test = src.where(F.pmod(F.col("doc_id"), F.lit(4)) == 0)
+        return nb_score(nb_train(train), test)
+
+    _timed_count(run(small))  # warm-up
+    t1, p1 = _timed_count(run(small))
+    t10, p10 = _timed_count(run(big))
+    assert p10 == 10 * p1, (p1, p10)
+    ratio = t10 / max(t1, 1.0)
+    _check_wall_ratio(ratio, f"10x corpus cost {ratio:.1f}x (t1={t1:.2f}s t10={t10:.2f}s)")
+    print(f"nb classifier 10x: t1={t1:.2f}s p1={p1} t10={t10:.2f}s p10={p10}")
+    small.unpersist(); big.unpersist()
+
+
+@pytest.mark.scale
+def test_semantic_dedup_scales_with_cluster_volume(spark):
+    """r7: SemDeDup work is sum-of-cluster-squared, never C(n,2). At
+    10x (sign-flip isometries per copy: within-copy cosine preserved
+    exactly, cross-copy ~0) with planted exact clones, the found pair
+    set must still be exactly the planted set — 10x the base count —
+    and the cluster histogram must keep the pair volume a small
+    fraction of all-pairs. Wall informational, counts gate."""
+    from functools import reduce
+
+    from pyspark.sql import DataFrame
+
+    from lakehouse_file_format_compare_spark.operators.similarity import (
+        ivf_assign,
+        train_ivf_centroids,
+    )
+
+    emb = table(spark, SF_SCALE, "embeddings").select("vec_id", "embedding")
+    clone_mod, offset = 10, 1_000_000
+
+    def with_clones(src):
+        clones = src.where(F.pmod("vec_id", F.lit(clone_mod)) == 0).select(
+            (F.col("vec_id") + offset).alias("vec_id"), "embedding"
+        )
+        return src.unionByName(clones)
+
+    def flipped(i):
+        return emb.select(
+            (F.col("vec_id") + F.lit(i * 10_000_000)).alias("vec_id"),
+            F.transform(
+                "embedding",
+                lambda x, d: (x * F.when(((d * (i + 1)) % 10) < 5, F.lit(-1.0))
+                              .otherwise(F.lit(1.0))).cast("float"),
+            ).alias("embedding"),
+        )
+
+    small = with_clones(emb).repartition(32).cache()
+    big = with_clones(
+        reduce(DataFrame.unionByName, [flipped(i) for i in range(10)])
+    ).repartition(32).cache()
+    n1, n10 = small.count(), big.count()
+    assert n10 == 10 * n1
+
+    cents1 = train_ivf_centroids(small, n_lists=16)
+    cents10 = train_ivf_centroids(big, n_lists=16)
+
+    _timed_count(D.semantic_near_dup_pairs(small, cents1, threshold=0.95))
+    t1, p1 = _timed_count(D.semantic_near_dup_pairs(small, cents1, threshold=0.95))
+    t10, p10 = _timed_count(D.semantic_near_dup_pairs(big, cents10, threshold=0.95))
+    assert p1 > 0
+    assert p10 == 10 * p1, (p1, p10)  # exactly the planted clone pairs
+
+    # cluster-volume proxy at 10x: sum of C(size,2) << C(n,2)
+    sizes = [
+        r["n"]
+        for r in ivf_assign(
+            big.select(F.col("vec_id").alias("vid"), F.col("embedding").alias("vec")),
+            cents10, "vec",
+        ).groupBy("__list").agg(F.count(F.lit(1)).alias("n")).collect()
+    ]
+    vol = sum(s * (s - 1) // 2 for s in sizes)
+    assert vol <= 0.35 * n10 * (n10 - 1) // 2, (vol, n10)
+    ratio = t10 / max(t1, 1.0)
+    _check_wall_ratio(ratio, f"10x corpus cost {ratio:.1f}x (t1={t1:.2f}s t10={t10:.2f}s)")
+    print(f"semantic dedup 10x: t1={t1:.2f}s p1={p1} t10={t10:.2f}s p10={p10} vol_frac={vol/(n10*(n10-1)/2):.3f}")
+    small.unpersist(); big.unpersist()
