@@ -79,3 +79,96 @@ def distinct_rollup_report(
     return hll_rollup(
         hll_partial_sketches(df, fine_cols, value_col, lg_k), coarse_cols
     )
+
+
+def topk_partial_summaries(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    k: int = 8,
+) -> DataFrame:
+    """Mergeable heavy-hitter partials — the frequent-items companion
+    to the HLL rollup above (Misra-Gries / SpaceSaving family, public
+    textbook algorithms). Per fine-grain group, keep the ``k`` most
+    frequent values with EXACT counts (ties break on the smaller
+    value, so the summary is deterministic and engine-replayable) plus
+    the group's error bound: the count at rank k+1 — any value absent
+    from the summary has true in-group count <= that bound.
+
+    One fact scan: a (group, value) count (partial aggregation
+    map-side) and a per-group window limited to the top ranks.
+    Returns one PERSISTABLE row per group:
+    (group_cols…, items: array<struct<rank,item,cnt>>, bound, n_rows)
+    — n_rows counts ALL rows, kept or not, so rollups can verify
+    conservation exactly."""
+    from pyspark.sql import Window
+
+    counts = df.groupBy(*group_cols, value_col).agg(
+        F.count(F.lit(1)).alias("__cnt")
+    )
+    w = Window.partitionBy(*group_cols).orderBy(
+        F.col("__cnt").desc(), F.col(value_col).asc()
+    )
+    ranked = counts.withColumn("__rn", F.row_number().over(w))
+    return ranked.groupBy(*group_cols).agg(
+        F.sort_array(
+            F.collect_list(
+                F.when(
+                    F.col("__rn") <= k,
+                    F.struct(
+                        F.col("__rn").alias("rank"),
+                        F.col(value_col).alias("item"),
+                        F.col("__cnt").alias("cnt"),
+                    ),
+                )
+            )
+        ).alias("items"),
+        F.coalesce(
+            F.max(F.when(F.col("__rn") > k, F.col("__cnt"))), F.lit(0)
+        ).cast("long").alias("bound"),
+        F.sum("__cnt").cast("long").alias("n_rows"),
+    )
+
+
+def topk_rollup(
+    partials: DataFrame,
+    rollup_cols: list[str],
+    k: int = 8,
+) -> DataFrame:
+    """Merge partial top-k summaries to a coarser grain WITHOUT
+    re-scanning the fact table: per merged value, the summed kept
+    counts are a LOWER bound on its true coarse count; the summed
+    per-group bounds cap what any dropped value could have hidden
+    (true count <= lower bound + bound_total). The classic guarantee
+    follows: every value whose true coarse count exceeds the summed
+    bounds appears in the merged summary.
+
+    Returns (rollup_cols…, rank, item, lower_bound, bound_total,
+    n_rows) for the top ``k`` merged values — rank deterministic
+    (lower bound desc, item asc)."""
+    from pyspark.sql import Window
+
+    exploded = partials.select(
+        *rollup_cols, F.explode("items").alias("it")
+    ).select(*rollup_cols, F.col("it.item").alias("item"), F.col("it.cnt").alias("cnt"))
+    merged = exploded.groupBy(*rollup_cols, "item").agg(
+        F.sum("cnt").cast("long").alias("lower_bound")
+    )
+    side = partials.groupBy(*rollup_cols).agg(
+        F.sum("bound").cast("long").alias("bound_total"),
+        F.sum("n_rows").cast("long").alias("n_rows"),
+    )
+    w = Window.partitionBy(*rollup_cols).orderBy(
+        F.col("lower_bound").desc(), F.col("item").asc()
+    )
+    ranked = merged.withColumn("rank", F.row_number().over(w)).where(
+        F.col("rank") <= k
+    )
+    joined = (
+        ranked.crossJoin(F.broadcast(side))
+        if not rollup_cols
+        else ranked.join(side, list(rollup_cols))
+    )
+    return joined.select(
+        *rollup_cols, "rank", "item", "lower_bound", "bound_total", "n_rows"
+    )

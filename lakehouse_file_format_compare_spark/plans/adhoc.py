@@ -518,6 +518,17 @@ GROUP BY CUBE (o_orderstatus, o_orderpriority)
 
 APPROX_DISTINCT_TOLERANCE = 0.05  # HLL++ rsd=0.02 → 2.5σ bound
 
+# Misra-Gries top-k rollup contract (r7): a planted heavy hitter
+# (every third order remapped to customer 42) dominates every
+# (status, month) cell, so it is kept in every partial summary and
+# its merged lower bound equals its true coarse count — the whole
+# merged summary is deterministic integer math, replayed exactly in
+# the oracle (values, not booleans).
+MG_K = 5
+MG_HEAVY_KEY = 42
+MG_HEAVY_MOD = 3
+MG_FP_MOD = 1_000_003
+
 
 def approx_distinct_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate aggregates (absent from the reference, SURVEY §2.5
@@ -580,10 +591,38 @@ def approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).repartition(5),
         ["o_orderstatus"],
     ).select("o_orderstatus", F.col("distinct_est").alias("__shuffled_est"))
+    # Misra-Gries mergeable top-k (r7): partials at (status, month),
+    # merged to status — exact integer values the oracle replays
+    from ..operators.sketches import topk_partial_summaries, topk_rollup
+
+    skewed = orders.select(
+        "o_orderstatus",
+        F.month("o_orderdate").alias("o_month"),
+        F.when(
+            F.pmod("o_orderkey", F.lit(MG_HEAVY_MOD)) == 0, F.lit(MG_HEAVY_KEY)
+        ).otherwise(F.col("o_custkey")).cast("long").alias("cust"),
+    )
+    mg_rollup = topk_rollup(
+        topk_partial_summaries(skewed, ["o_orderstatus", "o_month"], "cust", k=MG_K),
+        ["o_orderstatus"],
+        k=MG_K,
+    )
+    mg = mg_rollup.groupBy("o_orderstatus").agg(
+        F.max(F.when(F.col("rank") == 1, F.col("item"))).alias("mg_top1_key"),
+        F.max(F.when(F.col("rank") == 1, F.col("lower_bound"))).alias("mg_top1_lb"),
+        F.max("bound_total").alias("mg_bound_total"),
+        F.sum(
+            F.pmod(F.col("item"), F.lit(MG_FP_MOD)) * F.col("rank")
+            + F.col("lower_bound")
+        ).cast("long").alias("mg_topk_fp"),
+        F.max("n_rows").alias("__mg_rows"),
+    )
+
     raw = approx_distinct_raw(spark, sf_dir)
     return (
         raw.join(merged, "o_orderstatus")
         .join(shuffled, "o_orderstatus")
+        .join(mg, "o_orderstatus")
         .select(
             "o_orderstatus",
             "exact_customers",
@@ -602,20 +641,67 @@ def approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("__merged_est") == F.col("__shuffled_est")).alias(
                 "hll_rollup_order_invariant"
             ),
+            "mg_top1_key",
+            "mg_top1_lb",
+            "mg_bound_total",
+            "mg_topk_fp",
+            (F.col("__mg_rows") == F.col("n_orders")).alias("mg_rows_conserved"),
         )
     )
 
 
-APPROX_DISTINCT_SQL = """
-SELECT o_orderstatus,
-       COUNT(DISTINCT o_custkey) AS exact_customers,
-       COUNT(*) AS n_orders,
+APPROX_DISTINCT_SQL = f"""
+WITH base AS (
+    SELECT o_orderstatus,
+           COUNT(DISTINCT o_custkey) AS exact_customers,
+           COUNT(*) AS n_orders
+    FROM orders GROUP BY o_orderstatus
+), skew AS (
+    SELECT o_orderstatus, month(o_orderdate) AS m,
+           CASE WHEN o_orderkey % {MG_HEAVY_MOD} = 0 THEN {MG_HEAVY_KEY}
+                ELSE o_custkey END AS cust
+    FROM orders
+), c AS (
+    SELECT o_orderstatus, m, cust, COUNT(*) AS cnt FROM skew GROUP BY ALL
+), r AS (
+    SELECT *, row_number() OVER (PARTITION BY o_orderstatus, m
+                                 ORDER BY cnt DESC, cust) AS rn
+    FROM c
+), kept AS (SELECT * FROM r WHERE rn <= {MG_K}),
+bounds AS (
+    SELECT o_orderstatus, m,
+           COALESCE(MAX(CASE WHEN rn > {MG_K} THEN cnt END), 0) AS bound,
+           SUM(cnt) AS n_rows
+    FROM r GROUP BY o_orderstatus, m
+), merged AS (
+    SELECT o_orderstatus, cust, SUM(cnt) AS lb FROM kept GROUP BY ALL
+), side AS (
+    SELECT o_orderstatus, SUM(bound) AS bound_total, SUM(n_rows) AS nr
+    FROM bounds GROUP BY 1
+), mr AS (
+    SELECT o_orderstatus, cust, lb,
+           row_number() OVER (PARTITION BY o_orderstatus
+                              ORDER BY lb DESC, cust) AS rank
+    FROM merged
+), mg AS (
+    SELECT m.o_orderstatus,
+           MAX(CASE WHEN rank = 1 THEN cust END) AS mg_top1_key,
+           MAX(CASE WHEN rank = 1 THEN lb END) AS mg_top1_lb,
+           MAX(s.bound_total) AS mg_bound_total,
+           CAST(SUM(cust % {MG_FP_MOD} * rank + lb) AS BIGINT) AS mg_topk_fp,
+           MAX(s.nr) AS mg_nr
+    FROM mr m JOIN side s USING (o_orderstatus)
+    WHERE rank <= {MG_K}
+    GROUP BY 1
+)
+SELECT o_orderstatus, exact_customers, n_orders,
        true AS approx_within_tolerance,
        true AS hll_rollup_within_tolerance,
        true AS hll_rollup_rows_conserved,
-       true AS hll_rollup_order_invariant
-FROM orders
-GROUP BY o_orderstatus
+       true AS hll_rollup_order_invariant,
+       mg_top1_key, mg_top1_lb, mg_bound_total, mg_topk_fp,
+       (mg_nr = n_orders) AS mg_rows_conserved
+FROM base JOIN mg USING (o_orderstatus)
 """
 
 

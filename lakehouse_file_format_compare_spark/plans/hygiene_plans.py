@@ -307,6 +307,10 @@ def _nbq_agg(docs: DataFrame) -> DataFrame:
     train = src.where(F.pmod(F.col("doc_id"), F.lit(NBQ_SPLIT_MOD)) != 0)
     test = src.where(F.pmod(F.col("doc_id"), F.lit(NBQ_SPLIT_MOD)) == 0)
     model = nb_train(train, alpha=NBQ_ALPHA)
+    # the model frames feed THREE broadcast subtrees (terms join, meta
+    # crossJoin, vocab column) — cache them so the training scan runs
+    # once, not once per subtree
+    model = type(model)(terms=model.terms.cache(), meta=model.meta.cache())
     scored = nb_score(model, test).join(test.select("doc_id", "label"), "doc_id")
     agg = scored.agg(
         F.count(F.lit(1)).alias("nbq_test_docs"),
