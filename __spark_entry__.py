@@ -11,11 +11,17 @@ genuine image files with a header-re-parse oracle, and
 ``similarity_scale_suite`` (PQ/IVF-PQ/int8 recall + candidate-volume
 contracts) took the demoted ``op_set_ops`` slot. r7: no registry
 swaps — ``op_approx_distinct`` widened with the mergeable-HLL rollup
-contract booleans, and ``corpus_hygiene_suite`` grew the
-``sdedup_*`` (cross-doc substring duplication), ``sspan_*``
-(within-doc) and ``blines_*`` (corpus-wide boilerplate-line removal,
-run end-to-end) metric families, each replayed verbatim in the
-oracle SQL.
+contract booleans AND exact Misra-Gries top-k rollup values
+(``mg_*``); ``corpus_hygiene_suite`` grew the ``sdedup_*``
+(cross-doc substring duplication), ``sspan_*`` (within-doc),
+``blines_*`` (corpus-wide boilerplate-line removal, run end-to-end)
+and ``nbq_*`` (Naive-Bayes quality classifier, full train+score
+replayed in SQL) metric families; ``similarity_scale_suite`` grew
+the ``semdedup_*`` exact-contract columns (SemDeDup planted-clone
+pair set, SQL-derivable counts); and ``fintech_gold_suite`` a fifth
+row (``q5_scd2_customer_history``, SCD Type-2 apply fingerprinted
+over the committed fixture). Every widening is replayed verbatim in
+the oracle SQL.
 """
 
 from __future__ import annotations

@@ -203,3 +203,72 @@ def test_sessionize_salted_equals_unsalted_property(spark, events, slice_sec):
         for r in sessionize_salted(df, gap="10 minutes", slice_sec=slice_sec).collect()
     )
     assert a == b
+
+
+# ---------------------------------------------------------------------------
+# SCD2 (r7): arbitrary key/attribute collision patterns over two
+# monotone batches — structural invariants + idempotency.
+# ---------------------------------------------------------------------------
+
+UPD = st.tuples(
+    st.integers(min_value=0, max_value=4),   # key (dense -> collisions)
+    st.integers(min_value=0, max_value=3),   # attr (small -> no-op hits)
+)
+UPDS = st.lists(UPD, min_size=0, max_size=8)
+
+
+def _scd2_hist(spark, rows):
+    import datetime
+
+    d0 = datetime.date(2025, 1, 1)
+    data = [(k, a, d0, None, True) for k, a in rows]
+    return spark.createDataFrame(
+        data or [(0, 0, d0, None, True)],
+        "k long, a long, valid_from date, valid_to date, is_current boolean",
+    ).where(F.lit(bool(data)))
+
+
+def _scd2_batch(spark, rows, day):
+    import datetime
+
+    d = datetime.date(2025, day, 1)
+    # one row per key (real MERGE precondition): last occurrence wins
+    dedup = {k: a for k, a in rows}
+    data = [(k, a, d) for k, a in dedup.items()]
+    return spark.createDataFrame(
+        data or [(0, 0, d)], "k long, a long, effective_date date"
+    ).where(F.lit(bool(data)))
+
+
+@given(initial=UPDS, b1=UPDS, b2=UPDS)
+@settings(**_SETTINGS)
+def test_scd2_properties(spark, initial, b1, b2):
+    from lakehouse_file_format_compare_spark.operators.merge import scd2_apply
+
+    init = {k: a for k, a in initial}
+    hist = _scd2_hist(spark, list(init.items()))
+    out = scd2_apply(
+        scd2_apply(hist, _scd2_batch(spark, b1, 3), keys=["k"], compare_cols=["a"]),
+        _scd2_batch(spark, b2, 6), keys=["k"], compare_cols=["a"],
+    )
+    rows = out.collect()
+    per_key = {}
+    for r in rows:
+        per_key.setdefault(r["k"], []).append(r)
+    for k, versions in per_key.items():
+        open_rows = [v for v in versions if v["is_current"]]
+        # exactly one open version per key, and it is the only NULL-to
+        assert len(open_rows) == 1, (k, versions)
+        assert open_rows[0]["valid_to"] is None
+        assert all(v["valid_to"] is not None for v in versions if not v["is_current"])
+        ordered = sorted(versions, key=lambda v: v["valid_from"])
+        for prev, nxt in zip(ordered, ordered[1:]):
+            assert prev["valid_to"] == nxt["valid_from"], (k, versions)
+        # consecutive versions always differ in the tracked attribute
+        for prev, nxt in zip(ordered, ordered[1:]):
+            assert prev["a"] != nxt["a"], (k, versions)
+    # idempotency: re-applying the final batch changes nothing
+    again = scd2_apply(
+        out, _scd2_batch(spark, b2, 6), keys=["k"], compare_cols=["a"]
+    )
+    assert sorted(map(tuple, again.collect())) == sorted(map(tuple, rows))
