@@ -51,6 +51,10 @@ HEADLINE = [
     # verification (LSH recall cross-check / second decon engine);
     # the contract row stays benched so the two are separable.
     "corpus_hygiene_serving",
+    # r7: SemDeDup raw pairing (cluster-bounded cosine near-dup over
+    # the same planted-clone corpus the suite certifies; centroid
+    # training untimed per the ANN train-once model)
+    "dedup_semantic",
 ]
 
 
@@ -103,6 +107,7 @@ def main() -> None:
 
     queries["dedup_minhash_lsh"] = dedup_plans.minhash_lsh
     queries["corpus_hygiene_serving"] = hygiene_plans.corpus_hygiene_serving
+    queries["dedup_semantic"] = similarity_plans.semantic_dedup_serving
 
     # JVM/codegen warm-up on an untimed tiny query
     queries["tpch_local_supplier_volume"](spark, sf_dir).write.format("noop").mode("overwrite").save()

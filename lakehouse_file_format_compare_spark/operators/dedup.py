@@ -686,8 +686,16 @@ def semantic_near_dup_pairs(
     keyed on the cluster id — Σ cluster², never C(n,2); pass
     ``max_cluster_size`` to drop degenerate clusters (the hot-bucket
     cap of the MinHash/LSH paths) for a hard work bound at 100 TB.
+
+    Pair scoring uses the Arrow-vectorized cosine
+    (``similarity._pair_cosine_pandas``: one numpy reduction per
+    batch) — the Σ cluster² hot path, where the interpreted JVM HOF
+    fold measured ~4x slower at sf0.1. Sum-order ulp drift vs the JVM
+    fold is absorbed by the grid-6 snap everywhere the values are
+    compared (clone pairs land exactly on 1.0 either way); the
+    driver-pinned suite totals snap to grid-2 on top.
     """
-    from .similarity import ivf_assign
+    from .similarity import _pair_cosine_pandas, ivf_assign
 
     assigned = ivf_assign(
         embeddings.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("vec")),
@@ -706,7 +714,7 @@ def semantic_near_dup_pairs(
     return (
         a.join(b, "__list")
         .where(F.col("id_a") < F.col("id_b"))
-        .withColumn("cosine", grid(V.cosine(F.col("va"), F.col("vb")), 6))
+        .withColumn("cosine", grid(_pair_cosine_pandas()(F.col("va"), F.col("vb")), 6))
         .where(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )

@@ -171,6 +171,31 @@ def _codebooks(emb: DataFrame, sf_dir: str) -> list:
     return _PQ_CODEBOOK_CACHE[key]
 
 
+def _semdedup_corpus(emb: DataFrame) -> DataFrame:
+    """THE single definition of the SemDeDup bench/contract corpus —
+    embeddings plus an exact clone of every %SEMDEDUP_CLONE_MOD
+    vector — shared by the suite row and the serving bench entry so
+    the benched workload is exactly the certified one."""
+    clones = emb.where(F.col("vec_id") % SEMDEDUP_CLONE_MOD == 0).select(
+        (F.col("vec_id") + SEMDEDUP_OFFSET).alias("vec_id"), "embedding"
+    )
+    return emb.select("vec_id", "embedding").unionByName(clones)
+
+
+def semantic_dedup_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw SemDeDup pairing (the serving path; benched — quality and
+    exact-count contracts are driver-checked via
+    similarity_scale_suite). Centroids come from the per-corpus cache,
+    matching the train-once-serve-many deployment model the other ANN
+    bench entries use."""
+    emb = table(spark, sf_dir, "embeddings")
+    from ..operators import dedup as D
+
+    return D.semantic_near_dup_pairs(
+        _semdedup_corpus(emb), _centroids(emb, sf_dir), threshold=SEMDEDUP_TH
+    )
+
+
 def knn_pq_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Raw PQ top-k (the serving-path output; benched as headline —
     not a registry row; quality is driver-checked via
@@ -262,10 +287,7 @@ def similarity_scale_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     # must keep precisely the original corpus (min-id canonical).
     from ..operators import dedup as D
 
-    clones = emb.where(F.col("vec_id") % SEMDEDUP_CLONE_MOD == 0).select(
-        (F.col("vec_id") + SEMDEDUP_OFFSET).alias("vec_id"), "embedding"
-    )
-    aug = emb.select("vec_id", "embedding").unionByName(clones)
+    aug = _semdedup_corpus(emb)
     sem_pairs = D.semantic_near_dup_pairs(aug, cents, threshold=SEMDEDUP_TH).cache()
     sem_agg = sem_pairs.agg(
         F.count(F.lit(1)).alias("semdedup_pairs"),

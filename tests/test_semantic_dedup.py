@@ -108,9 +108,11 @@ def test_precision_and_recall_vs_bruteforce(spark, perturbed_fixture):
         (r["id_a"], r["id_b"]): r["cosine"]
         for r in embedding_near_dup_pairs(emb, threshold=THRESHOLD).collect()
     }
-    # precision 1.0 by construction: subset with identical grid-6 values
+    # precision 1.0 by construction: subset with matching values
+    # (semantic scores via the Arrow reduction, brute via the JVM HOF
+    # fold — sum-order ulp drift can move a grid-6 snap by one step)
     for pair, cos in sem.items():
-        assert pair in brute and brute[pair] == cos
+        assert pair in brute and brute[pair] == pytest.approx(cos, abs=1.5e-6)
     # recall: near-identical copies assign with their originals
     assert len(sem) >= 0.9 * len(brute)
     assert set(brute) == expected  # fixture sanity: true set known
