@@ -248,6 +248,47 @@ class Warehouse:
         merged = merge(target, staging, keys=keys, policy=policy)
         self._commit_version(merged, layer, name, fmt, op=f"merge_{policy}")
 
+    def scd2_table(
+        self,
+        updates: DataFrame,
+        layer: str,
+        name: str,
+        keys: Sequence[str],
+        compare_cols: Sequence[str],
+        effective_col: str = "effective_date",
+        fmt: str = "parquet",
+        dedup_order_by: Sequence[str] | None = None,
+        schema: StructType | None = None,
+    ) -> None:
+        """SCD Type-2 MERGE INTO a snapshot-versioned dimension: the
+        batch apply (operators/merge.py::scd2_apply — history scanned
+        once, batch keys broadcast) committed through the same
+        metadata-pointer protocol as :meth:`merge_table`, so dimension
+        history composes with snapshot isolation, time travel to any
+        pre-batch state, and rollback. First load turns the batch into
+        the initial open versions (valid_from = effective, NULL
+        valid_to, is_current)."""
+        from .operators.merge import scd2_apply
+
+        if dedup_order_by:
+            updates = keep_latest(updates, list(keys), list(dedup_order_by))
+        if not self.exists(layer, name, fmt):
+            eff_type = dict(updates.dtypes)[effective_col]
+            initial = updates.select(
+                *keys, *compare_cols,
+                F.col(effective_col).alias("valid_from"),
+                F.lit(None).cast(eff_type).alias("valid_to"),
+                F.lit(True).alias("is_current"),
+            )
+            self._commit_version(initial, layer, name, fmt, op="create")
+            return
+        target = self.read_table(layer, name, fmt, schema=schema)
+        applied = scd2_apply(
+            target, updates, keys=keys, compare_cols=compare_cols,
+            effective_col=effective_col,
+        )
+        self._commit_version(applied, layer, name, fmt, op="scd2")
+
     def vacuum(self, layer: str, name: str, fmt: str = "parquet", keep_last: int = 2) -> int:
         """Remove snapshot data dirs no longer reachable from the last
         ``keep_last`` manifest entries (and not the current). Returns

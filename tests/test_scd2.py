@@ -251,3 +251,45 @@ def test_batch_dedup_keeps_latest(spark):
     )
     open_rows = [r for r in out.collect() if r["id"] == 1 and r["is_current"]]
     assert len(open_rows) == 1 and open_rows[0]["tier"] == "diamond"
+
+
+def test_scd2_table_versioned_warehouse(spark, tmp_path):
+    """SCD2 composes with the snapshot-versioned storage layer:
+    each batch is a new immutable snapshot; time travel reaches any
+    pre-batch history; rollback re-points without data loss."""
+    from lakehouse_file_format_compare_spark.storage import Warehouse
+
+    wh = Warehouse(spark, str(tmp_path))
+    b1 = spark.createDataFrame(
+        [(1, "alice", "gold", D0), (2, "bob", "silver", D0)],
+        "id long, name string, tier string, effective_date date",
+    )
+    wh.scd2_table(b1, "silver", "dim_customer", keys=["id"],
+                  compare_cols=["name", "tier"])
+    assert wh.current_version("silver", "dim_customer") == 1
+
+    b2 = spark.createDataFrame(
+        [(1, "alice", "platinum", D1), (3, "carol", "bronze", D1)],
+        "id long, name string, tier string, effective_date date",
+    )
+    wh.scd2_table(b2, "silver", "dim_customer", keys=["id"],
+                  compare_cols=["name", "tier"])
+    assert wh.current_version("silver", "dim_customer") == 2
+
+    cur = wh.read_table("silver", "dim_customer")
+    rows = {(r["id"], r["valid_from"]): r for r in cur.collect()}
+    assert len(rows) == 4  # closed v1 of id=1, open v2, bob, carol
+    assert rows[(1, D0)]["is_current"] is False and rows[(1, D0)]["valid_to"] == D1
+    assert rows[(1, D1)]["tier"] == "platinum" and rows[(1, D1)]["is_current"]
+
+    # time travel: version 1 still shows the pre-batch open state
+    v1 = {r["id"]: r for r in wh.read_table("silver", "dim_customer", version=1).collect()}
+    assert set(v1) == {1, 2} and v1[1]["tier"] == "gold" and v1[1]["is_current"]
+
+    # rollback then re-apply reproduces the same history
+    wh.rollback("silver", "dim_customer", "parquet", 1)
+    wh.scd2_table(b2, "silver", "dim_customer", keys=["id"],
+                  compare_cols=["name", "tier"])
+    again = {(r["id"], r["valid_from"]): tuple(r)
+             for r in wh.read_table("silver", "dim_customer").collect()}
+    assert again == {k: tuple(v) for k, v in rows.items()}
