@@ -1,3 +1,3 @@
-from .runner import StreamingSilverLoader
+from .runner import StreamingScd2Loader, StreamingSilverLoader
 
-__all__ = ["StreamingSilverLoader"]
+__all__ = ["StreamingScd2Loader", "StreamingSilverLoader"]

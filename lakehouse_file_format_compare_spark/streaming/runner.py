@@ -78,3 +78,57 @@ class StreamingSilverLoader:
     def run(self, tables: tuple[str, ...] | None = None) -> None:
         for name in tables or tuple(FINTECH_TABLE_CONFIGS):
             self.run_table(name)
+
+
+@dataclass
+class StreamingScd2Loader:
+    """Streaming SCD Type-2 dimension maintenance (r7): a file-source
+    stream of dimension updates drained with AvailableNow, each
+    micro-batch applied through ``Warehouse.scd2_table`` — the same
+    foreachBatch + checkpoint contract as the silver loader, so
+    exactly-once file progress composes with the snapshot-versioned
+    history commits. Within a micro-batch, ``keep_latest`` on the
+    effective column enforces the one-row-per-key MERGE precondition
+    (intermediate same-batch versions collapse to the newest — the
+    standard MERGE-grade behavior; per-event history would use a
+    smaller trigger).
+
+    Scale: each micro-batch costs O(batch + matched open versions) —
+    the dimension itself is scanned once per batch and never shuffled
+    (operators/merge.py::scd2_apply plan contract)."""
+
+    warehouse: Warehouse
+    checkpoint_root: str
+    fmt: str = "parquet"
+
+    def run(
+        self,
+        bronze_path: str,
+        name: str,
+        schema,
+        keys: tuple[str, ...],
+        compare_cols: tuple[str, ...],
+        effective_col: str = "effective_date",
+        timeout_sec: int = 120,
+    ) -> None:
+        stream = self.warehouse.spark.readStream.schema(schema).parquet(bronze_path)
+
+        def apply_batch(batch_df, batch_id: int) -> None:
+            self.warehouse.scd2_table(
+                batch_df,
+                "silver",
+                name,
+                keys=list(keys),
+                compare_cols=list(compare_cols),
+                effective_col=effective_col,
+                fmt=self.fmt,
+                dedup_order_by=[effective_col],
+            )
+
+        query = (
+            stream.writeStream.foreachBatch(apply_batch)
+            .option("checkpointLocation", os.path.join(self.checkpoint_root, name))
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination(timeout_sec)

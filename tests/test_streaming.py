@@ -72,3 +72,55 @@ def test_bounded_micro_batches_match_single_drain(spark, tmp_path_factory):
     loader.run(("f_transactions",))
     got = _read(p, "f_transactions").count()
     assert got == 120
+
+
+def test_streaming_scd2_matches_batch_apply(spark, tmp_path_factory):
+    """Streaming SCD2 (foreachBatch -> Warehouse.scd2_table) drained
+    batch-by-batch equals the pure batch scd2_apply chain, and a
+    rerun with no new files is a no-op (checkpointed progress)."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from lakehouse_file_format_compare_spark.operators.merge import scd2_apply
+    from lakehouse_file_format_compare_spark.streaming import StreamingScd2Loader
+
+    root = str(tmp_path_factory.mktemp("scd2_stream_wh"))
+    bronze = str(tmp_path_factory.mktemp("scd2_bronze"))
+    ckpt = str(tmp_path_factory.mktemp("scd2_ckpt"))
+    wh = Warehouse(spark, root)
+    loader = StreamingScd2Loader(wh, ckpt)
+    schema = "id long, name string, tier string, effective_date date"
+    d1, d2 = datetime.date(2025, 3, 1), datetime.date(2025, 6, 1)
+
+    b1 = spark.createDataFrame(
+        [(1, "alice", "gold", d1), (2, "bob", "silver", d1)], schema
+    )
+    b2 = spark.createDataFrame(
+        [(1, "alice", "platinum", d2), (3, "carol", "bronze", d2)], schema
+    )
+    run = lambda: loader.run(
+        bronze, "dim_customer", schema, keys=("id",),
+        compare_cols=("name", "tier"),
+    )
+    b1.write.mode("append").parquet(bronze)
+    run()
+    b2.write.mode("append").parquet(bronze)
+    run()
+
+    got = sorted(map(tuple, wh.read_table("silver", "dim_customer").collect()))
+    hist1 = b1.select(
+        "id", "name", "tier",
+        F.col("effective_date").alias("valid_from"),
+        F.lit(None).cast("date").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    want = sorted(map(tuple, scd2_apply(
+        hist1, b2, keys=["id"], compare_cols=["name", "tier"]
+    ).collect()))
+    assert got == want
+
+    v_before = wh.current_version("silver", "dim_customer")
+    run()  # no new files: checkpoint makes this a no-op
+    assert wh.current_version("silver", "dim_customer") == v_before
+    assert sorted(map(tuple, wh.read_table("silver", "dim_customer").collect())) == want
