@@ -48,6 +48,9 @@ class CorpusConfig:
     splits: dict[str, float] = field(
         default_factory=lambda: {"train": 0.9, "val": 0.05, "test": 0.05}
     )
+    # r7 stages (both optional; activated by build_corpus arguments)
+    decon_ngram: int = 8          # n for the eval-overlap drop
+    classifier_min_margin: float = 0.0  # drop docs with NB margin > this
 
 
 def quality_gate(docs: DataFrame, cfg: CorpusConfig) -> DataFrame:
@@ -82,13 +85,55 @@ def dedup_stage(docs: DataFrame, cfg: CorpusConfig) -> DataFrame:
     )
 
 
-def build_corpus(docs: DataFrame, cfg: CorpusConfig | None = None) -> DataFrame:
+def classifier_gate(docs: DataFrame, model, cfg: CorpusConfig) -> DataFrame:
+    """r7 stage 1b: drop documents the Naive-Bayes model classifies as
+    class 1 (spam/low-quality) — keep margin <= classifier_min_margin.
+    One broadcast join + doc-keyed sum (operators/classify.py); the
+    model is trained once upstream on labeled seed data."""
+    from ..operators.classify import nb_score
+
+    flagged = (
+        nb_score(model, docs)
+        .where(F.col("margin") > cfg.classifier_min_margin)
+        .select("doc_id")
+    )
+    return docs.join(flagged, "doc_id", "left_anti")
+
+
+def decontaminate_stage(
+    docs: DataFrame, eval_docs: DataFrame, cfg: CorpusConfig
+) -> DataFrame:
+    """r7 stage 1c: drop documents sharing any ``decon_ngram``-gram
+    with the (broadcast) eval set — the operators/decontaminate.py
+    left-anti contract, composed before the expensive dedup
+    shuffles."""
+    from ..operators.decontaminate import decontaminate
+
+    return decontaminate(docs, eval_docs, n=cfg.decon_ngram)
+
+
+def build_corpus(
+    docs: DataFrame,
+    cfg: CorpusConfig | None = None,
+    eval_docs: DataFrame | None = None,
+    classifier=None,
+) -> DataFrame:
     """Full pipeline → one DataFrame with ``split``, ``n_tokens`` and
     ``pack_id`` added. Pack identity is (split, pack_id) — ids are
     scoped per split. Deterministic: every stage is a pure function of
-    document content/ids."""
+    document content/ids (given a fixed trained ``classifier``).
+
+    ``eval_docs`` activates benchmark decontamination (drop any doc
+    sharing an n-gram with the eval set); ``classifier`` (an
+    operators/classify.py NBModel) activates the learned quality
+    gate. Both run before the dedup shuffles — gate cheap, shuffle
+    less."""
     cfg = cfg or CorpusConfig()
     gated = quality_gate(docs, cfg)
+    if classifier is not None:
+        gated = classifier_gate(gated, classifier, cfg)
+    if eval_docs is not None:
+        gated = decontaminate_stage(gated, eval_docs, cfg)
     deduped = dedup_stage(gated, cfg)
     with_tokens = deduped.withColumn("n_tokens", T.token_count(F.col("text")))
     split = hash_split(with_tokens, cfg.splits, key_cols=("doc_id",))

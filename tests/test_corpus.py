@@ -72,3 +72,53 @@ def test_hygiene_serving_path_agrees_with_contract_row(spark):
     assert set(serving) <= set(contract)
     for col, val in serving.items():
         assert val == contract[col], (col, val, contract[col])
+
+
+def test_composed_pipeline_with_r7_gates(spark):
+    """build_corpus with the r7 stages active: the NB classifier gate
+    drops exactly the spam-injected docs, the decontamination gate
+    drops exactly the docs whose text feeds the eval set, and the
+    composition stays deterministic across partition layouts."""
+    from lakehouse_file_format_compare_spark.operators.classify import nb_train
+
+    docs = table(spark, SF_CORRECTNESS, "documents")
+    spam = " win free prize click now offer deal bonus"
+    injected = docs.select(
+        "doc_id",
+        F.when(
+            F.pmod("doc_id", F.lit(9)) == 0, F.concat(F.col("text"), F.lit(spam))
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    # seed model trained on a disjoint labeled construction
+    seed = docs.limit(400).select(
+        "doc_id",
+        (F.pmod("doc_id", F.lit(2)) == 0).cast("int").alias("label"),
+        F.when(
+            F.pmod("doc_id", F.lit(2)) == 0, F.concat(F.col("text"), F.lit(spam))
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    model = nb_train(seed)
+    # eval set: verbatim middle snippets of every 37th doc
+    toks = F.filter(
+        F.split(F.lower(F.trim(F.col("text"))), r"\s+"), lambda t: F.length(t) > 0
+    )
+    eval_docs = docs.where(F.pmod("doc_id", F.lit(37)) == 0).select(
+        (F.col("doc_id") + 500_000).alias("doc_id"),
+        F.array_join(F.slice(toks, 5, 16), " ").alias("text"),
+    )
+
+    out = build_corpus(injected, CFG, eval_docs=eval_docs, classifier=model)
+    kept = {r["doc_id"] for r in out.select("doc_id").collect()}
+    # no spam-injected doc survives the classifier gate
+    assert not any(k % 9 == 0 for k in kept)
+    # no eval-source doc survives decontamination
+    assert not any(k % 37 == 0 for k in kept)
+    assert len(kept) > 100  # gates must not annihilate the corpus
+
+    # determinism across layouts with the same trained model
+    again = build_corpus(
+        injected.repartition(11), CFG, eval_docs=eval_docs, classifier=model
+    )
+    a = sorted(map(tuple, out.select("doc_id", "split", "pack_id").collect()))
+    b = sorted(map(tuple, again.select("doc_id", "split", "pack_id").collect()))
+    assert a == b
