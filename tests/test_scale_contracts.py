@@ -709,3 +709,78 @@ def test_semantic_dedup_scales_with_cluster_volume(spark):
     _check_wall_ratio(ratio, f"10x corpus cost {ratio:.1f}x (t1={t1:.2f}s t10={t10:.2f}s)")
     print(f"semantic dedup 10x: t1={t1:.2f}s p1={p1} t10={t10:.2f}s p10={p10} vol_frac={vol/(n10*(n10-1)/2):.3f}")
     small.unpersist(); big.unpersist()
+
+
+@pytest.mark.scale
+def test_scd2_walltime_scales_with_dimension_scan(spark):
+    """r7: SCD2 cost is one dimension scan + batch-sized broadcast
+    joins — 10x the dimension with a FIXED batch must grow ~linearly
+    (the scan), never superlinearly (no dimension shuffle; the plan
+    pin in test_scd2.py proves the shape, this measures the number).
+    Deterministic proxies gate: output rows = 10x history + the fixed
+    batch's closes/inserts, exactly."""
+    import datetime
+    from functools import reduce
+
+    from pyspark.sql import DataFrame
+
+    from lakehouse_file_format_compare_spark.operators.merge import scd2_apply
+
+    d0, d1 = datetime.date(2025, 1, 1), datetime.date(2025, 6, 1)
+    cust = table(spark, SF_SCALE, "customer").select(
+        F.col("c_custkey").alias("id"),
+        F.col("c_name").alias("name"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+
+    def hist_of(src):
+        return src.select(
+            "id", "name", "segment",
+            F.lit(d0).alias("valid_from"),
+            F.lit(None).cast("date").alias("valid_to"),
+            F.lit(True).alias("is_current"),
+        )
+
+    small = hist_of(cust).repartition(32).cache()
+    n1 = small.count()
+    copies = [
+        cust.select(
+            (F.col("id") + F.lit(i * 10_000_000)).alias("id"), "name", "segment"
+        )
+        for i in range(10)
+    ]
+    big = hist_of(reduce(DataFrame.unionByName, copies)).repartition(32).cache()
+    n10 = big.count()
+    assert n10 == 10 * n1
+
+    # fixed batch: change segment for 500 keys of copy 0, add 100 new
+    batch = (
+        cust.orderBy("id").limit(500).select(
+            "id", "name",
+            F.concat(F.col("segment"), F.lit("-X")).alias("segment"),
+            F.lit(d1).alias("effective_date"),
+        )
+        .unionByName(
+            cust.orderBy("id").limit(100).select(
+                (F.col("id") + 900_000_000).alias("id"), "name", "segment",
+                F.lit(d1).alias("effective_date"),
+            )
+        )
+        .cache()
+    )
+    batch.count()
+
+    def run(hist):
+        return scd2_apply(hist, batch, keys=["id"], compare_cols=["name", "segment"])
+
+    _timed_count(run(small))  # warm-up
+    t1, p1 = _timed_count(run(small))
+    t10, p10 = _timed_count(run(big))
+    # exact accounting: each changed key keeps its closed row AND gains
+    # a new open version (+500), each new key adds one row (+100)
+    assert p1 == n1 + 500 + 100
+    assert p10 == n10 + 500 + 100
+    ratio = t10 / max(t1, 1.0)
+    _check_wall_ratio(ratio, f"10x dim cost {ratio:.1f}x (t1={t1:.2f}s t10={t10:.2f}s)")
+    print(f"scd2 10x: t1={t1:.2f}s t10={t10:.2f}s rows {p1}->{p10}")
+    small.unpersist(); big.unpersist(); batch.unpersist()
