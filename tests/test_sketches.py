@@ -215,3 +215,22 @@ def test_topk_empty_input(spark):
     empty = spark.createDataFrame([], "grp string, item string")
     assert partial(empty, ["grp"], "item").count() == 0
     assert rollup(partial(empty, ["grp"], "item"), ["grp"]).count() == 0
+
+
+def test_topk_partials_survive_parquet_roundtrip(spark, tmp_path):
+    """The persisted-table claim: partial summaries written to parquet
+    and read back must roll up identically to the in-memory path (the
+    whole point is persisting the fine grain once and merging from
+    disk forever after)."""
+    partial, rollup = _mg_imports()
+    orders = table(spark, SF_CORRECTNESS, "orders").select(
+        "o_orderstatus", F.month("o_orderdate").alias("m"), "o_custkey"
+    )
+    partials = partial(orders, ["o_orderstatus", "m"], "o_custkey", k=5)
+    path = str(tmp_path / "topk_partials")
+    partials.write.parquet(path)
+    from_disk = rollup(spark.read.parquet(path), ["o_orderstatus"], k=5)
+    in_mem = rollup(partials, ["o_orderstatus"], k=5)
+    assert sorted(map(tuple, from_disk.collect())) == sorted(
+        map(tuple, in_mem.collect())
+    )
