@@ -12,7 +12,12 @@ genuine image files with a header-re-parse oracle, and
 contracts) took the demoted ``op_set_ops`` slot. r7: no registry
 swaps — ``op_approx_distinct`` widened with the mergeable-HLL rollup
 contract booleans AND exact Misra-Gries top-k rollup values
-(``mg_*``); ``corpus_hygiene_suite`` grew the ``sdedup_*``
+(``mg_*``), then again with exact Count-Min frequency partials
+(``cms_*``: portable md5 bucket hashes make the merged counter grid
+and the heavy-key point estimate exact cross-engine values) and
+mergeable equi-width histogram quantiles (``qh_*``: p50/p95 bins and
+the bin fingerprint replay bit-exact; merge is lossless integer math,
+unlike HLL's estimator wobble); ``corpus_hygiene_suite`` grew the ``sdedup_*``
 (cross-doc substring duplication), ``sspan_*`` (within-doc),
 ``blines_*`` (corpus-wide boilerplate-line removal, run end-to-end)
 and ``nbq_*`` (Naive-Bayes quality classifier, full train+score

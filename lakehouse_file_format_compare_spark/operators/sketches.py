@@ -130,6 +130,181 @@ def topk_partial_summaries(
     )
 
 
+def _cms_bucket(col, j: int, width: int, tag: str):
+    # Engine-portable bucket hash: md5 of the domain-tagged key, first
+    # 8 hex chars as an integer, mod width. Spark's conv(hex,16,10)
+    # and DuckDB's CAST('0x'||hex AS BIGINT) agree bit-exactly, so a
+    # DuckDB oracle can replay the ENTIRE sketch — counters, merges
+    # and point estimates are exact cross-engine values, not booleans.
+    return F.pmod(
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws("|", F.lit(f"{tag}{j}"), col.cast("string"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long"),
+        F.lit(width),
+    )
+
+
+def cms_partial_counters(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    depth: int = 3,
+    width: int = 64,
+    tag: str = "cms",
+) -> DataFrame:
+    """Count-Min sketch partials (Cormode & Muthukrishnan 2005, public
+    textbook algorithm) — the mergeable FREQUENCY companion to the HLL
+    (distinct) and Misra-Gries (top-k) partials above. Per fine-grain
+    group, a depth×width counter grid stored sparsely as
+    (group_cols…, d, bucket, cnt): one fact scan, map-side partial
+    aggregation, size bounded by depth·width per group regardless of
+    key cardinality. Merge = elementwise counter sum, so coarser
+    grains never re-scan the fact table, and a point estimate for ANY
+    key (min over depth rows) is available after the fact — unlike
+    top-k partials, which only answer for kept keys. Estimates
+    overcount (never undercount): est >= true count always, with the
+    classic (e/width)·N error bound at depth=ln(1/δ)."""
+    rows = df.select(
+        *group_cols,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("d"),
+                        _cms_bucket(F.col(value_col), j, width, tag).alias("bucket"),
+                    )
+                    for j in range(depth)
+                ]
+            )
+        ).alias("hb"),
+    ).select(*group_cols, "hb.d", "hb.bucket")
+    return rows.groupBy(*group_cols, "d", "bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+
+
+def cms_rollup(counters: DataFrame, rollup_cols: list[str]) -> DataFrame:
+    """Merge partial CMS counters to a coarser grain: elementwise sum
+    per (d, bucket) — no fact-table access, cost ∝ counter rows."""
+    return counters.groupBy(*rollup_cols, "d", "bucket").agg(
+        F.sum("cnt").cast("long").alias("cnt")
+    )
+
+
+def cms_estimates(
+    counters: DataFrame,
+    group_cols: list[str],
+    keys: DataFrame,
+    key_col: str,
+    depth: int = 3,
+    width: int = 64,
+    tag: str = "cms",
+) -> DataFrame:
+    """Point-estimate the count of each key in ``keys`` (a SMALL
+    frame, broadcast) within every group of the (possibly merged)
+    counter table: min over the depth rows of the counter at the
+    key's bucket, absent counters counting as 0. Returns
+    (group_cols…, key_col, cms_est). One scan of the counter table;
+    the probe side is |groups|·|keys|·depth rows, all broadcast."""
+    kb = keys.select(
+        key_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("d"),
+                        _cms_bucket(F.col(key_col), j, width, tag).alias("bucket"),
+                    )
+                    for j in range(depth)
+                ]
+            )
+        ).alias("hb"),
+    ).select(key_col, "hb.d", "hb.bucket")
+    probes = counters.select(*group_cols).distinct().crossJoin(F.broadcast(kb))
+    return (
+        probes.join(counters, [*group_cols, "d", "bucket"], "left")
+        .withColumn("cnt", F.coalesce(F.col("cnt"), F.lit(0)))
+        .groupBy(*group_cols, key_col)
+        .agg(F.min("cnt").cast("long").alias("cms_est"))
+    )
+
+
+def histogram_partials(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    lo: float,
+    bin_width: float,
+    n_bins: int,
+) -> DataFrame:
+    """Equi-width histogram partials — the mergeable QUANTILE shape.
+    ``percentile()`` does not decompose across grains any more than
+    COUNT(DISTINCT) does; a persisted per-group bin-count table does:
+    merge = bin-wise sum (EXACTLY equal to a direct coarse-grain
+    histogram, unlike HLL's estimator-path wobble), and any quantile
+    is a cumulative walk over ≤ n_bins rows with error ≤ one
+    bin_width. Values below lo clamp to bin 0, above the top to bin
+    n_bins-1, so counts are conserved bit-exactly."""
+    b = (
+        F.least(
+            F.lit(n_bins - 1),
+            F.greatest(
+                F.lit(0), F.floor((F.col(value_col) - F.lit(lo)) / F.lit(bin_width))
+            ),
+        )
+        .cast("long")
+        .alias("bin")
+    )
+    return df.groupBy(*group_cols, b).agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+
+
+def histogram_rollup(partials: DataFrame, rollup_cols: list[str]) -> DataFrame:
+    """Merge histogram partials to a coarser grain: bin-wise sum."""
+    return partials.groupBy(*rollup_cols, "bin").agg(
+        F.sum("cnt").cast("long").alias("cnt")
+    )
+
+
+def histogram_quantile_bins(
+    merged: DataFrame,
+    group_cols: list[str],
+    quantiles: dict[str, int],
+) -> DataFrame:
+    """Per group, the bin holding each requested quantile. Quantiles
+    are given in INTEGER percent (e.g. {"p50": 50, "p95": 95}) and the
+    selection rule is pure integer math — the smallest bin whose
+    cumulative count satisfies 100·cum >= pct·total — so the result is
+    deterministic and bit-exact across engines (no float thresholds).
+    The true pct-quantile value lies in [lo + bin·w, lo + (bin+1)·w).
+    Returns (group_cols…, <name>_bin…, n_rows)."""
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(*group_cols)
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wt = Window.partitionBy(*group_cols)
+    cum = merged.withColumn("__cum", F.sum("cnt").over(w)).withColumn(
+        "__total", F.sum("cnt").over(wt)
+    )
+    return cum.groupBy(*group_cols).agg(
+        *[
+            F.min(
+                F.when(F.col("__cum") * 100 >= F.lit(pct) * F.col("__total"), F.col("bin"))
+            ).alias(f"{name}_bin")
+            for name, pct in quantiles.items()
+        ],
+        F.max("__total").cast("long").alias("n_rows"),
+    )
+
+
 def topk_rollup(
     partials: DataFrame,
     rollup_cols: list[str],

@@ -529,6 +529,14 @@ MG_HEAVY_KEY = 42
 MG_HEAVY_MOD = 3
 MG_FP_MOD = 1_000_003
 
+# Count-Min + histogram-quantile partials (r7 continuation): both
+# sketches are pure integer / md5 arithmetic, so the oracle replays
+# them EXACTLY (values, not booleans) — see operators/sketches.py.
+CMS_DEPTH = 3
+CMS_WIDTH = 64
+HIST_BIN_W = 4096.0
+HIST_N_BINS = 160
+
 
 def approx_distinct_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate aggregates (absent from the reference, SURVEY §2.5
@@ -618,11 +626,91 @@ def approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("n_rows").alias("__mg_rows"),
     )
 
+    # Count-Min frequency partials (r7 continuation): same skewed
+    # frame, partials at (status, month), merged to status, then a
+    # point estimate for the planted heavy key — every value exact
+    # in the oracle because the bucket hash is portable md5 math.
+    from ..operators.sketches import cms_estimates, cms_partial_counters, cms_rollup
+
+    cms_merged = cms_rollup(
+        cms_partial_counters(
+            skewed, ["o_orderstatus", "o_month"], "cust", CMS_DEPTH, CMS_WIDTH
+        ),
+        ["o_orderstatus"],
+    )
+    heavy_key = spark.range(1).select(
+        F.lit(MG_HEAVY_KEY).cast("long").alias("hk")
+    )
+    cms_est = cms_estimates(
+        cms_merged, ["o_orderstatus"], heavy_key, "hk", CMS_DEPTH, CMS_WIDTH
+    ).select("o_orderstatus", F.col("cms_est").alias("cms_heavy_est"))
+    heavy_truth = (
+        skewed.where(F.col("cust") == MG_HEAVY_KEY)
+        .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).cast("long").alias("__heavy_true"))
+    )
+    cms_cons = (
+        cms_merged.groupBy("o_orderstatus", "d")
+        .agg(F.sum("cnt").alias("__s"))
+        .groupBy("o_orderstatus")
+        .agg(F.min("__s").alias("__dmin"), F.max("__s").alias("__dmax"))
+    )
+    # Mergeable histogram quantiles: o_totalprice binned at 4096-wide
+    # buckets, partials at (status, month) merged to status; the p50 /
+    # p95 bins and the bin fingerprint are exact integer values. A
+    # physically shuffled partial set must merge to the SAME
+    # fingerprint (what makes a persisted histogram reproducible) —
+    # and unlike HLL, histogram merge is exactly lossless.
+    from ..operators.sketches import (
+        histogram_partials,
+        histogram_quantile_bins,
+        histogram_rollup,
+    )
+
+    priced = orders.withColumn("o_month", F.month("o_orderdate"))
+    hist_merged = histogram_rollup(
+        histogram_partials(
+            priced, ["o_orderstatus", "o_month"], "o_totalprice",
+            0.0, HIST_BIN_W, HIST_N_BINS,
+        ),
+        ["o_orderstatus"],
+    )
+    qbins = histogram_quantile_bins(
+        hist_merged, ["o_orderstatus"], {"qh_p50": 50, "qh_p95": 95}
+    ).select(
+        "o_orderstatus", "qh_p50_bin", "qh_p95_bin",
+        F.col("n_rows").alias("__qh_rows"),
+    )
+    hist_fp = hist_merged.groupBy("o_orderstatus").agg(
+        F.sum(F.col("bin") * 1009 + F.col("cnt") * 7).cast("long").alias("qh_fp")
+    )
+    hist_fp2 = (
+        histogram_rollup(
+            histogram_partials(
+                priced.repartition(7, F.col("o_custkey")),
+                ["o_orderstatus", "o_month"], "o_totalprice",
+                0.0, HIST_BIN_W, HIST_N_BINS,
+            ).repartition(5),
+            ["o_orderstatus"],
+        )
+        .groupBy("o_orderstatus")
+        .agg(
+            F.sum(F.col("bin") * 1009 + F.col("cnt") * 7).cast("long").alias("__qh_fp2")
+        )
+    )
+
     raw = approx_distinct_raw(spark, sf_dir)
     return (
         raw.join(merged, "o_orderstatus")
         .join(shuffled, "o_orderstatus")
         .join(mg, "o_orderstatus")
+        .join(cms_est, "o_orderstatus")
+        .join(heavy_truth, "o_orderstatus", "left")
+        .withColumn("__heavy_true", F.coalesce(F.col("__heavy_true"), F.lit(0)))
+        .join(cms_cons, "o_orderstatus")
+        .join(qbins, "o_orderstatus")
+        .join(hist_fp, "o_orderstatus")
+        .join(hist_fp2, "o_orderstatus")
         .select(
             "o_orderstatus",
             "exact_customers",
@@ -646,6 +734,17 @@ def approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mg_bound_total",
             "mg_topk_fp",
             (F.col("__mg_rows") == F.col("n_orders")).alias("mg_rows_conserved"),
+            "cms_heavy_est",
+            (F.col("cms_heavy_est") >= F.col("__heavy_true")).alias("cms_ge_truth"),
+            (
+                (F.col("__dmin") == F.col("__dmax"))
+                & (F.col("__dmax") == F.col("n_orders"))
+            ).alias("cms_rows_conserved"),
+            "qh_p50_bin",
+            "qh_p95_bin",
+            "qh_fp",
+            (F.col("__qh_rows") == F.col("n_orders")).alias("qh_rows_conserved"),
+            (F.col("qh_fp") == F.col("__qh_fp2")).alias("qh_merge_order_invariant"),
         )
     )
 
@@ -693,6 +792,49 @@ bounds AS (
     FROM mr m JOIN side s USING (o_orderstatus)
     WHERE rank <= {MG_K}
     GROUP BY 1
+), depths AS (
+    SELECT unnest(generate_series(0, {CMS_DEPTH - 1})) AS d
+), cmc AS (
+    -- exact replay of the Count-Min counter grid: same md5 buckets
+    SELECT o_orderstatus, d,
+           CAST(('0x' || substr(md5(concat('cms', d, '|', CAST(cust AS VARCHAR))), 1, 8)) AS BIGINT)
+             % {CMS_WIDTH} AS bucket,
+           COUNT(*) AS cnt
+    FROM skew CROSS JOIN depths
+    GROUP BY ALL
+), cme AS (
+    SELECT p.o_orderstatus, MIN(COALESCE(c.cnt, 0)) AS cms_heavy_est
+    FROM (SELECT s.o_orderstatus, depths.d,
+                 CAST(('0x' || substr(md5(concat('cms', depths.d, '|', '{MG_HEAVY_KEY}')), 1, 8)) AS BIGINT)
+                   % {CMS_WIDTH} AS bucket
+          FROM (SELECT DISTINCT o_orderstatus FROM orders) s CROSS JOIN depths) p
+    LEFT JOIN cmc c USING (o_orderstatus, d, bucket)
+    GROUP BY 1
+), cmt AS (
+    SELECT o_orderstatus, COUNT(*) AS heavy_true
+    FROM skew WHERE cust = {MG_HEAVY_KEY} GROUP BY 1
+), cmcons AS (
+    SELECT o_orderstatus, MIN(s) AS dmin, MAX(s) AS dmax
+    FROM (SELECT o_orderstatus, d, SUM(cnt) AS s FROM cmc GROUP BY ALL)
+    GROUP BY 1
+), hmerged AS (
+    SELECT o_orderstatus,
+           CAST(LEAST({HIST_N_BINS - 1}, GREATEST(0, FLOOR((o_totalprice - 0.0) / {HIST_BIN_W}))) AS BIGINT) AS bin,
+           COUNT(*) AS cnt
+    FROM orders GROUP BY ALL
+), hq AS (
+    SELECT o_orderstatus,
+           MIN(CASE WHEN cum * 100 >= 50 * total THEN bin END) AS qh_p50_bin,
+           MIN(CASE WHEN cum * 100 >= 95 * total THEN bin END) AS qh_p95_bin,
+           MAX(total) AS qh_rows
+    FROM (SELECT o_orderstatus, bin, cnt,
+                 SUM(cnt) OVER (PARTITION BY o_orderstatus ORDER BY bin) AS cum,
+                 SUM(cnt) OVER (PARTITION BY o_orderstatus) AS total
+          FROM hmerged)
+    GROUP BY 1
+), hfp AS (
+    SELECT o_orderstatus, CAST(SUM(bin * 1009 + cnt * 7) AS BIGINT) AS qh_fp
+    FROM hmerged GROUP BY 1
 )
 SELECT o_orderstatus, exact_customers, n_orders,
        true AS approx_within_tolerance,
@@ -700,8 +842,20 @@ SELECT o_orderstatus, exact_customers, n_orders,
        true AS hll_rollup_rows_conserved,
        true AS hll_rollup_order_invariant,
        mg_top1_key, mg_top1_lb, mg_bound_total, mg_topk_fp,
-       (mg_nr = n_orders) AS mg_rows_conserved
-FROM base JOIN mg USING (o_orderstatus)
+       (mg_nr = n_orders) AS mg_rows_conserved,
+       cms_heavy_est,
+       (cms_heavy_est >= COALESCE(cmt.heavy_true, 0)) AS cms_ge_truth,
+       (cmcons.dmin = cmcons.dmax AND cmcons.dmax = n_orders) AS cms_rows_conserved,
+       qh_p50_bin, qh_p95_bin, qh_fp,
+       (hq.qh_rows = n_orders) AS qh_rows_conserved,
+       true AS qh_merge_order_invariant
+FROM base
+JOIN mg USING (o_orderstatus)
+JOIN cme USING (o_orderstatus)
+LEFT JOIN cmt USING (o_orderstatus)
+JOIN cmcons USING (o_orderstatus)
+JOIN hq USING (o_orderstatus)
+JOIN hfp USING (o_orderstatus)
 """
 
 

@@ -234,3 +234,194 @@ def test_topk_partials_survive_parquet_roundtrip(spark, tmp_path):
     assert sorted(map(tuple, from_disk.collect())) == sorted(
         map(tuple, in_mem.collect())
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-Min frequency partials (r7 continuation): md5-derived buckets
+# are engine-portable, so the full sketch — counters, merge, point
+# estimates — replays EXACTLY in DuckDB (values, not envelopes).
+# ---------------------------------------------------------------------------
+
+def _cms_imports():
+    from lakehouse_file_format_compare_spark.operators.sketches import (
+        cms_estimates,
+        cms_partial_counters,
+        cms_rollup,
+    )
+
+    return cms_partial_counters, cms_rollup, cms_estimates
+
+
+def test_cms_never_undercounts_and_heavy_key_tight(spark):
+    """est >= truth for EVERY key (structural CMS guarantee), and on a
+    corpus with few distinct keys vs width the heavy key is exact."""
+    partial, rollup, estimate = _cms_imports()
+    rows = [("g", "hot")] * 50 + [("g", f"k{i}") for i in range(20) for _ in range(2)]
+    df = spark.createDataFrame(rows, "grp string, item string")
+    counters = rollup(partial(df, ["grp"], "item", depth=3, width=64), ["grp"])
+    keys = df.select("item").distinct()
+    est = {
+        r["item"]: r["cms_est"]
+        for r in estimate(counters, ["grp"], keys, "item", depth=3, width=64).collect()
+    }
+    truth = {r["item"]: r["c"] for r in df.groupBy("item").agg(
+        F.count(F.lit(1)).alias("c")).collect()}
+    for k, t in truth.items():
+        assert est[k] >= t, (k, est[k], t)
+    # 21 distinct keys into 64 buckets x depth 3: the hot key's min
+    # row is collision-free with overwhelming odds for this fixed hash
+    assert est["hot"] == 50
+
+
+def test_cms_absent_key_estimates_bounded(spark):
+    """A key never seen estimates >= 0 and <= the CMS error bound
+    shape (some collision mass), and never crashes on missing
+    counter rows (LEFT join + coalesce-0 path)."""
+    partial, rollup, estimate = _cms_imports()
+    df = spark.createDataFrame([("g", f"k{i}") for i in range(10)],
+                               "grp string, item string")
+    counters = rollup(partial(df, ["grp"], "item", depth=3, width=64), ["grp"])
+    ghost = spark.createDataFrame([("zzz-never-seen",)], "item string")
+    est = estimate(counters, ["grp"], ghost, "item", depth=3, width=64).collect()
+    assert len(est) == 1 and 0 <= est[0]["cms_est"] <= 10
+
+
+def test_cms_merge_equals_direct_and_partition_invariant(spark):
+    """Merging (status, month) partials to status gives EXACTLY the
+    counters a direct status-grain scan gives — CMS merge is lossless
+    integer math — and is invariant to physical partitioning."""
+    partial, rollup, _ = _cms_imports()
+    orders = table(spark, SF_CORRECTNESS, "orders").select(
+        "o_orderstatus", F.month("o_orderdate").alias("m"),
+        F.col("o_custkey").cast("long").alias("cust"),
+    )
+    merged = rollup(partial(orders, ["o_orderstatus", "m"], "cust"), ["o_orderstatus"])
+    direct = partial(orders, ["o_orderstatus"], "cust")
+    shuffled = rollup(
+        partial(orders.repartition(11, "cust"), ["o_orderstatus", "m"], "cust")
+        .repartition(4),
+        ["o_orderstatus"],
+    )
+    a = sorted(map(tuple, merged.collect()))
+    assert a == sorted(map(tuple, direct.collect()))
+    assert a == sorted(map(tuple, shuffled.collect()))
+
+
+def test_cms_duckdb_replay(spark):
+    """Bit-exact cross-engine replay of the merged counter grid."""
+    partial, rollup, _ = _cms_imports()
+    orders = table(spark, SF_CORRECTNESS, "orders").select(
+        "o_orderstatus", F.col("o_custkey").cast("long").alias("cust")
+    )
+    got = sorted(map(tuple, rollup(
+        partial(orders, ["o_orderstatus"], "cust", depth=3, width=64),
+        ["o_orderstatus"],
+    ).collect()))
+    con = duckdb.connect()
+    path = os.path.join(SF_CORRECTNESS, "orders.parquet")
+    want = sorted(map(tuple, con.execute(f"""
+        SELECT o_orderstatus, d,
+               CAST(('0x' || substr(md5(concat('cms', d, '|', CAST(o_custkey AS VARCHAR))), 1, 8)) AS BIGINT) % 64 AS bucket,
+               COUNT(*) AS cnt
+        FROM read_parquet('{path}')
+        CROSS JOIN (SELECT unnest(generate_series(0, 2)) AS d)
+        GROUP BY ALL ORDER BY ALL
+    """).fetchall()))
+    con.close()
+    assert len(got) > 100 and got == want
+
+
+def test_cms_empty_input(spark):
+    partial, rollup, estimate = _cms_imports()
+    empty = spark.createDataFrame([], "grp string, item string")
+    counters = rollup(partial(empty, ["grp"], "item"), ["grp"])
+    assert counters.count() == 0
+    keys = spark.createDataFrame([("x",)], "item string")
+    assert estimate(counters, ["grp"], keys, "item").count() == 0
+
+
+# ---------------------------------------------------------------------------
+# Equi-width histogram quantile partials: merge is EXACTLY lossless
+# (bin-wise integer sum), quantile bins are pure integer selection.
+# ---------------------------------------------------------------------------
+
+def _hist_imports():
+    from lakehouse_file_format_compare_spark.operators.sketches import (
+        histogram_partials,
+        histogram_quantile_bins,
+        histogram_rollup,
+    )
+
+    return histogram_partials, histogram_rollup, histogram_quantile_bins
+
+
+def test_histogram_hand_values_and_clamping(spark):
+    partial, rollup, qbins = _hist_imports()
+    df = spark.createDataFrame(
+        [("g", float(v)) for v in [-5, 0, 3, 9, 10, 19, 250]],
+        "grp string, x double",
+    )
+    merged = {(r["bin"]): r["cnt"] for r in rollup(
+        partial(df, ["grp"], "x", lo=0.0, bin_width=10.0, n_bins=4), ["grp"]
+    ).collect()}
+    # -5 clamps to bin 0; 250 clamps to bin 3; [0,3,9]->0, [10,19]->1
+    assert merged == {0: 4, 1: 2, 3: 1}
+    q = qbins(
+        rollup(partial(df, ["grp"], "x", 0.0, 10.0, 4), ["grp"]),
+        ["grp"], {"p50": 50, "p100": 100},
+    ).collect()[0]
+    assert q["p50_bin"] == 0 and q["p100_bin"] == 3 and q["n_rows"] == 7
+
+
+def test_histogram_merge_equals_direct_and_quantile_brackets_exact(spark):
+    """(status, month) partials merged to status == direct status
+    histogram, bin-exact; and the p50/p95 bins bracket the exact
+    percentile DuckDB computes (bracket = [lo+bin*w, lo+(bin+1)*w],
+    closed right edge because interpolation can land on it)."""
+    partial, rollup, qbins = _hist_imports()
+    orders = table(spark, SF_CORRECTNESS, "orders").withColumn(
+        "m", F.month("o_orderdate")
+    )
+    merged = rollup(
+        partial(orders, ["o_orderstatus", "m"], "o_totalprice", 0.0, 4096.0, 160),
+        ["o_orderstatus"],
+    )
+    direct = partial(orders, ["o_orderstatus"], "o_totalprice", 0.0, 4096.0, 160)
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, direct.collect())
+    )
+    q = {r["o_orderstatus"]: r for r in qbins(
+        merged, ["o_orderstatus"], {"p50": 50, "p95": 95}).collect()}
+    con = duckdb.connect()
+    path = os.path.join(SF_CORRECTNESS, "orders.parquet")
+    exact = {s: (a, b) for s, a, b in con.execute(f"""
+        SELECT o_orderstatus, quantile_disc(o_totalprice, 0.5),
+               quantile_disc(o_totalprice, 0.95)
+        FROM read_parquet('{path}') GROUP BY 1""").fetchall()}
+    con.close()
+    for s, (p50, p95) in exact.items():
+        for name, val in (("p50", p50), ("p95", p95)):
+            b = q[s][f"{name}_bin"]
+            assert b * 4096.0 <= val <= (b + 1) * 4096.0, (s, name, b, val)
+
+
+def test_histogram_partials_survive_parquet_roundtrip(spark, tmp_path):
+    partial, rollup, _ = _hist_imports()
+    orders = table(spark, SF_CORRECTNESS, "orders").withColumn(
+        "m", F.month("o_orderdate")
+    )
+    partials = partial(orders, ["o_orderstatus", "m"], "o_totalprice",
+                       0.0, 4096.0, 160)
+    path = str(tmp_path / "hist_partials")
+    partials.write.parquet(path)
+    assert sorted(map(tuple, rollup(spark.read.parquet(path),
+                                    ["o_orderstatus"]).collect())) == sorted(
+        map(tuple, rollup(partials, ["o_orderstatus"]).collect()))
+
+
+def test_histogram_empty_input(spark):
+    partial, rollup, qbins = _hist_imports()
+    empty = spark.createDataFrame([], "grp string, x double")
+    merged = rollup(partial(empty, ["grp"], "x", 0.0, 1.0, 4), ["grp"])
+    assert merged.count() == 0
+    assert qbins(merged, ["grp"], {"p50": 50}).count() == 0
