@@ -1,0 +1,241 @@
+"""Behavioral event analytics: funnel conversion, cohort retention
+and robust (MAD) outlier detection — the classic product-analytics
+trio over an append-only event stream, expressed as pure DataFrame
+algebra so every number has an exact DuckDB replay.
+
+Reference parity: the reference repo
+(italovinicius18/lakehouse-file-format-compare) has no behavioral
+analytics surface (its DAGs stop at fintech gold aggregates,
+dags/3_silver_to_gold.py); this module is beyond-reference extension
+surface in the same spirit as the sessionization / as-of-join family
+(operators/temporal.py) — the event-table workloads a lakehouse
+engine is actually pointed at.
+
+Scale shapes (the 100 TB story):
+
+- ``funnel_user_steps``: the per-user earliest ordered completion is
+  a chain of conditional-min WINDOW expressions over ONE partitioning
+  (the user key) — Catalyst plans a single Exchange + a stack of
+  Window operators, and the closing per-user aggregate reuses the
+  same partitioning, so a K-step funnel costs exactly one shuffle of
+  the event table regardless of K (plan-pinned in
+  tests/test_funnel.py). No joins, no per-step re-scans. Per-user
+  event counts bound the window memory; for pathological hot users
+  the sessionize_salted time-slice pattern applies unchanged.
+- ``retention_matrix``: one user-grain aggregate (first activity) +
+  one co-partitioned join back on the SAME key + one (cohort, offset)
+  aggregate. Period arithmetic is pure integer math on epoch
+  microseconds — no calendar functions, so Spark and DuckDB agree
+  bit-exactly and partition pruning on a date-partitioned event table
+  still applies upstream.
+- ``mad_outliers``: per-key exact medians (two grouped ``percentile``
+  passes) with the key-cardinality stat tables broadcast back. Exact
+  medians are the right tool at dashboard-grain key cardinality
+  (event types, tenants); for high-cardinality keys swap
+  ``approx_percentile`` in — the surrounding algebra is unchanged
+  (functions/stats.py pins the GK path's rank tolerance).
+
+Cross-engine determinism: medians use linear interpolation on both
+engines (Spark ``percentile`` == DuckDB ``quantile_cont``,
+tests/test_stats.py), and every emitted double goes through the grid
+snap (functions/numeric.py). Outlier comparisons snap BOTH sides to
+the 1e-6 grid so the >-decision is engine-identical even on the
+boundary.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.numeric import grid
+
+# normal-consistency constant: MAD * 1.4826 estimates sigma for
+# Gaussian data (public textbook value, e.g. Rousseeuw & Croux 1993)
+MAD_SIGMA = 1.4826
+
+
+def funnel_user_steps(
+    events: DataFrame,
+    steps: list[str],
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    max_span_seconds: int | None = None,
+) -> DataFrame:
+    """Earliest ordered funnel completion per user.
+
+    A user reaches step i at the MIN event time t_i with
+    ``type == steps[i]``, ``t_i > t_{i-1}`` (strictly after the
+    previous step) and — when ``max_span_seconds`` is set —
+    ``t_i <= t_1 + span`` (the whole funnel must complete within the
+    span of its own first step). Returns one row per user seen in
+    ``events``: (user, step1_ts .. stepK_ts), nulls from the first
+    step the user never reached.
+    """
+    if not steps:
+        raise ValueError("steps must be non-empty")
+    w = Window.partitionBy(user_col)
+    ts = F.col(ts_col)
+    df = events.select(user_col, ts_col, type_col)
+    prev: str | None = None
+    for i, step in enumerate(steps, start=1):
+        cond = F.col(type_col) == step
+        if prev is not None:
+            # strictly after the previous step; NULL prev => never
+            cond = cond & (ts > F.col(prev))
+            if max_span_seconds is not None:
+                cond = cond & (
+                    ts <= F.col("step1_ts") + F.expr(f"INTERVAL {int(max_span_seconds)} SECOND")
+                )
+        df = df.withColumn(f"step{i}_ts", F.min(F.when(cond, ts)).over(w))
+        prev = f"step{i}_ts"
+    step_cols = [f"step{i}_ts" for i in range(1, len(steps) + 1)]
+    # same partitioning as the windows — no second Exchange
+    return df.groupBy(user_col).agg(
+        *[F.first(c).alias(c) for c in step_cols]
+    )
+
+
+def funnel_counts(
+    events: DataFrame,
+    steps: list[str],
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    max_span_seconds: int | None = None,
+) -> DataFrame:
+    """Step-level funnel summary: one row per step with the number of
+    users reaching it and the conversion rate from step 1 (grid-4;
+    0.0 when nobody enters the funnel)."""
+    per_user = funnel_user_steps(
+        events,
+        steps,
+        user_col=user_col,
+        ts_col=ts_col,
+        type_col=type_col,
+        max_span_seconds=max_span_seconds,
+    )
+    counts = per_user.agg(
+        *[
+            F.count(F.col(f"step{i}_ts")).alias(f"n{i}")
+            for i in range(1, len(steps) + 1)
+        ]
+    )
+    # unpivot the single counts row into per-step rows
+    pairs = []
+    for i, step in enumerate(steps, start=1):
+        pairs.append(
+            F.struct(
+                F.lit(i).alias("step_index"),
+                F.lit(step).alias("step_name"),
+                F.col(f"n{i}").cast("long").alias("users"),
+            )
+        )
+    rows = counts.select(
+        F.explode(F.array(*pairs)).alias("s"), F.col("n1").alias("__n1")
+    )
+    return rows.select(
+        F.col("s.step_index").alias("step_index"),
+        F.col("s.step_name").alias("step_name"),
+        F.col("s.users").alias("users"),
+        F.when(
+            F.col("__n1") > 0,
+            grid(F.col("s.users") / F.col("__n1"), 4),
+        ).otherwise(F.lit(0.0)).alias("conversion"),
+    )
+
+
+def retention_matrix(
+    events: DataFrame,
+    *,
+    origin: str,
+    period_seconds: int,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Cohort retention: cohort = the period (indexed from ``origin``)
+    of a user's FIRST event; for each (cohort, offset) the number of
+    distinct cohort users active ``offset`` periods later, plus the
+    retention rate relative to the cohort size (= the offset-0 count:
+    every user's first event lands in their own cohort period).
+
+    Pure integer epoch-microsecond arithmetic — engine-portable, no
+    calendar functions.
+    """
+    period_us = int(period_seconds) * 1_000_000
+    origin_us = F.unix_micros(F.lit(origin).cast("timestamp"))
+    first = events.groupBy(user_col).agg(F.min(ts_col).alias("__first_ts"))
+    cohorts = first.select(
+        user_col,
+        F.floor((F.unix_micros(F.col("__first_ts")) - origin_us) / period_us)
+        .cast("long")
+        .alias("cohort"),
+    )
+    joined = events.select(user_col, ts_col).join(cohorts, user_col)
+    cells = joined.select(
+        user_col,
+        "cohort",
+        (
+            F.floor((F.unix_micros(F.col(ts_col)) - origin_us) / period_us).cast("long")
+            - F.col("cohort")
+        ).alias("offset"),
+    )
+    matrix = cells.groupBy("cohort", "offset").agg(
+        F.countDistinct(user_col).alias("retained")
+    )
+    size = matrix.where(F.col("offset") == 0).select(
+        "cohort", F.col("retained").alias("__cohort_size")
+    )
+    return matrix.join(size, "cohort").select(
+        "cohort",
+        "offset",
+        "retained",
+        grid(F.col("retained") / F.col("__cohort_size"), 4).alias("retention_rate"),
+    )
+
+
+def mad_outliers(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    *,
+    z: float = 3.0,
+) -> DataFrame:
+    """Robust per-key outlier detection: a row is an outlier when
+    |value - median| > z * 1.4826 * MAD (the median absolute
+    deviation). Returns one row per key: (key, n, median, mad,
+    n_outliers).
+
+    Determinism: the median and the MAD are snapped to the 1e-6 grid
+    IMMEDIATELY after interpolation, before anything derives from
+    them — so a last-ulp difference between Spark ``percentile`` and
+    DuckDB ``quantile_cont`` interpolation can never propagate into
+    the deviation values or the outlier threshold. Every downstream
+    comparison is then bitwise identical across engines.
+    """
+    med = df.groupBy(key_col).agg(
+        grid(F.percentile(F.col(value_col), F.lit(0.5)), 6).alias("__med")
+    )
+    dev = df.join(F.broadcast(med), key_col).select(
+        key_col,
+        F.col("__med"),
+        F.abs(F.col(value_col) - F.col("__med")).alias("__dev"),
+    )
+    mad = dev.groupBy(key_col).agg(
+        grid(F.percentile(F.col("__dev"), F.lit(0.5)), 6).alias("__mad")
+    )
+    scored = dev.join(F.broadcast(mad), key_col)
+    return scored.groupBy(key_col).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.first("__med").alias("median"),
+        F.first("__mad").alias("mad"),
+        F.sum(
+            (
+                grid(F.col("__dev"), 6)
+                > grid(F.lit(float(z)) * F.lit(MAD_SIGMA) * F.col("__mad"), 6)
+            ).cast("long")
+        ).alias("n_outliers"),
+    )

@@ -962,7 +962,12 @@ QUERIES = {
     # the demoted op_set_ops and the dedup family's candidate
     # distincts.
     "op_topk_orders": topk_orders,
-    "op_window_rank_per_group": window_rank_per_group,
+    # op_window_rank_per_group demoted from the 50-cap registry in r7
+    # (partitioned ROW_NUMBER stays driver-visible via
+    # op_window_functions_suite's rank/dense_rank columns and
+    # gold_product_ranking's double ROW_NUMBER; swapped for
+    # events_analytics_suite) — its oracle runs in
+    # tests/test_correctness.py::test_demoted_window_rank_oracle
     "op_scalar_functions": scalar_functions,
     "op_json_extract_props": json_extract_props,
     # op_set_ops demoted from the 50-cap registry in r6 (UNION/
@@ -995,7 +1000,6 @@ ORACLES = {
     "op_left_join_coalesce": LEFT_JOIN_COALESCE_SQL,
     "op_dedup_keep_latest": DEDUP_KEEP_LATEST_SQL,
     "op_topk_orders": TOPK_ORDERS_SQL,
-    "op_window_rank_per_group": WINDOW_RANK_PER_GROUP_SQL,
     "op_scalar_functions": SCALAR_FUNCTIONS_SQL,
     "op_json_extract_props": JSON_EXTRACT_PROPS_SQL,
     "op_rollup_cube_revenue": ROLLUP_CUBE_REVENUE_SQL,

@@ -6,6 +6,10 @@ DuckDB's native ASOF JOIN / theta join.
 recent prior 'view' event of the same user.
 ``op_range_join``: events bucketed into literal value tiers via the
 bin-and-refine range join.
+``events_analytics_suite`` (r7): the behavioral-analytics trio over
+the events table (operators/funnel.py) — funnel conversion, cohort
+retention and MAD outlier detection — folded into tagged metric rows
+with a full DuckDB replay.
 """
 
 from __future__ import annotations
@@ -14,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.numeric import grid, grid_sql
+from ..operators.funnel import MAD_SIGMA, funnel_counts, mad_outliers, retention_matrix
 from ..operators.temporal import asof_join, range_join, session_stats
 from ..sources.testdata import table
 
@@ -119,14 +124,166 @@ FROM sess GROUP BY user_id, session_seq
 """
 
 
+# events_analytics_suite constants. The funnel is the natural
+# signup → view → purchase ordering with a 7-day completion span;
+# retention cohorts are 7-day periods from the testdata's origin; the
+# anomaly injection (event_id % ANOM_MOD -> value * ANOM_FACTOR) makes
+# the MAD outlier count non-vacuous on the synthetic uniform values
+# (whose natural MAD envelope contains the whole range) — the
+# hygiene-suite injection precedent, replayed verbatim in the oracle.
+FUNNEL_STEPS = ["signup", "view", "purchase"]
+FUNNEL_SPAN_S = 7 * 86400
+RET_ORIGIN = "2024-01-01"
+RET_PERIOD_S = 7 * 86400
+ANOM_MOD = 500
+ANOM_FACTOR = 20.0
+ANOM_Z = 3.0
+
+
+def events_analytics_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tagged metric rows (family, item, n, v) for the three
+    behavioral-analytics operators. All values deterministic: counts
+    exact, rates grid-4, MADs grid-6 (snapped at the interpolation
+    site, operators/funnel.py::mad_outliers)."""
+    ev = table(spark, sf_dir, "events")
+
+    fr = funnel_counts(
+        ev, FUNNEL_STEPS, max_span_seconds=FUNNEL_SPAN_S
+    ).select(
+        F.lit("funnel").alias("family"),
+        F.concat(
+            F.col("step_index").cast("string"), F.lit(":"), F.col("step_name")
+        ).alias("item"),
+        F.col("users").alias("n"),
+        F.col("conversion").alias("v"),
+    )
+
+    rr = retention_matrix(
+        ev, origin=RET_ORIGIN, period_seconds=RET_PERIOD_S
+    ).select(
+        F.lit("retention").alias("family"),
+        F.concat(
+            F.lit("c"), F.col("cohort").cast("string"),
+            F.lit(":o"), F.col("offset").cast("string"),
+        ).alias("item"),
+        F.col("retained").alias("n"),
+        F.col("retention_rate").alias("v"),
+    )
+
+    aug = ev.select(
+        "event_type",
+        (
+            F.col("value")
+            * F.when(
+                F.pmod(F.col("event_id"), F.lit(ANOM_MOD)) == 0,
+                F.lit(ANOM_FACTOR),
+            ).otherwise(F.lit(1.0))
+        ).alias("value"),
+    )
+    ar = mad_outliers(aug, "event_type", "value", z=ANOM_Z).select(
+        F.lit("anomaly").alias("family"),
+        F.col("event_type").alias("item"),
+        F.col("n_outliers").alias("n"),
+        F.col("mad").alias("v"),
+    )
+
+    return fr.unionByName(rr).unionByName(ar)
+
+
+_PERIOD_US = RET_PERIOD_S * 1_000_000
+
+EVENTS_ANALYTICS_SUITE_SQL = f"""
+WITH f1 AS (
+    SELECT user_id, MIN(ts) AS t1 FROM events
+    WHERE event_type = '{FUNNEL_STEPS[0]}' GROUP BY user_id
+), f2 AS (
+    SELECT e.user_id, MIN(e.ts) AS t2
+    FROM events e JOIN f1 USING (user_id)
+    WHERE e.event_type = '{FUNNEL_STEPS[1]}' AND e.ts > f1.t1
+      AND e.ts <= f1.t1 + INTERVAL {FUNNEL_SPAN_S} SECOND
+    GROUP BY e.user_id
+), f3 AS (
+    SELECT e.user_id, MIN(e.ts) AS t3
+    FROM events e JOIN f2 USING (user_id) JOIN f1 USING (user_id)
+    WHERE e.event_type = '{FUNNEL_STEPS[2]}' AND e.ts > f2.t2
+      AND e.ts <= f1.t1 + INTERVAL {FUNNEL_SPAN_S} SECOND
+    GROUP BY e.user_id
+), fc AS (
+    SELECT (SELECT COUNT(*) FROM f1) AS n1,
+           (SELECT COUNT(*) FROM f2) AS n2,
+           (SELECT COUNT(*) FROM f3) AS n3
+), funnel_rows AS (
+    SELECT 'funnel' AS family, '1:{FUNNEL_STEPS[0]}' AS item, n1 AS n,
+           CASE WHEN n1 > 0 THEN {grid_sql('n1 / CAST(n1 AS DOUBLE)', 4)} ELSE 0.0 END AS v
+    FROM fc
+    UNION ALL
+    SELECT 'funnel', '2:{FUNNEL_STEPS[1]}', n2,
+           CASE WHEN n1 > 0 THEN {grid_sql('n2 / CAST(n1 AS DOUBLE)', 4)} ELSE 0.0 END
+    FROM fc
+    UNION ALL
+    SELECT 'funnel', '3:{FUNNEL_STEPS[2]}', n3,
+           CASE WHEN n1 > 0 THEN {grid_sql('n3 / CAST(n1 AS DOUBLE)', 4)} ELSE 0.0 END
+    FROM fc
+), rf AS (
+    SELECT user_id, MIN(ts) AS first_ts FROM events GROUP BY user_id
+), rc AS (
+    SELECT user_id,
+           CAST(floor((epoch_us(first_ts) - epoch_us(TIMESTAMP '{RET_ORIGIN}')) / {_PERIOD_US}) AS BIGINT) AS cohort
+    FROM rf
+), rcell AS (
+    SELECT e.user_id, c.cohort,
+           CAST(floor((epoch_us(e.ts) - epoch_us(TIMESTAMP '{RET_ORIGIN}')) / {_PERIOD_US}) AS BIGINT) - c.cohort AS off
+    FROM events e JOIN rc c USING (user_id)
+), rmat AS (
+    SELECT cohort, off, COUNT(DISTINCT user_id) AS retained
+    FROM rcell GROUP BY cohort, off
+), rsize AS (
+    SELECT cohort, retained AS csize FROM rmat WHERE off = 0
+), ret_rows AS (
+    SELECT 'retention' AS family,
+           'c' || CAST(m.cohort AS VARCHAR) || ':o' || CAST(m.off AS VARCHAR) AS item,
+           m.retained AS n,
+           {grid_sql('m.retained / CAST(s.csize AS DOUBLE)', 4)} AS v
+    FROM rmat m JOIN rsize s USING (cohort)
+), aug AS (
+    SELECT event_type,
+           value * (CASE WHEN event_id % {ANOM_MOD} = 0 THEN {ANOM_FACTOR} ELSE 1.0 END) AS v
+    FROM events
+), amed AS (
+    SELECT event_type, {grid_sql('quantile_cont(v, 0.5)', 6)} AS med
+    FROM aug GROUP BY event_type
+), adev AS (
+    SELECT a.event_type, abs(a.v - m.med) AS dev
+    FROM aug a JOIN amed m USING (event_type)
+), amad AS (
+    SELECT event_type, {grid_sql('quantile_cont(dev, 0.5)', 6)} AS mad
+    FROM adev GROUP BY event_type
+), anom_rows AS (
+    SELECT 'anomaly' AS family, d.event_type AS item,
+           SUM(CASE WHEN {grid_sql('dev', 6)} > {grid_sql(f'{ANOM_Z} * {MAD_SIGMA} * mad', 6)}
+                    THEN 1 ELSE 0 END) AS n,
+           mad AS v
+    FROM adev d JOIN amad USING (event_type)
+    GROUP BY d.event_type, mad
+)
+SELECT family, item, CAST(n AS BIGINT) AS n, v FROM funnel_rows
+UNION ALL
+SELECT family, item, CAST(n AS BIGINT) AS n, v FROM ret_rows
+UNION ALL
+SELECT family, item, CAST(n AS BIGINT) AS n, v FROM anom_rows
+"""
+
+
 QUERIES = {
     "op_asof_join": asof_view_attribution,
     "op_range_join": range_join_tiers,
     "op_sessionization": sessionization_stats,
+    "events_analytics_suite": events_analytics_suite,
 }
 
 ORACLES = {
     "op_asof_join": ASOF_VIEW_ATTRIBUTION_SQL,
     "op_range_join": RANGE_JOIN_TIERS_SQL,
     "op_sessionization": SESSIONIZATION_STATS_SQL,
+    "events_analytics_suite": EVENTS_ANALYTICS_SUITE_SQL,
 }

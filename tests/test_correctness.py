@@ -86,6 +86,20 @@ def test_demoted_set_ops_oracle(spark):
     assert ok, msg
 
 
+def test_demoted_window_rank_oracle(spark):
+    """op_window_rank_per_group left the driver registry in r7
+    (partitioned ROW_NUMBER stays driver-visible via
+    op_window_functions_suite and gold_product_ranking; swapped for
+    events_analytics_suite); its oracle coverage continues here."""
+    from lakehouse_file_format_compare_spark.plans.adhoc import (
+        WINDOW_RANK_PER_GROUP_SQL,
+        window_rank_per_group,
+    )
+
+    ok, msg = compare(spark, SF_CORRECTNESS, window_rank_per_group, WINDOW_RANK_PER_GROUP_SQL)
+    assert ok, msg
+
+
 def test_demoted_mm_fake_decode_oracle(spark):
     """The r3-r5 fake-decode multimodal row left the driver registry
     in r6 (the slot now runs the REAL header probe over the committed

@@ -1,0 +1,182 @@
+"""Behavioral-analytics operators (operators/funnel.py): funnel
+conversion, cohort retention and MAD outliers. The full sf0.01
+DuckDB replay runs via tests/test_correctness.py::test_oracle_match
+[events_analytics_suite]; these tests pin the SEMANTICS on hand-built
+frames (ordering strictness, span cutoff, cohort arithmetic, the
+outlier threshold) plus the plan shape and empty inputs."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from lakehouse_file_format_compare_spark.operators.funnel import (
+    funnel_counts,
+    funnel_user_steps,
+    mad_outliers,
+    retention_matrix,
+)
+
+TS = dt.datetime
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    )
+
+
+STEPS = ["signup", "view", "purchase"]
+
+
+def test_funnel_requires_strict_order(spark):
+    # user 1: view BEFORE signup, purchase after — reaches step 1 and
+    # step 3 never (step 2 missing breaks the chain);
+    # user 2: clean signup -> view -> purchase.
+    ev = _events(spark, [
+        (1, TS(2024, 1, 1, 10), 1, "view"),
+        (2, TS(2024, 1, 1, 11), 1, "signup"),
+        (3, TS(2024, 1, 1, 12), 1, "purchase"),
+        (4, TS(2024, 1, 2, 9), 2, "signup"),
+        (5, TS(2024, 1, 2, 10), 2, "view"),
+        (6, TS(2024, 1, 2, 11), 2, "purchase"),
+    ])
+    rows = {
+        r["user_id"]: r
+        for r in funnel_user_steps(ev, STEPS).collect()
+    }
+    assert rows[1]["step1_ts"] == TS(2024, 1, 1, 11)
+    assert rows[1]["step2_ts"] is None
+    assert rows[1]["step3_ts"] is None  # chain broken at step 2
+    assert rows[2]["step3_ts"] == TS(2024, 1, 2, 11)
+
+    counts = {r["step_name"]: r for r in funnel_counts(ev, STEPS).collect()}
+    assert counts["signup"]["users"] == 2
+    assert counts["view"]["users"] == 1
+    assert counts["purchase"]["users"] == 1
+    assert counts["purchase"]["conversion"] == 0.5
+
+
+def test_funnel_span_cutoff_measured_from_step1(spark):
+    # view lands 2h after signup — inside a 3h span; purchase lands 4h
+    # after signup — outside it even though it's 2h after the view.
+    ev = _events(spark, [
+        (1, TS(2024, 1, 1, 0), 1, "signup"),
+        (2, TS(2024, 1, 1, 2), 1, "view"),
+        (3, TS(2024, 1, 1, 4), 1, "purchase"),
+    ])
+    row = funnel_user_steps(ev, STEPS, max_span_seconds=3 * 3600).collect()[0]
+    assert row["step2_ts"] == TS(2024, 1, 1, 2)
+    assert row["step3_ts"] is None
+
+
+def test_funnel_picks_earliest_valid_event(spark):
+    ev = _events(spark, [
+        (1, TS(2024, 1, 1, 0), 1, "signup"),
+        (2, TS(2024, 1, 1, 5), 1, "signup"),   # later signup ignored
+        (3, TS(2024, 1, 1, 1), 1, "view"),
+        (4, TS(2024, 1, 1, 2), 1, "view"),     # second view ignored
+    ])
+    row = funnel_user_steps(ev, ["signup", "view"]).collect()[0]
+    assert row["step1_ts"] == TS(2024, 1, 1, 0)
+    assert row["step2_ts"] == TS(2024, 1, 1, 1)
+
+
+def test_funnel_user_missing_first_step(spark):
+    ev = _events(spark, [
+        (1, TS(2024, 1, 1, 0), 1, "view"),
+        (2, TS(2024, 1, 1, 1), 1, "purchase"),
+    ])
+    row = funnel_user_steps(ev, STEPS).collect()[0]
+    assert row["step1_ts"] is None and row["step2_ts"] is None
+    counts = {r["step_name"]: r for r in funnel_counts(ev, STEPS).collect()}
+    assert counts["signup"]["users"] == 0
+    # nobody entered the funnel: conversions are defined as 0.0
+    assert counts["signup"]["conversion"] == 0.0
+
+
+def test_funnel_single_shuffle_plan(spark):
+    """The K-step funnel costs ONE Exchange of the event table: every
+    conditional-min window and the closing aggregate share the user
+    partitioning (the 100 TB contract in the module docstring)."""
+    from lakehouse_file_format_compare_spark.sources.testdata import table
+
+    ev = table(spark, "/root/testdata/sf0.001", "events")
+    df = funnel_user_steps(ev, STEPS)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    # formatted mode prints each node twice (tree + detail section);
+    # "Exchange (" matches the tree entry only
+    assert plan.count("Exchange (") == 1, plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_retention_cohort_arithmetic(spark):
+    # two users: A first active day 0 (cohort 0), B first active day 8
+    # (cohort 1, 7-day periods); A returns in period 1, B never does.
+    ev = _events(spark, [
+        (1, TS(2024, 1, 1, 12), 1, "view"),
+        (2, TS(2024, 1, 9, 12), 1, "view"),    # day 8 -> offset 1
+        (3, TS(2024, 1, 9, 13), 2, "view"),    # cohort 1
+    ])
+    out = {
+        (r["cohort"], r["offset"]): r
+        for r in retention_matrix(
+            ev, origin="2024-01-01", period_seconds=7 * 86400
+        ).collect()
+    }
+    assert out[(0, 0)]["retained"] == 1
+    assert out[(0, 1)]["retained"] == 1
+    assert out[(0, 1)]["retention_rate"] == 1.0
+    assert out[(1, 0)]["retained"] == 1
+    assert (1, 1) not in out
+
+
+def test_retention_rate_denominator_is_cohort_size(spark):
+    ev = _events(spark, [
+        (1, TS(2024, 1, 1), 1, "view"),
+        (2, TS(2024, 1, 2), 2, "view"),
+        (3, TS(2024, 1, 3), 3, "view"),
+        (4, TS(2024, 1, 10), 1, "view"),  # only 1 of 3 returns
+    ])
+    out = {
+        (r["cohort"], r["offset"]): r["retention_rate"]
+        for r in retention_matrix(
+            ev, origin="2024-01-01", period_seconds=7 * 86400
+        ).collect()
+    }
+    assert out[(0, 0)] == 1.0
+    assert abs(out[(0, 1)] - 0.3333) < 1e-9  # grid-4 of 1/3
+
+
+def test_mad_outliers_threshold(spark):
+    # 9 inliers at 10..18 (median 14, MAD 2 -> threshold 8.8956) and
+    # one far point: |100 - 14| = 86 -> exactly one outlier.
+    rows = [("k", float(v)) for v in range(10, 19)] + [("k", 100.0)]
+    df = spark.createDataFrame(rows, "key string, value double")
+    out = mad_outliers(df, "key", "value").collect()[0]
+    assert out["n"] == 10
+    assert out["median"] == 14.5  # 10 values: (14+15)/2
+    assert out["mad"] == 2.5
+    assert out["n_outliers"] == 1
+
+
+def test_mad_outliers_constant_series_flags_any_deviation(spark):
+    # constant series: MAD 0 -> any deviating point is an outlier
+    rows = [("k", 5.0)] * 6 + [("k", 5.1)]
+    df = spark.createDataFrame(rows, "key string, value double")
+    out = mad_outliers(df, "key", "value").collect()[0]
+    assert out["mad"] == 0.0
+    assert out["n_outliers"] == 1
+
+
+def test_empty_inputs(spark):
+    empty = _events(spark, []).where(F.lit(False))
+    assert funnel_user_steps(empty, STEPS).count() == 0
+    counts = {r["step_name"]: r for r in funnel_counts(empty, STEPS).collect()}
+    assert counts["signup"]["users"] == 0 and counts["signup"]["conversion"] == 0.0
+    assert retention_matrix(empty, origin="2024-01-01", period_seconds=86400).count() == 0
+    df = spark.createDataFrame([], "key string, value double")
+    assert mad_outliers(df, "key", "value").count() == 0
