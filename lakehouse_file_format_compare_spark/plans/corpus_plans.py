@@ -19,11 +19,54 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..ext.corpus import CorpusConfig, build_corpus, quality_gate
+from ..functions.numeric import grid, grid_sql
+from ..operators.importance import importance_resample
 from ..operators.packing import pack_summary
 from ..sources.testdata import table
 from .text_plans import _PUNCT_DUCK, _STOP_PATTERN
 
 RATIO_TOL = 0.05  # measured |ratio - weight| <= 0.008 at sf0.01/sf0.1
+
+# DSIR importance resampling (r7, operators/importance.py): docs with
+# doc_id % DSIR_MARK_MOD == 0 get a 6-token domain suffix; the target
+# exemplar sample is the %DSIR_TARGET_MOD subset of those. Selection
+# is the deterministic rank variant, so every dsir_* column is an
+# EXACT value the oracle replays from scratch (md5 buckets, grid-6
+# log-ratios, grid-2 weights, (weight DESC, doc_id) top-k).
+DSIR_MARK_MOD = 4
+DSIR_TARGET_MOD = 20
+DSIR_DOMAIN = " zq1 zq2 zq3 zq4 zq5 zq6"
+DSIR_K = 60
+DSIR_BUCKETS = 256
+DSIR_ALPHA = 1.0
+
+
+def _dsir_corpus(docs: DataFrame) -> DataFrame:
+    return docs.select(
+        "doc_id",
+        F.when(
+            F.pmod(F.col("doc_id"), F.lit(DSIR_MARK_MOD)) == 0,
+            F.concat(F.col("text"), F.lit(DSIR_DOMAIN)),
+        ).otherwise(F.col("text")).alias("text"),
+    )
+
+
+def _dsir_agg(docs: DataFrame) -> DataFrame:
+    src = _dsir_corpus(docs)
+    target = src.where(F.pmod(F.col("doc_id"), F.lit(DSIR_TARGET_MOD)) == 0)
+    sel = importance_resample(
+        src, target, DSIR_K, n_buckets=DSIR_BUCKETS, alpha=DSIR_ALPHA
+    )
+    return sel.agg(
+        F.count(F.lit(1)).alias("dsir_selected"),
+        F.coalesce(
+            F.sum((F.pmod(F.col("doc_id"), F.lit(DSIR_MARK_MOD)) == 0).cast("long")),
+            F.lit(0),
+        ).cast("long").alias("dsir_marked_selected"),
+        grid(
+            F.coalesce(F.sum(grid(F.col("weight"), 2)), F.lit(0.0)), 2
+        ).alias("dsir_weight_total"),
+    )
 
 
 def corpus_build_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -52,6 +95,7 @@ def corpus_build_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         per_split.join(max_pack, "split")
         .crossJoin(n_gated)
+        .crossJoin(F.broadcast(_dsir_agg(docs)))
         .select(
             "split",
             "n_gated",
@@ -65,6 +109,10 @@ def corpus_build_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("max_pack_tokens")
                 < F.lit(cfg.pack_budget_tokens) + F.col("max_doc_tokens")
             ).alias("packs_ok"),
+            # r7: DSIR importance-resampling exact contract values
+            "dsir_selected",
+            "dsir_marked_selected",
+            "dsir_weight_total",
         )
     )
 
@@ -103,10 +151,59 @@ WITH base AS (
     SELECT COUNT(*) AS n_gated FROM scored
     WHERE n BETWEEN {_CFG.min_chars} AND {_CFG.max_chars}
       AND quality_score >= {_CFG.min_quality}
+), ds_src AS (
+    SELECT doc_id,
+           CASE WHEN doc_id % {DSIR_MARK_MOD} = 0 THEN text || '{DSIR_DOMAIN}'
+                ELSE text END AS text
+    FROM documents
+), ds_tok AS (
+    SELECT doc_id,
+           list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                       t -> length(t) > 0) AS t
+    FROM ds_src
+), ds_occ AS (
+    SELECT doc_id,
+           CAST(('0x' || substr(md5('dsir|' || tok), 1, 8)) AS BIGINT)
+               % {DSIR_BUCKETS} AS bucket
+    FROM (SELECT doc_id, unnest(t) AS tok FROM ds_tok)
+), ds_cp AS (
+    SELECT bucket, COUNT(*) AS cr FROM ds_occ GROUP BY bucket
+), ds_tp AS (
+    SELECT bucket, COUNT(*) AS ct FROM ds_occ
+    WHERE doc_id % {DSIR_TARGET_MOD} = 0 GROUP BY bucket
+), ds_tot AS (
+    SELECT (SELECT COALESCE(SUM(ct), 0) FROM ds_tp) AS tt,
+           (SELECT COALESCE(SUM(cr), 0) FROM ds_cp) AS tr
+), ds_lam AS (
+    SELECT b.bucket,
+           {grid_sql(f"ln(COALESCE(ct, 0) + {DSIR_ALPHA}) - ln(tt + {DSIR_ALPHA} * {DSIR_BUCKETS})", 6)}
+         - {grid_sql(f"ln(COALESCE(cr, 0) + {DSIR_ALPHA}) - ln(tr + {DSIR_ALPHA} * {DSIR_BUCKETS})", 6)} AS lam
+    FROM (SELECT bucket FROM ds_cp UNION SELECT bucket FROM ds_tp) b
+    LEFT JOIN ds_tp USING (bucket) LEFT JOIN ds_cp USING (bucket)
+    CROSS JOIN ds_tot
+), ds_sums AS (
+    SELECT o.doc_id, {grid_sql('SUM(lam)', 2)} AS weight
+    FROM ds_occ o JOIN ds_lam USING (bucket)
+    GROUP BY o.doc_id
+), ds_w AS (
+    -- zero-token docs keep weight 0.0 (Spark's explode_outer path)
+    SELECT s.doc_id, COALESCE(w.weight, 0.0) AS weight
+    FROM ds_src s LEFT JOIN ds_sums w USING (doc_id)
+), ds_sel AS (
+    SELECT doc_id, weight FROM ds_w
+    ORDER BY weight DESC, doc_id LIMIT {DSIR_K}
+), dsir AS (
+    SELECT COUNT(*) AS dsir_selected,
+           COALESCE(SUM(CASE WHEN doc_id % {DSIR_MARK_MOD} = 0 THEN 1 ELSE 0 END), 0) AS dsir_marked_selected,
+           {grid_sql("COALESCE(SUM(" + grid_sql("weight", 2) + "), 0)", 2)} AS dsir_weight_total
+    FROM ds_sel
 )
 SELECT s.split, g.n_gated,
-       true AS nonempty_ok, true AS ratio_ok, true AS packs_ok
-FROM (VALUES ('train'), ('val'), ('test')) s(split), gated g
+       true AS nonempty_ok, true AS ratio_ok, true AS packs_ok,
+       CAST(d.dsir_selected AS BIGINT) AS dsir_selected,
+       CAST(d.dsir_marked_selected AS BIGINT) AS dsir_marked_selected,
+       d.dsir_weight_total
+FROM (VALUES ('train'), ('val'), ('test')) s(split), gated g, dsir d
 """
 
 
