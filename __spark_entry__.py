@@ -27,6 +27,19 @@ pair set, SQL-derivable counts); and ``fintech_gold_suite`` a fifth
 row (``q5_scd2_customer_history``, SCD Type-2 apply fingerprinted
 over the committed fixture). Every widening is replayed verbatim in
 the oracle SQL.
+
+r7 continuation swap: ``op_window_rank_per_group`` left the registry
+(partitioned ROW_NUMBER stays driver-visible via
+``op_window_functions_suite`` and ``gold_product_ranking``; pytest
+oracle continues as test_demoted_window_rank_oracle) for
+``events_analytics_suite`` — funnel conversion, cohort retention,
+MAD outlier detection and trailing-RANGE-frame burst stats over the
+events table as tagged exact metric rows (operators/funnel.py).
+``corpus_build_summary`` widened with the ``dsir_*`` DSIR
+importance-resampling exact contract (operators/importance.py:
+md5-hashed-ngram domain profiles, grid-snapped log-ratio weights,
+deterministic top-k — selection count, domain-marked count, weight
+total, all replayed from scratch in the oracle).
 """
 
 from __future__ import annotations

@@ -55,6 +55,12 @@ HEADLINE = [
     # the same planted-clone corpus the suite certifies; centroid
     # training untimed per the ANN train-once model)
     "dedup_semantic",
+    # r7 continuation: behavioral analytics over events (funnel /
+    # retention / MAD outliers — the suite IS the serving path, no
+    # embedded verification) and the DSIR selection serving path
+    # (the driver contract lives in corpus_build_summary's dsir_*)
+    "events_analytics_suite",
+    "dsir_resample",
 ]
 
 
@@ -108,6 +114,9 @@ def main() -> None:
     queries["dedup_minhash_lsh"] = dedup_plans.minhash_lsh
     queries["corpus_hygiene_serving"] = hygiene_plans.corpus_hygiene_serving
     queries["dedup_semantic"] = similarity_plans.semantic_dedup_serving
+    from lakehouse_file_format_compare_spark.plans import corpus_plans
+
+    queries["dsir_resample"] = corpus_plans.dsir_resample_serving
 
     # JVM/codegen warm-up on an untimed tiny query
     queries["tpch_local_supplier_volume"](spark, sf_dir).write.format("noop").mode("overwrite").save()

@@ -197,6 +197,55 @@ def retention_matrix(
     )
 
 
+def trailing_window_counts(
+    events: DataFrame,
+    *,
+    window_seconds: int,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Per-event trailing activity: for every event, the number of
+    events by the SAME user in the closed interval
+    ``[ts - window, ts]`` — the burst / rate-limit feature. A
+    time-RANGE window frame (not a row frame): ordered by integer
+    epoch microseconds with an integer range bound, so Spark and
+    DuckDB agree exactly and ties (same-microsecond events) are
+    handled identically by the frame semantics rather than by row
+    order. One shuffle on the user key."""
+    window_us = int(window_seconds) * 1_000_000
+    w = (
+        Window.partitionBy(user_col)
+        .orderBy(F.unix_micros(F.col(ts_col)))
+        .rangeBetween(-window_us, 0)
+    )
+    return events.withColumn("trailing_count", F.count(F.lit(1)).over(w))
+
+
+def burst_stats(
+    events: DataFrame,
+    *,
+    window_seconds: int,
+    key_col: str = "event_type",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Burst summary per ``key_col``: the max and grid-4 mean trailing
+    per-user event count within ``window_seconds``. The trailing count
+    partitions by (user, key) so a burst means one user hammering one
+    event type — the abuse-detection grain."""
+    window_us = int(window_seconds) * 1_000_000
+    w = (
+        Window.partitionBy(user_col, key_col)
+        .orderBy(F.unix_micros(F.col(ts_col)))
+        .rangeBetween(-window_us, 0)
+    )
+    counted = events.withColumn("__tc", F.count(F.lit(1)).over(w))
+    return counted.groupBy(key_col).agg(
+        F.max("__tc").cast("long").alias("max_trailing"),
+        grid(F.sum("__tc") / F.count(F.lit(1)), 4).alias("avg_trailing"),
+    )
+
+
 def mad_outliers(
     df: DataFrame,
     key_col: str,

@@ -69,6 +69,22 @@ def _dsir_agg(docs: DataFrame) -> DataFrame:
     )
 
 
+def dsir_resample_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bench-only serving path: the DSIR selection exactly as the
+    driver row runs it (same injection, same k), without the
+    surrounding corpus-pipeline aggregates — so round-over-round
+    drift in the selection cost is separable (the
+    corpus_hygiene_serving precedent). Not in the driver registry:
+    every value is already oracle-covered via corpus_build_summary's
+    dsir_* columns."""
+    docs = table(spark, sf_dir, "documents")
+    src = _dsir_corpus(docs)
+    target = src.where(F.pmod(F.col("doc_id"), F.lit(DSIR_TARGET_MOD)) == 0)
+    return importance_resample(
+        src, target, DSIR_K, n_buckets=DSIR_BUCKETS, alpha=DSIR_ALPHA
+    )
+
+
 def corpus_build_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One row per split: earned contract booleans + the replicable
     gate count. All heavy work is the corpus pipeline itself; the

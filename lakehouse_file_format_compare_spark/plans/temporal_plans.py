@@ -18,7 +18,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.numeric import grid, grid_sql
-from ..operators.funnel import MAD_SIGMA, funnel_counts, mad_outliers, retention_matrix
+from ..operators.funnel import (
+    MAD_SIGMA,
+    burst_stats,
+    funnel_counts,
+    mad_outliers,
+    retention_matrix,
+)
 from ..operators.temporal import asof_join, range_join, session_stats
 from ..sources.testdata import table
 
@@ -138,6 +144,10 @@ RET_PERIOD_S = 7 * 86400
 ANOM_MOD = 500
 ANOM_FACTOR = 20.0
 ANOM_Z = 3.0
+# burst detection: trailing 6h per-(user, type) activity — the
+# time-RANGE window frame mode (integer epoch-us range bounds, exact
+# on both engines)
+BURST_WINDOW_S = 6 * 3600
 
 
 def events_analytics_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -187,7 +197,14 @@ def events_analytics_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("mad").alias("v"),
     )
 
-    return fr.unionByName(rr).unionByName(ar)
+    br = burst_stats(ev, window_seconds=BURST_WINDOW_S).select(
+        F.lit("burst").alias("family"),
+        F.col("event_type").alias("item"),
+        F.col("max_trailing").alias("n"),
+        F.col("avg_trailing").alias("v"),
+    )
+
+    return fr.unionByName(rr).unionByName(ar).unionByName(br)
 
 
 _PERIOD_US = RET_PERIOD_S * 1_000_000
@@ -265,12 +282,26 @@ WITH f1 AS (
            mad AS v
     FROM adev d JOIN amad USING (event_type)
     GROUP BY d.event_type, mad
+), btc AS (
+    SELECT event_type,
+           COUNT(*) OVER (PARTITION BY user_id, event_type
+                          ORDER BY epoch_us(ts)
+                          RANGE BETWEEN {BURST_WINDOW_S * 1_000_000} PRECEDING
+                                    AND CURRENT ROW) AS tc
+    FROM events
+), burst_rows AS (
+    SELECT 'burst' AS family, event_type AS item,
+           MAX(tc) AS n,
+           {grid_sql('SUM(tc) / CAST(COUNT(*) AS DOUBLE)', 4)} AS v
+    FROM btc GROUP BY event_type
 )
 SELECT family, item, CAST(n AS BIGINT) AS n, v FROM funnel_rows
 UNION ALL
 SELECT family, item, CAST(n AS BIGINT) AS n, v FROM ret_rows
 UNION ALL
 SELECT family, item, CAST(n AS BIGINT) AS n, v FROM anom_rows
+UNION ALL
+SELECT family, item, CAST(n AS BIGINT) AS n, v FROM burst_rows
 """
 
 

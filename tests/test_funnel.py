@@ -12,10 +12,12 @@ import datetime as dt
 from pyspark.sql import functions as F
 
 from lakehouse_file_format_compare_spark.operators.funnel import (
+    burst_stats,
     funnel_counts,
     funnel_user_steps,
     mad_outliers,
     retention_matrix,
+    trailing_window_counts,
 )
 
 TS = dt.datetime
@@ -170,6 +172,56 @@ def test_mad_outliers_constant_series_flags_any_deviation(spark):
     out = mad_outliers(df, "key", "value").collect()[0]
     assert out["mad"] == 0.0
     assert out["n_outliers"] == 1
+
+
+def test_trailing_window_closed_interval(spark):
+    # events at t, t+60s, t+3660s with a 1h window: the 60s-later
+    # event sees 2 (window is CLOSED: [ts-3600s, ts]); the event
+    # exactly 3600s after the second one still includes it.
+    ev = _events(spark, [
+        (1, TS(2024, 1, 1, 0, 0, 0), 1, "view"),
+        (2, TS(2024, 1, 1, 0, 1, 0), 1, "view"),
+        (3, TS(2024, 1, 1, 1, 1, 0), 1, "view"),  # exactly 1h after #2
+    ])
+    out = {
+        r["event_id"]: r["trailing_count"]
+        for r in trailing_window_counts(ev, window_seconds=3600).collect()
+    }
+    assert out[1] == 1
+    assert out[2] == 2
+    assert out[3] == 2  # includes #2 (boundary), not #1
+
+
+def test_trailing_window_same_timestamp_peers(spark):
+    # RANGE frames include ALL rows with the same ordering value, so
+    # two same-microsecond events each count the other — row order
+    # never matters (the determinism property row frames lack).
+    ev = _events(spark, [
+        (1, TS(2024, 1, 1, 0, 0, 0), 1, "view"),
+        (2, TS(2024, 1, 1, 0, 0, 0), 1, "view"),
+    ])
+    counts = [
+        r["trailing_count"]
+        for r in trailing_window_counts(ev, window_seconds=60).collect()
+    ]
+    assert counts == [2, 2]
+
+
+def test_burst_stats_partitions_by_user_and_type(spark):
+    # user 1 fires 3 views in a minute (burst); user 2's single view
+    # and user 1's single click must not inflate each other.
+    ev = _events(spark, [
+        (1, TS(2024, 1, 1, 0, 0), 1, "view"),
+        (2, TS(2024, 1, 1, 0, 1), 1, "view"),
+        (3, TS(2024, 1, 1, 0, 2), 1, "view"),
+        (4, TS(2024, 1, 1, 0, 3), 1, "click"),
+        (5, TS(2024, 1, 1, 0, 0), 2, "view"),
+    ])
+    out = {r["event_type"]: r for r in burst_stats(ev, window_seconds=3600).collect()}
+    assert out["view"]["max_trailing"] == 3
+    assert out["click"]["max_trailing"] == 1
+    # view trailing counts: user1 -> 1,2,3; user2 -> 1; avg = 7/4
+    assert out["view"]["avg_trailing"] == 1.75
 
 
 def test_empty_inputs(spark):

@@ -784,3 +784,62 @@ def test_scd2_walltime_scales_with_dimension_scan(spark):
     _check_wall_ratio(ratio, f"10x dim cost {ratio:.1f}x (t1={t1:.2f}s t10={t10:.2f}s)")
     print(f"scd2 10x: t1={t1:.2f}s t10={t10:.2f}s rows {p1}->{p10}")
     small.unpersist(); big.unpersist(); batch.unpersist()
+
+
+@pytest.mark.scale
+def test_funnel_and_burst_walltime_scales_linearly(spark):
+    """r7 events-analytics family: 10x events with 10x disjoint users
+    must give EXACTLY 10x funnel step counts (the deterministic proxy
+    — per-user funnels are independent, so disjoint key spaces
+    replicate results) at ~linear wall. Burst stats on the same 10x
+    corpus keep the per-(user, type) trailing counts identical, so
+    the per-type MAX is invariant — the skew contract: more users
+    widen the shuffle, they never deepen a window partition."""
+    import time as _time
+
+    from functools import reduce
+
+    from pyspark.sql import DataFrame
+
+    from lakehouse_file_format_compare_spark.operators.funnel import (
+        burst_stats,
+        funnel_counts,
+    )
+
+    steps = ["signup", "view", "purchase"]
+    events = table(spark, SF_SCALE, "events").select(
+        "event_id", "user_id", "ts", "event_type"
+    )
+    small = events.repartition(32).cache()
+    small.count()
+    copies = [
+        events.select(
+            (F.col("event_id") + F.lit(i * 100_000_000)).alias("event_id"),
+            (F.col("user_id") + F.lit(i * 10_000_000)).alias("user_id"),
+            "ts",
+            "event_type",
+        )
+        for i in range(10)
+    ]
+    big = reduce(DataFrame.unionByName, copies).repartition(32).cache()
+    big.count()
+
+    def _timed(df) -> tuple[float, dict]:
+        t0 = _time.perf_counter()
+        rows = {r["step_name"]: r["users"] for r in funnel_counts(df, steps).collect()}
+        return _time.perf_counter() - t0, rows
+
+    _timed(small)  # warm-up
+    t1, c1 = _timed(small)
+    t10, c10 = _timed(big)
+    assert c10 == {k: 10 * v for k, v in c1.items()}
+    ratio = t10 / max(t1, 1.0)
+    _check_wall_ratio(ratio, f"10x events cost {ratio:.1f}x (t1={t1:.2f}s t10={t10:.2f}s)")
+
+    b1 = {r["event_type"]: r["max_trailing"]
+          for r in burst_stats(small, window_seconds=6 * 3600).collect()}
+    b10 = {r["event_type"]: r["max_trailing"]
+           for r in burst_stats(big, window_seconds=6 * 3600).collect()}
+    assert b1 == b10  # replicated users never deepen a window partition
+    print(f"funnel 10x: t1={t1:.2f}s t10={t10:.2f}s; burst max invariant {b1}")
+    small.unpersist(); big.unpersist()
