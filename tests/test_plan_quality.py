@@ -368,3 +368,40 @@ def test_no_python_row_udfs_in_r7_operators(spark):
         assert "BatchEvalPython" not in plan
         assert "ArrowEvalPython" not in plan
         assert "CartesianProduct" not in plan
+
+
+def test_no_python_row_udfs_in_r7_continuation_operators(spark):
+    """r7 continuation additions (funnel / retention / MAD outliers /
+    burst stats, DSIR weights + selection) stay JVM-side with no
+    Cartesian shapes; the streaming funnel is the one sanctioned
+    applyInPandasWithState surface, tested separately."""
+    from pyspark.sql import functions as F
+
+    from lakehouse_file_format_compare_spark.operators.funnel import (
+        burst_stats,
+        funnel_counts,
+        mad_outliers,
+        retention_matrix,
+    )
+    from lakehouse_file_format_compare_spark.operators.importance import (
+        importance_resample,
+        importance_weights,
+    )
+    from lakehouse_file_format_compare_spark.sources.testdata import table
+
+    events = table(spark, SF_CORRECTNESS, "events")
+    docs = table(spark, SF_CORRECTNESS, "documents")
+    target = docs.where(F.col("doc_id") % 20 == 0)
+    frames = [
+        funnel_counts(events, ["signup", "view", "purchase"], max_span_seconds=86400),
+        retention_matrix(events, origin="2024-01-01", period_seconds=604800),
+        mad_outliers(events, "event_type", "value"),
+        burst_stats(events, window_seconds=3600),
+        importance_weights(docs, target),
+        importance_resample(docs, target, 10),
+    ]
+    for df in frames:
+        plan = df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+        assert "BatchEvalPython" not in plan
+        assert "ArrowEvalPython" not in plan
+        assert "CartesianProduct" not in plan
