@@ -197,6 +197,75 @@ def retention_matrix(
     )
 
 
+def attribution_linear(
+    events: DataFrame,
+    *,
+    touch_types: list[str],
+    conversion_type: str,
+    lookback_seconds: int,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """Linear multi-touch attribution: each conversion's value is
+    split EQUALLY across that user's touch events strictly before it
+    and within ``lookback_seconds`` (window ``[conv - lookback,
+    conv)``). Returns one row per touch type — (touch_type, touches,
+    credited_value) — plus an ``__unattributed`` row for conversions
+    with no in-window touches (count + their full value).
+
+    Scale shape: conversions ⋈ touches is a single co-partitioned
+    shuffle join on the user key with the time predicate applied in
+    the join filter; per-conversion touch counts reuse the same
+    partitioning. Per-user event counts bound the join fan-out, the
+    same skew envelope as sessionization. Value math: per-touch
+    credit = grid-6(grid-2(value) / n_touches), summed as grid-6
+    addends into a grid-2 total — order-invariant, engine-identical.
+    """
+    if conversion_type in touch_types:
+        raise ValueError("conversion_type cannot also be a touch type")
+    lb_us = int(lookback_seconds) * 1_000_000
+    conv = events.where(F.col(type_col) == conversion_type).select(
+        F.col(user_col).alias("__u"),
+        F.col(id_col).alias("__conv_id"),
+        F.unix_micros(F.col(ts_col)).alias("__conv_us"),
+        grid(F.col(value_col), 2).alias("__val"),
+    )
+    touch = events.where(F.col(type_col).isin(list(touch_types))).select(
+        F.col(user_col).alias("__u"),
+        F.col(type_col).alias("touch_type"),
+        F.unix_micros(F.col(ts_col)).alias("__touch_us"),
+    )
+    j = conv.join(touch, "__u").where(
+        (F.col("__touch_us") < F.col("__conv_us"))
+        & (F.col("__touch_us") >= F.col("__conv_us") - F.lit(lb_us))
+    )
+    counts = j.groupBy("__conv_id").agg(F.count(F.lit(1)).alias("__n"))
+    credited = (
+        j.join(counts, "__conv_id")
+        .select(
+            "touch_type",
+            grid(F.col("__val") / F.col("__n"), 6).alias("__credit"),
+        )
+        .groupBy("touch_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("touches"),
+            grid(F.sum("__credit"), 2).alias("credited_value"),
+        )
+    )
+    unattributed = (
+        conv.join(j.select("__conv_id").distinct(), "__conv_id", "left_anti")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("touches"),
+            grid(F.coalesce(F.sum("__val"), F.lit(0.0)), 2).alias("credited_value"),
+        )
+        .select(F.lit("__unattributed").alias("touch_type"), "touches", "credited_value")
+    )
+    return credited.unionByName(unattributed)
+
+
 def trailing_window_counts(
     events: DataFrame,
     *,

@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 from ..functions.numeric import grid, grid_sql
 from ..operators.funnel import (
     MAD_SIGMA,
+    attribution_linear,
     burst_stats,
     funnel_counts,
     mad_outliers,
@@ -148,6 +149,10 @@ ANOM_Z = 3.0
 # time-RANGE window frame mode (integer epoch-us range bounds, exact
 # on both engines)
 BURST_WINDOW_S = 6 * 3600
+# linear multi-touch attribution: purchase value split across the
+# user's view/click touches in the 3 days before the purchase
+ATTR_TOUCHES = ["view", "click"]
+ATTR_LOOKBACK_S = 3 * 86400
 
 
 def events_analytics_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -204,7 +209,19 @@ def events_analytics_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("avg_trailing").alias("v"),
     )
 
-    return fr.unionByName(rr).unionByName(ar).unionByName(br)
+    at = attribution_linear(
+        ev,
+        touch_types=ATTR_TOUCHES,
+        conversion_type="purchase",
+        lookback_seconds=ATTR_LOOKBACK_S,
+    ).select(
+        F.lit("attribution").alias("family"),
+        F.col("touch_type").alias("item"),
+        F.col("touches").alias("n"),
+        F.col("credited_value").alias("v"),
+    )
+
+    return fr.unionByName(rr).unionByName(ar).unionByName(br).unionByName(at)
 
 
 _PERIOD_US = RET_PERIOD_S * 1_000_000
@@ -294,6 +311,31 @@ WITH f1 AS (
            MAX(tc) AS n,
            {grid_sql('SUM(tc) / CAST(COUNT(*) AS DOUBLE)', 4)} AS v
     FROM btc GROUP BY event_type
+), at_conv AS (
+    SELECT user_id AS u, event_id AS conv_id, epoch_us(ts) AS conv_us,
+           {grid_sql('value', 2)} AS val
+    FROM events WHERE event_type = 'purchase'
+), at_touch AS (
+    SELECT user_id AS u, event_type AS touch_type, epoch_us(ts) AS touch_us
+    FROM events WHERE event_type IN ({", ".join(f"'{t}'" for t in ATTR_TOUCHES)})
+), at_j AS (
+    SELECT c.conv_id, c.val, t.touch_type
+    FROM at_conv c JOIN at_touch t ON c.u = t.u
+    WHERE t.touch_us < c.conv_us
+      AND t.touch_us >= c.conv_us - {ATTR_LOOKBACK_S * 1_000_000}
+), at_n AS (
+    SELECT conv_id, COUNT(*) AS nt FROM at_j GROUP BY conv_id
+), at_rows AS (
+    SELECT 'attribution' AS family, j.touch_type AS item,
+           COUNT(*) AS n,
+           {grid_sql("SUM(" + grid_sql("j.val / nt", 6) + ")", 2)} AS v
+    FROM at_j j JOIN at_n USING (conv_id)
+    GROUP BY j.touch_type
+    UNION ALL
+    SELECT 'attribution', '__unattributed',
+           COUNT(*),
+           {grid_sql("COALESCE(SUM(val), 0)", 2)}
+    FROM at_conv WHERE conv_id NOT IN (SELECT conv_id FROM at_j)
 )
 SELECT family, item, CAST(n AS BIGINT) AS n, v FROM funnel_rows
 UNION ALL
@@ -302,6 +344,8 @@ UNION ALL
 SELECT family, item, CAST(n AS BIGINT) AS n, v FROM anom_rows
 UNION ALL
 SELECT family, item, CAST(n AS BIGINT) AS n, v FROM burst_rows
+UNION ALL
+SELECT family, item, CAST(n AS BIGINT) AS n, v FROM at_rows
 """
 
 

@@ -12,6 +12,7 @@ import datetime as dt
 from pyspark.sql import functions as F
 
 from lakehouse_file_format_compare_spark.operators.funnel import (
+    attribution_linear,
     burst_stats,
     funnel_counts,
     funnel_user_steps,
@@ -222,6 +223,148 @@ def test_burst_stats_partitions_by_user_and_type(spark):
     assert out["click"]["max_trailing"] == 1
     # view trailing counts: user1 -> 1,2,3; user2 -> 1; avg = 7/4
     assert out["view"]["avg_trailing"] == 1.75
+
+
+def _events_v(spark, rows):
+    return spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, value double",
+    )
+
+
+def test_attribution_splits_equally_within_lookback(spark):
+    # purchase of 30.0 with 2 in-window touches (view + click) and a
+    # view OUTSIDE the 1h lookback + a view AT the purchase instant
+    # (strictly-before excludes it): 15.0 credited to each touch type.
+    ev = _events_v(spark, [
+        (1, TS(2024, 1, 1, 8, 0), 1, "view", 0.0),    # outside lookback
+        (2, TS(2024, 1, 1, 9, 30), 1, "view", 0.0),
+        (3, TS(2024, 1, 1, 9, 45), 1, "click", 0.0),
+        (4, TS(2024, 1, 1, 10, 0), 1, "view", 0.0),   # same instant: excluded
+        (5, TS(2024, 1, 1, 10, 0), 1, "purchase", 30.0),
+    ])
+    out = {r["touch_type"]: r for r in attribution_linear(
+        ev, touch_types=["view", "click"], conversion_type="purchase",
+        lookback_seconds=3600,
+    ).collect()}
+    assert out["view"]["touches"] == 1 and out["view"]["credited_value"] == 15.0
+    assert out["click"]["touches"] == 1 and out["click"]["credited_value"] == 15.0
+    assert out["__unattributed"]["touches"] == 0
+
+
+def test_attribution_unattributed_conversions(spark):
+    ev = _events_v(spark, [
+        (1, TS(2024, 1, 1, 10), 1, "purchase", 12.5),
+        (2, TS(2024, 1, 2, 10), 2, "view", 0.0),   # different user
+        (3, TS(2024, 1, 2, 11), 1, "purchase", 7.5),  # no prior touch
+    ])
+    out = {r["touch_type"]: r for r in attribution_linear(
+        ev, touch_types=["view"], conversion_type="purchase",
+        lookback_seconds=3600,
+    ).collect()}
+    assert out["__unattributed"]["touches"] == 2
+    assert out["__unattributed"]["credited_value"] == 20.0
+
+
+def test_attribution_conserves_value(spark):
+    """Credited + unattributed must reconstruct total conversion value
+    up to grid-6 allocation error (each conversion contributes at most
+    n_touches * 5e-7)."""
+    from lakehouse_file_format_compare_spark.sources.testdata import table
+
+    ev = table(spark, "/root/testdata/sf0.01", "events")
+    rows = attribution_linear(
+        ev, touch_types=["view", "click"], conversion_type="purchase",
+        lookback_seconds=3 * 86400,
+    ).collect()
+    got = sum(r["credited_value"] for r in rows)
+    total = ev.where(F.col("event_type") == "purchase").agg(
+        F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)) / 100).alias("t")
+    ).collect()[0]["t"]
+    assert abs(got - total) < 0.05, (got, total)
+
+
+def test_attribution_validation(spark):
+    ev = _events_v(spark, [])
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        attribution_linear(
+            ev, touch_types=["purchase"], conversion_type="purchase",
+            lookback_seconds=60,
+        )
+
+
+def _py_funnel(events, steps, max_span_s=None):
+    """Pure-Python chained-min reference: events = [(user, ts_epoch_s,
+    type)], returns {user: [t1..tk] (None-padded)}."""
+    users = {}
+    for u, ts, et in events:
+        users.setdefault(u, []).append((ts, et))
+    out = {}
+    for u, evs in users.items():
+        chain = [None] * len(steps)
+        t1_times = sorted(ts for ts, et in evs if et == steps[0])
+        if t1_times:
+            chain[0] = t1_times[0]
+            deadline = chain[0] + max_span_s if max_span_s else None
+            prev = chain[0]
+            for i in range(1, len(steps)):
+                cands = sorted(
+                    ts for ts, et in evs
+                    if et == steps[i] and ts > prev
+                    and (deadline is None or ts <= deadline)
+                )
+                if not cands:
+                    break
+                chain[i] = cands[0]
+                prev = cands[0]
+        out[u] = chain
+    return out
+
+
+def test_funnel_hypothesis_matches_python_reference(spark):
+    """Random small event sets (few users, colliding timestamps, all
+    orderings) — the DataFrame chained-window funnel must equal the
+    greedy Python reference, with and without a span."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    steps = ["a", "b", "c"]
+
+    @settings(max_examples=15, deadline=None)
+    @given(
+        st.lists(
+            st.tuples(
+                st.integers(min_value=1, max_value=3),       # user
+                st.integers(min_value=0, max_value=50),      # ts (s)
+                st.sampled_from(["a", "b", "c", "x"]),       # type
+            ),
+            min_size=0,
+            max_size=25,
+        ),
+        st.sampled_from([None, 10, 30]),                     # span (s)
+    )
+    def run(evs, span):
+        rows = [
+            (i, TS(2024, 1, 1) + dt.timedelta(seconds=ts), u, et)
+            for i, (u, ts, et) in enumerate(evs)
+        ]
+        df = spark.createDataFrame(
+            rows, "event_id long, ts timestamp, user_id long, event_type string"
+        )
+        got = {
+            r["user_id"]: [
+                None if r[f"step{i}_ts"] is None
+                else int((r[f"step{i}_ts"] - TS(2024, 1, 1)).total_seconds())
+                for i in range(1, 4)
+            ]
+            for r in funnel_user_steps(df, steps, max_span_seconds=span).collect()
+        }
+        want = _py_funnel([(u, ts, et) for u, ts, et in evs], steps, span)
+        assert got == want
+
+    run()
 
 
 def test_empty_inputs(spark):
