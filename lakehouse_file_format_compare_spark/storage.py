@@ -184,7 +184,14 @@ class Warehouse:
             writer = writer.option("header", "true")
         writer.save(data_dir)
         manifest["current"] = version
-        manifest["versions"].append({"version": version, "op": op})
+        manifest["versions"].append({
+            "version": version,
+            "op": op,
+            # per-snapshot schema: what Iceberg snapshot metadata /
+            # the Delta log record — lets schema_history() show when
+            # a column appeared without opening the data files
+            "schema": [(f.name, f.dataType.simpleString()) for f in df.schema.fields],
+        })
         tmp = os.path.join(root, f"_manifest_{uuid.uuid4().hex}.json")
         with open(tmp, "w") as f:
             json.dump(manifest, f)
@@ -233,20 +240,47 @@ class Warehouse:
         policy: str = "upsert",
         dedup_order_by: Sequence[str] | None = None,
         schema: StructType | None = None,
+        merge_schema: bool = False,
     ) -> None:
         """K4/K5: MERGE INTO {layer}.{name}_{fmt}. First load is a CTAS
         (2_…py:239-258); after that, relational merge committed as a
         new snapshot version (copy-on-write + metadata-pointer
         commit). Staging is deduped to one row per key first
-        (2_…py:219, deterministically)."""
+        (2_…py:219, deterministically).
+
+        ``merge_schema=True`` enables ADDITIVE schema evolution (the
+        Delta ``mergeSchema`` / Iceberg add-column semantics): new
+        staging columns are appended to the table (existing rows read
+        NULL), and same-name numeric columns widen (int→long,
+        float→double). Staging must still carry every existing table
+        column (``UPDATE SET *`` needs a full row), and incompatible
+        type changes raise. Earlier snapshots keep their own schema —
+        time travel returns the table as it WAS (tests/
+        test_schema_evolution.py)."""
         if dedup_order_by:
             staging = keep_latest(staging, list(keys), list(dedup_order_by))
         if not self.exists(layer, name, fmt):
             self._commit_version(staging, layer, name, fmt, op="create")
             return
         target = self.read_table(layer, name, fmt, schema=schema)
+        op = f"merge_{policy}"
+        if merge_schema:
+            target, staging, added = evolve_schemas(target, staging)
+            if added:
+                op += "+add:" + ",".join(added)
         merged = merge(target, staging, keys=keys, policy=policy)
-        self._commit_version(merged, layer, name, fmt, op=f"merge_{policy}")
+        self._commit_version(merged, layer, name, fmt, op=op)
+
+    def schema_history(
+        self, layer: str, name: str, fmt: str = "parquet"
+    ) -> list[tuple[int, list[tuple[str, str]]]]:
+        """Per-version (version, [(column, type), ...]) from the
+        manifest — schema evolution is inspectable without opening
+        data files (the Iceberg snapshot-metadata affordance)."""
+        return [
+            (e["version"], [tuple(c) for c in e.get("schema", [])])
+            for e in self.history(layer, name, fmt)
+        ]
 
     def scd2_table(
         self,
@@ -587,6 +621,70 @@ class Warehouse:
             .drop("__z", *[f"__mn_{c}" for c in cols], *[f"__mx_{c}" for c in cols])
         )
         return self._commit_version(out, layer, name, fmt, op="zorder")
+
+
+# numeric widening lattice for additive schema evolution — the safe
+# promotions Delta's mergeSchema performs (never narrowing, never
+# cross-family casts)
+_WIDEN = {
+    ("int", "bigint"): "bigint",
+    ("bigint", "int"): "bigint",
+    ("smallint", "int"): "int",
+    ("int", "smallint"): "int",
+    ("smallint", "bigint"): "bigint",
+    ("bigint", "smallint"): "bigint",
+    ("float", "double"): "double",
+    ("double", "float"): "double",
+}
+
+
+def evolve_schemas(
+    target: DataFrame, staging: DataFrame
+) -> tuple[DataFrame, DataFrame, list[str]]:
+    """Additive schema reconciliation (Delta ``mergeSchema`` / Iceberg
+    add-column semantics): returns (target', staging', added_columns)
+    on the union schema.
+
+    - staging columns absent from target are APPENDED — target rows
+      read NULL of the staging type;
+    - same-name columns with different numeric types widen via the
+      safe lattice (int→long, float→double), both sides cast;
+    - any other type conflict raises (no silent narrowing or
+      cross-family coercion);
+    - target columns missing from staging are NOT defaulted — the
+      caller's UPDATE SET * contract still requires full staging rows
+      (operators/merge.py raises there).
+    """
+    t_types = {f.name: f.dataType.simpleString() for f in target.schema.fields}
+    s_types = {f.name: f.dataType.simpleString() for f in staging.schema.fields}
+
+    for name, st in s_types.items():
+        tt = t_types.get(name)
+        if tt is None or tt == st:
+            continue
+        wide = _WIDEN.get((tt, st))
+        if wide is None:
+            raise ValueError(
+                f"incompatible type change for column {name!r}: "
+                f"table has {tt}, staging has {st}"
+            )
+        if tt != wide:
+            target = target.withColumn(name, F.col(name).cast(wide))
+        if st != wide:
+            staging = staging.withColumn(name, F.col(name).cast(wide))
+
+    added = [n for n in s_types if n not in t_types]
+    for name in added:
+        target = target.withColumn(
+            name, F.lit(None).cast(staging.schema[name].dataType)
+        )
+    # preserve target column order, new columns appended in staging
+    # order (the add-column convention)
+    order = [f.name for f in target.schema.fields]
+    staging = staging.select(
+        *[c for c in order if c in staging.columns]
+    )
+    return target, staging, added
 
 
 def _next_version(manifest: dict) -> int:
