@@ -373,9 +373,21 @@ class Warehouse:
         fmt: str = "parquet",
         policy: str = "upsert",
         dedup_order_by: Sequence[str] | None = None,
+        merge_schema: bool = False,
     ) -> dict:
         """Partition-level COW MERGE. Returns {"touched": [...],
         "carried": n} for observability.
+
+        ``merge_schema=True`` allows ADD-COLUMN evolution only: new
+        staging columns are recorded in the snapshot's manifest schema
+        and the reader back-fills NULL for the untouched partitions'
+        older files (explicit-schema read — no footer-merge scan).
+        Numeric WIDENING is rejected here by design: untouched
+        partitions keep their original files, and a plain parquet/orc
+        reader cannot upcast a file's int32 column to a bigint table
+        schema — widening a partitioned table requires rewriting the
+        carried partitions (compact + full rewrite), so asking for it
+        implicitly would hide a 100 TB rewrite behind a flag.
 
         O(1) Spark jobs regardless of how many partitions the batch
         touches: ONE small distinct scan discovers the touched values,
@@ -417,12 +429,64 @@ class Warehouse:
                 f"merge requires non-null identity partition values"
             )
 
+        added: list[str] = []
+        last_schema = None
+        if manifest["versions"]:
+            cur_entries = [
+                e for e in manifest["versions"]
+                if e["version"] == manifest["current"] and "partitions" in e
+            ]
+            if cur_entries:
+                last_schema = cur_entries[-1].get("schema")
         old_paths = [os.path.join(root, prev[str(v)]) for v in touched_vals if str(v) in prev]
         if old_paths:
-            old = self.spark.read.format(fmt).load(old_paths)
+            reader = self.spark.read.format(fmt)
+            if last_schema is not None:
+                # the current TABLE schema (may already be wider than
+                # any single old file after a previous add-column)
+                reader = reader.schema(_schema_from_manifest(last_schema))
+            old = reader.load(old_paths)
+            if merge_schema:
+                conflicts = {
+                    f.name: f.dataType.simpleString()
+                    for f in old.schema.fields
+                }
+                for f in staging.schema.fields:
+                    tt = conflicts.get(f.name)
+                    st = f.dataType.simpleString()
+                    if tt is not None and tt != st:
+                        raise ValueError(
+                            f"partitioned evolution is add-column only: "
+                            f"column {f.name!r} would change {tt} -> {st}; "
+                            f"widening requires rewriting carried partitions"
+                        )
+                old, staging, added = evolve_schemas(old, staging)
             merged = merge(old, staging.select(*old.columns), keys=keys, policy=policy)
         else:
             merged = staging
+            if last_schema is not None:
+                tbl_types = dict(last_schema)
+                missing = [c for c in tbl_types if c not in staging.columns]
+                if missing:
+                    raise ValueError(
+                        f"staging is missing target columns: {missing}"
+                    )
+                for f in staging.schema.fields:
+                    tt = tbl_types.get(f.name)
+                    st = f.dataType.simpleString()
+                    if tt is not None and tt != st:
+                        raise ValueError(
+                            f"partitioned evolution is add-column only: "
+                            f"column {f.name!r} would change {tt} -> {st}; "
+                            f"widening requires rewriting carried partitions"
+                        )
+                extra = [
+                    f.name for f in staging.schema.fields if f.name not in tbl_types
+                ]
+                if extra and not merge_schema:
+                    merged = staging.select(*tbl_types)
+                else:
+                    added = extra
         # partition by a COPY of the column so the real column stays in
         # the data files: manifest pointers reference the leaf dirs
         # directly and readers need no basePath/partition inference
@@ -447,12 +511,18 @@ class Warehouse:
 
         version = _next_version(manifest)
         manifest["current"] = version
+        op = f"merge_{policy}_partitioned"
+        if added:
+            op += "+add:" + ",".join(added)
         manifest["versions"].append({
             "version": version,
-            "op": f"merge_{policy}_partitioned",
+            "op": op,
             "partitions": partitions,
             "partition_type": ptype,
             "partition_col": partition_col,
+            "schema": [
+                (f.name, f.dataType.simpleString()) for f in merged.schema.fields
+            ],
         })
         tmp = os.path.join(root, f"_manifest_{uuid.uuid4().hex}.json")
         with open(tmp, "w") as f:
@@ -486,7 +556,13 @@ class Warehouse:
         paths = [os.path.join(root, rel) for val, rel in entry["partitions"].items() if val in wanted]
         if not paths:
             raise ValueError(f"no matching partitions among {sorted(entry['partitions'])}")
-        return self.spark.read.format(fmt).load(paths)
+        reader = self.spark.read.format(fmt)
+        if entry.get("schema"):
+            # the snapshot's recorded TABLE schema: carried partitions
+            # written before an add-column read the new column as NULL
+            # (explicit schema — no per-file footer-merge scan)
+            reader = reader.schema(_schema_from_manifest(entry["schema"]))
+        return reader.load(paths)
 
     def compact(
         self, layer: str, name: str, fmt: str = "parquet",
@@ -685,6 +761,15 @@ def evolve_schemas(
         *[c for c in order if c in staging.columns]
     )
     return target, staging, added
+
+
+def _schema_from_manifest(schema_entry: list) -> StructType:
+    """Rebuild a StructType from the manifest's [(name, simpleString)]
+    pairs — the explicit read schema that makes add-column evolution
+    work on carried (unrewritten) partition files."""
+    return StructType.fromDDL(
+        ", ".join(f"`{name}` {dtype}" for name, dtype in schema_entry)
+    )
 
 
 def _next_version(manifest: dict) -> int:

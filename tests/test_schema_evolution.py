@@ -131,3 +131,93 @@ def test_evolve_schemas_helper_is_pure(spark):
     # no-op when schemas already agree
     t3, s3, added3 = evolve_schemas(t2, s2)
     assert added3 == [] and t3.columns == t2.columns
+
+
+# ---------------------------------------------------------------------------
+# partitioned COW path: add-column only (widening would need carried
+# partitions rewritten — rejected explicitly)
+# ---------------------------------------------------------------------------
+
+
+def _pbatch(spark, months, price, channel=None):
+    df = spark.range(4).crossJoin(
+        spark.createDataFrame([(m,) for m in months], "mes int")
+    ).select(
+        (F.col("id") + F.col("mes") * 100).alias("k"),
+        "mes",
+        F.lit(price).cast("double").alias("price"),
+    )
+    if channel is not None:
+        df = df.withColumn("channel", F.lit(channel))
+    return df
+
+
+def test_partitioned_add_column_backfills_carried_partitions(spark, wh):
+    wh.merge_table_partitioned(
+        _pbatch(spark, [1, 2], 1.0), "gold", "pe", keys=["k"], partition_col="mes"
+    )
+    # touch only month 2 with the evolved batch; month 1 is carried
+    r = wh.merge_table_partitioned(
+        _pbatch(spark, [2], 2.0, channel="web"),
+        "gold", "pe", keys=["k"], partition_col="mes", merge_schema=True,
+    )
+    assert r["touched"] == [2]
+    cur = wh.read_table_partitioned("gold", "pe")
+    assert set(cur.columns) == {"k", "mes", "price", "channel"}
+    rows = {(r["mes"], r["k"]): r for r in cur.collect()}
+    assert len(rows) == 8
+    # carried month-1 files predate the column: NULL back-fill
+    assert all(r["channel"] is None for (m, _), r in rows.items() if m == 1)
+    assert all(r["channel"] == "web" for (m, _), r in rows.items() if m == 2)
+    # time travel: v1 keeps the pre-evolution schema
+    v1 = wh.read_table_partitioned("gold", "pe", version=1)
+    assert set(v1.columns) == {"k", "mes", "price"}
+    ops = [e["op"] for e in wh.history("gold", "pe")]
+    assert ops[-1] == "merge_upsert_partitioned+add:channel"
+
+
+def test_partitioned_new_partition_with_new_column(spark, wh):
+    """Evolution via a batch that ONLY creates a new partition (no old
+    files read): the union schema still lands in the manifest and the
+    carried partitions back-fill NULL."""
+    wh.merge_table_partitioned(
+        _pbatch(spark, [1], 1.0), "gold", "pn", keys=["k"], partition_col="mes"
+    )
+    wh.merge_table_partitioned(
+        _pbatch(spark, [9], 3.0, channel="app"),
+        "gold", "pn", keys=["k"], partition_col="mes", merge_schema=True,
+    )
+    cur = wh.read_table_partitioned("gold", "pn")
+    assert set(cur.columns) == {"k", "mes", "price", "channel"}
+    got = {r["mes"]: r["channel"] for r in cur.collect()}
+    assert got[1] is None and got[9] == "app"
+
+
+def test_partitioned_widening_is_rejected(spark, wh):
+    wh.merge_table_partitioned(
+        spark.range(3).select(
+            F.col("id").alias("k"), F.lit(1).alias("mes").cast("int"),
+            F.col("id").cast("int").alias("qty"),
+        ),
+        "gold", "pw", keys=["k"], partition_col="mes",
+    )
+    widened = spark.range(3).select(
+        F.col("id").alias("k"), F.lit(1).cast("int").alias("mes"),
+        F.col("id").cast("bigint").alias("qty"),
+    )
+    with pytest.raises(ValueError, match="add-column only"):
+        wh.merge_table_partitioned(
+            widened, "gold", "pw", keys=["k"], partition_col="mes",
+            merge_schema=True,
+        )
+
+
+def test_partitioned_without_flag_drops_extra_columns(spark, wh):
+    wh.merge_table_partitioned(
+        _pbatch(spark, [1], 1.0), "gold", "pd", keys=["k"], partition_col="mes"
+    )
+    wh.merge_table_partitioned(
+        _pbatch(spark, [1], 2.0, channel="web"),
+        "gold", "pd", keys=["k"], partition_col="mes",
+    )
+    assert set(wh.read_table_partitioned("gold", "pd").columns) == {"k", "mes", "price"}
