@@ -271,6 +271,133 @@ class Warehouse:
         merged = merge(target, staging, keys=keys, policy=policy)
         self._commit_version(merged, layer, name, fmt, op=op)
 
+    def delete_from(
+        self,
+        layer: str,
+        name: str,
+        predicate: str,
+        fmt: str = "parquet",
+    ) -> int:
+        """DELETE FROM {layer}.{name} WHERE predicate — the third leg
+        of the MERGE/UPDATE/DELETE table-format trio (Delta `DELETE
+        FROM` / Iceberg row-delete, as copy-on-write against the
+        snapshot-versioned table). Commits the surviving rows as a new
+        snapshot; returns the number of rows deleted. Predicate is a
+        SQL boolean expression over the table's columns."""
+        target = self.read_table(layer, name, fmt)
+        cond = F.expr(predicate)
+        kept = target.where(~F.coalesce(cond, F.lit(False)))
+        n_deleted = target.count() - kept.count()
+        self._commit_version(kept, layer, name, fmt, op=f"delete:{predicate}")
+        return n_deleted
+
+    def update_table(
+        self,
+        layer: str,
+        name: str,
+        set_exprs: dict[str, str],
+        predicate: str = "true",
+        fmt: str = "parquet",
+    ) -> int:
+        """UPDATE {layer}.{name} SET col = expr, ... WHERE predicate
+        (copy-on-write). ``set_exprs`` maps existing columns to SQL
+        expressions (evaluated per matching row; non-matching rows are
+        carried verbatim). Returns the number of rows updated."""
+        target = self.read_table(layer, name, fmt)
+        unknown = [c for c in set_exprs if c not in target.columns]
+        if unknown:
+            raise ValueError(f"UPDATE of unknown columns: {unknown}")
+        cond = F.coalesce(F.expr(predicate), F.lit(False))
+        updated = target.select(
+            *[
+                F.when(cond, F.expr(set_exprs[c]).cast(target.schema[c].dataType))
+                .otherwise(F.col(c))
+                .alias(c)
+                if c in set_exprs
+                else F.col(c)
+                for c in target.columns
+            ]
+        )
+        n_updated = target.where(cond).count()
+        self._commit_version(updated, layer, name, fmt, op=f"update:{predicate}")
+        return n_updated
+
+    def table_changes(
+        self,
+        layer: str,
+        name: str,
+        keys: Sequence[str],
+        from_version: int,
+        to_version: int,
+        fmt: str = "parquet",
+    ) -> DataFrame:
+        """Change feed between two snapshots (the Delta CDF /
+        `table_changes` analog, computed as key-level snapshot diff):
+        rows tagged ``_change_type`` in {insert, delete,
+        update_preimage, update_postimage}. An update is a key present
+        in both snapshots whose NON-KEY columns differ; both images
+        are emitted, the CDF contract incremental consumers build on.
+        Columns are the union schema (schema evolution safe: a column
+        absent from the older snapshot reads NULL in preimages).
+
+        Scale shape: one co-partitioned full-outer join on the key —
+        no full-table collect, no version log replay; cost is the two
+        snapshot scans + one key shuffle.
+        """
+        keys = list(keys)
+        old = self.read_table(layer, name, fmt, version=from_version)
+        new = self.read_table(layer, name, fmt, version=to_version)
+        # union schema (additive evolution: new columns NULL on old)
+        for c in new.columns:
+            if c not in old.columns:
+                old = old.withColumn(c, F.lit(None).cast(new.schema[c].dataType))
+        for c in old.columns:
+            if c not in new.columns:
+                new = new.withColumn(c, F.lit(None).cast(old.schema[c].dataType))
+        cols = [c for c in old.columns]
+        value_cols = [c for c in cols if c not in keys]
+        o = old.select(
+            *[F.col(c).alias(f"__o_{c}") for c in cols],
+            *[F.col(k) for k in keys],
+        ).drop(*[f"__o_{k}" for k in keys])
+        n = new.select(
+            *[F.col(c).alias(f"__n_{c}") for c in cols],
+            *[F.col(k) for k in keys],
+        ).drop(*[f"__n_{k}" for k in keys])
+        # presence flags via marker columns (value NULLs are legal)
+        o_present = F.col("__o_present").isNotNull()
+        n_present = F.col("__n_present").isNotNull()
+        j = (
+            o.withColumn("__o_present", F.lit(1))
+            .join(n.withColumn("__n_present", F.lit(1)), keys, "full_outer")
+        )
+        differs = F.lit(False)
+        for c in value_cols:
+            a, b = F.col(f"__o_{c}"), F.col(f"__n_{c}")
+            differs = differs | ~(
+                (a.isNull() & b.isNull()) | (a.isNotNull() & b.isNotNull() & (a == b))
+            )
+
+        def _image(side: str, tag: str):
+            return j.where(tag_cond[tag]).select(
+                *keys,
+                *[F.col(f"__{side}_{c}").alias(c) for c in value_cols],
+                F.lit(tag).alias("_change_type"),
+            )
+
+        tag_cond = {
+            "insert": n_present & ~o_present,
+            "delete": o_present & ~n_present,
+            "update_preimage": o_present & n_present & differs,
+            "update_postimage": o_present & n_present & differs,
+        }
+        return (
+            _image("n", "insert")
+            .unionByName(_image("o", "delete"))
+            .unionByName(_image("o", "update_preimage"))
+            .unionByName(_image("n", "update_postimage"))
+        )
+
     def schema_history(
         self, layer: str, name: str, fmt: str = "parquet"
     ) -> list[tuple[int, list[tuple[str, str]]]]:

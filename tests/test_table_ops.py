@@ -1,0 +1,117 @@
+"""DELETE / UPDATE / change feed on snapshot-versioned tables
+(storage.py) — the rest of the table-format mutation surface next to
+MERGE: copy-on-write row deletes and updates committed as snapshots,
+and the Delta-CDF-style ``table_changes`` snapshot diff incremental
+consumers build on."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from lakehouse_file_format_compare_spark.storage import Warehouse
+
+
+@pytest.fixture()
+def wh(spark, tmp_path):
+    return Warehouse(spark, str(tmp_path))
+
+
+def _base(spark):
+    return spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0), (4, None, 40.0)],
+        "k long, tag string, price double",
+    )
+
+
+def test_delete_from_commits_snapshot_and_counts(spark, wh):
+    wh.merge_table(_base(spark), "silver", "t", keys=["k"])
+    n = wh.delete_from("silver", "t", "price >= 30.0")
+    assert n == 2
+    cur = {r["k"] for r in wh.read_table("silver", "t").collect()}
+    assert cur == {1, 2}
+    # pre-delete snapshot intact; history records the predicate
+    assert len(wh.read_table("silver", "t", version=1).collect()) == 4
+    assert wh.history("silver", "t")[-1]["op"] == "delete:price >= 30.0"
+
+
+def test_delete_null_predicate_rows_are_kept(spark, wh):
+    """SQL DELETE semantics: a NULL predicate does NOT delete (three-
+    valued logic — only TRUE deletes). Row 4 has tag NULL."""
+    wh.merge_table(_base(spark), "silver", "t", keys=["k"])
+    n = wh.delete_from("silver", "t", "tag = 'a'")
+    assert n == 1
+    assert {r["k"] for r in wh.read_table("silver", "t").collect()} == {2, 3, 4}
+
+
+def test_update_table_sets_matching_rows_only(spark, wh):
+    wh.merge_table(_base(spark), "silver", "t", keys=["k"])
+    n = wh.update_table(
+        "silver", "t", {"price": "price * 2", "tag": "upper(tag)"},
+        predicate="k <= 2",
+    )
+    assert n == 2
+    rows = {r["k"]: r for r in wh.read_table("silver", "t").collect()}
+    assert rows[1]["price"] == 20.0 and rows[1]["tag"] == "A"
+    assert rows[2]["price"] == 40.0 and rows[2]["tag"] == "B"
+    assert rows[3]["price"] == 30.0 and rows[3]["tag"] == "c"  # untouched
+    # time travel to the pre-update snapshot
+    old = {r["k"]: r["price"] for r in wh.read_table("silver", "t", version=1).collect()}
+    assert old[1] == 10.0
+
+
+def test_update_unknown_column_raises(spark, wh):
+    wh.merge_table(_base(spark), "silver", "t", keys=["k"])
+    with pytest.raises(ValueError, match="unknown columns"):
+        wh.update_table("silver", "t", {"nope": "1"})
+
+
+def test_change_feed_tags_inserts_updates_deletes(spark, wh):
+    wh.merge_table(_base(spark), "silver", "t", keys=["k"])            # v1
+    staging = spark.createDataFrame(
+        [(2, "b", 99.0), (5, "e", 50.0)], "k long, tag string, price double"
+    )
+    wh.merge_table(staging, "silver", "t", keys=["k"])                 # v2
+    wh.delete_from("silver", "t", "k = 1")                             # v3
+
+    c12 = wh.table_changes("silver", "t", keys=["k"], from_version=1, to_version=2)
+    by_type = {}
+    for r in c12.collect():
+        by_type.setdefault(r["_change_type"], []).append(r)
+    assert [r["k"] for r in by_type["insert"]] == [5]
+    assert [r["k"] for r in by_type["update_preimage"]] == [2]
+    assert by_type["update_preimage"][0]["price"] == 20.0
+    assert by_type["update_postimage"][0]["price"] == 99.0
+    assert "delete" not in by_type
+
+    c23 = wh.table_changes("silver", "t", keys=["k"], from_version=2, to_version=3)
+    types = {r["_change_type"]: r for r in c23.collect()}
+    assert set(types) == {"delete"}
+    assert types["delete"]["k"] == 1 and types["delete"]["price"] == 10.0
+
+
+def test_change_feed_null_safe_and_no_false_updates(spark, wh):
+    """Unchanged rows (including NULL-valued columns) must NOT appear
+    in the feed — the null-safe compare matters: NULL = NULL is not
+    TRUE in SQL, so a naive inequality check would tag every
+    NULL-carrying row as an update."""
+    wh.merge_table(_base(spark), "silver", "t", keys=["k"])
+    wh.merge_table(_base(spark), "silver", "t", keys=["k"])  # no-op merge
+    c = wh.table_changes("silver", "t", keys=["k"], from_version=1, to_version=2)
+    assert c.count() == 0
+
+
+def test_change_feed_across_schema_evolution(spark, wh):
+    """Diff across an add-column boundary: preimages read NULL in the
+    evolved column (union schema), postimages carry it."""
+    wh.merge_table(_base(spark), "silver", "t", keys=["k"])            # v1
+    evolved = spark.createDataFrame(
+        [(2, "b", 20.0, "web")], "k long, tag string, price double, channel string"
+    )
+    wh.merge_table(evolved, "silver", "t", keys=["k"], merge_schema=True)  # v2
+    c = wh.table_changes("silver", "t", keys=["k"], from_version=1, to_version=2)
+    types = {r["_change_type"]: r for r in c.collect()}
+    # row 2 changed only by the new column appearing
+    assert set(types) == {"update_preimage", "update_postimage"}
+    assert types["update_preimage"]["channel"] is None
+    assert types["update_postimage"]["channel"] == "web"
