@@ -843,3 +843,50 @@ def test_funnel_and_burst_walltime_scales_linearly(spark):
     assert b1 == b10  # replicated users never deepen a window partition
     print(f"funnel 10x: t1={t1:.2f}s t10={t10:.2f}s; burst max invariant {b1}")
     small.unpersist(); big.unpersist()
+
+
+@pytest.mark.scale
+def test_attribution_scales_exactly_with_disjoint_users(spark):
+    """10x events with disjoint users: per-copy attribution joins are
+    independent, so touch counts AND credited values (sums of
+    identical grid-snapped addends) scale EXACTLY 10x — the join
+    fan-out is bounded per user, never cross-copy."""
+    from functools import reduce
+
+    from pyspark.sql import DataFrame
+
+    from lakehouse_file_format_compare_spark.operators.funnel import (
+        attribution_linear,
+    )
+
+    events = table(spark, SF_SCALE, "events").select(
+        "event_id", "user_id", "ts", "event_type", "value"
+    )
+    small = events.repartition(32).cache()
+    small.count()
+    copies = [
+        events.select(
+            (F.col("event_id") + F.lit(i * 100_000_000)).alias("event_id"),
+            (F.col("user_id") + F.lit(i * 10_000_000)).alias("user_id"),
+            "ts", "event_type", "value",
+        )
+        for i in range(10)
+    ]
+    big = reduce(DataFrame.unionByName, copies).repartition(32).cache()
+    big.count()
+
+    def run(df):
+        return {
+            r["touch_type"]: (r["touches"], r["credited_value"])
+            for r in attribution_linear(
+                df, touch_types=["view", "click"], conversion_type="purchase",
+                lookback_seconds=3 * 86400,
+            ).collect()
+        }
+
+    a1, a10 = run(small), run(big)
+    for t, (n, v) in a1.items():
+        n10, v10 = a10[t]
+        assert n10 == 10 * n, t
+        assert abs(v10 - 10 * v) < 0.05, (t, v, v10)
+    small.unpersist(); big.unpersist()
