@@ -40,6 +40,12 @@ importance-resampling exact contract (operators/importance.py:
 md5-hashed-ngram domain profiles, grid-snapped log-ratio weights,
 deterministic top-k — selection count, domain-marked count, weight
 total, all replayed from scratch in the oracle).
+``fintech_gold_suite`` widened with a sixth row (``q6_change_feed``:
+the CDF-style snapshot diff, storage.py::snapshot_diff, fingerprinted
+over a derived second snapshot of the committed customer fixture —
+insert/delete/update pre+post images all folded into the exact
+integer fingerprint, replayed via a full-outer-join diff in the
+oracle).
 """
 
 from __future__ import annotations

@@ -155,6 +155,37 @@ def _scd2_result(cust: DataFrame) -> DataFrame:
     )
 
 
+# change-feed row (r7): diff d_customers against a derived second
+# snapshot — %13 keys deleted, %7 survivors' last_name suffixed
+# (update pre+post images), %11 keys re-inserted under a new id.
+CDF_DEL_MOD = 13
+CDF_UPD_MOD = 7
+CDF_NEW_MOD = 11
+CDF_NEW_OFFSET = 2_000_000
+
+
+def _change_feed_result(cust: DataFrame) -> DataFrame:
+    from ..storage import snapshot_diff
+
+    v1 = cust.select("customer_id", "first_name", "last_name")
+    kept = v1.where(F.pmod("customer_id", F.lit(CDF_DEL_MOD)) != 0)
+    v2 = kept.select(
+        "customer_id",
+        "first_name",
+        F.when(
+            F.pmod("customer_id", F.lit(CDF_UPD_MOD)) == 0,
+            F.concat(F.col("last_name"), F.lit("-X")),
+        ).otherwise(F.col("last_name")).alias("last_name"),
+    ).unionByName(
+        v1.where(F.pmod("customer_id", F.lit(CDF_NEW_MOD)) == 0).select(
+            (F.col("customer_id") + CDF_NEW_OFFSET).alias("customer_id"),
+            F.concat(F.lit("cf-"), F.col("first_name")).alias("first_name"),
+            "last_name",
+        )
+    )
+    return snapshot_diff(v1, v2, keys=["customer_id"])
+
+
 def _summarize(name: str, df: DataFrame, money, counts, fp) -> DataFrame:
     """One suite row: portable aggregates of a gold result (see module
     docstring for why each column is engine-exact)."""
@@ -235,8 +266,24 @@ def gold_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         + F.coalesce(F.datediff(F.col("valid_to"), epoch0), F.lit(0)) * 13,
     )
 
+    code = (
+        F.when(F.col("_change_type") == "insert", 1)
+        .when(F.col("_change_type") == "delete", 2)
+        .when(F.col("_change_type") == "update_preimage", 3)
+        .otherwise(4)
+    )
+    s6 = _summarize(
+        "q6_change_feed", _change_feed_result(f["d_customers"]),
+        money=grid(F.length("last_name") / F.lit(100.0), 2),
+        counts=code,
+        fp=code * 1009
+        + F.pmod(F.col("customer_id"), F.lit(_MOD))
+        + F.length("first_name") * 31
+        + F.length("last_name") * 7,
+    )
+
     out = s1
-    for p in (s2, s3, s4, s5):
+    for p in (s2, s3, s4, s5, s6):
         out = out.unionByName(p)
     return out
 
@@ -346,6 +393,34 @@ WITH fin AS (
     UNION ALL
     SELECT customer_id, first_name, last_name, eff, CAST(NULL AS DATE), true
     FROM scd2_needs
+), cf_v1 AS (
+    SELECT customer_id, first_name, last_name FROM {_fx('d_customers')}
+), cf_v2 AS (
+    SELECT customer_id, first_name,
+           CASE WHEN customer_id % {CDF_UPD_MOD} = 0 THEN last_name || '-X'
+                ELSE last_name END AS last_name
+    FROM cf_v1 WHERE customer_id % {CDF_DEL_MOD} != 0
+    UNION ALL
+    SELECT customer_id + {CDF_NEW_OFFSET}, 'cf-' || first_name, last_name
+    FROM cf_v1 WHERE customer_id % {CDF_NEW_MOD} = 0
+), cf_j AS (
+    SELECT COALESCE(a.customer_id, b.customer_id) AS customer_id,
+           a.first_name AS o_fn, a.last_name AS o_ln,
+           b.first_name AS n_fn, b.last_name AS n_ln,
+           a.customer_id IS NOT NULL AS o_p,
+           b.customer_id IS NOT NULL AS n_p
+    FROM cf_v1 a FULL OUTER JOIN cf_v2 b ON a.customer_id = b.customer_id
+), cf_rows AS (
+    SELECT customer_id, n_fn AS first_name, n_ln AS last_name, 1 AS code
+    FROM cf_j WHERE n_p AND NOT o_p
+    UNION ALL
+    SELECT customer_id, o_fn, o_ln, 2 FROM cf_j WHERE o_p AND NOT n_p
+    UNION ALL
+    SELECT customer_id, o_fn, o_ln, 3 FROM cf_j
+    WHERE o_p AND n_p AND (o_fn IS DISTINCT FROM n_fn OR o_ln IS DISTINCT FROM n_ln)
+    UNION ALL
+    SELECT customer_id, n_fn, n_ln, 4 FROM cf_j
+    WHERE o_p AND n_p AND (o_fn IS DISTINCT FROM n_fn OR o_ln IS DISTINCT FROM n_ln)
 )
 SELECT 'q1_monthly_balance' AS query,
        COUNT(*) AS n_rows,
@@ -389,6 +464,14 @@ SELECT 'q5_scd2_customer_history',
             + (valid_from - DATE '1970-01-01') * 1009
             + COALESCE(valid_to - DATE '1970-01-01', 0) * 13), 0) AS BIGINT)
 FROM scd2_result
+UNION ALL
+SELECT 'q6_change_feed',
+       COUNT(*),
+       {_g("COALESCE(SUM(" + _g("length(last_name) / 100.0") + "), 0)")},
+       CAST(COALESCE(SUM(code), 0) AS BIGINT),
+       CAST(COALESCE(SUM(code * 1009 + customer_id % {_MOD}
+            + length(first_name) * 31 + length(last_name) * 7), 0) AS BIGINT)
+FROM cf_rows
 """
 
 

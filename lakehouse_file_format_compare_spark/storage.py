@@ -344,58 +344,10 @@ class Warehouse:
         no full-table collect, no version log replay; cost is the two
         snapshot scans + one key shuffle.
         """
-        keys = list(keys)
-        old = self.read_table(layer, name, fmt, version=from_version)
-        new = self.read_table(layer, name, fmt, version=to_version)
-        # union schema (additive evolution: new columns NULL on old)
-        for c in new.columns:
-            if c not in old.columns:
-                old = old.withColumn(c, F.lit(None).cast(new.schema[c].dataType))
-        for c in old.columns:
-            if c not in new.columns:
-                new = new.withColumn(c, F.lit(None).cast(old.schema[c].dataType))
-        cols = [c for c in old.columns]
-        value_cols = [c for c in cols if c not in keys]
-        o = old.select(
-            *[F.col(c).alias(f"__o_{c}") for c in cols],
-            *[F.col(k) for k in keys],
-        ).drop(*[f"__o_{k}" for k in keys])
-        n = new.select(
-            *[F.col(c).alias(f"__n_{c}") for c in cols],
-            *[F.col(k) for k in keys],
-        ).drop(*[f"__n_{k}" for k in keys])
-        # presence flags via marker columns (value NULLs are legal)
-        o_present = F.col("__o_present").isNotNull()
-        n_present = F.col("__n_present").isNotNull()
-        j = (
-            o.withColumn("__o_present", F.lit(1))
-            .join(n.withColumn("__n_present", F.lit(1)), keys, "full_outer")
-        )
-        differs = F.lit(False)
-        for c in value_cols:
-            a, b = F.col(f"__o_{c}"), F.col(f"__n_{c}")
-            differs = differs | ~(
-                (a.isNull() & b.isNull()) | (a.isNotNull() & b.isNotNull() & (a == b))
-            )
-
-        def _image(side: str, tag: str):
-            return j.where(tag_cond[tag]).select(
-                *keys,
-                *[F.col(f"__{side}_{c}").alias(c) for c in value_cols],
-                F.lit(tag).alias("_change_type"),
-            )
-
-        tag_cond = {
-            "insert": n_present & ~o_present,
-            "delete": o_present & ~n_present,
-            "update_preimage": o_present & n_present & differs,
-            "update_postimage": o_present & n_present & differs,
-        }
-        return (
-            _image("n", "insert")
-            .unionByName(_image("o", "delete"))
-            .unionByName(_image("o", "update_preimage"))
-            .unionByName(_image("n", "update_postimage"))
+        return snapshot_diff(
+            self.read_table(layer, name, fmt, version=from_version),
+            self.read_table(layer, name, fmt, version=to_version),
+            keys,
         )
 
     def schema_history(
@@ -888,6 +840,68 @@ def evolve_schemas(
         *[c for c in order if c in staging.columns]
     )
     return target, staging, added
+
+
+def snapshot_diff(old: DataFrame, new: DataFrame, keys: Sequence[str]) -> DataFrame:
+    """Key-level diff of two table snapshots (the engine behind
+    Warehouse.table_changes; pure DataFrame-in/DataFrame-out so plan
+    libraries can drive it without a warehouse on disk). Rows tagged
+    ``_change_type`` in {insert, delete, update_preimage,
+    update_postimage}; update = key in both with any NON-KEY column
+    differing under null-safe comparison; columns are the union schema
+    (a column absent from one side reads NULL there). One
+    co-partitioned full-outer join on the key."""
+    keys = list(keys)
+    # union schema (additive evolution: new columns NULL on old)
+    for c in new.columns:
+        if c not in old.columns:
+            old = old.withColumn(c, F.lit(None).cast(new.schema[c].dataType))
+    for c in old.columns:
+        if c not in new.columns:
+            new = new.withColumn(c, F.lit(None).cast(old.schema[c].dataType))
+    cols = list(old.columns)
+    value_cols = [c for c in cols if c not in keys]
+    o = old.select(
+        *[F.col(k) for k in keys],
+        *[F.col(c).alias(f"__o_{c}") for c in value_cols],
+    )
+    n = new.select(
+        *[F.col(k) for k in keys],
+        *[F.col(c).alias(f"__n_{c}") for c in value_cols],
+    )
+    # presence flags via marker columns (value NULLs are legal)
+    o_present = F.col("__o_present").isNotNull()
+    n_present = F.col("__n_present").isNotNull()
+    j = (
+        o.withColumn("__o_present", F.lit(1))
+        .join(n.withColumn("__n_present", F.lit(1)), keys, "full_outer")
+    )
+    differs = F.lit(False)
+    for c in value_cols:
+        a, b = F.col(f"__o_{c}"), F.col(f"__n_{c}")
+        differs = differs | ~(
+            (a.isNull() & b.isNull()) | (a.isNotNull() & b.isNotNull() & (a == b))
+        )
+    tag_cond = {
+        "insert": n_present & ~o_present,
+        "delete": o_present & ~n_present,
+        "update_preimage": o_present & n_present & differs,
+        "update_postimage": o_present & n_present & differs,
+    }
+
+    def _image(side: str, tag: str) -> DataFrame:
+        return j.where(tag_cond[tag]).select(
+            *keys,
+            *[F.col(f"__{side}_{c}").alias(c) for c in value_cols],
+            F.lit(tag).alias("_change_type"),
+        )
+
+    return (
+        _image("n", "insert")
+        .unionByName(_image("o", "delete"))
+        .unionByName(_image("o", "update_preimage"))
+        .unionByName(_image("n", "update_postimage"))
+    )
 
 
 def _schema_from_manifest(schema_entry: list) -> StructType:
