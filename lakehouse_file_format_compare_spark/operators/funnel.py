@@ -266,6 +266,73 @@ def attribution_linear(
     return credited.unionByName(unattributed)
 
 
+def attribution_position(
+    events: DataFrame,
+    *,
+    touch_types: list[str],
+    conversion_type: str,
+    lookback_seconds: int,
+    model: str = "last",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """Position-based single-touch attribution: each conversion's FULL
+    value goes to its first (``model='first'``) or last
+    (``model='last'``) in-window touch — the other two standard
+    models next to :func:`attribution_linear`. Same window semantics
+    (strictly before, closed lower bound); ties on the boundary
+    timestamp break to the lexicographically smaller touch type, so
+    the credited row is deterministic. Output schema matches
+    attribution_linear: (touch_type, touches, credited_value) plus
+    ``__unattributed``. One co-partitioned user join + one
+    conversion-grain min_by/max_by aggregate — no window sort."""
+    if model not in ("first", "last"):
+        raise ValueError("model must be 'first' or 'last'")
+    if conversion_type in touch_types:
+        raise ValueError("conversion_type cannot also be a touch type")
+    lb_us = int(lookback_seconds) * 1_000_000
+    conv = events.where(F.col(type_col) == conversion_type).select(
+        F.col(user_col).alias("__u"),
+        F.col(id_col).alias("__conv_id"),
+        F.unix_micros(F.col(ts_col)).alias("__conv_us"),
+        grid(F.col(value_col), 2).alias("__val"),
+    )
+    touch = events.where(F.col(type_col).isin(list(touch_types))).select(
+        F.col(user_col).alias("__u"),
+        F.col(type_col).alias("touch_type"),
+        F.unix_micros(F.col(ts_col)).alias("__touch_us"),
+    )
+    j = conv.join(touch, "__u").where(
+        (F.col("__touch_us") < F.col("__conv_us"))
+        & (F.col("__touch_us") >= F.col("__conv_us") - F.lit(lb_us))
+    )
+    # deterministic pick: order by (ts, type) — min_by/max_by over a
+    # struct compares fields left-to-right
+    ordkey = F.struct(F.col("__touch_us"), F.col("touch_type"))
+    pick = F.min_by("touch_type", ordkey) if model == "first" else F.max_by(
+        "touch_type", ordkey
+    )
+    chosen = j.groupBy("__conv_id").agg(
+        pick.alias("touch_type"), F.first("__val").alias("__val")
+    )
+    credited = chosen.groupBy("touch_type").agg(
+        F.count(F.lit(1)).cast("long").alias("touches"),
+        grid(F.sum("__val"), 2).alias("credited_value"),
+    )
+    unattributed = (
+        conv.join(chosen.select("__conv_id"), "__conv_id", "left_anti")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("touches"),
+            grid(F.coalesce(F.sum("__val"), F.lit(0.0)), 2).alias("credited_value"),
+        )
+        .select(F.lit("__unattributed").alias("touch_type"), "touches", "credited_value")
+    )
+    return credited.unionByName(unattributed)
+
+
 def trailing_window_counts(
     events: DataFrame,
     *,

@@ -284,6 +284,47 @@ def test_attribution_conserves_value(spark):
     assert abs(got - total) < 0.05, (got, total)
 
 
+def test_attribution_position_models(spark):
+    from lakehouse_file_format_compare_spark.operators.funnel import (
+        attribution_position,
+    )
+
+    ev = _events_v(spark, [
+        (1, TS(2024, 1, 1, 9, 0), 1, "view", 0.0),
+        (2, TS(2024, 1, 1, 9, 30), 1, "click", 0.0),
+        (3, TS(2024, 1, 1, 10, 0), 1, "purchase", 40.0),
+        (4, TS(2024, 1, 2, 10, 0), 2, "purchase", 5.0),  # unattributed
+    ])
+    kw = dict(touch_types=["view", "click"], conversion_type="purchase",
+              lookback_seconds=2 * 3600)
+    first = {r["touch_type"]: r for r in attribution_position(ev, model="first", **kw).collect()}
+    last = {r["touch_type"]: r for r in attribution_position(ev, model="last", **kw).collect()}
+    assert first["view"]["credited_value"] == 40.0 and "click" not in first
+    assert last["click"]["credited_value"] == 40.0 and "view" not in last
+    assert first["__unattributed"]["touches"] == 1
+    assert first["__unattributed"]["credited_value"] == 5.0
+
+
+def test_attribution_position_tie_breaks_deterministically(spark):
+    from lakehouse_file_format_compare_spark.operators.funnel import (
+        attribution_position,
+    )
+
+    # two touches at the SAME microsecond: lexicographically smaller
+    # type wins for both models' boundary pick ordering
+    ev = _events_v(spark, [
+        (1, TS(2024, 1, 1, 9, 0), 1, "view", 0.0),
+        (2, TS(2024, 1, 1, 9, 0), 1, "click", 0.0),
+        (3, TS(2024, 1, 1, 10, 0), 1, "purchase", 10.0),
+    ])
+    kw = dict(touch_types=["view", "click"], conversion_type="purchase",
+              lookback_seconds=2 * 3600)
+    first = {r["touch_type"] for r in attribution_position(ev, model="first", **kw).collect()}
+    last = {r["touch_type"] for r in attribution_position(ev, model="last", **kw).collect()}
+    assert "click" in first   # min over (ts, type)
+    assert "view" in last     # max over (ts, type)
+
+
 def test_attribution_validation(spark):
     ev = _events_v(spark, [])
     import pytest as _pytest
