@@ -68,6 +68,12 @@ def available_formats(spark: SparkSession) -> tuple[str, ...]:
     return CORE_FORMATS + tuple(f for f in OPTIONAL_FORMATS if _probe_format(spark, f))
 
 
+class ConcurrentCommitError(RuntimeError):
+    """A snapshot commit found the table pointer moved past the
+    version the writer based its computation on (optimistic
+    concurrency — the Iceberg/Delta commit-conflict contract)."""
+
+
 @dataclass
 class Warehouse:
     """Layered warehouse root (bronze/silver/gold directories like the
@@ -172,11 +178,24 @@ class Warehouse:
             return json.load(f)
 
     def _commit_version(
-        self, df: DataFrame, layer: str, name: str, fmt: str, op: str
+        self, df: DataFrame, layer: str, name: str, fmt: str, op: str,
+        expected_current: int | None = None,
     ) -> int:
         root = self.path(layer, name, fmt)
         os.makedirs(root, exist_ok=True)
         manifest = self._read_manifest(layer, name, fmt) or {"current": 0, "versions": []}
+        if expected_current is not None and manifest["current"] != expected_current:
+            # optimistic concurrency (the Iceberg commit-conflict
+            # contract): the writer computed its snapshot against
+            # expected_current; another writer advanced the pointer in
+            # the meantime, so committing would silently drop that
+            # writer's rows. Fail the commit — the caller re-reads and
+            # retries against the new snapshot.
+            raise ConcurrentCommitError(
+                f"{layer}/{name}_{fmt}: expected current version "
+                f"{expected_current}, found {manifest['current']} — "
+                f"concurrent commit detected; re-read and retry"
+            )
         version = _next_version(manifest)
         data_dir = os.path.join(root, f"v{version}")
         writer = df.write.format(fmt).mode("overwrite")
@@ -262,6 +281,7 @@ class Warehouse:
         if not self.exists(layer, name, fmt):
             self._commit_version(staging, layer, name, fmt, op="create")
             return
+        base_version = self.current_version(layer, name, fmt)
         target = self.read_table(layer, name, fmt, schema=schema)
         op = f"merge_{policy}"
         if merge_schema:
@@ -269,7 +289,9 @@ class Warehouse:
             if added:
                 op += "+add:" + ",".join(added)
         merged = merge(target, staging, keys=keys, policy=policy)
-        self._commit_version(merged, layer, name, fmt, op=op)
+        self._commit_version(
+            merged, layer, name, fmt, op=op, expected_current=base_version
+        )
 
     def delete_from(
         self,
@@ -284,11 +306,15 @@ class Warehouse:
         snapshot-versioned table). Commits the surviving rows as a new
         snapshot; returns the number of rows deleted. Predicate is a
         SQL boolean expression over the table's columns."""
+        base_version = self.current_version(layer, name, fmt)
         target = self.read_table(layer, name, fmt)
         cond = F.expr(predicate)
         kept = target.where(~F.coalesce(cond, F.lit(False)))
         n_deleted = target.count() - kept.count()
-        self._commit_version(kept, layer, name, fmt, op=f"delete:{predicate}")
+        self._commit_version(
+            kept, layer, name, fmt, op=f"delete:{predicate}",
+            expected_current=base_version,
+        )
         return n_deleted
 
     def update_table(
@@ -303,6 +329,7 @@ class Warehouse:
         (copy-on-write). ``set_exprs`` maps existing columns to SQL
         expressions (evaluated per matching row; non-matching rows are
         carried verbatim). Returns the number of rows updated."""
+        base_version = self.current_version(layer, name, fmt)
         target = self.read_table(layer, name, fmt)
         unknown = [c for c in set_exprs if c not in target.columns]
         if unknown:
@@ -319,7 +346,10 @@ class Warehouse:
             ]
         )
         n_updated = target.where(cond).count()
-        self._commit_version(updated, layer, name, fmt, op=f"update:{predicate}")
+        self._commit_version(
+            updated, layer, name, fmt, op=f"update:{predicate}",
+            expected_current=base_version,
+        )
         return n_updated
 
     def table_changes(

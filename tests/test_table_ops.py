@@ -115,3 +115,26 @@ def test_change_feed_across_schema_evolution(spark, wh):
     assert set(types) == {"update_preimage", "update_postimage"}
     assert types["update_preimage"]["channel"] is None
     assert types["update_postimage"]["channel"] == "web"
+
+
+def test_concurrent_commit_detection(spark, wh):
+    """Optimistic concurrency: a writer that computed its merge
+    against version N must NOT silently clobber a commit that moved
+    the table to N+1 meanwhile — the lost-update anomaly every
+    lakehouse format's conflict check exists for. Simulated by
+    driving _commit_version with the stale expectation directly."""
+    from lakehouse_file_format_compare_spark.storage import ConcurrentCommitError
+
+    wh.merge_table(_base(spark), "silver", "t", keys=["k"])           # v1
+    stale_base = wh.current_version("silver", "t")
+    # another writer lands v2
+    wh.merge_table(_base(spark), "silver", "t", keys=["k"])           # v2
+    with pytest.raises(ConcurrentCommitError, match="concurrent commit"):
+        wh._commit_version(
+            _base(spark), "silver", "t", "parquet", op="merge_upsert",
+            expected_current=stale_base,
+        )
+    # the conflicting commit left no trace; a fresh retry succeeds
+    assert wh.current_version("silver", "t") == 2
+    wh.merge_table(_base(spark), "silver", "t", keys=["k"])           # v3
+    assert wh.current_version("silver", "t") == 3
