@@ -21,6 +21,7 @@ from ..functions.numeric import grid, grid_sql
 from ..operators.funnel import (
     MAD_SIGMA,
     attribution_linear,
+    attribution_position,
     burst_stats,
     funnel_counts,
     mad_outliers,
@@ -221,7 +222,22 @@ def events_analytics_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("credited_value").alias("v"),
     )
 
-    return fr.unionByName(rr).unionByName(ar).unionByName(br).unionByName(at)
+    out = fr.unionByName(rr).unionByName(ar).unionByName(br).unionByName(at)
+    for model in ("first", "last"):
+        pm = attribution_position(
+            ev,
+            touch_types=ATTR_TOUCHES,
+            conversion_type="purchase",
+            lookback_seconds=ATTR_LOOKBACK_S,
+            model=model,
+        ).where(F.col("touch_type") != "__unattributed").select(
+            F.lit(f"attribution_{model}").alias("family"),
+            F.col("touch_type").alias("item"),
+            F.col("touches").alias("n"),
+            F.col("credited_value").alias("v"),
+        )
+        out = out.unionByName(pm)
+    return out
 
 
 _PERIOD_US = RET_PERIOD_S * 1_000_000
@@ -319,7 +335,7 @@ WITH f1 AS (
     SELECT user_id AS u, event_type AS touch_type, epoch_us(ts) AS touch_us
     FROM events WHERE event_type IN ({", ".join(f"'{t}'" for t in ATTR_TOUCHES)})
 ), at_j AS (
-    SELECT c.conv_id, c.val, t.touch_type
+    SELECT c.conv_id, c.val, t.touch_type, t.touch_us
     FROM at_conv c JOIN at_touch t ON c.u = t.u
     WHERE t.touch_us < c.conv_us
       AND t.touch_us >= c.conv_us - {ATTR_LOOKBACK_S * 1_000_000}
@@ -336,6 +352,21 @@ WITH f1 AS (
            COUNT(*),
            {grid_sql("COALESCE(SUM(val), 0)", 2)}
     FROM at_conv WHERE conv_id NOT IN (SELECT conv_id FROM at_j)
+), at_ranked AS (
+    SELECT conv_id, val, touch_type,
+           row_number() OVER (PARTITION BY conv_id
+                              ORDER BY touch_us, touch_type) AS rf,
+           row_number() OVER (PARTITION BY conv_id
+                              ORDER BY touch_us DESC, touch_type DESC) AS rl
+    FROM at_j
+), at_pos_rows AS (
+    SELECT 'attribution_first' AS family, touch_type AS item,
+           COUNT(*) AS n, {grid_sql("SUM(" + grid_sql("val", 2) + ")", 2)} AS v
+    FROM at_ranked WHERE rf = 1 GROUP BY touch_type
+    UNION ALL
+    SELECT 'attribution_last', touch_type,
+           COUNT(*), {grid_sql("SUM(" + grid_sql("val", 2) + ")", 2)}
+    FROM at_ranked WHERE rl = 1 GROUP BY touch_type
 )
 SELECT family, item, CAST(n AS BIGINT) AS n, v FROM funnel_rows
 UNION ALL
@@ -346,6 +377,8 @@ UNION ALL
 SELECT family, item, CAST(n AS BIGINT) AS n, v FROM burst_rows
 UNION ALL
 SELECT family, item, CAST(n AS BIGINT) AS n, v FROM at_rows
+UNION ALL
+SELECT family, item, CAST(n AS BIGINT) AS n, v FROM at_pos_rows
 """
 
 
