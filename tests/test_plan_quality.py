@@ -67,7 +67,17 @@ def test_partial_aggregation_before_shuffle(spark):
 
 
 def test_window_is_partitioned_and_group_limited(spark):
-    plan = _formatted(spark, "op_window_rank_per_group")
+    # op_window_rank_per_group left the 50-cap registry in r7 (swapped
+    # for events_analytics_suite); the plan pin drives the demoted
+    # function directly
+    from lakehouse_file_format_compare_spark.plans.adhoc import (
+        window_rank_per_group,
+    )
+
+    df = window_rank_per_group(spark, SF_CORRECTNESS)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
     # partition key retained AND the rank<=3 filter pushed down as a
     # group-limit BELOW the shuffle (partial WindowGroupLimit) — the
     # plan shape that keeps per-group top-k scalable
