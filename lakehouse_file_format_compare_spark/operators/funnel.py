@@ -333,6 +333,94 @@ def attribution_position(
     return credited.unionByName(unattributed)
 
 
+def attribution_all_models(
+    events: DataFrame,
+    *,
+    touch_types: list[str],
+    conversion_type: str,
+    lookback_seconds: int,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """All three attribution models from ONE conversions ⋈ touches
+    join (the serving shape when a report wants linear AND positional
+    views): returns (model, touch_type, touches, credited_value) with
+    model in {linear, first, last} plus one (linear, __unattributed)
+    row. Semantics identical to :func:`attribution_linear` /
+    :func:`attribution_position` (equality pinned in
+    tests/test_funnel.py). Per-conversion touch counts come from a
+    count window over the conversion key — the join output shuffles
+    once on conv_id and every model folds from that same frame."""
+    if conversion_type in touch_types:
+        raise ValueError("conversion_type cannot also be a touch type")
+    lb_us = int(lookback_seconds) * 1_000_000
+    conv = events.where(F.col(type_col) == conversion_type).select(
+        F.col(user_col).alias("__u"),
+        F.col(id_col).alias("__conv_id"),
+        F.unix_micros(F.col(ts_col)).alias("__conv_us"),
+        grid(F.col(value_col), 2).alias("__val"),
+    )
+    touch = events.where(F.col(type_col).isin(list(touch_types))).select(
+        F.col(user_col).alias("__u"),
+        F.col(type_col).alias("touch_type"),
+        F.unix_micros(F.col(ts_col)).alias("__touch_us"),
+    )
+    j = conv.join(touch, "__u").where(
+        (F.col("__touch_us") < F.col("__conv_us"))
+        & (F.col("__touch_us") >= F.col("__conv_us") - F.lit(lb_us))
+    )
+    w = Window.partitionBy("__conv_id")
+    j2 = j.withColumn("__n", F.count(F.lit(1)).over(w)).cache()
+
+    linear = (
+        j2.select("touch_type", grid(F.col("__val") / F.col("__n"), 6).alias("__credit"))
+        .groupBy("touch_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("touches"),
+            grid(F.sum("__credit"), 2).alias("credited_value"),
+        )
+        .select(F.lit("linear").alias("model"), "touch_type", "touches", "credited_value")
+    )
+    ordkey = F.struct(F.col("__touch_us"), F.col("touch_type"))
+    picks = j2.groupBy("__conv_id").agg(
+        F.min_by("touch_type", ordkey).alias("__first"),
+        F.max_by("touch_type", ordkey).alias("__last"),
+        F.first("__val").alias("__val"),
+    )
+
+    def _pos(col: str, tag: str) -> DataFrame:
+        return (
+            picks.groupBy(F.col(col).alias("touch_type"))
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("touches"),
+                grid(F.sum("__val"), 2).alias("credited_value"),
+            )
+            .select(F.lit(tag).alias("model"), "touch_type", "touches", "credited_value")
+        )
+
+    unattributed = (
+        conv.join(j.select("__conv_id").distinct(), "__conv_id", "left_anti")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("touches"),
+            grid(F.coalesce(F.sum("__val"), F.lit(0.0)), 2).alias("credited_value"),
+        )
+        .select(
+            F.lit("linear").alias("model"),
+            F.lit("__unattributed").alias("touch_type"),
+            "touches",
+            "credited_value",
+        )
+    )
+    return (
+        linear.unionByName(_pos("__first", "first"))
+        .unionByName(_pos("__last", "last"))
+        .unionByName(unattributed)
+    )
+
+
 def trailing_window_counts(
     events: DataFrame,
     *,

@@ -20,8 +20,7 @@ from pyspark.sql import functions as F
 from ..functions.numeric import grid, grid_sql
 from ..operators.funnel import (
     MAD_SIGMA,
-    attribution_linear,
-    attribution_position,
+    attribution_all_models,
     burst_stats,
     funnel_counts,
     mad_outliers,
@@ -210,34 +209,26 @@ def events_analytics_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("avg_trailing").alias("v"),
     )
 
-    at = attribution_linear(
+    # all three attribution models from ONE conversions x touches join
+    # (operators/funnel.py::attribution_all_models; the per-model
+    # operators are equality-pinned against it in tests/test_funnel.py)
+    at = attribution_all_models(
         ev,
         touch_types=ATTR_TOUCHES,
         conversion_type="purchase",
         lookback_seconds=ATTR_LOOKBACK_S,
     ).select(
-        F.lit("attribution").alias("family"),
+        F.when(F.col("model") == "linear", F.lit("attribution"))
+        .otherwise(F.concat(F.lit("attribution_"), F.col("model")))
+        .alias("family"),
         F.col("touch_type").alias("item"),
         F.col("touches").alias("n"),
         F.col("credited_value").alias("v"),
     )
 
-    out = fr.unionByName(rr).unionByName(ar).unionByName(br).unionByName(at)
-    for model in ("first", "last"):
-        pm = attribution_position(
-            ev,
-            touch_types=ATTR_TOUCHES,
-            conversion_type="purchase",
-            lookback_seconds=ATTR_LOOKBACK_S,
-            model=model,
-        ).where(F.col("touch_type") != "__unattributed").select(
-            F.lit(f"attribution_{model}").alias("family"),
-            F.col("touch_type").alias("item"),
-            F.col("touches").alias("n"),
-            F.col("credited_value").alias("v"),
-        )
-        out = out.unionByName(pm)
-    return out
+    return (
+        fr.unionByName(rr).unionByName(ar).unionByName(br).unionByName(at)
+    )
 
 
 _PERIOD_US = RET_PERIOD_S * 1_000_000

@@ -325,6 +325,36 @@ def test_attribution_position_tie_breaks_deterministically(spark):
     assert "view" in last     # max over (ts, type)
 
 
+def test_attribution_all_models_equals_individual_operators(spark):
+    """The fused one-join report must equal the three standalone
+    operators row-for-row on real data (sf0.001 events)."""
+    from lakehouse_file_format_compare_spark.operators.funnel import (
+        attribution_all_models,
+        attribution_position,
+    )
+    from lakehouse_file_format_compare_spark.sources.testdata import table
+
+    ev = table(spark, "/root/testdata/sf0.001", "events")
+    kw = dict(touch_types=["view", "click"], conversion_type="purchase",
+              lookback_seconds=3 * 86400)
+    fused = {
+        (r["model"], r["touch_type"]): (r["touches"], r["credited_value"])
+        for r in attribution_all_models(ev, **kw).collect()
+    }
+    lin = {
+        ("linear", r["touch_type"]): (r["touches"], r["credited_value"])
+        for r in attribution_linear(ev, **kw).collect()
+    }
+    assert {k: v for k, v in fused.items() if k[0] == "linear"} == lin
+    for model in ("first", "last"):
+        solo = {
+            (model, r["touch_type"]): (r["touches"], r["credited_value"])
+            for r in attribution_position(ev, model=model, **kw).collect()
+            if r["touch_type"] != "__unattributed"
+        }
+        assert {k: v for k, v in fused.items() if k[0] == model} == solo
+
+
 def test_attribution_validation(spark):
     ev = _events_v(spark, [])
     import pytest as _pytest
