@@ -407,6 +407,11 @@ def test_no_python_row_udfs_in_r7_continuation_operators(spark):
         retention_matrix(events, origin="2024-01-01", period_seconds=604800),
         mad_outliers(events, "event_type", "value"),
         burst_stats(events, window_seconds=3600),
+        __import__("lakehouse_file_format_compare_spark.operators.funnel",
+                   fromlist=["attribution_all_models"]).attribution_all_models(
+            events, touch_types=["view", "click"], conversion_type="purchase",
+            lookback_seconds=86400,
+        ),
         importance_weights(docs, target),
         importance_resample(docs, target, 10),
     ]
