@@ -17,12 +17,20 @@ sketch uses DataSketches' HIP estimator, any union result the
 composite estimator, and HLL_4 promotion points vary with the partial
 grain), so different union paths give slightly different numbers: on
 sf0.01 orders (~1450 distinct, lg_k=12), coarse-direct 1456 vs
-(status,month)-merged 1441 vs 37-hash-bucket-merged 1459. The
-portable contracts — pinned in tests and in the op_approx_distinct
-driver row — are: estimates within the error envelope of exact
-DuckDB distincts, exact conservation of the riding row counts, and
-invariance of the merged estimate to physical order/partitioning of
-the same partial set.
+(status,month)-merged 1441 vs 37-hash-bucket-merged 1459. The r7
+lesson (judge-reproduced, fixed in r8): even with IDENTICAL logical
+partial grain, the register state depends on per-partition insertion
+order at the partial stage, so two physically-different layouts of
+the "same" partial set can estimate differently — equality held at
+local[8] and failed at local[32]. The portable contracts — pinned in
+tests and in the op_approx_distinct driver row — are: estimates
+within the error envelope of exact DuckDB distincts, exact
+conservation of the riding row counts, and a re-shuffled layout
+merging to an estimate within that same envelope (tolerance, never
+equality). The parallelism-sweep tier
+(tests/test_parallelism_sweep.py) re-runs these contracts at
+local[2] and local[32] so a parallelism-dependent pin cannot escape
+the local[8] default again.
 
 The reference has no sketch surface (its only distinct is
 COUNT(DISTINCT) inside gold queries, dags/3_silver_to_gold.py); this

@@ -564,16 +564,21 @@ def approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     three contract booleans ride the row: the merged estimate lands
     within 5% of the exact distinct the oracle computes itself, the
     exact row counts riding the partials are conserved bit-exactly,
-    and the merged estimate is invariant to the physical order /
-    partitioning of the partial sketches (what makes a persisted
-    rollup reproducible). Estimate EQUALITY across different union
-    paths is deliberately NOT pinned: it only holds in the
-    coupon-exact (sparse) regime — measured on sf0.01 orders, a
-    (status, month) merge estimates 1441 'O' customers while
-    coarse-grain paths give 1456 (HIP vs composite estimator) and a
-    37-bucket hash grain gives 1459, all within the error envelope.
+    and a physically re-shuffled copy of the same partial set merges
+    to an estimate within the SAME 5%-of-exact envelope of the first
+    (what makes a persisted rollup reproducible in practice).
+    Estimate EQUALITY across different union paths is deliberately
+    NOT pinned — r7 pinned it and it failed at local[32]: DataSketches
+    register state depends on per-partition insertion order at the
+    partial stage (LIST→SET→HLL_4 promotion points) and on the union
+    tree (HIP vs composite estimator), so equality only holds in the
+    coupon-exact (sparse) regime and is NOT portable across
+    parallelism levels. Measured on sf0.01 orders: a (status, month)
+    merge estimates 1441 'O' customers while coarse-grain paths give
+    1456 and a 37-bucket hash grain 1459 — all within the envelope.
     operators/sketches.py documents the regimes; the envelope is the
-    portable contract."""
+    portable contract, verified at local[2]/local[8]/local[32] by the
+    parallelism-sweep tier (tests/test_parallelism_sweep.py)."""
     from ..operators.sketches import hll_partial_sketches, hll_rollup
 
     orders = table(spark, sf_dir, "orders")
@@ -726,9 +731,10 @@ def approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("__merged_rows") == F.col("n_orders")).alias(
                 "hll_rollup_rows_conserved"
             ),
-            (F.col("__merged_est") == F.col("__shuffled_est")).alias(
-                "hll_rollup_order_invariant"
-            ),
+            (
+                F.abs(F.col("__merged_est") - F.col("__shuffled_est"))
+                <= APPROX_DISTINCT_TOLERANCE * F.col("exact_customers")
+            ).alias("hll_rollup_paths_within_tolerance"),
             "mg_top1_key",
             "mg_top1_lb",
             "mg_bound_total",
@@ -840,7 +846,7 @@ SELECT o_orderstatus, exact_customers, n_orders,
        true AS approx_within_tolerance,
        true AS hll_rollup_within_tolerance,
        true AS hll_rollup_rows_conserved,
-       true AS hll_rollup_order_invariant,
+       true AS hll_rollup_paths_within_tolerance,
        mg_top1_key, mg_top1_lb, mg_bound_total, mg_topk_fp,
        (mg_nr = n_orders) AS mg_rows_conserved,
        cms_heavy_est,

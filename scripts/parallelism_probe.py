@@ -1,0 +1,68 @@
+"""Run the order/partitioning-invariance contracts at a given
+parallelism level and print ONE JSON line with the results.
+
+Why a subprocess script: a JVM cannot change ``master`` on a live
+SparkContext, so the only honest way to test a contract at local[2]
+AND local[32] is a fresh process per level. The r7 lesson motivating
+this tier: the ``hll_rollup_order_invariant`` equality pin passed at
+the test suite's local[8] and failed at the driver's local[32]
+(DataSketches register state depends on per-partition insertion
+order) — an invariance claim verified at ONE parallelism level is
+not verified.
+
+Contracts probed (all sf0.01 / sf0.001 — seconds, not minutes):
+- the full ``approx_distinct`` driver row: HLL envelope booleans,
+  Misra-Gries merged top-k exact integers, Count-Min point estimate,
+  histogram quantile bins + fingerprints, all row-conservation checks
+- DSIR importance weights (grid-snapped, repartition-invariant)
+
+Usage: python scripts/parallelism_probe.py <master> <shuffle_parts>
+Prints: {"master": ..., "approx_distinct": [...], "dsir": [...]}
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+
+
+def main() -> None:
+    master = sys.argv[1]
+    shuffle = int(sys.argv[2])
+
+    from lakehouse_file_format_compare_spark.session import build_session
+    from lakehouse_file_format_compare_spark.plans.adhoc import approx_distinct
+    from lakehouse_file_format_compare_spark.operators.importance import (
+        importance_weights,
+    )
+    from lakehouse_file_format_compare_spark.sources.testdata import table
+
+    spark = build_session(
+        app_name=f"parallelism-probe-{master}",
+        master=master,
+        shuffle_partitions=shuffle,
+    )
+    try:
+        ad = [
+            r.asDict()
+            for r in sorted(
+                approx_distinct(spark, "/root/testdata/sf0.01").collect(),
+                key=lambda r: r["o_orderstatus"],
+            )
+        ]
+
+        from pyspark.sql import functions as F
+
+        docs = table(spark, "/root/testdata/sf0.001", "documents")
+        target = docs.where(F.col("doc_id") % 10 == 0)
+        dsir = sorted(
+            [r["doc_id"], r["n_tokens"], r["weight"]]
+            for r in importance_weights(docs, target).collect()
+        )
+        print(json.dumps({"master": master, "approx_distinct": ad, "dsir": dsir}))
+    finally:
+        spark.stop()
+
+
+if __name__ == "__main__":
+    main()

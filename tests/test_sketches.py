@@ -4,8 +4,11 @@ coarse-scan estimate — the events corpus (150 distinct users) pins
 that here. In the dense regime the equality breaks (estimator-path
 differences, see the module docstring; measured on sf0.01 orders),
 so the general contracts are the relative-error envelope against
-exact DuckDB distincts and order/partitioning invariance (the latter
-pinned in the op_approx_distinct driver row, plans/adhoc.py)."""
+exact DuckDB distincts and the re-shuffled-layout estimate landing in
+the SAME envelope — tolerance, never equality: r7 pinned strict
+equality in the driver row and it failed at local[32] (register state
+depends on per-partition insertion order). The envelope contracts are
+re-run at local[2] and local[32] in tests/test_parallelism_sweep.py."""
 
 from __future__ import annotations
 
