@@ -1,7 +1,25 @@
 """Benchmark harness: runs the headline query set at
 ``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
-``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
-{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+``local[$SPARK_GRAFT_CPUS]``.
+
+Output protocol (r8, from the r7 verdict #2/#3):
+- the LAST stdout line is a compact JSON summary (metric, value,
+  queries map, value_steady, sf, sentinel, loadavg) kept under the
+  driver's 2,000-char tail capture — r7's single 3.5 KB line lost its
+  head to that capture and the round's official artifact was
+  unparseable;
+- the line before it is the FULL detail JSON (steady per-rep walls,
+  format_bench, formats), also written to ``BENCH_DETAIL.json``
+  next to this file so the detail survives in-repo regardless of
+  how much stdout the driver keeps.
+
+Noise robustness (r7 verdict #3): two rounds running, the driver's
+recorded run landed on a contended host and the committed walls ran
+2x+ the builder's clean runs. Contention noise is strictly additive,
+so the steady figure per query is now the MIN over >=3 reps (per-rep
+walls recorded in the detail); the cold figure stays a single first
+run (it is one-shot by definition — the sentinel + loadavg flag its
+noise instead).
 
 Each query executes to a ``noop`` sink (full execution, no driver
 materialization cost), mirroring how the reference's gold stage
@@ -61,7 +79,13 @@ HEADLINE = [
     # (the driver contract lives in corpus_build_summary's dsir_*)
     "events_analytics_suite",
     "dsir_resample",
+    # r8 (r7 verdict #6): reference-parity fintech gold stage (q1-q4
+    # only) benched separately from the contract row, whose wall grows
+    # with extension coverage (q5 SCD2 / q6 change feed landed in r7)
+    "fintech_gold_serving",
 ]
+
+STEADY_REPS = 3  # min-of-N steady protocol (r7 verdict #3)
 
 
 def _loadavg() -> list[float]:
@@ -117,6 +141,9 @@ def main() -> None:
     from lakehouse_file_format_compare_spark.plans import corpus_plans
 
     queries["dsir_resample"] = corpus_plans.dsir_resample_serving
+    from lakehouse_file_format_compare_spark.plans import fintech_plans
+
+    queries["fintech_gold_serving"] = fintech_plans.gold_serving
 
     # JVM/codegen warm-up on an untimed tiny query
     queries["tpch_local_supplier_volume"](spark, sf_dir).write.format("noop").mode("overwrite").save()
@@ -151,17 +178,26 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     steady: dict[str, float] = {}
+    steady_reps: dict[str, list[float]] = {}
     for name in HEADLINE:
         start = time.perf_counter()
         queries[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - start, 3)
-        # second run: whole-stage-codegen compiled, JIT warm — the
-        # per-query cost that amortizes at scale. Recorded as data so
-        # compile overhead and plan cost are separable; the headline
-        # metric stays the cold run (round 1/2 protocol).
-        start = time.perf_counter()
-        queries[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-        steady[name] = round(time.perf_counter() - start, 3)
+        # steady runs: whole-stage-codegen compiled, JIT warm — the
+        # per-query cost that amortizes at scale. MIN over N reps:
+        # host-contention noise is strictly additive, so the min is
+        # the honest plan cost (r7 verdict #3 — two rounds of
+        # committed artifacts were 2x+ inflated by a contended host).
+        # Per-rep walls are kept as data in the detail JSON. The
+        # headline metric stays the single cold run (round 1/2
+        # protocol); its noise is flagged by the sentinel instead.
+        reps = []
+        for _ in range(STEADY_REPS):
+            start = time.perf_counter()
+            queries[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+            reps.append(round(time.perf_counter() - start, 3))
+        steady_reps[name] = reps
+        steady[name] = min(reps)
 
     sentinel_end = _sentinel(spark)
     load_end = _loadavg()
@@ -186,14 +222,19 @@ def main() -> None:
         fb = {"error": str(e)[:200]}
 
     avail = available_formats(spark)
-    result = {
-        "metric": "headline_suite_total",
-        "value": round(sum(timings.values()), 3),
+    sentinel = {"start": sentinel_start, "end": sentinel_end}
+    loadavg = {"start": load_start, "end": load_end}
+    # full detail: everything, including per-rep steady walls and the
+    # per-format sub-bench — printed BEFORE the summary and persisted
+    # next to this file so it survives the driver's stdout tail capture
+    detail = {
+        "metric": "headline_suite_detail",
         "unit": "sec",
-        "queries": timings,
-        "value_steady": round(sum(steady.values()), 3),
-        "queries_steady": steady,
         "sf": sf,
+        "queries_cold": timings,
+        "queries_steady": steady,
+        "steady_reps": steady_reps,
+        "steady_protocol": f"min of {STEADY_REPS} reps",
         # environment-blocked formats recorded as data, not silence:
         # the format axis (Iceberg × {parquet,orc,avro}) needs jars the
         # container doesn't ship; the conf + runtime probe exist
@@ -201,17 +242,46 @@ def main() -> None:
         "formats_unavailable": [
             f for f in ("avro", "delta", "iceberg") if f not in avail
         ],
-        # contention sentinel (r6 verdict #1): the SAME fixed JVM
-        # micro-query timed before and after the suite, plus host
-        # loadavg. Compare sentinel values across rounds to separate
-        # host noise from plan regressions.
-        "sentinel_sec": {"start": sentinel_start, "end": sentinel_end},
-        "loadavg": {"start": load_start, "end": load_end},
+        "sentinel_sec": sentinel,
+        "loadavg": loadavg,
         # per-format write/scan/query/size for the identical workload
         # (the reference's core comparison), at fixed sf0.01
         "format_bench": {"sf": 0.01, "results": fb},
     }
-    print(json.dumps(result))
+    try:
+        detail_path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+        )
+        with open(detail_path, "w") as fh:
+            json.dump(detail, fh, indent=1)
+    except OSError:
+        pass  # stdout detail line still carries everything
+    print(json.dumps(detail))
+
+    # compact summary LAST: must fit the driver's 2,000-char stdout
+    # tail capture (r7's 3.5 KB single line lost its head there).
+    # Contention sentinel (r6 verdict #1): the SAME fixed JVM
+    # micro-query timed before and after the suite, plus host loadavg
+    # — compare across rounds to separate host noise from plan cost.
+    result = {
+        "metric": "headline_suite_total",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "value_steady": round(sum(steady.values()), 3),
+        "sf": sf,
+        "sentinel_sec": sentinel,
+        "loadavg": loadavg,
+        "detail": "prior line + BENCH_DETAIL.json",
+    }
+    line = json.dumps(result)
+    if len(line) > 1900:  # belt and braces: never outgrow the capture
+        for drop in ("detail", "loadavg", "queries"):
+            result.pop(drop, None)
+            line = json.dumps(result)
+            if len(line) <= 1900:
+                break
+    print(line)
     sys.stdout.flush()
     spark.stop()
 

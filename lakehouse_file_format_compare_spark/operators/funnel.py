@@ -283,9 +283,10 @@ def attribution_position(
     value goes to its first (``model='first'``) or last
     (``model='last'``) in-window touch — the other two standard
     models next to :func:`attribution_linear`. Same window semantics
-    (strictly before, closed lower bound); ties on the boundary
-    timestamp break to the lexicographically smaller touch type, so
-    the credited row is deterministic. Output schema matches
+    (strictly before, closed lower bound); same-timestamp ties break
+    deterministically via min_by/max_by over the (ts, type) struct:
+    the lexicographically SMALLER touch type wins for ``'first'``,
+    the LARGER for ``'last'``. Output schema matches
     attribution_linear: (touch_type, touches, credited_value) plus
     ``__unattributed``. One co-partitioned user join + one
     conversion-grain min_by/max_by aggregate — no window sort."""
@@ -348,12 +349,19 @@ def attribution_all_models(
     """All three attribution models from ONE conversions ⋈ touches
     join (the serving shape when a report wants linear AND positional
     views): returns (model, touch_type, touches, credited_value) with
-    model in {linear, first, last} plus one (linear, __unattributed)
-    row. Semantics identical to :func:`attribution_linear` /
-    :func:`attribution_position` (equality pinned in
-    tests/test_funnel.py). Per-conversion touch counts come from a
-    count window over the conversion key — the join output shuffles
-    once on conv_id and every model folds from that same frame."""
+    model in {linear, first, last}, INCLUDING one ``__unattributed``
+    row per model (the same unattributed conversion set, so the three
+    rows carry identical numbers — emitted per model so each model's
+    slice is a complete report equal to its standalone operator).
+    Semantics identical to :func:`attribution_linear` /
+    :func:`attribution_position` row-for-row (equality pinned in
+    tests/test_funnel.py, __unattributed included). Per-conversion
+    touch counts come from a count window over the conversion key —
+    the join output shuffles once on conv_id and every model folds
+    from that same frame; the shared subtree is deduplicated by
+    Spark's exchange reuse, not a session-lifetime ``cache()`` (the
+    r7 advisor flagged the leak: an operator must not mutate global
+    session cache state)."""
     if conversion_type in touch_types:
         raise ValueError("conversion_type cannot also be a touch type")
     lb_us = int(lookback_seconds) * 1_000_000
@@ -373,7 +381,7 @@ def attribution_all_models(
         & (F.col("__touch_us") >= F.col("__conv_us") - F.lit(lb_us))
     )
     w = Window.partitionBy("__conv_id")
-    j2 = j.withColumn("__n", F.count(F.lit(1)).over(w)).cache()
+    j2 = j.withColumn("__n", F.count(F.lit(1)).over(w))
 
     linear = (
         j2.select("touch_type", grid(F.col("__val") / F.col("__n"), 6).alias("__credit"))
@@ -401,6 +409,9 @@ def attribution_all_models(
             .select(F.lit(tag).alias("model"), "touch_type", "touches", "credited_value")
         )
 
+    # one __unattributed row PER MODEL (identical numbers — the same
+    # conversion set is unattributed under every model) so each
+    # model's slice equals its standalone operator's full output
     unattributed = (
         conv.join(j.select("__conv_id").distinct(), "__conv_id", "left_anti")
         .agg(
@@ -408,7 +419,9 @@ def attribution_all_models(
             grid(F.coalesce(F.sum("__val"), F.lit(0.0)), 2).alias("credited_value"),
         )
         .select(
-            F.lit("linear").alias("model"),
+            F.explode(
+                F.array(F.lit("linear"), F.lit("first"), F.lit("last"))
+            ).alias("model"),
             F.lit("__unattributed").alias("touch_type"),
             "touches",
             "credited_value",

@@ -200,11 +200,12 @@ def _summarize(name: str, df: DataFrame, money, counts, fp) -> DataFrame:
     ).select(F.lit(name).alias("query"), "n_rows", "sum_money", "sum_counts", "int_fp")
 
 
-def gold_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """All four reference gold queries as one driver entry, fully
-    DuckDB-oracled (FINTECH_GOLD_SUITE_SQL replays the same queries on
-    the same fixture files)."""
-    f = _fixture_frames(spark)
+def _reference_gold_rows(f: dict[str, DataFrame]) -> list[DataFrame]:
+    """Suite rows q1-q4 — the reference's ACTUAL gold stage
+    (dags/3_silver_to_gold.py:162-402). Shared by gold_suite (the
+    driver contract row, which adds the q5/q6 extension surfaces) and
+    gold_serving (the bench entry that keeps the reference-parity
+    signal comparable round-over-round, r7 verdict #6)."""
     epoch0 = F.lit("1970-01-01")
 
     q1 = gold.monthly_balance(f["f_transactions"], f["d_transaction_types"])
@@ -252,6 +253,29 @@ def gold_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         + F.length("product_name")
         + F.length("product_category") * 7,
     )
+    return [s1, s2, s3, s4]
+
+
+def gold_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bench-only entry: q1-q4 (the reference's gold stage) WITHOUT
+    the q5 SCD2 / q6 change-feed extension rows, so the parity signal
+    in BENCH_r{N} stays comparable round-over-round as extension
+    coverage grows (r7 verdict #6)."""
+    rows = _reference_gold_rows(_fixture_frames(spark))
+    out = rows[0]
+    for p in rows[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def gold_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All four reference gold queries (plus the q5 SCD2 and q6
+    change-feed extension rows) as one driver entry, fully
+    DuckDB-oracled (FINTECH_GOLD_SUITE_SQL replays the same queries on
+    the same fixture files)."""
+    f = _fixture_frames(spark)
+    epoch0 = F.lit("1970-01-01")
+    s1, s2, s3, s4 = _reference_gold_rows(f)
 
     s5 = _summarize(
         "q5_scd2_customer_history", _scd2_result(f["d_customers"]),

@@ -358,6 +358,16 @@ WITH f1 AS (
     SELECT 'attribution_last', touch_type,
            COUNT(*), {grid_sql("SUM(" + grid_sql("val", 2) + ")", 2)}
     FROM at_ranked WHERE rl = 1 GROUP BY touch_type
+    UNION ALL
+    -- per-model __unattributed rows (r8): the fused operator emits
+    -- one per model; numbers are identical across models by design
+    SELECT 'attribution_first', '__unattributed', COUNT(*),
+           {grid_sql("COALESCE(SUM(val), 0)", 2)}
+    FROM at_conv WHERE conv_id NOT IN (SELECT conv_id FROM at_j)
+    UNION ALL
+    SELECT 'attribution_last', '__unattributed', COUNT(*),
+           {grid_sql("COALESCE(SUM(val), 0)", 2)}
+    FROM at_conv WHERE conv_id NOT IN (SELECT conv_id FROM at_j)
 )
 SELECT family, item, CAST(n AS BIGINT) AS n, v FROM funnel_rows
 UNION ALL

@@ -31,8 +31,10 @@ import json
 import os
 import shutil
 import tempfile
+import time
 import uuid
 from collections.abc import Sequence
+from contextlib import contextmanager
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
@@ -177,13 +179,54 @@ class Warehouse:
         with open(p) as f:
             return json.load(f)
 
-    def _commit_version(
-        self, df: DataFrame, layer: str, name: str, fmt: str, op: str,
-        expected_current: int | None = None,
-    ) -> int:
-        root = self.path(layer, name, fmt)
-        os.makedirs(root, exist_ok=True)
-        manifest = self._read_manifest(layer, name, fmt) or {"current": 0, "versions": []}
+    @contextmanager
+    def _commit_lock(self, root: str, timeout_sec: float = 30.0):
+        """Serialize the manifest publish step per table.
+
+        O_EXCL lock file: the read-validate-replace of the manifest is
+        a critical section — without it two overlapping writers can
+        both pass the ``expected_current`` check before either
+        publishes, and the later ``os.replace`` silently discards the
+        other's snapshot pointer (the exact lost-update anomaly the
+        Iceberg/Delta commit contract exists to prevent; r7 advisor,
+        medium). Only the (milliseconds) metadata step holds the lock
+        — the long Spark data write happens outside it into a
+        uniquely-named staging dir. On an object store this lock is
+        replaced by the store's conditional-put (what Delta/Iceberg
+        commit services do); the per-table scope means it never
+        serializes commits across tables.
+        """
+        lock = os.path.join(root, "_commit.lock")
+        deadline = time.monotonic() + timeout_sec
+        while True:
+            try:
+                fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                break
+            except FileExistsError:
+                if time.monotonic() >= deadline:
+                    raise ConcurrentCommitError(
+                        f"commit lock {lock} held for >{timeout_sec}s — "
+                        f"crashed writer? remove the lock file to recover"
+                    ) from None
+                time.sleep(0.02)
+        try:
+            yield
+        finally:
+            os.close(fd)
+            os.unlink(lock)
+
+    def _publish_manifest(self, root: str, layer: str, name: str, fmt: str,
+                          manifest: dict) -> None:
+        """Atomic manifest install (write-temp + rename). Callers must
+        hold the commit lock when the manifest was derived from a
+        read-validate step."""
+        tmp = os.path.join(root, f"_manifest_{uuid.uuid4().hex}.json")
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+        os.replace(tmp, self._manifest_path(layer, name, fmt))
+
+    def _check_expected(self, layer: str, name: str, fmt: str,
+                        manifest: dict, expected_current: int | None) -> None:
         if expected_current is not None and manifest["current"] != expected_current:
             # optimistic concurrency (the Iceberg commit-conflict
             # contract): the writer computed its snapshot against
@@ -196,25 +239,50 @@ class Warehouse:
                 f"{expected_current}, found {manifest['current']} — "
                 f"concurrent commit detected; re-read and retry"
             )
-        version = _next_version(manifest)
-        data_dir = os.path.join(root, f"v{version}")
+
+    def _commit_version(
+        self, df: DataFrame, layer: str, name: str, fmt: str, op: str,
+        expected_current: int | None = None,
+    ) -> int:
+        root = self.path(layer, name, fmt)
+        os.makedirs(root, exist_ok=True)
+        # fail-fast pre-check BEFORE the expensive data write; the
+        # authoritative check re-runs under the commit lock below
+        manifest = self._read_manifest(layer, name, fmt) or {"current": 0, "versions": []}
+        self._check_expected(layer, name, fmt, manifest, expected_current)
+        # data lands in a uniquely-named staging dir outside the lock:
+        # two overlapping writers can no longer clobber each other's
+        # v{N} files by both computing the same next version
+        staging_dir = os.path.join(root, f"_staging_{uuid.uuid4().hex}")
         writer = df.write.format(fmt).mode("overwrite")
         if fmt == "csv":
             writer = writer.option("header", "true")
-        writer.save(data_dir)
-        manifest["current"] = version
-        manifest["versions"].append({
-            "version": version,
-            "op": op,
-            # per-snapshot schema: what Iceberg snapshot metadata /
-            # the Delta log record — lets schema_history() show when
-            # a column appeared without opening the data files
-            "schema": [(f.name, f.dataType.simpleString()) for f in df.schema.fields],
-        })
-        tmp = os.path.join(root, f"_manifest_{uuid.uuid4().hex}.json")
-        with open(tmp, "w") as f:
-            json.dump(manifest, f)
-        os.replace(tmp, self._manifest_path(layer, name, fmt))
+        writer.save(staging_dir)
+        try:
+            with self._commit_lock(root):
+                # re-read + re-validate immediately before install —
+                # the check-then-act window is now inside the lock
+                manifest = self._read_manifest(layer, name, fmt) or {
+                    "current": 0, "versions": []
+                }
+                self._check_expected(layer, name, fmt, manifest, expected_current)
+                version = _next_version(manifest)
+                os.rename(staging_dir, os.path.join(root, f"v{version}"))
+                manifest["current"] = version
+                manifest["versions"].append({
+                    "version": version,
+                    "op": op,
+                    # per-snapshot schema: what Iceberg snapshot metadata /
+                    # the Delta log record — lets schema_history() show when
+                    # a column appeared without opening the data files
+                    "schema": [
+                        (f.name, f.dataType.simpleString()) for f in df.schema.fields
+                    ],
+                })
+                self._publish_manifest(root, layer, name, fmt, manifest)
+        except ConcurrentCommitError:
+            shutil.rmtree(staging_dir, ignore_errors=True)
+            raise
         return version
 
     def current_version(self, layer: str, name: str, fmt: str = "parquet") -> int | None:
@@ -233,21 +301,21 @@ class Warehouse:
         so after any rollback the entry count exceeds the newest
         snapshot number and a count-based check would accept
         never-created versions (bricking subsequent reads)."""
-        m = self._read_manifest(layer, name, fmt)
-        snapshots = (
-            {e["version"] for e in m["versions"] if e["op"] != "rollback"} if m else set()
-        )
-        if version not in snapshots:
-            raise ValueError(
-                f"unknown version {version} for {layer}/{name}_{fmt}; "
-                f"snapshots: {sorted(snapshots)}"
+        root = self.path(layer, name, fmt)
+        with self._commit_lock(root):
+            m = self._read_manifest(layer, name, fmt)
+            snapshots = (
+                {e["version"] for e in m["versions"] if e["op"] != "rollback"}
+                if m else set()
             )
-        m["current"] = version
-        m["versions"].append({"version": version, "op": "rollback"})
-        tmp = os.path.join(self.path(layer, name, fmt), f"_manifest_{uuid.uuid4().hex}.json")
-        with open(tmp, "w") as f:
-            json.dump(m, f)
-        os.replace(tmp, self._manifest_path(layer, name, fmt))
+            if version not in snapshots:
+                raise ValueError(
+                    f"unknown version {version} for {layer}/{name}_{fmt}; "
+                    f"snapshots: {sorted(snapshots)}"
+                )
+            m["current"] = version
+            m["versions"].append({"version": version, "op": "rollback"})
+            self._publish_manifest(root, layer, name, fmt, m)
 
     def merge_table(
         self,
@@ -457,7 +525,10 @@ class Warehouse:
                 entry.startswith("v") and entry[1:].isdigit() and int(entry[1:]) not in keep
             )
             is_stale_partition = entry.startswith("p_") and entry not in reachable_partition_dirs
-            if is_stale_snapshot or is_stale_partition:
+            # staging dirs are pre-commit: any that survive belong to a
+            # crashed writer (a successful commit renames them to v{N})
+            is_orphan_staging = entry.startswith("_staging_")
+            if is_stale_snapshot or is_stale_partition or is_orphan_staging:
                 shutil.rmtree(full, ignore_errors=True)
                 removed += 1
         return removed
@@ -517,6 +588,12 @@ class Warehouse:
         root = self.path(layer, name, fmt)
         os.makedirs(root, exist_ok=True)
         manifest = self._read_manifest(layer, name, fmt) or {"current": 0, "versions": []}
+        # the snapshot this merge is computed AGAINST: the commit step
+        # re-validates it under the lock (same optimistic-concurrency
+        # contract as _commit_version; r7 advisor — this path had no
+        # check at all, so an overlapping writer's partitions were
+        # silently dropped from the carried-forward map)
+        base_current = manifest["current"]
         prev = {}
         ptype = staging.schema[partition_col].dataType.simpleString()
         if manifest["versions"]:
@@ -618,25 +695,36 @@ class Warehouse:
             raise RuntimeError(f"partitioned write lost partitions: {sorted(missing)}")
         partitions.update(written)
 
-        version = _next_version(manifest)
-        manifest["current"] = version
         op = f"merge_{policy}_partitioned"
         if added:
             op += "+add:" + ",".join(added)
-        manifest["versions"].append({
-            "version": version,
-            "op": op,
-            "partitions": partitions,
-            "partition_type": ptype,
-            "partition_col": partition_col,
-            "schema": [
-                (f.name, f.dataType.simpleString()) for f in merged.schema.fields
-            ],
-        })
-        tmp = os.path.join(root, f"_manifest_{uuid.uuid4().hex}.json")
-        with open(tmp, "w") as f:
-            json.dump(manifest, f)
-        os.replace(tmp, self._manifest_path(layer, name, fmt))
+        try:
+            with self._commit_lock(root):
+                # re-read + validate the base snapshot under the lock:
+                # the merged data and the carried-partition map were
+                # computed against base_current, so a pointer moved by
+                # a concurrent writer makes this commit a lost update
+                manifest = self._read_manifest(layer, name, fmt) or {
+                    "current": 0, "versions": []
+                }
+                self._check_expected(layer, name, fmt, manifest, base_current)
+                version = _next_version(manifest)
+                manifest["current"] = version
+                manifest["versions"].append({
+                    "version": version,
+                    "op": op,
+                    "partitions": partitions,
+                    "partition_type": ptype,
+                    "partition_col": partition_col,
+                    "schema": [
+                        (f.name, f.dataType.simpleString())
+                        for f in merged.schema.fields
+                    ],
+                })
+                self._publish_manifest(root, layer, name, fmt, manifest)
+        except ConcurrentCommitError:
+            shutil.rmtree(out_dir, ignore_errors=True)
+            raise
         return {"touched": touched_vals, "carried": len(prev) - sum(1 for v in touched_vals if str(v) in prev)}
 
     def read_table_partitioned(

@@ -172,7 +172,12 @@ def _funnel_fn_factory(
                     *[
                         None
                         if t is None
-                        else _dt.datetime.utcfromtimestamp(t / 1e6)
+                        # naive-UTC construction (utcfromtimestamp is
+                        # deprecated since Python 3.12): valid because
+                        # funnel_stream() asserts the UTC session tz
+                        else _dt.datetime.fromtimestamp(
+                            t / 1e6, tz=_dt.timezone.utc
+                        ).replace(tzinfo=None)
                         for t in new_chain
                     ],
                     sum(len(c) for c in new_cands),
@@ -198,9 +203,25 @@ def funnel_stream(
     """Streaming funnel over an events stream (user_id, ts,
     event_type). Emits update rows; the max-``emit_seq`` row per user
     is the current funnel chain. ``watermark_delay`` (e.g. "1 hour")
-    bounds both late-data acceptance and candidate state."""
+    bounds both late-data acceptance and candidate state.
+
+    PRECONDITION (asserted): ``spark.sql.session.timeZone`` must be
+    UTC. The stateful worker compares epoch-microsecond candidate
+    times (derived from session-timezone-naive pandas timestamps)
+    against ``getCurrentWatermarkMs()`` epoch values; under any other
+    session timezone the two scales diverge by the UTC offset and
+    live candidates could be pruned (wrong chains). session.py pins
+    UTC for engine-built sessions; this check makes the requirement
+    explicit for externally-built ones (r7 advisor)."""
     if len(set(steps)) != len(steps) or not steps:
         raise ValueError("steps must be non-empty and distinct")
+    tz = events_stream.sparkSession.conf.get("spark.sql.session.timeZone", "")
+    if tz not in ("UTC", "Etc/UTC", "GMT", "+00:00", "Z"):
+        raise ValueError(
+            f"funnel_stream requires spark.sql.session.timeZone=UTC "
+            f"(got {tz!r}): watermark pruning compares session-naive "
+            f"event times against epoch watermarks"
+        )
     src = events_stream.select(
         events_stream[user_col].alias("user_id"),
         events_stream[ts_col].alias("ts"),

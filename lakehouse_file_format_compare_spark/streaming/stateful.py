@@ -53,6 +53,15 @@ STATE_SCHEMA = StructType([
 ])
 
 
+def _naive_utc(_dt, epoch_us: int):
+    """Epoch-us -> naive-UTC datetime (utcfromtimestamp is deprecated
+    since Python 3.12); the engine pins the UTC session timezone so
+    naive values round-trip exactly through Arrow."""
+    return _dt.datetime.fromtimestamp(
+        epoch_us / 1e6, tz=_dt.timezone.utc
+    ).replace(tzinfo=None)
+
+
 def _session_fn_factory(gap_seconds: int):
     gap_us = gap_seconds * 1_000_000
 
@@ -76,8 +85,8 @@ def _session_fn_factory(gap_seconds: int):
         for ts_us, value in events:
             if last_us is not None and ts_us - last_us >= gap_us:
                 closed.append((user_id,
-                               _dt.datetime.utcfromtimestamp(start_us / 1e6),
-                               _dt.datetime.utcfromtimestamp(last_us / 1e6),
+                               _naive_utc(_dt, start_us),
+                               _naive_utc(_dt, last_us),
                                n, round(vsum, 2)))
                 start_us, n, vsum = ts_us, 0, 0.0
             if start_us is None:
@@ -87,8 +96,8 @@ def _session_fn_factory(gap_seconds: int):
             vsum += value
         if state.hasTimedOut:
             closed.append((user_id,
-                           _dt.datetime.utcfromtimestamp(start_us / 1e6),
-                           _dt.datetime.utcfromtimestamp(last_us / 1e6),
+                           _naive_utc(_dt, start_us),
+                           _naive_utc(_dt, last_us),
                            n, round(vsum, 2)))
             state.remove()
         else:
@@ -207,8 +216,8 @@ class _SessionProcessor(StatefulProcessor):
         for ts_us, value in events:
             if last_us is not None and ts_us - last_us >= self.gap_us:
                 closed.append((user_id,
-                               _dt.datetime.utcfromtimestamp(start_us / 1e6),
-                               _dt.datetime.utcfromtimestamp(last_us / 1e6),
+                               _naive_utc(_dt, start_us),
+                               _naive_utc(_dt, last_us),
                                n, round(vsum, 2)))
                 start_us, n, vsum = ts_us, 0, 0.0
             if start_us is None:

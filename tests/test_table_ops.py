@@ -138,3 +138,125 @@ def test_concurrent_commit_detection(spark, wh):
     assert wh.current_version("silver", "t") == 2
     wh.merge_table(_base(spark), "silver", "t", keys=["k"])           # v3
     assert wh.current_version("silver", "t") == 3
+
+
+def test_commit_recheck_under_lock_defeats_toctou(spark, wh):
+    """The r7-advisor lost-update window: a competing commit that
+    lands AFTER the pre-check but BEFORE manifest install must still
+    be detected. Forced deterministically by interposing on the
+    commit lock: the moment the victim acquires it, a rival commit
+    has already moved the pointer — the locked re-read must raise,
+    and the rival's snapshot must survive untouched."""
+    from contextlib import contextmanager
+
+    from lakehouse_file_format_compare_spark.storage import ConcurrentCommitError
+
+    wh.merge_table(_base(spark), "silver", "t", keys=["k"])          # v1
+    rival_rows = _base(spark).withColumn("price", F.col("price") * 2)
+
+    real_lock = wh._commit_lock
+    fired = {"done": False}
+
+    @contextmanager
+    def ambushed_lock(root, timeout_sec=30.0):
+        if not fired["done"]:
+            fired["done"] = True
+            # rival lands v2 inside the victim's check-then-act window
+            wh._commit_lock = real_lock
+            wh.merge_table(rival_rows, "silver", "t", keys=["k"])
+            wh._commit_lock = ambushed_lock
+        with real_lock(root, timeout_sec):
+            yield
+
+    wh._commit_lock = ambushed_lock
+    try:
+        with pytest.raises(ConcurrentCommitError, match="concurrent commit"):
+            wh.merge_table(_base(spark), "silver", "t", keys=["k"])
+    finally:
+        wh._commit_lock = real_lock
+    # the rival's commit is intact and current; no lost update
+    assert wh.current_version("silver", "t") == 2
+    prices = {r["k"]: r["price"] for r in wh.read_table("silver", "t").collect()}
+    assert prices[1] == 20.0
+    # the loser left no staging garbage behind
+    import os
+
+    root = wh.path("silver", "t", "parquet")
+    assert not [e for e in os.listdir(root) if e.startswith("_staging_")]
+
+
+def test_partitioned_commit_recheck_under_lock(spark, wh):
+    """Same TOCTOU ambush for the partitioned COW path, which had no
+    conflict check at all before r8: the carried-partition map is
+    computed against a base snapshot, so a pointer moved mid-merge
+    means silently dropping the rival's partitions."""
+    from contextlib import contextmanager
+
+    from lakehouse_file_format_compare_spark.storage import ConcurrentCommitError
+
+    df = spark.createDataFrame(
+        [(1, "2024-01", 1.0), (2, "2024-02", 2.0)], "k long, m string, v double"
+    )
+    wh.merge_table_partitioned(df, "gold", "t", keys=["k"], partition_col="m")
+    rival = spark.createDataFrame([(9, "2024-03", 9.0)], "k long, m string, v double")
+
+    real_lock = wh._commit_lock
+    fired = {"done": False}
+
+    @contextmanager
+    def ambushed_lock(root, timeout_sec=30.0):
+        if not fired["done"]:
+            fired["done"] = True
+            wh._commit_lock = real_lock
+            wh.merge_table_partitioned(rival, "gold", "t", keys=["k"], partition_col="m")
+            wh._commit_lock = ambushed_lock
+        with real_lock(root, timeout_sec):
+            yield
+
+    wh._commit_lock = ambushed_lock
+    try:
+        with pytest.raises(ConcurrentCommitError, match="concurrent commit"):
+            wh.merge_table_partitioned(
+                spark.createDataFrame([(1, "2024-01", 5.0)], "k long, m string, v double"),
+                "gold", "t", keys=["k"], partition_col="m",
+            )
+    finally:
+        wh._commit_lock = real_lock
+    # the rival's 2024-03 partition survives; the loser published nothing
+    got = {r["m"] for r in wh.read_table_partitioned("gold", "t").collect()}
+    assert got == {"2024-01", "2024-02", "2024-03"}
+    assert {r["v"] for r in wh.read_table_partitioned(
+        "gold", "t", partition_values=["2024-01"]).collect()} == {1.0}
+
+
+def test_commit_lock_timeout_names_the_lock(spark, wh, tmp_path):
+    import os
+
+    from lakehouse_file_format_compare_spark.storage import ConcurrentCommitError
+
+    wh.merge_table(_base(spark), "silver", "t", keys=["k"])
+    root = wh.path("silver", "t", "parquet")
+    lock = os.path.join(root, "_commit.lock")
+    fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)  # crashed writer
+    try:
+        with pytest.raises(ConcurrentCommitError, match="_commit.lock"):
+            with wh._commit_lock(root, timeout_sec=0.2):
+                pass
+    finally:
+        os.close(fd)
+        os.unlink(lock)
+    # lock released -> commits flow again
+    wh.merge_table(_base(spark), "silver", "t", keys=["k"])
+    assert wh.current_version("silver", "t") == 2
+
+
+def test_vacuum_removes_orphan_staging_dirs(spark, wh):
+    import os
+
+    wh.merge_table(_base(spark), "silver", "t", keys=["k"])
+    root = wh.path("silver", "t", "parquet")
+    os.makedirs(os.path.join(root, "_staging_deadbeef"))  # crashed writer
+    removed = wh.vacuum("silver", "t", keep_last=5)
+    assert removed >= 1
+    assert not [e for e in os.listdir(root) if e.startswith("_staging_")]
+    assert len(wh.read_table("silver", "t").collect()) == 4
