@@ -47,6 +47,47 @@ from ..operators.packing import chunk_documents
 from ..operators.ranking import bigram_lm_scores, bm25_scores
 from ..sources.testdata import table
 
+# ---------------------------------------------------------------------------
+# Shared persisted corpus (r8, r7 verdict #5): the suite crossJoins
+# ~12 independent aggregate families, and before r8 each one re-read
+# the documents parquet — ~10 full corpus passes per row. Harmless at
+# sf0.1 (0.6 MB) but the wrong 100 TB shape: at scale each pass is a
+# full-corpus IO bill. One MEMORY_AND_DISK-persisted frame per
+# (session, file, mtime) turns every family subtree into an
+# InMemoryTableScan of the same materialization — the same bounded
+# train-once/serve-many cache idiom as the IVF codebook caches
+# (operators/similarity.py). The cache holds at most ONE frame per
+# corpus file (stale mtimes are unpersisted on replacement), so
+# long-lived driver/bench sessions reuse rather than accumulate;
+# ``uncache_shared_docs()`` releases explicitly.
+# ---------------------------------------------------------------------------
+
+_SHARED_DOCS: dict[tuple[int, str], tuple[float, DataFrame]] = {}
+
+
+def _shared_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from pyspark import StorageLevel
+
+    path = os.path.abspath(os.path.join(sf_dir, "documents.parquet"))
+    key = (id(spark), path)
+    mtime = os.path.getmtime(path)
+    hit = _SHARED_DOCS.get(key)
+    if hit is not None:
+        if hit[0] == mtime:
+            return hit[1]
+        hit[1].unpersist()
+    df = table(spark, sf_dir, "documents").persist(StorageLevel.MEMORY_AND_DISK)
+    _SHARED_DOCS[key] = (mtime, df)
+    return df
+
+
+def uncache_shared_docs() -> None:
+    for _, df in _SHARED_DOCS.values():
+        df.unpersist()
+    _SHARED_DOCS.clear()
+
 BM25_TERMS = ["data", "system", "the"]
 DECON_N = 8
 DECON_EVAL_DOCS = 25
@@ -328,7 +369,7 @@ def _nbq_agg(docs: DataFrame) -> DataFrame:
 
 
 def corpus_hygiene_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = table(spark, sf_dir, "documents")
+    docs = _shared_docs(spark, sf_dir)
     aug = docs.select("doc_id", _augmented_text().alias("text"))
 
     row_agg = _row_agg(aug)
@@ -447,7 +488,7 @@ def corpus_hygiene_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
     metric definition cannot diverge between contract and serving —
     tests/test_corpus.py additionally pins per-column equality of the
     overlap."""
-    docs = table(spark, sf_dir, "documents")
+    docs = _shared_docs(spark, sf_dir)
     aug = docs.select("doc_id", _augmented_text().alias("text"))
     ev = _fdecon_eval(docs)
     return (

@@ -420,3 +420,36 @@ def test_no_python_row_udfs_in_r7_continuation_operators(spark):
         assert "BatchEvalPython" not in plan
         assert "ArrowEvalPython" not in plan
         assert "CartesianProduct" not in plan
+
+
+def test_hygiene_rows_share_one_documents_scan(spark):
+    """r8 (r7 verdict #5): the hygiene suite's ~12 crossJoined metric
+    families must read the corpus from ONE shared persisted
+    materialization, not re-scan the parquet per family — at 100 TB
+    each extra pass is a full-corpus IO bill. Pin: the families read
+    via InMemoryTableScan, with at most a handful of scan DEFINITIONS
+    in the plan.
+
+    Bound is <=3, not ==1: each occurrence in a formatted plan is an
+    InMemoryRelation DEFINITION (materialized once), and Spark's
+    CacheManager may substitute cached frames registered by earlier
+    operators (e.g. a cached anchor-gram frame) whose definitions
+    embed their own scan — the invariant that matters is 'a few
+    one-time materializations, never a per-family re-scan' (~12
+    parquet re-scans before r8)."""
+    from lakehouse_file_format_compare_spark.plans.hygiene_plans import (
+        corpus_hygiene_serving,
+        corpus_hygiene_suite,
+        uncache_shared_docs,
+    )
+
+    try:
+        for build in (corpus_hygiene_serving, corpus_hygiene_suite):
+            df = build(spark, SF_CORRECTNESS)
+            plan = df._sc._jvm.PythonSQLUtils.explainString(
+                df._jdf.queryExecution(), "formatted"
+            )
+            assert plan.count("documents.parquet") <= 3, build.__name__
+            assert "InMemoryTableScan" in plan, build.__name__
+    finally:
+        uncache_shared_docs()
