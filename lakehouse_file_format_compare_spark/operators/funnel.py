@@ -197,6 +197,44 @@ def retention_matrix(
     )
 
 
+def _windowed_pairs(
+    conv: DataFrame, touch: DataFrame, lb_us: int, slice_join: bool
+) -> DataFrame:
+    """conversions ⋈ touches restricted to the strict lookback window
+    ``[conv - lookback, conv)`` — the shared join of all three
+    attribution models.
+
+    Default (``slice_join=False``): equi-join on the user key with
+    the time predicate as a join filter. The sort-merge join emits
+    ALL C_u × T_u pairs for a user before filtering, so a hot user
+    with many in-corpus conversions is quadratic in their activity —
+    fine under normal skew, the wrong shape for a whale user at
+    100 TB (r7 verdict #8).
+
+    ``slice_join=True``: the sessionize_salted time-slice pattern —
+    both sides additionally join on a lookback-width time bucket,
+    touches exploded into their own and the NEXT bucket. Any
+    qualifying pair has floor(touch/lb) ∈ {floor(conv/lb)-1,
+    floor(conv/lb)}, so the exploded touch covers the conv's bucket
+    in exactly ONE of its two copies: output is identical by
+    construction (no dedup step), equality pinned at 10x-hot-user
+    scale in tests/test_scale_contracts.py. Per-user join cost falls
+    from C×T to Σ_b C_b × (T_b + T_{b-1}) — bounded by activity per
+    lookback window, not by total history."""
+    window = (F.col("__touch_us") < F.col("__conv_us")) & (
+        F.col("__touch_us") >= F.col("__conv_us") - F.lit(lb_us)
+    )
+    if not slice_join:
+        return conv.join(touch, "__u").where(window)
+    cb = conv.withColumn("__b", F.floor(F.col("__conv_us") / F.lit(lb_us)))
+    tb = touch.withColumn(
+        "__tb", F.floor(F.col("__touch_us") / F.lit(lb_us))
+    ).withColumn(
+        "__b", F.explode(F.array(F.col("__tb"), F.col("__tb") + 1))
+    ).drop("__tb")
+    return cb.join(tb, ["__u", "__b"]).where(window).drop("__b")
+
+
 def attribution_linear(
     events: DataFrame,
     *,
@@ -208,6 +246,7 @@ def attribution_linear(
     type_col: str = "event_type",
     id_col: str = "event_id",
     value_col: str = "value",
+    slice_join: bool = False,
 ) -> DataFrame:
     """Linear multi-touch attribution: each conversion's value is
     split EQUALLY across that user's touch events strictly before it
@@ -238,10 +277,7 @@ def attribution_linear(
         F.col(type_col).alias("touch_type"),
         F.unix_micros(F.col(ts_col)).alias("__touch_us"),
     )
-    j = conv.join(touch, "__u").where(
-        (F.col("__touch_us") < F.col("__conv_us"))
-        & (F.col("__touch_us") >= F.col("__conv_us") - F.lit(lb_us))
-    )
+    j = _windowed_pairs(conv, touch, lb_us, slice_join)
     counts = j.groupBy("__conv_id").agg(F.count(F.lit(1)).alias("__n"))
     credited = (
         j.join(counts, "__conv_id")
@@ -278,6 +314,7 @@ def attribution_position(
     type_col: str = "event_type",
     id_col: str = "event_id",
     value_col: str = "value",
+    slice_join: bool = False,
 ) -> DataFrame:
     """Position-based single-touch attribution: each conversion's FULL
     value goes to its first (``model='first'``) or last
@@ -306,10 +343,7 @@ def attribution_position(
         F.col(type_col).alias("touch_type"),
         F.unix_micros(F.col(ts_col)).alias("__touch_us"),
     )
-    j = conv.join(touch, "__u").where(
-        (F.col("__touch_us") < F.col("__conv_us"))
-        & (F.col("__touch_us") >= F.col("__conv_us") - F.lit(lb_us))
-    )
+    j = _windowed_pairs(conv, touch, lb_us, slice_join)
     # deterministic pick: order by (ts, type) — min_by/max_by over a
     # struct compares fields left-to-right
     ordkey = F.struct(F.col("__touch_us"), F.col("touch_type"))
@@ -345,6 +379,7 @@ def attribution_all_models(
     type_col: str = "event_type",
     id_col: str = "event_id",
     value_col: str = "value",
+    slice_join: bool = False,
 ) -> DataFrame:
     """All three attribution models from ONE conversions ⋈ touches
     join (the serving shape when a report wants linear AND positional
@@ -376,10 +411,7 @@ def attribution_all_models(
         F.col(type_col).alias("touch_type"),
         F.unix_micros(F.col(ts_col)).alias("__touch_us"),
     )
-    j = conv.join(touch, "__u").where(
-        (F.col("__touch_us") < F.col("__conv_us"))
-        & (F.col("__touch_us") >= F.col("__conv_us") - F.lit(lb_us))
-    )
+    j = _windowed_pairs(conv, touch, lb_us, slice_join)
     w = Window.partitionBy("__conv_id")
     j2 = j.withColumn("__n", F.count(F.lit(1)).over(w))
 

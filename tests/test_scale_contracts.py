@@ -890,3 +890,113 @@ def test_attribution_scales_exactly_with_disjoint_users(spark):
         assert n10 == 10 * n, t
         assert abs(v10 - 10 * v) < 0.05, (t, v, v10)
     small.unpersist(); big.unpersist()
+
+
+@pytest.mark.scale
+def test_attribution_hot_user_slice_join_equal_and_bounded(spark):
+    """r8 (r7 verdict #8): the fused attribution join shuffles
+    conv ⋈ touch on the user key, so a hot user is QUADRATIC in their
+    activity — the sort-merge join emits all C×T pairs before the
+    window filter (a user owning half of a 10x corpus here means
+    ~2e10 pre-filter pairs; the events span 30 days, the lookback is
+    1 day). Contracts:
+
+    (a) VOLUME, asserted at the full 10x-hot scale via the exact
+        closed-form pair counts (aggregates only — running the plain
+        join there is precisely what the bound exists to avoid): the
+        time-slice join's Σ_b C_b×(T_b+T_{b-1}) must be a small
+        fraction of plain C×T, the property that survives a whale
+        user at 100 TB.
+    (b) EQUALITY + measured walls at 1x-hot (2e8 plain pairs — big
+        enough that the bound shows, small enough to execute): the
+        sliced join's attribution report equals the plain join's
+        exactly.
+    """
+    import time
+    from functools import reduce
+
+    from pyspark.sql import DataFrame
+
+    from lakehouse_file_format_compare_spark.operators.funnel import (
+        attribution_all_models,
+    )
+
+    LOOKBACK_S = 86400  # 1 day over a 30-day corpus
+    lb_us = LOOKBACK_S * 1_000_000
+    kw = dict(touch_types=["view", "click"], conversion_type="purchase",
+              lookback_seconds=LOOKBACK_S)
+
+    events = table(spark, SF_SCALE, "events").select(
+        "event_id", "user_id", "ts", "event_type", "value"
+    )
+
+    def _hotify(df):
+        return df.withColumn(
+            "user_id",
+            F.when(F.pmod(F.col("event_id"), F.lit(2)) == 0, F.lit(999_999_999))
+            .otherwise(F.col("user_id")),
+        )
+
+    def _pair_volumes(df):
+        conv = df.where(F.col("event_type") == "purchase").select(
+            F.col("user_id").alias("__u"), F.unix_micros("ts").alias("__us")
+        )
+        touch = df.where(F.col("event_type").isin(["view", "click"])).select(
+            F.col("user_id").alias("__u"), F.unix_micros("ts").alias("__us")
+        )
+        per_user = conv.groupBy("__u").agg(F.count(F.lit(1)).alias("c")).join(
+            touch.groupBy("__u").agg(F.count(F.lit(1)).alias("t")), "__u"
+        )
+        plain = per_user.agg(F.sum(F.col("c") * F.col("t"))).collect()[0][0]
+        cgrid = conv.select("__u", F.floor(F.col("__us") / F.lit(lb_us)).alias("__b")) \
+            .groupBy("__u", "__b").agg(F.count(F.lit(1)).alias("c"))
+        tgrid = touch.select("__u", F.floor(F.col("__us") / F.lit(lb_us)).alias("__tb")) \
+            .groupBy("__u", "__tb").agg(F.count(F.lit(1)).alias("t"))
+        sliced = (
+            cgrid.join(
+                tgrid,
+                (cgrid["__u"] == tgrid["__u"])
+                & ((cgrid["__b"] == tgrid["__tb"]) | (cgrid["__b"] == tgrid["__tb"] + 1)),
+            )
+            .agg(F.sum(F.col("c") * F.col("t")))
+            .collect()[0][0]
+        )
+        return plain, sliced
+
+    # (a) 10x-hot volume bound, closed form
+    copies = [
+        events.select(
+            (F.col("event_id") + F.lit(i * 100_000_000)).alias("event_id"),
+            (F.col("user_id") + F.lit(i * 10_000_000)).alias("user_id"),
+            "ts", "event_type", "value",
+        )
+        for i in range(10)
+    ]
+    big_hot = _hotify(reduce(DataFrame.unionByName, copies))
+    plain10, sliced10 = _pair_volumes(big_hot)
+    frac10 = sliced10 / max(plain10, 1)
+    # 1-day buckets over 30 days: expected ~2/30 of the cross volume
+    assert plain10 > 1_000_000_000  # the regime is genuinely quadratic
+    assert frac10 < 0.15, (plain10, sliced10)
+
+    # (b) equality + walls at the executable 1x-hot scale
+    hot = _hotify(events).repartition(32).cache()
+    hot.count()
+    plain1, sliced1 = _pair_volumes(hot)
+
+    def _run(slice_join):
+        t0 = time.perf_counter()
+        rows = sorted(
+            map(tuple, attribution_all_models(hot, slice_join=slice_join, **kw).collect())
+        )
+        return time.perf_counter() - t0, rows
+
+    t_plain, a = _run(False)
+    t_sliced, b = _run(True)
+    assert a == b
+    print(
+        f"attribution hot-user: 10x volumes plain={plain10} sliced={sliced10} "
+        f"({frac10:.3f}x); 1x walls plain={t_plain:.2f}s sliced={t_sliced:.2f}s "
+        f"(1x volumes {plain1} -> {sliced1})"
+    )
+    hot.unpersist()
