@@ -212,7 +212,10 @@ def main() -> None:
     import tempfile
     from dataclasses import asdict
 
-    from lakehouse_file_format_compare_spark.format_bench import run_format_bench
+    from lakehouse_file_format_compare_spark.format_bench import (
+        run_codec_bench,
+        run_format_bench,
+    )
 
     fb_dir = os.path.join(os.path.dirname(sf_dir.rstrip("/")), "sf0.01")
     try:
@@ -220,6 +223,11 @@ def main() -> None:
             fb = [asdict(r) for r in run_format_bench(spark, fb_dir, fb_root)]
     except Exception as e:  # noqa: BLE001 — headline JSON must survive
         fb = {"error": str(e)[:200]}
+    try:
+        with tempfile.TemporaryDirectory(prefix="codec_bench_") as cb_root:
+            cb = [asdict(r) for r in run_codec_bench(spark, fb_dir, cb_root)]
+    except Exception as e:  # noqa: BLE001
+        cb = {"error": str(e)[:200]}
 
     avail = available_formats(spark)
     sentinel = {"start": sentinel_start, "end": sentinel_end}
@@ -245,8 +253,10 @@ def main() -> None:
         "sentinel_sec": sentinel,
         "loadavg": loadavg,
         # per-format write/scan/query/size for the identical workload
-        # (the reference's core comparison), at fixed sf0.01
+        # (the reference's core comparison), at fixed sf0.01, plus the
+        # compression-codec axis over the lineitem fact table
         "format_bench": {"sf": 0.01, "results": fb},
+        "codec_bench": {"sf": 0.01, "results": cb},
     }
     try:
         detail_path = os.path.join(

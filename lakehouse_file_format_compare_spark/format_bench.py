@@ -100,6 +100,71 @@ def run_format_bench(
     return results
 
 
+@dataclass
+class CodecTiming:
+    fmt: str
+    codec: str
+    write_sec: float
+    scan_sec: float
+    size_bytes: int
+
+
+# codecs whose libraries ship with the stock Spark distribution; the
+# probe below still guards each one (lzo/brotli need external libs,
+# so they are not listed). 'none'/'uncompressed' is the IO-vs-CPU
+# baseline every codec is traded against.
+CODEC_MATRIX: dict[str, tuple[str, ...]] = {
+    "parquet": ("uncompressed", "snappy", "gzip", "zstd", "lz4"),
+    "orc": ("none", "snappy", "zlib", "zstd", "lz4"),
+}
+
+
+def run_codec_bench(
+    spark: SparkSession,
+    sf_dir: str,
+    root: str,
+    matrix: dict[str, tuple[str, ...]] | None = None,
+) -> list[CodecTiming]:
+    """The compression-codec axis of the format comparison: the same
+    fact table (lineitem — the widest/biggest bench table) written and
+    re-scanned once per (format, codec), reporting wall + bytes. This
+    is the second dial the reference's format matrix exists to turn
+    (its Iceberg table properties pin write.format + compression,
+    dags/2_bronze_to_silver.py:245-258); the format axis alone
+    conflates container layout with codec defaults (parquet=snappy vs
+    orc=zlib), so the codec sweep separates them. Each combo is
+    probe-guarded: a codec whose native library is missing records
+    nothing rather than failing the bench."""
+    import os
+
+    matrix = matrix or CODEC_MATRIX
+    fact = table(spark, sf_dir, "lineitem").cache()
+    fact.count()
+    results = []
+    for fmt, codecs in matrix.items():
+        for codec in codecs:
+            out = os.path.join(root, f"codec_{fmt}_{codec}")
+            try:
+                t0 = time.perf_counter()
+                fact.write.format(fmt).option("compression", codec).mode(
+                    "overwrite"
+                ).save(out)
+                write_sec = time.perf_counter() - t0
+                t0 = time.perf_counter()
+                spark.read.format(fmt).schema(TESTDATA_SCHEMAS["lineitem"]).load(
+                    out
+                ).write.format("noop").mode("overwrite").save()
+                scan_sec = time.perf_counter() - t0
+            except Exception:  # noqa: BLE001 — missing native codec lib
+                continue
+            results.append(
+                CodecTiming(fmt, codec, round(write_sec, 3), round(scan_sec, 3),
+                            _dir_size(out))
+            )
+    fact.unpersist()
+    return results
+
+
 def main() -> None:
     import os
     import tempfile
@@ -111,7 +176,11 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     with tempfile.TemporaryDirectory(prefix="format_bench_") as root:
         results = run_format_bench(spark, sf_dir, root)
-    print(json.dumps([asdict(r) for r in results]))
+        codecs = run_codec_bench(spark, sf_dir, root)
+    print(json.dumps({
+        "formats": [asdict(r) for r in results],
+        "codecs": [asdict(r) for r in codecs],
+    }))
 
 
 if __name__ == "__main__":

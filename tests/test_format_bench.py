@@ -64,3 +64,37 @@ def test_format_bench_rows_and_cross_format_equivalence(spark, tmp_path):
         ).collect()[0]["r"]
         assert got == want_rev, fmt
     assert set(BENCH_TABLES) == {"lineitem", "orders", "customer", "supplier", "part"}
+
+
+def test_codec_bench_rows_and_conservation(spark, tmp_path):
+    """The codec axis: every probed (format, codec) combo that records
+    a row must have round-tripped the fact table losslessly, and the
+    baseline 'no compression' row must be the largest for its format
+    (the property that makes a codec comparison meaningful). Combo
+    list is probe-dependent — missing native libs drop rows, never
+    fail — but parquet+snappy (Spark's default) must always be
+    present."""
+    from lakehouse_file_format_compare_spark.format_bench import run_codec_bench
+
+    results = run_codec_bench(spark, SF_SMOKE, str(tmp_path))
+    by_combo = {(r.fmt, r.codec): r for r in results}
+    assert ("parquet", "snappy") in by_combo
+    for r in results:
+        assert r.write_sec > 0 and r.scan_sec > 0 and r.size_bytes > 0
+
+    src = table(spark, SF_SMOKE, "lineitem")
+    want_n = src.count()
+    import os
+
+    for r in results:
+        out = os.path.join(str(tmp_path), f"codec_{r.fmt}_{r.codec}")
+        got = spark.read.format(r.fmt).schema(TESTDATA_SCHEMAS["lineitem"]).load(out)
+        assert got.count() == want_n, (r.fmt, r.codec)
+
+    for fmt, base_codec in (("parquet", "uncompressed"), ("orc", "none")):
+        base = by_combo.get((fmt, base_codec))
+        if base is None:
+            continue
+        for (f, c), r in by_combo.items():
+            if f == fmt and c != base_codec:
+                assert r.size_bytes < base.size_bytes, (f, c)
