@@ -22,6 +22,7 @@ from ..ext.corpus import CorpusConfig, build_corpus, quality_gate
 from ..functions.numeric import grid, grid_sql
 from ..operators.importance import importance_resample
 from ..operators.packing import pack_summary
+from ..operators.pagerank import UNIT, pagerank
 from ..sources.testdata import table
 from .text_plans import _PUNCT_DUCK, _STOP_PATTERN
 
@@ -85,6 +86,50 @@ def dsir_resample_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# PageRank link-graph quality prior (r8, operators/pagerank.py): a
+# deterministic citation-style graph over the documents table — every
+# non-dangling doc links to two arithmetic neighbours, every 10th doc
+# reinforces doc 0 (a planted hub), every 17th doc has NO out-edges
+# (dangling mass must teleport). Integer fixed-point iteration makes
+# every pr_* column an EXACT value the oracle replays with the same
+# unrolled update rule.
+PR_DANGLING_MOD = 17
+PR_HUB_MOD = 10
+PR_ITERS = 6
+
+
+def _pr_edges(docs: DataFrame) -> DataFrame:
+    n_df = docs.agg(F.count(F.lit(1)).cast("long").alias("__n"))
+    ids = docs.select(F.col("doc_id").cast("long").alias("src")).crossJoin(
+        F.broadcast(n_df)
+    )
+    linked = ids.where(F.pmod(F.col("src"), F.lit(PR_DANGLING_MOD)) != 0)
+    two = linked.select(
+        "src",
+        F.explode(
+            F.array(
+                F.pmod(F.col("src") * 7 + 3, F.col("__n")),
+                F.pmod(F.col("src") * 13 + 5, F.col("__n")),
+            )
+        ).alias("dst"),
+    )
+    hub = linked.where(F.pmod(F.col("src"), F.lit(PR_HUB_MOD)) == 0).select(
+        "src", F.lit(0).cast("long").alias("dst")
+    )
+    return two.unionByName(hub)
+
+
+def _pr_agg(docs: DataFrame) -> DataFrame:
+    ranks = pagerank(_pr_edges(docs), iterations=PR_ITERS)
+    top = F.max(F.struct(F.col("rank"), (-F.col("node")).alias("__neg")))
+    return ranks.agg(
+        F.count(F.lit(1)).cast("long").alias("pr_nodes"),
+        F.sum("rank").cast("long").alias("pr_rank_total"),
+        F.max("rank").cast("long").alias("pr_top_rank"),
+        (-top.getField("__neg")).cast("long").alias("pr_top_node"),
+    )
+
+
 def corpus_build_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One row per split: earned contract booleans + the replicable
     gate count. All heavy work is the corpus pipeline itself; the
@@ -112,6 +157,7 @@ def corpus_build_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         per_split.join(max_pack, "split")
         .crossJoin(n_gated)
         .crossJoin(F.broadcast(_dsir_agg(docs)))
+        .crossJoin(F.broadcast(_pr_agg(docs)))
         .select(
             "split",
             "n_gated",
@@ -129,6 +175,11 @@ def corpus_build_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             "dsir_selected",
             "dsir_marked_selected",
             "dsir_weight_total",
+            # r8: PageRank link-graph prior, exact fixed-point values
+            "pr_nodes",
+            "pr_rank_total",
+            "pr_top_rank",
+            "pr_top_node",
         )
     )
 
@@ -213,14 +264,81 @@ WITH base AS (
            COALESCE(SUM(CASE WHEN doc_id % {DSIR_MARK_MOD} = 0 THEN 1 ELSE 0 END), 0) AS dsir_marked_selected,
            {grid_sql("COALESCE(SUM(" + grid_sql("weight", 2) + "), 0)", 2)} AS dsir_weight_total
     FROM ds_sel
-)
+), {{PR_CTES}}
 SELECT s.split, g.n_gated,
        true AS nonempty_ok, true AS ratio_ok, true AS packs_ok,
        CAST(d.dsir_selected AS BIGINT) AS dsir_selected,
        CAST(d.dsir_marked_selected AS BIGINT) AS dsir_marked_selected,
-       d.dsir_weight_total
-FROM (VALUES ('train'), ('val'), ('test')) s(split), gated g, dsir d
+       d.dsir_weight_total,
+       CAST(p.pr_nodes AS BIGINT) AS pr_nodes,
+       CAST(p.pr_rank_total AS BIGINT) AS pr_rank_total,
+       CAST(p.pr_top_rank AS BIGINT) AS pr_top_rank,
+       CAST(p.pr_top_node AS BIGINT) AS pr_top_node
+FROM (VALUES ('train'), ('val'), ('test')) s(split), gated g, dsir d, pr p
 """
+
+
+def _pr_oracle_ctes(iterations: int = PR_ITERS, unit: int = UNIT) -> str:
+    """Unrolled fixed-point power iteration — standard SQL forbids
+    aggregation in a recursive CTE term, so the FIXED iteration count
+    becomes one CTE pair per step. Same integer update rule as
+    operators/pagerank.py, `//` for div."""
+    ctes = [
+        f"""pr_e AS (
+    SELECT CAST(doc_id AS BIGINT) AS src,
+           CAST((doc_id * 7 + 3) % (SELECT COUNT(*) FROM documents) AS BIGINT) AS dst
+    FROM documents WHERE doc_id % {PR_DANGLING_MOD} != 0
+    UNION ALL
+    SELECT doc_id, (doc_id * 13 + 5) % (SELECT COUNT(*) FROM documents)
+    FROM documents WHERE doc_id % {PR_DANGLING_MOD} != 0
+    UNION ALL
+    SELECT doc_id, 0 FROM documents
+    WHERE doc_id % {PR_DANGLING_MOD} != 0 AND doc_id % {PR_HUB_MOD} = 0
+)""",
+        """pr_nset AS (
+    SELECT DISTINCT node FROM (
+        SELECT src AS node FROM pr_e UNION ALL SELECT dst FROM pr_e)
+)""",
+        """pr_deg AS (
+    SELECT node, COALESCE(d.c, 0) AS out_deg
+    FROM pr_nset LEFT JOIN (
+        SELECT src, COUNT(*) AS c FROM pr_e GROUP BY src) d ON node = d.src
+)""",
+        "pr_cnt AS (SELECT COUNT(*) AS nn FROM pr_nset)",
+        f"""pr_r0 AS (
+    SELECT node, out_deg, CAST({unit} AS BIGINT) // nn AS rank
+    FROM pr_deg, pr_cnt
+)""",
+    ]
+    for k in range(1, iterations + 1):
+        ctes.append(f"""pr_c{k} AS (
+    SELECT e.dst AS node, SUM(r.rank // r.out_deg) AS inc
+    FROM pr_r{k - 1} r JOIN pr_e e ON r.node = e.src
+    WHERE r.out_deg > 0 GROUP BY e.dst
+)""")
+        ctes.append(f"""pr_d{k} AS (
+    SELECT COALESCE(SUM(rank), 0) AS dang FROM pr_r{k - 1} WHERE out_deg = 0
+)""")
+        ctes.append(f"""pr_r{k} AS (
+    SELECT b.node, b.out_deg,
+           (15 * CAST({unit} AS BIGINT)) // (100 * nn)
+         + (85 * (COALESCE(c.inc, 0) + dang // nn)) // 100 AS rank
+    FROM pr_deg b LEFT JOIN pr_c{k} c ON b.node = c.node, pr_d{k}, pr_cnt
+)""")
+    ctes.append(f"""pr AS (
+    SELECT COUNT(*) AS pr_nodes, SUM(rank) AS pr_rank_total,
+           MAX(rank) AS pr_top_rank,
+           MIN(node) FILTER (
+               WHERE rank = (SELECT MAX(rank) FROM pr_r{iterations})
+           ) AS pr_top_node
+    FROM pr_r{iterations}
+)""")
+    return ",\n".join(ctes)
+
+
+CORPUS_BUILD_SUMMARY_SQL = CORPUS_BUILD_SUMMARY_SQL.replace(
+    "{PR_CTES}", _pr_oracle_ctes()
+)
 
 
 QUERIES = {"corpus_build_summary": corpus_build_summary}
