@@ -164,3 +164,58 @@ def temperature_fractions(
     for s in source_counts:
         out.setdefault(s, 0.0)
     return out
+
+
+def top_k_per_group(
+    df: DataFrame,
+    group_cols: list[str],
+    order_by: list,
+    k: int,
+    salt_buckets: int | None = None,
+) -> DataFrame:
+    """Exact top-k rows per group — the per-domain document cap of the
+    C4/RefinedWeb recipes ("keep at most k docs per source, best
+    quality first") and the general bounded-fanout selector.
+
+    ``order_by`` must be a TOTAL order (include a unique tie-break
+    column such as the doc id) — otherwise which of the tied rows
+    survives is engine-dependent and no oracle can pin the output.
+
+    Plain path: one shuffle on the group key + a WindowGroupLimit'd
+    row_number (Spark pushes the rank filter into the sort, so no
+    group ever fully sorts past rank k). Hot-group regime: one group
+    owning a large fraction of the corpus serializes into a single
+    task's sort. ``salt_buckets=B`` enables the exact two-phase form:
+    rows first rank within (group, salt) — salt derived from a hash
+    of the whole row's order key so it is deterministic — keeping
+    each bucket's local top-k, then the survivors (<= B*k per group,
+    independent of group size) rank globally. The union of local
+    top-ks contains the global top-k (any row outside its bucket's
+    top-k is beaten by k rows in its own bucket alone), so the result
+    is EXACTLY equal to the plain path — pinned in tests.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    cols = df.columns
+
+    def _ranked(frame: DataFrame, part_cols: list) -> DataFrame:
+        w = Window.partitionBy(*part_cols).orderBy(*order_by)
+        return frame.withColumn("__rn", F.row_number().over(w))
+
+    if salt_buckets is None:
+        return _ranked(df, group_cols).where(F.col("__rn") <= k).drop("__rn")
+    if salt_buckets < 2:
+        raise ValueError("salt_buckets must be >= 2")
+    salted = df.withColumn(
+        "__salt",
+        F.pmod(
+            F.xxhash64(*[F.col(c) for c in cols], F.lit("topk-salt")),
+            F.lit(int(salt_buckets)),
+        ),
+    )
+    local = (
+        _ranked(salted, group_cols + ["__salt"])
+        .where(F.col("__rn") <= k)
+        .drop("__rn", "__salt")
+    )
+    return _ranked(local, group_cols).where(F.col("__rn") <= k).drop("__rn")

@@ -19,6 +19,7 @@ from lakehouse_file_format_compare_spark.operators.sampling import (
 from lakehouse_file_format_compare_spark.sources.testdata import table
 
 from .conftest import SF_CORRECTNESS
+SF = SF_CORRECTNESS
 from .oracle import compare
 
 N_PER_LANG = 20
@@ -335,3 +336,79 @@ def test_temperature_mixture_end_to_end(spark):
     rare = min(counts, key=counts.get)
     if counts[rare] < counts[rich]:
         assert fr[rare] >= fr[rich]
+
+
+# ---------------------------------------------------------------------------
+# top_k_per_group (r8): exact per-domain caps, plain vs salted equality
+# ---------------------------------------------------------------------------
+
+def test_top_k_per_group_matches_duckdb(spark):
+    import duckdb
+    import os
+
+    from lakehouse_file_format_compare_spark.operators.sampling import (
+        top_k_per_group,
+    )
+    from lakehouse_file_format_compare_spark.sources.testdata import table
+
+    docs = table(spark, SF, "documents")
+    got = sorted(
+        (r["source"], r["doc_id"])
+        for r in top_k_per_group(
+            docs, ["source"], [F.col("n_chars").desc(), F.col("doc_id")], 7
+        ).collect()
+    )
+    con = duckdb.connect()
+    want = sorted(map(tuple, con.execute(f"""
+        SELECT source, doc_id FROM (
+            SELECT source, doc_id,
+                   row_number() OVER (PARTITION BY source
+                                      ORDER BY n_chars DESC, doc_id) AS rn
+            FROM read_parquet('{os.path.join(SF, "documents.parquet")}'))
+        WHERE rn <= 7
+    """).fetchall()))
+    con.close()
+    assert len(got) > 0 and got == want
+
+
+def test_top_k_salted_equals_plain_and_handles_small_groups(spark):
+    from lakehouse_file_format_compare_spark.operators.sampling import (
+        top_k_per_group,
+    )
+    from lakehouse_file_format_compare_spark.sources.testdata import table
+
+    docs = table(spark, SF, "documents")
+    order = [F.col("n_chars").desc(), F.col("doc_id")]
+    plain = sorted(map(tuple, top_k_per_group(docs, ["source"], order, 5).collect()))
+    for buckets in (2, 7, 64):  # incl. buckets >> group size
+        salted = sorted(map(tuple, top_k_per_group(
+            docs, ["source"], order, 5, salt_buckets=buckets).collect()))
+        assert salted == plain, buckets
+    # k larger than every group: everything survives, both paths
+    n = docs.count()
+    assert top_k_per_group(docs, ["source"], order, 10**6).count() == n
+    assert top_k_per_group(
+        docs, ["source"], order, 10**6, salt_buckets=4).count() == n
+
+
+def test_top_k_validation_and_plan(spark):
+    import pytest as _pytest
+
+    from lakehouse_file_format_compare_spark.operators.sampling import (
+        top_k_per_group,
+    )
+    from lakehouse_file_format_compare_spark.sources.testdata import table
+
+    docs = table(spark, SF, "documents")
+    order = [F.col("n_chars").desc(), F.col("doc_id")]
+    with _pytest.raises(ValueError):
+        top_k_per_group(docs, ["source"], order, 0)
+    with _pytest.raises(ValueError):
+        top_k_per_group(docs, ["source"], order, 3, salt_buckets=1)
+    df = top_k_per_group(docs, ["source"], order, 3)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    # Spark pushes the rank<=k filter into the sort
+    assert "WindowGroupLimit" in plan
+    assert "BatchEvalPython" not in plan

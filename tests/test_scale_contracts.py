@@ -1060,3 +1060,55 @@ def test_pagerank_walltime_scales_linearly_in_edges(spark):
     )
     assert "BatchEvalPython" not in plan and "CartesianProduct" not in plan
     e1.unpersist(); e10.unpersist()
+
+
+@pytest.mark.scale
+def test_top_k_per_group_hot_group_salted_equal(spark):
+    """r8: per-domain caps meet the hot-domain regime — at 10x docs
+    with ONE source owning ~half the corpus, the salted two-phase
+    top-k must equal the plain single-sort output exactly (the local
+    top-k union provably contains the global top-k), with both walls
+    recorded. The salted path bounds any single task's sort at
+    B*k + bucket size, independent of the hot group's share."""
+    import time
+    from functools import reduce
+
+    from pyspark.sql import DataFrame
+
+    from lakehouse_file_format_compare_spark.operators.sampling import (
+        top_k_per_group,
+    )
+
+    docs = table(spark, SF_SCALE, "documents").select("doc_id", "source", "n_chars")
+    copies = [
+        docs.select(
+            (F.col("doc_id") + F.lit(i * 10_000_000)).alias("doc_id"),
+            "source", "n_chars",
+        )
+        for i in range(10)
+    ]
+    hot = (
+        reduce(DataFrame.unionByName, copies)
+        .withColumn(
+            "source",
+            F.when(F.pmod(F.col("doc_id"), F.lit(2)) == 0, F.lit("hot-domain"))
+            .otherwise(F.col("source")),
+        )
+        .repartition(32)
+        .cache()
+    )
+    n = hot.count()
+    order = [F.col("n_chars").desc(), F.col("doc_id")]
+
+    def _timed(**kw):
+        t0 = time.perf_counter()
+        rows = sorted(map(tuple, top_k_per_group(
+            hot, ["source"], order, 100, **kw).collect()))
+        return time.perf_counter() - t0, rows
+
+    _timed()  # warm-up
+    t_plain, a = _timed()
+    t_salted, b = _timed(salt_buckets=32)
+    assert a == b
+    print(f"top_k hot-group 10x (n={n}): plain={t_plain:.2f}s salted={t_salted:.2f}s")
+    hot.unpersist()
