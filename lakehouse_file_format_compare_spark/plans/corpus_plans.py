@@ -130,12 +130,38 @@ def _pr_agg(docs: DataFrame) -> DataFrame:
     )
 
 
+# per-domain cap (r8, operators/sampling.py::top_k_per_group): keep
+# the CAP_K longest docs per source (doc_id tie-break = total order,
+# so the selected SET is engine-exact); the fingerprint pins the
+# exact selection, not just its size.
+CAP_K = 7
+
+
+def _cap_agg(docs: DataFrame) -> DataFrame:
+    from ..operators.sampling import top_k_per_group
+
+    kept = top_k_per_group(
+        docs, ["source"], [F.col("n_chars").desc(), F.col("doc_id")], CAP_K
+    )
+    return kept.agg(
+        F.count(F.lit(1)).cast("long").alias("cap_docs"),
+        F.coalesce(
+            F.sum(F.col("doc_id") * 13 + F.col("n_chars")), F.lit(0)
+        ).cast("long").alias("cap_fp"),
+    )
+
+
 def corpus_build_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One row per split: earned contract booleans + the replicable
     gate count. All heavy work is the corpus pipeline itself; the
     summary adds two 3-row aggregates."""
     cfg = CorpusConfig()
-    docs = table(spark, sf_dir, "documents")
+    # the shared persisted corpus frame (hygiene_plans, r8): this row
+    # fans out into the pipeline + dsir + pagerank + cap aggregates,
+    # each of which would otherwise re-scan the parquet
+    from .hygiene_plans import _shared_docs
+
+    docs = _shared_docs(spark, sf_dir)
     corpus = build_corpus(docs, cfg)
 
     per_split = corpus.groupBy("split").agg(
@@ -158,6 +184,7 @@ def corpus_build_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(n_gated)
         .crossJoin(F.broadcast(_dsir_agg(docs)))
         .crossJoin(F.broadcast(_pr_agg(docs)))
+        .crossJoin(F.broadcast(_cap_agg(docs)))
         .select(
             "split",
             "n_gated",
@@ -180,6 +207,9 @@ def corpus_build_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             "pr_rank_total",
             "pr_top_rank",
             "pr_top_node",
+            # r8: per-domain cap — exact selected-set fingerprint
+            "cap_docs",
+            "cap_fp",
         )
     )
 
@@ -264,7 +294,17 @@ WITH base AS (
            COALESCE(SUM(CASE WHEN doc_id % {DSIR_MARK_MOD} = 0 THEN 1 ELSE 0 END), 0) AS dsir_marked_selected,
            {grid_sql("COALESCE(SUM(" + grid_sql("weight", 2) + "), 0)", 2)} AS dsir_weight_total
     FROM ds_sel
-), {{PR_CTES}}
+), {{PR_CTES}},
+cap AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS cap_docs,
+           CAST(COALESCE(SUM(doc_id * 13 + n_chars), 0) AS BIGINT) AS cap_fp
+    FROM (
+        SELECT doc_id, n_chars,
+               row_number() OVER (PARTITION BY source
+                                  ORDER BY n_chars DESC, doc_id) AS rn
+        FROM documents)
+    WHERE rn <= {{CAP_K}}
+)
 SELECT s.split, g.n_gated,
        true AS nonempty_ok, true AS ratio_ok, true AS packs_ok,
        CAST(d.dsir_selected AS BIGINT) AS dsir_selected,
@@ -273,8 +313,9 @@ SELECT s.split, g.n_gated,
        CAST(p.pr_nodes AS BIGINT) AS pr_nodes,
        CAST(p.pr_rank_total AS BIGINT) AS pr_rank_total,
        CAST(p.pr_top_rank AS BIGINT) AS pr_top_rank,
-       CAST(p.pr_top_node AS BIGINT) AS pr_top_node
-FROM (VALUES ('train'), ('val'), ('test')) s(split), gated g, dsir d, pr p
+       CAST(p.pr_top_node AS BIGINT) AS pr_top_node,
+       c.cap_docs, c.cap_fp
+FROM (VALUES ('train'), ('val'), ('test')) s(split), gated g, dsir d, pr p, cap c
 """
 
 
@@ -338,7 +379,7 @@ def _pr_oracle_ctes(iterations: int = PR_ITERS, unit: int = UNIT) -> str:
 
 CORPUS_BUILD_SUMMARY_SQL = CORPUS_BUILD_SUMMARY_SQL.replace(
     "{PR_CTES}", _pr_oracle_ctes()
-)
+).replace("{CAP_K}", str(CAP_K))
 
 
 QUERIES = {"corpus_build_summary": corpus_build_summary}
