@@ -219,3 +219,59 @@ def top_k_per_group(
         .drop("__rn", "__salt")
     )
     return _ranked(local, group_cols).where(F.col("__rn") <= k).drop("__rn")
+
+
+def weighted_sample(
+    df: DataFrame,
+    weight_col: str,
+    k: int,
+    key_cols: tuple[str, ...],
+    tag: str = "wsample",
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement
+    (Efraimidis & Spirakis 2006, A-ES): keep the k rows with the
+    largest u^(1/w) — equivalently the largest ln(u)/w — where u is a
+    key-derived uniform. Inclusion probability is proportional to
+    weight at every prefix, the textbook guarantee, but u comes from
+    the engine-portable md5 of the row key (domain-separated by
+    ``tag``) instead of an RNG, so the SAMPLE IS A PURE FUNCTION of
+    (keys, weights, tag, k): identical on 1 or 1000 executors,
+    identical across engines (DuckDB replays it — the rank key is
+    grid-6-snapped before comparison, ties broken by the key columns,
+    the DSIR selection discipline). The corpus use: "take k documents
+    proportional to quality^T" composes with temperature_fractions.
+
+    Rows with weight <= 0 or NULL are excluded (zero weight = zero
+    inclusion probability; A-ES keys are undefined there). Selection
+    is a global top-k: Catalyst plans TakeOrderedAndProject — no full
+    sort, no Window, safe at any corpus size.
+    """
+    from ..functions.numeric import grid
+
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    # u in (0, 1): first 8 md5 hex chars as a 32-bit int, +0.5 to
+    # dodge ln(0) — same uniform the DSIR/CMS md5 buckets build on
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    "\x1f", F.lit(tag),
+                    *[F.col(c).cast("string") for c in key_cols],
+                )
+            ),
+            1, 8,
+        ),
+        16, 10,
+    ).cast("long")
+    u = (h.cast("double") + F.lit(0.5)) / F.lit(4294967296.0)
+    keyed = df.where(
+        F.col(weight_col).isNotNull() & (F.col(weight_col) > 0)
+    ).withColumn("__es_key", grid(F.log(u) / F.col(weight_col), 6))
+    return (
+        keyed.orderBy(
+            F.col("__es_key").desc(), *[F.col(c) for c in key_cols]
+        )
+        .limit(k)
+        .drop("__es_key")
+    )

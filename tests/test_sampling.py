@@ -412,3 +412,89 @@ def test_top_k_validation_and_plan(spark):
     # Spark pushes the rank<=k filter into the sort
     assert "WindowGroupLimit" in plan
     assert "BatchEvalPython" not in plan
+
+
+# ---------------------------------------------------------------------------
+# weighted_sample (r8): A-ES without replacement, md5-derived uniforms
+# ---------------------------------------------------------------------------
+
+def test_weighted_sample_matches_duckdb(spark):
+    import duckdb
+    import os
+
+    from lakehouse_file_format_compare_spark.operators.sampling import (
+        weighted_sample,
+    )
+    from lakehouse_file_format_compare_spark.sources.testdata import table
+
+    docs = table(spark, SF, "documents")
+    # weight = n_chars: longer docs proportionally likelier
+    got = sorted(
+        r["doc_id"]
+        for r in weighted_sample(docs, "n_chars", 40, ("doc_id",)).collect()
+    )
+    con = duckdb.connect()
+    want = sorted(x[0] for x in con.execute(f"""
+        SELECT doc_id FROM (
+            SELECT doc_id,
+                   floor(ln((CAST(('0x' || substr(md5('wsample' || chr(31) || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) + 0.5)
+                            / 4294967296.0) / n_chars * 1000000 + 0.5) / 1000000 AS es_key
+            FROM read_parquet('{os.path.join(SF, "documents.parquet")}')
+            WHERE n_chars > 0)
+        ORDER BY es_key DESC, doc_id LIMIT 40
+    """).fetchall())
+    con.close()
+    assert len(got) == 40 and got == want
+
+
+def test_weighted_sample_is_partition_invariant_and_weight_sensitive(spark):
+    from lakehouse_file_format_compare_spark.operators.sampling import (
+        weighted_sample,
+    )
+    from lakehouse_file_format_compare_spark.sources.testdata import table
+
+    docs = table(spark, SF, "documents")
+    a = sorted(r["doc_id"] for r in weighted_sample(docs, "n_chars", 25, ("doc_id",)).collect())
+    b = sorted(r["doc_id"] for r in weighted_sample(
+        docs.repartition(17), "n_chars", 25, ("doc_id",)).collect())
+    assert a == b
+    # heavy weights dominate: give every 50th doc a 1000x weight
+    boosted = docs.withColumn(
+        "w",
+        F.when(F.col("doc_id") % 50 == 0, F.col("n_chars") * 1000.0)
+        .otherwise(F.col("n_chars").cast("double")),
+    )
+    sel = [r["doc_id"] for r in weighted_sample(boosted, "w", 10, ("doc_id",)).collect()]
+    assert sum(1 for d in sel if d % 50 == 0) >= 8, sel
+
+
+def test_weighted_sample_excludes_nonpositive_and_validates(spark):
+    import pytest as _pytest
+
+    from lakehouse_file_format_compare_spark.operators.sampling import (
+        weighted_sample,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 5.0), (2, 0.0), (3, -1.0), (4, None), (5, 2.0)],
+        "doc_id long, w double",
+    )
+    got = {r["doc_id"] for r in weighted_sample(df, "w", 10, ("doc_id",)).collect()}
+    assert got == {1, 5}
+    with _pytest.raises(ValueError):
+        weighted_sample(df, "w", 0, ("doc_id",))
+
+
+def test_weighted_sample_plan_is_top_k(spark):
+    from lakehouse_file_format_compare_spark.operators.sampling import (
+        weighted_sample,
+    )
+    from lakehouse_file_format_compare_spark.sources.testdata import table
+
+    docs = table(spark, SF, "documents")
+    df = weighted_sample(docs, "n_chars", 10, ("doc_id",))
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "TakeOrderedAndProject" in plan
+    assert "BatchEvalPython" not in plan
