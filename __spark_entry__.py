@@ -46,6 +46,17 @@ over a derived second snapshot of the committed customer fixture —
 insert/delete/update pre+post images all folded into the exact
 integer fingerprint, replayed via a full-outer-join diff in the
 oracle).
+
+r8: no registry swaps — ``op_approx_distinct``'s strict HLL
+union-path equality pin (the r7 hash-red) became the
+``hll_rollup_paths_within_tolerance`` envelope contract, verified at
+local[2]/local[8]/local[32]; ``events_analytics_suite`` grew to 27
+rows (per-model ``__unattributed`` attribution rows, oracle updated
+in lockstep); ``corpus_build_summary`` widened with ``pr_*``
+(fixed-point integer PageRank over a deterministic citation graph —
+the oracle replays the full unrolled 6-iteration update rule) and
+``cap_*`` (exact per-domain top-k cap selection fingerprint,
+operators/sampling.py::top_k_per_group).
 """
 
 from __future__ import annotations
