@@ -151,6 +151,25 @@ def _cap_agg(docs: DataFrame) -> DataFrame:
     )
 
 
+# A-ES weighted sample (r8, operators/sampling.py::weighted_sample):
+# WS_K docs proportional to n_chars, md5-derived uniforms — the
+# selected set is a pure function of the data, so the fingerprint is
+# an exact cross-engine value.
+WS_K = 40
+
+
+def _ws_agg(docs: DataFrame) -> DataFrame:
+    from ..operators.sampling import weighted_sample
+
+    sel = weighted_sample(docs, "n_chars", WS_K, ("doc_id",))
+    return sel.agg(
+        F.count(F.lit(1)).cast("long").alias("ws_docs"),
+        F.coalesce(
+            F.sum(F.col("doc_id") * 31 + F.col("n_chars")), F.lit(0)
+        ).cast("long").alias("ws_fp"),
+    )
+
+
 def corpus_build_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One row per split: earned contract booleans + the replicable
     gate count. All heavy work is the corpus pipeline itself; the
@@ -185,6 +204,7 @@ def corpus_build_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(_dsir_agg(docs)))
         .crossJoin(F.broadcast(_pr_agg(docs)))
         .crossJoin(F.broadcast(_cap_agg(docs)))
+        .crossJoin(F.broadcast(_ws_agg(docs)))
         .select(
             "split",
             "n_gated",
@@ -210,6 +230,9 @@ def corpus_build_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             # r8: per-domain cap — exact selected-set fingerprint
             "cap_docs",
             "cap_fp",
+            # r8: A-ES weighted sample — exact selected-set fingerprint
+            "ws_docs",
+            "ws_fp",
         )
     )
 
@@ -304,6 +327,17 @@ cap AS (
                                   ORDER BY n_chars DESC, doc_id) AS rn
         FROM documents)
     WHERE rn <= {{CAP_K}}
+),
+ws AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS ws_docs,
+           CAST(COALESCE(SUM(doc_id * 31 + n_chars), 0) AS BIGINT) AS ws_fp
+    FROM (
+        SELECT doc_id, n_chars FROM (
+            SELECT doc_id, n_chars,
+                   floor(ln((CAST(('0x' || substr(md5('wsample' || chr(31) || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) + 0.5)
+                            / 4294967296.0) / n_chars * 1000000 + 0.5) / 1000000 AS es_key
+            FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0)
+        ORDER BY es_key DESC, doc_id LIMIT {{WS_K}})
 )
 SELECT s.split, g.n_gated,
        true AS nonempty_ok, true AS ratio_ok, true AS packs_ok,
@@ -314,8 +348,10 @@ SELECT s.split, g.n_gated,
        CAST(p.pr_rank_total AS BIGINT) AS pr_rank_total,
        CAST(p.pr_top_rank AS BIGINT) AS pr_top_rank,
        CAST(p.pr_top_node AS BIGINT) AS pr_top_node,
-       c.cap_docs, c.cap_fp
-FROM (VALUES ('train'), ('val'), ('test')) s(split), gated g, dsir d, pr p, cap c
+       c.cap_docs, c.cap_fp,
+       w.ws_docs, w.ws_fp
+FROM (VALUES ('train'), ('val'), ('test')) s(split), gated g, dsir d, pr p,
+     cap c, ws w
 """
 
 
@@ -379,7 +415,7 @@ def _pr_oracle_ctes(iterations: int = PR_ITERS, unit: int = UNIT) -> str:
 
 CORPUS_BUILD_SUMMARY_SQL = CORPUS_BUILD_SUMMARY_SQL.replace(
     "{PR_CTES}", _pr_oracle_ctes()
-).replace("{CAP_K}", str(CAP_K))
+).replace("{CAP_K}", str(CAP_K)).replace("{WS_K}", str(WS_K))
 
 
 QUERIES = {"corpus_build_summary": corpus_build_summary}
