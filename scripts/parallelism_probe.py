@@ -59,7 +59,23 @@ def main() -> None:
             [r["doc_id"], r["n_tokens"], r["weight"]]
             for r in importance_weights(docs, target).collect()
         )
-        print(json.dumps({"master": master, "approx_distinct": ad, "dsir": dsir}))
+
+        # fixed-point PageRank (r8): integer ranks must be IDENTICAL
+        # at every parallelism level, not merely within an envelope
+        from lakehouse_file_format_compare_spark.operators.pagerank import (
+            pagerank,
+        )
+        from lakehouse_file_format_compare_spark.plans.corpus_plans import (
+            _pr_edges,
+        )
+
+        pr = sorted(
+            [r["node"], r["rank"]]
+            for r in pagerank(_pr_edges(docs), iterations=4).collect()
+        )
+        print(json.dumps({
+            "master": master, "approx_distinct": ad, "dsir": dsir, "pr": pr,
+        }))
     finally:
         spark.stop()
 

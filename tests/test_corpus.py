@@ -16,6 +16,8 @@ from lakehouse_file_format_compare_spark.sources.testdata import table
 
 from .conftest import SF_CORRECTNESS
 
+SF = SF_CORRECTNESS
+
 CFG = CorpusConfig(min_chars=50, min_quality=0.2, pack_budget_tokens=256, pack_groups=4)
 
 
@@ -122,3 +124,48 @@ def test_composed_pipeline_with_r7_gates(spark):
     a = sorted(map(tuple, out.select("doc_id", "split", "pack_id").collect()))
     b = sorted(map(tuple, again.select("doc_id", "split", "pack_id").collect()))
     assert a == b
+
+
+def test_shared_docs_cache_mtime_invalidation(spark, tmp_path):
+    """The shared persisted corpus frame (r8) is keyed by file mtime:
+    overwriting documents.parquet must invalidate the cached frame
+    (stale unpersisted, fresh data served), and repeated calls with
+    an unchanged file must return the SAME cached DataFrame object."""
+    import os
+    import shutil
+    import time as _time
+
+    from lakehouse_file_format_compare_spark.plans.hygiene_plans import (
+        _shared_docs,
+        uncache_shared_docs,
+    )
+    from lakehouse_file_format_compare_spark.sources.testdata import table
+
+    sf_dir = str(tmp_path)
+    src = table(spark, SF, "documents")
+    src.where(F.col("doc_id") < 100).coalesce(1).write.parquet(
+        os.path.join(sf_dir, "_tmp1")
+    )
+    part = [f for f in os.listdir(os.path.join(sf_dir, "_tmp1"))
+            if f.endswith(".parquet")][0]
+    shutil.copy(os.path.join(sf_dir, "_tmp1", part),
+                os.path.join(sf_dir, "documents.parquet"))
+    try:
+        a = _shared_docs(spark, sf_dir)
+        assert a.count() == 100
+        assert _shared_docs(spark, sf_dir) is a  # cache hit
+        # overwrite with a bigger corpus; ensure a newer mtime
+        src.where(F.col("doc_id") < 250).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(sf_dir, "_tmp2"))
+        part2 = [f for f in os.listdir(os.path.join(sf_dir, "_tmp2"))
+                 if f.endswith(".parquet")][0]
+        _time.sleep(0.05)
+        shutil.copy(os.path.join(sf_dir, "_tmp2", part2),
+                    os.path.join(sf_dir, "documents.parquet"))
+        os.utime(os.path.join(sf_dir, "documents.parquet"))
+        b = _shared_docs(spark, sf_dir)
+        assert b is not a
+        assert b.count() == 250
+    finally:
+        uncache_shared_docs()

@@ -99,6 +99,13 @@ def test_invariance_contracts_across_parallelism(spark):
         [r["doc_id"], r["n_tokens"], r["weight"]]
         for r in importance_weights(docs, target).collect()
     )
+    from lakehouse_file_format_compare_spark.operators.pagerank import pagerank
+    from lakehouse_file_format_compare_spark.plans.corpus_plans import _pr_edges
+
+    ref_pr = sorted(
+        [r["node"], r["rank"]]
+        for r in pagerank(_pr_edges(docs), iterations=4).collect()
+    )
     for row in ref_ad:
         for c in BOOL_COLS:
             assert row[c] is True, ("local[8]", row["o_orderstatus"], c, row)
@@ -115,3 +122,5 @@ def test_invariance_contracts_across_parallelism(spark):
                                           row[c], ref[c])
         assert [list(t) for t in got["dsir"]] == [list(t) for t in ref_dsir], (
             master, "dsir weights moved across parallelism")
+        assert [list(t) for t in got["pr"]] == [list(t) for t in ref_pr], (
+            master, "pagerank integer ranks moved across parallelism")
