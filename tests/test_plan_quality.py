@@ -436,13 +436,20 @@ def test_hygiene_rows_share_one_documents_scan(spark):
     operators (e.g. a cached anchor-gram frame) whose definitions
     embed their own scan — the invariant that matters is 'a few
     one-time materializations, never a per-family re-scan' (~12
-    parquet re-scans before r8)."""
+    parquet re-scans before r8). The check runs against a CLEAN
+    cache state (clearCache first): under a full-suite session the
+    CacheManager substitutes every registered docs-derived frame it
+    can match, each bringing its own scan definition — unbounded by
+    anything THIS plan does. Cleared entries rebuild on demand, so
+    later tests are unaffected beyond a rebuild."""
     from lakehouse_file_format_compare_spark.plans.hygiene_plans import (
         corpus_hygiene_serving,
         corpus_hygiene_suite,
         uncache_shared_docs,
     )
 
+    uncache_shared_docs()
+    spark.catalog.clearCache()
     try:
         for build in (corpus_hygiene_serving, corpus_hygiene_suite):
             df = build(spark, SF_CORRECTNESS)
