@@ -83,6 +83,9 @@ HEADLINE = [
     # only) benched separately from the contract row, whose wall grows
     # with extension coverage (q5 SCD2 / q6 change feed landed in r7)
     "fintech_gold_serving",
+    # r8: fixed-point PageRank over the documents citation graph (the
+    # serving path of the corpus_build_summary pr_* contract)
+    "pagerank_serving",
 ]
 
 STEADY_REPS = 3  # min-of-N steady protocol (r7 verdict #3)
@@ -144,6 +147,20 @@ def main() -> None:
     from lakehouse_file_format_compare_spark.plans import fintech_plans
 
     queries["fintech_gold_serving"] = fintech_plans.gold_serving
+
+    def _pagerank_serving(spark_, sf_dir_):
+        from lakehouse_file_format_compare_spark.operators.pagerank import pagerank
+        from lakehouse_file_format_compare_spark.plans.corpus_plans import (
+            PR_ITERS,
+            _pr_edges,
+        )
+        from lakehouse_file_format_compare_spark.sources.testdata import table
+
+        return pagerank(
+            _pr_edges(table(spark_, sf_dir_, "documents")), iterations=PR_ITERS
+        )
+
+    queries["pagerank_serving"] = _pagerank_serving
 
     # JVM/codegen warm-up on an untimed tiny query
     queries["tpch_local_supplier_volume"](spark, sf_dir).write.format("noop").mode("overwrite").save()
