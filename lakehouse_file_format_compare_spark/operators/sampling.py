@@ -275,3 +275,38 @@ def weighted_sample(
         .limit(k)
         .drop("__es_key")
     )
+
+
+def interleave_sources(
+    df: DataFrame,
+    source_col: str,
+    key_cols: tuple[str, ...],
+    tag: str = "interleave",
+) -> DataFrame:
+    """Deterministic proportional interleave — the training READ ORDER
+    companion to the selection operators above: rows from every source
+    alternate in proportion to source size (no long single-source runs
+    at any point in the epoch), and the order is a pure function of
+    the data (md5 within-source shuffle, engine-portable).
+
+    Construction: rows rank within their source by md5(key) order;
+    ``progress`` = grid-9 of (rank - 0.5) / source_size, so at any
+    prefix cut p every source has contributed ~p of its rows (exactly
+    floor/ceil(p*n) — the proportionality is structural, not
+    probabilistic). The returned frame carries ``progress`` and is
+    ordered by (progress, source, key): writers materialize the
+    curriculum by writing it sorted — a range-partitioned sort at
+    scale, no global row_number bottleneck.
+    """
+    order_within = [_order_hash(key_cols)] + [F.col(c) for c in key_cols]
+    w_rank = Window.partitionBy(source_col).orderBy(*order_within)
+    w_size = Window.partitionBy(source_col)
+    from ..functions.numeric import grid
+
+    staged = df.withColumn("__rank", F.row_number().over(w_rank)).withColumn(
+        "__n", F.count(F.lit(1)).over(w_size)
+    )
+    out = staged.withColumn(
+        "progress", grid((F.col("__rank") - 0.5) / F.col("__n"), 9)
+    ).drop("__rank", "__n")
+    return out.orderBy("progress", source_col, *order_within)

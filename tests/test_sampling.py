@@ -498,3 +498,75 @@ def test_weighted_sample_plan_is_top_k(spark):
     )
     assert "TakeOrderedAndProject" in plan
     assert "BatchEvalPython" not in plan
+
+
+# ---------------------------------------------------------------------------
+# interleave_sources (r8): deterministic proportional curriculum order
+# ---------------------------------------------------------------------------
+
+def test_interleave_matches_duckdb_order(spark):
+    import duckdb
+    import os
+
+    from lakehouse_file_format_compare_spark.operators.sampling import (
+        interleave_sources,
+    )
+    from lakehouse_file_format_compare_spark.sources.testdata import table
+
+    docs = table(spark, SF, "documents")
+    got = [r["doc_id"] for r in interleave_sources(
+        docs, "source", ("doc_id",)).select("doc_id").collect()]
+    con = duckdb.connect()
+    want = [x[0] for x in con.execute(f"""
+        SELECT doc_id FROM (
+            SELECT doc_id, source, md5(CAST(doc_id AS VARCHAR)) AS h,
+                   floor(((row_number() OVER (PARTITION BY source
+                            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) - 0.5)
+                          / COUNT(*) OVER (PARTITION BY source)) * 1e9 + 0.5) / 1e9
+                       AS progress
+            FROM read_parquet('{os.path.join(SF, "documents.parquet")}'))
+        ORDER BY progress, source, h, doc_id
+    """).fetchall()]
+    con.close()
+    assert len(got) == len(want) > 0 and got == want
+
+
+def test_interleave_is_structurally_proportional(spark):
+    """At any prefix cut p, every source has contributed exactly
+    floor/ceil(p * n_source) rows — proportionality by construction,
+    and no long single-source runs."""
+    import math
+
+    from lakehouse_file_format_compare_spark.operators.sampling import (
+        interleave_sources,
+    )
+    from lakehouse_file_format_compare_spark.sources.testdata import table
+
+    docs = table(spark, SF, "documents")
+    rows = interleave_sources(docs, "source", ("doc_id",)).select(
+        "source", "progress"
+    ).collect()
+    sizes: dict = {}
+    for r in rows:
+        sizes[r["source"]] = sizes.get(r["source"], 0) + 1
+    for p in (0.25, 0.5, 0.75):
+        seen: dict = {}
+        for r in rows:
+            if r["progress"] <= p:
+                seen[r["source"]] = seen.get(r["source"], 0) + 1
+        for src, n in sizes.items():
+            assert abs(seen.get(src, 0) - p * n) <= 1, (p, src, seen.get(src), n)
+
+
+def test_interleave_partition_invariant(spark):
+    from lakehouse_file_format_compare_spark.operators.sampling import (
+        interleave_sources,
+    )
+    from lakehouse_file_format_compare_spark.sources.testdata import table
+
+    docs = table(spark, SF, "documents")
+    a = [r["doc_id"] for r in interleave_sources(
+        docs, "source", ("doc_id",)).select("doc_id").collect()]
+    b = [r["doc_id"] for r in interleave_sources(
+        docs.repartition(13), "source", ("doc_id",)).select("doc_id").collect()]
+    assert a == b
