@@ -359,9 +359,16 @@ def _pr_oracle_ctes(iterations: int = PR_ITERS, unit: int = UNIT) -> str:
     """Unrolled fixed-point power iteration — standard SQL forbids
     aggregation in a recursive CTE term, so the FIXED iteration count
     becomes one CTE pair per step. Same integer update rule as
-    operators/pagerank.py, `//` for div."""
+    operators/pagerank.py, `//` for div.
+
+    Every CTE is ``AS MATERIALIZED`` (r9, r8 advisor): DuckDB inlines
+    a copy of a plain CTE per reference, and pr_r{k} is referenced by
+    BOTH pr_c{k+1} and pr_d{k+1} — ~3.5x cost per iteration
+    compounding to ~2 minutes at 6 iterations on the 500-row fixture.
+    Materialized, the identical result returns in ~0.05s and raising
+    PR_ITERS stays feasible."""
     ctes = [
-        f"""pr_e AS (
+        f"""pr_e AS MATERIALIZED (
     SELECT CAST(doc_id AS BIGINT) AS src,
            CAST((doc_id * 7 + 3) % (SELECT COUNT(*) FROM documents) AS BIGINT) AS dst
     FROM documents WHERE doc_id % {PR_DANGLING_MOD} != 0
@@ -372,37 +379,37 @@ def _pr_oracle_ctes(iterations: int = PR_ITERS, unit: int = UNIT) -> str:
     SELECT doc_id, 0 FROM documents
     WHERE doc_id % {PR_DANGLING_MOD} != 0 AND doc_id % {PR_HUB_MOD} = 0
 )""",
-        """pr_nset AS (
+        """pr_nset AS MATERIALIZED (
     SELECT DISTINCT node FROM (
         SELECT src AS node FROM pr_e UNION ALL SELECT dst FROM pr_e)
 )""",
-        """pr_deg AS (
+        """pr_deg AS MATERIALIZED (
     SELECT node, COALESCE(d.c, 0) AS out_deg
     FROM pr_nset LEFT JOIN (
         SELECT src, COUNT(*) AS c FROM pr_e GROUP BY src) d ON node = d.src
 )""",
-        "pr_cnt AS (SELECT COUNT(*) AS nn FROM pr_nset)",
-        f"""pr_r0 AS (
+        "pr_cnt AS MATERIALIZED (SELECT COUNT(*) AS nn FROM pr_nset)",
+        f"""pr_r0 AS MATERIALIZED (
     SELECT node, out_deg, CAST({unit} AS BIGINT) // nn AS rank
     FROM pr_deg, pr_cnt
 )""",
     ]
     for k in range(1, iterations + 1):
-        ctes.append(f"""pr_c{k} AS (
+        ctes.append(f"""pr_c{k} AS MATERIALIZED (
     SELECT e.dst AS node, SUM(r.rank // r.out_deg) AS inc
     FROM pr_r{k - 1} r JOIN pr_e e ON r.node = e.src
     WHERE r.out_deg > 0 GROUP BY e.dst
 )""")
-        ctes.append(f"""pr_d{k} AS (
+        ctes.append(f"""pr_d{k} AS MATERIALIZED (
     SELECT COALESCE(SUM(rank), 0) AS dang FROM pr_r{k - 1} WHERE out_deg = 0
 )""")
-        ctes.append(f"""pr_r{k} AS (
+        ctes.append(f"""pr_r{k} AS MATERIALIZED (
     SELECT b.node, b.out_deg,
            (15 * CAST({unit} AS BIGINT)) // (100 * nn)
          + (85 * (COALESCE(c.inc, 0) + dang // nn)) // 100 AS rank
     FROM pr_deg b LEFT JOIN pr_c{k} c ON b.node = c.node, pr_d{k}, pr_cnt
 )""")
-    ctes.append(f"""pr AS (
+    ctes.append(f"""pr AS MATERIALIZED (
     SELECT COUNT(*) AS pr_nodes, SUM(rank) AS pr_rank_total,
            MAX(rank) AS pr_top_rank,
            MIN(node) FILTER (

@@ -16,7 +16,12 @@ Contracts probed (all sf0.01 / sf0.001 — seconds, not minutes):
   histogram quantile bins + fingerprints, all row-conservation checks
 - DSIR importance weights (grid-snapped, repartition-invariant)
 
-Usage: python scripts/parallelism_probe.py <master> <shuffle_parts>
+Usage: python scripts/parallelism_probe.py <master> <shuffle_parts> [conf_json]
+  conf_json (optional): a JSON object of extra Spark confs — the r9
+  extension sweeps the two knobs that change PARTIAL-aggregation
+  layout at a fixed core count (`spark.sql.files.maxPartitionBytes`,
+  `spark.default.parallelism`), because the r8 driver red was a
+  layout the master-string sweep alone never produced.
 Prints: {"master": ..., "approx_distinct": [...], "dsir": [...]}
 """
 
@@ -29,6 +34,7 @@ import sys
 def main() -> None:
     master = sys.argv[1]
     shuffle = int(sys.argv[2])
+    extra_conf = json.loads(sys.argv[3]) if len(sys.argv) > 3 else None
 
     from lakehouse_file_format_compare_spark.session import build_session
     from lakehouse_file_format_compare_spark.plans.adhoc import approx_distinct
@@ -41,6 +47,7 @@ def main() -> None:
         app_name=f"parallelism-probe-{master}",
         master=master,
         shuffle_partitions=shuffle,
+        extra_conf=extra_conf,
     )
     try:
         ad = [

@@ -126,3 +126,21 @@ def test_no_python_udfs_and_no_cartesian(spark):
     )
     assert "BatchEvalPython" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_no_global_window_in_operator_source():
+    """r9 (r8 verdict #2): the dangling-mass total must be a broadcast
+    driver scalar read off the persisted n-row aggregate, NEVER an
+    empty-frame window — `Window.partitionBy()` is a single-partition
+    pass over the FULL rank table repeated every iteration, a one-task
+    funnel at web-graph node counts. Pin at source level because the
+    eager localCheckpoint truncates the returned frame's plan (the
+    per-iteration plans are no longer visible post-hoc)."""
+    import inspect
+
+    import lakehouse_file_format_compare_spark.operators.pagerank as m
+
+    src = inspect.getsource(m)
+    assert "Window.partitionBy" not in src
+    assert "from pyspark.sql import Window" not in src
+    assert ".over(" not in src

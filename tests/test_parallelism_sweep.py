@@ -62,15 +62,17 @@ EXACT_COLS = [
 ]
 
 
-def _probe(master: str, shuffle: int) -> dict:
+def _probe(master: str, shuffle: int, conf: dict | None = None) -> dict:
     env = dict(os.environ)
     env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
     # keep the probe JVMs lean; three never run concurrently
     env.setdefault("SPARK_GRAFT_DRIVER_MEM", "4g")
+    cmd = [sys.executable, os.path.join(REPO, "scripts", "parallelism_probe.py"),
+           master, str(shuffle)]
+    if conf:
+        cmd.append(json.dumps(conf))
     out = subprocess.run(
-        [sys.executable, os.path.join(REPO, "scripts", "parallelism_probe.py"),
-         master, str(shuffle)],
-        capture_output=True, text=True, timeout=600, env=env, cwd=REPO,
+        cmd, capture_output=True, text=True, timeout=600, env=env, cwd=REPO,
     )
     assert out.returncode == 0, out.stderr[-4000:]
     return json.loads(out.stdout.strip().splitlines()[-1])
@@ -110,8 +112,18 @@ def test_invariance_contracts_across_parallelism(spark):
         for c in BOOL_COLS:
             assert row[c] is True, ("local[8]", row["o_orderstatus"], c, row)
 
-    for master, shuffle in (("local[2]", 2), ("local[32]", 32)):
-        got = _probe(master, shuffle)
+    # r9 (verdict #1): sweep not only the master string but the two
+    # knobs that change PARTIAL-aggregation layout at a fixed core
+    # count — the r8 driver red came from a layout no master-only
+    # sweep produced. 64 KiB maxPartitionBytes splits the sf0.01
+    # parquet into dozens of input slices; default.parallelism=7
+    # perturbs every non-shuffle stage width.
+    layout_conf = {"spark.sql.files.maxPartitionBytes": "65536",
+                   "spark.default.parallelism": "7"}
+    sweep = [("local[2]", 2, None), ("local[32]", 32, None),
+             ("local[32]", 32, layout_conf)]
+    for master, shuffle, conf in sweep:
+        got = _probe(master, shuffle, conf)
         ad = got["approx_distinct"]
         assert len(ad) == len(ref_ad)
         for row, ref in zip(ad, ref_ad):
