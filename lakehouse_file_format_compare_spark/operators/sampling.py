@@ -297,16 +297,52 @@ def interleave_sources(
     ordered by (progress, source, key): writers materialize the
     curriculum by writing it sorted — a range-partitioned sort at
     scale, no global row_number bottleneck.
+
+    Scale shape (r9, r8 verdict #3): the per-source rank is computed
+    in TWO exact phases instead of one ``row_number`` window per
+    source — a crawl corpus is one dominant source, so a per-source
+    window serializes most of the data through a single task's sort.
+    Phase 1 ranks locally within (source, salt) where the salt is the
+    leading 2 hex chars of the SAME md5 the ordering uses (so salt
+    order IS hash-prefix order and equal hashes share a bucket —
+    bucket-local ranks interleave nowhere); phase 2 offsets each
+    bucket by the exclusive prefix sum of bucket counts within its
+    source, computed on the tiny (source × 256)-row count table and
+    broadcast back. global_rank = local_rank + offset, exactly the
+    single-window rank — the top_k_per_group salting discipline
+    applied to ranking. The widest window partition shrinks from
+    n_source to ~n_source/256, and widening the salt is one constant.
     """
-    order_within = [_order_hash(key_cols)] + [F.col(c) for c in key_cols]
-    w_rank = Window.partitionBy(source_col).orderBy(*order_within)
-    w_size = Window.partitionBy(source_col)
     from ..functions.numeric import grid
 
-    staged = df.withColumn("__rank", F.row_number().over(w_rank)).withColumn(
-        "__n", F.count(F.lit(1)).over(w_size)
+    h = _order_hash(key_cols)
+    order_within = [F.col("__h")] + [F.col(c) for c in key_cols]
+    staged = df.withColumn("__h", h).withColumn(
+        "__salt", F.substring("__h", 1, 2)
     )
-    out = staged.withColumn(
-        "progress", grid((F.col("__rank") - 0.5) / F.col("__n"), 9)
-    ).drop("__rank", "__n")
-    return out.orderBy("progress", source_col, *order_within)
+    w_local = Window.partitionBy(source_col, "__salt").orderBy(*order_within)
+    ranked = staged.withColumn("__lrank", F.row_number().over(w_local))
+    counts = staged.groupBy(source_col, "__salt").agg(
+        F.count(F.lit(1)).alias("__c")
+    )
+    w_pfx = (
+        Window.partitionBy(source_col)
+        .orderBy("__salt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_src = Window.partitionBy(source_col)
+    offsets = counts.select(
+        source_col,
+        "__salt",
+        F.coalesce(F.sum("__c").over(w_pfx), F.lit(0)).alias("__off"),
+        F.sum("__c").over(w_src).alias("__n"),
+    )
+    out = (
+        ranked.join(F.broadcast(offsets), [source_col, "__salt"])
+        .withColumn(
+            "progress",
+            grid((F.col("__lrank") + F.col("__off") - 0.5) / F.col("__n"), 9),
+        )
+        .drop("__lrank", "__off", "__n", "__salt")
+    )
+    return out.orderBy("progress", source_col, *order_within).drop("__h")

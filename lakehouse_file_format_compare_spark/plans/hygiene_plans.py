@@ -24,6 +24,8 @@ test_ranking.py, test_decontaminate.py, test_stats.py)."""
 
 from __future__ import annotations
 
+import threading
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -63,6 +65,20 @@ from ..sources.testdata import table
 # ---------------------------------------------------------------------------
 
 _SHARED_DOCS: dict[tuple[int, str], tuple[float, DataFrame]] = {}
+# r9 (r8 advisor): the check-then-set below is lock-guarded — two
+# threads racing the first call could both persist, leaking one
+# MEMORY_AND_DISK frame with no owner to unpersist it.
+_SHARED_DOCS_LOCK = threading.Lock()
+
+
+def _safe_unpersist(df: DataFrame) -> None:
+    # the cached session may have been stopped since the entry was
+    # made; unpersist against a dead SparkContext raises — evict, not
+    # crash (r8 advisor)
+    try:
+        df.unpersist()
+    except Exception:
+        pass
 
 
 def _shared_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -73,20 +89,24 @@ def _shared_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = os.path.abspath(os.path.join(sf_dir, "documents.parquet"))
     key = (id(spark), path)
     mtime = os.path.getmtime(path)
-    hit = _SHARED_DOCS.get(key)
-    if hit is not None:
-        if hit[0] == mtime:
-            return hit[1]
-        hit[1].unpersist()
-    df = table(spark, sf_dir, "documents").persist(StorageLevel.MEMORY_AND_DISK)
-    _SHARED_DOCS[key] = (mtime, df)
-    return df
+    with _SHARED_DOCS_LOCK:
+        hit = _SHARED_DOCS.get(key)
+        if hit is not None:
+            if hit[0] == mtime:
+                return hit[1]
+            _safe_unpersist(hit[1])
+        df = table(spark, sf_dir, "documents").persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+        _SHARED_DOCS[key] = (mtime, df)
+        return df
 
 
 def uncache_shared_docs() -> None:
-    for _, df in _SHARED_DOCS.values():
-        df.unpersist()
-    _SHARED_DOCS.clear()
+    with _SHARED_DOCS_LOCK:
+        for _, df in _SHARED_DOCS.values():
+            _safe_unpersist(df)
+        _SHARED_DOCS.clear()
 
 BM25_TERMS = ["data", "system", "the"]
 DECON_N = 8

@@ -500,11 +500,29 @@ class Warehouse:
         )
         self._commit_version(applied, layer, name, fmt, op="scd2")
 
-    def vacuum(self, layer: str, name: str, fmt: str = "parquet", keep_last: int = 2) -> int:
+    def vacuum(
+        self,
+        layer: str,
+        name: str,
+        fmt: str = "parquet",
+        keep_last: int = 2,
+        staging_retention_s: float = 3600.0,
+    ) -> int:
         """Remove snapshot data dirs no longer reachable from the last
         ``keep_last`` manifest entries (and not the current). Returns
         number of snapshots removed. The production companion of
-        time travel — old snapshots otherwise accumulate forever."""
+        time travel — old snapshots otherwise accumulate forever.
+
+        Staging dirs (``_staging_*``) are reaped only past
+        ``staging_retention_s`` (mtime-based): the data write into a
+        staging dir happens OUTSIDE the commit lock and can run for
+        minutes, so "any surviving staging dir belongs to a crashed
+        writer" is false while a commit is in flight — an
+        unconditional reap could delete files mid-write or let a
+        partial snapshot get renamed to v{N} (r8 advisor). Mirrors
+        Delta/Iceberg orphan-file retention: default 1h, far past any
+        single write at dashboard scale; size it to your longest write
+        at 100 TB."""
         m = self._read_manifest(layer, name, fmt)
         if not m:
             return 0
@@ -519,15 +537,23 @@ class Warehouse:
                 )
         root = self.path(layer, name, fmt)
         removed = 0
+        now = time.time()
         for entry in os.listdir(root):
             full = os.path.join(root, entry)
             is_stale_snapshot = (
                 entry.startswith("v") and entry[1:].isdigit() and int(entry[1:]) not in keep
             )
             is_stale_partition = entry.startswith("p_") and entry not in reachable_partition_dirs
-            # staging dirs are pre-commit: any that survive belong to a
-            # crashed writer (a successful commit renames them to v{N})
-            is_orphan_staging = entry.startswith("_staging_")
+            # staging dirs are pre-commit; reap only past the retention
+            # window — a younger one may belong to an IN-FLIGHT writer
+            # whose data lands outside the commit lock
+            is_orphan_staging = False
+            if entry.startswith("_staging_"):
+                try:
+                    age = now - os.path.getmtime(full)
+                except OSError:
+                    age = 0.0  # racing writer just renamed/removed it
+                is_orphan_staging = age > staging_retention_s
             if is_stale_snapshot or is_stale_partition or is_orphan_staging:
                 shutil.rmtree(full, ignore_errors=True)
                 removed += 1

@@ -68,16 +68,26 @@ STATE_SCHEMA = StructType([
 ])
 
 
+def _order_key(kv):
+    """(count desc, item asc) with a NULL item sorting FIRST among
+    equal counts — exactly Spark's default ASC NULLS FIRST, so the
+    streaming summary tie-breaks like the batch operator's window
+    (operators/sketches.py topk_partial_summaries)."""
+    item, cnt = kv
+    return (-cnt, 0 if item is None else 1, item or "")
+
+
 def merge_and_truncate(
     state_map: dict, batch_map: dict, k: int
 ) -> tuple[dict, int]:
     """The shared merge rule (also used by the test's Python fold):
-    sum per-item counts, keep the top k by (count desc, item asc),
-    return (kept map, extra bound = largest dropped count or 0)."""
+    sum per-item counts, keep the top k by (count desc, item asc,
+    nulls first), return (kept map, extra bound = largest dropped
+    count or 0)."""
     merged = dict(state_map)
     for item, c in batch_map.items():
         merged[item] = merged.get(item, 0) + c
-    ordered = sorted(merged.items(), key=lambda kv: (-kv[1], kv[0]))
+    ordered = sorted(merged.items(), key=_order_key)
     kept = dict(ordered[:k])
     extra = ordered[k][1] if len(ordered) > k else 0
     return kept, extra
@@ -98,12 +108,17 @@ def _topk_fn_factory(k: int):
         batch_n = 0
         for pdf in pdfs:
             batch_n += len(pdf)
-            for item, c in pdf["item"].value_counts().items():
-                batch_counts[str(item)] = batch_counts.get(str(item), 0) + int(c)
+            # dropna=False: null items are rows too — batch_n counts
+            # them, so the counts must as well or "rows are counted
+            # EXACTLY" breaks and the summary diverges from the batch
+            # operator (Spark groupBy keeps null keys). r8 advisor.
+            for item, c in pdf["item"].value_counts(dropna=False).items():
+                key = None if _pd.isna(item) else str(item)
+                batch_counts[key] = batch_counts.get(key, 0) + int(c)
 
         # exact per-batch partial: top-k kept, rank-(k+1) count is the
         # batch bound (same construction as topk_partial_summaries)
-        ordered = sorted(batch_counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        ordered = sorted(batch_counts.items(), key=_order_key)
         batch_kept = dict(ordered[:k])
         batch_bound = ordered[k][1] if len(ordered) > k else 0
 
@@ -112,7 +127,7 @@ def _topk_fn_factory(k: int):
         n_rows += batch_n
         seq += 1
 
-        keys = sorted(smap.items(), key=lambda kv: (-kv[1], kv[0]))
+        keys = sorted(smap.items(), key=_order_key)
         state.update((
             seq, [i for i, _ in keys], [c for _, c in keys], bound, n_rows
         ))

@@ -169,3 +169,41 @@ def test_shared_docs_cache_mtime_invalidation(spark, tmp_path):
         assert b.count() == 250
     finally:
         uncache_shared_docs()
+
+
+def test_shared_docs_cache_is_thread_safe_and_tolerates_dead_entries(spark):
+    """r9 (r8 advisor): concurrent FIRST calls must not double-persist
+    (one frame would leak with no owner), and uncache must survive
+    entries whose session has since been stopped."""
+    import threading
+
+    from lakehouse_file_format_compare_spark.plans import hygiene_plans as hp
+
+    hp.uncache_shared_docs()
+    results, errs = [], []
+
+    def grab():
+        try:
+            results.append(hp._shared_docs(spark, SF))
+        except Exception as e:  # pragma: no cover - failure surface
+            errs.append(e)
+
+    threads = [threading.Thread(target=grab) for _ in range(6)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errs
+    assert len(results) == 6
+    assert all(r is results[0] for r in results), "racing calls got different frames"
+    assert len(hp._SHARED_DOCS) == 1
+
+    # a dead entry (fabricated: object whose unpersist raises) must
+    # not break uncache for the healthy ones
+    class _Dead:
+        def unpersist(self):
+            raise RuntimeError("SparkContext was shut down")
+
+    hp._SHARED_DOCS[(0, "/nonexistent")] = (0.0, _Dead())
+    hp.uncache_shared_docs()  # must not raise
+    assert not hp._SHARED_DOCS

@@ -1112,3 +1112,82 @@ def test_top_k_per_group_hot_group_salted_equal(spark):
     assert a == b
     print(f"top_k hot-group 10x (n={n}): plain={t_plain:.2f}s salted={t_salted:.2f}s")
     hot.unpersist()
+
+
+@pytest.mark.scale
+def test_interleave_dominant_source_no_single_task_rank(spark):
+    """r9 (r8 verdict #3): a crawl corpus is ONE dominant source, so
+    interleave_sources' rank must not serialize that source through a
+    single task's sort. Contracts: (a) the rank window partitions by
+    (source, __salt) — visible in the plan; (b) the widest
+    (source, salt) bucket on a 10x corpus where one source owns ~95%
+    of rows is a small fraction of the dominant source (md5-uniform
+    salt, deterministic given the data); (c) order output is UNCHANGED
+    by input partitioning at the hot-source shape; (d) wall at 10x
+    within the informational envelope."""
+    import time
+    from functools import reduce
+
+    from pyspark.sql import DataFrame
+
+    from lakehouse_file_format_compare_spark.operators.sampling import (
+        interleave_sources,
+    )
+
+    docs = table(spark, SF_SCALE, "documents").select("doc_id", "source")
+    n1 = docs.count()
+    copies = [
+        docs.select(
+            (F.col("doc_id") + F.lit(i * 10_000_000)).alias("doc_id"),
+            # copies 1..9 all land in one dominant source
+            (F.lit("__hot") if i else F.col("source")).alias("source"),
+        )
+        for i in range(10)
+    ]
+    hot = reduce(DataFrame.unionByName, copies).repartition(32).cache()
+    n10 = hot.count()
+    assert n10 == 10 * n1
+
+    # (a) plan: salted rank window, no per-source-only row_number
+    df = interleave_sources(hot, "source", ("doc_id",))
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "__salt" in plan, "rank window lost its salt"
+    assert "BatchEvalPython" not in plan and "CartesianProduct" not in plan
+
+    # (b) widest rank-window partition ≪ dominant source size
+    buckets = (
+        hot.withColumn(
+            "__salt",
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2),
+        )
+        .groupBy("source", "__salt")
+        .count()
+        .agg(F.max("count").alias("mx"))
+        .first()["mx"]
+    )
+    n_hot = 9 * n1
+    assert buckets < n_hot / 64, (buckets, n_hot)  # expected ~n_hot/256
+
+    # (c) exact order, partitioning-invariant at the hot shape
+    t0 = time.perf_counter()
+    a = [r["doc_id"] for r in df.select("doc_id").collect()]
+    t10 = time.perf_counter() - t0
+    b = [
+        r["doc_id"]
+        for r in interleave_sources(hot.repartition(7), "source", ("doc_id",))
+        .select("doc_id")
+        .collect()
+    ]
+    assert a == b and len(a) == n10
+
+    t0 = time.perf_counter()
+    interleave_sources(docs, "source", ("doc_id",)).select("doc_id").collect()
+    t1 = time.perf_counter() - t0
+    ratio = t10 / max(t1, 1.0)
+    _check_wall_ratio(
+        ratio, f"interleave 10x-hot cost {ratio:.1f}x (t1={t1:.2f}s t10={t10:.2f}s)"
+    )
+    print(f"interleave 10x-hot: t1={t1:.2f}s t10={t10:.2f}s widest bucket {buckets}")
+    hot.unpersist()

@@ -17,6 +17,7 @@ from lakehouse_file_format_compare_spark.streaming.stateful import (
     drain_available_now,
 )
 from lakehouse_file_format_compare_spark.streaming.topk_stream import (
+    _order_key,
     merge_and_truncate,
     topk_stream,
 )
@@ -81,7 +82,7 @@ def _python_fold(batches, k):
             counts[grp][item] = counts[grp].get(item, 0) + 1
         for grp, cmap in counts.items():
             smap, bound, n = state.get(grp, ({}, 0, 0))
-            ordered = sorted(cmap.items(), key=lambda kv: (-kv[1], kv[0]))
+            ordered = sorted(cmap.items(), key=_order_key)
             kept = dict(ordered[:k])
             bbound = ordered[k][1] if len(ordered) > k else 0
             smap, extra = merge_and_truncate(smap, kept, k)
@@ -213,3 +214,55 @@ def test_validation(spark):
     ev = table(spark, SF_SMOKE, "events")
     with pytest.raises(ValueError):
         topk_stream(ev, 0)
+
+
+def test_null_items_are_counted_exactly(spark, tmp_path_factory):
+    """r9 (r8 advisor): value_counts() silently dropped null items
+    while batch_n counted their rows, so 'rows are counted EXACTLY'
+    was violated on null-bearing streams. Nulls are now a real item
+    (dropna=False), tie-breaking NULLS FIRST like Spark's batch
+    window — the summary must match the batch operator, which keeps
+    null keys."""
+    src_dir = str(tmp_path_factory.mktemp("ev_topk_nulls"))
+    rows = (
+        [(i, "a", "x") for i in range(6)]
+        + [(i + 10, "a", None) for i in range(4)]  # 4 null items
+        + [(i + 20, "a", "y") for i in range(4)]   # tie with null on 4
+        + [(i + 30, "b", None) for i in range(3)]
+    )
+    df = spark.createDataFrame(rows, "event_id long, grp string, item string")
+    df.coalesce(1).write.mode("overwrite").parquet(src_dir)
+    stream = spark.readStream.schema(
+        "event_id long, grp string, item string"
+    ).parquet(src_dir)
+    out = _final(
+        _drain(
+            spark,
+            topk_stream(stream, 3, group_col="grp", item_col="item"),
+            "topk_nulls",
+            tmp_path_factory,
+        )
+    )
+    got = {
+        (r["grp"], r["rank"]): (r["item"], r["lower_bound"], r["n_rows"])
+        for r in out.collect()
+    }
+    # group a: x=6, null=4, y=4 -> null outranks y (NULLS FIRST tie)
+    assert got[("a", 1)] == ("x", 6, 14)
+    assert got[("a", 2)] == (None, 4, 14)
+    assert got[("a", 3)] == ("y", 4, 14)
+    # group b: only nulls; n_rows counts them
+    assert got[("b", 1)] == (None, 3, 3)
+
+    # cross-check against the batch operator on the same frame
+    from lakehouse_file_format_compare_spark.operators.sketches import (
+        topk_partial_summaries,
+    )
+
+    batch = {
+        r["grp"]: r
+        for r in topk_partial_summaries(df, ["grp"], "item", k=3).collect()
+    }
+    assert batch["a"]["n_rows"] == 14 and batch["b"]["n_rows"] == 3
+    a_items = [(it["rank"], it["item"], it["cnt"]) for it in batch["a"]["items"]]
+    assert a_items == [(1, "x", 6), (2, None, 4), (3, "y", 4)]

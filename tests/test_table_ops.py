@@ -251,12 +251,40 @@ def test_commit_lock_timeout_names_the_lock(spark, wh, tmp_path):
 
 
 def test_vacuum_removes_orphan_staging_dirs(spark, wh):
+    """Stale staging dirs (older than the retention window) are
+    crashed writers and get reaped; mtime is set back to simulate
+    the crash happening hours ago."""
     import os
+    import time
 
     wh.merge_table(_base(spark), "silver", "t", keys=["k"])
     root = wh.path("silver", "t", "parquet")
-    os.makedirs(os.path.join(root, "_staging_deadbeef"))  # crashed writer
+    dead = os.path.join(root, "_staging_deadbeef")
+    os.makedirs(dead)  # crashed writer
+    old = time.time() - 7200
+    os.utime(dead, (old, old))
     removed = wh.vacuum("silver", "t", keep_last=5)
     assert removed >= 1
     assert not [e for e in os.listdir(root) if e.startswith("_staging_")]
     assert len(wh.read_table("silver", "t").collect()) == 4
+
+
+def test_vacuum_spares_in_flight_staging_dirs(spark, wh):
+    """r9 (r8 advisor): the data write into a staging dir runs OUTSIDE
+    the commit lock and can take minutes — a concurrent vacuum must
+    NOT delete a staging dir younger than the retention window (it
+    could rip files out from under an in-flight commit, or let a
+    partial snapshot be published as v{N})."""
+    import os
+
+    wh.merge_table(_base(spark), "silver", "t", keys=["k"])
+    root = wh.path("silver", "t", "parquet")
+    live = os.path.join(root, "_staging_cafef00d")
+    os.makedirs(live)  # fresh mtime == writer still in flight
+    wh.vacuum("silver", "t", keep_last=5)
+    assert os.path.isdir(live), "vacuum reaped an in-flight staging dir"
+    # but an explicit no-retention vacuum (maintenance mode, caller
+    # asserts no writers) still reaps it (-1: immune to coarse-mtime
+    # filesystems where a fresh dir's age can round to <= 0)
+    wh.vacuum("silver", "t", keep_last=5, staging_retention_s=-1.0)
+    assert not os.path.isdir(live)
