@@ -17,9 +17,17 @@ Noise robustness (r7 verdict #3): two rounds running, the driver's
 recorded run landed on a contended host and the committed walls ran
 2x+ the builder's clean runs. Contention noise is strictly additive,
 so the steady figure per query is now the MIN over >=3 reps (per-rep
-walls recorded in the detail); the cold figure stays a single first
-run (it is one-shot by definition — the sentinel + loadavg flag its
-noise instead).
+walls recorded in the detail).
+
+Cold protocol (r9, r8 verdict #5): cold = plan compile + first IO,
+both additive-noise like everything else, so a single cold sample is
+just as contention-exposed as the steady walls were. The cold figure
+is now the per-query MIN over 2 reps, each in a FRESH session: rep 1
+runs in a ``--cold-probe`` subprocess (its own JVM, same warm-up
+discipline), rep 2 in this process before the steady loop. Both reps
+are recorded in the detail as ``cold_reps``; if the probe subprocess
+fails, the single in-process rep stands (noted in
+``cold_protocol``).
 
 Each query executes to a ``noop`` sink (full execution, no driver
 materialization cost), mirroring how the reference's gold stage
@@ -123,11 +131,7 @@ def _sentinel(spark) -> float:
     return round(time.perf_counter() - start, 3)
 
 
-def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
-    spark = build_session(app_name="lakehouse-ffc-bench")
-    spark.sparkContext.setLogLevel("ERROR")
+def build_bench_queries() -> dict:
     queries = all_queries()
     # bench times the raw serving paths, not the driver-facing recall
     # contracts (which deliberately also run the exact baselines —
@@ -162,6 +166,23 @@ def main() -> None:
 
     queries["pagerank_serving"] = _pagerank_serving
 
+    # r9: the driver row gained the streaming heavy-hitters drain
+    # (shh_* widening); bench keeps timing the raw hourly rollup so
+    # the entry stays comparable across rounds (widening cost is a
+    # verification artifact, not the serving path)
+    def _hourly_rollup_serving(spark_, sf_dir_):
+        from lakehouse_file_format_compare_spark.operators.rollup import time_rollup
+        from lakehouse_file_format_compare_spark.sources.testdata import table
+
+        return time_rollup(table(spark_, sf_dir_, "events"), bucket="1 hour")
+
+    queries["stream_hourly_rollup"] = _hourly_rollup_serving
+    return queries
+
+
+def warm_up(spark, sf_dir: str, queries: dict) -> None:
+    """Untimed one-time session costs, applied identically in every
+    session that measures (parent and cold-probe subprocess)."""
     # JVM/codegen warm-up on an untimed tiny query
     queries["tpch_local_supplier_volume"](spark, sf_dir).write.format("noop").mode("overwrite").save()
     # Python-worker-pool warm-up (untimed, same class as the JVM one):
@@ -190,24 +211,87 @@ def main() -> None:
     similarity_plans._centroids(_emb, sf_dir)
     similarity_plans._codebooks(_emb, sf_dir)
 
-    load_start = _loadavg()
-    sentinel_start = _sentinel(spark)
 
+def cold_pass(spark, sf_dir: str, queries: dict) -> dict[str, float]:
+    """First (cold) execution of every headline query: plan compile +
+    first IO. Must run in a warmed but otherwise virgin session."""
     timings: dict[str, float] = {}
-    steady: dict[str, float] = {}
-    steady_reps: dict[str, list[float]] = {}
     for name in HEADLINE:
         start = time.perf_counter()
         queries[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - start, 3)
+    return timings
+
+
+def _cold_probe_main(sf_dir: str) -> None:
+    """Subprocess entry (``bench.py --cold-probe``): fresh JVM, same
+    warm-up discipline, ONE cold pass, one JSON line on stdout."""
+    spark = build_session(app_name="lakehouse-ffc-bench-coldprobe")
+    spark.sparkContext.setLogLevel("ERROR")
+    queries = build_bench_queries()
+    warm_up(spark, sf_dir, queries)
+    timings = cold_pass(spark, sf_dir, queries)
+    print(json.dumps({"cold": timings}))
+    sys.stdout.flush()
+    spark.stop()
+
+
+def _spawn_cold_probe(sf_dir: str) -> dict[str, float] | None:
+    import subprocess
+
+    try:
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--cold-probe"],
+            capture_output=True, text=True, timeout=1800,
+            env=dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir),
+        )
+        if out.returncode != 0:
+            return None
+        return json.loads(out.stdout.strip().splitlines()[-1])["cold"]
+    except Exception:  # noqa: BLE001 — probe is best-effort
+        return None
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+    if "--cold-probe" in sys.argv:
+        _cold_probe_main(sf_dir)
+        return
+
+    # cold rep 1: fresh subprocess JVM (r9 cold protocol)
+    probe_cold = _spawn_cold_probe(sf_dir)
+
+    spark = build_session(app_name="lakehouse-ffc-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    queries = build_bench_queries()
+    warm_up(spark, sf_dir, queries)
+
+    load_start = _loadavg()
+    sentinel_start = _sentinel(spark)
+
+    # cold rep 2: this (equally fresh) session
+    local_cold = cold_pass(spark, sf_dir, queries)
+    cold_reps: dict[str, list[float]] = {
+        name: ([probe_cold[name]] if probe_cold and name in probe_cold else [])
+        + [local_cold[name]]
+        for name in HEADLINE
+    }
+    timings = {name: min(reps) for name, reps in cold_reps.items()}
+    cold_protocol = (
+        "min of 2 reps, fresh session each" if probe_cold
+        else "single rep (cold-probe subprocess failed)"
+    )
+
+    steady: dict[str, float] = {}
+    steady_reps: dict[str, list[float]] = {}
+    for name in HEADLINE:
         # steady runs: whole-stage-codegen compiled, JIT warm — the
         # per-query cost that amortizes at scale. MIN over N reps:
         # host-contention noise is strictly additive, so the min is
         # the honest plan cost (r7 verdict #3 — two rounds of
         # committed artifacts were 2x+ inflated by a contended host).
-        # Per-rep walls are kept as data in the detail JSON. The
-        # headline metric stays the single cold run (round 1/2
-        # protocol); its noise is flagged by the sentinel instead.
+        # Per-rep walls are kept as data in the detail JSON.
         reps = []
         for _ in range(STEADY_REPS):
             start = time.perf_counter()
@@ -257,6 +341,8 @@ def main() -> None:
         "unit": "sec",
         "sf": sf,
         "queries_cold": timings,
+        "cold_reps": cold_reps,
+        "cold_protocol": cold_protocol,
         "queries_steady": steady,
         "steady_reps": steady_reps,
         "steady_protocol": f"min of {STEADY_REPS} reps",

