@@ -914,37 +914,125 @@ WHERE l_quantity < 0.5 * avg_qty
 """
 
 
+PROF_COLS = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"]
+SKEW_TOP_K = 5
+
+
 def pivot_status_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PIVOT operator (wide reshape — absent from the reference):
     order counts by priority x status, fixed pivot values so the
     output schema is static (the scale-safe form: no value-discovery
-    scan)."""
+    scan).
+
+    Widened in r9 with the data-profiling family
+    (operators/profiling.py): prof_* scalars reduce the per-column
+    profile of PROF_COLS (row/null/distinct totals + an order-weighted
+    distinct fingerprint + grid-snapped numeric extrema sums) and
+    skew_* scalars carry the o_custkey key-skew report (key count,
+    max/p99 group size, top-1 heavy key, top-k fingerprint) — every
+    value exact in the oracle."""
+    from ..operators.profiling import key_skew_report, profile_table
+
     orders = table(spark, sf_dir, "orders")
     pivoted = (
         orders.groupBy("o_orderpriority")
         .pivot("o_orderstatus", ["F", "O", "P"])
         .count()
     )
+    prof = profile_table(orders, PROF_COLS)
+    # deterministic per-column weight: 1-based position in PROF_COLS
+    w = None
+    for i, c in enumerate(PROF_COLS):
+        cond = F.col("column") == c
+        w = F.when(cond, i + 1) if w is None else w.when(cond, i + 1)
+    prof_agg = prof.agg(
+        F.max("n_rows").cast("long").alias("prof_rows"),
+        F.sum("n_nulls").cast("long").alias("prof_nulls_total"),
+        F.sum(F.col("n_distinct") * w).cast("long").alias("prof_distinct_fp"),
+        grid(F.sum(F.coalesce(F.col("max_num"), F.lit(0.0))), 2).alias(
+            "prof_max_num_sum"
+        ),
+        F.min("min_str").alias("prof_min_str"),
+    )
+    skew = key_skew_report(orders, ["o_custkey"], top_k=SKEW_TOP_K).select(
+        F.col("n_keys").alias("skew_keys"),
+        F.col("max_count").alias("skew_max"),
+        F.col("p99_count").alias("skew_p99"),
+        F.col("top1_key").alias("skew_top1_key"),
+        F.col("topk_fp").alias("skew_topk_fp"),
+    )
     # pivot().count() yields NULL (not 0) for absent (priority, status)
     # combos — coalesce to 0 so the result is stable at scale factors
     # where a combo is empty.
-    return pivoted.select(
-        "o_orderpriority",
-        F.coalesce(F.col("F"), F.lit(0)).alias("n_f"),
-        F.coalesce(F.col("O"), F.lit(0)).alias("n_o"),
-        F.coalesce(F.col("P"), F.lit(0)).alias("n_p"),
+    return (
+        pivoted.select(
+            "o_orderpriority",
+            F.coalesce(F.col("F"), F.lit(0)).alias("n_f"),
+            F.coalesce(F.col("O"), F.lit(0)).alias("n_o"),
+            F.coalesce(F.col("P"), F.lit(0)).alias("n_p"),
+        )
+        .crossJoin(F.broadcast(prof_agg))
+        .crossJoin(F.broadcast(skew))
     )
 
 
 # CAST AS BIGINT: DuckDB's SUM(CASE ...) is HUGEINT (int128) while Spark's
 # pivot count() is BIGINT — same values, different hash rendering.
-PIVOT_STATUS_MATRIX_SQL = """
+PIVOT_STATUS_MATRIX_SQL = f"""
+WITH prof AS (
+    SELECT MAX(n_rows) AS prof_rows,
+           CAST(SUM(n_nulls) AS BIGINT) AS prof_nulls_total,
+           CAST(SUM(n_distinct * w) AS BIGINT) AS prof_distinct_fp,
+           floor(SUM(COALESCE(max_num, 0.0)) * 100 + 0.5) / 100 AS prof_max_num_sum,
+           MIN(min_str) AS prof_min_str
+    FROM (
+        SELECT 1 AS w, COUNT(*) AS n_rows, COUNT(*) - COUNT(o_orderkey) AS n_nulls,
+               COUNT(DISTINCT o_orderkey) AS n_distinct,
+               floor(CAST(MAX(o_orderkey) AS DOUBLE) * 100 + 0.5) / 100 AS max_num,
+               NULL AS min_str
+        FROM orders
+        UNION ALL
+        SELECT 2, COUNT(*), COUNT(*) - COUNT(o_custkey),
+               COUNT(DISTINCT o_custkey),
+               floor(CAST(MAX(o_custkey) AS DOUBLE) * 100 + 0.5) / 100, NULL
+        FROM orders
+        UNION ALL
+        SELECT 3, COUNT(*), COUNT(*) - COUNT(o_orderstatus),
+               COUNT(DISTINCT o_orderstatus),
+               NULL, CAST(MIN(o_orderstatus) AS VARCHAR)
+        FROM orders
+        UNION ALL
+        SELECT 4, COUNT(*), COUNT(*) - COUNT(o_totalprice),
+               COUNT(DISTINCT o_totalprice),
+               floor(CAST(MAX(o_totalprice) AS DOUBLE) * 100 + 0.5) / 100, NULL
+        FROM orders
+    )
+), kc AS (
+    SELECT CAST(o_custkey AS VARCHAR) AS key, COUNT(*) AS cnt
+    FROM orders GROUP BY 1
+), ktop AS (
+    SELECT key, cnt, row_number() OVER (ORDER BY cnt DESC, key) AS rn
+    FROM kc ORDER BY cnt DESC, key LIMIT {SKEW_TOP_K}
+), skew AS (
+    SELECT (SELECT COUNT(*) FROM kc) AS skew_keys,
+           (SELECT MAX(cnt) FROM kc) AS skew_max,
+           (SELECT floor(quantile_cont(cnt, 0.99) * 10000 + 0.5) / 10000
+            FROM kc) AS skew_p99,
+           MAX(CASE WHEN rn = 1 THEN key END) AS skew_top1_key,
+           CAST(SUM(rn * cnt) AS BIGINT) AS skew_topk_fp
+    FROM ktop
+)
 SELECT o_orderpriority,
        CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
        CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o,
-       CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_p
-FROM orders
-GROUP BY o_orderpriority
+       CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_p,
+       prof_rows, prof_nulls_total, prof_distinct_fp, prof_max_num_sum,
+       prof_min_str,
+       skew_keys, skew_max, skew_p99, skew_top1_key, skew_topk_fp
+FROM orders, prof, skew
+GROUP BY o_orderpriority, prof_rows, prof_nulls_total, prof_distinct_fp,
+         prof_max_num_sum, prof_min_str,
+         skew_keys, skew_max, skew_p99, skew_top1_key, skew_topk_fp
 """
 
 
