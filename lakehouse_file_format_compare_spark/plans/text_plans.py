@@ -15,25 +15,97 @@ from ..sources.testdata import table
 _PUNCT_DUCK = T.PUNCT_RE.replace("'", "''")
 
 
+VOCAB_TOP_V = 25
+BPE_TOP_K = 25
+
+
 def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc token statistics; widened in r9 with the
+    tokenizer-TRAINING statistics (operators/vocab.py): vocab_*
+    scalars fingerprint the top-V word vocabulary and bpe_* scalars
+    the top-K BPE merge-pair counts (Sennrich step 1, counted over
+    the distinct-word table weighted by frequency — the trainer's
+    scale shape). Every widened value is exact in the oracle."""
+    from ..operators.vocab import bpe_merge_candidates, word_vocabulary
+
     docs = table(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("n").desc(), F.col("word"))
+    vocab = (
+        word_vocabulary(docs, top_v=VOCAB_TOP_V)
+        .withColumn("__rn", F.row_number().over(w))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("vocab_terms"),
+            F.max(F.when(F.col("__rn") == 1, F.col("word"))).alias("vocab_top_word"),
+            F.max(F.when(F.col("__rn") == 1, F.col("n"))).cast("long").alias(
+                "vocab_top_n"
+            ),
+            F.sum(F.col("__rn") * F.col("n")).cast("long").alias("vocab_fp"),
+        )
+    )
+    wp = Window.orderBy(F.col("n").desc(), F.col("pair"))
+    bpe = (
+        bpe_merge_candidates(docs, top_k=BPE_TOP_K)
+        .withColumn("__rn", F.row_number().over(wp))
+        .agg(
+            F.max(F.when(F.col("__rn") == 1, F.col("pair"))).alias("bpe_top_pair"),
+            F.max(F.when(F.col("__rn") == 1, F.col("n"))).cast("long").alias(
+                "bpe_top_n"
+            ),
+            F.sum(F.col("__rn") * F.col("n")).cast("long").alias("bpe_fp"),
+        )
+    )
     return docs.select(
         "doc_id",
         F.length("text").alias("n_chars_actual"),
         T.token_count(F.col("text")).alias("n_tokens"),
         T.bpe_ish_token_count(F.col("text")).alias("n_bpe_tokens"),
         F.regexp_count(F.col("text"), F.lit(T.PUNCT_RE)).alias("n_punct"),
-    )
+    ).crossJoin(F.broadcast(vocab)).crossJoin(F.broadcast(bpe))
 
 
 TOKEN_STATS_SQL = f"""
+WITH words AS (
+    SELECT word, COUNT(*) AS n FROM (
+        SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS word
+        FROM documents
+    ) WHERE length(word) > 0
+    GROUP BY word
+), vtop AS (
+    SELECT word, n, row_number() OVER (ORDER BY n DESC, word) AS rn
+    FROM words ORDER BY n DESC, word LIMIT {VOCAB_TOP_V}
+), vagg AS (
+    SELECT COUNT(*) AS vocab_terms,
+           MAX(CASE WHEN rn = 1 THEN word END) AS vocab_top_word,
+           MAX(CASE WHEN rn = 1 THEN n END) AS vocab_top_n,
+           CAST(SUM(rn * n) AS BIGINT) AS vocab_fp
+    FROM vtop
+), bpairs AS (
+    SELECT substr(word, i, 2) AS pair, CAST(SUM(n) AS BIGINT) AS n
+    FROM words, LATERAL (
+        SELECT unnest(generate_series(1, length(word) - 1)) AS i
+    )
+    WHERE length(word) >= 2
+    GROUP BY 1
+), btop AS (
+    SELECT pair, n, row_number() OVER (ORDER BY n DESC, pair) AS rn
+    FROM bpairs ORDER BY n DESC, pair LIMIT {BPE_TOP_K}
+), bagg AS (
+    SELECT MAX(CASE WHEN rn = 1 THEN pair END) AS bpe_top_pair,
+           MAX(CASE WHEN rn = 1 THEN n END) AS bpe_top_n,
+           CAST(SUM(rn * n) AS BIGINT) AS bpe_fp
+    FROM btop
+)
 SELECT doc_id,
        length(text) AS n_chars_actual,
        CASE WHEN length(trim(text)) = 0 THEN 0
             ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens,
        len(regexp_extract_all(text, '([A-Za-z]+|[0-9]|[^A-Za-z0-9\\s])')) AS n_bpe_tokens,
-       len(regexp_extract_all(text, '{_PUNCT_DUCK}')) AS n_punct
-FROM documents
+       len(regexp_extract_all(text, '{_PUNCT_DUCK}')) AS n_punct,
+       vocab_terms, vocab_top_word, vocab_top_n, vocab_fp,
+       bpe_top_pair, bpe_top_n, bpe_fp
+FROM documents, vagg, bagg
 """
 
 

@@ -1,0 +1,124 @@
+"""Tokenizer-training statistics (operators/vocab.py): word
+vocabulary and BPE merge-pair counts, DuckDB-replayed exactly on the
+sf0.01 documents corpus, cross-checked against a pure-Python BPE
+step-1 reference on a hand corpus, with the vocabulary-weighted
+scale shape pinned in the plan."""
+
+from __future__ import annotations
+
+import os
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from lakehouse_file_format_compare_spark.operators.vocab import (
+    bpe_merge_candidates,
+    word_vocabulary,
+)
+from lakehouse_file_format_compare_spark.sources.testdata import table
+
+from .conftest import SF_CORRECTNESS
+
+DOCS = os.path.join(SF_CORRECTNESS, "documents.parquet")
+
+
+def test_word_vocabulary_matches_duckdb(spark):
+    docs = table(spark, SF_CORRECTNESS, "documents")
+    got = [(r["word"], r["n"]) for r in
+           word_vocabulary(docs, top_v=40).collect()]
+    con = duckdb.connect()
+    want = con.execute(f"""
+        SELECT word, COUNT(*) AS n FROM (
+            SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS word
+            FROM read_parquet('{DOCS}')
+        ) WHERE length(word) > 0
+        GROUP BY word ORDER BY n DESC, word LIMIT 40
+    """).fetchall()
+    con.close()
+    # the synthetic corpus has a ~31-word vocabulary; both engines
+    # must agree on the full (sub-limit) list
+    assert got == [tuple(w) for w in want] and len(got) > 20
+
+
+def test_bpe_pairs_match_duckdb(spark):
+    docs = table(spark, SF_CORRECTNESS, "documents")
+    got = [(r["pair"], r["n"]) for r in
+           bpe_merge_candidates(docs, top_k=30).collect()]
+    con = duckdb.connect()
+    want = con.execute(f"""
+        WITH words AS (
+            SELECT word, COUNT(*) AS wn FROM (
+                SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS word
+                FROM read_parquet('{DOCS}')
+            ) WHERE length(word) > 0
+            GROUP BY word
+        ), pairs AS (
+            SELECT substr(word, i, 2) AS pair, wn
+            FROM words, LATERAL (
+                SELECT unnest(generate_series(1, length(word) - 1)) AS i
+            )
+            WHERE length(word) >= 2
+        )
+        SELECT pair, CAST(SUM(wn) AS BIGINT) AS n
+        FROM pairs GROUP BY pair ORDER BY n DESC, pair LIMIT 30
+    """).fetchall()
+    con.close()
+    assert got == [tuple(w) for w in want] and len(got) == 30
+
+
+def test_bpe_pairs_equal_python_reference(spark):
+    """Hand corpus vs the textbook step-1 reference: count adjacent
+    char pairs of every word occurrence."""
+    texts = ["low low lower", "newest newest widest", "low"]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                               "doc_id long, text string")
+    got = {r["pair"]: r["n"] for r in
+           bpe_merge_candidates(df, top_k=1000).collect()}
+    ref: dict = {}
+    for t in texts:
+        for w in t.lower().split():
+            for a, b in zip(w, w[1:]):
+                ref[a + b] = ref.get(a + b, 0) + 1
+    assert got == ref
+    # 'lo'/'ow' appear in low(x3) + lower(x1) = 4 each
+    assert got["lo"] == 4 and got["ow"] == 4
+    # 'es' appears in newest(x2) + widest(x1) = 3
+    assert got["es"] == 3
+
+
+def test_vocab_weighted_shape_and_plan(spark):
+    """The pair explode must run over the DISTINCT-word table (one
+    corpus-side explode only), and top selection must be
+    TakeOrderedAndProject — never a global sort."""
+    docs = table(spark, SF_CORRECTNESS, "documents")
+    df = bpe_merge_candidates(docs, top_k=10)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "TakeOrderedAndProject" in plan
+    assert "BatchEvalPython" not in plan
+    # exactly two Generate (explode) DEFINITIONS: the corpus word
+    # explode and the vocab pair explode
+    assert plan.count("(") > 0 and plan.count("Generate") >= 2
+    v = word_vocabulary(docs, top_v=5)
+    plan_v = v._sc._jvm.PythonSQLUtils.explainString(
+        v._jdf.queryExecution(), "formatted"
+    )
+    assert "TakeOrderedAndProject" in plan_v
+    with pytest.raises(ValueError):
+        word_vocabulary(docs, top_v=0)
+    with pytest.raises(ValueError):
+        bpe_merge_candidates(docs, top_k=0)
+
+
+def test_single_char_and_empty_words_are_safe(spark):
+    df = spark.createDataFrame(
+        [(0, "a b c"), (1, "  "), (2, "xy")],
+        "doc_id long, text string",
+    )
+    pairs = {r["pair"]: r["n"] for r in
+             bpe_merge_candidates(df, top_k=10).collect()}
+    assert pairs == {"xy": 1}  # 1-char words contribute no pairs
+    vocab = {r["word"]: r["n"] for r in word_vocabulary(df, top_v=10).collect()}
+    assert vocab == {"a": 1, "b": 1, "c": 1, "xy": 1}
