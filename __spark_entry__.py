@@ -57,6 +57,18 @@ in lockstep); ``corpus_build_summary`` widened with ``pr_*``
 the oracle replays the full unrolled 6-iteration update rule) and
 ``cap_*`` (exact per-domain top-k cap selection fingerprint,
 operators/sampling.py::top_k_per_group).
+
+r9: ``stream_hourly_rollup`` widened with ``shh_*`` (streaming
+Misra-Gries heavy-hitters drained through a real
+applyInPandasWithState query, single-batch == exact top-k so the
+oracle replays it); ``op_pivot_status_matrix`` with ``prof_*``/
+``skew_*`` (operators/profiling.py: one-scan per-column table
+profile + key-skew report); ``text_token_stats`` with ``vocab_*``/
+``bpe_*`` (operators/vocab.py tokenizer-training statistics); and
+``text_lang_id`` with ``div_*``/``psi_*`` (operators/divergence.py:
+per-source token-distribution KL/JS/TV/chi2/coverage vs the corpus
+and per-source numeric PSI, reduced to exact nano/micro fixed-point
+LONG fingerprints the oracle replays from scratch).
 """
 
 from __future__ import annotations

@@ -153,6 +153,46 @@ FROM ratios
 """
 
 
+PSI_BINS_DRIVER = 8
+
+
+def _divergence_agg(docs: DataFrame) -> DataFrame:
+    """r9 widening: the distribution-shift family reduced to EXACT
+    integer scalars (operators/divergence.py — per-source token
+    KL/JS/TV/chi2/coverage vs the corpus, in nano/micro fixed-point
+    LONGs, plus the per-source n_chars PSI). Long sums of long
+    partials: partition-layout-proof by construction. The two
+    unpartitioned row_number windows here rank the PER-SOURCE
+    aggregate (one row per source — bounded by the number of corpus
+    sources, never by data volume), not a fact table."""
+    from pyspark.sql import Window
+
+    from ..operators.divergence import psi_nanos, token_divergence_nanos
+
+    part = token_divergence_nanos(docs, "source")
+    w = Window.orderBy(F.col("kl_nanos").desc(), F.col("source"))
+    div = part.withColumn("__rn", F.row_number().over(w)).agg(
+        F.count(F.lit(1)).cast("long").alias("div_sources"),
+        F.sum("kl_nanos").cast("long").alias("div_kl_nanos"),
+        F.sum("js_nanos").cast("long").alias("div_js_nanos"),
+        F.sum("tv_nanos").cast("long").alias("div_tv_nanos"),
+        F.sum("chi2_micros").cast("long").alias("div_chi2_micros"),
+        F.sum("cov_nanos").cast("long").alias("div_cov_nanos"),
+        F.max(F.when(F.col("__rn") == 1, F.col("source"))).alias(
+            "div_top_kl_source"
+        ),
+    )
+    pp = psi_nanos(docs, "source", "n_chars", n_bins=PSI_BINS_DRIVER)
+    wp = Window.orderBy(F.col("psi_nanos").desc(), F.col("source"))
+    psi = pp.withColumn("__rn", F.row_number().over(wp)).agg(
+        F.sum("psi_nanos").cast("long").alias("psi_nanos_total"),
+        F.max(F.when(F.col("__rn") == 1, F.col("source"))).alias(
+            "psi_top_source"
+        ),
+    )
+    return div.crossJoin(F.broadcast(psi))
+
+
 def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     scores = T.lang_scores(F.col("text"))
@@ -160,7 +200,7 @@ def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         *[scores[lang].alias(f"hits_{lang}") for lang in T.LANG_MARKERS],
         T.lang_id(F.col("text")).alias("lang_pred"),
-    )
+    ).crossJoin(F.broadcast(_divergence_agg(docs)))
 
 
 def _duck_hits(lang: str) -> str:
@@ -172,6 +212,13 @@ _LANG_CASE = " ".join(
     f"WHEN hits_{lang} = best AND best > 0 THEN '{lang}'" for lang in T.LANG_MARKERS
 )
 
+_PSI_B = 8  # PSI_BINS_DRIVER
+_PSI_A = 0.5  # operators/divergence.PSI_ALPHA
+
+# The div_*/psi_* replay is the full divergence computation from
+# scratch (same nano/micro fixed-point terms as the operator), reduced
+# to the exact integer scalars the Spark side broadcasts onto the
+# per-doc rows.
 LANG_ID_SQL = f"""
 WITH scored AS (
     SELECT doc_id,
@@ -179,10 +226,89 @@ WITH scored AS (
     FROM documents
 ), best_of AS (
     SELECT *, GREATEST({', '.join(f'hits_{lang}' for lang in T.LANG_MARKERS)}) AS best FROM scored
+), dv_gw AS (
+    SELECT source, word, CAST(COUNT(*) AS BIGINT) AS c FROM (
+        SELECT source,
+               unnest(string_split_regex(lower(trim(text)), '\\s+')) AS word
+        FROM documents)
+    WHERE length(word) > 0
+    GROUP BY source, word
+), dv_gl AS (
+    SELECT word, CAST(SUM(c) AS BIGINT) AS cw FROM dv_gw GROUP BY word
+), dv_pg AS (
+    SELECT source, CAST(SUM(c) AS BIGINT) AS ng FROM dv_gw GROUP BY source
+), dv_gr AS (
+    SELECT CAST(SUM(c) AS BIGINT) AS nn FROM dv_gw
+), dv_t0 AS (
+    SELECT dv_gw.source,
+           CAST(dv_gw.c AS DOUBLE) / dv_pg.ng AS p,
+           CAST(dv_gl.cw AS DOUBLE) / dv_gr.nn AS q,
+           CAST(dv_gw.c AS DOUBLE) AS cd, dv_pg.ng
+    FROM dv_gw JOIN dv_gl USING (word) JOIN dv_pg USING (source) CROSS JOIN dv_gr
+), dv_terms AS (
+    SELECT source,
+           CAST(floor((p * ln(p / q)) * 1000000000 + 0.5) AS BIGINT) AS klt,
+           CAST(floor((p / 2 * ln(p / ((p + q) / 2)) + q / 2 * ln(q / ((p + q) / 2))) * 1000000000 + 0.5) AS BIGINT) AS jst,
+           CAST(floor(abs(p - q) * 1000000000 + 0.5) AS BIGINT) AS tvt,
+           CAST(floor(((cd - ng * q) * (cd - ng * q) / (ng * q)) * 1000000 + 0.5) AS BIGINT) AS cht,
+           CAST(floor(q * 1000000000 + 0.5) AS BIGINT) AS cvt
+    FROM dv_t0
+), dv_agg AS (
+    SELECT source,
+           CAST(SUM(klt) AS BIGINT) AS kl_nanos,
+           CAST(SUM(jst) AS BIGINT) AS js_nanos,
+           CAST(SUM(tvt) AS BIGINT) AS tv_nanos,
+           CAST(SUM(cht) AS BIGINT) AS chi2_micros,
+           CAST(SUM(cvt) AS BIGINT) AS cov_nanos
+    FROM dv_terms GROUP BY source
+), dv AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS div_sources,
+           CAST(SUM(kl_nanos) AS BIGINT) AS div_kl_nanos,
+           CAST(SUM(js_nanos) AS BIGINT) AS div_js_nanos,
+           CAST(SUM(tv_nanos) AS BIGINT) AS div_tv_nanos,
+           CAST(SUM(chi2_micros) AS BIGINT) AS div_chi2_micros,
+           CAST(SUM(cov_nanos) AS BIGINT) AS div_cov_nanos,
+           MAX(CASE WHEN rn = 1 THEN source END) AS div_top_kl_source
+    FROM (SELECT *, row_number() OVER (ORDER BY kl_nanos DESC, source) AS rn
+          FROM dv_agg)
+), ps_base AS (
+    SELECT source, CAST(n_chars AS BIGINT) AS v FROM documents
+    WHERE n_chars IS NOT NULL
+), ps_bounds AS (
+    SELECT MIN(v) AS mn, MAX(v) AS mx FROM ps_base
+), ps_gb AS (
+    SELECT source, ((v - mn) * {_PSI_B}) // (mx - mn + 1) AS bin,
+           CAST(COUNT(*) AS BIGINT) AS c
+    FROM ps_base CROSS JOIN ps_bounds
+    GROUP BY 1, 2
+), ps_groups AS (
+    SELECT source, CAST(SUM(c) AS BIGINT) AS n FROM ps_gb GROUP BY source
+), ps_dense AS (
+    SELECT g.source, g.n, b.bin, COALESCE(ps_gb.c, 0) AS c
+    FROM ps_groups g
+    CROSS JOIN (SELECT unnest(generate_series(0, {_PSI_B - 1})) AS bin) b
+    LEFT JOIN ps_gb ON ps_gb.source = g.source AND ps_gb.bin = b.bin
+), ps_gbl AS (
+    SELECT bin, CAST(SUM(c) AS BIGINT) AS cb FROM ps_gb GROUP BY bin
+), ps_grand AS (
+    SELECT CAST(SUM(c) AS BIGINT) AS nn FROM ps_gb
+), ps_agg AS (
+    SELECT d.source,
+           CAST(SUM(CAST(floor((((d.c + {_PSI_A}) / (d.n + {_PSI_A} * {_PSI_B}) - (ps_gbl.cb + {_PSI_A}) / (ps_grand.nn + {_PSI_A} * {_PSI_B})) * ln(((d.c + {_PSI_A}) / (d.n + {_PSI_A} * {_PSI_B})) / ((ps_gbl.cb + {_PSI_A}) / (ps_grand.nn + {_PSI_A} * {_PSI_B})))) * 1000000000 + 0.5) AS BIGINT)) AS BIGINT) AS psi_nanos
+    FROM ps_dense d JOIN ps_gbl USING (bin) CROSS JOIN ps_grand
+    GROUP BY d.source
+), ps AS (
+    SELECT CAST(SUM(psi_nanos) AS BIGINT) AS psi_nanos_total,
+           MAX(CASE WHEN rn = 1 THEN source END) AS psi_top_source
+    FROM (SELECT *, row_number() OVER (ORDER BY psi_nanos DESC, source) AS rn
+          FROM ps_agg)
 )
 SELECT doc_id, {', '.join(f'hits_{lang}' for lang in T.LANG_MARKERS)},
-       CASE {_LANG_CASE} ELSE 'und' END AS lang_pred
-FROM best_of
+       CASE {_LANG_CASE} ELSE 'und' END AS lang_pred,
+       div_sources, div_kl_nanos, div_js_nanos, div_tv_nanos,
+       div_chi2_micros, div_cov_nanos, div_top_kl_source,
+       psi_nanos_total, psi_top_source
+FROM best_of, dv, ps
 """
 
 
