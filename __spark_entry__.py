@@ -68,7 +68,16 @@ profile + key-skew report); ``text_token_stats`` with ``vocab_*``/
 ``text_lang_id`` with ``div_*``/``psi_*`` (operators/divergence.py:
 per-source token-distribution KL/JS/TV/chi2/coverage vs the corpus
 and per-source numeric PSI, reduced to exact nano/micro fixed-point
-LONG fingerprints the oracle replays from scratch).
+LONG fingerprints the oracle replays from scratch);
+``stream_tumbling_window`` with ``sdrift_*`` (the streaming drift
+monitor — per event-time window PSI of ``value`` vs the full-table
+baseline, baseline-fixed bin edges, integer-nano partials; the
+windowed bin-count stage runs unchanged under readStream, proven in
+tests/test_divergence.py); and ``dedup_minhash_lsh`` with ``inc_*``
+(operators/dedup.py::incremental_minhash_dedup — new-batch-vs-
+signature-store dedup whose per-batch fold exactly equals one full
+run; exact planted-duplicate counts replayed in the oracle, drop
+guarantee earned as a boolean).
 """
 
 from __future__ import annotations

@@ -94,6 +94,12 @@ HEADLINE = [
     # r8: fixed-point PageRank over the documents citation graph (the
     # serving path of the corpus_build_summary pr_* contract)
     "pagerank_serving",
+    # r9: distribution-shift family — per-source token divergence
+    # report over documents, and the windowed-PSI drift monitor over
+    # events (driver contracts live in text_lang_id div_*/psi_* and
+    # stream_tumbling_window sdrift_*)
+    "divergence_serving",
+    "drift_monitor_serving",
 ]
 
 STEADY_REPS = 3  # min-of-N steady protocol (r7 verdict #3)
@@ -177,6 +183,60 @@ def build_bench_queries() -> dict:
         return time_rollup(table(spark_, sf_dir_, "events"), bucket="1 hour")
 
     queries["stream_hourly_rollup"] = _hourly_rollup_serving
+
+    # r9: same pattern for the tumbling row's sdrift_* widening —
+    # bench times the raw tumbling windows
+    def _tumbling_serving(spark_, sf_dir_):
+        from pyspark.sql import functions as F
+
+        from lakehouse_file_format_compare_spark.functions.numeric import grid
+        from lakehouse_file_format_compare_spark.sources.testdata import table
+
+        events = table(spark_, sf_dir_, "events")
+        return (
+            events.groupBy(
+                F.window("ts", "10 minutes").alias("w"), F.col("event_type")
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                grid(F.sum(grid(F.col("value"), 2)), 2).alias("volume"),
+            )
+            .select(
+                F.col("w.start").alias("window_start"),
+                F.col("w.end").alias("window_end"),
+                "event_type", "n_events", "volume",
+            )
+        )
+
+    queries["stream_tumbling_window"] = _tumbling_serving
+
+    # r9: the drift monitor's own serving wall (windowed PSI vs the
+    # full-table baseline — the new operator, timed without the
+    # tumbling row it widens)
+    def _drift_serving(spark_, sf_dir_):
+        from lakehouse_file_format_compare_spark.operators.divergence import (
+            windowed_psi_vs_baseline,
+        )
+        from lakehouse_file_format_compare_spark.sources.testdata import table
+
+        ev = table(spark_, sf_dir_, "events")
+        return windowed_psi_vs_baseline(ev, ev)
+
+    queries["drift_monitor_serving"] = _drift_serving
+
+    # r9: per-source token divergence + PSI report serving path
+    # (driver contract lives in text_lang_id's div_*/psi_* scalars)
+    def _divergence_serving(spark_, sf_dir_):
+        from lakehouse_file_format_compare_spark.operators.divergence import (
+            token_divergence_report,
+        )
+        from lakehouse_file_format_compare_spark.sources.testdata import table
+
+        return token_divergence_report(
+            table(spark_, sf_dir_, "documents"), "source"
+        )
+
+    queries["divergence_serving"] = _divergence_serving
     return queries
 
 

@@ -748,3 +748,216 @@ def semantic_dedup(
         embeddings, pairs.select("id_a", "id_b"), id_col=id_col,
         src="id_a", dst="id_b",
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental MinHash dedup: a NEW batch against an EXISTING corpus
+# signature store — the production shape (daily crawl vs historical
+# index). The history is represented ONLY by its MinHash signatures
+# (num_hashes longs per doc, ~few hundred bytes — a 10^10-doc corpus
+# carries a low-TB store vs re-shingling 100 TB of text every batch);
+# history text is never touched. Verification is the signature-
+# ESTIMATED Jaccard (matching slots / num_hashes — the standard
+# at-scale detector; the estimate's sd is sqrt(j(1-j)/H)), identical
+# for the in-batch and cross-history sides so the incremental fold is
+# EXACTLY equivalent to one full run over the union (proven in
+# tests/test_incremental_dedup.py).
+#
+# Drop rule (order-free, component-free): a new doc is dropped iff it
+# has a verified pair with ANY history doc, or with ANY smaller-id doc
+# of its own batch. The store indexes EVERY seen doc (survivors and
+# dropped alike — "have I seen something like this", not "is this in
+# the canonical corpus"), so under id-ordered batches (history ids
+# precede batch ids — the natural crawl shape) this is precisely the
+# full-run rule "drop d iff some verified pair (d', d) with d' < d":
+# folding batches one at a time commutes with one big run. A
+# survivors-only store would NOT commute (a new doc similar only to a
+# previously-dropped doc would slip through), which is why dropped
+# docs stay indexed.
+# ---------------------------------------------------------------------------
+
+
+def signature_est_jaccard(sig_a, sig_b, num_hashes: int):
+    """Estimated Jaccard between two MinHash signatures: fraction of
+    agreeing slots. Pure JVM higher-order functions (arrays are
+    num_hashes-sized, never data-sized)."""
+    eq = F.size(
+        F.filter(
+            F.zip_with(sig_a, sig_b, lambda a, b: a == b), lambda x: x
+        )
+    )
+    return eq / F.lit(num_hashes)
+
+
+def signature_store(
+    docs: DataFrame,
+    num_hashes: int = 32,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc, signature) — what a corpus batch persists for future
+    incremental dedup. Docs with no tokens have no shingles, hence no
+    signature row (they can never near-dup anything)."""
+    return minhash_signatures(docs, num_hashes, k, id_col, text_col)
+
+
+def _est_verified(cand: DataFrame, sigs_a: DataFrame, sigs_b: DataFrame,
+                  threshold: float, num_hashes: int) -> DataFrame:
+    """cand(doc_a, doc_b) -> pairs whose estimated Jaccard clears the
+    threshold. Signature joins are doc-keyed (broadcast-or-shuffle by
+    AQE); the array comparison is per-candidate, O(num_hashes)."""
+    j = (
+        cand.join(
+            sigs_a.select(F.col("doc").alias("doc_a"),
+                          F.col("signature").alias("__sa")),
+            "doc_a",
+        )
+        .join(
+            sigs_b.select(F.col("doc").alias("doc_b"),
+                          F.col("signature").alias("__sb")),
+            "doc_b",
+        )
+        .withColumn(
+            "est_jaccard",
+            signature_est_jaccard(F.col("__sa"), F.col("__sb"), num_hashes),
+        )
+    )
+    return j.where(F.col("est_jaccard") >= threshold).select(
+        "doc_a", "doc_b", "est_jaccard"
+    )
+
+
+def incremental_minhash_dedup(
+    new_docs: DataFrame,
+    history_sigs: DataFrame | None,
+    threshold: float = 0.5,
+    num_hashes: int = 32,
+    bands: int = 8,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_bucket_size: int | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Dedup ``new_docs`` against ``history_sigs`` (a signature_store
+    frame, or None for the first batch) AND within itself. Returns
+    ``(kept_docs, updated_store)`` where updated_store = history plus
+    ALL the batch's signatures (see module note: indexing dropped docs
+    too is what makes the fold equal one full run) — feed it to the
+    next batch.
+
+    Work per batch: shingle + sign the NEW batch only; the history
+    side contributes band-bucket joins against its (tiny) signature
+    store. ``max_bucket_size`` is the same hot-bucket guard as
+    minhash_lsh_pairs, applied to the UNION bucket table so a
+    boilerplate bucket is capped consistently on both sides."""
+    rows = num_hashes // bands
+    new_sigs = minhash_signatures(docs=new_docs, num_hashes=num_hashes, k=k,
+                                  id_col=id_col, text_col=text_col)
+    banded_new = banded_signatures(new_sigs, bands, rows)
+    if history_sigs is not None:
+        banded_hist = banded_signatures(history_sigs, bands, rows)
+        all_banded = banded_new.unionByName(banded_hist)
+    else:
+        banded_hist = None
+        all_banded = banded_new
+    if max_bucket_size is not None:
+        ok_buckets = (
+            all_banded.groupBy("band", "bucket")
+            .agg(F.count(F.lit(1)).alias("bsz"))
+            .where(F.col("bsz") <= max_bucket_size)
+            .select("band", "bucket")
+        )
+        banded_new = banded_new.join(ok_buckets, ["band", "bucket"], "left_semi")
+        if banded_hist is not None:
+            banded_hist = banded_hist.join(
+                ok_buckets, ["band", "bucket"], "left_semi"
+            )
+
+    dropped_parts = []
+    if banded_hist is not None:
+        cross_cand = (
+            banded_hist.alias("x")
+            .join(
+                banded_new.alias("y"),
+                (F.col("x.band") == F.col("y.band"))
+                & (F.col("x.bucket") == F.col("y.bucket")),
+            )
+            .select(F.col("x.doc").alias("doc_a"), F.col("y.doc").alias("doc_b"))
+            .distinct()
+        )
+        cross_pairs = _est_verified(
+            cross_cand, history_sigs, new_sigs, threshold, num_hashes
+        )
+        dropped_parts.append(cross_pairs.select(F.col("doc_b").alias("doc")))
+    in_cand = (
+        banded_new.alias("x")
+        .join(
+            banded_new.alias("y"),
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.bucket") == F.col("y.bucket"))
+            & (F.col("x.doc") < F.col("y.doc")),
+        )
+        .select(F.col("x.doc").alias("doc_a"), F.col("y.doc").alias("doc_b"))
+        .distinct()
+    )
+    in_pairs = _est_verified(in_cand, new_sigs, new_sigs, threshold, num_hashes)
+    dropped_parts.append(in_pairs.select(F.col("doc_b").alias("doc")))
+
+    dropped = dropped_parts[0]
+    for part in dropped_parts[1:]:
+        dropped = dropped.unionByName(part)
+    dropped = dropped.distinct()
+
+    kept = new_docs.join(
+        dropped.select(F.col("doc").alias(id_col)), id_col, "left_anti"
+    )
+    store = (
+        new_sigs if history_sigs is None
+        else history_sigs.unionByName(new_sigs)
+    )
+    return kept, store
+
+
+def full_minhash_est_dedup(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    num_hashes: int = 32,
+    bands: int = 8,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """One-shot reference for the incremental fold: keep doc d iff no
+    est-verified pair (d', d) with d' < d over the WHOLE corpus. The
+    incremental fold over any id-ordered batch split must return
+    exactly this kept set (tests/test_incremental_dedup.py)."""
+    rows = num_hashes // bands
+    sigs = minhash_signatures(docs, num_hashes, k, id_col, text_col)
+    banded = banded_signatures(sigs, bands, rows)
+    if max_bucket_size is not None:
+        ok_buckets = (
+            banded.groupBy("band", "bucket")
+            .agg(F.count(F.lit(1)).alias("bsz"))
+            .where(F.col("bsz") <= max_bucket_size)
+            .select("band", "bucket")
+        )
+        banded = banded.join(ok_buckets, ["band", "bucket"], "left_semi")
+    cand = (
+        banded.alias("x")
+        .join(
+            banded.alias("y"),
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.bucket") == F.col("y.bucket"))
+            & (F.col("x.doc") < F.col("y.doc")),
+        )
+        .select(F.col("x.doc").alias("doc_a"), F.col("y.doc").alias("doc_b"))
+        .distinct()
+    )
+    pairs = _est_verified(cand, sigs, sigs, threshold, num_hashes)
+    return docs.join(
+        pairs.select(F.col("doc_b").alias(id_col)).distinct(),
+        id_col,
+        "left_anti",
+    )

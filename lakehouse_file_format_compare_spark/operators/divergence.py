@@ -242,3 +242,146 @@ def psi_report(
     return part.select(
         group_col, "n", grid(F.col("psi_nanos") / NANO, 6).alias("psi")
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming drift monitor: per event-time window PSI vs a static
+# baseline. The windowed bin-count stage is a plain
+# window()+groupBy().count() — incremental under readStream +
+# withWatermark (same expressions, two runners — the streaming_plans
+# discipline); the PSI reduce runs over the drained counts. Bin
+# edges come from the BASELINE (fixed before the stream starts — the
+# production monitoring shape); stream values outside the baseline
+# range clamp into the edge bins.
+# ---------------------------------------------------------------------------
+
+#: fixed-point scale for double-valued columns: exact integer cents
+CENTS = 100
+
+
+def _cents(col):
+    return F.floor(col * CENTS + F.lit(0.5)).cast("long")
+
+
+def baseline_histogram(
+    baseline: DataFrame, value_col: str, n_bins: int = PSI_BINS
+) -> tuple[DataFrame, DataFrame]:
+    """(bounds, per-bin counts + total) of the static baseline, both
+    tiny broadcast-ready frames. Values are snapped to integer cents
+    so bin assignment stays pure integer arithmetic."""
+    b = baseline.where(F.col(value_col).isNotNull()).select(
+        _cents(F.col(value_col)).alias("__v")
+    )
+    bounds = b.agg(F.min("__v").alias("__mn"), F.max("__v").alias("__mx"))
+    counts = (
+        b.crossJoin(F.broadcast(bounds))
+        .select(psi_bin("__v", "__mn", "__mx", n_bins).alias("bin"))
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).cast("long").alias("cb"))
+    )
+    # densify: every bin exists (empty baseline bins still smooth)
+    dense = (
+        counts.sparkSession.range(n_bins)
+        .select(F.col("id").cast("long").alias("bin"))
+        .join(counts, "bin", "left")
+        .fillna({"cb": 0})
+    )
+    total = counts.agg(F.sum("cb").cast("long").alias("nn"))
+    return bounds, dense.crossJoin(F.broadcast(total))
+
+
+def windowed_bin_counts(
+    events: DataFrame,
+    bounds: DataFrame,
+    value_col: str = "value",
+    ts_col: str = "ts",
+    window_duration: str = "10 minutes",
+    n_bins: int = PSI_BINS,
+) -> DataFrame:
+    """(window, bin, c) — the STREAMING-compatible stage: runs
+    unchanged under readStream + withWatermark (append mode). Out-of-
+    baseline-range values clamp to the edge bins so the stream can
+    never crash the monitor."""
+    raw = psi_bin("__v", "__mn", "__mx", n_bins)
+    clamped = F.least(
+        F.greatest(raw, F.lit(0)), F.lit(n_bins - 1)
+    )
+    return (
+        events.where(F.col(value_col).isNotNull())
+        .select(
+            F.col(ts_col), _cents(F.col(value_col)).alias("__v")
+        )
+        .crossJoin(F.broadcast(bounds))
+        .select(F.col(ts_col), clamped.alias("bin"))
+        .groupBy(F.window(ts_col, window_duration).alias("w"), F.col("bin"))
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+
+
+def psi_from_window_counts(
+    wc: DataFrame,
+    hist: DataFrame,
+    n_bins: int = PSI_BINS,
+    alpha: float = PSI_ALPHA,
+) -> DataFrame:
+    """Per-window PSI from drained (window, bin, c) counts against the
+    baseline histogram — exact integer nanos, same term as psi_nanos.
+    """
+    from ..functions.numeric import grid
+
+    wins = wc.groupBy("w").agg(F.sum("c").cast("long").alias("n"))
+    # re-alias the count side: wins derives from wc, and a drained
+    # memory-sink view would otherwise join against its own attributes
+    counts = wc.select(
+        F.col("w").alias("__cw"), F.col("bin").alias("__cbin"),
+        F.col("c").alias("c"),
+    )
+    dense = (
+        wins.select(
+            "w", "n",
+            F.explode(F.expr(f"sequence(0, {n_bins - 1})")).alias("bin"),
+        )
+        .join(
+            counts,
+            (F.col("w") == F.col("__cw")) & (F.col("bin") == F.col("__cbin")),
+            "left",
+        )
+        .drop("__cw", "__cbin")
+        .fillna({"c": 0})
+    )
+    j = dense.join(F.broadcast(hist), "bin")
+    p = (F.col("c") + alpha) / (F.col("n") + alpha * n_bins)
+    q = (F.col("cb") + alpha) / (F.col("nn") + alpha * n_bins)
+    term = _nano((p - q) * F.log(p / q))
+    return (
+        j.groupBy("w")
+        .agg(
+            F.max("n").alias("n"),
+            F.sum(term).cast("long").alias("psi_nanos"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "n",
+            "psi_nanos",
+            grid(F.col("psi_nanos") / NANO, 6).alias("psi"),
+        )
+    )
+
+
+def windowed_psi_vs_baseline(
+    events: DataFrame,
+    baseline: DataFrame,
+    value_col: str = "value",
+    ts_col: str = "ts",
+    window_duration: str = "10 minutes",
+    n_bins: int = PSI_BINS,
+    alpha: float = PSI_ALPHA,
+) -> DataFrame:
+    """Batch view of the drift monitor: per event-time window, the
+    PSI of ``value_col`` against the static baseline distribution."""
+    bounds, hist = baseline_histogram(baseline, value_col, n_bins)
+    wc = windowed_bin_counts(
+        events, bounds, value_col, ts_col, window_duration, n_bins
+    )
+    return psi_from_window_counts(wc, hist, n_bins, alpha)

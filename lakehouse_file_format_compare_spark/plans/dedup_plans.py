@@ -88,13 +88,91 @@ def minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.minhash_lsh_pairs(table(spark, sf_dir, "documents"), threshold=JACCARD_THRESHOLD)
 
 
+INC_SPLIT = 250  # id-ordered batch cut for the incremental contract
+INC_PLANT_MOD = 5
+
+
+def _inc_corpus(docs: DataFrame) -> DataFrame:
+    """Documents with planted cross-batch duplicates: every batch-2
+    doc with INC_SPLIT <= doc_id < 2*INC_SPLIT and
+    doc_id % INC_PLANT_MOD == 1 gets the text of doc_id - INC_SPLIT —
+    a batch-1 doc whose own text is NEVER overwritten (donor ids are
+    all < INC_SPLIT, outside the plant range), so the duplicate is
+    guaranteed at every sf. Pure column math + one self-join: the
+    oracle rebuilds it verbatim."""
+    donors = docs.select(
+        (F.col("doc_id") + INC_SPLIT).alias("doc_id"),
+        F.col("text").alias("__donor"),
+    )
+    return docs.join(donors, "doc_id", "left").select(
+        "doc_id",
+        F.when(
+            (F.col("doc_id") >= INC_SPLIT)
+            & (F.col("doc_id") < 2 * INC_SPLIT)
+            & (F.pmod(F.col("doc_id"), F.lit(INC_PLANT_MOD)) == 1)
+            & F.col("__donor").isNotNull(),
+            F.col("__donor"),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+
+
+def _inc_agg(docs: DataFrame) -> DataFrame:
+    """r9 widening: the incremental MinHash dedup contract
+    (operators/dedup.py::incremental_minhash_dedup — a new id-ordered
+    batch deduped against the signature STORE of everything seen,
+    history text never re-read). Exact values the oracle replays:
+    batch-2 size, planted-duplicate count, indexed-store size (= every
+    tokenful doc). Earned booleans: every planted duplicate dropped
+    (identical text => identical signature => same bucket in every
+    band => est 1.0 — deterministic, no recall dial), and the kept
+    count bounded by new - planted."""
+    corpus = _inc_corpus(docs)
+    b1 = corpus.where(F.col("doc_id") < INC_SPLIT)
+    b2 = corpus.where(F.col("doc_id") >= INC_SPLIT)
+    _, store1 = D.incremental_minhash_dedup(
+        b1, None, threshold=JACCARD_THRESHOLD
+    )
+    kept2, store2 = D.incremental_minhash_dedup(
+        b2, store1, threshold=JACCARD_THRESHOLD
+    )
+    planted = b2.where(
+        (F.pmod(F.col("doc_id"), F.lit(INC_PLANT_MOD)) == 1)
+        & (F.col("doc_id") < 2 * INC_SPLIT)
+    )
+    n_new = b2.agg(F.count(F.lit(1)).cast("long").alias("inc_new"))
+    n_planted = planted.agg(
+        F.count(F.lit(1)).cast("long").alias("inc_planted")
+    )
+    n_kept = kept2.agg(F.count(F.lit(1)).cast("long").alias("__k"))
+    n_store = store2.agg(F.count(F.lit(1)).cast("long").alias("inc_store_rows"))
+    n_viol = kept2.join(
+        planted.select("doc_id"), "doc_id", "left_semi"
+    ).agg(F.count(F.lit(1)).alias("__v"))
+    return (
+        n_new.crossJoin(n_planted).crossJoin(n_kept)
+        .crossJoin(n_store).crossJoin(n_viol)
+        .select(
+            "inc_new",
+            "inc_planted",
+            "inc_store_rows",
+            (F.col("__v") == 0).alias("inc_planted_dropped_ok"),
+            (F.col("__k") <= F.col("inc_new") - F.col("inc_planted")).alias(
+                "inc_kept_bounded_ok"
+            ),
+        )
+    )
+
+
 def minhash_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver-checkable quality contract for MinHash-LSH: the oracle
     computes the TRUE near-dup pair count (exact n-gram Jaccard in
     DuckDB) and pins two booleans the Spark side must earn — recall
     over the true pair set >= floor, and precision == 1.0 (guaranteed
     by the verified-candidate design: every LSH candidate is re-checked
-    with exact Jaccard before emission, operators/dedup.py)."""
+    with exact Jaccard before emission, operators/dedup.py). Widened
+    in r9 with the incremental-dedup contract (inc_*, see _inc_agg)."""
     true_pairs = ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
     lsh_pairs = minhash_lsh(spark, sf_dir).select(
         F.col("doc_a").alias("la"), F.col("doc_b").alias("lb")
@@ -119,6 +197,7 @@ def minhash_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("h") >= F.lit(MINHASH_RECALL_FLOOR) * F.col("n_true_pairs")).alias("recall_ok"),
             (F.col("fp") == 0).alias("precision_ok"),
         )
+        .crossJoin(F.broadcast(_inc_agg(table(spark, sf_dir, "documents"))))
     )
 
 
@@ -143,11 +222,37 @@ WITH toks AS (
     FROM exploded a JOIN exploded b ON a.shingle = b.shingle AND a.doc < b.doc
     GROUP BY 1, 2
 )
-SELECT COUNT(*) AS n_true_pairs, true AS recall_ok, true AS precision_ok
-FROM common
-JOIN sizes sa ON sa.doc = doc_a
-JOIN sizes sb ON sb.doc = doc_b
-WHERE common / CAST(sa.sz + sb.sz - common AS DOUBLE) >= {JACCARD_THRESHOLD}
+, inc_corpus AS (
+    -- the planted incremental-dedup corpus, rebuilt verbatim
+    SELECT d.doc_id,
+           CASE WHEN d.doc_id >= {INC_SPLIT}
+                 AND d.doc_id < {2 * INC_SPLIT}
+                 AND d.doc_id % {INC_PLANT_MOD} = 1
+                 AND dn.text IS NOT NULL
+                THEN dn.text ELSE d.text END AS text
+    FROM documents d
+    LEFT JOIN documents dn ON dn.doc_id = d.doc_id - {INC_SPLIT}
+), inc AS (
+    SELECT CAST(COUNT(*) FILTER (WHERE doc_id >= {INC_SPLIT}) AS BIGINT) AS inc_new,
+           CAST(COUNT(*) FILTER (WHERE doc_id >= {INC_SPLIT}
+                                   AND doc_id < {2 * INC_SPLIT}
+                                   AND doc_id % {INC_PLANT_MOD} = 1) AS BIGINT) AS inc_planted,
+           -- the store indexes every doc that produced a signature
+           -- (>= 1 token after normalization)
+           CAST(COUNT(*) FILTER (WHERE length(trim(text)) > 0) AS BIGINT) AS inc_store_rows
+    FROM inc_corpus
+)
+, truep AS (
+    SELECT COUNT(*) AS n_true_pairs
+    FROM common
+    JOIN sizes sa ON sa.doc = doc_a
+    JOIN sizes sb ON sb.doc = doc_b
+    WHERE common / CAST(sa.sz + sb.sz - common AS DOUBLE) >= {JACCARD_THRESHOLD}
+)
+SELECT n_true_pairs, true AS recall_ok, true AS precision_ok,
+       inc_new, inc_planted, inc_store_rows,
+       true AS inc_planted_dropped_ok, true AS inc_kept_bounded_ok
+FROM truep CROSS JOIN inc
 """
 
 

@@ -22,10 +22,39 @@ from ..functions.numeric import grid, grid_sql
 from ..sources.testdata import table
 
 
+def _sdrift_agg(events: DataFrame) -> DataFrame:
+    """r9 widening: the streaming drift monitor
+    (operators/divergence.py::windowed_psi_vs_baseline — per 10-minute
+    event-time window, PSI of ``value`` against the full-table
+    baseline) reduced to exact integer scalars. psi_nanos are LONG
+    fixed-point partials, so the window count, the total, and the
+    rank-weighted fingerprint are all partition-layout-proof values
+    the oracle replays from scratch. The ordering window ranks the
+    PER-WINDOW aggregate (one row per event-time window), not events.
+    """
+    from pyspark.sql import Window
+
+    from ..operators.divergence import windowed_psi_vs_baseline
+
+    psi = windowed_psi_vs_baseline(events, events)
+    w = Window.orderBy(F.col("psi_nanos").desc(), F.col("window_start"))
+    return psi.withColumn("__rn", F.row_number().over(w)).agg(
+        F.count(F.lit(1)).cast("long").alias("sdrift_windows"),
+        F.sum("psi_nanos").cast("long").alias("sdrift_psi_nanos_total"),
+        F.sum(F.col("__rn") * F.col("psi_nanos")).cast("long").alias(
+            "sdrift_fp"
+        ),
+        F.max(F.when(F.col("__rn") == 1, F.col("psi_nanos"))).cast(
+            "long"
+        ).alias("sdrift_top_psi_nanos"),
+    )
+
+
 def tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """10-minute tumbling event-time windows per event_type:
     count + volume. Streaming-ready: add withWatermark("ts", ...) and
-    this plan runs unchanged under readStream."""
+    this plan runs unchanged under readStream. Widened in r9 with the
+    streaming drift monitor scalars (sdrift_*, see _sdrift_agg)."""
     events = table(spark, sf_dir, "events")
     v = grid(F.col("value"), 2)
     return (
@@ -44,17 +73,68 @@ def tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
             "volume",
         )
+        .crossJoin(F.broadcast(_sdrift_agg(events)))
     )
 
 
+SDRIFT_BINS = 8  # operators/divergence.PSI_BINS
+SDRIFT_ALPHA = 0.5  # operators/divergence.PSI_ALPHA
+
 TUMBLING_WINDOW_SQL = f"""
+WITH sd_b AS (
+    SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) AS v FROM events
+    WHERE value IS NOT NULL
+), sd_bounds AS (
+    SELECT MIN(v) AS mn, MAX(v) AS mx FROM sd_b
+), sd_bh0 AS (
+    SELECT ((v - mn) * {SDRIFT_BINS}) // (mx - mn + 1) AS bin,
+           CAST(COUNT(*) AS BIGINT) AS cb
+    FROM sd_b CROSS JOIN sd_bounds GROUP BY 1
+), sd_bh AS (
+    SELECT g.bin, COALESCE(sd_bh0.cb, 0) AS cb
+    FROM (SELECT unnest(generate_series(0, {SDRIFT_BINS - 1})) AS bin) g
+    LEFT JOIN sd_bh0 USING (bin)
+), sd_tot AS (
+    SELECT CAST(SUM(cb) AS BIGINT) AS nn FROM sd_bh0
+), sd_wc AS (
+    SELECT time_bucket(INTERVAL 10 MINUTE, ts) AS ws,
+           LEAST(GREATEST(((CAST(floor(value * 100 + 0.5) AS BIGINT) - mn) * {SDRIFT_BINS}) // (mx - mn + 1), 0), {SDRIFT_BINS - 1}) AS bin,
+           CAST(COUNT(*) AS BIGINT) AS c
+    FROM events CROSS JOIN sd_bounds WHERE value IS NOT NULL GROUP BY 1, 2
+), sd_wins AS (
+    SELECT ws, CAST(SUM(c) AS BIGINT) AS n FROM sd_wc GROUP BY 1
+), sd_dense AS (
+    SELECT w.ws, w.n, g.bin, COALESCE(sd_wc.c, 0) AS c
+    FROM sd_wins w
+    CROSS JOIN (SELECT unnest(generate_series(0, {SDRIFT_BINS - 1})) AS bin) g
+    LEFT JOIN sd_wc ON sd_wc.ws = w.ws AND sd_wc.bin = g.bin
+), sd_t AS (
+    SELECT ws,
+           (c + {SDRIFT_ALPHA}) / (n + {SDRIFT_ALPHA} * {SDRIFT_BINS}) AS p,
+           (cb + {SDRIFT_ALPHA}) / (sd_tot.nn + {SDRIFT_ALPHA} * {SDRIFT_BINS}) AS q
+    FROM sd_dense JOIN sd_bh USING (bin) CROSS JOIN sd_tot
+), sd_agg AS (
+    SELECT ws,
+           CAST(SUM(CAST(floor(((p - q) * ln(p / q)) * 1000000000 + 0.5) AS BIGINT)) AS BIGINT) AS psi_nanos
+    FROM sd_t GROUP BY 1
+), sd AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS sdrift_windows,
+           CAST(SUM(psi_nanos) AS BIGINT) AS sdrift_psi_nanos_total,
+           CAST(SUM(rn * psi_nanos) AS BIGINT) AS sdrift_fp,
+           CAST(MAX(CASE WHEN rn = 1 THEN psi_nanos END) AS BIGINT) AS sdrift_top_psi_nanos
+    FROM (SELECT *, row_number() OVER (ORDER BY psi_nanos DESC, ws) AS rn
+          FROM sd_agg)
+)
 SELECT time_bucket(INTERVAL 10 MINUTE, ts) AS window_start,
        time_bucket(INTERVAL 10 MINUTE, ts) + INTERVAL 10 MINUTE AS window_end,
        event_type,
        COUNT(*) AS n_events,
-       {grid_sql(f"SUM({grid_sql('value', 2)})", 2)} AS volume
-FROM events
-GROUP BY 1, 2, 3
+       {grid_sql(f"SUM({grid_sql('value', 2)})", 2)} AS volume,
+       sdrift_windows, sdrift_psi_nanos_total, sdrift_fp,
+       sdrift_top_psi_nanos
+FROM events, sd
+GROUP BY 1, 2, 3, sdrift_windows, sdrift_psi_nanos_total, sdrift_fp,
+         sdrift_top_psi_nanos
 """
 
 

@@ -268,3 +268,162 @@ def test_divergence_plan_shape(spark):
     # (pruned to the two needed columns)
     assert psi_plan.count("ReusedExchange") >= 3, psi_plan
     assert "ReadSchema: struct<source:string,n_chars:bigint>" in psi_plan.replace("\n", "")
+
+
+# ---------------------------------------------------------------------------
+# Streaming drift monitor (windowed PSI vs a static baseline)
+# ---------------------------------------------------------------------------
+
+from lakehouse_file_format_compare_spark.operators.divergence import (  # noqa: E402
+    baseline_histogram,
+    psi_from_window_counts,
+    windowed_bin_counts,
+    windowed_psi_vs_baseline,
+)
+
+WINDOWED_PSI_SQL = f"""
+WITH b AS (
+    SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) AS v FROM events
+    WHERE value IS NOT NULL
+), bounds AS (
+    SELECT MIN(v) AS mn, MAX(v) AS mx FROM b
+), bh0 AS (
+    SELECT ((v - mn) * {PSI_BINS}) // (mx - mn + 1) AS bin, CAST(COUNT(*) AS BIGINT) AS cb
+    FROM b CROSS JOIN bounds GROUP BY 1
+), bh AS (
+    SELECT g.bin, COALESCE(bh0.cb, 0) AS cb
+    FROM (SELECT unnest(generate_series(0, {PSI_BINS - 1})) AS bin) g
+    LEFT JOIN bh0 USING (bin)
+), tot AS (
+    SELECT CAST(SUM(cb) AS BIGINT) AS nn FROM bh0
+), wc AS (
+    SELECT time_bucket(INTERVAL 10 MINUTE, ts) AS ws,
+           LEAST(GREATEST(((CAST(floor(value * 100 + 0.5) AS BIGINT) - mn) * {PSI_BINS}) // (mx - mn + 1), 0), {PSI_BINS - 1}) AS bin,
+           CAST(COUNT(*) AS BIGINT) AS c
+    FROM events CROSS JOIN bounds WHERE value IS NOT NULL GROUP BY 1, 2
+), wins AS (
+    SELECT ws, CAST(SUM(c) AS BIGINT) AS n FROM wc GROUP BY 1
+), dense AS (
+    SELECT w.ws, w.n, g.bin, COALESCE(wc.c, 0) AS c
+    FROM wins w
+    CROSS JOIN (SELECT unnest(generate_series(0, {PSI_BINS - 1})) AS bin) g
+    LEFT JOIN wc ON wc.ws = w.ws AND wc.bin = g.bin
+), t AS (
+    SELECT ws, n,
+           (c + {PSI_ALPHA}) / (n + {PSI_ALPHA} * {PSI_BINS}) AS p,
+           (cb + {PSI_ALPHA}) / (tot.nn + {PSI_ALPHA} * {PSI_BINS}) AS q
+    FROM dense JOIN bh USING (bin) CROSS JOIN tot
+), agg AS (
+    SELECT ws, MAX(n) AS n,
+           CAST(SUM(CAST(floor(((p - q) * ln(p / q)) * 1000000000 + 0.5) AS BIGINT)) AS BIGINT) AS psi_nanos
+    FROM t GROUP BY 1
+)
+SELECT ws AS window_start, ws + INTERVAL 10 MINUTE AS window_end, n, psi_nanos,
+       floor((psi_nanos / 1000000000) * 1000000 + 0.5) / 1000000 AS psi
+FROM agg
+"""
+
+
+def _events_drift(s, d):
+    ev = table(s, d, "events")
+    return windowed_psi_vs_baseline(ev, ev)
+
+
+def test_windowed_psi_matches_duckdb(spark):
+    ok, msg = compare(spark, SF_SMOKE, _events_drift, WINDOWED_PSI_SQL)
+    assert ok, msg
+
+
+def test_planted_drift_window_spikes_psi(spark):
+    """Baseline uniform over 0..99; one stream window mirrors it, the
+    other is pinned at the top of the range -> its PSI explodes."""
+    base = spark.createDataFrame(
+        [(i, float(i % 100)) for i in range(1000)], "id long, value double"
+    )
+    ev = spark.createDataFrame(
+        [("2024-01-01 10:0%d:00" % (i % 10), float(i % 100)) for i in range(200)]
+        + [("2024-01-01 11:0%d:00" % (i % 10), 99.0) for i in range(200)],
+        "ts_s string, value double",
+    ).select(F.col("ts_s").cast("timestamp").alias("ts"), "value")
+    rows = {
+        r["window_start"].hour: r["psi"]
+        for r in windowed_psi_vs_baseline(
+            ev, base, window_duration="60 minutes"
+        ).collect()
+    }
+    assert rows[11] > 1.0
+    assert rows[10] < 0.1
+    assert rows[11] > 10 * rows[10]
+
+
+def test_out_of_range_values_clamp_to_edge_bins(spark):
+    """Stream values beyond the baseline range cannot crash the
+    monitor: they clamp into bins 0 / B-1 and every row is counted."""
+    base = spark.createDataFrame(
+        [(i, float(i)) for i in range(100)], "id long, value double"
+    )
+    ev = spark.createDataFrame(
+        [("2024-01-01 10:00:00", -500.0), ("2024-01-01 10:01:00", 1e6),
+         ("2024-01-01 10:02:00", 50.0)],
+        "ts_s string, value double",
+    ).select(F.col("ts_s").cast("timestamp").alias("ts"), "value")
+    bounds, _hist = baseline_histogram(base, "value")
+    wc = windowed_bin_counts(ev, bounds).collect()
+    assert sum(r["c"] for r in wc) == 3
+    bins = {r["bin"] for r in wc}
+    assert 0 in bins and (PSI_BINS - 1) in bins
+
+
+def test_windowed_counts_streaming_matches_batch(spark, tmp_path_factory):
+    """The bin-count stage is the streaming piece: run it under
+    readStream (file source, multi-file, complete mode) and the
+    drained counts — and the PSI computed from them — must equal the
+    batch plan on the same data."""
+    from lakehouse_file_format_compare_spark.streaming.stateful import (
+        drain_available_now,
+    )
+
+    src = str(tmp_path_factory.mktemp("drift_src"))
+    full = table(spark, SF_SMOKE, "events")
+    full.where(F.col("user_id") % 2 == 0).select("ts", "value").write.mode(
+        "overwrite"
+    ).parquet(src)
+    full.where(F.col("user_id") % 2 == 1).select("ts", "value").write.mode(
+        "append"
+    ).parquet(src)
+
+    baseline = full.select("value")
+    bounds, hist = baseline_histogram(baseline, "value")
+
+    stream = (
+        spark.readStream.schema("ts timestamp, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    wc_stream = windowed_bin_counts(
+        stream.withWatermark("ts", "1 hour"), bounds
+    )
+    ckpt = str(tmp_path_factory.mktemp("drift_ckpt"))
+    q = (
+        wc_stream.writeStream.format("memory")
+        .queryName("drift_wc")
+        .option("checkpointLocation", ckpt)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    drain_available_now(q)
+    drained = spark.table("drift_wc")
+
+    batch_psi = sorted(
+        tuple(r)
+        for r in windowed_psi_vs_baseline(
+            spark.read.parquet(src), baseline
+        ).collect()
+    )
+    stream_psi = sorted(
+        tuple(r) for r in psi_from_window_counts(drained, hist).collect()
+    )
+    assert stream_psi == batch_psi
+    assert len(stream_psi) > 1
+    spark.catalog.dropTempView("drift_wc")
