@@ -1191,3 +1191,116 @@ def test_interleave_dominant_source_no_single_task_rank(spark):
     )
     print(f"interleave 10x-hot: t1={t1:.2f}s t10={t10:.2f}s widest bucket {buckets}")
     hot.unpersist()
+
+
+@pytest.mark.scale
+def test_divergence_is_replication_invariant_at_10x(spark):
+    """r9: replicating every document 10x within its source leaves
+    every per-word p and q UNCHANGED as rationals — and IEEE division
+    of (10c)/(10n) rounds to the same double as c/n — so the KL/JS/TV
+    nano-partials of the 10x corpus must be INTEGER-EQUAL to the 1x
+    run (chi-square scales by exactly the replication factor, up to
+    per-term micro rounding). Wall stays ~linear: the only
+    corpus-sized stage is the (source, word) count shuffle."""
+    import time
+    from functools import reduce
+
+    from pyspark.sql import DataFrame
+
+    from lakehouse_file_format_compare_spark.operators.divergence import (
+        token_divergence_nanos,
+    )
+
+    docs = table(spark, SF_SCALE, "documents").select("source", "text")
+    d1 = docs.repartition(32).cache()
+    n1 = d1.count()
+    d10 = reduce(
+        DataFrame.unionByName, [d1 for _ in range(10)]
+    ).repartition(32).cache()
+    assert d10.count() == 10 * n1
+
+    def _timed(d):
+        t0 = time.perf_counter()
+        rows = token_divergence_nanos(d, "source").collect()
+        return time.perf_counter() - t0, {r["source"]: r for r in rows}
+
+    _timed(d1)  # warm-up
+    t1, r1 = _timed(d1)
+    t10, r10 = _timed(d10)
+    assert set(r1) == set(r10)
+    for src, row in r1.items():
+        big = r10[src]
+        assert big["n_tokens"] == 10 * row["n_tokens"]
+        assert big["vocab_terms"] == row["vocab_terms"]
+        # integer-exact invariance of the probability-space partials
+        for col in ("kl_nanos", "js_nanos", "tv_nanos", "cov_nanos"):
+            assert big[col] == row[col], (src, col)
+        assert big["top_word"] == row["top_word"]
+        # chi2 scales by the replication factor (micro-rounding slack:
+        # half a micro-unit per vocabulary term)
+        slack = row["vocab_terms"] + 10
+        assert abs(big["chi2_micros"] - 10 * row["chi2_micros"]) <= 10 * slack
+    ratio = t10 / max(t1, 1.0)
+    _check_wall_ratio(ratio, f"10x divergence cost {ratio:.1f}x (t1={t1:.2f}s t10={t10:.2f}s)")
+    print(f"divergence 10x: t1={t1:.2f}s t10={t10:.2f}s")
+    d1.unpersist(); d10.unpersist()
+
+
+@pytest.mark.scale
+def test_incremental_dedup_candidate_volume_bounded_at_sf01(spark):
+    """r9: the incremental cross-batch candidate join must touch only
+    band-bucket collisions, never new x history. Deterministic proxy:
+    the candidate-pair count at sf0.1 stays far below the cross
+    product; the drop guarantee and store accounting hold unchanged
+    at 10x the driver's sf."""
+    from lakehouse_file_format_compare_spark.operators.dedup import (
+        banded_signatures,
+        incremental_minhash_dedup,
+        minhash_signatures,
+    )
+    from lakehouse_file_format_compare_spark.plans.dedup_plans import (
+        INC_PLANT_MOD,
+        INC_SPLIT,
+        _inc_corpus,
+    )
+
+    docs = table(spark, SF_SCALE, "documents")
+    corpus = _inc_corpus(docs.select("doc_id", "text")).cache()
+    n = corpus.count()
+    b1 = corpus.where(F.col("doc_id") < INC_SPLIT)
+    b2 = corpus.where(F.col("doc_id") >= INC_SPLIT)
+    n1, n2 = b1.count(), b2.count()
+
+    kept2, store2 = incremental_minhash_dedup(b2, minhash_signatures(b1), threshold=0.5)
+    kept_ids = {r.doc_id for r in kept2.select("doc_id").collect()}
+    planted = {
+        r.doc_id
+        for r in corpus.where(
+            (F.col("doc_id") >= INC_SPLIT)
+            & (F.col("doc_id") < 2 * INC_SPLIT)
+            & (F.pmod(F.col("doc_id"), F.lit(INC_PLANT_MOD)) == 1)
+        ).collect()
+    }
+    assert planted and not (planted & kept_ids)
+    assert store2.count() == n
+
+    # candidate volume: band-bucket collisions only
+    sig1 = minhash_signatures(b1)
+    sig2 = minhash_signatures(b2)
+    bh = banded_signatures(sig1, 8, 4)
+    bn = banded_signatures(sig2, 8, 4)
+    n_cand = (
+        bh.alias("x")
+        .join(
+            bn.alias("y"),
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.bucket") == F.col("y.bucket")),
+        )
+        .select(F.col("x.doc"), F.col("y.doc"))
+        .distinct()
+        .count()
+    )
+    cross = n1 * n2
+    assert n_cand < 0.01 * cross, f"{n_cand} candidates vs {cross} cross product"
+    print(f"incremental dedup sf0.1: candidates {n_cand} / cross {cross}")
+    corpus.unpersist()
