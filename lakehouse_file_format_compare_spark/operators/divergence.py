@@ -121,6 +121,9 @@ def token_divergence_nanos(
     kl_t = _nano(p * F.log(p / q))
     js_t = _nano(p / 2 * F.log(p / m) + q / 2 * F.log(q / m))
     tv_t = _nano(F.abs(p - q))
+    # Shannon entropy of the group's own word distribution (nats):
+    # the corpus-diversity statistic mixture tuning reads next to KL
+    ent_t = _nano(-(p * F.log(p)))
     chi_t = _micro(
         (F.col("c").cast("double") - F.col("ng") * q)
         * (F.col("c").cast("double") - F.col("ng") * q)
@@ -131,7 +134,7 @@ def token_divergence_nanos(
     terms = joined.select(
         group_col, "word", "ng", "vocab_terms",
         kl_t.alias("__kl"), js_t.alias("__js"), tv_t.alias("__tv"),
-        chi_t.alias("__chi"), cov_t.alias("__cov"),
+        chi_t.alias("__chi"), cov_t.alias("__cov"), ent_t.alias("__ent"),
     )
     w = Window.partitionBy(group_col).orderBy(
         F.col("__kl").desc(), F.col("word")
@@ -147,6 +150,7 @@ def token_divergence_nanos(
             F.sum("__tv").cast("long").alias("tv_nanos"),
             F.sum("__chi").cast("long").alias("chi2_micros"),
             F.sum("__cov").cast("long").alias("cov_nanos"),
+            F.sum("__ent").cast("long").alias("ent_nanos"),
             F.max(F.when(F.col("__rn") == 1, F.col("word"))).alias("top_word"),
         )
     )
@@ -175,6 +179,8 @@ def token_divergence_report(
         grid(
             F.col("chi2_micros") / MICRO + F.col("n_tokens") * (1 - cov), 4
         ).alias("chi2"),
+        grid(F.col("ent_nanos") / NANO, 6).alias("entropy"),
+        grid(F.col("vocab_terms") / F.col("n_tokens"), 6).alias("ttr"),
         "top_word",
     )
 

@@ -178,6 +178,7 @@ def _divergence_agg(docs: DataFrame) -> DataFrame:
         F.sum("tv_nanos").cast("long").alias("div_tv_nanos"),
         F.sum("chi2_micros").cast("long").alias("div_chi2_micros"),
         F.sum("cov_nanos").cast("long").alias("div_cov_nanos"),
+        F.sum("ent_nanos").cast("long").alias("div_ent_nanos"),
         F.max(F.when(F.col("__rn") == 1, F.col("source"))).alias(
             "div_top_kl_source"
         ),
@@ -251,7 +252,8 @@ WITH scored AS (
            CAST(floor((p / 2 * ln(p / ((p + q) / 2)) + q / 2 * ln(q / ((p + q) / 2))) * 1000000000 + 0.5) AS BIGINT) AS jst,
            CAST(floor(abs(p - q) * 1000000000 + 0.5) AS BIGINT) AS tvt,
            CAST(floor(((cd - ng * q) * (cd - ng * q) / (ng * q)) * 1000000 + 0.5) AS BIGINT) AS cht,
-           CAST(floor(q * 1000000000 + 0.5) AS BIGINT) AS cvt
+           CAST(floor(q * 1000000000 + 0.5) AS BIGINT) AS cvt,
+           CAST(floor((-(p * ln(p))) * 1000000000 + 0.5) AS BIGINT) AS ent
     FROM dv_t0
 ), dv_agg AS (
     SELECT source,
@@ -259,7 +261,8 @@ WITH scored AS (
            CAST(SUM(jst) AS BIGINT) AS js_nanos,
            CAST(SUM(tvt) AS BIGINT) AS tv_nanos,
            CAST(SUM(cht) AS BIGINT) AS chi2_micros,
-           CAST(SUM(cvt) AS BIGINT) AS cov_nanos
+           CAST(SUM(cvt) AS BIGINT) AS cov_nanos,
+           CAST(SUM(ent) AS BIGINT) AS ent_nanos
     FROM dv_terms GROUP BY source
 ), dv AS (
     SELECT CAST(COUNT(*) AS BIGINT) AS div_sources,
@@ -268,6 +271,7 @@ WITH scored AS (
            CAST(SUM(tv_nanos) AS BIGINT) AS div_tv_nanos,
            CAST(SUM(chi2_micros) AS BIGINT) AS div_chi2_micros,
            CAST(SUM(cov_nanos) AS BIGINT) AS div_cov_nanos,
+           CAST(SUM(ent_nanos) AS BIGINT) AS div_ent_nanos,
            MAX(CASE WHEN rn = 1 THEN source END) AS div_top_kl_source
     FROM (SELECT *, row_number() OVER (ORDER BY kl_nanos DESC, source) AS rn
           FROM dv_agg)
@@ -306,7 +310,7 @@ WITH scored AS (
 SELECT doc_id, {', '.join(f'hits_{lang}' for lang in T.LANG_MARKERS)},
        CASE {_LANG_CASE} ELSE 'und' END AS lang_pred,
        div_sources, div_kl_nanos, div_js_nanos, div_tv_nanos,
-       div_chi2_micros, div_cov_nanos, div_top_kl_source,
+       div_chi2_micros, div_cov_nanos, div_ent_nanos, div_top_kl_source,
        psi_nanos_total, psi_top_source
 FROM best_of, dv, ps
 """

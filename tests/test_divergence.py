@@ -49,7 +49,8 @@ WITH gw AS (
            CAST(floor((p / 2 * ln(p / ((p + q) / 2)) + q / 2 * ln(q / ((p + q) / 2))) * 1000000000 + 0.5) AS BIGINT) AS jst,
            CAST(floor(abs(p - q) * 1000000000 + 0.5) AS BIGINT) AS tvt,
            CAST(floor(((cd - ng * q) * (cd - ng * q) / (ng * q)) * 1000000 + 0.5) AS BIGINT) AS cht,
-           CAST(floor(q * 1000000000 + 0.5) AS BIGINT) AS cvt
+           CAST(floor(q * 1000000000 + 0.5) AS BIGINT) AS cvt,
+           CAST(floor((-(p * ln(p))) * 1000000000 + 0.5) AS BIGINT) AS ent
     FROM t0
 ), ranked AS (
     SELECT *, row_number() OVER (PARTITION BY source ORDER BY klt DESC, word) AS rn
@@ -61,6 +62,7 @@ WITH gw AS (
            CAST(SUM(tvt) AS BIGINT) AS tv_nanos,
            CAST(SUM(cht) AS BIGINT) AS chi2_micros,
            CAST(SUM(cvt) AS BIGINT) AS cov_nanos,
+           CAST(SUM(ent) AS BIGINT) AS ent_nanos,
            MAX(CASE WHEN rn = 1 THEN word END) AS top_word
     FROM ranked GROUP BY source
 )
@@ -70,6 +72,8 @@ SELECT source, n_tokens, vocab_terms,
        floor((js_nanos / 1000000000 + ln(2.0) / 2 * (1 - cov_nanos / 1000000000)) * 1000000 + 0.5) / 1000000 AS js,
        floor(((tv_nanos / 1000000000 + (1 - cov_nanos / 1000000000)) / 2) * 1000000 + 0.5) / 1000000 AS tv,
        floor((chi2_micros / 1000000 + n_tokens * (1 - cov_nanos / 1000000000)) * 10000 + 0.5) / 10000 AS chi2,
+       floor((ent_nanos / 1000000000) * 1000000 + 0.5) / 1000000 AS entropy,
+       floor((CAST(vocab_terms AS DOUBLE) / n_tokens) * 1000000 + 0.5) / 1000000 AS ttr,
        top_word
 FROM agg
 """
@@ -171,10 +175,11 @@ def test_divergence_matches_pure_python_reference(spark):
     nn = sum(corpus.values())
     for g, cnt in groups.items():
         ng = sum(cnt.values())
-        kl = js = tv = chi2 = cov = 0.0
+        kl = js = tv = chi2 = cov = ent = 0.0
         for w, c in cnt.items():
             p, q = c / ng, corpus[w] / nn
             kl += p * math.log(p / q)
+            ent += -p * math.log(p)
             m = (p + q) / 2
             js += p / 2 * math.log(p / m) + q / 2 * math.log(q / m)
             tv += abs(p - q)
@@ -191,6 +196,8 @@ def test_divergence_matches_pure_python_reference(spark):
         assert row["js"] == pytest.approx(js, abs=1e-5)
         assert row["tv"] == pytest.approx(tv, abs=1e-5)
         assert row["chi2"] == pytest.approx(chi2, abs=1e-3)
+        assert row["entropy"] == pytest.approx(ent, abs=1e-5)
+        assert row["ttr"] == pytest.approx(len(cnt) / ng, abs=1e-5)
     # the shifted group's most distinctive word is the planted one
     assert got["shift"]["top_word"] == "zq"
     # and it diverges more than either in-distribution group

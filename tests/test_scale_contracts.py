@@ -1233,7 +1233,8 @@ def test_divergence_is_replication_invariant_at_10x(spark):
         assert big["n_tokens"] == 10 * row["n_tokens"]
         assert big["vocab_terms"] == row["vocab_terms"]
         # integer-exact invariance of the probability-space partials
-        for col in ("kl_nanos", "js_nanos", "tv_nanos", "cov_nanos"):
+        for col in ("kl_nanos", "js_nanos", "tv_nanos", "cov_nanos",
+                    "ent_nanos"):
             assert big[col] == row[col], (src, col)
         assert big["top_word"] == row["top_word"]
         # chi2 scales by the replication factor (micro-rounding slack:
