@@ -460,3 +460,57 @@ def test_hygiene_rows_share_one_documents_scan(spark):
             assert "InMemoryTableScan" in plan, build.__name__
     finally:
         uncache_shared_docs()
+
+
+def test_no_python_row_udfs_in_r9_operators(spark):
+    """r9 additions (profiling, tokenizer-training stats, divergence/
+    PSI/drift, incremental dedup) stay JVM-side with no Cartesian
+    shapes (the only sanctioned Python surface this round is the
+    streaming heavy-hitters drain, applyInPandasWithState — tested in
+    test_streaming_topk.py)."""
+    from pyspark.sql import functions as F
+
+    from lakehouse_file_format_compare_spark.operators.dedup import (
+        full_minhash_est_dedup,
+        incremental_minhash_dedup,
+        minhash_signatures,
+    )
+    from lakehouse_file_format_compare_spark.operators.divergence import (
+        psi_report,
+        token_divergence_report,
+        windowed_psi_vs_baseline,
+    )
+    from lakehouse_file_format_compare_spark.operators.profiling import (
+        key_skew_report,
+        profile_table,
+    )
+    from lakehouse_file_format_compare_spark.operators.vocab import (
+        bpe_merge_candidates,
+        word_vocabulary,
+    )
+    from lakehouse_file_format_compare_spark.sources.testdata import table
+
+    docs = table(spark, SF_CORRECTNESS, "documents")
+    events = table(spark, SF_CORRECTNESS, "events")
+    orders = table(spark, SF_CORRECTNESS, "orders")
+    b1 = docs.where(F.col("doc_id") < 250)
+    b2 = docs.where(F.col("doc_id") >= 250)
+    kept2, _ = incremental_minhash_dedup(b2, minhash_signatures(b1))
+    frames = [
+        profile_table(orders),
+        key_skew_report(orders, ["o_custkey"]),
+        word_vocabulary(docs, top_v=25),
+        bpe_merge_candidates(docs, top_k=25),
+        token_divergence_report(docs, "source"),
+        psi_report(docs, "source", "n_chars"),
+        windowed_psi_vs_baseline(events, events),
+        kept2,
+        full_minhash_est_dedup(docs),
+    ]
+    for df in frames:
+        plan = df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"
+        )
+        assert "BatchEvalPython" not in plan
+        assert "ArrowEvalPython" not in plan
+        assert "CartesianProduct" not in plan
