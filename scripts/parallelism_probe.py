@@ -11,7 +11,9 @@ order) — an invariance claim verified at ONE parallelism level is
 not verified.
 
 Contracts probed (all sf0.01 / sf0.001 — seconds, not minutes):
-- the full ``approx_distinct`` driver row: HLL envelope booleans,
+- the full ``approx_distinct_sketch_rollup`` row (the widened
+  four-family frame, demoted from the driver registry in r10 but
+  still the sweep's subject): HLL envelope booleans,
   Misra-Gries merged top-k exact integers, Count-Min point estimate,
   histogram quantile bins + fingerprints, all row-conservation checks
 - DSIR importance weights (grid-snapped, repartition-invariant)
@@ -37,7 +39,9 @@ def main() -> None:
     extra_conf = json.loads(sys.argv[3]) if len(sys.argv) > 3 else None
 
     from lakehouse_file_format_compare_spark.session import build_session
-    from lakehouse_file_format_compare_spark.plans.adhoc import approx_distinct
+    from lakehouse_file_format_compare_spark.plans.adhoc import (
+        approx_distinct_sketch_rollup as approx_distinct,
+    )
     from lakehouse_file_format_compare_spark.operators.importance import (
         importance_weights,
     )

@@ -11,7 +11,8 @@ so invariance claims verified at one parallelism level are not
 verified. This tier makes the parallelism axis part of CI.
 
 What must hold at EVERY level:
-- all boolean contract columns of the ``approx_distinct`` driver row
+- all boolean contract columns of the ``approx_distinct_sketch_rollup``
+  row (the four-family frame; driver-demoted r10, swept here)
   are true (HLL envelope + both-paths tolerance, row conservation,
   CMS >= truth, histogram merge fingerprint equality)
 - the deterministic-integer columns (exact counts, Misra-Gries
@@ -84,7 +85,9 @@ def test_invariance_contracts_across_parallelism(spark):
     from lakehouse_file_format_compare_spark.operators.importance import (
         importance_weights,
     )
-    from lakehouse_file_format_compare_spark.plans.adhoc import approx_distinct
+    from lakehouse_file_format_compare_spark.plans.adhoc import (
+        approx_distinct_sketch_rollup as approx_distinct,
+    )
     from lakehouse_file_format_compare_spark.sources.testdata import table
 
     # in-suite local[8] reference

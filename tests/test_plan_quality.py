@@ -346,7 +346,10 @@ def test_no_python_row_udfs_in_r7_operators(spark):
         self_duplicate_spans,
         substring_duplicates,
     )
-    from lakehouse_file_format_compare_spark.plans.adhoc import approx_distinct
+    from lakehouse_file_format_compare_spark.plans.adhoc import (
+        approx_distinct,
+        approx_distinct_sketch_rollup,
+    )
     from lakehouse_file_format_compare_spark.plans.hygiene_plans import (
         corpus_hygiene_serving,
     )
@@ -370,6 +373,7 @@ def test_no_python_row_udfs_in_r7_operators(spark):
         remove_duplicate_spans(docs, spans),
         remove_boilerplate_lines(docs),
         approx_distinct(spark, SF_CORRECTNESS),
+        approx_distinct_sketch_rollup(spark, SF_CORRECTNESS),
         corpus_hygiene_serving(spark, SF_CORRECTNESS),
         nb_score(nb_train(labeled), docs),
     ]
