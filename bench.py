@@ -100,6 +100,12 @@ HEADLINE = [
     # stream_tumbling_window sdrift_*)
     "divergence_serving",
     "drift_monitor_serving",
+    # r10 (r9 verdict #2): the tokenizer-training scalars (the r9
+    # vocab_*/bpe_* widening) get their own wall; text_token_stats
+    # goes back to timing the raw per-doc serving path so the
+    # longitudinal signal survives the widening (the r9 entry
+    # silently included this cost and stepped 4.5x).
+    "tokenizer_stats_serving",
 ]
 
 STEADY_REPS = 3  # min-of-N steady protocol (r7 verdict #3)
@@ -237,6 +243,14 @@ def build_bench_queries() -> dict:
         )
 
     queries["divergence_serving"] = _divergence_serving
+
+    # r10 (r9 verdict #2): the driver row computes vocab_*/bpe_*
+    # in-row since r9 — bench times the raw per-doc path and the
+    # tokenizer-training scalars as separate entries
+    from lakehouse_file_format_compare_spark.plans import text_plans
+
+    queries["text_token_stats"] = text_plans.token_stats_serving
+    queries["tokenizer_stats_serving"] = text_plans.tokenizer_stats
     return queries
 
 
