@@ -90,6 +90,14 @@ CORRECTNESS_r{N} itself bisects the offender: r10 re-adds ``qh_*``
 registers). The full four-family row stays pytest-oracled
 (``approx_distinct_sketch_rollup``, tests/test_correctness.py) and
 parallelism-swept (tests/test_parallelism_sweep.py).
+``dedup_embedding`` widened with ``einc_*``
+(operators/dedup.py::incremental_embedding_dedup — the minhash
+signature-store pattern applied to the semantic path: new vector
+batch vs the (vid, vec, buckets) store, history never re-signed,
+fold == one full run proven in tests/test_incremental_embedding.py
+for both the LSH and the frozen-centroid SemDeDup variants; exact
+planted-duplicate counts replayed in the oracle, drop guarantee
+earned as a boolean).
 """
 
 from __future__ import annotations

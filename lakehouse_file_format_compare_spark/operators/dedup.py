@@ -961,3 +961,281 @@ def full_minhash_est_dedup(
         id_col,
         "left_anti",
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental EMBEDDING dedup (r10, r9 verdict #4): the minhash
+# signature-store pattern applied to the semantic path — a NEW batch
+# of vectors against the bucket store of everything seen. The store
+# holds (vid, vec, buckets): the vector itself (embeddings ARE the
+# compact representation — 64 floats ≈ a MinHash signature) plus its
+# precomputed LSH/cluster bucket ids, so history is never re-signed
+# (no Arrow matmul, no centroid scoring on old rows — just an explode
+# of stored longs). Candidates arise ONLY via bucket-equality joins
+# (Σ bucket² cross history×new, never |new|×|history|); every
+# candidate is re-scored with the exact grid-6 cosine before it can
+# drop anything, so precision is 1.0 and only recall is probabilistic
+# (identical vectors ALWAYS share every bucket — planted duplicates
+# are deterministic drops).
+#
+# Drop rule (identical to incremental_minhash_dedup): a new vector is
+# dropped iff a verified pair links it to ANY history vector or ANY
+# smaller-id vector of its own batch; the store indexes every seen
+# vector (dropped included), so under id-ordered batches the per-batch
+# fold returns EXACTLY the one-shot full-run kept set
+# (tests/test_incremental_embedding.py proves 2- and 3-batch folds and
+# the dropped-doc-chain counterexample shape). The bucket function is
+# a pure per-vector map (fixed seeded hyperplanes / frozen centroids),
+# so candidate sets — hence verified pairs, hence drops — are
+# batch-split-invariant by construction. ``max_bucket_size`` breaks
+# that equivalence (a bucket's population grows as batches fold);
+# leave it None when exact fold equality matters, set it for the hard
+# work bound at 100 TB (documented recall loss, same trade as
+# minhash_lsh_pairs).
+# ---------------------------------------------------------------------------
+
+
+def embedding_signature_store(
+    embeddings: DataFrame,
+    bits: int = 8,
+    tables: int = 6,
+    dim: int = 64,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(vid, vec, buckets) — what a vector batch persists for future
+    incremental dedup. ``buckets[t] = t * 2^bits + sig_t`` (the table
+    offset keeps per-table signature spaces disjoint, one flat LONG
+    bucket id). Hyperplanes are the same seeded family as
+    embedding_near_dup_lsh, so store and one-shot paths bucket
+    identically."""
+    from .similarity import _all_signatures_pandas, _hyperplanes
+
+    all_planes: list[list[float]] = []
+    for t in range(tables):
+        all_planes.extend(_hyperplanes(dim, bits, seed + 7919 * t))
+    sig_udf = _all_signatures_pandas(all_planes, bits)
+    width = 1 << bits
+    return embeddings.select(
+        F.col(id_col).alias("vid"), F.col(vec_col).alias("vec")
+    ).withColumn(
+        "buckets",
+        F.transform(
+            sig_udf(F.col("vec")),
+            lambda sig, t: t.cast("long") * F.lit(width) + sig,
+        ),
+    )
+
+
+def semantic_store(
+    embeddings: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(vid, vec, buckets=[cluster]) — the SemDeDup bucket store: one
+    bucket per vector, its nearest frozen centroid. Centroids come
+    from ``similarity.train_ivf_centroids`` trained ONCE on a bounded
+    sample; they must stay frozen across batches for the fold contract
+    (retraining mid-stream re-buckets history — a rebuild, not a
+    fold)."""
+    from .similarity import ivf_assign
+
+    return (
+        ivf_assign(
+            embeddings.select(
+                F.col(id_col).alias("vid"), F.col(vec_col).alias("vec")
+            ),
+            centroids,
+            "vec",
+        )
+        .withColumn("buckets", F.array(F.col("__list").cast("long")))
+        .drop("__list")
+    )
+
+
+def _inc_bucket_dedup(
+    new_rows: DataFrame,
+    history_store: DataFrame | None,
+    threshold: float,
+    max_bucket_size: int | None,
+) -> tuple[DataFrame, DataFrame]:
+    """Shared incremental skeleton over (vid, vec, buckets) stores.
+    Returns (dropped_vids, updated_store).
+
+    The signed batch is lazily localCheckpoint'd (the pagerank
+    discipline): new_rows feeds FOUR subtrees (both candidate sides,
+    the verification vectors, the store union) and without the
+    lineage cut each reference re-runs the Arrow signature matmul /
+    centroid scoring — measured 6 ArrowEvalPython nodes in the
+    un-checkpointed batch-2 plan. With it, the batch is signed exactly
+    once when the first action fires, and the returned store hands the
+    NEXT batch materialized longs instead of a re-signing plan."""
+    new_rows = new_rows.localCheckpoint(eager=False)
+    banded_new = new_rows.select("vid", F.explode("buckets").alias("bucket"))
+    banded_hist = (
+        None
+        if history_store is None
+        else history_store.select("vid", F.explode("buckets").alias("bucket"))
+    )
+    if max_bucket_size is not None:
+        all_banded = (
+            banded_new if banded_hist is None
+            else banded_new.unionByName(banded_hist)
+        )
+        ok_buckets = (
+            all_banded.groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("bsz"))
+            .where(F.col("bsz") <= max_bucket_size)
+            .select("bucket")
+        )
+        banded_new = banded_new.join(ok_buckets, "bucket", "left_semi")
+        if banded_hist is not None:
+            banded_hist = banded_hist.join(ok_buckets, "bucket", "left_semi")
+
+    new_vecs = new_rows.select("vid", "vec")
+    cand_parts = []
+    if banded_hist is not None:
+        cand_parts.append(
+            banded_hist.alias("x")
+            .join(banded_new.alias("y"), "bucket")
+            .select(F.col("x.vid").alias("id_a"), F.col("y.vid").alias("id_b"))
+            .distinct()
+        )
+    cand_parts.append(
+        banded_new.alias("x")
+        .join(
+            banded_new.alias("y"),
+            (F.col("x.bucket") == F.col("y.bucket"))
+            & (F.col("x.vid") < F.col("y.vid")),
+        )
+        .select(F.col("x.vid").alias("id_a"), F.col("y.vid").alias("id_b"))
+        .distinct()
+    )
+    hist_vecs = (
+        new_vecs if history_store is None
+        else history_store.select("vid", "vec").unionByName(new_vecs)
+    )
+    dropped = None
+    for cand in cand_parts:
+        verified = (
+            cand.join(
+                hist_vecs.select(F.col("vid").alias("id_a"),
+                                 F.col("vec").alias("__va")),
+                "id_a",
+            )
+            .join(
+                new_vecs.select(F.col("vid").alias("id_b"),
+                                F.col("vec").alias("__vb")),
+                "id_b",
+            )
+            .withColumn("cosine", grid(V.cosine(F.col("__va"), F.col("__vb")), 6))
+            .where(F.col("cosine") >= threshold)
+            .select(F.col("id_b").alias("vid"))
+        )
+        dropped = verified if dropped is None else dropped.unionByName(verified)
+    dropped = dropped.distinct()
+    store = (
+        new_rows if history_store is None
+        else history_store.unionByName(new_rows)
+    )
+    return dropped, store
+
+
+def incremental_embedding_dedup(
+    new_embeddings: DataFrame,
+    history_store: DataFrame | None,
+    threshold: float = 0.95,
+    bits: int = 8,
+    tables: int = 6,
+    dim: int = 64,
+    seed: int = 42,
+    max_bucket_size: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, DataFrame]:
+    """Dedup ``new_embeddings`` against ``history_store`` (an
+    embedding_signature_store frame, or None for the first batch) AND
+    within itself. Returns (kept_embeddings, updated_store); feed the
+    store to the next batch. History vectors are never re-signed —
+    only their stored bucket longs are exploded into the join."""
+    new_rows = embedding_signature_store(
+        new_embeddings, bits=bits, tables=tables, dim=dim, seed=seed,
+        id_col=id_col, vec_col=vec_col,
+    )
+    dropped, store = _inc_bucket_dedup(
+        new_rows, history_store, threshold, max_bucket_size
+    )
+    kept = new_embeddings.join(
+        dropped.select(F.col("vid").alias(id_col)), id_col, "left_anti"
+    )
+    return kept, store
+
+
+def full_embedding_est_dedup(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    bits: int = 8,
+    tables: int = 6,
+    dim: int = 64,
+    seed: int = 42,
+    max_bucket_size: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """One-shot reference for the incremental embedding fold: keep v
+    iff no verified pair (v', v) with v' < v over the whole corpus
+    (same buckets, same exact-cosine verification). Any id-ordered
+    batch split folded through incremental_embedding_dedup must return
+    exactly this kept set."""
+    rows = embedding_signature_store(
+        embeddings, bits=bits, tables=tables, dim=dim, seed=seed,
+        id_col=id_col, vec_col=vec_col,
+    )
+    dropped, _ = _inc_bucket_dedup(rows, None, threshold, max_bucket_size)
+    return embeddings.join(
+        dropped.select(F.col("vid").alias(id_col)), id_col, "left_anti"
+    )
+
+
+def incremental_semantic_dedup(
+    new_embeddings: DataFrame,
+    history_store: DataFrame | None,
+    centroids: list[list[float]],
+    threshold: float = 0.95,
+    max_cluster_size: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, DataFrame]:
+    """SemDeDup, incrementally: new batch vs the (vid, vec, cluster)
+    store under FROZEN centroids. Same fold-equals-full-run contract
+    as the LSH path (cluster assignment is a pure per-vector map)."""
+    new_rows = semantic_store(new_embeddings, centroids, id_col, vec_col)
+    dropped, store = _inc_bucket_dedup(
+        new_rows, history_store, threshold, max_cluster_size
+    )
+    kept = new_embeddings.join(
+        dropped.select(F.col("vid").alias(id_col)), id_col, "left_anti"
+    )
+    return kept, store
+
+
+def full_semantic_dedup_ordered(
+    embeddings: DataFrame,
+    centroids: list[list[float]],
+    threshold: float = 0.95,
+    max_cluster_size: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """One-shot ordered-drop reference for the incremental semantic
+    fold (keep v iff no verified same-cluster pair (v', v), v' < v —
+    the sequential-crawl rule, vs semantic_dedup's component-canonical
+    rule which needs the whole graph at once and therefore has no
+    incremental form)."""
+    rows = semantic_store(embeddings, centroids, id_col, vec_col)
+    dropped, _ = _inc_bucket_dedup(rows, None, threshold, max_cluster_size)
+    return embeddings.join(
+        dropped.select(F.col("vid").alias(id_col)), id_col, "left_anti"
+    )

@@ -392,8 +392,86 @@ FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
 """
 
 
+EINC_SPLIT = 250  # sf0.01 embeddings: vec_id 0..499; id-ordered batch cut
+EINC_PLANT_MOD = 5
+EINC_THRESHOLD = 0.95  # the production near-dup regime; planted pairs hit 1.0
+
+
+def _einc_corpus(emb: DataFrame) -> DataFrame:
+    """Embeddings with planted cross-batch duplicate VECTORS: every
+    batch-2 row with EINC_SPLIT <= vec_id < 2*EINC_SPLIT and
+    vec_id % EINC_PLANT_MOD == 1 gets the embedding of
+    vec_id - EINC_SPLIT (a batch-1 vector never overwritten itself).
+    Same construction as _inc_corpus, over vectors."""
+    donors = emb.select(
+        (F.col("vec_id") + EINC_SPLIT).alias("vec_id"),
+        F.col("embedding").alias("__donor"),
+    )
+    return emb.join(donors, "vec_id", "left").select(
+        "vec_id",
+        F.when(
+            (F.col("vec_id") >= EINC_SPLIT)
+            & (F.col("vec_id") < 2 * EINC_SPLIT)
+            & (F.pmod(F.col("vec_id"), F.lit(EINC_PLANT_MOD)) == 1)
+            & F.col("__donor").isNotNull(),
+            F.col("__donor"),
+        )
+        .otherwise(F.col("embedding"))
+        .alias("embedding"),
+    )
+
+
+def _einc_agg(emb: DataFrame) -> DataFrame:
+    """r10 widening (r9 verdict #4): the incremental EMBEDDING dedup
+    contract (operators/dedup.py::incremental_embedding_dedup — a new
+    id-ordered vector batch deduped against the (vid, vec, buckets)
+    store of everything seen; history never re-signed). Exact values
+    the oracle replays: batch-2 size, planted-duplicate count,
+    indexed-store size (= every vector — embeddings always sign).
+    Earned booleans: every planted duplicate dropped (identical
+    vectors share every LSH bucket, exact cosine 1.0 — deterministic,
+    no recall dial) and the kept count bounded by new - planted."""
+    corpus = _einc_corpus(emb.select("vec_id", "embedding"))
+    b1 = corpus.where(F.col("vec_id") < EINC_SPLIT)
+    b2 = corpus.where(F.col("vec_id") >= EINC_SPLIT)
+    _, store1 = D.incremental_embedding_dedup(b1, None, threshold=EINC_THRESHOLD)
+    kept2, store2 = D.incremental_embedding_dedup(
+        b2, store1, threshold=EINC_THRESHOLD
+    )
+    planted = b2.where(
+        (F.pmod(F.col("vec_id"), F.lit(EINC_PLANT_MOD)) == 1)
+        & (F.col("vec_id") < 2 * EINC_SPLIT)
+    )
+    n_new = b2.agg(F.count(F.lit(1)).cast("long").alias("einc_new"))
+    n_planted = planted.agg(F.count(F.lit(1)).cast("long").alias("einc_planted"))
+    n_kept = kept2.agg(F.count(F.lit(1)).cast("long").alias("__k"))
+    n_store = store2.agg(F.count(F.lit(1)).cast("long").alias("einc_store_rows"))
+    n_viol = kept2.join(
+        planted.select("vec_id"), "vec_id", "left_semi"
+    ).agg(F.count(F.lit(1)).alias("__v"))
+    return (
+        n_new.crossJoin(n_planted).crossJoin(n_kept)
+        .crossJoin(n_store).crossJoin(n_viol)
+        .select(
+            "einc_new",
+            "einc_planted",
+            "einc_store_rows",
+            (F.col("__v") == 0).alias("einc_planted_dropped_ok"),
+            (F.col("__k") <= F.col("einc_new") - F.col("einc_planted")).alias(
+                "einc_kept_bounded_ok"
+            ),
+        )
+    )
+
+
 def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return D.embedding_near_dup_pairs(table(spark, sf_dir, "embeddings"), threshold=EMBED_THRESHOLD)
+    """Brute-force embedding near-dup pairs (the exact baseline the
+    LSH paths are graded against); widened in r10 with the
+    incremental-embedding-dedup contract (einc_*, see _einc_agg)."""
+    emb = table(spark, sf_dir, "embeddings")
+    return D.embedding_near_dup_pairs(emb, threshold=EMBED_THRESHOLD).crossJoin(
+        F.broadcast(_einc_agg(emb))
+    )
 
 
 # cosine replicated as the exact sequential double fold used by
@@ -410,7 +488,29 @@ WHERE {cos} >= {threshold}
 """
 
 
-EMBEDDING_NEAR_DUP_SQL = embedding_near_dup_sql(EMBED_THRESHOLD)
+# Driver oracle: the 3-col pair set (embedding_near_dup_sql stays the
+# reusable parameterized form for fixture tests) crossed with the
+# r10 einc_* replay. The planted-duplicate count needs no donor-
+# existence clause: every vec_id in [EINC_SPLIT, 2*EINC_SPLIT) has
+# donor vec_id - EINC_SPLIT >= 0, and the sf tables carry 0..499.
+EMBEDDING_NEAR_DUP_SQL = f"""
+WITH pairs AS ({embedding_near_dup_sql(EMBED_THRESHOLD)}),
+einc AS (
+    SELECT CAST(COUNT(*) FILTER (WHERE vec_id >= {EINC_SPLIT}) AS BIGINT)
+               AS einc_new,
+           CAST(COUNT(*) FILTER (WHERE vec_id >= {EINC_SPLIT}
+                                   AND vec_id < {2 * EINC_SPLIT}
+                                   AND vec_id - {EINC_SPLIT} <= (SELECT MAX(vec_id) FROM embeddings)
+                                   AND vec_id % {EINC_PLANT_MOD} = 1) AS BIGINT)
+               AS einc_planted,
+           CAST(COUNT(*) AS BIGINT) AS einc_store_rows
+    FROM embeddings
+)
+SELECT pairs.*,
+       einc_new, einc_planted, einc_store_rows,
+       true AS einc_planted_dropped_ok, true AS einc_kept_bounded_ok
+FROM pairs CROSS JOIN einc
+"""
 
 
 QUERIES = {

@@ -22,6 +22,7 @@ from lakehouse_file_format_compare_spark.operators.dedup import (
 )
 from lakehouse_file_format_compare_spark.plans.dedup_plans import (
     EMBED_THRESHOLD,
+    EMBEDDING_NEAR_DUP_SQL,
     embedding_near_dup,
     embedding_near_dup_sql,
 )
@@ -48,8 +49,7 @@ def test_driver_row_is_non_vacuous(spark):
 
 def test_driver_row_oracle(spark):
     ok, msg = compare(
-        spark, SF_CORRECTNESS, embedding_near_dup,
-        embedding_near_dup_sql(EMBED_THRESHOLD),
+        spark, SF_CORRECTNESS, embedding_near_dup, EMBEDDING_NEAR_DUP_SQL,
     )
     assert ok, msg
 
