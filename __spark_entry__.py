@@ -98,6 +98,13 @@ fold == one full run proven in tests/test_incremental_embedding.py
 for both the LSH and the frozen-centroid SemDeDup variants; exact
 planted-duplicate counts replayed in the oracle, drop guarantee
 earned as a boolean).
+``text_token_stats`` widened with ``bpea_*``
+(operators/vocab.py::bpe_apply — the tokenizer family's APPLY half:
+corpus tokenized under a fixed merge list on the distinct-word table
+with a broadcast map-back, corpus exchanged once; the oracle replays
+the merges as chained non-overlapping string replaces, proven
+equivalent to the greedy fold in tests/test_bpe.py, which also
+oracles lists TRAINED by the new bpe_train).
 """
 
 from __future__ import annotations

@@ -89,3 +89,179 @@ def bpe_merge_candidates(
         .orderBy(F.col("n").desc(), F.col("pair"))
         .limit(top_k)
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE train + apply (r10, r9 verdict #5): the other half of the
+# tokenizer family. ``bpe_merge_candidates`` above is iteration 1 of
+# training; ``bpe_train`` runs the full greedy loop and ``bpe_apply``
+# tokenizes a corpus with a FIXED trained merge list. Both keep the
+# Heaps-law shape: every per-word computation (pair counting, the
+# merge folds) runs over the DISTINCT-WORD table weighted by
+# frequency; the corpus is touched exactly once per operator (the
+# word explode), and the word→tokens map is broadcast back.
+#
+# Merge semantics (Sennrich 2016, subword-nmt): one merge (x, y)
+# rewrites every non-overlapping left-to-right adjacent occurrence of
+# x,y into the single symbol x||y; merges apply in list order. The
+# Spark implementation is a JVM ``aggregate`` fold over the symbol
+# array (greedy by construction: a freshly merged symbol is the new
+# "last" and cannot re-merge as x in the same pass); the DuckDB
+# replay encodes symbols as '<s>' runs and chains literal
+# ``replace('<x><y>' -> '<xy>')`` — string replace is non-overlapping
+# left-to-right, so the two formulations are exactly equivalent (the
+# encoding is oracle-side only and assumes '<'/'>' do not occur in
+# the corpus — asserted by the tests on the testdata).
+# ---------------------------------------------------------------------------
+
+
+def _merge_fold(arr, x: str, y: str):
+    """One BPE merge pass over a symbol array, greedy left-to-right,
+    as a whole-stage-codegen ``aggregate`` (no Python)."""
+    xy = x + y
+    return F.aggregate(
+        arr,
+        F.expr("CAST(array() AS array<string>)"),
+        lambda acc, s: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.lit(x))
+            & (s == F.lit(y)),
+            F.concat(F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(xy))),
+        ).otherwise(F.concat(acc, F.array(s))),
+    )
+
+
+def word_bpe_tokens(words: DataFrame, merges, word_col: str = "word") -> DataFrame:
+    """``words`` plus a ``tokens`` column: the word's BPE
+    tokenization under the fixed ``merges`` list (applied in order).
+    Meant for DISTINCT-word tables — this is the map that gets
+    broadcast back to the corpus."""
+    arr = F.split(F.col(word_col), "")
+    for x, y in merges:
+        arr = _merge_fold(arr, x, y)
+    return words.withColumn("tokens", arr)
+
+
+def bpe_train(
+    docs: DataFrame,
+    n_merges: int = 8,
+    text_col: str = "text",
+) -> list[tuple[str, str]]:
+    """Greedy BPE training: ``n_merges`` iterations of (count adjacent
+    symbol pairs over the frequency-weighted distinct-word table,
+    merge the most frequent pair, repeat). Deterministic: ties break
+    on (x, y) ascending. Returns the ordered merge list — plain
+    literals, broadcastable, no state to ship.
+
+    Scale shape: the corpus is scanned ONCE (the word-count shuffle);
+    each iteration then runs on the vocab-sized symbol table, which is
+    eagerly localCheckpoint'd so the plan stays one-merge deep instead
+    of growing by a fold per iteration. The per-iteration driver read
+    is a single argmax row (bounded-collect discipline). Stops early
+    when no pair occurs at least twice."""
+    if n_merges < 1:
+        raise ValueError("n_merges must be >= 1")
+    symtab = (
+        _words(docs, text_col)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("__wn"))
+        .withColumn("syms", F.split(F.col("word"), ""))
+        .localCheckpoint(eager=True)
+    )
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        pairs = (
+            symtab.where(F.size("syms") >= 2)
+            .select(
+                "__wn",
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, size(syms) - 1),"
+                        " i -> struct(syms[i - 1] AS x, syms[i] AS y))"
+                    )
+                ).alias("p"),
+            )
+            .groupBy(F.col("p.x").alias("x"), F.col("p.y").alias("y"))
+            .agg(F.sum("__wn").cast("long").alias("n"))
+        )
+        best = pairs.orderBy(F.col("n").desc(), "x", "y").limit(1).collect()
+        if not best or best[0]["n"] < 2:
+            break
+        x, y = best[0]["x"], best[0]["y"]
+        merges.append((x, y))
+        symtab = symtab.withColumn(
+            "syms", _merge_fold(F.col("syms"), x, y)
+        ).localCheckpoint(eager=True)
+    return merges
+
+
+def bpe_apply(
+    docs: DataFrame,
+    merges,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Tokenize the corpus with a trained merge list: (id, n_words,
+    n_bpe_tokens) per document. The corpus-sized explode feeds ONE
+    (id, word) count aggregation; both consumers — the distinct-word
+    table the folds run on, and the per-doc rollup — re-aggregate
+    that same exchange (ReusedExchange, the divergence-report
+    discipline), so the corpus is scanned and shuffled exactly once
+    and the word→token-count map rides back on a broadcast."""
+    base = (
+        docs.select(
+            F.col(id_col),
+            F.explode(
+                F.split(F.lower(F.trim(F.col(text_col))), WORD_SPLIT_RE)
+            ).alias("word"),
+        )
+        .where(F.length("word") > 0)
+        .groupBy(id_col, "word")
+        .agg(F.count(F.lit(1)).cast("long").alias("__c"))
+    )
+    # the word table re-aggregates base WITH its count column: a bare
+    # distinct() lets Catalyst prune the (id, word) aggregate out of
+    # this branch, making the two subtrees differ — then AQE cannot
+    # reuse the corpus exchange and the corpus is scanned twice. The
+    # "+ __wn * 0" keeps the count consumed (it cannot constant-fold:
+    # NULL semantics) so both branches stay canonical-identical.
+    words = base.groupBy("word").agg(F.sum("__c").alias("__wn"))
+    word_map = word_bpe_tokens(words, merges).select(
+        "word", (F.size("tokens") + F.col("__wn") * F.lit(0)).alias("__nt")
+    )
+    return (
+        base.join(F.broadcast(word_map), "word")
+        .groupBy(id_col)
+        .agg(
+            F.sum("__c").cast("long").alias("n_words"),
+            F.sum(F.col("__c") * F.col("__nt")).cast("long").alias("n_bpe_tokens"),
+        )
+    )
+
+
+def bpe_token_usage(
+    docs: DataFrame,
+    merges,
+    text_col: str = "text",
+    top_k: int = 50,
+) -> DataFrame:
+    """(token, n): corpus-weighted BPE token frequencies under the
+    fixed merge list — the trained tokenizer's observed vocabulary
+    usage. Token explode runs over the distinct-word table weighted
+    by word frequency (the same trick as bpe_merge_candidates)."""
+    if top_k < 1:
+        raise ValueError("top_k must be >= 1")
+    wc = (
+        _words(docs, text_col)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("__wn"))
+    )
+    toks = word_bpe_tokens(wc, merges).select(
+        "__wn", F.explode("tokens").alias("token")
+    )
+    return (
+        toks.groupBy("token")
+        .agg(F.sum("__wn").cast("long").alias("n"))
+        .orderBy(F.col("n").desc(), "token")
+        .limit(top_k)
+    )

@@ -988,7 +988,7 @@ WITH base AS (
     SELECT o_orderstatus,
            CAST(LEAST({HIST_N_BINS - 1}, GREATEST(0, FLOOR((o_totalprice - 0.0) / {HIST_BIN_W}))) AS BIGINT) AS bin,
            COUNT(*) AS cnt
-    FROM orders GROUP BY ALL
+    FROM orders GROUP BY o_orderstatus, CAST(LEAST({HIST_N_BINS - 1}, GREATEST(0, FLOOR((o_totalprice - 0.0) / {HIST_BIN_W}))) AS BIGINT)
 ), hq AS (
     SELECT o_orderstatus,
            MIN(CASE WHEN cum * 100 >= 50 * total THEN bin END) AS qh_p50_bin,
@@ -998,12 +998,12 @@ WITH base AS (
                  SUM(cnt) OVER (PARTITION BY o_orderstatus ORDER BY bin) AS cum,
                  SUM(cnt) OVER (PARTITION BY o_orderstatus) AS total
           FROM hmerged)
-    GROUP BY 1
+    GROUP BY o_orderstatus
 ), hfp AS (
     SELECT o_orderstatus, CAST(SUM(bin * 1009 + cnt * 7) AS BIGINT) AS qh_fp
-    FROM hmerged GROUP BY 1
+    FROM hmerged GROUP BY o_orderstatus
 )
-SELECT o_orderstatus, exact_customers, n_orders,
+SELECT base.o_orderstatus, exact_customers, n_orders,
        true AS approx_within_tolerance,
        qh_p50_bin, qh_p95_bin, qh_fp,
        (hq.qh_rows = n_orders) AS qh_rows_conserved,

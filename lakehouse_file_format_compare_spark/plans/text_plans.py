@@ -18,6 +18,45 @@ _PUNCT_DUCK = T.PUNCT_RE.replace("'", "''")
 VOCAB_TOP_V = 25
 BPE_TOP_K = 25
 
+# r10 (r9 verdict #5): the tokenizer's APPLY half rides the driver
+# row with a FIXED merge list (plain literals on both engines — the
+# oracle cannot replay the iterative trainer, and a fixed list is the
+# deployment shape anyway: train once, apply everywhere). Common
+# English bigram merges; chained in order.
+BPE_APPLY_MERGES = [
+    ("t", "h"), ("th", "e"), ("a", "n"), ("i", "n"), ("e", "r"), ("o", "n"),
+]
+
+
+def _bpe_apply_duck_tokens() -> str:
+    """DuckDB token-count replay for BPE_APPLY_MERGES: encode a word
+    as '<c>' runs, chain literal replaces (non-overlapping
+    left-to-right — exactly the Spark fold's greedy semantics), count
+    '<' occurrences. operators/vocab.py module note proves the
+    equivalence; tests/test_bpe.py pins it on trained lists too."""
+    expr = "regexp_replace(word, '(.)', '<\\1>', 'g')"
+    for x, y in BPE_APPLY_MERGES:
+        expr = f"replace({expr}, '<{x}><{y}>', '<{x}{y}>')"
+    return f"length(regexp_replace({expr}, '[^<]', '', 'g'))"
+
+
+def _bpe_apply_scalars(docs: DataFrame) -> DataFrame:
+    """One row of bpea_* scalars: corpus-level totals of the BPE-apply
+    tokenization under the fixed merge list, plus an exact per-doc
+    fingerprint (sum of doc_id * token count) so any single document's
+    tokenization moving is visible in the hash."""
+    from ..operators.vocab import bpe_apply
+
+    ap = bpe_apply(docs, BPE_APPLY_MERGES)
+    return ap.agg(
+        F.count(F.lit(1)).cast("long").alias("bpea_docs"),
+        F.sum("n_words").cast("long").alias("bpea_words"),
+        F.sum("n_bpe_tokens").cast("long").alias("bpea_tokens"),
+        F.sum(F.col("doc_id") * F.col("n_bpe_tokens")).cast("long").alias(
+            "bpea_fp"
+        ),
+    )
+
 
 def token_stats_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The RAW per-doc token-stats path — what bench.py times (r10,
@@ -79,10 +118,17 @@ def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     the top-K BPE merge-pair counts (Sennrich step 1, counted over
     the distinct-word table weighted by frequency — the trainer's
     scale shape). Every widened value is exact in the oracle.
+    Widened again in r10 with the APPLY half (bpea_*: corpus totals +
+    per-doc fingerprint of BPE tokenization under the fixed
+    BPE_APPLY_MERGES list — operators/vocab.py::bpe_apply, the
+    Heaps-law broadcast-map shape).
     Bench-wise this DRIVER row is no longer timed (r10): bench.py
     times token_stats_serving and tokenizer_stats separately."""
-    return token_stats_serving(spark, sf_dir).crossJoin(
-        F.broadcast(tokenizer_stats(spark, sf_dir))
+    docs = table(spark, sf_dir, "documents")
+    return (
+        token_stats_serving(spark, sf_dir)
+        .crossJoin(F.broadcast(tokenizer_stats(spark, sf_dir)))
+        .crossJoin(F.broadcast(_bpe_apply_scalars(docs)))
     )
 
 
@@ -117,6 +163,22 @@ WITH words AS (
            MAX(CASE WHEN rn = 1 THEN n END) AS bpe_top_n,
            CAST(SUM(rn * n) AS BIGINT) AS bpe_fp
     FROM btop
+), ap_words AS (
+    SELECT doc_id, word FROM (
+        SELECT doc_id,
+               unnest(string_split_regex(lower(trim(text)), '\\s+')) AS word
+        FROM documents
+    ) WHERE length(word) > 0
+), ap_doc AS (
+    SELECT doc_id, COUNT(*) AS nw,
+           SUM({_bpe_apply_duck_tokens()}) AS nt
+    FROM ap_words GROUP BY doc_id
+), apagg AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS bpea_docs,
+           CAST(SUM(nw) AS BIGINT) AS bpea_words,
+           CAST(SUM(nt) AS BIGINT) AS bpea_tokens,
+           CAST(SUM(doc_id * nt) AS BIGINT) AS bpea_fp
+    FROM ap_doc
 )
 SELECT doc_id,
        length(text) AS n_chars_actual,
@@ -125,8 +187,9 @@ SELECT doc_id,
        len(regexp_extract_all(text, '([A-Za-z]+|[0-9]|[^A-Za-z0-9\\s])')) AS n_bpe_tokens,
        len(regexp_extract_all(text, '{_PUNCT_DUCK}')) AS n_punct,
        vocab_terms, vocab_top_word, vocab_top_n, vocab_fp,
-       bpe_top_pair, bpe_top_n, bpe_fp
-FROM documents, vagg, bagg
+       bpe_top_pair, bpe_top_n, bpe_fp,
+       bpea_docs, bpea_words, bpea_tokens, bpea_fp
+FROM documents, vagg, bagg, apagg
 """
 
 
