@@ -106,6 +106,10 @@ HEADLINE = [
     # longitudinal signal survives the widening (the r9 entry
     # silently included this cost and stepped 4.5x).
     "tokenizer_stats_serving",
+    # r10: incremental embedding dedup per-batch serving wall (new
+    # half vs the materialized signature store of the old half;
+    # driver contract lives in dedup_embedding's einc_*)
+    "incremental_embedding_serving",
 ]
 
 STEADY_REPS = 3  # min-of-N steady protocol (r7 verdict #3)
@@ -251,6 +255,10 @@ def build_bench_queries() -> dict:
 
     queries["text_token_stats"] = text_plans.token_stats_serving
     queries["tokenizer_stats_serving"] = text_plans.tokenizer_stats
+
+    from lakehouse_file_format_compare_spark.plans import dedup_plans as _dp
+
+    queries["incremental_embedding_serving"] = _dp.incremental_embedding_serving
     return queries
 
 

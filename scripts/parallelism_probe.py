@@ -84,8 +84,50 @@ def main() -> None:
             [r["node"], r["rank"]]
             for r in pagerank(_pr_edges(docs), iterations=4).collect()
         )
+
+        # r10: the incremental-embedding fold's kept set and the BPE
+        # trained merge list + apply fingerprint — all deterministic
+        # integer/set outputs (per-vector signatures, grid-6 cosine,
+        # tie-broken argmax), so parallelism must not move them
+        from lakehouse_file_format_compare_spark.operators.dedup import (
+            embedding_signature_store,
+            incremental_embedding_dedup,
+        )
+
+        emb = table(spark, "/root/testdata/sf0.001", "embeddings").select(
+            "vec_id", "embedding"
+        )
+        donors = emb.select(
+            (F.col("vec_id") + 250).alias("vec_id"),
+            F.col("embedding").alias("__d"),
+        )
+        planted = emb.join(donors, "vec_id", "left").select(
+            "vec_id",
+            F.when(
+                (F.col("vec_id") >= 250) & (F.pmod("vec_id", F.lit(5)) == 1)
+                & F.col("__d").isNotNull(), F.col("__d"),
+            ).otherwise(F.col("embedding")).alias("embedding"),
+        )
+        kept2, _ = incremental_embedding_dedup(
+            planted.where(F.col("vec_id") >= 250),
+            embedding_signature_store(planted.where(F.col("vec_id") < 250)),
+            threshold=0.95,
+        )
+        einc = sorted(r["vec_id"] for r in kept2.select("vec_id").collect())
+
+        from lakehouse_file_format_compare_spark.operators.vocab import (
+            bpe_apply,
+            bpe_train,
+        )
+
+        merges = bpe_train(docs, n_merges=4)
+        bpe_fp = bpe_apply(docs, merges).agg(
+            F.sum(F.col("doc_id") * F.col("n_bpe_tokens")).cast("long")
+        ).collect()[0][0]
+
         print(json.dumps({
             "master": master, "approx_distinct": ad, "dsir": dsir, "pr": pr,
+            "einc_kept": einc, "bpe_merges": merges, "bpe_fp": bpe_fp,
         }))
     finally:
         spark.stop()

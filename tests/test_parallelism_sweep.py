@@ -125,6 +125,7 @@ def test_invariance_contracts_across_parallelism(spark):
                    "spark.default.parallelism": "7"}
     sweep = [("local[2]", 2, None), ("local[32]", 32, None),
              ("local[32]", 32, layout_conf)]
+    sweep_ref: dict = {}  # r10 keys compare level-vs-level
     for master, shuffle, conf in sweep:
         got = _probe(master, shuffle, conf)
         ad = got["approx_distinct"]
@@ -139,3 +140,8 @@ def test_invariance_contracts_across_parallelism(spark):
             master, "dsir weights moved across parallelism")
         assert [list(t) for t in got["pr"]] == [list(t) for t in ref_pr], (
             master, "pagerank integer ranks moved across parallelism")
+        # r10: incremental-embedding fold kept set and BPE train/apply
+        # are deterministic — compare levels against each other
+        for key in ("einc_kept", "bpe_merges", "bpe_fp"):
+            assert got[key] == sweep_ref.setdefault(key, got[key]), (
+                master, key, "moved across parallelism")
