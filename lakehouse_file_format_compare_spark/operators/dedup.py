@@ -838,6 +838,7 @@ def incremental_minhash_dedup(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_bucket_size: int | None = None,
+    new_sigs: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Dedup ``new_docs`` against ``history_sigs`` (a signature_store
     frame, or None for the first batch) AND within itself. Returns
@@ -850,10 +851,14 @@ def incremental_minhash_dedup(
     side contributes band-bucket joins against its (tiny) signature
     store. ``max_bucket_size`` is the same hot-bucket guard as
     minhash_lsh_pairs, applied to the UNION bucket table so a
-    boilerplate bucket is capped consistently on both sides."""
+    boilerplate bucket is capped consistently on both sides.
+    ``new_sigs`` (optional): the batch's precomputed signature_store
+    frame — callers that also persist the batch signatures (the
+    streaming loader) pass it to avoid signing twice."""
     rows = num_hashes // bands
-    new_sigs = minhash_signatures(docs=new_docs, num_hashes=num_hashes, k=k,
-                                  id_col=id_col, text_col=text_col)
+    if new_sigs is None:
+        new_sigs = minhash_signatures(docs=new_docs, num_hashes=num_hashes,
+                                      k=k, id_col=id_col, text_col=text_col)
     banded_new = banded_signatures(new_sigs, bands, rows)
     if history_sigs is not None:
         banded_hist = banded_signatures(history_sigs, bands, rows)

@@ -23,7 +23,10 @@ partial grain, the register state depends on per-partition insertion
 order at the partial stage, so two physically-different layouts of
 the "same" partial set can estimate differently — equality held at
 local[8] and failed at local[32]. The portable contracts — pinned in
-tests and in the op_approx_distinct driver row — are: estimates
+tests and in the pytest-oracled ``approx_distinct_sketch_rollup`` row
+(driver-demoted r10; the driver's ``op_approx_distinct`` re-adds one
+sketch family per round to bisect a driver-environment-only
+mismatch, plans/adhoc.py) — are: estimates
 within the error envelope of exact DuckDB distincts, exact
 conservation of the riding row counts, and a re-shuffled layout
 merging to an estimate within that same envelope (tolerance, never

@@ -1,0 +1,122 @@
+"""Streaming incremental near-dup dedup against a persistent
+signature store (r10): the batch fold
+(operators/dedup.py::incremental_minhash_dedup, r9) lifted to
+Structured Streaming.
+
+    readStream(docs dir) → Trigger.AvailableNow
+      → foreachBatch(dedup batch vs store → insert-only MERGE both)
+
+Each micro-batch is deduped against the snapshot-versioned signature
+store (storage.py) of everything seen, then BOTH outputs commit as
+keyed insert-only merges: the kept documents and the batch's
+signatures (dropped docs' signatures included — the fold-commutes
+invariant). Keyed insert-only merges make replays idempotent: a batch
+re-delivered after a checkpoint rollback re-merges the same keys and
+changes nothing, so the pipeline is effectively-once end to end
+(checkpointed file progress × idempotent sink).
+
+Semantics: a doc is dropped iff est-Jaccard links it to ANY
+previously seen doc or any smaller-id doc of its own micro-batch.
+When files arrive in id order (the natural crawl/export shape) the
+drained result is EXACTLY the one-shot full-run kept set — the
+batch-fold theorem, proven over the stream in
+tests/test_streaming_incremental_dedup.py with maxFilesPerTrigger=1.
+
+Scale notes (100 TB): per micro-batch cost = shingle+sign the batch
+(corpus-linear in the BATCH only) + band-bucket joins against the
+store's exploded longs + the insert-only merges (O(batch) COW). The
+store carries ~num_hashes longs per doc ever seen; history text is
+never re-read. The reference has no streaming and no dedup surface
+(SURVEY §2.5/§2.9); this composes the repo's streaming contract
+(streaming/runner.py) with the r9 incremental operator.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+
+from pyspark.sql.types import StructType
+
+from ..operators.dedup import incremental_minhash_dedup, signature_store
+from ..storage import Warehouse
+
+
+@dataclass
+class StreamingIncrementalDedupLoader:
+    """Drain a file-source stream of documents into a deduped table
+    plus a signature store, micro-batch by micro-batch."""
+
+    warehouse: Warehouse
+    checkpoint_root: str
+    threshold: float = 0.5
+    num_hashes: int = 32
+    bands: int = 8
+    k: int = 3
+    fmt: str = "parquet"
+    id_col: str = "doc_id"
+    text_col: str = "text"
+
+    def _store_name(self, name: str) -> str:
+        return f"{name}_sigstore"
+
+    def run(
+        self,
+        source_path: str,
+        name: str,
+        schema: StructType,
+        timeout_sec: int = 180,
+        max_files_per_trigger: int | None = None,
+    ) -> None:
+        wh = self.warehouse
+        reader = wh.spark.readStream.schema(schema)
+        if max_files_per_trigger:
+            reader = reader.option(
+                "maxFilesPerTrigger", str(max_files_per_trigger)
+            )
+        stream = reader.parquet(source_path)
+
+        def dedup_batch(batch_df, batch_id: int) -> None:
+            batch = batch_df.select(self.id_col, self.text_col)
+            try:
+                history = wh.read_table("silver", self._store_name(name), self.fmt)
+            except Exception:
+                history = None  # first batch: no store yet
+            new_sigs = signature_store(
+                batch, self.num_hashes, self.k, self.id_col, self.text_col
+            )
+            kept, _ = incremental_minhash_dedup(
+                batch,
+                history,
+                threshold=self.threshold,
+                num_hashes=self.num_hashes,
+                bands=self.bands,
+                k=self.k,
+                id_col=self.id_col,
+                text_col=self.text_col,
+                new_sigs=new_sigs,
+            )
+            # order matters for crash safety: commit the KEPT rows
+            # first — if the store commit then fails, a replayed batch
+            # re-drops the same docs (history can only have grown) and
+            # the insert-only merge ignores the re-inserts; committing
+            # the store first could instead suppress a kept doc on
+            # replay (its own signature would read as "history").
+            wh.merge_table(
+                kept, "silver", name,
+                keys=[self.id_col], fmt=self.fmt, policy="insert_only",
+            )
+            wh.merge_table(
+                new_sigs, "silver", self._store_name(name),
+                keys=["doc"], fmt=self.fmt, policy="insert_only",
+            )
+
+        query = (
+            stream.writeStream.foreachBatch(dedup_batch)
+            .option(
+                "checkpointLocation", os.path.join(self.checkpoint_root, name)
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination(timeout_sec)

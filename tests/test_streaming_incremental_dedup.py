@@ -1,0 +1,131 @@
+"""Streaming incremental dedup vs a persistent signature store
+(streaming/dedup_store_stream.py, r10): draining id-ordered document
+files one micro-batch at a time must produce EXACTLY the one-shot
+full-run kept set (the batch-fold theorem lifted to Structured
+Streaming); the store indexes every seen doc; replaying the whole
+source against the committed tables is a no-op (idempotent
+insert-only merges)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from lakehouse_file_format_compare_spark.operators.dedup import (
+    full_minhash_est_dedup,
+)
+from lakehouse_file_format_compare_spark.sources.testdata import table
+from lakehouse_file_format_compare_spark.storage import Warehouse
+from lakehouse_file_format_compare_spark.streaming import (
+    StreamingIncrementalDedupLoader,
+)
+from tests.conftest import SF_SMOKE
+
+THRESHOLD = 0.5
+CUTS = [(0, 170), (170, 340), (340, 500)]
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    """sf0.001 documents with planted cross-batch duplicates (the
+    test_incremental_dedup fixture): every doc with doc_id >= 250 and
+    doc_id % 5 == 1 carries the text of doc_id - 250."""
+    docs = table(spark, SF_SMOKE, "documents").select("doc_id", "text")
+    donors = docs.select(
+        (F.col("doc_id") + 250).alias("doc_id"), F.col("text").alias("__d")
+    )
+    return (
+        docs.join(donors, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(
+                (F.col("doc_id") >= 250)
+                & (F.pmod("doc_id", F.lit(5)) == 1)
+                & F.col("__d").isNotNull(),
+                F.col("__d"),
+            )
+            .otherwise(F.col("text"))
+            .alias("text"),
+        )
+        .cache()
+    )
+
+
+@pytest.fixture(scope="module")
+def drained(spark, corpus, tmp_path_factory):
+    """Write the corpus as 3 id-ordered parquet files, drain them with
+    maxFilesPerTrigger=1 (3 real micro-batches), return the roots."""
+    src = str(tmp_path_factory.mktemp("dedup_src"))
+    for i, (lo, hi) in enumerate(CUTS):
+        (
+            corpus.where((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(f"{src}/batch_{i}")
+        )
+    root = str(tmp_path_factory.mktemp("dedup_wh"))
+    ckpt = str(tmp_path_factory.mktemp("dedup_ckpt"))
+    loader = StreamingIncrementalDedupLoader(
+        Warehouse(spark, root), ckpt, threshold=THRESHOLD
+    )
+    schema = spark.createDataFrame([], "doc_id long, text string").schema
+    loader.run(f"{src}/batch_*", "docs", schema, max_files_per_trigger=1)
+    return loader, src, schema
+
+
+def _kept_ids(wh):
+    return sorted(
+        r.doc_id for r in wh.read_table("silver", "docs").select("doc_id").collect()
+    )
+
+
+def test_drain_equals_full_run(spark, corpus, drained):
+    loader, _, _ = drained
+    stream_kept = _kept_ids(loader.warehouse)
+    full_kept = sorted(
+        r.doc_id
+        for r in full_minhash_est_dedup(corpus, threshold=THRESHOLD)
+        .select("doc_id")
+        .collect()
+    )
+    assert stream_kept == full_kept
+    assert len(stream_kept) < corpus.count()  # something was dropped
+
+
+def test_store_indexes_every_seen_doc(spark, corpus, drained):
+    loader, _, _ = drained
+    store = loader.warehouse.read_table("silver", "docs_sigstore")
+    assert store.count() == corpus.count()
+    assert {r.doc for r in store.select("doc").collect()} == {
+        r.doc_id for r in corpus.select("doc_id").collect()
+    }
+
+
+def test_replay_is_idempotent(spark, corpus, drained):
+    """A fresh checkpoint re-delivers every file; the keyed
+    insert-only merges must leave both tables bit-identical (the
+    effectively-once contract)."""
+    loader, src, schema = drained
+    wh = loader.warehouse
+    before_kept = _kept_ids(wh)
+    before_store = wh.read_table("silver", "docs_sigstore").count()
+    import tempfile
+
+    replay = StreamingIncrementalDedupLoader(
+        wh, tempfile.mkdtemp(prefix="dedup_ckpt_replay"), threshold=THRESHOLD
+    )
+    replay.run(f"{src}/batch_*", "docs", schema, max_files_per_trigger=1)
+    assert _kept_ids(wh) == before_kept
+    assert wh.read_table("silver", "docs_sigstore").count() == before_store
+
+
+def test_planted_duplicates_never_kept(spark, corpus, drained):
+    loader, _, _ = drained
+    planted = {
+        r.doc_id
+        for r in corpus.where(
+            (F.col("doc_id") >= 250) & (F.pmod("doc_id", F.lit(5)) == 1)
+        ).collect()
+    }
+    assert planted
+    assert not (planted & set(_kept_ids(loader.warehouse)))
