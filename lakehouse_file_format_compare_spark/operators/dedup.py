@@ -1159,16 +1159,22 @@ def incremental_embedding_dedup(
     max_bucket_size: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    new_rows: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Dedup ``new_embeddings`` against ``history_store`` (an
     embedding_signature_store frame, or None for the first batch) AND
     within itself. Returns (kept_embeddings, updated_store); feed the
     store to the next batch. History vectors are never re-signed —
-    only their stored bucket longs are exploded into the join."""
-    new_rows = embedding_signature_store(
-        new_embeddings, bits=bits, tables=tables, dim=dim, seed=seed,
-        id_col=id_col, vec_col=vec_col,
-    )
+    only their stored bucket longs are exploded into the join.
+    ``new_rows`` (optional): the batch's precomputed
+    embedding_signature_store frame — callers that also persist the
+    batch rows (the streaming loader) pass it to avoid signing
+    twice."""
+    if new_rows is None:
+        new_rows = embedding_signature_store(
+            new_embeddings, bits=bits, tables=tables, dim=dim, seed=seed,
+            id_col=id_col, vec_col=vec_col,
+        )
     dropped, store = _inc_bucket_dedup(
         new_rows, history_store, threshold, max_bucket_size
     )

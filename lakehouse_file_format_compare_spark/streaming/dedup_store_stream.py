@@ -82,9 +82,12 @@ class StreamingIncrementalDedupLoader:
                 history = wh.read_table("silver", self._store_name(name), self.fmt)
             except Exception:
                 history = None  # first batch: no store yet
+            # materialized once (eager localCheckpoint): the dedup's
+            # bucket joins AND the store merge both read it without
+            # re-shingling the batch
             new_sigs = signature_store(
                 batch, self.num_hashes, self.k, self.id_col, self.text_col
-            )
+            ).localCheckpoint(eager=True)
             kept, _ = incremental_minhash_dedup(
                 batch,
                 history,
@@ -109,6 +112,90 @@ class StreamingIncrementalDedupLoader:
             wh.merge_table(
                 new_sigs, "silver", self._store_name(name),
                 keys=["doc"], fmt=self.fmt, policy="insert_only",
+            )
+
+        query = (
+            stream.writeStream.foreachBatch(dedup_batch)
+            .option(
+                "checkpointLocation", os.path.join(self.checkpoint_root, name)
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination(timeout_sec)
+
+
+@dataclass
+class StreamingEmbeddingDedupLoader:
+    """The semantic-path twin (r10): a stream of embedding rows
+    deduped against the persistent (vid, vec, buckets) store —
+    incremental_embedding_dedup per micro-batch, the same
+    effectively-once two-merge commit as the MinHash loader (kept
+    rows first, then the batch's store rows including dropped
+    vectors'). Per micro-batch the Arrow signature matmul runs ONCE
+    (precomputed store rows passed through); history enters as
+    exploded stored longs, never re-signed."""
+
+    warehouse: Warehouse
+    checkpoint_root: str
+    threshold: float = 0.95
+    bits: int = 8
+    tables: int = 6
+    dim: int = 64
+    seed: int = 42
+    fmt: str = "parquet"
+    id_col: str = "vec_id"
+    vec_col: str = "embedding"
+
+    def _store_name(self, name: str) -> str:
+        return f"{name}_vecstore"
+
+    def run(
+        self,
+        source_path: str,
+        name: str,
+        schema: StructType,
+        timeout_sec: int = 180,
+        max_files_per_trigger: int | None = None,
+    ) -> None:
+        from ..operators.dedup import (
+            embedding_signature_store,
+            incremental_embedding_dedup,
+        )
+
+        wh = self.warehouse
+        reader = wh.spark.readStream.schema(schema)
+        if max_files_per_trigger:
+            reader = reader.option(
+                "maxFilesPerTrigger", str(max_files_per_trigger)
+            )
+        stream = reader.parquet(source_path)
+
+        def dedup_batch(batch_df, batch_id: int) -> None:
+            batch = batch_df.select(self.id_col, self.vec_col)
+            try:
+                history = wh.read_table("silver", self._store_name(name), self.fmt)
+            except Exception:
+                history = None
+            # materialized once (eager localCheckpoint): one Arrow
+            # matmul per batch for BOTH the dedup and the store merge
+            new_rows = embedding_signature_store(
+                batch, bits=self.bits, tables=self.tables, dim=self.dim,
+                seed=self.seed, id_col=self.id_col, vec_col=self.vec_col,
+            ).localCheckpoint(eager=True)
+            kept, _ = incremental_embedding_dedup(
+                batch, history, threshold=self.threshold,
+                bits=self.bits, tables=self.tables, dim=self.dim,
+                seed=self.seed, id_col=self.id_col, vec_col=self.vec_col,
+                new_rows=new_rows,
+            )
+            wh.merge_table(
+                kept, "silver", name,
+                keys=[self.id_col], fmt=self.fmt, policy="insert_only",
+            )
+            wh.merge_table(
+                new_rows, "silver", self._store_name(name),
+                keys=["vid"], fmt=self.fmt, policy="insert_only",
             )
 
         query = (

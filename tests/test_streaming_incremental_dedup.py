@@ -129,3 +129,75 @@ def test_planted_duplicates_never_kept(spark, corpus, drained):
     }
     assert planted
     assert not (planted & set(_kept_ids(loader.warehouse)))
+
+
+@pytest.fixture(scope="module")
+def vec_drained(spark, tmp_path_factory):
+    """Planted embeddings (the test_incremental_embedding fixture)
+    written as 3 id-ordered files and drained by the embedding
+    loader, one file per micro-batch."""
+    from lakehouse_file_format_compare_spark.streaming import (
+        StreamingEmbeddingDedupLoader,
+    )
+
+    emb = table(spark, SF_SMOKE, "embeddings").select("vec_id", "embedding")
+    donors = emb.select(
+        (F.col("vec_id") + 250).alias("vec_id"), F.col("embedding").alias("__d")
+    )
+    planted = (
+        emb.join(donors, "vec_id", "left")
+        .select(
+            "vec_id",
+            F.when(
+                (F.col("vec_id") >= 250)
+                & (F.pmod("vec_id", F.lit(5)) == 1)
+                & F.col("__d").isNotNull(),
+                F.col("__d"),
+            )
+            .otherwise(F.col("embedding"))
+            .alias("embedding"),
+        )
+        .cache()
+    )
+    src = str(tmp_path_factory.mktemp("vec_src"))
+    for i, (lo, hi) in enumerate(CUTS):
+        (
+            planted.where((F.col("vec_id") >= lo) & (F.col("vec_id") < hi))
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(f"{src}/batch_{i}")
+        )
+    root = str(tmp_path_factory.mktemp("vec_wh"))
+    ckpt = str(tmp_path_factory.mktemp("vec_ckpt"))
+    loader = StreamingEmbeddingDedupLoader(Warehouse(spark, root), ckpt)
+    schema = planted.schema
+    loader.run(f"{src}/batch_*", "vecs", schema, max_files_per_trigger=1)
+    return loader, planted
+
+
+def test_embedding_drain_equals_full_run(spark, vec_drained):
+    from lakehouse_file_format_compare_spark.operators.dedup import (
+        full_embedding_est_dedup,
+    )
+
+    loader, planted = vec_drained
+    stream_kept = sorted(
+        r.vec_id
+        for r in loader.warehouse.read_table("silver", "vecs")
+        .select("vec_id")
+        .collect()
+    )
+    full_kept = sorted(
+        r.vec_id
+        for r in full_embedding_est_dedup(planted, threshold=0.95)
+        .select("vec_id")
+        .collect()
+    )
+    assert stream_kept == full_kept
+    assert len(stream_kept) < planted.count()
+
+
+def test_embedding_store_indexes_every_seen_vector(spark, vec_drained):
+    loader, planted = vec_drained
+    store = loader.warehouse.read_table("silver", "vecs_vecstore")
+    assert store.count() == planted.count()
