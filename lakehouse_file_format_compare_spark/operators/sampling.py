@@ -346,3 +346,51 @@ def interleave_sources(
         .drop("__lrank", "__off", "__n", "__salt")
     )
     return out.orderBy("progress", source_col, *order_within).drop("__h")
+
+
+def leakage_safe_splits(
+    docs: DataFrame,
+    pairs: DataFrame,
+    weights: dict[str, float],
+    id_col: str = "doc_id",
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    seed: int = 42,
+) -> DataFrame:
+    """Near-dup-aware train/val/test assignment (r10): split by the
+    near-duplicate COMPONENT, not the document, so no two documents
+    linked by any found near-dup pair can land in different splits —
+    the eval-leakage mode plain per-doc hashing cannot prevent (a
+    test doc whose near-twin sits in train is a contaminated
+    benchmark; Lee et al. 2022 §6 measures the effect).
+
+    Composition of existing primitives: connected components over
+    ``pairs`` (components.py canonicalize — O(log n) alternating-star
+    rounds) keys every doc by its component representative, then
+    :func:`hash_split` hashes THAT key with a distinct domain tag
+    ('leak_split'), so assignment stays stable per component under
+    corpus growth exactly like the per-doc splitter. Singleton docs
+    hash by their own id — for a pair-free corpus this degrades to an
+    independent per-doc split (same mechanics, different domain tag,
+    so it will NOT equal hash_split's assignment row-for-row).
+
+    Output: ``docs`` + (canonical_id, is_canonical, split). Weights
+    are honored in expectation at COMPONENT granularity; a giant
+    component (boilerplate cluster) moves whole — by design, that is
+    the leakage guarantee."""
+    from .components import canonicalize
+
+    with_canon = canonicalize(docs, pairs, id_col=id_col, src=src, dst=dst)
+    total = sum(weights.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"weights must sum to 1, got {total}")
+    bucket = _bucket("leak_split", ("canonical_id",), seed)
+    expr = None
+    cum = 0.0
+    names = list(weights)
+    for name in names[:-1]:
+        cum += weights[name]
+        cond = bucket < int(round(cum * _BUCKETS))
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    expr = (expr.otherwise(names[-1]) if expr is not None else F.lit(names[-1]))
+    return with_canon.withColumn("split", expr)

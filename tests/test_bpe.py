@@ -191,3 +191,46 @@ def test_bpe_apply_conserves_word_count(spark):
         (F.col("n_bpe_tokens") < F.col("n_words"))
     ).count()
     assert bad == 0
+
+
+# ---------------------------------------------------------------------------
+# Property tests: the Spark aggregate fold vs a pure-Python reference
+# BPE apply (greedy left-to-right non-overlapping, merges in order) —
+# arbitrary words over a 3-letter alphabet × arbitrary merge lists,
+# including pathological self-overlapping merges like (a, a) and
+# merges whose output feeds later merges.
+# ---------------------------------------------------------------------------
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+def _py_bpe(word: str, merges) -> list[str]:
+    syms = list(word)
+    for x, y in merges:
+        out = []
+        for s in syms:
+            if out and out[-1] == x and s == y:
+                out[-1] = x + y
+            else:
+                out.append(s)
+        syms = out
+    return syms
+
+
+_WORD = st.text(alphabet="abc", min_size=1, max_size=8)
+_SYM = st.text(alphabet="abc", min_size=1, max_size=2)
+_MERGES = st.lists(st.tuples(_SYM, _SYM), min_size=0, max_size=4)
+
+
+@given(words=st.lists(_WORD, min_size=1, max_size=6, unique=True), merges=_MERGES)
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+def test_fold_matches_python_reference(spark, words, merges):
+    df = spark.createDataFrame([(w,) for w in words], "word string")
+    got = {r.word: list(r.tokens) for r in word_bpe_tokens(df, merges).collect()}
+    for w in words:
+        assert got[w] == _py_bpe(w, merges), (w, merges)

@@ -570,3 +570,92 @@ def test_interleave_partition_invariant(spark):
     b = [r["doc_id"] for r in interleave_sources(
         docs.repartition(13), "source", ("doc_id",)).select("doc_id").collect()]
     assert a == b
+
+
+# ---------------------------------------------------------------------------
+# leakage_safe_splits (r10): no near-dup pair may straddle a split
+# boundary; weights honored at component granularity; stable under
+# corpus growth; singleton behavior documented.
+# ---------------------------------------------------------------------------
+
+
+def _leak_fixture(spark):
+    """60 docs, near-dup pairs forming chains of 3 (0-1-2, 10-11-12,
+    ...): components are {3k, 3k+1, 3k+2} for k in the paired range,
+    singletons elsewhere."""
+    docs = spark.createDataFrame(
+        [(i, f"text {i}") for i in range(60)], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame(
+        [(3 * k, 3 * k + 1) for k in range(10)]
+        + [(3 * k + 1, 3 * k + 2) for k in range(10)],
+        "doc_a long, doc_b long",
+    )
+    return docs, pairs
+
+
+def test_leakage_safe_no_pair_straddles_splits(spark):
+    from lakehouse_file_format_compare_spark.operators.sampling import (
+        leakage_safe_splits,
+    )
+
+    docs, pairs = _leak_fixture(spark)
+    out = leakage_safe_splits(
+        docs, pairs, {"train": 0.7, "val": 0.15, "test": 0.15}
+    )
+    split_of = {r.doc_id: r.split for r in out.collect()}
+    for a, b in [(r.doc_a, r.doc_b) for r in pairs.collect()]:
+        assert split_of[a] == split_of[b], (a, b)
+    # transitivity through the component: chain ends agree too
+    for k in range(10):
+        assert split_of[3 * k] == split_of[3 * k + 2]
+    assert set(split_of.values()) <= {"train", "val", "test"}
+
+
+def test_leakage_safe_stable_under_growth(spark):
+    """Adding new docs/pairs must not move any existing component's
+    assignment (the per-key-hash contract, lifted to components) —
+    as long as growth doesn't BRIDGE old components (a bridge merges
+    two components and legitimately re-keys one side)."""
+    from lakehouse_file_format_compare_spark.operators.sampling import (
+        leakage_safe_splits,
+    )
+    from pyspark.sql import functions as F
+
+    docs, pairs = _leak_fixture(spark)
+    w = {"train": 0.7, "val": 0.15, "test": 0.15}
+    before = {
+        r.doc_id: r.split for r in leakage_safe_splits(docs, pairs, w).collect()
+    }
+    docs2 = docs.unionByName(
+        spark.createDataFrame(
+            [(i, f"text {i}") for i in range(100, 130)],
+            "doc_id long, text string",
+        )
+    )
+    pairs2 = pairs.unionByName(
+        spark.createDataFrame([(100, 101)], "doc_a long, doc_b long")
+    )
+    after = {
+        r.doc_id: r.split
+        for r in leakage_safe_splits(docs2, pairs2, w).collect()
+    }
+    for d, s in before.items():
+        assert after[d] == s, d
+
+
+def test_leakage_safe_weights_roughly_honored(spark):
+    """At component granularity the weights hold in expectation —
+    with 600 singleton docs the 0.7/0.3 split lands well inside a
+    loose band (keyed xxhash64 buckets, seed-fixed: deterministic)."""
+    from lakehouse_file_format_compare_spark.operators.sampling import (
+        leakage_safe_splits,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "t") for i in range(600)], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame([], "doc_a long, doc_b long")
+    out = leakage_safe_splits(docs, pairs, {"train": 0.7, "test": 0.3})
+    n_train = out.where(out.split == "train").count()
+    assert 0.6 * 600 < n_train < 0.8 * 600
