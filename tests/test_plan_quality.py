@@ -518,3 +518,46 @@ def test_no_python_row_udfs_in_r9_operators(spark):
         assert "BatchEvalPython" not in plan
         assert "ArrowEvalPython" not in plan
         assert "CartesianProduct" not in plan
+
+
+def test_no_python_row_udfs_in_r10_operators(spark):
+    """r10 additions stay JVM-side with no Cartesian shapes. The
+    incremental EMBEDDING paths are deliberately absent: their single
+    Arrow signature matmul per batch IS the sanctioned vectorized
+    surface, and its exactly-once evaluation is pinned separately
+    (tests/test_incremental_embedding.py::test_batch_is_signed_exactly_once)."""
+    from pyspark.sql import functions as F
+
+    from lakehouse_file_format_compare_spark.operators.sampling import (
+        leakage_safe_splits,
+    )
+    from lakehouse_file_format_compare_spark.operators.vocab import (
+        bpe_apply,
+        bpe_token_usage,
+        word_bpe_tokens,
+    )
+    from lakehouse_file_format_compare_spark.plans.text_plans import (
+        BPE_APPLY_MERGES,
+        tokenizer_stats,
+    )
+    from lakehouse_file_format_compare_spark.sources.testdata import table
+
+    docs = table(spark, SF_CORRECTNESS, "documents")
+    pairs = docs.where(F.col("doc_id") % 7 == 0).select(
+        F.col("doc_id").alias("doc_a"), (F.col("doc_id") + 7).alias("doc_b")
+    )
+    frames = [
+        bpe_apply(docs, BPE_APPLY_MERGES),
+        bpe_token_usage(docs, BPE_APPLY_MERGES, top_k=20),
+        word_bpe_tokens(docs.select(F.col("text").alias("word")).limit(5),
+                        BPE_APPLY_MERGES),
+        tokenizer_stats(spark, SF_CORRECTNESS),
+        leakage_safe_splits(docs, pairs, {"train": 0.8, "test": 0.2}),
+    ]
+    for df in frames:
+        plan = df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"
+        )
+        assert "BatchEvalPython" not in plan
+        assert "ArrowEvalPython" not in plan
+        assert "CartesianProduct" not in plan
