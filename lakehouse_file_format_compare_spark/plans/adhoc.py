@@ -907,7 +907,7 @@ def approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     (HLL-union booleans, Misra-Gries, Count-Min, histogram quantiles)
     and the row went red at the driver that exact round while staying
     green in every sandbox replay. The families re-enter one per
-    round so CORRECTNESS_r{{N}} itself names the offender. qh_* goes
+    round so CORRECTNESS_r{N} itself names the offender. qh_* goes
     first because it is the family with no cross-engine surface at
     all: bins are FLOOR(price/4096) on an IEEE-exact DOUBLE grid,
     merge is lossless integer addition, and the fingerprint is pure
