@@ -108,6 +108,14 @@ def connected_components(
     e = (
         edges.select(u.alias("u"), v.alias("v"))
         .where(F.col("u").isNotNull() & F.col("v").isNotNull())
+        # ONE evaluation of the caller's edge plan (r10): both the
+        # node universe and the iterated adjacency derive from this
+        # checkpoint. Without it, `nodes` re-ran the whole upstream
+        # pair plan at result time — for canonicalize that is the
+        # full LSH-candidate + verification subtree, i.e. the
+        # corpus-sized work, paid twice (measured: the second
+        # evaluation was ~8 s of the 15 s components wall at sf0.01).
+        .localCheckpoint(eager=True)
     )
     nodes = e.select(F.col("u").alias("node")).unionByName(
         e.select(F.col("v").alias("node"))
