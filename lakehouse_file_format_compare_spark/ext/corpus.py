@@ -72,13 +72,19 @@ def quality_gate(docs: DataFrame, cfg: CorpusConfig) -> DataFrame:
 
 def dedup_stage(docs: DataFrame, cfg: CorpusConfig) -> DataFrame:
     """Stages 2+3: drop exact duplicates (keep min doc_id), then drop
-    near-duplicate cluster non-canonicals."""
+    near-duplicate cluster non-canonicals.
+
+    ``kept`` (gate + exact-dup semi-join — a corpus-sized subtree) is
+    lazily localCheckpoint'd (r10): it feeds the MinHash signature
+    explode, the candidate verification re-shingle, AND the
+    canonicalize join; without the lineage cut each consumer re-ran
+    the whole upstream plan (measured ~3x on the composed stage)."""
     exact = exact_duplicates(docs)
     kept = docs.join(
         exact.where(F.col("doc_id") == F.col("canonical_id")).select("doc_id"),
         "doc_id",
         "left_semi",
-    )
+    ).localCheckpoint(eager=False)
     pairs = minhash_lsh_pairs(kept, threshold=cfg.jaccard_threshold)
     return canonicalize(kept, pairs).where(F.col("is_canonical")).drop(
         "canonical_id", "is_canonical"
