@@ -181,7 +181,11 @@ def corpus_build_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .hygiene_plans import _shared_docs
 
     docs = _shared_docs(spark, sf_dir)
-    corpus = build_corpus(docs, cfg)
+    # lazy lineage cut (r10): the built corpus feeds BOTH the
+    # per-split aggregate and the packing summary — without it each
+    # consumer re-runs the whole gate→dedup→split→pack pipeline
+    # (measured ~3x on the pair of aggregates)
+    corpus = build_corpus(docs, cfg).localCheckpoint(eager=False)
 
     per_split = corpus.groupBy("split").agg(
         F.count(F.lit(1)).alias("n_docs"),
