@@ -180,3 +180,26 @@ def test_resolve_duplicates_on_corpus(spark):
     )
     assert per_cluster.where(F.col("keepers") != 1).count() == 0
     out.unpersist()
+
+
+def test_canonicalize_result_plan_never_reruns_the_pair_plan(spark):
+    """Regression pin for the r10 single-evaluation fix: the
+    canonicalize RESULT plan must read the pair set from the
+    checkpointed edge materializations (Scan ExistingRDD), never by
+    re-running the caller's pair plan — before the fix, the node
+    universe re-ran the full MinHash subtree (shingle explodes +
+    xxhash64 signatures) a second time at result time."""
+    from lakehouse_file_format_compare_spark.operators.dedup import (
+        minhash_lsh_pairs,
+    )
+    from lakehouse_file_format_compare_spark.sources.testdata import table
+    from tests.conftest import SF_SMOKE
+
+    docs = table(spark, SF_SMOKE, "documents")
+    out = canonicalize(docs, minhash_lsh_pairs(docs, threshold=0.5))
+    plan = out._sc._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "formatted"
+    )
+    assert plan.count("Scan ExistingRDD") >= 2  # edges + star forest
+    assert "xxhash64" not in plan  # no signature recomputation
+    assert plan.count("Generate") == 0  # no shingle explode either
