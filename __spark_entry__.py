@@ -105,6 +105,14 @@ with a broadcast map-back, corpus exchanged once; the oracle replays
 the merges as chained non-overlapping string replaces, proven
 equivalent to the greedy fold in tests/test_bpe.py, which also
 oracles lists TRAINED by the new bpe_train).
+``text_quality`` widened with ``lm_*`` (operators/lm.py — the
+CCNet-style bigram-LM perplexity filter: add-k-smoothed bigram LM
+trained on the ``lang='en'`` reference slice, every document scored
+by nano-fixed-point LONG log-prob sums, the high-perplexity tail
+flagged by an exact integer cross-multiplied compare; the oracle
+replays train + score + flags from scratch, and the discrimination
+statistic — reference-slice vs out-of-slice flag counts — rides the
+row as exact values).
 """
 
 from __future__ import annotations

@@ -110,6 +110,10 @@ HEADLINE = [
     # half vs the materialized signature store of the old half;
     # driver contract lives in dedup_embedding's einc_*)
     "incremental_embedding_serving",
+    # r10: bigram-LM perplexity filter (train on the en slice + score
+    # the corpus; driver contract lives in text_quality's lm_*, which
+    # is benched as the raw per-doc path under the original name)
+    "lm_perplexity_serving",
 ]
 
 STEADY_REPS = 3  # min-of-N steady protocol (r7 verdict #3)
@@ -255,6 +259,12 @@ def build_bench_queries() -> dict:
 
     queries["text_token_stats"] = text_plans.token_stats_serving
     queries["tokenizer_stats_serving"] = text_plans.tokenizer_stats
+
+    # r10: text_quality gained the lm_* bigram-LM widening — bench
+    # the raw per-doc path under the original entry name and the LM
+    # train+score block as its own entry (same split discipline).
+    queries["text_quality"] = text_plans.quality_serving
+    queries["lm_perplexity_serving"] = text_plans.lm_perplexity
 
     from lakehouse_file_format_compare_spark.plans import dedup_plans as _dp
 

@@ -1,0 +1,289 @@
+"""N-gram language-model perplexity scoring — the CCNet-style
+quality filter (Wenzek et al. 2020, "CCNet: Extracting High Quality
+Monolingual Datasets from Web Crawl Data"): train a smoothed bigram
+LM on a trusted reference slice, score every document by its
+per-token cross-entropy under that model, and flag the
+high-perplexity tail for removal or down-weighting.
+
+Model: add-k-smoothed bigram LM with a BOS context::
+
+    p(w | ctx) = (c(ctx, w) + k) / (c(ctx) + k * V)
+
+where ``c`` are counts on the TRAIN slice, ``V`` is the train-slice
+unigram vocabulary size, and the first token of each document is
+conditioned on the ``<s>`` BOS context. A document's score is the sum
+of ``ln p(w_i | w_{i-1})`` over its tokens; the per-token average is
+its cross-entropy in nats (perplexity = exp of that).
+
+Cross-engine exactness (the fixed-point discipline from
+operators/divergence.py): every bigram's log-probability term is
+snapped to an integer number of NANO-nats
+(``floor(ln(num/den) * 1e9 + 0.5)`` — the num/den division, the
+``ln`` and the snap are the same IEEE double ops on Spark and
+DuckDB) and per-document totals are LONG sums, so scores are exact
+and invariant to partitioning and summation order. The
+high-perplexity flag is an INTEGER comparison
+(``lp_nanos < -theta_nanos * n_bigrams``) — no double division
+anywhere past the per-term snap.
+
+Scale shape (100 TB):
+- each corpus is tokenized + bigrammed ONCE (one ``explode`` of a
+  per-row ``transform`` array — no second corpus scan; training
+  counts and the vocabulary are re-aggregations of that exploded
+  frame);
+- the model is bounded by the number of DISTINCT observed bigrams
+  (Heaps-law small relative to the corpus) and the context-total
+  table by the vocabulary — both sides of the scoring joins are
+  model-sized; AQE broadcasts them when they fit;
+- the scoring pass is the only corpus-sized shuffle (bigram
+  explode feeding the per-doc LONG re-aggregation); there is no
+  window, no collect, no Python anywhere.
+
+Tokenization matches operators/vocab.py / operators/divergence.py
+exactly (lowercase, split on ``\\s+``, drop empties) so one exploded
+frame could serve all three families in a fused pipeline.
+
+Cited reference scope: italovinicius18/lakehouse-file-format-compare
+has no text-quality surface (dags/ are format-comparison ETL);
+extension surface per the training-data-pipeline brief (SURVEY §2
+extensions — quality-scoring family, next to the Naive-Bayes
+classifier in operators/classify.py and DSIR in
+operators/importance.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+NANO = 1_000_000_000
+
+#: BOS context for the first token of every document
+BOS = "<s>"
+
+#: add-k smoothing constant (0.5 = Jeffreys; exact in binary, so
+#: ``c + K`` and ``K * V`` are IEEE-exact on every engine)
+SMOOTH_K = 0.5
+
+#: default flag threshold in nats-per-token (integer nanos). A doc
+#: whose average cross-entropy exceeds this is "high-perplexity".
+#: Calibrated on the synthetic testdata corpus (which draws every
+#: language from one shared word pool, so the modes sit close
+#: together): the en-trained model scores en docs at mean 3.36
+#: nats/token (max 3.474 at the driver's sf0.01) and non-en docs at
+#: mean ~3.44; 3.48 flags zero in-distribution docs and the
+#: out-of-distribution tail (59 of 282 non-en docs at sf0.01). Real
+#: deployments recalibrate per reference corpus — the flag mechanics
+#: (integer cross-multiplied compare) are threshold-agnostic.
+THETA_NANOS = 3_480_000_000
+
+
+def _tokens(text_col):
+    """Filtered token array: lowercase, split on whitespace, empties
+    dropped (identical to operators/divergence.group_word_counts but
+    kept as an ARRAY so bigram adjacency survives)."""
+    return F.filter(
+        F.split(F.lower(F.trim(text_col)), r"\s+"),
+        lambda w: F.length(w) > 0,
+    )
+
+
+def doc_bigrams(
+    docs: DataFrame, text_col: str = "text", keep_cols: tuple = ("doc_id",)
+) -> DataFrame:
+    """One row per (doc, position): (``ctx``, ``w``) bigram pairs with
+    a BOS context for position 1. Empty documents contribute no rows.
+    This is THE corpus-sized explode — train counts, vocabulary and
+    scoring all derive from it."""
+    ws = _tokens(F.col(text_col))
+    pair_t = "array<struct<ctx:string,w:string>>"
+    pairs = F.when(
+        F.size(ws) > 0,
+        F.transform(
+            F.sequence(F.lit(1), F.size(ws)),
+            lambda i: F.struct(
+                F.when(i == 1, F.lit(BOS))
+                .otherwise(F.element_at(ws, i - F.lit(1)))
+                .alias("ctx"),
+                F.element_at(ws, i).alias("w"),
+            ),
+        ),
+    ).otherwise(F.expr(f"CAST(array() AS {pair_t})"))
+    return docs.select(*keep_cols, F.explode(pairs).alias("bg")).select(
+        *keep_cols, F.col("bg.ctx").alias("ctx"), F.col("bg.w").alias("w")
+    )
+
+
+def bigram_lm_train(train_docs: DataFrame, text_col: str = "text"):
+    """Train the smoothed bigram LM on a reference slice.
+
+    Returns ``(model, ctx_totals, vocab)`` DataFrames:
+    - ``model``: (ctx, w, c) distinct observed bigrams with counts;
+    - ``ctx_totals``: (ctx, cc) total count per context;
+    - ``vocab``: single row (v) — train-slice unigram vocabulary size
+      (the ``w`` side covers every train token, BOS is a context
+      only).
+
+    All three are re-aggregations of ONE bigram explode over the
+    train slice; nothing here rescans the corpus.
+    """
+    bg = doc_bigrams(train_docs, text_col, keep_cols=())
+    model = bg.groupBy("ctx", "w").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    ctx_totals = model.groupBy("ctx").agg(
+        F.sum("c").cast("long").alias("cc")
+    )
+    vocab = model.agg(
+        F.count_distinct(F.col("w")).cast("long").alias("v")
+    )
+    return model, ctx_totals, vocab
+
+
+def bigram_lm_score(
+    docs: DataFrame,
+    model: DataFrame,
+    ctx_totals: DataFrame,
+    vocab: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    keep_cols: tuple = (),
+) -> DataFrame:
+    """Per-document LM score: (id, *keep, n_bigrams, lp_nanos).
+
+    ``lp_nanos`` is the LONG sum of nano-snapped
+    ``ln((c + k) / (cc + k*V))`` bigram terms — exact,
+    summation-order-proof. Documents with no tokens score
+    (0, 0). Unseen bigram in a seen context -> ``ln(k/(cc+kV))``;
+    wholly unseen context -> ``ln(1/V)``.
+
+    Plan shape: bigram explode -> left join model (observed-bigram
+    bounded) -> left join ctx_totals (vocab bounded) -> broadcast
+    1-row vocab -> per-doc LONG sum, rejoined to the full doc list so
+    empty docs keep a row.
+    """
+    keep = (id_col, *keep_cols)
+    bg = doc_bigrams(docs, text_col, keep_cols=keep)
+    num = F.coalesce(F.col("c"), F.lit(0)).cast("double") + F.lit(SMOOTH_K)
+    den = (
+        F.coalesce(F.col("cc"), F.lit(0)).cast("double")
+        + F.lit(SMOOTH_K) * F.col("v")
+    )
+    term = F.floor(F.log(num / den) * NANO + F.lit(0.5)).cast("long")
+    scored = (
+        bg.join(model, ["ctx", "w"], "left")
+        .join(ctx_totals, ["ctx"], "left")
+        .crossJoin(F.broadcast(vocab))
+        .groupBy(*keep)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            F.sum(term).cast("long").alias("lp_nanos"),
+        )
+    )
+    return (
+        docs.select(*keep)
+        .join(scored, list(keep), "left")
+        .select(
+            *keep,
+            F.coalesce(F.col("n_bigrams"), F.lit(0)).cast("long").alias(
+                "n_bigrams"
+            ),
+            F.coalesce(F.col("lp_nanos"), F.lit(0)).cast("long").alias(
+                "lp_nanos"
+            ),
+        )
+    )
+
+
+def flag_high_perplexity(
+    scored: DataFrame, theta_nanos: int = THETA_NANOS
+) -> DataFrame:
+    """Add ``flagged``: average cross-entropy above ``theta`` nats per
+    token, decided by the exact INTEGER cross-multiplied comparison
+    ``lp_nanos < -theta_nanos * n_bigrams`` (lp is negative; no
+    double division). Empty docs are never flagged."""
+    return scored.withColumn(
+        "flagged",
+        (F.col("n_bigrams") > 0)
+        & (F.col("lp_nanos") < F.lit(-theta_nanos) * F.col("n_bigrams")),
+    )
+
+
+def perplexity_report(
+    docs: DataFrame,
+    train_filter,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    group_col: str = "lang",
+    train_group_value: str = "en",
+    theta_nanos: int = THETA_NANOS,
+) -> DataFrame:
+    """One-scan-each LM quality report, reduced to exact LONGs.
+
+    ``train_filter`` is a Column predicate selecting the reference
+    slice (e.g. ``F.col("lang") == "en"``). Returns ONE row:
+
+    - ``lm_train_docs`` / ``lm_vocab`` / ``lm_model_rows`` — trainer
+      facts;
+    - ``lm_scored_docs`` (docs with >= 1 token), ``lm_tokens``
+      (total bigrams), ``lm_lp_nanos`` (corpus total log-prob);
+    - ``lm_flagged_docs`` and the split ``lm_flagged_train_grp`` /
+      ``lm_flagged_other`` — the discrimination statistic (the model
+      should flag out-of-slice documents at a far higher rate);
+    - ``lm_fp`` — per-doc fingerprint ``sum((id % 97) * lp_nanos)``
+      so any single document's score moving is visible.
+    """
+    train = docs.where(train_filter)
+    model, ctx_totals, vocab = bigram_lm_train(train, text_col)
+    scored = flag_high_perplexity(
+        bigram_lm_score(
+            docs, model, ctx_totals, vocab, text_col, id_col,
+            keep_cols=(group_col,),
+        ),
+        theta_nanos,
+    )
+    train_grp = F.col(group_col) == F.lit(train_group_value)
+    facts = (
+        model.agg(
+            F.count(F.lit(1)).cast("long").alias("lm_model_rows"),
+        )
+        .crossJoin(F.broadcast(vocab.select(F.col("v").alias("lm_vocab"))))
+        .crossJoin(
+            F.broadcast(
+                train.agg(
+                    F.count(F.lit(1)).cast("long").alias("lm_train_docs")
+                )
+            )
+        )
+    )
+    agg = scored.agg(
+        F.sum((F.col("n_bigrams") > 0).cast("long"))
+        .cast("long")
+        .alias("lm_scored_docs"),
+        F.sum("n_bigrams").cast("long").alias("lm_tokens"),
+        F.sum("lp_nanos").cast("long").alias("lm_lp_nanos"),
+        F.sum(F.col("flagged").cast("long")).cast("long").alias(
+            "lm_flagged_docs"
+        ),
+        F.sum((F.col("flagged") & train_grp).cast("long"))
+        .cast("long")
+        .alias("lm_flagged_train_grp"),
+        F.sum((F.col("flagged") & ~train_grp).cast("long"))
+        .cast("long")
+        .alias("lm_flagged_other"),
+        F.sum((F.col(id_col) % 97) * F.col("lp_nanos")).cast("long").alias(
+            "lm_fp"
+        ),
+    )
+    return agg.crossJoin(F.broadcast(facts)).select(
+        "lm_train_docs",
+        "lm_vocab",
+        "lm_model_rows",
+        "lm_scored_docs",
+        "lm_tokens",
+        "lm_lp_nanos",
+        "lm_flagged_docs",
+        "lm_flagged_train_grp",
+        "lm_flagged_other",
+        "lm_fp",
+    )

@@ -10,6 +10,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions import text as T
+from ..operators.lm import THETA_NANOS as _LM_THETA
 from ..sources.testdata import table
 
 _PUNCT_DUCK = T.PUNCT_RE.replace("'", "''")
@@ -193,7 +194,11 @@ FROM documents, vagg, bagg, apagg
 """
 
 
-def quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+def quality_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw per-doc heuristic quality path — the pre-r10 shape of the
+    ``text_quality`` row, kept as the BENCHED serving entry so the
+    longitudinal signal survives the r10 lm_* widening (the
+    `_serving` split discipline from r9 verdict #2)."""
     docs = table(spark, sf_dir, "documents")
     return docs.select(
         "doc_id",
@@ -204,10 +209,94 @@ def quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The r10 lm_* scalar block alone (bigram-LM train + corpus
+    score) — benched as its own entry."""
+    from ..operators.lm import perplexity_report
+
+    docs = table(spark, sf_dir, "documents")
+    return perplexity_report(
+        docs, F.col("lang") == "en", group_col="lang",
+        train_group_value="en",
+    )
+
+
+def quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc heuristic quality ratios, widened (r10) with the
+    ``lm_*`` CCNet-style bigram-LM perplexity-filter scalars
+    (operators/lm.py: train on the ``lang='en'`` reference slice,
+    score every doc, flag the high-perplexity tail — all reduced to
+    exact nano-fixed-point LONGs the oracle replays from scratch)."""
+    return quality_serving(spark, sf_dir).crossJoin(
+        F.broadcast(lm_perplexity(spark, sf_dir))
+    )
+
+
 _STOP_PATTERN = r"(?i)\b(" + "|".join(T.STOPWORDS) + r")\b"
 
+# lm_* replay (operators/lm.py): the full bigram-LM train + score
+# from scratch — same tokenization, same add-k arithmetic shape
+# ((c + 0.5) / (cc + 0.5*V), ln, nano-snap), LONG sums, and the
+# integer cross-multiplied flag compare.
+_LM_SQL_CTES = f"""lm_tok AS (
+    SELECT doc_id, lang,
+           list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                       w -> length(w) > 0) AS ws
+    FROM documents
+), lm_big AS (
+    SELECT doc_id, lang,
+           CASE WHEN i = 1 THEN '<s>' ELSE ws[i-1] END AS ctx,
+           ws[i] AS w
+    FROM lm_tok, LATERAL (SELECT unnest(generate_series(1, len(ws))) AS i)
+), lm_m AS (
+    SELECT ctx, w, CAST(COUNT(*) AS BIGINT) AS c FROM lm_big
+    WHERE lang = 'en' GROUP BY ctx, w
+), lm_ctxt AS (
+    SELECT ctx, CAST(SUM(c) AS BIGINT) AS cc FROM lm_m GROUP BY ctx
+), lm_voc AS (
+    SELECT CAST(COUNT(DISTINCT w) AS BIGINT) AS v FROM lm_m
+), lm_terms AS (
+    SELECT b.doc_id, b.lang,
+           CAST(floor(ln((COALESCE(lm_m.c, 0) + 0.5) /
+                         (COALESCE(lm_ctxt.cc, 0) + 0.5 * lm_voc.v))
+                      * 1000000000 + 0.5) AS BIGINT) AS t
+    FROM lm_big b
+    LEFT JOIN lm_m ON b.ctx = lm_m.ctx AND b.w = lm_m.w
+    LEFT JOIN lm_ctxt ON b.ctx = lm_ctxt.ctx
+    CROSS JOIN lm_voc
+), lm_pd AS (
+    SELECT d.doc_id, d.lang,
+           CAST(COALESCE(COUNT(t.t), 0) AS BIGINT) AS nb,
+           CAST(COALESCE(SUM(t.t), 0) AS BIGINT) AS lp
+    FROM documents d LEFT JOIN lm_terms t ON d.doc_id = t.doc_id
+    GROUP BY d.doc_id, d.lang
+), lm_fl AS (
+    SELECT *, (nb > 0 AND lp < -{_LM_THETA} * nb) AS fl FROM lm_pd
+), lm_facts AS (
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM documents
+            WHERE lang = 'en') AS lm_train_docs,
+           (SELECT v FROM lm_voc) AS lm_vocab,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM lm_m) AS lm_model_rows
+), lmagg AS (
+    SELECT lm_facts.lm_train_docs, lm_facts.lm_vocab,
+           lm_facts.lm_model_rows,
+           CAST(SUM(CASE WHEN nb > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS lm_scored_docs,
+           CAST(SUM(nb) AS BIGINT) AS lm_tokens,
+           CAST(SUM(lp) AS BIGINT) AS lm_lp_nanos,
+           CAST(SUM(CASE WHEN fl THEN 1 ELSE 0 END) AS BIGINT)
+               AS lm_flagged_docs,
+           CAST(SUM(CASE WHEN fl AND lang = 'en' THEN 1 ELSE 0 END)
+               AS BIGINT) AS lm_flagged_train_grp,
+           CAST(SUM(CASE WHEN fl AND lang <> 'en' THEN 1 ELSE 0 END)
+               AS BIGINT) AS lm_flagged_other,
+           CAST(SUM((doc_id % 97) * lp) AS BIGINT) AS lm_fp
+    FROM lm_fl, lm_facts
+    GROUP BY 1, 2, 3
+)"""
+
 QUALITY_SQL = f"""
-WITH base AS (
+WITH {_LM_SQL_CTES}, base AS (
     SELECT doc_id,
            length(text) AS n,
            CASE WHEN length(trim(text)) = 0 THEN 0
@@ -232,8 +321,11 @@ SELECT doc_id,
            + 0.2 * (1.0 - LEAST(punct_ratio * 5.0, 1.0))
            + 0.2 * LEAST(stopword_ratio * 4.0, 1.0)
            + 0.2 * (CASE WHEN mean_word_len >= 3.0 AND mean_word_len <= 10.0 THEN 1.0 ELSE 0.5 END), 4)
-           AS quality_score
-FROM ratios
+           AS quality_score,
+       lm_train_docs, lm_vocab, lm_model_rows, lm_scored_docs,
+       lm_tokens, lm_lp_nanos, lm_flagged_docs, lm_flagged_train_grp,
+       lm_flagged_other, lm_fp
+FROM ratios, lmagg
 """
 
 

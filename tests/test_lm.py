@@ -1,0 +1,185 @@
+"""Bigram-LM perplexity quality filter (operators/lm.py): exact
+fixed-point semantics vs a pure-Python reference, degenerate inputs,
+partition-layout invariance, the planted-gibberish flag contract,
+and the driver widening's oracle replay at smoke scale."""
+
+from __future__ import annotations
+
+import math
+import re
+from collections import Counter
+
+import pytest
+from pyspark.sql import functions as F
+
+from lakehouse_file_format_compare_spark.operators.lm import (
+    BOS,
+    NANO,
+    SMOOTH_K,
+    THETA_NANOS,
+    bigram_lm_score,
+    bigram_lm_train,
+    flag_high_perplexity,
+    perplexity_report,
+)
+
+from .conftest import SF_SMOKE
+
+
+def _py_reference(rows, train_pred):
+    """Pure-Python add-k bigram LM with the operator's exact
+    nano-snap arithmetic. rows: (doc_id, text, lang)."""
+
+    def toks(t):
+        return [w for w in re.split(r"\s+", t.strip().lower()) if w]
+
+    cnt, ctx_cnt, vocab = Counter(), Counter(), set()
+    for _, t, lang in rows:
+        if not train_pred(lang):
+            continue
+        prev = BOS
+        for w in toks(t):
+            cnt[(prev, w)] += 1
+            ctx_cnt[prev] += 1
+            vocab.add(w)
+            prev = w
+    v = len(vocab)
+    out = {}
+    for did, t, _ in rows:
+        prev, lp, nb = BOS, 0, 0
+        for w in toks(t):
+            num = cnt.get((prev, w), 0) + SMOOTH_K
+            den = ctx_cnt.get(prev, 0) + SMOOTH_K * v
+            lp += math.floor(math.log(num / den) * NANO + 0.5)
+            nb += 1
+            prev = w
+        out[did] = (nb, lp)
+    return out, v, len(cnt)
+
+
+ROWS = [
+    (0, "the quick brown fox jumps over the lazy dog", "en"),
+    (1, "the quick brown dog sleeps", "en"),
+    (2, "a lazy fox jumps", "en"),
+    (3, "", "en"),
+    (4, "   \t  ", "en"),
+    (5, "der schnelle braune fuchs springt", "de"),
+    (6, "the the the the", "en"),
+    (7, "zzqx vvwp qqrr kklm zzqx", "xx"),  # gibberish: all-unseen
+]
+
+
+@pytest.fixture(scope="module")
+def fixture_docs(spark):
+    return spark.createDataFrame(
+        ROWS, "doc_id long, text string, lang string"
+    )
+
+
+def test_scores_match_pure_python_reference(spark, fixture_docs):
+    model, ctx_totals, vocab = bigram_lm_train(
+        fixture_docs.where(F.col("lang") == "en")
+    )
+    got = {
+        r.doc_id: (r.n_bigrams, r.lp_nanos)
+        for r in bigram_lm_score(
+            fixture_docs, model, ctx_totals, vocab
+        ).collect()
+    }
+    want, v, model_rows = _py_reference(ROWS, lambda lang: lang == "en")
+    assert got == want
+    assert vocab.collect()[0].v == v
+    assert model.count() == model_rows
+
+
+def test_empty_and_whitespace_docs_score_zero(spark, fixture_docs):
+    model, ctx_totals, vocab = bigram_lm_train(
+        fixture_docs.where(F.col("lang") == "en")
+    )
+    scored = flag_high_perplexity(
+        bigram_lm_score(fixture_docs, model, ctx_totals, vocab)
+    )
+    rows = {r.doc_id: r for r in scored.collect()}
+    for did in (3, 4):
+        assert rows[did].n_bigrams == 0
+        assert rows[did].lp_nanos == 0
+        assert rows[did].flagged is False
+
+
+def test_planted_gibberish_is_flagged(spark, fixture_docs):
+    """Doc 7 is pure out-of-vocabulary noise: every token after the
+    first hits the wholly-unseen-context floor ln(1/V) and the first
+    pays the dense-BOS penalty, so a threshold set between the
+    in-distribution scores and the OOV floor (the fixture's
+    vocabulary is tiny, so THETA_NANOS itself doesn't apply — the
+    default is calibrated to the testdata corpus) must separate it
+    from every train doc."""
+    want, _, _ = _py_reference(ROWS, lambda lang: lang == "en")
+    avg = {d: -lp / nb for d, (nb, lp) in want.items() if nb > 0}
+    train_worst = max(avg[d] for d in (0, 1, 2, 6))
+    assert avg[7] > train_worst  # the planted doc is separable at all
+    theta = int((avg[7] + train_worst) / 2)
+
+    model, ctx_totals, vocab = bigram_lm_train(
+        fixture_docs.where(F.col("lang") == "en")
+    )
+    scored = flag_high_perplexity(
+        bigram_lm_score(fixture_docs, model, ctx_totals, vocab),
+        theta_nanos=theta,
+    )
+    rows = {r.doc_id: r for r in scored.collect()}
+    assert rows[7].flagged is True
+    # fully in-distribution documents stay below the threshold
+    for did in (0, 1, 2, 6):
+        assert rows[did].flagged is False
+
+
+def test_flag_is_exact_integer_compare(spark, fixture_docs):
+    """The flag must be decided by lp < -theta * nb (long arithmetic),
+    never a double division — replay it directly on the scores."""
+    model, ctx_totals, vocab = bigram_lm_train(
+        fixture_docs.where(F.col("lang") == "en")
+    )
+    scored = flag_high_perplexity(
+        bigram_lm_score(fixture_docs, model, ctx_totals, vocab)
+    )
+    for r in scored.collect():
+        assert r.flagged == (
+            r.n_bigrams > 0 and r.lp_nanos < -THETA_NANOS * r.n_bigrams
+        )
+
+
+def test_layout_invariance(spark):
+    """LONG sums of nano-snapped terms: the report is bit-identical
+    under any partition layout of the input."""
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    pred = F.col("lang") == "en"
+    a = perplexity_report(docs.repartition(1), pred).collect()[0]
+    b = perplexity_report(docs.repartition(13, "lang"), pred).collect()[0]
+    assert a.asDict() == b.asDict()
+
+
+def test_report_discriminates_on_testdata(spark):
+    """The en-trained model must flag out-of-slice docs at a higher
+    absolute count than reference-slice docs on the real corpus (the
+    CCNet discrimination property, with THETA_NANOS calibrated so the
+    train slice is near-clean at smoke scale)."""
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    rep = perplexity_report(docs, F.col("lang") == "en").collect()[0]
+    assert rep.lm_flagged_other > rep.lm_flagged_train_grp
+    assert rep.lm_flagged_docs == (
+        rep.lm_flagged_train_grp + rep.lm_flagged_other
+    )
+    assert rep.lm_scored_docs > 0
+    assert rep.lm_tokens > 0
+
+
+def test_plan_has_no_python_and_single_corpus_explode(spark):
+    """Scoring path: JVM-only (no BatchEvalPython / row UDFs) and
+    exactly one Generate per corpus-sized frame (the bigram explode);
+    the model-side joins are explode-reaggregations, not rescans."""
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    rep = perplexity_report(docs, F.col("lang") == "en")
+    plan = rep._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan
+    assert "PythonUDF" not in plan

@@ -528,6 +528,9 @@ def test_no_python_row_udfs_in_r10_operators(spark):
     (tests/test_incremental_embedding.py::test_batch_is_signed_exactly_once)."""
     from pyspark.sql import functions as F
 
+    from lakehouse_file_format_compare_spark.operators.lm import (
+        perplexity_report,
+    )
     from lakehouse_file_format_compare_spark.operators.sampling import (
         leakage_safe_splits,
     )
@@ -553,6 +556,7 @@ def test_no_python_row_udfs_in_r10_operators(spark):
                         BPE_APPLY_MERGES),
         tokenizer_stats(spark, SF_CORRECTNESS),
         leakage_safe_splits(docs, pairs, {"train": 0.8, "test": 0.2}),
+        perplexity_report(docs, F.col("lang") == "en"),
     ]
     for df in frames:
         plan = df._sc._jvm.PythonSQLUtils.explainString(
