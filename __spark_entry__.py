@@ -113,6 +113,15 @@ flagged by an exact integer cross-multiplied compare; the oracle
 replays train + score + flags from scratch, and the discrimination
 statistic — reference-slice vs out-of-slice flag counts — rides the
 row as exact values).
+``sim_vector_stats`` widened with ``km_*``
+(operators/clustering.py — distributed Lloyd's k-means over the
+FULL embeddings table, the trainer the frozen-centroid consumers
+(SemDeDup, IVF) graduate to at scale: vectors snapped once to an
+integer micro grid, LONG squared distances, encoded integer argmin
+``min_j(d*1024 + j)``, floor-mean centroid updates; centroids ride
+each iteration as plan literals so lineage never grows; the oracle
+replays the unrolled iterations from scratch — assignments, inertia,
+cluster sizes and the final centroid grid are all bit-equal LONGs).
 """
 
 from __future__ import annotations

@@ -114,6 +114,9 @@ HEADLINE = [
     # the corpus; driver contract lives in text_quality's lm_*, which
     # is benched as the raw per-doc path under the original name)
     "lm_perplexity_serving",
+    # r10: distributed k-means fit over the full embeddings table
+    # (driver contract lives in sim_vector_stats' km_*)
+    "kmeans_serving",
 ]
 
 STEADY_REPS = 3  # min-of-N steady protocol (r7 verdict #3)
@@ -265,6 +268,7 @@ def build_bench_queries() -> dict:
     # train+score block as its own entry (same split discipline).
     queries["text_quality"] = text_plans.quality_serving
     queries["lm_perplexity_serving"] = text_plans.lm_perplexity
+    queries["kmeans_serving"] = similarity_plans.kmeans_serving
 
     from lakehouse_file_format_compare_spark.plans import dedup_plans as _dp
 

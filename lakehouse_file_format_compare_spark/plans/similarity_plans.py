@@ -330,9 +330,28 @@ SELECT (SELECT COUNT(*) FROM embeddings WHERE vec_id % {QUERY_MOD} = 0) AS n_que
 """
 
 
+KMEANS_K = 8
+KMEANS_ITERS = 3
+
+
+def kmeans_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The r10 km_* scalar block alone (distributed Lloyd's fit over
+    the full embeddings table) — benched as its own entry; the driver
+    contract rides sim_vector_stats."""
+    from ..operators.clustering import kmeans_report
+
+    return kmeans_report(
+        table(spark, sf_dir, "embeddings"), k=KMEANS_K, iters=KMEANS_ITERS
+    )
+
+
 def vector_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array-math surface over the embedding column: dimensionality,
-    L2 norm and element mean via JVM-side folds (functions/vectors)."""
+    L2 norm and element mean via JVM-side folds (functions/vectors).
+    Widened (r10) with the ``km_*`` distributed-k-means scalars
+    (operators/clustering.py: full-corpus Lloyd iterations on the
+    integer MICRO grid — assignments, inertia and centroids all
+    exact LONGs the oracle replays as unrolled SQL iterations)."""
     from ..functions import vectors as V
     from ..functions.numeric import grid
 
@@ -346,15 +365,88 @@ def vector_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.size("embedding"),
             6,
         ).alias("mean_val"),
-    )
+    ).crossJoin(F.broadcast(kmeans_serving(spark, sf_dir)))
+
+
+def _kmeans_sql_ctes(k: int, iters: int) -> str:
+    """Unrolled-iteration DuckDB replay of operators/clustering.py
+    (the pagerank pr_* pattern): integer MICRO snap, LONG squared
+    distances, encoded argmin MIN(d*1024 + j), floor(double/count)
+    centroid updates — the exact expression shapes the Spark side
+    runs, so every scalar is bit-equal."""
+    enc, mask, bits = 1 << 10, (1 << 10) - 1, 10
+    ctes = [
+        """km_pts AS (
+    SELECT vec_id, i - 1 AS pos,
+           CAST(floor(embedding[i]::DOUBLE * 1000000 + 0.5) AS BIGINT) AS v
+    FROM embeddings,
+         LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i)
+)""",
+        f"""km_c0 AS (
+    SELECT CAST(vec_id AS BIGINT) AS j, pos, v FROM km_pts
+    WHERE vec_id < {k}
+)""",
+    ]
+    for t in range(1, iters + 1):
+        prev = f"km_c{t - 1}"
+        ctes.append(f"""km_d{t} AS (
+    SELECT p.vec_id, c.j,
+           CAST(SUM((p.v - c.v) * (p.v - c.v)) AS BIGINT) AS d
+    FROM km_pts p JOIN {prev} c ON p.pos = c.pos
+    GROUP BY p.vec_id, c.j
+)""")
+        ctes.append(f"""km_a{t} AS (
+    SELECT vec_id, MIN(d * {enc} + j) & {mask} AS cluster
+    FROM km_d{t} GROUP BY vec_id
+)""")
+        ctes.append(f"""km_c{t} AS (
+    SELECT a.cluster AS j, p.pos,
+           CAST(floor(CAST(SUM(p.v) AS DOUBLE) / COUNT(*)) AS BIGINT) AS v
+    FROM km_pts p JOIN km_a{t} a USING (vec_id)
+    GROUP BY a.cluster, p.pos
+)""")
+    final = f"km_c{iters}"
+    ctes.append(f"""km_df AS (
+    SELECT p.vec_id, c.j,
+           CAST(SUM((p.v - c.v) * (p.v - c.v)) AS BIGINT) AS d
+    FROM km_pts p JOIN {final} c ON p.pos = c.pos
+    GROUP BY p.vec_id, c.j
+)""")
+    ctes.append("""km_af AS (
+    SELECT vec_id, MIN(d * %d + j) AS enc FROM km_df GROUP BY vec_id
+)""" % enc)
+    ctes.append(f"""km_dim AS (
+    SELECT CAST(MAX(pos) + 1 AS BIGINT) AS dim FROM km_pts
+)""")
+    ctes.append(f"""km_cfp AS (
+    SELECT CAST(SUM((c.j * km_dim.dim + c.pos + 1) * c.v) AS BIGINT)
+               AS km_centroid_fp
+    FROM {final} c, km_dim
+)""")
+    ctes.append(f"""kmagg AS (
+    SELECT CAST({k} AS BIGINT) AS km_k,
+           CAST({iters} AS BIGINT) AS km_iters,
+           CAST(COUNT(*) AS BIGINT) AS km_points,
+           CAST(COUNT(DISTINCT enc & {mask}) AS BIGINT) AS km_clusters,
+           CAST(SUM(enc >> {bits}) AS BIGINT) AS km_inertia,
+           CAST(SUM((enc & {mask}) + 1) AS BIGINT) AS km_sizes_fp,
+           CAST(SUM((vec_id % 97) * ((enc & {mask}) + 1)) AS BIGINT)
+               AS km_assign_fp,
+           (SELECT km_centroid_fp FROM km_cfp) AS km_centroid_fp
+    FROM km_af
+)""")
+    return ",\n".join(ctes)
 
 
 VECTOR_STATS_SQL = f"""
+WITH {_kmeans_sql_ctes(KMEANS_K, KMEANS_ITERS)}
 SELECT vec_id,
        len(embedding) AS dim,
        floor((sqrt(list_sum(list_transform(range(1, len(embedding)+1), i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE)))) * 1000000 + 0.5) / 1000000 AS l2_norm,
-       floor((list_sum(list_transform(range(1, len(embedding)+1), i -> embedding[i]::DOUBLE * 1.0)) / len(embedding)) * 1000000 + 0.5) / 1000000 AS mean_val
-FROM embeddings
+       floor((list_sum(list_transform(range(1, len(embedding)+1), i -> embedding[i]::DOUBLE * 1.0)) / len(embedding)) * 1000000 + 0.5) / 1000000 AS mean_val,
+       km_k, km_iters, km_points, km_clusters, km_inertia,
+       km_sizes_fp, km_assign_fp, km_centroid_fp
+FROM embeddings, kmagg
 """
 
 

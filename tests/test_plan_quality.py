@@ -528,6 +528,10 @@ def test_no_python_row_udfs_in_r10_operators(spark):
     (tests/test_incremental_embedding.py::test_batch_is_signed_exactly_once)."""
     from pyspark.sql import functions as F
 
+    from lakehouse_file_format_compare_spark.operators.clustering import (
+        assign_clusters,
+        snap_vectors,
+    )
     from lakehouse_file_format_compare_spark.operators.lm import (
         perplexity_report,
     )
@@ -557,6 +561,10 @@ def test_no_python_row_udfs_in_r10_operators(spark):
         tokenizer_stats(spark, SF_CORRECTNESS),
         leakage_safe_splits(docs, pairs, {"train": 0.8, "test": 0.2}),
         perplexity_report(docs, F.col("lang") == "en"),
+        assign_clusters(
+            snap_vectors(table(spark, SF_CORRECTNESS, "embeddings")),
+            {0: [0] * 64, 1: [1000] * 64},
+        ),
     ]
     for df in frames:
         plan = df._sc._jvm.PythonSQLUtils.explainString(
