@@ -43,6 +43,15 @@ Tokenization matches operators/vocab.py / operators/divergence.py
 exactly (lowercase, split on ``\\s+``, drop empties) so one exploded
 frame could serve all three families in a fused pipeline.
 
+Relation to operators/ranking.py::bigram_lm_scores (the KenLM-style
+SELF-trained fluency signal): that operator trains on the scored
+corpus itself and reports per-doc perplexity as grid-6 doubles; this
+one is the CROSS-DOMAIN filter — train on a trusted reference slice,
+score everything (including wholly out-of-distribution documents,
+hence the BOS context and the unseen-context ln(1/V) floor), and
+reduce to driver-grade integer fingerprints. Both share the
+tokenization contract.
+
 Cited reference scope: italovinicius18/lakehouse-file-format-compare
 has no text-quality surface (dags/ are format-comparison ETL);
 extension surface per the training-data-pipeline brief (SURVEY §2

@@ -146,7 +146,10 @@ def bigram_lm_scores(
     share one tokenization.
 
     Exact DuckDB oracle in tests/test_ranking.py (same tokenization,
-    same double math, 1e-6 grid)."""
+    same double math, 1e-6 grid). For the CROSS-DOMAIN variant —
+    train on a trusted reference slice, score out-of-distribution
+    docs with a BOS context and unseen-context floor, fixed-point
+    driver-grade scalars — see operators/lm.py (r10)."""
     toks = F.filter(
         F.split(F.lower(F.trim(F.col(text_col))), TOKEN_SPLIT_RE),
         lambda t: F.length(t) > 0,

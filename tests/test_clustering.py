@@ -149,6 +149,32 @@ def test_k_bounds_validated(spark, blob_docs):
         kmeans_fit(blob_docs, k=ENC + 1)
 
 
+def test_kmeans_centroids_feed_semantic_dedup(spark):
+    """Trainer->consumer integration: the distributed fit's centroids
+    (micro ints, divided back to floats) drive SemDeDup's
+    cluster-bounded pairing exactly like the sampled IVF trainer's
+    centroids do — planted clones still collapse to one canonical."""
+    from lakehouse_file_format_compare_spark.operators.dedup import (
+        semantic_dedup,
+    )
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    clones = emb.where(F.col("vec_id") < 3).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding", "label"
+    )
+    corpus = emb.unionByName(clones)
+    cents, _ = kmeans_fit(corpus, k=4, iters=2)
+    as_floats = [[c / MICRO for c in v] for v in cents.values()]
+    out = semantic_dedup(corpus, as_floats, threshold=0.99)
+    res = {r.vec_id: r for r in out.collect()}
+    for vid in range(3):
+        pair = sorted([vid, vid + 100000])
+        # the clone pair shares a component; the min id is canonical
+        assert res[pair[0]].is_canonical
+        assert not res[pair[1]].is_canonical
+        assert res[pair[1]].canonical_id == pair[0]
+
+
 def test_assignment_plan_is_jvm_only(spark):
     emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
     snapped = snap_vectors(emb)
