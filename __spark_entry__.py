@@ -122,6 +122,11 @@ integer micro grid, LONG squared distances, encoded integer argmin
 each iteration as plan literals so lineage never grows; the oracle
 replays the unrolled iterations from scratch — assignments, inertia,
 cluster sizes and the final centroid grid are all bit-equal LONGs).
+``text_token_stats`` also widened with ``zipf_*``
+(operators/vocab.py::zipf_fit — exact fixed-point OLS Zipf slope
+over the top-R vocabulary: micro-snapped ln(rank)/ln(freq), LONG
+normal-equation numerator/denominator, grid-snapped slope; the
+corpus-health diagnostic next to the vocab_*/bpe_* trainer stats).
 """
 
 from __future__ import annotations

@@ -265,3 +265,79 @@ def bpe_token_usage(
         .orderBy(F.col("n").desc(), "token")
         .limit(top_k)
     )
+
+
+ZIPF_TOP_R = 50
+
+
+def zipf_fit(
+    docs: DataFrame, text_col: str = "text", top_r: int = ZIPF_TOP_R
+) -> DataFrame:
+    """Zipf-law fit over the top-``top_r`` vocabulary — the corpus-
+    health diagnostic (natural language runs a log-log slope near -1;
+    boilerplate-heavy or templated corpora flatten it, mojibake
+    steepens it; Zipf 1949, Piantadosi 2014).
+
+    OLS slope of ln(freq) on ln(rank), computed EXACTLY: each
+    ln value is snapped to an integer MICRO grid and the normal-
+    equation terms are LONG sums of LONG products, so the numerator
+    and denominator are bit-equal cross-engine and layout-proof; only
+    the final slope divides back to a double.
+
+    Returns ONE row:
+    - ``zipf_terms`` — ranked vocabulary terms used (<= top_r);
+    - ``zipf_num`` / ``zipf_den`` — exact LONG normal-equation terms
+      (slope = num/den = (k*Sxy - Sx*Sy) / (k*Sxx - Sx^2));
+    - ``zipf_slope_grid`` — num/den floor-snapped to the 1e-6 grid.
+
+    Overflow budget: ln values < 25 (micro < 2.5e7) even at 100 TB
+    frequencies; with top_r <= 1000, k*Sxy < ~6e17 — inside LONG.
+
+    Scale shape: one corpus scan (the word-count shuffle with map-
+    side combine), TakeOrderedAndProject for the top-R cut, then a
+    window + aggregate over <= top_r rows — vocabulary-bounded
+    everywhere past the first shuffle.
+    """
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("n").desc(), F.col("word"))
+    ranked = (
+        word_vocabulary(docs, text_col, top_v=top_r)
+        .withColumn("r", F.row_number().over(w))
+        .select(
+            F.floor(F.log(F.col("r").cast("double")) * 1_000_000 + F.lit(0.5))
+            .cast("long")
+            .alias("x"),
+            F.floor(F.log(F.col("n").cast("double")) * 1_000_000 + F.lit(0.5))
+            .cast("long")
+            .alias("y"),
+        )
+    )
+    agg = ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+    )
+    num = F.coalesce(
+        F.col("k") * F.col("sxy") - F.col("sx") * F.col("sy"), F.lit(0)
+    )
+    den = F.coalesce(
+        F.col("k") * F.col("sxx") - F.col("sx") * F.col("sx"), F.lit(0)
+    )
+    return agg.select(
+        F.col("k").alias("zipf_terms"),
+        num.cast("long").alias("zipf_num"),
+        den.cast("long").alias("zipf_den"),
+        F.when(
+            den != 0,
+            F.floor(
+                num.cast("double") / den.cast("double") * 1_000_000
+                + F.lit(0.5)
+            ),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("zipf_slope_grid"),
+    )

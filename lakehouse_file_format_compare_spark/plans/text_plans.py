@@ -11,6 +11,7 @@ from pyspark.sql import functions as F
 
 from ..functions import text as T
 from ..operators.lm import THETA_NANOS as _LM_THETA
+from ..operators.vocab import ZIPF_TOP_R as _ZIPF_R
 from ..sources.testdata import table
 
 _PUNCT_DUCK = T.PUNCT_RE.replace("'", "''")
@@ -78,8 +79,13 @@ def token_stats_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
 def tokenizer_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The tokenizer-TRAINING statistics alone (operators/vocab.py):
     one row of vocab_* + bpe_* scalars — the r9 widening's own cost,
-    benched separately from the per-doc serving path."""
-    from ..operators.vocab import bpe_merge_candidates, word_vocabulary
+    benched separately from the per-doc serving path. r10: + zipf_*
+    (exact fixed-point OLS Zipf slope over the top-R vocabulary)."""
+    from ..operators.vocab import (
+        bpe_merge_candidates,
+        word_vocabulary,
+        zipf_fit,
+    )
 
     docs = table(spark, sf_dir, "documents")
     from pyspark.sql import Window
@@ -109,7 +115,7 @@ def tokenizer_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("__rn") * F.col("n")).cast("long").alias("bpe_fp"),
         )
     )
-    return vocab.crossJoin(bpe)
+    return vocab.crossJoin(bpe).crossJoin(F.broadcast(zipf_fit(docs)))
 
 
 def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -149,6 +155,29 @@ WITH words AS (
            MAX(CASE WHEN rn = 1 THEN n END) AS vocab_top_n,
            CAST(SUM(rn * n) AS BIGINT) AS vocab_fp
     FROM vtop
+), zr AS (
+    SELECT row_number() OVER (ORDER BY n DESC, word) AS r, n
+    FROM words ORDER BY n DESC, word LIMIT {_ZIPF_R}
+), zxy AS (
+    SELECT CAST(floor(ln(CAST(r AS DOUBLE)) * 1000000 + 0.5) AS BIGINT) AS x,
+           CAST(floor(ln(CAST(n AS DOUBLE)) * 1000000 + 0.5) AS BIGINT) AS y
+    FROM zr
+), zagg AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS k,
+           CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+           CAST(SUM(x * y) AS BIGINT) AS sxy,
+           CAST(SUM(x * x) AS BIGINT) AS sxx
+    FROM zxy
+), zipf AS (
+    SELECT k AS zipf_terms,
+           CAST(k * sxy - sx * sy AS BIGINT) AS zipf_num,
+           CAST(k * sxx - sx * sx AS BIGINT) AS zipf_den,
+           CASE WHEN (k * sxx - sx * sx) <> 0
+                THEN CAST(floor(CAST(k * sxy - sx * sy AS DOUBLE)
+                                / CAST(k * sxx - sx * sx AS DOUBLE)
+                                * 1000000 + 0.5) AS BIGINT)
+                ELSE 0 END AS zipf_slope_grid
+    FROM zagg
 ), bpairs AS (
     SELECT substr(word, i, 2) AS pair, CAST(SUM(n) AS BIGINT) AS n
     FROM words, LATERAL (
@@ -189,8 +218,9 @@ SELECT doc_id,
        len(regexp_extract_all(text, '{_PUNCT_DUCK}')) AS n_punct,
        vocab_terms, vocab_top_word, vocab_top_n, vocab_fp,
        bpe_top_pair, bpe_top_n, bpe_fp,
-       bpea_docs, bpea_words, bpea_tokens, bpea_fp
-FROM documents, vagg, bagg, apagg
+       bpea_docs, bpea_words, bpea_tokens, bpea_fp,
+       zipf_terms, zipf_num, zipf_den, zipf_slope_grid
+FROM documents, vagg, bagg, apagg, zipf
 """
 
 

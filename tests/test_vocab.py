@@ -122,3 +122,52 @@ def test_single_char_and_empty_words_are_safe(spark):
     assert pairs == {"xy": 1}  # 1-char words contribute no pairs
     vocab = {r["word"]: r["n"] for r in word_vocabulary(df, top_v=10).collect()}
     assert vocab == {"a": 1, "b": 1, "c": 1, "xy": 1}
+
+
+def test_zipf_fit_matches_pure_python(spark):
+    """Exact normal-equation LONGs vs a pure-Python mirror of the
+    micro-snapped OLS on a hand corpus with a known rank order."""
+    import math
+
+    from lakehouse_file_format_compare_spark.operators.vocab import zipf_fit
+
+    # frequencies: aa x6, bb x3, cc x2, dd x1 (ranks 1..4)
+    text = " ".join(["aa"] * 6 + ["bb"] * 3 + ["cc"] * 2 + ["dd"])
+    df = spark.createDataFrame([(0, text)], "doc_id long, text string")
+    got = zipf_fit(df, top_r=10).collect()[0]
+
+    pts = [(1, 6), (2, 3), (3, 2), (4, 1)]
+    xs = [math.floor(math.log(r) * 1_000_000 + 0.5) for r, _ in pts]
+    ys = [math.floor(math.log(n) * 1_000_000 + 0.5) for _, n in pts]
+    k = len(pts)
+    sx, sy = sum(xs), sum(ys)
+    sxy = sum(x * y for x, y in zip(xs, ys))
+    sxx = sum(x * x for x in xs)
+    num, den = k * sxy - sx * sy, k * sxx - sx * sx
+    assert (got.zipf_terms, got.zipf_num, got.zipf_den) == (k, num, den)
+    assert got.zipf_slope_grid == math.floor(num / den * 1_000_000 + 0.5)
+    # a 6/3/2/1 frequency ladder is Zipf-ish: slope must be near -1
+    assert -1_400_000 < got.zipf_slope_grid < -800_000
+
+
+def test_zipf_degenerate_single_term_is_zero(spark):
+    from lakehouse_file_format_compare_spark.operators.vocab import zipf_fit
+
+    df = spark.createDataFrame(
+        [(0, "same same same")], "doc_id long, text string"
+    )
+    got = zipf_fit(df).collect()[0]
+    assert got.zipf_terms == 1
+    assert got.zipf_den == 0
+    assert got.zipf_slope_grid == 0
+
+
+def test_zipf_layout_invariance(spark):
+    from lakehouse_file_format_compare_spark.operators.vocab import zipf_fit
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    a = zipf_fit(docs.repartition(1)).collect()[0]
+    b = zipf_fit(docs.repartition(9, "source")).collect()[0]
+    assert a.asDict() == b.asDict()
+    # natural-ish corpus: negative slope
+    assert a.zipf_slope_grid < 0
