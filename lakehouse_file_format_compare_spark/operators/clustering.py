@@ -117,17 +117,82 @@ def assign_clusters(
     )
 
 
+def kmeans_pp_seeds(
+    emb: DataFrame,
+    k: int,
+    sample_size: int = 2048,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict[int, list[int]]:
+    """Seeded k-means++ seeding on a bounded driver-side sample (the
+    ``train_ivf_centroids`` discipline: sample = the ``sample_size``
+    smallest ids via TakeOrderedAndProject, so seeds are
+    deterministic under any partition layout) — the production init
+    for :func:`kmeans_fit` at scale, where ``init='first-k'`` can
+    plant every seed inside one dense region and waste iterations.
+
+    Exact D^2 sampling on the MICRO grid: distances are the same
+    integer squared-L2 the fit uses, and the "random" proportional
+    draw is a seeded deterministic fold (cumulative-sum threshold at
+    ``(seed * 2654435761 % 2^32) / 2^32`` of the total — splitmix-
+    style, reproducible everywhere). Returns MICRO-grid centroids
+    keyed 0..k-1, ready to pass as ``init_centroids``.
+    """
+    rows = (
+        snap_vectors(emb, id_col, vec_col)
+        .orderBy(id_col)
+        .limit(sample_size)
+        .collect()
+    )
+    if not rows:
+        raise ValueError("empty input")
+    pts = [[int(x) for x in r.v] for r in rows]
+    seeds = [pts[0]]
+    state = seed & 0xFFFFFFFF
+    while len(seeds) < min(k, len(pts)):
+        d2 = [
+            min(
+                sum((a - b) * (a - b) for a, b in zip(p, s))
+                for s in seeds
+            )
+            for p in pts
+        ]
+        total = sum(d2)
+        if total == 0:
+            break
+        # deterministic multiplicative-hash draw in [0, 1)
+        state = (state * 2654435761 + 1) & 0xFFFFFFFF
+        thresh = (state / 4294967296.0) * total
+        acc = 0
+        pick = 0
+        for i, d in enumerate(d2):
+            acc += d
+            if acc > thresh:
+                pick = i
+                break
+        seeds.append(pts[pick])
+    return {j: s for j, s in enumerate(seeds)}
+
+
 def kmeans_fit(
     emb: DataFrame,
     k: int = DEFAULT_K,
     iters: int = DEFAULT_ITERS,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    init_centroids: dict[int, list[int]] | None = None,
 ):
     """Run ``iters`` Lloyd iterations; returns
     ``(centroids, assignments)`` where ``centroids`` is
     ``{cluster: [int components]}`` on the MICRO grid and
     ``assignments`` is the FINAL (id, cluster, dist) frame (lazy).
+
+    Init: the k lowest-id vectors by default (replayable in SQL as
+    ``WHERE id < k`` — the oracle contract), or pass
+    ``init_centroids`` (e.g. :func:`kmeans_pp_seeds` for the
+    production D^2 seeding; the iteration arithmetic stays exactly
+    replayable GIVEN the seeds).
 
     A cluster that loses all members drops out (both engines lose it
     identically — the SQL replay's update join simply yields no rows
@@ -140,11 +205,15 @@ def kmeans_fit(
     # outlives the fit (each iteration is a bounded k x dim collect)
     cached = snapped.persist()
     try:
-        init = cached.where(F.col(id_col) < k).orderBy(id_col).collect()
-        if not init:
-            raise ValueError("no seed vectors with id < k")
-        dim = len(init[0].v)
-        centroids = {int(r[id_col]): [int(x) for x in r.v] for r in init}
+        if init_centroids is not None:
+            centroids = {int(j): [int(x) for x in v]
+                         for j, v in init_centroids.items()}
+        else:
+            init = cached.where(F.col(id_col) < k).orderBy(id_col).collect()
+            if not init:
+                raise ValueError("no seed vectors with id < k")
+            centroids = {int(r[id_col]): [int(x) for x in r.v] for r in init}
+        dim = len(next(iter(centroids.values())))
         for _ in range(iters):
             sums = (
                 assign_clusters(cached, centroids, id_col)

@@ -187,3 +187,34 @@ def test_assignment_plan_is_jvm_only(spark):
     )
     assert "BatchEvalPython" not in plan
     assert "PythonUDF" not in plan
+
+
+def test_kmeans_pp_seeds_deterministic_and_spread(spark, blob_docs):
+    from lakehouse_file_format_compare_spark.operators.clustering import (
+        kmeans_pp_seeds,
+    )
+
+    s1 = kmeans_pp_seeds(blob_docs, k=3, seed=7)
+    s2 = kmeans_pp_seeds(blob_docs, k=3, seed=7)
+    assert s1 == s2  # reproducible under a fixed seed
+    assert len(s1) == 3
+    # D^2 seeding on three tight far-apart blobs must pick one seed
+    # per blob (any same-blob pair would have ~0 selection mass)
+    blob_of = {i: ("a" if v[0] > 0.5 else "b" if v[1] > 0.5 else "c")
+               for i, v in BLOBS.items()}
+    picked = set()
+    for comps in s1.values():
+        fl = [c / MICRO for c in comps]
+        # map back to the nearest fixture point's blob
+        best = min(BLOBS, key=lambda i: sum(
+            (a - b) ** 2 for a, b in zip(BLOBS[i], fl)))
+        picked.add(blob_of[best])
+    assert picked == {"a", "b", "c"}
+
+    # seeds feed the fit; planted blobs recovered from ++ init too
+    cents, asg = kmeans_fit(blob_docs, k=3, iters=2, init_centroids=s1)
+    groups = {}
+    for r in asg.collect():
+        groups.setdefault(r.cluster, set()).add(r.vec_id)
+    assert sorted(tuple(sorted(g)) for g in groups.values()) == [
+        (0, 3, 6), (1, 4, 7), (2, 5, 8)]
