@@ -104,21 +104,29 @@ def doc_bigrams(
     a BOS context for position 1. Empty documents contribute no rows.
     This is THE corpus-sized explode — train counts, vocabulary and
     scoring all derive from it."""
-    ws = _tokens(F.col(text_col))
+    # Materialize the token array behind a projection boundary, then
+    # zip it with its BOS-shifted self. NEVER index the array from
+    # inside a per-element lambda (element_at(ws, i) in a transform
+    # re-evaluates the split+filter expression for every element —
+    # O(tokens^2) regex work per document; measured 13.6 s for the
+    # sf0.1 bigram count vs 0.4 s for this shape).
     pair_t = "array<struct<ctx:string,w:string>>"
+    with_ws = docs.select(
+        *keep_cols, _tokens(F.col(text_col)).alias("__ws")
+    )
+    ws = F.col("__ws")
+    ctxs = F.concat(
+        F.array(F.lit(BOS)),
+        F.slice(ws, 1, F.greatest(F.size(ws) - 1, F.lit(0))),
+    )
     pairs = F.when(
         F.size(ws) > 0,
-        F.transform(
-            F.sequence(F.lit(1), F.size(ws)),
-            lambda i: F.struct(
-                F.when(i == 1, F.lit(BOS))
-                .otherwise(F.element_at(ws, i - F.lit(1)))
-                .alias("ctx"),
-                F.element_at(ws, i).alias("w"),
-            ),
+        F.zip_with(
+            ctxs, ws,
+            lambda a, b: F.struct(a.alias("ctx"), b.alias("w")),
         ),
     ).otherwise(F.expr(f"CAST(array() AS {pair_t})"))
-    return docs.select(*keep_cols, F.explode(pairs).alias("bg")).select(
+    return with_ws.select(*keep_cols, F.explode(pairs).alias("bg")).select(
         *keep_cols, F.col("bg.ctx").alias("ctx"), F.col("bg.w").alias("w")
     )
 
@@ -134,12 +142,17 @@ def bigram_lm_train(train_docs: DataFrame, text_col: str = "text"):
       only).
 
     All three are re-aggregations of ONE bigram explode over the
-    train slice; nothing here rescans the corpus.
+    train slice; the model frame's lineage is CUT (lazy
+    localCheckpoint — the dedup_stage discipline) so its
+    train-slice-sized explode+count subtree evaluates once even
+    though three consumers (the scoring join, ctx_totals, vocab)
+    read it; without the cut Spark re-runs the subtree per consumer
+    (measured: 4 Generates / 5 scans at sf0.1, 2 / 3 after).
     """
     bg = doc_bigrams(train_docs, text_col, keep_cols=())
     model = bg.groupBy("ctx", "w").agg(
         F.count(F.lit(1)).cast("long").alias("c")
-    )
+    ).localCheckpoint(eager=False)
     ctx_totals = model.groupBy("ctx").agg(
         F.sum("c").cast("long").alias("cc")
     )
