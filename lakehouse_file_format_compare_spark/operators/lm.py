@@ -191,7 +191,13 @@ def bigram_lm_score(
         F.coalesce(F.col("cc"), F.lit(0)).cast("double")
         + F.lit(SMOOTH_K) * F.col("v")
     )
-    term = F.floor(F.log(num / den) * NANO + F.lit(0.5)).cast("long")
+    # den == 0 only for a DEGENERATE model (empty train slice, V=0):
+    # every probability is undefined, so terms score 0 — found by the
+    # hypothesis sweep (ANSI division-by-zero otherwise)
+    term = F.when(
+        den > F.lit(0.0),
+        F.floor(F.log(num / den) * NANO + F.lit(0.5)).cast("long"),
+    ).otherwise(F.lit(0).cast("long"))
     scored = (
         bg.join(model, ["ctx", "w"], "left")
         .join(ctx_totals, ["ctx"], "left")

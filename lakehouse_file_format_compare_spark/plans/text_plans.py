@@ -287,9 +287,11 @@ _LM_SQL_CTES = f"""lm_tok AS (
     SELECT CAST(COUNT(DISTINCT w) AS BIGINT) AS v FROM lm_m
 ), lm_terms AS (
     SELECT b.doc_id, b.lang,
-           CAST(floor(ln((COALESCE(lm_m.c, 0) + 0.5) /
-                         (COALESCE(lm_ctxt.cc, 0) + 0.5 * lm_voc.v))
-                      * 1000000000 + 0.5) AS BIGINT) AS t
+           CASE WHEN (COALESCE(lm_ctxt.cc, 0) + 0.5 * lm_voc.v) > 0
+                THEN CAST(floor(ln((COALESCE(lm_m.c, 0) + 0.5) /
+                              (COALESCE(lm_ctxt.cc, 0) + 0.5 * lm_voc.v))
+                           * 1000000000 + 0.5) AS BIGINT)
+                ELSE CAST(0 AS BIGINT) END AS t
     FROM lm_big b
     LEFT JOIN lm_m ON b.ctx = lm_m.ctx AND b.w = lm_m.w
     LEFT JOIN lm_ctxt ON b.ctx = lm_ctxt.ctx

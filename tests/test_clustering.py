@@ -218,3 +218,44 @@ def test_kmeans_pp_seeds_deterministic_and_spread(spark, blob_docs):
         groups.setdefault(r.cluster, set()).add(r.vec_id)
     assert sorted(tuple(sorted(g)) for g in groups.values()) == [
         (0, 3, 6), (1, 4, 7), (2, 5, 8)]
+
+
+# --- hypothesis sweep: arbitrary point sets match the pure-Python fit ---
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_COMP = st.floats(
+    min_value=-1.0, max_value=1.0, allow_nan=False, allow_infinity=False
+)
+
+
+@given(
+    pts=st.lists(
+        st.tuples(_COMP, _COMP, _COMP), min_size=2, max_size=8, unique=True
+    ),
+    k=st.integers(min_value=1, max_value=3),
+    iters=st.integers(min_value=1, max_value=3),
+)
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[
+        HealthCheck.function_scoped_fixture, HealthCheck.too_slow,
+    ],
+)
+def test_fit_matches_reference_on_arbitrary_points(spark, pts, k, iters):
+    """Arbitrary small point sets (duplicates of snapped coordinates,
+    collinear layouts, k up to n): exact centroid and assignment
+    equality with the pure-Python mirror — including empty-cluster
+    drop-out paths."""
+    k = min(k, len(pts))
+    rows = [(i, [float(a), float(b), float(c)])
+            for i, (a, b, c) in enumerate(pts)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cents, asg = kmeans_fit(df, k=k, iters=iters)
+    want_c, want_a = _py_kmeans(
+        {i: v for i, (_, v) in zip(range(len(rows)), rows)}, k, iters
+    )
+    assert cents == want_c
+    assert {r.vec_id: (r.cluster, r.dist) for r in asg.collect()} == want_a

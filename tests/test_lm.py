@@ -50,7 +50,8 @@ def _py_reference(rows, train_pred):
         for w in toks(t):
             num = cnt.get((prev, w), 0) + SMOOTH_K
             den = ctx_cnt.get(prev, 0) + SMOOTH_K * v
-            lp += math.floor(math.log(num / den) * NANO + 0.5)
+            if den > 0:  # degenerate empty model scores 0
+                lp += math.floor(math.log(num / den) * NANO + 0.5)
             nb += 1
             prev = w
         out[did] = (nb, lp)
@@ -183,3 +184,44 @@ def test_plan_has_no_python_and_single_corpus_explode(spark):
     plan = rep._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan
     assert "PythonUDF" not in plan
+
+
+# --- hypothesis sweep: arbitrary corpora match the pure-Python LM ---
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_WORD = st.text(
+    alphabet=st.sampled_from("ab \t"), min_size=0, max_size=24
+)
+
+
+@given(texts=st.lists(_WORD, min_size=1, max_size=6),
+       train_mask=st.lists(st.booleans(), min_size=6, max_size=6))
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[
+        HealthCheck.function_scoped_fixture, HealthCheck.too_slow,
+    ],
+)
+def test_scores_match_reference_on_arbitrary_corpora(
+    spark, texts, train_mask
+):
+    """Any corpus (tiny alphabet forces heavy bigram collisions,
+    whitespace-only and empty docs included) + any train slice:
+    the operator's exact LONG scores equal the pure-Python mirror."""
+    rows = [
+        (i, t, "en" if train_mask[i] else "xx")
+        for i, t in enumerate(texts)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    model, ctx_totals, vocab = bigram_lm_train(
+        docs.where(F.col("lang") == "en")
+    )
+    got = {
+        r.doc_id: (r.n_bigrams, r.lp_nanos)
+        for r in bigram_lm_score(docs, model, ctx_totals, vocab).collect()
+    }
+    want, _, _ = _py_reference(rows, lambda lang: lang == "en")
+    assert got == want
