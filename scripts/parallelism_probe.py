@@ -125,9 +125,30 @@ def main() -> None:
             F.sum(F.col("doc_id") * F.col("n_bpe_tokens")).cast("long")
         ).collect()[0][0]
 
+        # r10 late-round: LM perplexity report, k-means facts and the
+        # Zipf fit are exact LONG fingerprints — identical at every
+        # parallelism level by construction; sweep them
+        from lakehouse_file_format_compare_spark.operators.clustering import (
+            kmeans_report,
+        )
+        from lakehouse_file_format_compare_spark.operators.lm import (
+            perplexity_report,
+        )
+        from lakehouse_file_format_compare_spark.operators.vocab import (
+            zipf_fit,
+        )
+
+        lm = perplexity_report(docs, F.col("lang") == "en").collect()[0]
+        km = kmeans_report(
+            table(spark, "/root/testdata/sf0.001", "embeddings"),
+            k=4, iters=2,
+        ).collect()[0]
+        zf = zipf_fit(docs).collect()[0]
+
         print(json.dumps({
             "master": master, "approx_distinct": ad, "dsir": dsir, "pr": pr,
             "einc_kept": einc, "bpe_merges": merges, "bpe_fp": bpe_fp,
+            "lm": lm.asDict(), "km": km.asDict(), "zipf": zf.asDict(),
         }))
     finally:
         spark.stop()

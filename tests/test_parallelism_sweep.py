@@ -140,8 +140,10 @@ def test_invariance_contracts_across_parallelism(spark):
             master, "dsir weights moved across parallelism")
         assert [list(t) for t in got["pr"]] == [list(t) for t in ref_pr], (
             master, "pagerank integer ranks moved across parallelism")
-        # r10: incremental-embedding fold kept set and BPE train/apply
-        # are deterministic — compare levels against each other
-        for key in ("einc_kept", "bpe_merges", "bpe_fp"):
+        # r10: incremental-embedding fold kept set, BPE train/apply,
+        # LM perplexity report, k-means facts and the Zipf fit are
+        # deterministic — compare levels against each other
+        for key in ("einc_kept", "bpe_merges", "bpe_fp",
+                    "lm", "km", "zipf"):
             assert got[key] == sweep_ref.setdefault(key, got[key]), (
                 master, key, "moved across parallelism")
