@@ -127,6 +127,13 @@ cluster sizes and the final centroid grid are all bit-equal LONGs).
 over the top-R vocabulary: micro-snapped ln(rank)/ln(freq), LONG
 normal-equation numerator/denominator, grid-snapped slope; the
 corpus-health diagnostic next to the vocab_*/bpe_* trainer stats).
+``dedup_components`` widened with ``tri_*``
+(operators/components.py::triangle_stats — exact triangle/wedge
+counts + global clustering coefficient of the near-dup pair graph
+via degree-oriented counting, Suri-Vassilvitskii 2011: wedges only
+from oriented out-neighborhoods, each triangle counted once at its
+(degree,id)-minimum corner; the oracle replays the naive 3-way join
+over the identical canonical edge set).
 """
 
 from __future__ import annotations

@@ -221,3 +221,100 @@ def resolve_duplicates(
         .withColumn("keep", F.col(id_col) == F.col("__best_id"))
         .drop("__score", "__best_id")
     )
+
+
+def triangle_stats(
+    pairs: DataFrame, src: str = "doc_a", dst: str = "doc_b"
+) -> DataFrame:
+    """Exact triangle / wedge counts and the global clustering
+    coefficient of the near-dup graph — the cluster-SHAPE diagnostic
+    next to component sizes (a high coefficient means duplicates come
+    in dense cliques that canonicalization collapses safely; a low
+    one means long chains, where transitive dedup is aggressive —
+    Newman 2003, "The structure and function of complex networks").
+
+    Degree-oriented counting (Suri & Vassilvitskii 2011, "Counting
+    Triangles and the Curse of the Last Reducer"): every undirected
+    edge is oriented from its lower-(degree, id) endpoint to the
+    higher one, wedges are enumerated ONLY from each node's oriented
+    out-neighborhood (out-degree is O(sqrt(m)) on any graph, so the
+    wedge set is O(m^1.5) instead of sum-of-squared-degrees — hub
+    nodes no longer explode), and each triangle is counted exactly
+    once at its (degree, id)-minimum corner. All integer arithmetic;
+    the DuckDB replay uses the naive 3-way join over the canonical
+    a<b edge set, proven equal to this oriented plan in
+    tests/test_components.py.
+
+    Returns ONE row: ``tri_edges``, ``tri_triangles``, ``tri_wedges``
+    (open+closed, sum over nodes of d*(d-1)/2), and ``tri_gcc_grid``
+    (3*triangles/wedges floor-snapped to the 1e-6 grid; 0 when the
+    graph has no wedge).
+    """
+    e = (
+        pairs.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    # lineage cut: degrees, orientation and both wedge-side reads all
+    # consume this frame — without the cut the caller's pair plan
+    # (often an LSH or shingle join) re-executes per consumer
+    e = e.localCheckpoint(eager=False)
+    deg = (
+        e.select(F.col("a").alias("n"))
+        .unionAll(e.select(F.col("b").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).cast("long").alias("d"))
+    )
+    wedges = deg.agg(
+        F.sum(F.col("d") * (F.col("d") - 1) / 2).cast("long").alias("w")
+    )
+    # orient by (degree, id): u -> v iff (d_u, u) < (d_v, v)
+    da = deg.select(F.col("n").alias("a"), F.col("d").alias("da"))
+    db = deg.select(F.col("n").alias("b"), F.col("d").alias("db"))
+    ed = e.join(da, "a").join(db, "b")
+    fwd = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    oriented = ed.select(
+        F.when(fwd, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(fwd, F.col("b")).otherwise(F.col("a")).alias("v"),
+        F.when(fwd, F.col("db")).otherwise(F.col("da")).alias("dv"),
+    ).localCheckpoint(eager=False)
+    # wedges from each u's oriented out-neighborhood, ordered by the
+    # SAME (degree, id) total order so the closing edge is oriented
+    # x -> y exactly when (d_x, x) < (d_y, y)
+    lo = oriented.select(F.col("u"), F.col("v").alias("x"), F.col("dv").alias("dx"))
+    hi = oriented.select(F.col("u"), F.col("v").alias("y"), F.col("dv").alias("dy"))
+    cand = lo.join(hi, "u").where(
+        (F.col("dx") < F.col("dy"))
+        | ((F.col("dx") == F.col("dy")) & (F.col("x") < F.col("y")))
+    )
+    closing = oriented.select(
+        F.col("u").alias("x"), F.col("v").alias("y")
+    )
+    tri = cand.join(closing, ["x", "y"]).agg(
+        F.count(F.lit(1)).cast("long").alias("t")
+    )
+    edges_n = e.agg(F.count(F.lit(1)).cast("long").alias("m"))
+    return (
+        tri.crossJoin(F.broadcast(wedges))
+        .crossJoin(F.broadcast(edges_n))
+        .select(
+            F.col("m").alias("tri_edges"),
+            F.col("t").alias("tri_triangles"),
+            F.coalesce(F.col("w"), F.lit(0)).cast("long").alias("tri_wedges"),
+            F.when(
+                F.coalesce(F.col("w"), F.lit(0)) > 0,
+                F.floor(
+                    F.lit(3.0) * F.col("t") / F.col("w") * 1_000_000
+                    + F.lit(0.5)
+                ),
+            )
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("tri_gcc_grid"),
+        )
+    )

@@ -334,10 +334,22 @@ def components(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/components.py), giving every document its duplicate-
     cluster canonical id. The edge source is the EXACT pair op (not
     LSH) so the DuckDB oracle — a recursive-CTE transitive closure
-    over the identical SQL pair set — value-matches the full output."""
+    over the identical SQL pair set — value-matches the full output.
+    Widened (r10) with ``tri_*``: exact triangle/wedge counts and the
+    global clustering coefficient of the same pair graph
+    (operators/components.py::triangle_stats, degree-oriented
+    counting; the oracle replays the naive 3-way join over the
+    identical canonical edge set)."""
     docs = table(spark, sf_dir, "documents")
-    pairs = D.ngram_jaccard_pairs(docs, threshold=JACCARD_THRESHOLD)
-    return C.canonicalize(docs, pairs).select("doc_id", "canonical_id", "is_canonical")
+    pairs = D.ngram_jaccard_pairs(
+        docs, threshold=JACCARD_THRESHOLD
+    ).localCheckpoint(eager=False)
+    tri = C.triangle_stats(pairs)
+    return (
+        C.canonicalize(docs, pairs)
+        .select("doc_id", "canonical_id", "is_canonical")
+        .crossJoin(F.broadcast(tri))
+    )
 
 
 # Transitive closure by min-label reach: the recursive CTE enumerates
@@ -384,11 +396,36 @@ WITH RECURSIVE toks AS (
     SELECT w.node, e.v FROM reach w JOIN edges e ON w.r = e.u
 ), comp AS (
     SELECT node, MIN(r) AS component FROM reach GROUP BY node
+), tedges AS (
+    SELECT LEAST(doc_a, doc_b) AS a, GREATEST(doc_a, doc_b) AS b
+    FROM pairs WHERE doc_a <> doc_b
+    GROUP BY 1, 2
+), tdeg AS (
+    SELECT n, CAST(COUNT(*) AS BIGINT) AS d FROM (
+        SELECT a AS n FROM tedges UNION ALL SELECT b FROM tedges
+    ) GROUP BY n
+), twed AS (
+    SELECT CAST(COALESCE(SUM(d * (d - 1) / 2), 0) AS BIGINT) AS w FROM tdeg
+), ttri AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS t
+    FROM tedges e1
+    JOIN tedges e2 ON e2.a = e1.b
+    JOIN tedges e3 ON e3.a = e1.a AND e3.b = e2.b
+), tagg AS (
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM tedges) AS tri_edges,
+           ttri.t AS tri_triangles,
+           twed.w AS tri_wedges,
+           CASE WHEN twed.w > 0
+                THEN CAST(floor(3.0 * ttri.t / twed.w * 1000000 + 0.5)
+                          AS BIGINT)
+                ELSE 0 END AS tri_gcc_grid
+    FROM ttri, twed
 )
 SELECT d.doc_id,
        COALESCE(c.component, d.doc_id) AS canonical_id,
-       d.doc_id = COALESCE(c.component, d.doc_id) AS is_canonical
-FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
+       d.doc_id = COALESCE(c.component, d.doc_id) AS is_canonical,
+       tri_edges, tri_triangles, tri_wedges, tri_gcc_grid
+FROM documents d LEFT JOIN comp c ON d.doc_id = c.node, tagg
 """
 
 

@@ -203,3 +203,94 @@ def test_canonicalize_result_plan_never_reruns_the_pair_plan(spark):
     assert plan.count("Scan ExistingRDD") >= 2  # edges + star forest
     assert "xxhash64" not in plan  # no signature recomputation
     assert plan.count("Generate") == 0  # no shingle explode either
+
+
+# --- triangle_stats (r10) ---
+
+def _tri(spark, edges):
+    from lakehouse_file_format_compare_spark.operators.components import (
+        triangle_stats,
+    )
+
+    df = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    return triangle_stats(df).collect()[0]
+
+
+def _naive_triangles(edges):
+    es = {tuple(sorted(e)) for e in edges if e[0] != e[1]}
+    nodes = sorted({n for e in es for n in e})
+    t = 0
+    for i, a in enumerate(nodes):
+        for b in nodes[i + 1:]:
+            if (a, b) not in es:
+                continue
+            for c in nodes:
+                if c > b and (a, c) in es and (b, c) in es:
+                    t += 1
+    deg = {}
+    for a, b in es:
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+    w = sum(d * (d - 1) // 2 for d in deg.values())
+    return len(es), t, w
+
+
+def test_triangle_stats_hand_graphs(spark):
+    # single triangle
+    r = _tri(spark, [(1, 2), (2, 3), (3, 1)])
+    assert (r.tri_edges, r.tri_triangles, r.tri_wedges) == (3, 1, 3)
+    assert r.tri_gcc_grid == 1_000_000
+    # path: no triangle, one wedge
+    r = _tri(spark, [(1, 2), (2, 3)])
+    assert (r.tri_triangles, r.tri_wedges, r.tri_gcc_grid) == (0, 1, 0)
+    # K4: 4 triangles, 12 wedges, gcc 1
+    k4 = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    r = _tri(spark, k4)
+    assert (r.tri_edges, r.tri_triangles, r.tri_wedges) == (6, 4, 12)
+    assert r.tri_gcc_grid == 1_000_000
+    # star: hub wedges, no closure; duplicate + reversed edges dedup
+    star = [(0, i) for i in range(1, 6)] + [(3, 0), (0, 4)]
+    r = _tri(spark, star)
+    assert (r.tri_edges, r.tri_triangles, r.tri_wedges) == (5, 0, 10)
+    # empty graph
+    r = _tri(spark, [(7, 7)])
+    assert (r.tri_edges, r.tri_triangles, r.tri_wedges,
+            r.tri_gcc_grid) == (0, 0, 0, 0)
+
+
+def test_triangle_stats_matches_naive_on_pseudorandom_graphs(spark):
+    """The degree-oriented count equals the naive enumeration on
+    hub-heavy pseudo-random graphs (hub nodes exercise orientation;
+    multiplicative-hash edges are reproducible)."""
+    for seed, n, m in [(1, 12, 30), (2, 20, 60), (3, 9, 36)]:
+        s = seed
+        edges = []
+        for _ in range(m):
+            s = (s * 1103515245 + 12345) & 0x7FFFFFFF
+            a = s % n
+            s = (s * 1103515245 + 12345) & 0x7FFFFFFF
+            b = s % n
+            edges.append((a, b))
+        # add a hub touching everyone (degree-orientation stress)
+        edges += [(0, i) for i in range(n)]
+        want = _naive_triangles(edges)
+        r = _tri(spark, edges)
+        assert (r.tri_edges, r.tri_triangles, r.tri_wedges) == want, seed
+
+
+def test_triangle_plan_has_no_cartesian(spark):
+    from lakehouse_file_format_compare_spark.operators.components import (
+        triangle_stats,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1)], "doc_a long, doc_b long"
+    )
+    plan = (
+        triangle_stats(df)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
