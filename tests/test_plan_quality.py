@@ -532,6 +532,9 @@ def test_no_python_row_udfs_in_r10_operators(spark):
         assign_clusters,
         snap_vectors,
     )
+    from lakehouse_file_format_compare_spark.operators.components import (
+        triangle_stats,
+    )
     from lakehouse_file_format_compare_spark.operators.lm import (
         perplexity_report,
     )
@@ -565,6 +568,7 @@ def test_no_python_row_udfs_in_r10_operators(spark):
             snap_vectors(table(spark, SF_CORRECTNESS, "embeddings")),
             {0: [0] * 64, 1: [1000] * 64},
         ),
+        triangle_stats(pairs),
     ]
     for df in frames:
         plan = df._sc._jvm.PythonSQLUtils.explainString(
