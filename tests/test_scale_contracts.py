@@ -1373,3 +1373,86 @@ def test_incremental_embedding_candidate_volume_bounded_at_sf01(spark):
     assert n_cand < 0.05 * cross, f"{n_cand} candidates vs {cross} cross product"
     print(f"incremental embedding sf0.1: candidates {n_cand} / cross {cross}")
     corpus.unpersist()
+
+
+def test_lm_model_is_heaps_bounded_under_replication(spark):
+    """r10: replicating the corpus adds NO new bigram types — the LM
+    model's row count and vocabulary are replication-INVARIANT while
+    every count exactly doubles. This is the property that keeps the
+    scoring joins model-bounded at 100 TB (the model grows with
+    Heaps-law vocabulary, not with corpus volume)."""
+    from lakehouse_file_format_compare_spark.operators.lm import (
+        bigram_lm_train,
+    )
+
+    docs = table(spark, SF_SCALE, "documents").select("doc_id", "text")
+    copy = docs.select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+    )
+    m1, _, v1 = bigram_lm_train(docs)
+    m2, _, v2 = bigram_lm_train(docs.unionByName(copy))
+    c1 = {(r.ctx, r.w): r.c for r in m1.collect()}
+    c2 = {(r.ctx, r.w): r.c for r in m2.collect()}
+    assert set(c2) == set(c1)  # no new bigram types
+    assert all(c2[k] == 2 * c1[k] for k in c1)  # counts exactly double
+    assert v2.collect()[0].v == v1.collect()[0].v
+
+
+def test_kmeans_is_exactly_replication_invariant(spark):
+    """r10: duplicating every vector (shifted ids) doubles every
+    cluster's sums AND counts, and floor(2s/2n) == floor(s/n), so the
+    fitted centroids are bit-identical, assignments replicate, and
+    inertia exactly doubles — the integer-arithmetic scale witness."""
+    from lakehouse_file_format_compare_spark.operators.clustering import (
+        kmeans_fit,
+    )
+
+    emb = table(spark, SF_SCALE, "embeddings").select("vec_id", "embedding")
+    copy = emb.select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding"
+    )
+    c1, a1 = kmeans_fit(emb, k=8, iters=2)
+    c2, a2 = kmeans_fit(emb.unionByName(copy), k=8, iters=2)
+    assert c1 == c2
+    g1 = {r.vec_id: (r.cluster, r.dist) for r in a1.collect()}
+    g2 = {r.vec_id: (r.cluster, r.dist) for r in a2.collect()}
+    assert len(g2) == 2 * len(g1)
+    for vid, asg in g1.items():
+        assert g2[vid] == asg
+        assert g2[vid + 1_000_000] == asg
+    assert sum(d for _, d in g2.values()) == 2 * sum(
+        d for _, d in g1.values()
+    )
+
+
+def test_triangle_stats_scale_exactly_with_disjoint_copies(spark):
+    """r10: a disjoint shifted-id copy of the near-dup graph exactly
+    doubles edges, triangles and wedges and leaves the clustering
+    coefficient identical — and the oriented wedge set stays bounded
+    by the open-wedge total (the O(m^1.5) guarantee's observable)."""
+    from lakehouse_file_format_compare_spark.operators.components import (
+        triangle_stats,
+    )
+    from lakehouse_file_format_compare_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+    )
+
+    docs = table(spark, "/root/testdata/sf0.01", "documents").select(
+        "doc_id", "text"
+    )
+    pairs = (
+        ngram_jaccard_pairs(docs, threshold=0.5)
+        .select("doc_a", "doc_b")
+        .localCheckpoint()
+    )
+    t1 = triangle_stats(pairs).collect()[0]
+    assert t1.tri_edges > 0
+    shifted = pairs.select(
+        (F.col("doc_a") + 1_000_000).alias("doc_a"),
+        (F.col("doc_b") + 1_000_000).alias("doc_b"),
+    )
+    t2 = triangle_stats(pairs.unionByName(shifted)).collect()[0]
+    assert t2.tri_edges == 2 * t1.tri_edges
+    assert t2.tri_triangles == 2 * t1.tri_triangles
+    assert t2.tri_wedges == 2 * t1.tri_wedges
+    assert t2.tri_gcc_grid == t1.tri_gcc_grid
