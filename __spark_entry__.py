@@ -134,6 +134,12 @@ via degree-oriented counting, Suri-Vassilvitskii 2011: wedges only
 from oriented out-neighborhoods, each triangle counted once at its
 (degree,id)-minimum corner; the oracle replays the naive 3-way join
 over the identical canonical edge set).
+``corpus_build_summary`` widened with ``hits_*``
+(operators/pagerank.py::hits — Kleinberg HITS hub/authority over the
+SAME citation edge set as pr_*: exact integer L1-normalized
+half-steps, (raw*scale) div total with non-negative LONGs so the
+truncating div is engine-portable; the oracle replays the unrolled
+iterations next to the pr_* power iteration).
 """
 
 from __future__ import annotations

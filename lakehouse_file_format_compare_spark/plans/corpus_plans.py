@@ -130,6 +130,33 @@ def _pr_agg(docs: DataFrame) -> DataFrame:
     )
 
 
+HITS_ITERS = 4
+
+
+def _hits_agg(docs: DataFrame) -> DataFrame:
+    """r10: HITS hub/authority over the SAME citation edge set as
+    pr_* (operators/pagerank.py::hits — exact integer L1-normalized
+    half-steps), reduced to exact LONG scalars the oracle replays as
+    unrolled iterations."""
+    from ..operators.pagerank import hits
+
+    s = hits(_pr_edges(docs), iterations=HITS_ITERS)
+    topa = F.max(F.struct(F.col("authority"), (-F.col("node")).alias("__n")))
+    toph = F.max(F.struct(F.col("hub"), (-F.col("node")).alias("__n")))
+    return s.agg(
+        F.count(F.lit(1)).cast("long").alias("hits_nodes"),
+        F.sum("authority").cast("long").alias("hits_auth_total"),
+        F.sum("hub").cast("long").alias("hits_hub_total"),
+        F.max("authority").cast("long").alias("hits_top_auth"),
+        (-topa.getField("__n")).cast("long").alias("hits_top_auth_node"),
+        F.max("hub").cast("long").alias("hits_top_hub"),
+        (-toph.getField("__n")).cast("long").alias("hits_top_hub_node"),
+        F.sum(
+            (F.col("node") % 97) * (F.col("authority") * 31 + F.col("hub"))
+        ).cast("long").alias("hits_fp"),
+    )
+
+
 # per-domain cap (r8, operators/sampling.py::top_k_per_group): keep
 # the CAP_K longest docs per source (doc_id tie-break = total order,
 # so the selected SET is engine-exact); the fingerprint pins the
@@ -207,6 +234,7 @@ def corpus_build_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(n_gated)
         .crossJoin(F.broadcast(_dsir_agg(docs)))
         .crossJoin(F.broadcast(_pr_agg(docs)))
+        .crossJoin(F.broadcast(_hits_agg(docs)))
         .crossJoin(F.broadcast(_cap_agg(docs)))
         .crossJoin(F.broadcast(_ws_agg(docs)))
         .select(
@@ -231,6 +259,15 @@ def corpus_build_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             "pr_rank_total",
             "pr_top_rank",
             "pr_top_node",
+            # r10: HITS hub/authority, exact fixed-point values
+            "hits_nodes",
+            "hits_auth_total",
+            "hits_hub_total",
+            "hits_top_auth",
+            "hits_top_auth_node",
+            "hits_top_hub",
+            "hits_top_hub_node",
+            "hits_fp",
             # r8: per-domain cap — exact selected-set fingerprint
             "cap_docs",
             "cap_fp",
@@ -352,10 +389,13 @@ SELECT s.split, g.n_gated,
        CAST(p.pr_rank_total AS BIGINT) AS pr_rank_total,
        CAST(p.pr_top_rank AS BIGINT) AS pr_top_rank,
        CAST(p.pr_top_node AS BIGINT) AS pr_top_node,
+       hx.hits_nodes, hx.hits_auth_total, hx.hits_hub_total,
+       hx.hits_top_auth, hx.hits_top_auth_node,
+       hx.hits_top_hub, hx.hits_top_hub_node, hx.hits_fp,
        c.cap_docs, c.cap_fp,
        w.ws_docs, w.ws_fp
 FROM (VALUES ('train'), ('val'), ('test')) s(split), gated g, dsir d, pr p,
-     cap c, ws w
+     hits_agg hx, cap c, ws w
 """
 
 
@@ -424,8 +464,69 @@ def _pr_oracle_ctes(iterations: int = PR_ITERS, unit: int = UNIT) -> str:
     return ",\n".join(ctes)
 
 
+def _hits_oracle_ctes(
+    iterations: int = 4, scale: int = 1_000_000
+) -> str:
+    """Unrolled HITS half-steps over the pr_e/pr_nset/pr_cnt citation
+    CTEs (operators/pagerank.py::hits): L1-normalized integer grid,
+    ``(raw * scale) // total`` — all values non-negative, so the
+    truncating `//` equals the Spark `div`. Materialized per the pr_*
+    lesson (each frame has two readers)."""
+    ctes = [
+        f"""h_h0 AS MATERIALIZED (
+    SELECT node, CAST({scale} AS BIGINT) // nn AS s FROM pr_nset, pr_cnt
+)"""
+    ]
+    for k in range(1, iterations + 1):
+        ctes.append(f"""h_ar{k} AS MATERIALIZED (
+    SELECT e.dst AS node, CAST(SUM(h.s) AS BIGINT) AS raw
+    FROM h_h{k - 1} h JOIN pr_e e ON h.node = e.src GROUP BY e.dst
+)""")
+        ctes.append(f"""h_at{k} AS MATERIALIZED (
+    SELECT CAST(COALESCE(SUM(raw), 0) AS BIGINT) AS tot FROM h_ar{k}
+)""")
+        ctes.append(f"""h_a{k} AS MATERIALIZED (
+    SELECT n.node,
+           CASE WHEN tot > 0
+                THEN (COALESCE(r.raw, 0) * CAST({scale} AS BIGINT)) // tot
+                ELSE 0 END AS s
+    FROM pr_nset n LEFT JOIN h_ar{k} r ON n.node = r.node, h_at{k}
+)""")
+        ctes.append(f"""h_hr{k} AS MATERIALIZED (
+    SELECT e.src AS node, CAST(SUM(a.s) AS BIGINT) AS raw
+    FROM h_a{k} a JOIN pr_e e ON a.node = e.dst GROUP BY e.src
+)""")
+        ctes.append(f"""h_ht{k} AS MATERIALIZED (
+    SELECT CAST(COALESCE(SUM(raw), 0) AS BIGINT) AS tot FROM h_hr{k}
+)""")
+        ctes.append(f"""h_h{k} AS MATERIALIZED (
+    SELECT n.node,
+           CASE WHEN tot > 0
+                THEN (COALESCE(r.raw, 0) * CAST({scale} AS BIGINT)) // tot
+                ELSE 0 END AS s
+    FROM pr_nset n LEFT JOIN h_hr{k} r ON n.node = r.node, h_ht{k}
+)""")
+    it = iterations
+    ctes.append(f"""hits_agg AS MATERIALIZED (
+    SELECT CAST(COUNT(*) AS BIGINT) AS hits_nodes,
+           CAST(SUM(a.s) AS BIGINT) AS hits_auth_total,
+           CAST(SUM(h.s) AS BIGINT) AS hits_hub_total,
+           CAST(MAX(a.s) AS BIGINT) AS hits_top_auth,
+           CAST(MIN(a.node) FILTER (
+               WHERE a.s = (SELECT MAX(s) FROM h_a{it})
+           ) AS BIGINT) AS hits_top_auth_node,
+           CAST(MAX(h.s) AS BIGINT) AS hits_top_hub,
+           CAST(MIN(h.node) FILTER (
+               WHERE h.s = (SELECT MAX(s) FROM h_h{it})
+           ) AS BIGINT) AS hits_top_hub_node,
+           CAST(SUM((a.node % 97) * (a.s * 31 + h.s)) AS BIGINT) AS hits_fp
+    FROM h_a{it} a JOIN h_h{it} h ON a.node = h.node
+)""")
+    return ",\n".join(ctes)
+
+
 CORPUS_BUILD_SUMMARY_SQL = CORPUS_BUILD_SUMMARY_SQL.replace(
-    "{PR_CTES}", _pr_oracle_ctes()
+    "{PR_CTES}", _pr_oracle_ctes() + ",\n" + _hits_oracle_ctes(HITS_ITERS)
 ).replace("{CAP_K}", str(CAP_K)).replace("{WS_K}", str(WS_K))
 
 

@@ -144,3 +144,84 @@ def test_no_global_window_in_operator_source():
     assert "Window.partitionBy" not in src
     assert "from pyspark.sql import Window" not in src
     assert ".over(" not in src
+
+
+# --- HITS (r10) ---
+
+def _py_hits(edges, iterations, scale=1_000_000):
+    nodes = sorted({n for e in edges for n in e})
+    n = len(nodes)
+    if n == 0:
+        return {}
+    h = {u: scale // n for u in nodes}
+
+    def half(scores, fwd):
+        raw = {u: 0 for u in nodes}
+        for s, d in edges:
+            if fwd:
+                raw[d] += scores[s]
+            else:
+                raw[s] += scores[d]
+        tot = sum(raw.values())
+        if tot == 0:
+            return {u: 0 for u in nodes}
+        return {u: (raw[u] * scale) // tot for u in nodes}
+
+    for _ in range(iterations):
+        a = half(h, True)
+        h = half(a, False)
+    return {u: (a[u], h[u]) for u in nodes}
+
+
+def test_hits_matches_pure_python_mirror(spark):
+    from lakehouse_file_format_compare_spark.operators.pagerank import hits
+
+    edges = [
+        (1, 2), (1, 3), (4, 2), (4, 3), (5, 2),  # 2,3 authorities
+        (2, 6), (3, 6),                           # 6 downstream
+        (7, 7),                                   # self loop
+        (1, 2),                                   # duplicate edge
+    ]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r.node: (r.authority, r.hub)
+        for r in hits(df, iterations=4).collect()
+    }
+    assert got == _py_hits(edges, 4)
+    # structure: node 2 is the top authority, node 1/4 are top hubs
+    top_auth = max(got, key=lambda u: (got[u][0], -u))
+    assert top_auth == 2
+    assert got[1][1] >= got[5][1]  # two-link hub beats one-link hub
+
+
+def test_hits_layout_invariance_on_citation_graph(spark):
+    from lakehouse_file_format_compare_spark.operators.pagerank import hits
+    from lakehouse_file_format_compare_spark.plans.corpus_plans import (
+        _pr_edges,
+    )
+    from lakehouse_file_format_compare_spark.sources.testdata import table
+
+    docs = table(spark, "/root/testdata/sf0.001", "documents")
+    e = _pr_edges(docs)
+    a = sorted(
+        (r.node, r.authority, r.hub)
+        for r in hits(e.repartition(1), iterations=3).collect()
+    )
+    b = sorted(
+        (r.node, r.authority, r.hub)
+        for r in hits(e.repartition(17, "dst"), iterations=3).collect()
+    )
+    assert a == b
+    assert any(x[1] > 0 for x in a)
+
+
+def test_hits_empty_and_degenerate(spark):
+    from lakehouse_file_format_compare_spark.operators.pagerank import hits
+
+    empty = spark.createDataFrame([], "src long, dst long")
+    assert hits(empty).count() == 0
+    # single edge: src is the only hub, dst the only authority
+    one = spark.createDataFrame([(1, 2)], "src long, dst long")
+    got = {r.node: (r.authority, r.hub) for r in hits(one, iterations=2).collect()}
+    assert got[2][0] == 1_000_000 and got[1][0] == 0
+    assert got[1][1] == 1_000_000 and got[2][1] == 0
