@@ -140,6 +140,13 @@ SAME citation edge set as pr_*: exact integer L1-normalized
 half-steps, (raw*scale) div total with non-negative LONGs so the
 truncating div is engine-portable; the oracle replays the unrolled
 iterations next to the pr_* power iteration).
+``dedup_ngram_jaccard``'s Spark side now runs the PPJoin
+prefix-filtered EXACT join (operators/dedup.py::ppjoin_jaccard_pairs,
+Xiao et al. 2008: rare-first global order, prefix-bucket inverted
+index + length filter, exact array-intersect verify) while the
+oracle keeps replaying the naive inverted-index join — the driver's
+hash compare is a per-round cross-engine proof that prefix filtering
+loses no pair.
 """
 
 from __future__ import annotations

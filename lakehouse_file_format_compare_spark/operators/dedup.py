@@ -1250,3 +1250,121 @@ def full_semantic_dedup_ordered(
     return embeddings.join(
         dropped.select(F.col("vid").alias(id_col)), id_col, "left_anti"
     )
+
+
+def ppjoin_jaccard_pairs(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """EXACT all-pairs n-gram Jaccard >= threshold via prefix
+    filtering (PPJoin, Xiao-Wang-Lin-Yu 2008 "Efficient Similarity
+    Joins for Near Duplicate Detection") — same output as
+    :func:`ngram_jaccard_pairs`, asymptotically fewer candidates, NO
+    recall loss (unlike the MinHash path).
+
+    Principle: under any global total order on shingles, two sets
+    with Jaccard >= t MUST share a shingle within each set's first
+    ``|A| - ceil(t*|A|) + 1`` elements (the prefix) — so the inverted
+    index only ever indexes prefixes, and the candidate volume is
+    quadratic in PREFIX-bucket sizes, not full-bucket sizes. A length
+    filter (``t*|A| <= |B|``, applied on the canonical a<b side) cuts
+    further. Candidates are then verified with one exact
+    set-intersection per pair (array_intersect on the per-doc sorted
+    shingle arrays — JVM, no shuffle beyond the candidate join).
+
+    The global order is (corpus frequency asc, xxhash64) — rare-first
+    minimizes prefix-bucket sizes (the paper's heuristic). The order
+    is a SORT KEY, not a rank: no global row_number window exists;
+    per-doc prefixes come from an ``array_sort`` over the doc's own
+    (count, hash, shingle) structs, and correctness holds under ANY
+    total order, so the frequency join staying vocabulary-bounded is
+    purely an optimization.
+
+    Scale shape (100 TB): one shingle explode (shared discipline with
+    the other dedup tiers), one vocabulary-bounded count join, the
+    prefix-bucket self-join (the only pair-quadratic term, bounded by
+    prefix-bucket sizes), and a candidate-keyed verify join carrying
+    two shingle arrays per pair. Returns (doc_a, doc_b, jaccard
+    grid-6), doc_a < doc_b.
+    """
+    if not 0 < threshold <= 1:
+        raise ValueError("threshold must be in (0, 1]")
+    sh = _shingle_pairs(docs, id_col, text_col, k)
+    counts = sh.groupBy("shingle").agg(
+        F.count(F.lit(1)).cast("long").alias("__cnt")
+    )
+    # per-doc shingle array sorted by the global (cnt, hash, shingle)
+    # order; structs sort lexicographically so array_sort IS the order
+    ordered = (
+        sh.join(counts, "shingle")
+        .groupBy("doc")
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col("__cnt").alias("c"),
+                        F.xxhash64("shingle").alias("h"),
+                        F.col("shingle").alias("s"),
+                    )
+                )
+            ).alias("__arr")
+        )
+        .select(
+            "doc",
+            F.transform(F.col("__arr"), lambda x: x["s"]).alias("shs"),
+            F.size("__arr").alias("sz"),
+        )
+        .localCheckpoint(eager=False)  # 3 consumers: 2 prefix sides + verify
+    )
+    t = float(threshold)
+    prefix_len = F.col("sz") - F.ceil(F.lit(t) * F.col("sz")).cast("int") + 1
+    prefixes = ordered.select(
+        "doc",
+        "sz",
+        F.explode(F.slice(F.col("shs"), 1, prefix_len)).alias("shingle"),
+    )
+    pa = prefixes.alias("pa")
+    pb = prefixes.alias("pb")
+    cand = (
+        pa.join(
+            pb,
+            (F.col("pa.shingle") == F.col("pb.shingle"))
+            & (F.col("pa.doc") < F.col("pb.doc"))
+            # length filter: Jaccard >= t forces t*max <= min <= max
+            & (F.least(F.col("pa.sz"), F.col("pb.sz")).cast("double")
+               >= F.lit(t) * F.greatest(F.col("pa.sz"), F.col("pb.sz"))),
+        )
+        .select(
+            F.col("pa.doc").alias("doc_a"), F.col("pb.doc").alias("doc_b")
+        )
+        .distinct()
+    )
+    aa = ordered.select(
+        F.col("doc").alias("doc_a"), F.col("shs").alias("shs_a"),
+        F.col("sz").alias("sz_a"),
+    )
+    bb = ordered.select(
+        F.col("doc").alias("doc_b"), F.col("shs").alias("shs_b"),
+        F.col("sz").alias("sz_b"),
+    )
+    from ..functions.numeric import grid
+
+    common = F.size(F.array_intersect(F.col("shs_a"), F.col("shs_b")))
+    return (
+        cand.join(aa, "doc_a")
+        .join(bb, "doc_b")
+        .withColumn("__common", common)
+        .withColumn(
+            "jaccard",
+            grid(
+                F.col("__common")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("__common")),
+                6,
+            ),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )

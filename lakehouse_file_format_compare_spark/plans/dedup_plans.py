@@ -44,7 +44,16 @@ SELECT doc_id, canonical_id, group_size, fp.fp FROM fp JOIN groups USING (fp)
 
 
 def ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return D.ngram_jaccard_pairs(table(spark, sf_dir, "documents"), threshold=JACCARD_THRESHOLD)
+    """r10: the Spark side now runs the PPJoin prefix-filtered exact
+    join (operators/dedup.py::ppjoin_jaccard_pairs) while the oracle
+    keeps replaying the naive inverted-index join — the driver's
+    hash compare is then a cross-engine PROOF that prefix filtering
+    loses no pair (PPJoin's exactness theorem, checked per round).
+    The naive op stays available (and feeds dedup_components, whose
+    oracle needs the identical SQL pair set)."""
+    return D.ppjoin_jaccard_pairs(
+        table(spark, sf_dir, "documents"), threshold=JACCARD_THRESHOLD
+    )
 
 
 # Shingle construction mirrors functions/text.py::word_shingles —
