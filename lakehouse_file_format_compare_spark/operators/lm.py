@@ -284,24 +284,23 @@ def perplexity_report(
             )
         )
     )
+    def _z(col):  # empty-corpus aggregates must read 0, not NULL
+        return F.coalesce(col.cast("long"), F.lit(0).cast("long"))
+
     agg = scored.agg(
-        F.sum((F.col("n_bigrams") > 0).cast("long"))
-        .cast("long")
-        .alias("lm_scored_docs"),
-        F.sum("n_bigrams").cast("long").alias("lm_tokens"),
-        F.sum("lp_nanos").cast("long").alias("lm_lp_nanos"),
-        F.sum(F.col("flagged").cast("long")).cast("long").alias(
-            "lm_flagged_docs"
+        _z(F.sum((F.col("n_bigrams") > 0).cast("long"))).alias(
+            "lm_scored_docs"
         ),
-        F.sum((F.col("flagged") & train_grp).cast("long"))
-        .cast("long")
-        .alias("lm_flagged_train_grp"),
-        F.sum((F.col("flagged") & ~train_grp).cast("long"))
-        .cast("long")
-        .alias("lm_flagged_other"),
-        F.sum((F.col(id_col) % 97) * F.col("lp_nanos")).cast("long").alias(
-            "lm_fp"
+        _z(F.sum("n_bigrams")).alias("lm_tokens"),
+        _z(F.sum("lp_nanos")).alias("lm_lp_nanos"),
+        _z(F.sum(F.col("flagged").cast("long"))).alias("lm_flagged_docs"),
+        _z(F.sum((F.col("flagged") & train_grp).cast("long"))).alias(
+            "lm_flagged_train_grp"
         ),
+        _z(F.sum((F.col("flagged") & ~train_grp).cast("long"))).alias(
+            "lm_flagged_other"
+        ),
+        _z(F.sum((F.col(id_col) % 97) * F.col("lp_nanos"))).alias("lm_fp"),
     )
     return agg.crossJoin(F.broadcast(facts)).select(
         "lm_train_docs",

@@ -203,3 +203,63 @@ def test_substring_contamination_on_empty(spark, empty_docs):
     docs = table(spark, SF_CORRECTNESS, "documents")
     assert substring_contamination(empty_docs, docs, min_span_tokens=5).count() == 0
     assert substring_contamination(docs, empty_docs, min_span_tokens=5).count() == 0
+
+
+def test_r10_operators_on_empty(spark, empty_docs):
+    """LM scoring, Zipf fit, triangle stats and PPJoin on empty
+    inputs: structurally valid zero-row / zero-value outputs, no
+    division errors (the degenerate-model guard)."""
+    from pyspark.sql import functions as F
+
+    from lakehouse_file_format_compare_spark.operators import dedup as D
+    from lakehouse_file_format_compare_spark.operators.components import (
+        triangle_stats,
+    )
+    from lakehouse_file_format_compare_spark.operators.lm import (
+        bigram_lm_score,
+        bigram_lm_train,
+        perplexity_report,
+    )
+    from lakehouse_file_format_compare_spark.operators.vocab import zipf_fit
+
+    # empty corpus: report is one row of zeros, no errors
+    rep = perplexity_report(
+        empty_docs.withColumn("lang", F.lit("en")),
+        F.col("lang") == "en",
+    ).collect()[0]
+    assert rep.lm_scored_docs == 0 and rep.lm_vocab == 0
+    # empty TRAIN slice over a nonempty corpus: degenerate model
+    docs = spark.createDataFrame(
+        [(0, "some text here", "xx")], "doc_id long, text string, lang string"
+    )
+    m, ct, v = bigram_lm_train(docs.where(F.col("lang") == "en"))
+    sc = bigram_lm_score(docs, m, ct, v).collect()[0]
+    assert sc.lp_nanos == 0 and sc.n_bigrams == 3
+
+    zf = zipf_fit(empty_docs).collect()[0]
+    assert (zf.zipf_terms, zf.zipf_num, zf.zipf_den,
+            zf.zipf_slope_grid) == (0, 0, 0, 0)
+
+    empty_pairs = spark.createDataFrame([], "doc_a long, doc_b long")
+    tr = triangle_stats(empty_pairs).collect()[0]
+    assert (tr.tri_edges, tr.tri_triangles, tr.tri_wedges,
+            tr.tri_gcc_grid) == (0, 0, 0, 0)
+
+    assert D.ppjoin_jaccard_pairs(empty_docs).count() == 0
+
+
+def test_r10_kmeans_and_hits_on_empty(spark):
+    from lakehouse_file_format_compare_spark.operators.clustering import (
+        kmeans_report,
+    )
+    from lakehouse_file_format_compare_spark.operators.pagerank import hits
+
+    import pytest
+
+    empty_emb = spark.createDataFrame(
+        [], "vec_id long, embedding array<float>"
+    )
+    with pytest.raises(ValueError):
+        kmeans_report(empty_emb, k=2, iters=1).collect()
+    empty_edges = spark.createDataFrame([], "src long, dst long")
+    assert hits(empty_edges).count() == 0
