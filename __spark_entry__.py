@@ -147,6 +147,13 @@ index + length filter, exact array-intersect verify) while the
 oracle keeps replaying the naive inverted-index join — the driver's
 hash compare is a per-round cross-engine proof that prefix filtering
 loses no pair.
+``dedup_components`` also widened with ``lpa_*``
+(operators/components.py::label_propagation — deterministic
+synchronous label propagation, Raghavan 2007, ties to the smallest
+label: the community diagnostic FINER than connected components;
+fixed rounds make the outcome an exact integer value the oracle
+replays as unrolled count→argmax CTEs over the same symmetrized
+edge set).
 """
 
 from __future__ import annotations

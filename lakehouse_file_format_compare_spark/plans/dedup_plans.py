@@ -354,11 +354,58 @@ def components(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, threshold=JACCARD_THRESHOLD
     ).localCheckpoint(eager=False)
     tri = C.triangle_stats(pairs)
+    lpa = C.label_propagation(pairs, iterations=LPA_ITERS)
+    lpa_agg = lpa.agg(
+        F.count(F.lit(1)).cast("long").alias("lpa_nodes"),
+        F.count_distinct(F.col("community")).cast("long").alias(
+            "lpa_communities"
+        ),
+        F.coalesce(
+            F.sum((F.col("node") % 97) * (F.col("community") + 1)), F.lit(0)
+        ).cast("long").alias("lpa_fp"),
+    )
     return (
         C.canonicalize(docs, pairs)
         .select("doc_id", "canonical_id", "is_canonical")
         .crossJoin(F.broadcast(tri))
+        .crossJoin(F.broadcast(lpa_agg))
     )
+
+
+LPA_ITERS = 4
+
+
+def _lpa_oracle_ctes(iterations: int = LPA_ITERS) -> str:
+    """Unrolled deterministic label propagation over the symmetrized
+    `edges` CTE (operators/components.py::label_propagation): per
+    round, (node, label) neighbor counts → per-node max count →
+    smallest label among the maxima — the exact integer argmax rule,
+    so every round is bit-equal to the Spark side."""
+    ctes = [
+        "lpa_l0 AS (SELECT DISTINCT u AS node, u AS label FROM edges)"
+    ]
+    for k in range(1, iterations + 1):
+        ctes.append(f"""lpa_c{k} AS (
+    SELECT e.v AS n, l.label, CAST(COUNT(*) AS BIGINT) AS c
+    FROM lpa_l{k - 1} l JOIN edges e ON l.node = e.u
+    GROUP BY e.v, l.label
+)""")
+        ctes.append(f"""lpa_m{k} AS (
+    SELECT n, MAX(c) AS mc FROM lpa_c{k} GROUP BY n
+)""")
+        ctes.append(f"""lpa_l{k} AS (
+    SELECT c.n AS node, CAST(MIN(c.label) AS BIGINT) AS label
+    FROM lpa_c{k} c JOIN lpa_m{k} m ON c.n = m.n AND c.c = m.mc
+    GROUP BY c.n
+)""")
+    ctes.append(f"""lpa_agg AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS lpa_nodes,
+           CAST(COUNT(DISTINCT label) AS BIGINT) AS lpa_communities,
+           CAST(COALESCE(SUM((node % 97) * (label + 1)), 0) AS BIGINT)
+               AS lpa_fp
+    FROM lpa_l{iterations}
+)""")
+    return ",\n".join(ctes)
 
 
 # Transitive closure by min-label reach: the recursive CTE enumerates
@@ -429,13 +476,16 @@ WITH RECURSIVE toks AS (
                           AS BIGINT)
                 ELSE 0 END AS tri_gcc_grid
     FROM ttri, twed
-)
+), {{LPA_CTES}}
 SELECT d.doc_id,
        COALESCE(c.component, d.doc_id) AS canonical_id,
        d.doc_id = COALESCE(c.component, d.doc_id) AS is_canonical,
-       tri_edges, tri_triangles, tri_wedges, tri_gcc_grid
-FROM documents d LEFT JOIN comp c ON d.doc_id = c.node, tagg
+       tri_edges, tri_triangles, tri_wedges, tri_gcc_grid,
+       lpa_nodes, lpa_communities, lpa_fp
+FROM documents d LEFT JOIN comp c ON d.doc_id = c.node, tagg, lpa_agg
 """
+
+COMPONENTS_SQL = COMPONENTS_SQL.replace("{LPA_CTES}", _lpa_oracle_ctes())
 
 
 EINC_SPLIT = 250  # sf0.01 embeddings: vec_id 0..499; id-ordered batch cut

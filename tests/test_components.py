@@ -294,3 +294,71 @@ def test_triangle_plan_has_no_cartesian(spark):
     )
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan
+
+
+# --- label_propagation (r10) ---
+
+def _py_lpa(edges, iterations):
+    sym = set()
+    for a, b in edges:
+        if a != b:
+            sym.add((a, b)); sym.add((b, a))
+    nodes = sorted({u for u, _ in sym})
+    label = {u: u for u in nodes}
+    for _ in range(iterations):
+        nxt = {}
+        for v in nodes:
+            cnt = {}
+            for u, w in sym:
+                if w == v:
+                    cnt[label[u]] = cnt.get(label[u], 0) + 1
+            best = max(cnt.items(), key=lambda kv: (kv[1], -kv[0]))
+            nxt[v] = best[0]
+        label = nxt
+    return label
+
+
+def test_lpa_matches_pure_python_and_splits_cliques(spark):
+    from lakehouse_file_format_compare_spark.operators.components import (
+        label_propagation,
+    )
+
+    # two 4-cliques joined by one bridge edge: one CC, two communities
+    cl1 = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    cl2 = [(a, b) for a in range(10, 14) for b in range(a + 1, 14)]
+    edges = cl1 + cl2 + [(3, 10)]
+    df = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    got = {
+        r.node: r.community
+        for r in label_propagation(df, iterations=4).collect()
+    }
+    assert got == _py_lpa(edges, 4)
+    comm = {}
+    for n, c in got.items():
+        comm.setdefault(c, set()).add(n)
+    groups = sorted(tuple(sorted(g)) for g in comm.values())
+    assert groups == [(0, 1, 2, 3), (10, 11, 12, 13)]
+
+
+def test_lpa_layout_invariance(spark):
+    from lakehouse_file_format_compare_spark.operators.components import (
+        label_propagation,
+    )
+    from lakehouse_file_format_compare_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+    )
+    from lakehouse_file_format_compare_spark.sources.testdata import table
+
+    docs = table(spark, "/root/testdata/sf0.001", "documents")
+    pairs = ngram_jaccard_pairs(docs, threshold=0.5).select(
+        "doc_a", "doc_b"
+    ).localCheckpoint()
+    a = sorted(
+        (r.node, r.community)
+        for r in label_propagation(pairs.repartition(1), 3).collect()
+    )
+    b = sorted(
+        (r.node, r.community)
+        for r in label_propagation(pairs.repartition(9, "doc_b"), 3).collect()
+    )
+    assert a == b and len(a) > 0
