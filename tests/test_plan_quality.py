@@ -533,7 +533,11 @@ def test_no_python_row_udfs_in_r10_operators(spark):
         snap_vectors,
     )
     from lakehouse_file_format_compare_spark.operators.components import (
+        label_propagation,
         triangle_stats,
+    )
+    from lakehouse_file_format_compare_spark.operators.dedup import (
+        ppjoin_jaccard_pairs,
     )
     from lakehouse_file_format_compare_spark.operators.lm import (
         perplexity_report,
@@ -569,6 +573,8 @@ def test_no_python_row_udfs_in_r10_operators(spark):
             {0: [0] * 64, 1: [1000] * 64},
         ),
         triangle_stats(pairs),
+        label_propagation(pairs, iterations=2),
+        ppjoin_jaccard_pairs(docs.limit(100), threshold=0.5),
     ]
     for df in frames:
         plan = df._sc._jvm.PythonSQLUtils.explainString(
