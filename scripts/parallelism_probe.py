@@ -145,10 +145,37 @@ def main() -> None:
         ).collect()[0]
         zf = zipf_fit(docs).collect()[0]
 
+        # r10 late-round: graph family (HITS / LPA / triangles) —
+        # exact integers over the citation + near-dup graphs
+        from lakehouse_file_format_compare_spark.operators.components import (
+            label_propagation,
+            triangle_stats,
+        )
+        from lakehouse_file_format_compare_spark.operators.dedup import (
+            ngram_jaccard_pairs,
+        )
+        from lakehouse_file_format_compare_spark.operators.pagerank import (
+            hits,
+        )
+
+        ht = sorted(
+            [r["node"], r["authority"], r["hub"]]
+            for r in hits(_pr_edges(docs), iterations=3).collect()
+        )
+        pairs = ngram_jaccard_pairs(docs, threshold=0.5).select(
+            "doc_a", "doc_b"
+        ).localCheckpoint()
+        lpa = sorted(
+            [r["node"], r["community"]]
+            for r in label_propagation(pairs, iterations=3).collect()
+        )
+        tri = triangle_stats(pairs).collect()[0]
+
         print(json.dumps({
             "master": master, "approx_distinct": ad, "dsir": dsir, "pr": pr,
             "einc_kept": einc, "bpe_merges": merges, "bpe_fp": bpe_fp,
             "lm": lm.asDict(), "km": km.asDict(), "zipf": zf.asDict(),
+            "hits": ht, "lpa": lpa, "tri": tri.asDict(),
         }))
     finally:
         spark.stop()
