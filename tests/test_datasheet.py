@@ -1,0 +1,83 @@
+"""Corpus datasheet (ext/datasheet.py, r10): the one-call exact
+summary — values pinned against independently computed statistics on
+the smoke corpus, layout invariance, and structural contracts."""
+
+from __future__ import annotations
+
+import duckdb
+from pyspark.sql import functions as F
+
+from lakehouse_file_format_compare_spark.ext.datasheet import corpus_datasheet
+from lakehouse_file_format_compare_spark.sources.testdata import table
+
+from .conftest import SF_SMOKE
+
+
+def _sheet(df):
+    return {
+        (r.section, r.metric): r.value for r in df.collect()
+    }
+
+
+def test_datasheet_values_match_independent_computation(spark):
+    docs = table(spark, SF_SMOKE, "documents")
+    got = _sheet(corpus_datasheet(docs))
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{SF_SMOKE}/documents.parquet')"
+    )
+    vol = con.execute("""
+        SELECT COUNT(*),
+               SUM(CASE WHEN length(trim(text)) = 0 THEN 0
+                        ELSE len(string_split_regex(trim(text), '\\s+')) END),
+               SUM(length(text))
+        FROM documents""").fetchone()
+    assert got[("volume", "docs")] == vol[0]
+    assert got[("volume", "tokens")] == vol[1]
+    assert got[("volume", "chars")] == vol[2]
+
+    dw = con.execute("""
+        SELECT COUNT(DISTINCT word) FROM (
+            SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS word
+            FROM documents) WHERE length(word) > 0""").fetchone()[0]
+    assert got[("vocabulary", "distinct_words")] == dw
+
+    langs = dict(con.execute(
+        "SELECT lang, COUNT(*) FROM documents GROUP BY lang"
+    ).fetchall())
+    for lang, n in langs.items():
+        assert got[("lang_mix", lang)] == n
+
+    dups = con.execute("""
+        SELECT COUNT(*) FILTER (WHERE n > 1), COALESCE(SUM(n) FILTER (WHERE n > 1), 0)
+        FROM (SELECT md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) f,
+                     COUNT(*) n FROM documents GROUP BY 1)""").fetchone()
+    assert got[("duplication", "dup_groups")] == dups[0]
+    assert got[("duplication", "dup_docs")] == dups[1]
+
+    # quality section carries the driver-oracled lm_* values verbatim
+    from lakehouse_file_format_compare_spark.operators.lm import (
+        perplexity_report,
+    )
+
+    lm = perplexity_report(docs, F.col("lang") == "en").collect()[0]
+    for k, v in lm.asDict().items():
+        assert got[("quality", k)] == v
+
+
+def test_datasheet_layout_invariance(spark):
+    docs = table(spark, SF_SMOKE, "documents")
+    a = _sheet(corpus_datasheet(docs.repartition(1)))
+    b = _sheet(corpus_datasheet(docs.repartition(7, "lang")))
+    assert a == b
+
+
+def test_datasheet_schema_and_sections(spark):
+    docs = table(spark, SF_SMOKE, "documents")
+    df = corpus_datasheet(docs)
+    assert [f.name for f in df.schema.fields] == ["section", "metric", "value"]
+    assert {r.section for r in df.collect()} == {
+        "volume", "vocabulary", "lang_mix", "quality", "duplication"
+    }
