@@ -1,3 +1,4 @@
 from . import multimodal
+from .datasheet import corpus_datasheet
 
-__all__ = ["multimodal"]
+__all__ = ["corpus_datasheet", "multimodal"]
