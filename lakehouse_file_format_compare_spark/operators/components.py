@@ -320,6 +320,67 @@ def triangle_stats(
     )
 
 
+def kcore(
+    pairs: DataFrame,
+    iterations: int = 8,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+) -> DataFrame:
+    """Coreness of every node in the near-dup graph by iterated
+    H-index (Lü, Chen, Ren, Zhang, Zhang, Zhou 2016, "The H-index of
+    a network node and its relation to degree and coreness", Nature
+    Communications — public): start from degree, then repeatedly
+    replace each node's value with the H-index of its neighbors'
+    values; the sequence is monotone non-increasing and converges to
+    the k-core number. Coreness is the dedup-graph SPAM diagnostic
+    the other graph stats miss: a high-coreness region is a dense
+    template cluster (every member near-dups many others — mirror
+    farms, boilerplate), while triangles/gcc only see local closure
+    and components only see reachability.
+
+    Determinism: the H-index of a value multiset is order-invariant,
+    so a FIXED round count is bit-identical cross-engine and
+    layout-proof whether or not the iteration has converged (the
+    LPA/pr_* discipline; raise ``iterations`` for a fixpoint — the
+    paper's convergence is O(graph diameter)-ish, single digits on
+    near-dup graphs).
+
+    Plan shape per round: ONE values⋈edges shuffle, then a groupBy
+    whose per-node state is the degree-bounded sorted neighbor-value
+    array; the H-index itself is a whole-stage-codegen array
+    expression (``size(filter(sorted desc, x_i >= i+1))`` — the
+    prefix-count form of max_i min(i, v_i)), no window, no Python.
+    Per-round lazy localCheckpoint keeps the recurrence one linear
+    plan. Hub nodes bound the array at their degree — the same
+    envelope the LPA neighbor-count aggregation already carries.
+
+    Returns (node, core).
+    """
+    if iterations < 1:
+        raise ValueError("iterations must be >= 1")
+    e = _symmetrize(
+        pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    ).localCheckpoint(eager=False)
+    cur = e.groupBy("u").agg(F.count(F.lit(1)).cast("long").alias("core")).select(
+        F.col("u").alias("node"), "core"
+    )
+    for _ in range(iterations):
+        nb = cur.join(e, cur["node"] == e["u"]).select(
+            F.col("v").alias("n"), F.col("core").alias("val")
+        )
+        cur = (
+            nb.groupBy(F.col("n").alias("node"))
+            .agg(
+                F.expr(
+                    "size(filter(sort_array(collect_list(val), false),"
+                    " (x, i) -> x >= i + 1))"
+                ).cast("long").alias("core")
+            )
+            .localCheckpoint(eager=False)
+        )
+    return cur
+
+
 def label_propagation(
     pairs: DataFrame,
     iterations: int = 4,

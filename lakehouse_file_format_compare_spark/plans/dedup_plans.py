@@ -348,12 +348,26 @@ def components(spark: SparkSession, sf_dir: str) -> DataFrame:
     global clustering coefficient of the same pair graph
     (operators/components.py::triangle_stats, degree-oriented
     counting; the oracle replays the naive 3-way join over the
-    identical canonical edge set)."""
+    identical canonical edge set) and ``kcore_*``: coreness by
+    iterated H-index (operators/components.py::kcore; the oracle
+    replays the unrolled rounds with the ROW_NUMBER form of the
+    H-index — max_i min(i, v_i) over the desc-sorted neighbor
+    values, proven equal to the Spark prefix-count form)."""
     docs = table(spark, sf_dir, "documents")
     pairs = D.ngram_jaccard_pairs(
         docs, threshold=JACCARD_THRESHOLD
     ).localCheckpoint(eager=False)
     tri = C.triangle_stats(pairs)
+    kc = C.kcore(pairs, iterations=KCORE_ITERS)
+    kc_agg = kc.agg(
+        F.coalesce(F.max("core"), F.lit(0)).cast("long").alias("kcore_max"),
+        F.coalesce(
+            F.sum(F.when(F.col("core") >= 2, 1).otherwise(0)), F.lit(0)
+        ).cast("long").alias("kcore_ge2"),
+        F.coalesce(
+            F.sum((F.col("node") % 97) * (F.col("core") + 1)), F.lit(0)
+        ).cast("long").alias("kcore_fp"),
+    )
     lpa = C.label_propagation(pairs, iterations=LPA_ITERS)
     lpa_agg = lpa.agg(
         F.count(F.lit(1)).cast("long").alias("lpa_nodes"),
@@ -369,10 +383,45 @@ def components(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "canonical_id", "is_canonical")
         .crossJoin(F.broadcast(tri))
         .crossJoin(F.broadcast(lpa_agg))
+        .crossJoin(F.broadcast(kc_agg))
     )
 
 
 LPA_ITERS = 4
+KCORE_ITERS = 4
+
+
+def _kcore_oracle_ctes(iterations: int = KCORE_ITERS) -> str:
+    """Unrolled iterated-H-index coreness over the symmetrized
+    `edges` CTE (operators/components.py::kcore): c0 = degree, then
+    each round every node takes the H-index of its neighbors'
+    values. The oracle computes the H-index as MAX(LEAST(rn, val))
+    over the desc-sorted neighbor values (the max_i min(i, v_i)
+    form); the Spark side uses the prefix-count form — equal on any
+    multiset, so every round is bit-equal cross-engine."""
+    ctes = [
+        "kc_l0 AS (SELECT u AS node, CAST(COUNT(*) AS BIGINT) AS core"
+        " FROM edges GROUP BY u)"
+    ]
+    for k in range(1, iterations + 1):
+        ctes.append(f"""kc_r{k} AS (
+    SELECT e.v AS n, l.core AS val,
+           ROW_NUMBER() OVER (PARTITION BY e.v ORDER BY l.core DESC) AS rn
+    FROM kc_l{k - 1} l JOIN edges e ON l.node = e.u
+)""")
+        ctes.append(f"""kc_l{k} AS (
+    SELECT n AS node, CAST(MAX(LEAST(rn, val)) AS BIGINT) AS core
+    FROM kc_r{k} GROUP BY n
+)""")
+    ctes.append(f"""kcore_agg AS (
+    SELECT CAST(COALESCE(MAX(core), 0) AS BIGINT) AS kcore_max,
+           CAST(COALESCE(SUM(CASE WHEN core >= 2 THEN 1 ELSE 0 END), 0)
+                AS BIGINT) AS kcore_ge2,
+           CAST(COALESCE(SUM((node % 97) * (core + 1)), 0) AS BIGINT)
+               AS kcore_fp
+    FROM kc_l{iterations}
+)""")
+    return ",\n".join(ctes)
 
 
 def _lpa_oracle_ctes(iterations: int = LPA_ITERS) -> str:
@@ -476,16 +525,19 @@ WITH RECURSIVE toks AS (
                           AS BIGINT)
                 ELSE 0 END AS tri_gcc_grid
     FROM ttri, twed
-), {{LPA_CTES}}
+), {{LPA_CTES}}, {{KCORE_CTES}}
 SELECT d.doc_id,
        COALESCE(c.component, d.doc_id) AS canonical_id,
        d.doc_id = COALESCE(c.component, d.doc_id) AS is_canonical,
        tri_edges, tri_triangles, tri_wedges, tri_gcc_grid,
-       lpa_nodes, lpa_communities, lpa_fp
-FROM documents d LEFT JOIN comp c ON d.doc_id = c.node, tagg, lpa_agg
+       lpa_nodes, lpa_communities, lpa_fp,
+       kcore_max, kcore_ge2, kcore_fp
+FROM documents d LEFT JOIN comp c ON d.doc_id = c.node, tagg, lpa_agg,
+     kcore_agg
 """
 
 COMPONENTS_SQL = COMPONENTS_SQL.replace("{LPA_CTES}", _lpa_oracle_ctes())
+COMPONENTS_SQL = COMPONENTS_SQL.replace("{KCORE_CTES}", _kcore_oracle_ctes())
 
 
 EINC_SPLIT = 250  # sf0.01 embeddings: vec_id 0..499; id-ordered batch cut

@@ -148,6 +148,7 @@ def main() -> None:
         # r10 late-round: graph family (HITS / LPA / triangles) —
         # exact integers over the citation + near-dup graphs
         from lakehouse_file_format_compare_spark.operators.components import (
+            kcore,
             label_propagation,
             triangle_stats,
         )
@@ -170,12 +171,16 @@ def main() -> None:
             for r in label_propagation(pairs, iterations=3).collect()
         )
         tri = triangle_stats(pairs).collect()[0]
+        kc = sorted(
+            [r["node"], r["core"]]
+            for r in kcore(pairs, iterations=3).collect()
+        )
 
         print(json.dumps({
             "master": master, "approx_distinct": ad, "dsir": dsir, "pr": pr,
             "einc_kept": einc, "bpe_merges": merges, "bpe_fp": bpe_fp,
             "lm": lm.asDict(), "km": km.asDict(), "zipf": zf.asDict(),
-            "hits": ht, "lpa": lpa, "tri": tri.asDict(),
+            "hits": ht, "lpa": lpa, "tri": tri.asDict(), "kcore": kc,
         }))
     finally:
         spark.stop()

@@ -340,6 +340,83 @@ def test_lpa_matches_pure_python_and_splits_cliques(spark):
     assert groups == [(0, 1, 2, 3), (10, 11, 12, 13)]
 
 
+def _py_coreness(edges):
+    """Classic peel: repeatedly remove the minimum-degree node; its
+    core number is the running maximum of removal degrees."""
+    adj: dict = {}
+    for a, b in edges:
+        if a != b:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+    deg = {n: len(v) for n, v in adj.items()}
+    core = {}
+    remaining = set(adj)
+    k = 0
+    while remaining:
+        n = min(remaining, key=lambda x: (deg[x], x))
+        k = max(k, deg[n])
+        core[n] = k
+        remaining.remove(n)
+        for m in adj[n]:
+            if m in remaining:
+                deg[m] -= 1
+    return core
+
+
+def test_kcore_converges_to_peel_coreness(spark):
+    """Iterated H-index at a convergence-sized round count equals the
+    exact peel core number (Lü et al. 2016 Theorem 1) on pseudorandom
+    graphs and on the clique-plus-chain hand case."""
+    import random
+
+    from lakehouse_file_format_compare_spark.operators.components import kcore
+
+    rng = random.Random(7)
+    for _ in range(3):
+        edges = set()
+        for _ in range(40):
+            a, b = rng.sample(range(20), 2)
+            edges.add((min(a, b), max(a, b)))
+        edges = sorted(edges)
+        df = spark.createDataFrame(edges, "doc_a long, doc_b long")
+        got = {r.node: r.core for r in kcore(df, iterations=30).collect()}
+        assert got == _py_coreness(edges)
+
+    # 5-clique (core 4) with a pendant chain (core 1)
+    edges = [(a, b) for a in range(5) for b in range(a + 1, 5)] + [
+        (4, 100), (100, 101), (101, 102)
+    ]
+    df = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    got = {r.node: r.core for r in kcore(df, iterations=30).collect()}
+    assert got == _py_coreness(edges)
+    assert got[0] == 4 and got[102] == 1
+
+
+def test_kcore_fixed_rounds_layout_invariance(spark):
+    """The driver row runs a FIXED round count; the fixed-round value
+    must be identical under any input partitioning (the H-index of a
+    multiset is order-invariant)."""
+    from lakehouse_file_format_compare_spark.operators.components import kcore
+    from lakehouse_file_format_compare_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+    )
+    from lakehouse_file_format_compare_spark.sources.testdata import table
+
+    docs = table(spark, "/root/testdata/sf0.001", "documents")
+    pairs = ngram_jaccard_pairs(docs, threshold=0.5).select(
+        "doc_a", "doc_b"
+    ).localCheckpoint()
+    a = sorted(
+        (r.node, r.core)
+        for r in kcore(pairs.repartition(1), 3).collect()
+    )
+    b = sorted(
+        (r.node, r.core)
+        for r in kcore(pairs.repartition(9, "doc_b"), 3).collect()
+    )
+    assert a == b and len(a) > 0
+
+
 def test_lpa_layout_invariance(spark):
     from lakehouse_file_format_compare_spark.operators.components import (
         label_propagation,

@@ -533,6 +533,7 @@ def test_no_python_row_udfs_in_r10_operators(spark):
         snap_vectors,
     )
     from lakehouse_file_format_compare_spark.operators.components import (
+        kcore,
         label_propagation,
         triangle_stats,
     )
@@ -574,6 +575,7 @@ def test_no_python_row_udfs_in_r10_operators(spark):
         ),
         triangle_stats(pairs),
         label_propagation(pairs, iterations=2),
+        kcore(pairs, iterations=2),
         ppjoin_jaccard_pairs(docs.limit(100), threshold=0.5),
     ]
     for df in frames:
