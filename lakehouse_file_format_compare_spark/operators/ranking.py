@@ -92,6 +92,72 @@ def bm25_scores(
     )
 
 
+def hybrid_rrf(
+    lexical: DataFrame,
+    semantic: DataFrame,
+    rrf_k: int = 60,
+    top_n: int = 10,
+    candidates: int = 50,
+    id_col: str = "doc_id",
+    lex_col: str = "bm25",
+    sem_col: str = "cosine",
+) -> DataFrame:
+    """Hybrid retrieval by Reciprocal Rank Fusion (Cormack, Clarke,
+    Büttcher 2009, "Reciprocal rank fusion outperforms Condorcet and
+    individual rank learning methods" — public): fuse a lexical
+    (BM25) and a semantic (embedding-cosine) candidate list into one
+    ranking, score(d) = Σ_lists 1/(rrf_k + rank_list(d)). The
+    standard production shape for corpus search / eval-set mining —
+    neither list alone survives vocabulary mismatch (semantic) or
+    entity precision (lexical).
+
+    Exactness: the fused score is kept as a nano-fixed-point LONG,
+    floor(1e9 / (rrf_k + rank)) summed per doc — integer on both
+    engines, so the driver hash cannot drift on float division.
+    Ranks are deterministic: each list is ordered by (score desc,
+    id asc); callers snap scores to the numeric grid first so the
+    order itself is cross-engine stable.
+
+    Scale shape: each list is cut to ``candidates`` rows via a
+    TakeOrderedAndProject (orderBy + limit — no global sort, no full-
+    corpus window); ranking then happens on those constant-size
+    frames (a window over ≤``candidates`` rows, the bounded-window
+    envelope streaming_plans already documents), and the fusion is a
+    full-outer join of two ≤``candidates``-row frames. At 100 TB the
+    only corpus-sized work is the scoring the caller already did.
+
+    Returns top ``top_n`` rows: (id_col, rrf_nano, lex_rank,
+    sem_rank) — absent-from-a-list ranks are 0.
+    """
+    from pyspark.sql import Window
+
+    def _ranked(scored: DataFrame, score_col: str, rank_name: str) -> DataFrame:
+        top = scored.orderBy(
+            F.desc_nulls_last(score_col), F.col(id_col)
+        ).limit(candidates)
+        w = Window.orderBy(F.desc_nulls_last(score_col), F.col(id_col))
+        return top.select(
+            F.col(id_col),
+            F.row_number().over(w).cast("long").alias(rank_name),
+        )
+
+    lex = _ranked(lexical, lex_col, "lex_rank")
+    sem = _ranked(semantic, sem_col, "sem_rank")
+    contrib = lambda r: F.when(  # noqa: E731
+        F.col(r).isNotNull(), F.floor(F.lit(10**9) / (F.lit(rrf_k) + F.col(r)))
+    ).otherwise(F.lit(0)).cast("long")
+    fused = (
+        lex.join(sem, id_col, "full_outer")
+        .select(
+            F.col(id_col),
+            (contrib("lex_rank") + contrib("sem_rank")).alias("rrf_nano"),
+            F.coalesce("lex_rank", F.lit(0)).cast("long").alias("lex_rank"),
+            F.coalesce("sem_rank", F.lit(0)).cast("long").alias("sem_rank"),
+        )
+    )
+    return fused.orderBy(F.desc("rrf_nano"), F.col(id_col)).limit(top_n)
+
+
 def tfidf_scores(
     docs: DataFrame,
     query_terms: list[str],

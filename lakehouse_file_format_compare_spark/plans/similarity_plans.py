@@ -212,7 +212,15 @@ def similarity_scale_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     (booleans against the pinned floors above) plus the IVF-PQ
     probed-candidate volume as a fraction of all pairs — the cost
     contract that makes the composed path a scale win, not just a
-    correct one."""
+    correct one.
+
+    Widened (r10) with ``rrf_*``: hybrid retrieval by Reciprocal
+    Rank Fusion (operators/ranking.py::hybrid_rrf) — BM25 over
+    documents fused with embedding-cosine against the vec_id=0 query
+    vector; the fused nano-fixed-point LONG scores, top-1 id, top-n
+    fingerprint and both-lists overlap are replayed exactly in the
+    oracle (same grid-6 score snap, same (score desc, id) rank
+    order, same floor(1e9/(k+rank)) integer contributions)."""
     emb = table(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") % QUERY_MOD == 0)
     cents = _centroids(emb, sf_dir)
@@ -310,13 +318,121 @@ def similarity_scale_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("semdedup_kept"))
     )
 
+    # r10: hybrid RRF retrieval (BM25 ⊕ cosine-vs-query-0), exact
+    # integer fusion — see the docstring widening note
+    from ..functions.vectors import cosine as _cos
+    from ..operators.ranking import bm25_scores, hybrid_rrf
+
+    docs = table(spark, sf_dir, "documents")
+    lex = bm25_scores(docs, RRF_TERMS).select("doc_id", "bm25")
+    qv = emb.where(F.col("vec_id") == RRF_QUERY_ID).select(
+        F.col("embedding").alias("qv")
+    )
+    sem = (
+        emb.where(F.col("vec_id") != RRF_QUERY_ID)
+        .crossJoin(F.broadcast(qv))
+        .select(
+            F.col("vec_id").cast("long").alias("doc_id"),
+            grid(_cos(F.col("embedding"), F.col("qv")), 6).alias("cosine"),
+        )
+    )
+    fused = hybrid_rrf(
+        lex, sem, rrf_k=RRF_K, top_n=RRF_TOP, candidates=RRF_CANDIDATES
+    )
+    rrf_agg = fused.agg(
+        F.count(F.lit(1)).cast("long").alias("rrf_topn"),
+        F.coalesce(
+            F.min_by(
+                F.col("doc_id"),
+                F.struct((-F.col("rrf_nano")).alias("s"), F.col("doc_id").alias("i")),
+            ),
+            F.lit(-1),
+        ).cast("long").alias("rrf_top1_id"),
+        F.coalesce(
+            F.sum((F.col("doc_id") + 1) * F.col("rrf_nano")), F.lit(0)
+        ).cast("long").alias("rrf_fp"),
+        F.coalesce(
+            F.sum(
+                ((F.col("lex_rank") > 0) & (F.col("sem_rank") > 0)).cast("long")
+            ),
+            F.lit(0),
+        ).cast("long").alias("rrf_both"),
+    )
+
     return (
         base.crossJoin(pq_ok).crossJoin(ivfpq_ok).crossJoin(int8_ok).crossJoin(frac_ok)
-        .crossJoin(sem_agg).crossJoin(sem_kept)
+        .crossJoin(sem_agg).crossJoin(sem_kept).crossJoin(F.broadcast(rrf_agg))
     )
 
 
+RRF_TERMS = ["data", "merge", "vector"]
+RRF_QUERY_ID = 0
+RRF_K = 60
+RRF_TOP = 10
+RRF_CANDIDATES = 50
+
+_RRF_TERMS_SQL = ", ".join(f"'{t}'" for t in RRF_TERMS)
+
+# BM25 replay = the hygiene oracle's construct (same tokenization,
+# same formula, grid-6); cosine replay = the knn oracle's sequential
+# double fold vs the vec_id=0 row; fusion = ROW_NUMBER ranks under
+# (score DESC, id) + floor(1e9/(k+rank)) LONG contributions.
+_RRF_SQL_CTES = f"""
+rrf_toks AS (
+    SELECT doc_id,
+           list_filter(string_split_regex(lower(trim(text)), '\\s+'), t -> length(t) > 0) AS t
+    FROM documents
+), rrf_dt AS (
+    SELECT doc_id, len(t) AS doc_len, unnest(t) AS term FROM rrf_toks
+), rrf_tf AS (
+    SELECT doc_id, doc_len, term, COUNT(*) AS tf FROM rrf_dt GROUP BY ALL
+), rrf_corpus AS (
+    SELECT COUNT(DISTINCT doc_id) AS n_docs,
+           SUM(tf) / COUNT(DISTINCT doc_id) AS avg_len
+    FROM rrf_tf
+), rrf_dfs AS (
+    SELECT term, COUNT(DISTINCT doc_id) AS df FROM rrf_tf
+    WHERE term IN ({_RRF_TERMS_SQL}) GROUP BY term
+), rrf_lex AS (
+    SELECT tf.doc_id,
+           floor(SUM(ln(1.0 + (c.n_docs - dfs.df + 0.5) / (dfs.df + 0.5)) * tf.tf * (1.2 + 1) / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * tf.doc_len / c.avg_len))) * 1000000 + 0.5) / 1000000 AS bm25
+    FROM rrf_tf tf JOIN rrf_dfs dfs USING (term) CROSS JOIN rrf_corpus c
+    WHERE tf.term IN ({_RRF_TERMS_SQL})
+    GROUP BY tf.doc_id
+), rrf_lex_rank AS (
+    SELECT doc_id, ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS lex_rank
+    FROM rrf_lex ORDER BY bm25 DESC, doc_id LIMIT {RRF_CANDIDATES}
+), rrf_sem AS (
+    SELECT c.vec_id AS doc_id,
+           floor((list_sum(list_transform(range(1, len(q.embedding)+1), i -> q.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE)) / (sqrt(list_sum(list_transform(range(1, len(q.embedding)+1), i -> q.embedding[i]::DOUBLE * q.embedding[i]::DOUBLE))) * sqrt(list_sum(list_transform(range(1, len(c.embedding)+1), i -> c.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE))))) * 1000000 + 0.5) / 1000000 AS cosine
+    FROM embeddings c CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = {RRF_QUERY_ID}) q
+    WHERE c.vec_id <> {RRF_QUERY_ID}
+), rrf_sem_rank AS (
+    SELECT doc_id, ROW_NUMBER() OVER (ORDER BY cosine DESC, doc_id) AS sem_rank
+    FROM rrf_sem ORDER BY cosine DESC, doc_id LIMIT {RRF_CANDIDATES}
+), rrf_fused AS (
+    SELECT COALESCE(l.doc_id, s.doc_id) AS doc_id,
+           CAST(COALESCE(CAST(floor(1000000000 / ({RRF_K} + l.lex_rank)) AS BIGINT), 0)
+              + COALESCE(CAST(floor(1000000000 / ({RRF_K} + s.sem_rank)) AS BIGINT), 0)
+              AS BIGINT) AS rrf_nano,
+           CAST(COALESCE(l.lex_rank, 0) AS BIGINT) AS lex_rank,
+           CAST(COALESCE(s.sem_rank, 0) AS BIGINT) AS sem_rank
+    FROM rrf_lex_rank l FULL OUTER JOIN rrf_sem_rank s ON l.doc_id = s.doc_id
+), rrf_top AS (
+    SELECT * FROM rrf_fused ORDER BY rrf_nano DESC, doc_id LIMIT {RRF_TOP}
+), rrf_agg AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS rrf_topn,
+           CAST(COALESCE(FIRST(doc_id ORDER BY rrf_nano DESC, doc_id), -1) AS BIGINT)
+               AS rrf_top1_id,
+           CAST(COALESCE(SUM((doc_id + 1) * rrf_nano), 0) AS BIGINT) AS rrf_fp,
+           CAST(COALESCE(SUM(CASE WHEN lex_rank > 0 AND sem_rank > 0
+                                  THEN 1 ELSE 0 END), 0) AS BIGINT) AS rrf_both
+    FROM rrf_top
+)
+"""
+
 SIMILARITY_SCALE_SUITE_SQL = f"""
+WITH {_RRF_SQL_CTES}
 SELECT (SELECT COUNT(*) FROM embeddings WHERE vec_id % {QUERY_MOD} = 0) AS n_queries,
        {K} AS k,
        true AS pq_recall_ok, true AS ivfpq_recall_ok,
@@ -326,7 +442,9 @@ SELECT (SELECT COUNT(*) FROM embeddings WHERE vec_id % {QUERY_MOD} = 0) AS n_que
        CAST((SELECT COUNT(*) FROM embeddings WHERE vec_id % {SEMDEDUP_CLONE_MOD} = 0)
             AS DOUBLE) AS semdedup_cosine_total,
        true AS semdedup_pairs_planted_ok,
-       (SELECT COUNT(*) FROM embeddings) AS semdedup_kept
+       (SELECT COUNT(*) FROM embeddings) AS semdedup_kept,
+       rrf_topn, rrf_top1_id, rrf_fp, rrf_both
+FROM rrf_agg
 """
 
 

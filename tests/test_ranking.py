@@ -291,3 +291,90 @@ def test_oov_rate_plan_shape(spark):
     assert "TakeOrderedAndProject" in plan      # top-K cut, not a global sort
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+# --- hybrid_rrf (r10) ---
+
+def test_hybrid_rrf_hand_fixture(spark):
+    """Known ranks → known integer fusion: lexical list ranks docs
+    (1,2,3), semantic ranks (2,4); RRF k=60 contributions are
+    floor(1e9/(60+rank)) per list, absent ranks contribute 0."""
+    from lakehouse_file_format_compare_spark.operators.ranking import hybrid_rrf
+
+    lex = spark.createDataFrame(
+        [(1, 3.0), (2, 2.0), (3, 1.0)], "doc_id long, bm25 double"
+    )
+    sem = spark.createDataFrame(
+        [(2, 0.9), (4, 0.8)], "doc_id long, cosine double"
+    )
+    got = {
+        r.doc_id: (r.rrf_nano, r.lex_rank, r.sem_rank)
+        for r in hybrid_rrf(lex, sem, rrf_k=60, top_n=10).collect()
+    }
+    c = lambda r: 10**9 // (60 + r)  # noqa: E731
+    assert got == {
+        1: (c(1), 1, 0),
+        2: (c(2) + c(1), 2, 1),
+        3: (c(3), 3, 0),
+        4: (c(2), 0, 2),
+    }
+    # doc 2 (in both lists) must outrank every single-list doc
+    order = sorted(got, key=lambda d: (-got[d][0], d))
+    assert order[0] == 2
+
+
+def test_hybrid_rrf_candidate_cut_and_top_n(spark):
+    """candidates bounds each list before ranking; top_n bounds the
+    fused output; ties in rrf_nano break to the smaller id."""
+    from lakehouse_file_format_compare_spark.operators.ranking import hybrid_rrf
+
+    lex = spark.createDataFrame(
+        [(i, float(100 - i)) for i in range(10)], "doc_id long, bm25 double"
+    )
+    sem = spark.createDataFrame(
+        [(i + 100, float(100 - i)) for i in range(10)],
+        "doc_id long, cosine double",
+    )
+    rows = hybrid_rrf(lex, sem, rrf_k=60, top_n=4, candidates=3).collect()
+    assert len(rows) == 4
+    # disjoint lists with identical score shapes → rank-r docs from the
+    # two lists tie; smaller id (the lexical side: 0,1,...) wins
+    assert [r.doc_id for r in rows] == [0, 100, 1, 101]
+    assert max(max(r.lex_rank, r.sem_rank) for r in rows) <= 3
+
+
+def test_hybrid_rrf_layout_invariance_and_plan(spark):
+    from pyspark.sql import functions as F
+
+    from lakehouse_file_format_compare_spark.functions.numeric import grid
+    from lakehouse_file_format_compare_spark.functions.vectors import cosine
+    from lakehouse_file_format_compare_spark.operators.ranking import (
+        bm25_scores,
+        hybrid_rrf,
+    )
+
+    docs = table(spark, SF_CORRECTNESS, "documents")
+    emb = table(spark, SF_CORRECTNESS, "embeddings")
+    qv = emb.where(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    sem = (
+        emb.where(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(qv))
+        .select(
+            F.col("vec_id").cast("long").alias("doc_id"),
+            grid(cosine(F.col("embedding"), F.col("qv")), 6).alias("cosine"),
+        )
+    )
+    lex = bm25_scores(docs, ["data", "merge", "vector"]).select("doc_id", "bm25")
+    a = [tuple(r) for r in hybrid_rrf(lex, sem).collect()]
+    b = [
+        tuple(r)
+        for r in hybrid_rrf(
+            lex.repartition(7, "doc_id"), sem.repartition(1)
+        ).collect()
+    ]
+    assert a == b and len(a) == 10
+    plan = (
+        hybrid_rrf(lex, sem)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "TakeOrderedAndProject" in plan  # candidate cut + final top-n
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
