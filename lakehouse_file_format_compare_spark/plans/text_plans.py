@@ -524,14 +524,127 @@ FROM best_of, dv, ps
 """
 
 
+def _distinct_n_scalars(docs: DataFrame) -> DataFrame:
+    """One row of dn{1,2,3}_* corpus-diversity scalars: distinct-n
+    (Li, Galley, Brockett, Gao, Dolan 2016, "A Diversity-Promoting
+    Objective Function for Neural Conversation Models" — public) =
+    distinct n-grams / total n-grams over the whole corpus, the
+    standard repetitiveness/diversity dial for a training mix (a
+    collapsing ratio flags template spam the per-doc Gopher signals
+    miss because it spans documents).
+
+    Exactness: counts are integers; the ratio is truncating integer
+    division on LONGs (distinct · 1e9 DIV total) — bit-equal
+    cross-engine, no float division anywhere. Documents shorter than
+    n contribute no n-grams on either side by construction.
+
+    Plan shape: the corpus is tokenized ONCE into a materialized
+    array column (the shingles_from_tokens discipline); totals are
+    pure arithmetic on array sizes (no explode), and each distinct
+    count explodes per-doc-DISTINCT grams only — the explode volume
+    is bounded by the per-doc distinct gram count, and the global
+    distinct is one map-side-combined aggregation per n.
+    """
+    toks = docs.select(
+        F.filter(
+            F.split(F.lower(F.trim(F.col("text"))), r"\s+"),
+            lambda t: F.length(t) > 0,
+        ).alias("t")
+    ).localCheckpoint(eager=False)
+
+    def _grams(k: int) -> DataFrame:
+        n = F.size(F.col("t"))
+        if k == 1:
+            arr = F.col("t")
+        else:
+            arr = F.when(
+                n >= k,
+                F.transform(
+                    F.sequence(F.lit(0), n - k),
+                    lambda i: F.concat_ws(
+                        " ", *[F.element_at(F.col("t"), i + j + 1) for j in range(k)]
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        return toks.select(F.explode(F.array_distinct(arr)).alias("g")).agg(
+            F.count_distinct(F.col("g")).cast("long").alias(f"dn{k}_distinct")
+        )
+
+    totals = toks.agg(
+        *[
+            F.coalesce(
+                F.sum(
+                    F.when(F.size("t") >= k, F.size("t") - k + 1).otherwise(F.lit(0))
+                ),
+                F.lit(0),
+            ).cast("long").alias(f"dn{k}_total")
+            for k in (1, 2, 3)
+        ]
+    )
+    out = totals
+    for k in (1, 2, 3):
+        out = out.crossJoin(F.broadcast(_grams(k)))
+    ratio = [
+        F.when(
+            F.col(f"dn{k}_total") > 0,
+            F.expr(f"(dn{k}_distinct * 1000000000) DIV dn{k}_total"),
+        ).otherwise(F.lit(0)).cast("long").alias(f"dn{k}_nanos")
+        for k in (1, 2, 3)
+    ]
+    return out.select(
+        *[F.col(f"dn{k}_distinct") for k in (1, 2, 3)],
+        *[F.col(f"dn{k}_total") for k in (1, 2, 3)],
+        *ratio,
+    )
+
+
 def fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc rolling-hash fingerprints. Widened (r10) with the
+    ``dn{1,2,3}_*`` corpus distinct-n diversity scalars
+    (:func:`_distinct_n_scalars`) — exact integer counts + truncating
+    LONG-division ratios, replayed from scratch in the oracle."""
     docs = table(spark, sf_dir, "documents")
-    return docs.select("doc_id", T.fingerprint(F.col("text")).alias("fp"))
+    return docs.select(
+        "doc_id", T.fingerprint(F.col("text")).alias("fp")
+    ).crossJoin(F.broadcast(_distinct_n_scalars(docs)))
 
 
 FINGERPRINTS_SQL = """
-SELECT doc_id, md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fp
-FROM documents
+WITH dn_toks AS (
+    SELECT list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                       t -> length(t) > 0) AS t
+    FROM documents
+), dn_totals AS (
+    SELECT CAST(COALESCE(SUM(CASE WHEN len(t) >= 1 THEN len(t) ELSE 0 END), 0) AS BIGINT) AS dn1_total,
+           CAST(COALESCE(SUM(CASE WHEN len(t) >= 2 THEN len(t) - 1 ELSE 0 END), 0) AS BIGINT) AS dn2_total,
+           CAST(COALESCE(SUM(CASE WHEN len(t) >= 3 THEN len(t) - 2 ELSE 0 END), 0) AS BIGINT) AS dn3_total
+    FROM dn_toks
+), dn1 AS (
+    SELECT CAST(COUNT(DISTINCT g) AS BIGINT) AS dn1_distinct
+    FROM (SELECT unnest(t) AS g FROM dn_toks)
+), dn2 AS (
+    SELECT CAST(COUNT(DISTINCT g) AS BIGINT) AS dn2_distinct
+    FROM (SELECT unnest(CASE WHEN len(t) >= 2 THEN
+                 list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])
+                 ELSE [] END) AS g FROM dn_toks)
+), dn3 AS (
+    SELECT CAST(COUNT(DISTINCT g) AS BIGINT) AS dn3_distinct
+    FROM (SELECT unnest(CASE WHEN len(t) >= 3 THEN
+                 list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+                 ELSE [] END) AS g FROM dn_toks)
+), dn AS (
+    SELECT dn1_distinct, dn2_distinct, dn3_distinct,
+           dn1_total, dn2_total, dn3_total,
+           CASE WHEN dn1_total > 0 THEN (dn1_distinct * 1000000000) // dn1_total ELSE 0 END AS dn1_nanos,
+           CASE WHEN dn2_total > 0 THEN (dn2_distinct * 1000000000) // dn2_total ELSE 0 END AS dn2_nanos,
+           CASE WHEN dn3_total > 0 THEN (dn3_distinct * 1000000000) // dn3_total ELSE 0 END AS dn3_nanos
+    FROM dn_totals, dn1, dn2, dn3
+)
+SELECT doc_id, md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fp,
+       dn1_distinct, dn2_distinct, dn3_distinct,
+       dn1_total, dn2_total, dn3_total,
+       dn1_nanos, dn2_nanos, dn3_nanos
+FROM documents, dn
 """
 
 

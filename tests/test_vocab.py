@@ -171,3 +171,50 @@ def test_zipf_layout_invariance(spark):
     assert a.asDict() == b.asDict()
     # natural-ish corpus: negative slope
     assert a.zipf_slope_grid < 0
+
+
+# --- distinct-n corpus diversity (r10, text_fingerprints widening) ---
+
+def test_distinct_n_hand_fixture(spark):
+    """Known corpus → known distinct-n counts; docs shorter than n
+    contribute no n-grams to either side of the ratio."""
+    from lakehouse_file_format_compare_spark.plans.text_plans import (
+        _distinct_n_scalars,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b"), (3, "c"), (4, "  ")],
+        "doc_id long, text string",
+    )
+    row = _distinct_n_scalars(docs).collect()[0]
+    # unigrams: a b a b | a b | c -> total 7, distinct {a,b,c}=3
+    assert row.dn1_total == 7 and row.dn1_distinct == 3
+    # bigrams: (a b)(b a)(a b) | (a b) -> total 4, distinct {a b, b a}=2
+    assert row.dn2_total == 4 and row.dn2_distinct == 2
+    # trigrams: (a b a)(b a b) -> total 2, distinct 2 (doc 2/3 too short)
+    assert row.dn3_total == 2 and row.dn3_distinct == 2
+    assert row.dn1_nanos == 3 * 10**9 // 7
+    assert row.dn2_nanos == 2 * 10**9 // 4
+    assert row.dn3_nanos == 10**9
+    # repetition sensitivity: duplicating the corpus doubles totals,
+    # keeps distincts — ratios halve (floor division)
+    row2 = _distinct_n_scalars(docs.unionAll(
+        docs.select((docs.doc_id + 10).alias("doc_id"), "text")
+    )).collect()[0]
+    assert row2.dn1_total == 14 and row2.dn1_distinct == 3
+    assert row2.dn2_nanos == 2 * 10**9 // 8
+
+
+def test_distinct_n_plan_is_jvm_side(spark):
+    from lakehouse_file_format_compare_spark.plans.text_plans import (
+        _distinct_n_scalars,
+    )
+    from lakehouse_file_format_compare_spark.sources.testdata import table
+
+    df = _distinct_n_scalars(table(spark, "/root/testdata/sf0.001", "documents"))
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
