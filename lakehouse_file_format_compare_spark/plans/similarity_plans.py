@@ -463,27 +463,91 @@ def kmeans_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+EMB_MILLI = 1000
+
+
+def _embedding_moments(emb: DataFrame) -> DataFrame:
+    """One row of exact emb_* embedding-health moments on a milli-
+    snapped integer grid — the anisotropy diagnostic (Ethayarajh 2019,
+    "How Contextual are Contextualized Word Representations?"; Mu &
+    Viswanath 2018, "All-but-the-Top" — public): a large average
+    pairwise dot product means the embedding cloud collapses toward a
+    common direction, which silently degrades every cosine-based
+    consumer (SemDeDup, ANN, near-dup LSH).
+
+    The O(n²) pairwise sum is NEVER formed: Σ_{i≠j} <v_i, v_j> =
+    ||Σ_i v_i||² − Σ_i ||v_i||², so everything derives from per-
+    dimension sums — one explode + a dim-sized aggregation. Exactness:
+    values snap to LONG millis (floor(x·1e3 + 0.5)); sums, squares
+    and differences stay LONG, so no float summation order exists.
+    Ratios are deliberately NOT taken (Spark DIV truncates, DuckDB //
+    floors — they disagree on negatives); the row carries exact
+    integer numerators and emb_n, and readers divide.
+
+    Scale envelope: per-dim sums are LONG-safe to ~9e15 milli units
+    (≈ 9e12 unit-norm vectors per dimension); the squared-sum
+    fingerprints are LONG-safe to n ≈ 3e6 at |x|≤1 — beyond that,
+    shard the corpus and combine per-shard rows (the sums are
+    mergeable; document-level exactness is preserved per shard).
+    """
+    pts = emb.select(F.posexplode("embedding").alias("pos", "x")).select(
+        "pos",
+        F.floor(F.col("x").cast("double") * EMB_MILLI + F.lit(0.5))
+        .cast("long")
+        .alias("v"),
+    )
+    dims = pts.groupBy("pos").agg(
+        F.sum("v").cast("long").alias("s"),
+        F.sum(F.col("v") * F.col("v")).cast("long").alias("q"),
+    )
+    counts = emb.agg(
+        F.count(F.lit(1)).cast("long").alias("emb_n"),
+        F.coalesce(F.max(F.size("embedding")), F.lit(0)).cast("long").alias(
+            "emb_dim"
+        ),
+    )
+    agg = dims.agg(
+        F.coalesce(F.sum((F.col("pos") + 1) * F.col("s")), F.lit(0))
+        .cast("long").alias("emb_sum_fp"),
+        F.coalesce(F.sum(F.col("s") * F.col("s")), F.lit(0))
+        .cast("long").alias("emb_norm2_num"),
+        F.coalesce(F.sum("q"), F.lit(0)).cast("long").alias("emb_sq_total"),
+    )
+    return counts.crossJoin(F.broadcast(agg)).select(
+        "emb_n", "emb_dim", "emb_sum_fp", "emb_sq_total", "emb_norm2_num",
+        (F.col("emb_norm2_num") - F.col("emb_sq_total")).alias(
+            "emb_pairdot_num"
+        ),
+    )
+
+
 def vector_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array-math surface over the embedding column: dimensionality,
     L2 norm and element mean via JVM-side folds (functions/vectors).
     Widened (r10) with the ``km_*`` distributed-k-means scalars
     (operators/clustering.py: full-corpus Lloyd iterations on the
     integer MICRO grid — assignments, inertia and centroids all
-    exact LONGs the oracle replays as unrolled SQL iterations)."""
+    exact LONGs the oracle replays as unrolled SQL iterations) and
+    the ``emb_*`` embedding-health moments (:func:`_embedding_moments`
+    — exact milli-grid anisotropy numerators, no O(n²) pair scan)."""
     from ..functions import vectors as V
     from ..functions.numeric import grid
 
     emb = table(spark, sf_dir, "embeddings")
-    return emb.select(
-        "vec_id",
-        F.size("embedding").alias("dim"),
-        grid(V.norm(F.col("embedding")), 6).alias("l2_norm"),
-        grid(
-            V.dot(F.col("embedding"), F.transform(F.col("embedding"), lambda x: F.lit(1.0)))
-            / F.size("embedding"),
-            6,
-        ).alias("mean_val"),
-    ).crossJoin(F.broadcast(kmeans_serving(spark, sf_dir)))
+    return (
+        emb.select(
+            "vec_id",
+            F.size("embedding").alias("dim"),
+            grid(V.norm(F.col("embedding")), 6).alias("l2_norm"),
+            grid(
+                V.dot(F.col("embedding"), F.transform(F.col("embedding"), lambda x: F.lit(1.0)))
+                / F.size("embedding"),
+                6,
+            ).alias("mean_val"),
+        )
+        .crossJoin(F.broadcast(kmeans_serving(spark, sf_dir)))
+        .crossJoin(F.broadcast(_embedding_moments(emb)))
+    )
 
 
 def _kmeans_sql_ctes(k: int, iters: int) -> str:
@@ -557,14 +621,38 @@ def _kmeans_sql_ctes(k: int, iters: int) -> str:
 
 
 VECTOR_STATS_SQL = f"""
-WITH {_kmeans_sql_ctes(KMEANS_K, KMEANS_ITERS)}
+WITH {_kmeans_sql_ctes(KMEANS_K, KMEANS_ITERS)},
+em_pts AS (
+    SELECT i - 1 AS pos,
+           CAST(floor(embedding[i]::DOUBLE * {EMB_MILLI} + 0.5) AS BIGINT) AS v
+    FROM embeddings,
+         LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i)
+), em_dims AS (
+    SELECT pos, CAST(SUM(v) AS BIGINT) AS s, CAST(SUM(v * v) AS BIGINT) AS q
+    FROM em_pts GROUP BY pos
+), em_n AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS emb_n,
+           CAST(COALESCE(MAX(len(embedding)), 0) AS BIGINT) AS emb_dim
+    FROM embeddings
+), em_agg AS (
+    SELECT CAST(COALESCE(SUM((pos + 1) * s), 0) AS BIGINT) AS emb_sum_fp,
+           CAST(COALESCE(SUM(s * s), 0) AS BIGINT) AS emb_norm2_num,
+           CAST(COALESCE(SUM(q), 0) AS BIGINT) AS emb_sq_total
+    FROM em_dims
+), emagg AS (
+    SELECT emb_n, emb_dim, emb_sum_fp, emb_sq_total, emb_norm2_num,
+           emb_norm2_num - emb_sq_total AS emb_pairdot_num
+    FROM em_n, em_agg
+)
 SELECT vec_id,
        len(embedding) AS dim,
        floor((sqrt(list_sum(list_transform(range(1, len(embedding)+1), i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE)))) * 1000000 + 0.5) / 1000000 AS l2_norm,
        floor((list_sum(list_transform(range(1, len(embedding)+1), i -> embedding[i]::DOUBLE * 1.0)) / len(embedding)) * 1000000 + 0.5) / 1000000 AS mean_val,
        km_k, km_iters, km_points, km_clusters, km_inertia,
-       km_sizes_fp, km_assign_fp, km_centroid_fp
-FROM embeddings, kmagg
+       km_sizes_fp, km_assign_fp, km_centroid_fp,
+       emb_n, emb_dim, emb_sum_fp, emb_sq_total, emb_norm2_num,
+       emb_pairdot_num
+FROM embeddings, kmagg, emagg
 """
 
 

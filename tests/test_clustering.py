@@ -259,3 +259,33 @@ def test_fit_matches_reference_on_arbitrary_points(spark, pts, k, iters):
     )
     assert cents == want_c
     assert {r.vec_id: (r.cluster, r.dist) for r in asg.collect()} == want_a
+
+
+# --- embedding moments / anisotropy (r10, sim_vector_stats widening) ---
+
+def test_embedding_moments_hand_identity(spark):
+    """The pairwise-dot numerator must equal the brute-force
+    Σ_{i≠j}<v_i,v_j> (in milli² units) without ever forming pairs."""
+    from lakehouse_file_format_compare_spark.plans.similarity_plans import (
+        _embedding_moments,
+    )
+
+    vecs = [(0, [1.0, 0.0]), (1, [0.0, 1.0]), (2, [1.0, 1.0])]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    r = _embedding_moments(df).collect()[0]
+    assert r.emb_n == 3 and r.emb_dim == 2
+    # brute force in millis: 2*(<v0,v1> + <v0,v2> + <v1,v2>) = 2*(0+1e6+1e6)
+    assert r.emb_pairdot_num == 4_000_000
+    assert r.emb_norm2_num == 8_000_000 and r.emb_sq_total == 4_000_000
+
+
+def test_embedding_moments_layout_invariance(spark):
+    from lakehouse_file_format_compare_spark.plans.similarity_plans import (
+        _embedding_moments,
+    )
+    from lakehouse_file_format_compare_spark.sources.testdata import table
+
+    emb = table(spark, "/root/testdata/sf0.001", "embeddings")
+    a = _embedding_moments(emb.repartition(1)).collect()[0]
+    b = _embedding_moments(emb.repartition(7, "vec_id")).collect()[0]
+    assert a.asDict() == b.asDict() and a.emb_n > 0
