@@ -263,3 +263,33 @@ def test_r10_kmeans_and_hits_on_empty(spark):
         kmeans_report(empty_emb, k=2, iters=1).collect()
     empty_edges = spark.createDataFrame([], "src long, dst long")
     assert hits(empty_edges).count() == 0
+
+
+def test_r10_late_surfaces_on_empty(spark, empty_docs):
+    from lakehouse_file_format_compare_spark.operators.components import kcore
+    from lakehouse_file_format_compare_spark.operators.ranking import hybrid_rrf
+    from lakehouse_file_format_compare_spark.plans.similarity_plans import (
+        _embedding_moments,
+    )
+    from lakehouse_file_format_compare_spark.plans.text_plans import (
+        _distinct_n_scalars,
+    )
+
+    empty_pairs = spark.createDataFrame([], "doc_a long, doc_b long")
+    assert kcore(empty_pairs).count() == 0
+
+    empty_lex = spark.createDataFrame([], "doc_id long, bm25 double")
+    empty_sem = spark.createDataFrame([], "doc_id long, cosine double")
+    assert hybrid_rrf(empty_lex, empty_sem).count() == 0
+    # one-sided fusion still ranks the populated list
+    lex = spark.createDataFrame([(1, 2.0), (2, 1.0)], "doc_id long, bm25 double")
+    rows = hybrid_rrf(lex, empty_sem, rrf_k=60).collect()
+    assert [r.doc_id for r in rows] == [1, 2]
+    assert all(r.sem_rank == 0 for r in rows)
+
+    dn = _distinct_n_scalars(empty_docs).collect()[0]
+    assert all(v == 0 for v in dn.asDict().values())
+
+    empty_emb = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    em = _embedding_moments(empty_emb).collect()[0]
+    assert all(v == 0 for v in em.asDict().values())
