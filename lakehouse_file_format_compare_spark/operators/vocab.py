@@ -341,3 +341,174 @@ def zipf_fit(
         .cast("long")
         .alias("zipf_slope_grid"),
     )
+
+
+# --- unigram-LM tokenizer (Kudo 2018, "Subword Regularization:
+# Improving Neural Network Translation Models with Multiple Subword
+# Candidates") — the second industrial tokenizer family next to BPE.
+# The apply half is a Viterbi segmentation: given a piece vocabulary
+# with per-piece costs, each word is split into the piece sequence of
+# minimum total cost. Costs here are INTEGER nanos (a trained model
+# ships -ln(p) snapped to a grid), so the whole DP is LONG arithmetic
+# — bit-equal cross-engine, no float anywhere in the path.
+
+UV_MAX_PIECE = 4      # candidate/vocab piece length bound
+UV_MAX_WORD = 12      # DP unroll bound; longer words score as one OOV
+UV_ENC = 1 << 10      # encoded DP state: cost_nanos * 1024 + n_tokens
+
+
+def unigram_piece_stats(
+    docs: DataFrame,
+    top_k: int = 50,
+    max_piece_len: int = UV_MAX_PIECE,
+    text_col: str = "text",
+) -> DataFrame:
+    """(piece, n): corpus-weighted frequencies of every substring of
+    length 1..``max_piece_len`` — the candidate-vocabulary seeding
+    statistics of unigram-LM tokenizer training (Kudo 2018 starts
+    from a large substring-frequency seed vocabulary and prunes).
+    Deterministic top-k by (n desc, piece).
+
+    Scale shape: the substring explode runs over the DISTINCT-word
+    table weighted by frequency (the bpe_merge_candidates trick) —
+    |vocab| x word-length work, never |corpus| x word-length."""
+    if top_k < 1:
+        raise ValueError("top_k must be >= 1")
+    wc = (
+        _words(docs, text_col)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("__wn"))
+    )
+    n = F.length("word")
+
+    # NB: a 2-parameter lambda would be read by F.transform as
+    # (element, index) — bind the piece length via a factory instead
+    def _sub(l: int):
+        return lambda i: F.substring(F.col("word"), i, l)
+
+    per_len = [
+        F.when(
+            n >= l,
+            F.transform(F.sequence(F.lit(1), n - l + 1), _sub(l)),
+        ).otherwise(F.expr("CAST(array() AS array<string>)"))
+        for l in range(1, max_piece_len + 1)
+    ]
+    pieces = wc.select("__wn", F.explode(F.flatten(F.array(*per_len))).alias("piece"))
+    return (
+        pieces.groupBy("piece")
+        .agg(F.sum("__wn").cast("long").alias("n"))
+        .orderBy(F.col("n").desc(), "piece")
+        .limit(top_k)
+    )
+
+
+def _uv_word_state(word, vocab: dict[str, int], oov_char_nanos: int):
+    """Encoded Viterbi state for one word column: LONG
+    min-cost*1024 + token-count over all segmentations into vocab
+    pieces (single characters always available at the OOV cost).
+    One whole-stage-codegen ``aggregate`` fold over the character
+    positions; the vocabulary rides as a literal map — no broadcast
+    exchange, no Python."""
+    entries: list = []
+    for p, c in sorted(vocab.items()):
+        entries.append(F.lit(p))
+        entries.append(F.lit(int(c) * UV_ENC + 1).cast("long"))
+    m = F.create_map(*entries) if entries else None
+    oov_enc = F.lit(int(oov_char_nanos) * UV_ENC + 1).cast("long")
+
+    def _lookup(piece):
+        return F.element_at(m, piece) if m is not None else F.lit(None).cast("long")
+
+    def _step(acc, j):
+        # acc is 1-indexed: acc[i] = state_{i-1}; state_{j-l} = acc[j-l+1]
+        terms = [
+            F.element_at(acc, j)
+            + F.coalesce(_lookup(F.substring(word, j, 1)), oov_enc)
+        ]
+        max_l = max((len(p) for p in vocab), default=1)
+        for l in range(2, max_l + 1):
+            terms.append(
+                F.when(
+                    j >= l,
+                    F.element_at(acc, j - l + 1)
+                    + _lookup(F.substring(word, j - l + 1, l)),
+                )
+            )
+        return F.concat(acc, F.array(F.least(*terms) if len(terms) > 1 else terms[0]))
+
+    dp = F.aggregate(
+        F.sequence(F.lit(1), F.length(word)),
+        F.array(F.lit(0).cast("long")),
+        _step,
+    )
+    return F.element_at(dp, -1)
+
+
+def unigram_apply(
+    docs: DataFrame,
+    vocab: dict[str, int],
+    oov_char_nanos: int = 5_000_000_000,
+    longword_nanos: int = 50_000_000_000,
+    max_word_len: int = UV_MAX_WORD,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Tokenize the corpus with a fixed unigram-LM model: per document
+    (id, n_words, n_uv_tokens, uv_cost_nanos) under minimum-cost
+    Viterbi segmentation. ``vocab`` maps piece -> integer nano cost
+    (-ln p on the 1e-9 grid in a real model; any non-negative LONG
+    here). Single characters not in the vocabulary cost
+    ``oov_char_nanos``; words longer than ``max_word_len`` score as
+    ONE token at ``longword_nanos`` (keeps the DP depth — and the
+    static SQL replay — bounded).
+
+    Determinism: ties between segmentations are resolved inside the
+    encoded LONG state (min cost, then min token count) — the
+    returned scalars are unique even when the argmin path is not.
+
+    Scale shape: identical to :func:`bpe_apply` — ONE corpus explode
+    + (id, word) aggregation, the DP runs on the Heaps-law-small
+    distinct-word table, and the word -> (tokens, cost) map rides
+    back on a broadcast join."""
+    if any(c < 0 for c in vocab.values()) or oov_char_nanos < 0:
+        raise ValueError("piece costs must be non-negative")
+    if any(len(p) == 0 or len(p) > max_word_len for p in vocab):
+        raise ValueError("vocab pieces must be 1..max_word_len chars")
+    base = (
+        docs.select(
+            F.col(id_col),
+            F.explode(
+                F.split(F.lower(F.trim(F.col(text_col))), WORD_SPLIT_RE)
+            ).alias("word"),
+        )
+        .where(F.length("word") > 0)
+        .groupBy(id_col, "word")
+        .agg(F.count(F.lit(1)).cast("long").alias("__c"))
+    )
+    words = base.groupBy("word").agg(F.sum("__c").alias("__wn"))
+    state = _uv_word_state(F.col("word"), vocab, oov_char_nanos)
+    # "+ __wn * 0" keeps the count consumed so the corpus exchange
+    # stays reusable (see bpe_apply)
+    word_map = words.select(
+        "word",
+        (
+            F.when(F.length("word") > max_word_len, F.lit(1).cast("long"))
+            .otherwise(state % UV_ENC)
+            + F.col("__wn") * F.lit(0)
+        ).alias("__nt"),
+        F.when(F.length("word") > max_word_len, F.lit(int(longword_nanos)))
+        .otherwise(F.shiftright(state, 10))
+        .cast("long")
+        .alias("__cost"),
+    )
+    return (
+        base.join(F.broadcast(word_map), "word")
+        .groupBy(id_col)
+        .agg(
+            F.sum("__c").cast("long").alias("n_words"),
+            F.sum(F.col("__c") * F.col("__nt")).cast("long").alias("n_uv_tokens"),
+            F.sum(F.col("__c") * F.col("__cost")).cast("long").alias(
+                "uv_cost_nanos"
+            ),
+        )
+    )

@@ -60,6 +60,59 @@ def _bpe_apply_scalars(docs: DataFrame) -> DataFrame:
     )
 
 
+# r10 late-round: the unigram-LM tokenizer (Kudo 2018) rides the
+# driver row the same way BPE does — a FIXED literal model (piece ->
+# integer nano cost), because the oracle is a static SQL string and a
+# fixed model is the deployment shape. Costs are arbitrary plausible
+# integers; the contract is the exact integer Viterbi DP, which both
+# engines replay bit-equal.
+UV_VOCAB = {
+    "th": 2_000_000_000, "the": 2_300_000_000, "da": 2_100_000_000,
+    "ta": 2_050_000_000, "data": 3_000_000_000, "ue": 2_400_000_000,
+    "val": 2_900_000_000, "a": 3_500_000_000, "e": 3_400_000_000,
+    "er": 2_200_000_000, "in": 2_150_000_000, "row": 2_800_000_000,
+}
+UV_OOV_NANOS = 5_000_000_000
+UV_LONGWORD_NANOS = 50_000_000_000
+UP_TOP_K = 25
+
+
+def _unigram_scalars(docs: DataFrame) -> DataFrame:
+    """One row of uv_*/up_* unigram-tokenizer scalars: corpus totals
+    under the fixed UV_VOCAB Viterbi model (exact LONG DP —
+    operators/vocab.py::unigram_apply) plus the top-K substring
+    piece-frequency seed statistics (unigram_piece_stats)."""
+    from pyspark.sql import Window
+
+    from ..operators.vocab import unigram_apply, unigram_piece_stats
+
+    ap = unigram_apply(
+        docs, UV_VOCAB, UV_OOV_NANOS, UV_LONGWORD_NANOS
+    )
+    uv = ap.agg(
+        F.sum("n_uv_tokens").cast("long").alias("uv_tokens"),
+        F.sum("uv_cost_nanos").cast("long").alias("uv_cost_nanos"),
+        F.sum(F.col("doc_id") * F.col("n_uv_tokens")).cast("long").alias(
+            "uv_fp"
+        ),
+    )
+    w = Window.orderBy(F.col("n").desc(), F.col("piece"))
+    up = (
+        unigram_piece_stats(docs, top_k=UP_TOP_K)
+        .withColumn("__rn", F.row_number().over(w))
+        .agg(
+            F.max(F.when(F.col("__rn") == 1, F.col("piece"))).alias(
+                "up_top_piece"
+            ),
+            F.max(F.when(F.col("__rn") == 1, F.col("n"))).cast("long").alias(
+                "up_top_n"
+            ),
+            F.sum(F.col("__rn") * F.col("n")).cast("long").alias("up_fp"),
+        )
+    )
+    return uv.crossJoin(F.broadcast(up))
+
+
 def token_stats_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The RAW per-doc token-stats path — what bench.py times (r10,
     r9 verdict #2: the r9 vocab_*/bpe_* widening was computed inside
@@ -118,6 +171,109 @@ def tokenizer_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return vocab.crossJoin(bpe).crossJoin(F.broadcast(zipf_fit(docs)))
 
 
+def _uv_oracle_ctes() -> str:
+    """Unrolled DuckDB replay of the unigram Viterbi DP
+    (operators/vocab.py::unigram_apply): the fixed UV_VOCAB rides as
+    a VALUES table, edges are (word, end-pos, len, encoded-cost) with
+    the single-char OOV fallback, and the DP is unrolled to
+    UV_MAX_WORD static steps — uv_b{{j}} is the encoded min state
+    after j characters, exactly the Spark fold's acc[j+1]. Words
+    longer than UV_MAX_WORD take the one-token long-word envelope on
+    both engines. Integer throughout: state = cost*1024 + tokens."""
+    from ..operators.vocab import UV_ENC, UV_MAX_PIECE, UV_MAX_WORD
+
+    oov_enc = UV_OOV_NANOS * UV_ENC + 1
+    vocab_rows = ", ".join(
+        f"('{p}', CAST({c * UV_ENC + 1} AS BIGINT))"
+        for p, c in sorted(UV_VOCAB.items())
+    )
+    lens = ", ".join(f"({l})" for l in range(2, UV_MAX_PIECE + 1))
+    ctes = [
+        f"uv_vocab AS MATERIALIZED (SELECT * FROM (VALUES {vocab_rows}) t(piece, enc))",
+        f"""uv_w AS MATERIALIZED (
+    SELECT word FROM words WHERE length(word) <= {UV_MAX_WORD}
+)""",
+        f"""uv_edges AS MATERIALIZED (
+    SELECT p.word, p.j, 1 AS l, COALESCE(v.enc, CAST({oov_enc} AS BIGINT)) AS enc
+    FROM (
+        SELECT w.word, i.j, substr(w.word, i.j, 1) AS piece
+        FROM uv_w w,
+             LATERAL (SELECT unnest(generate_series(1, length(w.word))) AS j) i
+    ) p LEFT JOIN uv_vocab v USING (piece)
+    UNION ALL
+    SELECT p.word, p.j, p.l, v.enc
+    FROM (
+        SELECT w.word, i.j, ls.l,
+               substr(w.word, i.j - ls.l + 1, ls.l) AS piece
+        FROM uv_w w, (VALUES {lens}) ls(l),
+             LATERAL (SELECT unnest(generate_series(ls.l, length(w.word))) AS j) i
+    ) p JOIN uv_vocab v USING (piece)
+)""",
+        """uv_b1 AS MATERIALIZED (
+    SELECT word, MIN(enc) AS s FROM uv_edges WHERE j = 1 GROUP BY word
+)""",
+    ]
+    for j in range(2, UV_MAX_WORD + 1):
+        branches = []
+        for l in range(1, min(j, UV_MAX_PIECE) + 1):
+            if l == j:
+                branches.append(
+                    f"SELECT e.word, e.enc AS cand FROM uv_edges e"
+                    f" WHERE e.j = {j} AND e.l = {l}"
+                )
+            else:
+                branches.append(
+                    f"SELECT e.word, b.s + e.enc AS cand FROM uv_edges e"
+                    f" JOIN uv_b{j - l} b USING (word)"
+                    f" WHERE e.j = {j} AND e.l = {l}"
+                )
+        ctes.append(
+            f"""uv_b{j} AS MATERIALIZED (
+    SELECT word, MIN(cand) AS s FROM (
+    {" UNION ALL ".join(branches)}
+    ) GROUP BY word
+)"""
+        )
+    finals = " UNION ALL ".join(
+        f"SELECT word, s FROM uv_b{j} WHERE length(word) = {j}"
+        for j in range(1, UV_MAX_WORD + 1)
+    )
+    ctes.append(f"uv_states AS MATERIALIZED ({finals})")
+    ctes.append(f"""uv_doc AS (
+    SELECT a.doc_id,
+           SUM(CASE WHEN length(a.word) > {UV_MAX_WORD} THEN 1
+                    ELSE st.s % {UV_ENC} END) AS nt,
+           SUM(CASE WHEN length(a.word) > {UV_MAX_WORD}
+                    THEN {UV_LONGWORD_NANOS}
+                    ELSE st.s // {UV_ENC} END) AS cost
+    FROM ap_words a LEFT JOIN uv_states st USING (word)
+    GROUP BY a.doc_id
+)""")
+    ctes.append("""uvagg AS (
+    SELECT CAST(SUM(nt) AS BIGINT) AS uv_tokens,
+           CAST(SUM(cost) AS BIGINT) AS uv_cost_nanos,
+           CAST(SUM(doc_id * nt) AS BIGINT) AS uv_fp
+    FROM uv_doc
+)""")
+    ctes.append(f"""up_pieces AS (
+    SELECT substr(w.word, i.i, ls.l) AS piece, CAST(SUM(w.n) AS BIGINT) AS pn
+    FROM words w, (VALUES (1), {lens}) ls(l),
+         LATERAL (SELECT unnest(generate_series(1, length(w.word) - ls.l + 1)) AS i) i
+    GROUP BY 1
+)""")
+    ctes.append(f"""up_top AS (
+    SELECT piece, pn, row_number() OVER (ORDER BY pn DESC, piece) AS rn
+    FROM up_pieces ORDER BY pn DESC, piece LIMIT {UP_TOP_K}
+)""")
+    ctes.append("""upagg AS (
+    SELECT MAX(CASE WHEN rn = 1 THEN piece END) AS up_top_piece,
+           CAST(MAX(CASE WHEN rn = 1 THEN pn END) AS BIGINT) AS up_top_n,
+           CAST(SUM(rn * pn) AS BIGINT) AS up_fp
+    FROM up_top
+)""")
+    return ",\n".join(ctes)
+
+
 def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc token statistics; widened in r9 with the
     tokenizer-TRAINING statistics (operators/vocab.py): vocab_*
@@ -136,6 +292,7 @@ def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         token_stats_serving(spark, sf_dir)
         .crossJoin(F.broadcast(tokenizer_stats(spark, sf_dir)))
         .crossJoin(F.broadcast(_bpe_apply_scalars(docs)))
+        .crossJoin(F.broadcast(_unigram_scalars(docs)))
     )
 
 
@@ -209,7 +366,7 @@ WITH words AS (
            CAST(SUM(nt) AS BIGINT) AS bpea_tokens,
            CAST(SUM(doc_id * nt) AS BIGINT) AS bpea_fp
     FROM ap_doc
-)
+), {{UV_CTES}}
 SELECT doc_id,
        length(text) AS n_chars_actual,
        CASE WHEN length(trim(text)) = 0 THEN 0
@@ -219,9 +376,13 @@ SELECT doc_id,
        vocab_terms, vocab_top_word, vocab_top_n, vocab_fp,
        bpe_top_pair, bpe_top_n, bpe_fp,
        bpea_docs, bpea_words, bpea_tokens, bpea_fp,
-       zipf_terms, zipf_num, zipf_den, zipf_slope_grid
-FROM documents, vagg, bagg, apagg, zipf
+       zipf_terms, zipf_num, zipf_den, zipf_slope_grid,
+       uv_tokens, uv_cost_nanos, uv_fp,
+       up_top_piece, up_top_n, up_fp
+FROM documents, vagg, bagg, apagg, zipf, uvagg, upagg
 """
+
+TOKEN_STATS_SQL = TOKEN_STATS_SQL.replace("{UV_CTES}", _uv_oracle_ctes())
 
 
 def quality_serving(spark: SparkSession, sf_dir: str) -> DataFrame:

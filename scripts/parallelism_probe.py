@@ -176,11 +176,30 @@ def main() -> None:
             for r in kcore(pairs, iterations=3).collect()
         )
 
+        # r10 late-round: unigram-LM Viterbi tokenizer — the encoded
+        # LONG DP must be identical at every layout
+        from lakehouse_file_format_compare_spark.operators.vocab import (
+            unigram_apply,
+        )
+        from lakehouse_file_format_compare_spark.plans.text_plans import (
+            UV_LONGWORD_NANOS,
+            UV_OOV_NANOS,
+            UV_VOCAB,
+        )
+
+        uv = sorted(
+            [r["doc_id"], r["n_uv_tokens"], r["uv_cost_nanos"]]
+            for r in unigram_apply(
+                docs, UV_VOCAB, UV_OOV_NANOS, UV_LONGWORD_NANOS
+            ).collect()
+        )
+
         print(json.dumps({
             "master": master, "approx_distinct": ad, "dsir": dsir, "pr": pr,
             "einc_kept": einc, "bpe_merges": merges, "bpe_fp": bpe_fp,
             "lm": lm.asDict(), "km": km.asDict(), "zipf": zf.asDict(),
             "hits": ht, "lpa": lpa, "tri": tri.asDict(), "kcore": kc,
+            "uv": uv,
         }))
     finally:
         spark.stop()

@@ -144,6 +144,7 @@ def test_invariance_contracts_across_parallelism(spark):
         # LM perplexity report, k-means facts and the Zipf fit are
         # deterministic — compare levels against each other
         for key in ("einc_kept", "bpe_merges", "bpe_fp",
-                    "lm", "km", "zipf", "hits", "lpa", "tri", "kcore"):
+                    "lm", "km", "zipf", "hits", "lpa", "tri", "kcore",
+                    "uv"):
             assert got[key] == sweep_ref.setdefault(key, got[key]), (
                 master, key, "moved across parallelism")

@@ -549,6 +549,8 @@ def test_no_python_row_udfs_in_r10_operators(spark):
     from lakehouse_file_format_compare_spark.operators.vocab import (
         bpe_apply,
         bpe_token_usage,
+        unigram_apply,
+        unigram_piece_stats,
         word_bpe_tokens,
     )
     from lakehouse_file_format_compare_spark.plans.text_plans import (
@@ -576,6 +578,8 @@ def test_no_python_row_udfs_in_r10_operators(spark):
         triangle_stats(pairs),
         label_propagation(pairs, iterations=2),
         kcore(pairs, iterations=2),
+        unigram_apply(docs, {"th": 10**9, "a": 2 * 10**9}),
+        unigram_piece_stats(docs, top_k=10),
         ppjoin_jaccard_pairs(docs.limit(100), threshold=0.5),
     ]
     for df in frames:

@@ -218,3 +218,151 @@ def test_distinct_n_plan_is_jvm_side(spark):
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
     assert "CartesianProduct" not in plan
+
+
+# --- unigram-LM tokenizer (r10 late-round) ---
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+UV_TEST_VOCAB = {
+    "th": 2_000_000_000, "the": 2_300_000_000, "da": 2_100_000_000,
+    "ta": 2_050_000_000, "data": 3_000_000_000, "a": 3_500_000_000,
+    "e": 3_400_000_000,
+}
+UV_OOV = 5_000_000_000
+UV_LONG = 50_000_000_000
+
+
+def _py_viterbi(word, vocab, oov, longword, max_word_len=12):
+    """(n_tokens, cost): min (cost, tokens) lexicographic over all
+    segmentations into vocab pieces + OOV single chars."""
+    if len(word) > max_word_len:
+        return 1, longword
+    max_l = max((len(p) for p in vocab), default=1)
+    best = [None] * (len(word) + 1)
+    best[0] = (0, 0)
+    for j in range(1, len(word) + 1):
+        cands = []
+        for l in range(1, min(j, max_l) + 1):
+            c = vocab.get(word[j - l:j])
+            if c is None and l == 1:
+                c = oov
+            if c is None:
+                continue
+            pc, pt = best[j - l]
+            cands.append((pc + c, pt + 1))
+        best[j] = min(cands)
+    return best[len(word)][1], best[len(word)][0]
+
+
+def test_unigram_apply_hand_and_longword(spark):
+    from lakehouse_file_format_compare_spark.operators.vocab import (
+        unigram_apply,
+    )
+
+    texts = [
+        (1, "the data table"),
+        (2, "thedata e a"),
+        (3, "supercalifragilistic x"),
+    ]
+    docs = spark.createDataFrame(texts, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_words, r.n_uv_tokens, r.uv_cost_nanos)
+        for r in unigram_apply(docs, UV_TEST_VOCAB, UV_OOV, UV_LONG).collect()
+    }
+    want = {}
+    for did, text in texts:
+        ws = [w for w in text.lower().split() if w]
+        nt = sum(_py_viterbi(w, UV_TEST_VOCAB, UV_OOV, UV_LONG)[0] for w in ws)
+        c = sum(_py_viterbi(w, UV_TEST_VOCAB, UV_OOV, UV_LONG)[1] for w in ws)
+        want[did] = (len(ws), nt, c)
+    assert got == want
+    # the 20-char word took the long-word envelope: exactly 1 token
+    assert got[3] == (2, 2, UV_LONG + UV_OOV)
+
+
+def test_unigram_piece_stats_matches_python(spark):
+    import collections
+
+    from lakehouse_file_format_compare_spark.operators.vocab import (
+        unigram_piece_stats,
+    )
+
+    texts = ["the data table", "thedata e a"]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = [(r.piece, r.n) for r in unigram_piece_stats(docs, top_k=8).collect()]
+    cnt = collections.Counter()
+    words = collections.Counter(
+        w for t in texts for w in t.lower().split() if w
+    )
+    for w, nn in words.items():
+        for l in range(1, 5):
+            for i in range(len(w) - l + 1):
+                cnt[w[i:i + l]] += nn
+    want = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:8]
+    assert got == want
+
+
+def test_unigram_apply_validates_model(spark):
+    import pytest
+
+    from lakehouse_file_format_compare_spark.operators.vocab import (
+        unigram_apply,
+    )
+
+    docs = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        unigram_apply(docs, {"a": -1})
+    with pytest.raises(ValueError):
+        unigram_apply(docs, {"": 5})
+
+
+def test_unigram_apply_corpus_touched_once(spark):
+    from lakehouse_file_format_compare_spark.operators.vocab import (
+        unigram_apply,
+    )
+    from lakehouse_file_format_compare_spark.sources.testdata import table as _t
+
+    docs = _t(spark, "/root/testdata/sf0.001", "documents")
+    df = unigram_apply(docs, UV_TEST_VOCAB, UV_OOV, UV_LONG)
+    df.collect()
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "isFinalPlan=true" in plan
+    assert plan.count("ReusedExchange") >= 1, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+
+
+_UV_WORD = st.text(alphabet="dateh", min_size=1, max_size=14)
+_UV_PIECE = st.text(alphabet="dateh", min_size=1, max_size=4)
+_UV_COSTS = st.integers(min_value=0, max_value=10_000_000_000)
+
+
+@given(
+    words=st.lists(_UV_WORD, min_size=1, max_size=5, unique=True),
+    vocab=st.dictionaries(_UV_PIECE, _UV_COSTS, min_size=0, max_size=6),
+)
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+def test_unigram_viterbi_matches_python_reference(spark, words, vocab):
+    from lakehouse_file_format_compare_spark.operators.vocab import (
+        unigram_apply,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, w) for i, w in enumerate(words)], "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: (r.n_uv_tokens, r.uv_cost_nanos)
+        for r in unigram_apply(docs, vocab, UV_OOV, UV_LONG).collect()
+    }
+    for i, w in enumerate(words):
+        assert got[i] == _py_viterbi(w, vocab, UV_OOV, UV_LONG), (w, vocab)
