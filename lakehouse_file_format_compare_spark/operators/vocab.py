@@ -512,3 +512,117 @@ def unigram_apply(
             ),
         )
     )
+
+
+def _wp_word_state(word, vocab: dict[str, int], oov_char_nanos: int):
+    """Encoded greedy longest-match-first (WordPiece-style, Wu et al.
+    2016) state for one word column: scan left to right, at each
+    position consume the LONGEST vocab piece starting there (single
+    characters always consumable at the OOV cost). State rides one
+    LONG: consumed-position * 2^40 + cost-micros * 1024 + tokens —
+    the fold visits every character index but only positions equal to
+    the consumed frontier advance it, which is how a while-loop
+    becomes a whole-stage-codegen ``aggregate``.
+
+    Cost field is MICROS (cost_nanos // 1000) so the three fields fit
+    one LONG: pos <= 12 (4 bits at the top via 2^40 stride), micros
+    <= 12 * 50e6 < 2^30, tokens < 1024."""
+    max_l = max((len(p) for p in vocab), default=1)
+    entries: list = []
+    for p, c in sorted(vocab.items()):
+        entries.append(F.lit(p))
+        entries.append(F.lit((int(c) // 1000) * UV_ENC + 1).cast("long"))
+    m = F.create_map(*entries) if entries else None
+    oov_enc = F.lit((int(oov_char_nanos) // 1000) * UV_ENC + 1).cast("long")
+    POS = F.lit(1 << 40).cast("long")
+
+    def _lookup(piece):
+        return F.element_at(m, piece) if m is not None else F.lit(None).cast("long")
+
+    def _step(acc, j):
+        pos = F.floor(acc / POS).cast("long")
+        # longest match at the frontier: try l = max_l .. 2, then the
+        # always-available single char
+        consume = F.coalesce(
+            *[
+                _lookup(F.substring(word, j, l)) + F.lit(l).cast("long") * POS
+                for l in range(max_l, 1, -1)
+            ],
+            F.coalesce(_lookup(F.substring(word, j, 1)), oov_enc) + POS,
+        ) if max_l > 1 else (
+            F.coalesce(_lookup(F.substring(word, j, 1)), oov_enc) + POS
+        )
+        return F.when(pos == j, acc + consume).otherwise(acc)
+
+    dp = F.aggregate(
+        F.sequence(F.lit(1), F.length(word)),
+        POS,  # frontier starts at position 1, zero cost, zero tokens
+        _step,
+    )
+    return dp % POS  # strip the frontier; cost_micros*1024 + tokens
+
+
+def wordpiece_apply(
+    docs: DataFrame,
+    vocab: dict[str, int],
+    oov_char_nanos: int = 5_000_000_000,
+    longword_nanos: int = 50_000_000_000,
+    max_word_len: int = UV_MAX_WORD,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Tokenize the corpus with greedy longest-match-first (the
+    WordPiece inference rule; Wu et al. 2016, "Google's Neural
+    Machine Translation System"): per document (id, n_words,
+    n_wp_tokens, wp_cost_micros). Same corpus shape as
+    :func:`unigram_apply` (one explode, Heaps-small word table,
+    broadcast map-back); greedy differs from Viterbi exactly where a
+    long piece is a cost trap — the pair of operators exposes that
+    difference as data (tests pin a case where greedy takes more
+    tokens than optimal).
+
+    A longest-MATCH tie cannot exist (one piece per (position,
+    length)), so greedy is deterministic without any encoding trick;
+    costs are micros here (see _wp_word_state's field layout)."""
+    if any(c < 0 for c in vocab.values()) or oov_char_nanos < 0:
+        raise ValueError("piece costs must be non-negative")
+    if any(len(p) == 0 or len(p) > max_word_len for p in vocab):
+        raise ValueError("vocab pieces must be 1..max_word_len chars")
+    base = (
+        docs.select(
+            F.col(id_col),
+            F.explode(
+                F.split(F.lower(F.trim(F.col(text_col))), WORD_SPLIT_RE)
+            ).alias("word"),
+        )
+        .where(F.length("word") > 0)
+        .groupBy(id_col, "word")
+        .agg(F.count(F.lit(1)).cast("long").alias("__c"))
+    )
+    words = base.groupBy("word").agg(F.sum("__c").alias("__wn"))
+    state = _wp_word_state(F.col("word"), vocab, oov_char_nanos)
+    word_map = words.select(
+        "word",
+        (
+            F.when(F.length("word") > max_word_len, F.lit(1).cast("long"))
+            .otherwise(state % UV_ENC)
+            + F.col("__wn") * F.lit(0)
+        ).alias("__nt"),
+        F.when(
+            F.length("word") > max_word_len, F.lit(int(longword_nanos) // 1000)
+        )
+        .otherwise(F.shiftright(state, 10))
+        .cast("long")
+        .alias("__cost"),
+    )
+    return (
+        base.join(F.broadcast(word_map), "word")
+        .groupBy(id_col)
+        .agg(
+            F.sum("__c").cast("long").alias("n_words"),
+            F.sum(F.col("__c") * F.col("__nt")).cast("long").alias("n_wp_tokens"),
+            F.sum(F.col("__c") * F.col("__cost")).cast("long").alias(
+                "wp_cost_micros"
+            ),
+        )
+    )

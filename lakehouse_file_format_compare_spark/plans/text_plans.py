@@ -113,6 +113,27 @@ def _unigram_scalars(docs: DataFrame) -> DataFrame:
     return uv.crossJoin(F.broadcast(up))
 
 
+def _wordpiece_scalars(docs: DataFrame) -> DataFrame:
+    """One row of wp_* scalars: corpus totals under greedy
+    longest-match-first tokenization with the SAME fixed UV_VOCAB
+    model (operators/vocab.py::wordpiece_apply) — the third
+    industrial tokenizer family next to BPE and unigram-Viterbi; the
+    uv_*/wp_* delta IS the greedy-vs-optimal gap, surfaced as
+    driver-hashed data."""
+    from ..operators.vocab import wordpiece_apply
+
+    ap = wordpiece_apply(
+        docs, UV_VOCAB, UV_OOV_NANOS, UV_LONGWORD_NANOS
+    )
+    return ap.agg(
+        F.sum("n_wp_tokens").cast("long").alias("wp_tokens"),
+        F.sum("wp_cost_micros").cast("long").alias("wp_cost_micros"),
+        F.sum(F.col("doc_id") * F.col("n_wp_tokens")).cast("long").alias(
+            "wp_fp"
+        ),
+    )
+
+
 def token_stats_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The RAW per-doc token-stats path — what bench.py times (r10,
     r9 verdict #2: the r9 vocab_*/bpe_* widening was computed inside
@@ -255,6 +276,61 @@ def _uv_oracle_ctes() -> str:
            CAST(SUM(doc_id * nt) AS BIGINT) AS uv_fp
     FROM uv_doc
 )""")
+    # greedy longest-match (WordPiece) replay: a linear chain of
+    # unrolled steps; the longest-match lookup is a pure CASE chain
+    # over the vocab literals (one CASE per piece length — no
+    # correlated join), so each state row advances its frontier by
+    # the matched length, +1 token, +cost micros.
+    by_len: dict[int, list[tuple[str, int]]] = {}
+    for p, c in sorted(UV_VOCAB.items()):
+        by_len.setdefault(len(p), []).append((p, c // 1000))
+
+    def _case(l: int, value: bool) -> str:
+        if l not in by_len:
+            return "NULL"
+        whens = " ".join(
+            f"WHEN '{p}' THEN {c if value else l}" for p, c in by_len[l]
+        )
+        return f"CASE substr(word, pos, {l}) {whens} END"
+
+    max_l = max(by_len) if by_len else 1
+    adv = "COALESCE(" + ", ".join(
+        [_case(l, value=False) for l in range(max_l, 1, -1)] + ["1"]
+    ) + ")"
+    pc = "COALESCE(" + ", ".join(
+        [_case(l, value=True) for l in range(max_l, 1, -1)]
+        + [_case(1, value=True), str(UV_OOV_NANOS // 1000)]
+    ) + ")"
+    ctes.append("""wp_s0 AS MATERIALIZED (
+    SELECT word, 1 AS pos, CAST(0 AS BIGINT) AS nt,
+           CAST(0 AS BIGINT) AS cost
+    FROM uv_w
+)""")
+    for k in range(1, UV_MAX_WORD + 1):
+        ctes.append(f"""wp_s{k} AS MATERIALIZED (
+    SELECT word,
+           CASE WHEN pos > length(word) THEN pos ELSE pos + {adv} END AS pos,
+           CASE WHEN pos > length(word) THEN nt ELSE nt + 1 END AS nt,
+           CASE WHEN pos > length(word) THEN cost
+                ELSE cost + {pc} END AS cost
+    FROM wp_s{k - 1}
+)""")
+    ctes.append(f"""wp_doc AS (
+    SELECT a.doc_id,
+           SUM(CASE WHEN length(a.word) > {UV_MAX_WORD} THEN 1
+                    ELSE f.nt END) AS nt,
+           SUM(CASE WHEN length(a.word) > {UV_MAX_WORD}
+                    THEN {UV_LONGWORD_NANOS // 1000}
+                    ELSE f.cost END) AS cost
+    FROM ap_words a LEFT JOIN wp_s{UV_MAX_WORD} f USING (word)
+    GROUP BY a.doc_id
+)""")
+    ctes.append("""wpagg AS (
+    SELECT CAST(SUM(nt) AS BIGINT) AS wp_tokens,
+           CAST(SUM(cost) AS BIGINT) AS wp_cost_micros,
+           CAST(SUM(doc_id * nt) AS BIGINT) AS wp_fp
+    FROM wp_doc
+)""")
     ctes.append(f"""up_pieces AS (
     SELECT substr(w.word, i.i, ls.l) AS piece, CAST(SUM(w.n) AS BIGINT) AS pn
     FROM words w, (VALUES (1), {lens}) ls(l),
@@ -293,6 +369,7 @@ def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(tokenizer_stats(spark, sf_dir)))
         .crossJoin(F.broadcast(_bpe_apply_scalars(docs)))
         .crossJoin(F.broadcast(_unigram_scalars(docs)))
+        .crossJoin(F.broadcast(_wordpiece_scalars(docs)))
     )
 
 
@@ -378,8 +455,9 @@ SELECT doc_id,
        bpea_docs, bpea_words, bpea_tokens, bpea_fp,
        zipf_terms, zipf_num, zipf_den, zipf_slope_grid,
        uv_tokens, uv_cost_nanos, uv_fp,
-       up_top_piece, up_top_n, up_fp
-FROM documents, vagg, bagg, apagg, zipf, uvagg, upagg
+       up_top_piece, up_top_n, up_fp,
+       wp_tokens, wp_cost_micros, wp_fp
+FROM documents, vagg, bagg, apagg, zipf, uvagg, upagg, wpagg
 """
 
 TOKEN_STATS_SQL = TOKEN_STATS_SQL.replace("{UV_CTES}", _uv_oracle_ctes())

@@ -552,6 +552,7 @@ def test_no_python_row_udfs_in_r10_operators(spark):
         unigram_apply,
         unigram_piece_stats,
         word_bpe_tokens,
+        wordpiece_apply,
     )
     from lakehouse_file_format_compare_spark.plans.text_plans import (
         BPE_APPLY_MERGES,
@@ -580,6 +581,7 @@ def test_no_python_row_udfs_in_r10_operators(spark):
         kcore(pairs, iterations=2),
         unigram_apply(docs, {"th": 10**9, "a": 2 * 10**9}),
         unigram_piece_stats(docs, top_k=10),
+        wordpiece_apply(docs, {"th": 10**9, "a": 2 * 10**9}),
         ppjoin_jaccard_pairs(docs.limit(100), threshold=0.5),
     ]
     for df in frames:

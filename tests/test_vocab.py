@@ -366,3 +366,91 @@ def test_unigram_viterbi_matches_python_reference(spark, words, vocab):
     }
     for i, w in enumerate(words):
         assert got[i] == _py_viterbi(w, vocab, UV_OOV, UV_LONG), (w, vocab)
+
+
+# --- WordPiece greedy longest-match (r10 late-round) ---
+
+def _py_greedy(word, vocab, oov, longword, max_word_len=12):
+    if len(word) > max_word_len:
+        return 1, longword // 1000
+    max_l = max((len(p) for p in vocab), default=1)
+    pos, nt, cost = 0, 0, 0
+    while pos < len(word):
+        for l in range(min(max_l, len(word) - pos), 0, -1):
+            c = vocab.get(word[pos:pos + l])
+            if c is None and l == 1:
+                c = oov
+            if c is not None:
+                cost += c // 1000
+                nt += 1
+                pos += l
+                break
+    return nt, cost
+
+
+def test_wordpiece_apply_hand_and_longword(spark):
+    from lakehouse_file_format_compare_spark.operators.vocab import (
+        wordpiece_apply,
+    )
+
+    texts = [(1, "the data table"), (2, "thedata e a"),
+             (3, "supercalifragilistic x"), (4, "dat")]
+    docs = spark.createDataFrame(texts, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_words, r.n_wp_tokens, r.wp_cost_micros)
+        for r in wordpiece_apply(docs, UV_TEST_VOCAB, UV_OOV, UV_LONG).collect()
+    }
+    want = {}
+    for did, text in texts:
+        ws = [w for w in text.lower().split() if w]
+        want[did] = (
+            len(ws),
+            sum(_py_greedy(w, UV_TEST_VOCAB, UV_OOV, UV_LONG)[0] for w in ws),
+            sum(_py_greedy(w, UV_TEST_VOCAB, UV_OOV, UV_LONG)[1] for w in ws),
+        )
+    assert got == want
+
+
+def test_wordpiece_greedy_is_a_cost_trap_viterbi_escapes(spark):
+    """The documented greedy/optimal divergence, pinned as data: with
+    'ab' cheap, 'abc' expensive, and 'c' OOV-only, greedy on 'abc'
+    grabs 'abc' (longest match) while Viterbi picks 'ab'+'c' when
+    that is cheaper — the uv_*/wp_* driver delta comes from exactly
+    this shape."""
+    from lakehouse_file_format_compare_spark.operators.vocab import (
+        unigram_apply,
+        wordpiece_apply,
+    )
+
+    vocab = {"ab": 1_000_000_000, "abc": 9_000_000_000, "c": 2_000_000_000}
+    docs = spark.createDataFrame([(1, "abc")], "doc_id long, text string")
+    wp = wordpiece_apply(docs, vocab, UV_OOV, UV_LONG).collect()[0]
+    uv = unigram_apply(docs, vocab, UV_OOV, UV_LONG).collect()[0]
+    assert wp.n_wp_tokens == 1 and wp.wp_cost_micros == 9_000_000
+    assert uv.n_uv_tokens == 2 and uv.uv_cost_nanos == 3_000_000_000
+    assert uv.uv_cost_nanos // 1000 < wp.wp_cost_micros
+
+
+@given(
+    words=st.lists(_UV_WORD, min_size=1, max_size=5, unique=True),
+    vocab=st.dictionaries(_UV_PIECE, _UV_COSTS, min_size=0, max_size=6),
+)
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+def test_wordpiece_matches_python_reference(spark, words, vocab):
+    from lakehouse_file_format_compare_spark.operators.vocab import (
+        wordpiece_apply,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, w) for i, w in enumerate(words)], "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: (r.n_wp_tokens, r.wp_cost_micros)
+        for r in wordpiece_apply(docs, vocab, UV_OOV, UV_LONG).collect()
+    }
+    for i, w in enumerate(words):
+        assert got[i] == _py_greedy(w, vocab, UV_OOV, UV_LONG), (w, vocab)
