@@ -49,6 +49,7 @@ def corpus_datasheet(
     id_col: str = "doc_id",
     lang_col: str = "lang",
     train_lang: str = "en",
+    embeddings: DataFrame | None = None,
 ) -> DataFrame:
     """(section, metric, value) exact-LONG datasheet with sections:
 
@@ -60,7 +61,13 @@ def corpus_datasheet(
       ``lang_col == train_lang``);
     - ``duplication``: exact duplicate groups / docs carrying a
       duplicate (normalized-text fingerprint grouping — the
-      dedup_exact tier).
+      dedup_exact tier);
+    - ``diversity``: the corpus distinct-n scalars (Li et al. 2016;
+      plans/text_plans._distinct_n_scalars — counts and truncating
+      LONG-division nano ratios);
+    - ``geometry`` (only when ``embeddings`` is passed): the
+      embedding-health moments (anisotropy numerators —
+      plans/similarity_plans._embedding_moments).
     """
     from ..functions import text as T
     from ..operators.lm import perplexity_report
@@ -121,10 +128,27 @@ def corpus_datasheet(
         ).cast("long").alias("dup_docs"),
     )
 
-    return (
+    # runtime imports: plans -> ext imports exist (ext_plans), so the
+    # reverse edge stays out of module scope
+    from ..plans.text_plans import _distinct_n_scalars
+
+    out = (
         _tall(volume, "volume")
         .unionByName(_tall(vocab, "vocabulary"))
         .unionByName(lang_mix)
         .unionByName(_tall(quality, "quality"))
         .unionByName(_tall(duplication, "duplication"))
+        .unionByName(
+            _tall(
+                _distinct_n_scalars(docs.select(F.col(text_col).alias("text"))),
+                "diversity",
+            )
+        )
     )
+    if embeddings is not None:
+        from ..plans.similarity_plans import _embedding_moments
+
+        out = out.unionByName(
+            _tall(_embedding_moments(embeddings), "geometry")
+        )
+    return out

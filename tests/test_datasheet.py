@@ -66,6 +66,39 @@ def test_datasheet_values_match_independent_computation(spark):
     for k, v in lm.asDict().items():
         assert got[("quality", k)] == v
 
+    # diversity: distinct-n counts replayed independently
+    dn = con.execute("""
+        WITH t AS (
+            SELECT list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                               x -> length(x) > 0) AS t
+            FROM documents)
+        SELECT (SELECT COUNT(DISTINCT g) FROM (SELECT unnest(t) AS g FROM t)),
+               (SELECT COALESCE(SUM(len(t)), 0) FROM t),
+               (SELECT COUNT(DISTINCT g) FROM (
+                    SELECT unnest(CASE WHEN len(t) >= 3 THEN
+                        list_transform(range(1, len(t) - 1),
+                                       i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+                        ELSE [] END) AS g FROM t))
+        """).fetchone()
+    assert got[("diversity", "dn1_distinct")] == dn[0]
+    assert got[("diversity", "dn1_total")] == dn[1]
+    assert got[("diversity", "dn3_distinct")] == dn[2]
+    assert got[("diversity", "dn1_nanos")] == dn[0] * 10**9 // dn[1]
+
+
+def test_datasheet_geometry_section(spark):
+    from lakehouse_file_format_compare_spark.plans.similarity_plans import (
+        _embedding_moments,
+    )
+
+    docs = table(spark, SF_SMOKE, "documents")
+    emb = table(spark, SF_SMOKE, "embeddings")
+    got = _sheet(corpus_datasheet(docs, embeddings=emb))
+    want = _embedding_moments(emb).collect()[0].asDict()
+    for k, v in want.items():
+        assert got[("geometry", k)] == v
+    assert got[("geometry", "emb_n")] > 0
+
 
 def test_datasheet_layout_invariance(spark):
     docs = table(spark, SF_SMOKE, "documents")
@@ -79,5 +112,6 @@ def test_datasheet_schema_and_sections(spark):
     df = corpus_datasheet(docs)
     assert [f.name for f in df.schema.fields] == ["section", "metric", "value"]
     assert {r.section for r in df.collect()} == {
-        "volume", "vocabulary", "lang_mix", "quality", "duplication"
+        "volume", "vocabulary", "lang_mix", "quality", "duplication",
+        "diversity",
     }
