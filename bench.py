@@ -117,6 +117,11 @@ HEADLINE = [
     # r10: distributed k-means fit over the full embeddings table
     # (driver contract lives in sim_vector_stats' km_*)
     "kmeans_serving",
+    # r10 late-round: the three tokenizer APPLY paths (BPE fold /
+    # unigram Viterbi / WordPiece greedy) under the fixed literal
+    # models — driver contracts live in text_token_stats'
+    # bpea_*/uv_*/wp_*
+    "tokenizer_apply_serving",
 ]
 
 STEADY_REPS = 3  # min-of-N steady protocol (r7 verdict #3)
@@ -269,6 +274,7 @@ def build_bench_queries() -> dict:
     queries["text_quality"] = text_plans.quality_serving
     queries["lm_perplexity_serving"] = text_plans.lm_perplexity
     queries["kmeans_serving"] = similarity_plans.kmeans_serving
+    queries["tokenizer_apply_serving"] = text_plans.tokenizer_apply_serving
 
     from lakehouse_file_format_compare_spark.plans import dedup_plans as _dp
 

@@ -463,6 +463,20 @@ FROM documents, vagg, bagg, apagg, zipf, uvagg, upagg, wpagg
 TOKEN_STATS_SQL = TOKEN_STATS_SQL.replace("{UV_CTES}", _uv_oracle_ctes())
 
 
+def tokenizer_apply_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The three tokenizer APPLY paths (BPE merge fold, unigram
+    Viterbi, WordPiece greedy) over the full corpus under the fixed
+    literal models — benched as one entry so the family's cost has
+    its own longitudinal signal (the driver contracts live in
+    text_token_stats' bpea_*/uv_*/wp_*)."""
+    docs = table(spark, sf_dir, "documents")
+    return (
+        _bpe_apply_scalars(docs)
+        .crossJoin(F.broadcast(_unigram_scalars(docs)))
+        .crossJoin(F.broadcast(_wordpiece_scalars(docs)))
+    )
+
+
 def quality_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Raw per-doc heuristic quality path — the pre-r10 shape of the
     ``text_quality`` row, kept as the BENCHED serving entry so the
