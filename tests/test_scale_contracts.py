@@ -1456,3 +1456,79 @@ def test_triangle_stats_scale_exactly_with_disjoint_copies(spark):
     assert t2.tri_triangles == 2 * t1.tri_triangles
     assert t2.tri_wedges == 2 * t1.tri_wedges
     assert t2.tri_gcc_grid == t1.tri_gcc_grid
+
+
+def test_kcore_scales_exactly_with_disjoint_copies(spark):
+    """r10 late-round: a disjoint shifted-id copy of the near-dup
+    graph leaves every node's coreness IDENTICAL (coreness is a
+    per-component property) — the core-multiset doubles, the maximum
+    does not move."""
+    from lakehouse_file_format_compare_spark.operators.components import kcore
+    from lakehouse_file_format_compare_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+    )
+
+    docs = table(spark, "/root/testdata/sf0.01", "documents").select(
+        "doc_id", "text"
+    )
+    pairs = (
+        ngram_jaccard_pairs(docs, threshold=0.5)
+        .select("doc_a", "doc_b")
+        .localCheckpoint()
+    )
+    c1 = {r.node: r.core for r in kcore(pairs, iterations=4).collect()}
+    assert c1
+    shifted = pairs.select(
+        (F.col("doc_a") + 1_000_000).alias("doc_a"),
+        (F.col("doc_b") + 1_000_000).alias("doc_b"),
+    )
+    c2 = {
+        r.node: r.core
+        for r in kcore(pairs.unionByName(shifted), iterations=4).collect()
+    }
+    assert len(c2) == 2 * len(c1)
+    for n, c in c1.items():
+        assert c2[n] == c and c2[n + 1_000_000] == c
+
+
+def test_tokenizer_apply_family_doubles_exactly_under_replication(spark):
+    """r10 late-round: replicating the corpus adds no new WORDS
+    (Heaps regime: the distinct-word tables are identical), so all
+    three tokenizer applies — BPE fold, unigram Viterbi, WordPiece
+    greedy — double their corpus totals exactly; per-word DP work
+    does not grow at all."""
+    from lakehouse_file_format_compare_spark.operators.vocab import (
+        bpe_apply,
+        unigram_apply,
+        wordpiece_apply,
+    )
+    from lakehouse_file_format_compare_spark.plans.text_plans import (
+        BPE_APPLY_MERGES,
+        UV_LONGWORD_NANOS,
+        UV_OOV_NANOS,
+        UV_VOCAB,
+    )
+
+    docs = table(spark, "/root/testdata/sf0.01", "documents").select(
+        "doc_id", "text"
+    )
+    docs2 = docs.unionByName(
+        docs.select((F.col("doc_id") + 1_000_000).alias("doc_id"), "text")
+    )
+
+    def _totals(d):
+        b = bpe_apply(d, BPE_APPLY_MERGES).agg(
+            F.sum("n_words"), F.sum("n_bpe_tokens")
+        ).collect()[0]
+        u = unigram_apply(d, UV_VOCAB, UV_OOV_NANOS, UV_LONGWORD_NANOS).agg(
+            F.sum("n_uv_tokens"), F.sum("uv_cost_nanos")
+        ).collect()[0]
+        w = wordpiece_apply(d, UV_VOCAB, UV_OOV_NANOS, UV_LONGWORD_NANOS).agg(
+            F.sum("n_wp_tokens"), F.sum("wp_cost_micros")
+        ).collect()[0]
+        return [*b, *u, *w]
+
+    t1 = _totals(docs)
+    t2 = _totals(docs2)
+    assert all(v > 0 for v in t1)
+    assert t2 == [2 * v for v in t1]
