@@ -106,6 +106,52 @@ def ngram_jaccard_pairs(
     )
 
 
+def ngram_containment_pairs(
+    docs: DataFrame,
+    threshold: float = 0.8,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """All ORDERED pairs with n-gram containment ≥ threshold:
+    C(a→b) = |shingles(a) ∩ shingles(b)| / |shingles(a)| — the
+    ASYMMETRIC near-dup detector (Broder 1997, "On the resemblance
+    and containment of documents"). Jaccard misses a short document
+    embedded in a long one (the union dilutes the score); containment
+    flags it from the short side — quote farms, wrapper pages,
+    fragment reposts. Returns (doc_a, doc_b, containment) where
+    doc_a ≠ doc_b and doc_a is the CONTAINED (numerator) side.
+
+    Same inverted-index shape as :func:`ngram_jaccard_pairs` (one
+    shingle explode, one shingle-keyed self-join, per-pair count +
+    broadcast-friendly size join); the only asymmetry is dividing by
+    the contained side's size — at scale the identical bucket-size
+    caveat applies and the MinHash/LSH pipeline remains the
+    candidate generator of record."""
+    sh = _shingle_pairs(docs, id_col, text_col, k).cache()
+    sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("sz"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc") != F.col("b.doc")),
+        )
+        .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    return (
+        common.join(
+            sizes.withColumnRenamed("doc", "doc_a").withColumnRenamed("sz", "sz_a"),
+            "doc_a",
+        )
+        .withColumn("containment", grid(F.col("common") / F.col("sz_a"), 6))
+        .where(F.col("containment") >= threshold)
+        .select("doc_a", "doc_b", "containment")
+    )
+
+
 def minhash_signatures(
     docs: DataFrame,
     num_hashes: int = 32,

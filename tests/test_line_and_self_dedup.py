@@ -222,3 +222,86 @@ def test_blank_lines_and_structure_preserved(spark):
     )
     out2 = {r["doc_id"]: r["text"] for r in remove_boilerplate_lines(df2, max_line_docs=2).collect()}
     assert out2 == {1: "", 2: "", 3: "", 4: "a\nb"}
+
+
+# --- n-gram containment (r10 late-round) ---
+
+def test_containment_flags_planted_fragment(spark):
+    """A document that is a strict prefix of another has containment
+    1.0 from the short side while Jaccard stays below threshold —
+    the asymmetric regime the operator exists for."""
+    from lakehouse_file_format_compare_spark.operators.dedup import (
+        ngram_containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    frag = "alpha beta gamma delta epsilon"
+    long = frag + " " + " ".join(f"w{i}" for i in range(40))
+    docs = spark.createDataFrame(
+        [(1, frag), (2, long), (3, "totally unrelated text here")],
+        "doc_id long, text string",
+    )
+    got = {
+        (r.doc_a, r.doc_b): r.containment
+        for r in ngram_containment_pairs(docs, threshold=0.8).collect()
+    }
+    assert got == {(1, 2): 1.0}
+    assert ngram_jaccard_pairs(docs, threshold=0.5).count() == 0
+
+
+def test_containment_duckdb_value_oracle(spark, tmp_path):
+    """Exact DuckDB replay on the sf0.001 documents table: same
+    shingles, same ordered-pair counts, same grid-6 ratio."""
+    import duckdb
+
+    from lakehouse_file_format_compare_spark.operators.dedup import (
+        ngram_containment_pairs,
+    )
+    from lakehouse_file_format_compare_spark.sources.testdata import table
+
+    docs = table(spark, "/root/testdata/sf0.001", "documents")
+    got = sorted(
+        (r.doc_a, r.doc_b, r.containment)
+        for r in ngram_containment_pairs(docs, threshold=0.3).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        "read_parquet('/root/testdata/sf0.001/documents.parquet')"
+    )
+    want = sorted(
+        tuple(r)
+        for r in con.execute("""
+        WITH toks AS (
+            SELECT doc_id,
+                   string_split_regex(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')), '\\s+') AS t
+            FROM documents
+        ), shingles AS (
+            SELECT doc_id,
+                   CASE WHEN len(t) >= 3 THEN
+                        list_distinct(list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+                        WHEN len(t) > 0 THEN [array_to_string(t, ' ')]
+                        ELSE [] END AS sh
+            FROM toks
+        ), exploded AS (
+            SELECT doc_id AS doc, unnest(sh) AS shingle FROM shingles
+        ), sizes AS (
+            SELECT doc, COUNT(*) AS sz FROM exploded GROUP BY doc
+        ), common AS (
+            SELECT a.doc AS doc_a, b.doc AS doc_b, COUNT(*) AS c
+            FROM exploded a JOIN exploded b
+                 ON a.shingle = b.shingle AND a.doc <> b.doc
+            GROUP BY 1, 2
+        )
+        , scored AS (
+            SELECT doc_a, doc_b,
+                   floor(c / CAST(sa.sz AS DOUBLE) * 1000000 + 0.5) / 1000000
+                       AS containment
+            FROM common JOIN sizes sa ON sa.doc = doc_a
+        )
+        SELECT doc_a, doc_b, containment FROM scored
+        WHERE containment >= 0.3
+        ORDER BY 1, 2
+        """).fetchall()
+    )
+    assert got == want and len(got) > 0
