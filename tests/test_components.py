@@ -439,3 +439,48 @@ def test_lpa_layout_invariance(spark):
         for r in label_propagation(pairs.repartition(9, "doc_b"), 3).collect()
     )
     assert a == b and len(a) > 0
+
+
+def test_resolve_duplicates_with_lm_quality_score(spark):
+    """Cross-family integration: duplicate resolution driven by the
+    bigram-LM quality score — within a near-dup cluster the
+    LOWER-perplexity copy (higher lp_nanos per bigram) wins, not the
+    min-id one. Composes operators/lm.py scoring into
+    resolve_duplicates' score hook; the clean copy is deliberately
+    given the larger doc_id so min-id canonicalization would pick the
+    mojibake copy."""
+    from pyspark.sql import functions as F
+
+    from lakehouse_file_format_compare_spark.operators.components import (
+        resolve_duplicates,
+    )
+    from lakehouse_file_format_compare_spark.operators.lm import (
+        bigram_lm_score,
+        bigram_lm_train,
+    )
+
+    clean = "the data table holds the value rows"
+    noisy = "the data zzqx qqzz the value xx"
+    docs = spark.createDataFrame(
+        [(1, noisy, "en"), (2, clean, "en"), (3, "other doc", "en")],
+        "doc_id long, text string, lang string",
+    )
+    model, ctx, vocab = bigram_lm_train(docs.where(F.col("doc_id") == 2))
+    scored = bigram_lm_score(docs, model, ctx, vocab)
+    # per-token exact LM quality: lp_nanos / n_bigrams via an integer-
+    # safe double (score column may be any numeric expression)
+    quality = docs.join(scored, "doc_id").withColumn(
+        "__q",
+        F.when(
+            F.col("n_bigrams") > 0,
+            F.col("lp_nanos").cast("double") / F.col("n_bigrams"),
+        ).otherwise(F.lit(float("-inf"))),
+    )
+    pairs = spark.createDataFrame([(1, 2)], "doc_a long, doc_b long")
+    kept = {
+        r.doc_id: r.keep
+        for r in resolve_duplicates(
+            quality, pairs, score=F.col("__q")
+        ).collect()
+    }
+    assert kept == {1: False, 2: True, 3: True}
