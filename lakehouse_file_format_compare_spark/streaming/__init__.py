@@ -3,12 +3,14 @@ from .dedup_store_stream import (
     StreamingIncrementalDedupLoader,
 )
 from .lm_stream import StreamingPerplexityScorer
+from .tokenizer_stream import StreamingTokenizerMonitor
 from .runner import StreamingScd2Loader, StreamingSilverLoader
 
 __all__ = [
     "StreamingEmbeddingDedupLoader",
     "StreamingIncrementalDedupLoader",
     "StreamingPerplexityScorer",
+    "StreamingTokenizerMonitor",
     "StreamingScd2Loader",
     "StreamingSilverLoader",
 ]
