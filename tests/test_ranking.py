@@ -378,3 +378,64 @@ def test_hybrid_rrf_layout_invariance_and_plan(spark):
     )
     assert "TakeOrderedAndProject" in plan  # candidate cut + final top-n
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+def _py_rrf(lex, sem, k=60, top_n=10, candidates=50):
+    """Pure-Python mirror of hybrid_rrf: rank by (score desc, id),
+    cut to candidates, fuse floor(1e9/(k+rank)), top_n by
+    (rrf desc, id)."""
+    def ranks(scored):
+        order = sorted(scored, key=lambda t: (-t[1], t[0]))[:candidates]
+        return {d: i + 1 for i, (d, _) in enumerate(order)}
+
+    lr, sr = ranks(lex), ranks(sem)
+    fused = {}
+    for d in set(lr) | set(sr):
+        c = 0
+        if d in lr:
+            c += 10**9 // (k + lr[d])
+        if d in sr:
+            c += 10**9 // (k + sr[d])
+        fused[d] = (c, lr.get(d, 0), sr.get(d, 0))
+    top = sorted(fused.items(), key=lambda kv: (-kv[1][0], kv[0]))[:top_n]
+    return {d: v for d, v in top}
+
+
+@given(
+    lex=st.dictionaries(st.integers(0, 30), st.integers(0, 8), max_size=12),
+    sem=st.dictionaries(st.integers(0, 30), st.integers(0, 8), max_size=12),
+    cand=st.integers(1, 6),
+    top_n=st.integers(1, 8),
+)
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+def test_hybrid_rrf_matches_python_reference(spark, lex, sem, cand, top_n):
+    """Integer scores make rank order (score desc, id) unambiguous, so
+    the Spark fusion must equal the pure-Python mirror exactly —
+    including candidate-cut boundaries and tie-breaks."""
+    from lakehouse_file_format_compare_spark.operators.ranking import hybrid_rrf
+
+    lexdf = spark.createDataFrame(
+        [(d, float(s)) for d, s in lex.items()] or [(None, None)],
+        "doc_id long, bm25 double",
+    ).where("doc_id IS NOT NULL")
+    semdf = spark.createDataFrame(
+        [(d, float(s)) for d, s in sem.items()] or [(None, None)],
+        "doc_id long, cosine double",
+    ).where("doc_id IS NOT NULL")
+    got = {
+        r.doc_id: (r.rrf_nano, r.lex_rank, r.sem_rank)
+        for r in hybrid_rrf(
+            lexdf, semdf, rrf_k=60, top_n=top_n, candidates=cand
+        ).collect()
+    }
+    assert got == _py_rrf(
+        list(lex.items()), list(sem.items()), 60, top_n, cand
+    )
