@@ -1532,3 +1532,65 @@ def test_tokenizer_apply_family_doubles_exactly_under_replication(spark):
     t2 = _totals(docs2)
     assert all(v > 0 for v in t1)
     assert t2 == [2 * v for v in t1]
+
+
+@pytest.mark.scale
+def test_kcore_walltime_scales_linearly_in_edges(spark):
+    """r10 late-round: k-core cost is per-round one values⋈edges
+    shuffle + a degree-bounded groupBy — 10x edges on 10x disjoint
+    nodes must cost ~linear wall, per-copy corenesses must be
+    IDENTICAL (coreness is per-component), and the plan stays
+    Python-free with no Cartesian shapes."""
+    import time
+    from functools import reduce
+
+    from pyspark.sql import DataFrame
+
+    from lakehouse_file_format_compare_spark.operators.components import kcore
+    from lakehouse_file_format_compare_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+    )
+
+    docs = table(spark, "/root/testdata/sf0.01", "documents")
+    e1 = (
+        ngram_jaccard_pairs(docs, threshold=0.5)
+        .select("doc_a", "doc_b")
+        .repartition(32)
+        .cache()
+    )
+    m1 = e1.count()
+    shifted = [
+        e1.select(
+            (F.col("doc_a") + F.lit(i * 10_000_000)).alias("doc_a"),
+            (F.col("doc_b") + F.lit(i * 10_000_000)).alias("doc_b"),
+        )
+        for i in range(10)
+    ]
+    e10 = reduce(DataFrame.unionByName, shifted).repartition(32).cache()
+    assert e10.count() == 10 * m1
+
+    def _timed(e):
+        t0 = time.perf_counter()
+        rows = kcore(e, iterations=4).collect()
+        return time.perf_counter() - t0, rows
+
+    _timed(e1)  # warm-up
+    t1, r1 = _timed(e1)
+    t10, r10 = _timed(e10)
+    base = {r["node"]: r["core"] for r in r1}
+    big = {r["node"]: r["core"] for r in r10}
+    assert len(big) == 10 * len(base)
+    for i in range(10):
+        assert all(big[n + i * 10_000_000] == c for n, c in base.items()), (
+            f"copy {i} diverges"
+        )
+    ratio = t10 / max(t1, 1.0)
+    _check_wall_ratio(
+        ratio, f"10x edges cost {ratio:.1f}x (t1={t1:.2f}s t10={t10:.2f}s)"
+    )
+    df = kcore(e1, iterations=2)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "BatchEvalPython" not in plan and "CartesianProduct" not in plan
+    e1.unpersist(); e10.unpersist()
