@@ -293,3 +293,22 @@ def test_r10_late_surfaces_on_empty(spark, empty_docs):
     empty_emb = spark.createDataFrame([], "vec_id long, embedding array<float>")
     em = _embedding_moments(empty_emb).collect()[0]
     assert all(v == 0 for v in em.asDict().values())
+
+    from lakehouse_file_format_compare_spark.operators.dedup import (
+        ngram_containment_pairs,
+    )
+    from lakehouse_file_format_compare_spark.operators.vocab import (
+        unigram_apply,
+        unigram_piece_stats,
+        wordpiece_apply,
+    )
+
+    vocab = {"th": 10**9, "a": 2 * 10**9}
+    assert unigram_apply(empty_docs, vocab).count() == 0
+    assert wordpiece_apply(empty_docs, vocab).count() == 0
+    assert unigram_piece_stats(empty_docs).count() == 0
+    assert ngram_containment_pairs(empty_docs).count() == 0
+    # blank-text docs contribute no words: same empty outputs
+    blank = spark.createDataFrame([(1, "  ")], "doc_id long, text string")
+    assert unigram_apply(blank, vocab).count() == 0
+    assert wordpiece_apply(blank, vocab).count() == 0
