@@ -851,15 +851,85 @@ def _distinct_n_scalars(docs: DataFrame) -> DataFrame:
     )
 
 
+#: winnowing parameters for the driver row (guarantee threshold
+#: t = WINNOW_W + WINNOW_K - 1 = 8 normalized chars).
+WINNOW_K = 5
+WINNOW_W = 4
+
+
 def fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc rolling-hash fingerprints. Widened (r10) with the
     ``dn{1,2,3}_*`` corpus distinct-n diversity scalars
     (:func:`_distinct_n_scalars`) — exact integer counts + truncating
-    LONG-division ratios, replayed from scratch in the oracle."""
+    LONG-division ratios — and (late r10) the ``wf_*`` winnowing
+    scalars (operators/winnow.py, Schleimer 2003 / MOSS): exact
+    selection volume, distinct fingerprints, density nanos and
+    shared-pair stats, the whole selection replayed window-for-window
+    in the oracle."""
+    from ..operators.winnow import winnow_scalars
+
     docs = table(spark, sf_dir, "documents")
-    return docs.select(
-        "doc_id", T.fingerprint(F.col("text")).alias("fp")
-    ).crossJoin(F.broadcast(_distinct_n_scalars(docs)))
+    return (
+        docs.select("doc_id", T.fingerprint(F.col("text")).alias("fp"))
+        .crossJoin(F.broadcast(_distinct_n_scalars(docs)))
+        .crossJoin(F.broadcast(winnow_scalars(docs, k=WINNOW_K, w=WINNOW_W)))
+    )
+
+
+def _winnow_duck_ctes() -> str:
+    """DuckDB replay of operators/winnow.py::winnow_scalars at the
+    driver row's (WINNOW_K, WINNOW_W): the same normalization, 40-bit
+    md5-prefix gram hash, (hash+1)*B - pos rightmost-min encoding,
+    per-doc ROWS window, full-window-start filter, hot-bucket-capped
+    pair join and exact LONG scalars. Bit-equal by construction —
+    every step is integer arithmetic both engines define identically."""
+    from ..operators.winnow import HASH_HEX, POS_B
+
+    k, w, cap = WINNOW_K, WINNOW_W, 64
+    return f"""wf_norm AS (
+    SELECT doc_id, regexp_replace(lower(text), '[^a-z0-9]', '', 'g') AS n
+    FROM documents
+), wf_pos AS (
+    SELECT doc_id, length(n) AS len, n,
+           unnest(generate_series(1, length(n) - {k - 1})) AS pos
+    FROM wf_norm WHERE length(n) >= {k}
+), wf_win AS (
+    SELECT doc_id, len, pos,
+           min((CAST('0x' || substring(md5(substring(n, pos, {k})), 1, {HASH_HEX}) AS BIGINT) + 1) * {POS_B} - pos)
+               OVER (PARTITION BY doc_id ORDER BY pos
+                     ROWS BETWEEN CURRENT ROW AND {w - 1} FOLLOWING) AS wmin
+    FROM wf_pos
+), wf_sel AS (
+    SELECT DISTINCT doc_id, {POS_B} - (wmin % {POS_B}) AS pos, wmin // {POS_B} AS fp
+    FROM wf_win WHERE pos <= greatest(len - {k + w - 2}, 1)
+), wf_cold AS (
+    SELECT DISTINCT doc_id, fp FROM wf_sel
+    WHERE fp IN (SELECT fp FROM (SELECT fp, count(DISTINCT doc_id) AS nd
+                                 FROM wf_sel GROUP BY fp) WHERE nd <= {cap})
+), wf_pairs AS (
+    SELECT a.doc_id AS da, b.doc_id AS db, count(DISTINCT a.fp) AS shared
+    FROM wf_cold a JOIN wf_cold b ON a.fp = b.fp AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+), wf_gt AS (
+    SELECT CAST(COALESCE(SUM(greatest(length(n) - {k - 1}, 0)), 0) AS BIGINT) AS wf_total_grams
+    FROM wf_norm
+), wf_s AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS wf_selected,
+           CAST(COUNT(DISTINCT fp) AS BIGINT) AS wf_distinct_fps,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS wf_docs
+    FROM wf_sel
+), wf_p AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS wf_shared_pairs,
+           CAST(COALESCE(MAX(shared), 0) AS BIGINT) AS wf_top_pair_shared
+    FROM wf_pairs
+), wf AS (
+    SELECT wf_selected, wf_distinct_fps, wf_docs, wf_total_grams,
+           CASE WHEN wf_total_grams > 0
+                THEN (wf_selected * 1000000000) // wf_total_grams
+                ELSE 0 END AS wf_density_nanos,
+           wf_shared_pairs, wf_top_pair_shared
+    FROM wf_s, wf_gt, wf_p
+)"""
 
 
 FINGERPRINTS_SQL = """
@@ -892,13 +962,15 @@ WITH dn_toks AS (
            CASE WHEN dn2_total > 0 THEN (dn2_distinct * 1000000000) // dn2_total ELSE 0 END AS dn2_nanos,
            CASE WHEN dn3_total > 0 THEN (dn3_distinct * 1000000000) // dn3_total ELSE 0 END AS dn3_nanos
     FROM dn_totals, dn1, dn2, dn3
-)
+), __WINNOW__
 SELECT doc_id, md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fp,
        dn1_distinct, dn2_distinct, dn3_distinct,
        dn1_total, dn2_total, dn3_total,
-       dn1_nanos, dn2_nanos, dn3_nanos
-FROM documents, dn
-"""
+       dn1_nanos, dn2_nanos, dn3_nanos,
+       wf_selected, wf_distinct_fps, wf_docs, wf_total_grams,
+       wf_density_nanos, wf_shared_pairs, wf_top_pair_shared
+FROM documents, dn, wf
+""".replace("__WINNOW__", _winnow_duck_ctes())
 
 
 QUERIES = {

@@ -194,12 +194,20 @@ def main() -> None:
             ).collect()
         )
 
+        # r10 continuation: winnowing scalars — exact integers over a
+        # per-doc window; layout cannot move them
+        from lakehouse_file_format_compare_spark.operators.winnow import (
+            winnow_scalars,
+        )
+
+        wf = winnow_scalars(docs).collect()[0]
+
         print(json.dumps({
             "master": master, "approx_distinct": ad, "dsir": dsir, "pr": pr,
             "einc_kept": einc, "bpe_merges": merges, "bpe_fp": bpe_fp,
             "lm": lm.asDict(), "km": km.asDict(), "zipf": zf.asDict(),
             "hits": ht, "lpa": lpa, "tri": tri.asDict(), "kcore": kc,
-            "uv": uv,
+            "uv": uv, "winnow": wf.asDict(),
         }))
     finally:
         spark.stop()

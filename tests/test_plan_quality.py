@@ -584,6 +584,17 @@ def test_no_python_row_udfs_in_r10_operators(spark):
         wordpiece_apply(docs, {"th": 10**9, "a": 2 * 10**9}),
         ppjoin_jaccard_pairs(docs.limit(100), threshold=0.5),
     ]
+    from lakehouse_file_format_compare_spark.operators.winnow import (
+        winnow_fingerprints,
+        winnow_scalars,
+        winnow_shared_pairs,
+    )
+
+    frames += [
+        winnow_fingerprints(docs),
+        winnow_shared_pairs(winnow_fingerprints(docs)),
+        winnow_scalars(docs),
+    ]
     for df in frames:
         plan = df._sc._jvm.PythonSQLUtils.explainString(
             df._jdf.queryExecution(), "formatted"
