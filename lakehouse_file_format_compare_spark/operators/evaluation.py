@@ -1,0 +1,163 @@
+"""Exact distributed evaluation of binary classifiers / quality
+filters: ROC-AUC in the rank-free Mann-Whitney form, plus confusion
+counts and the derived precision/recall/F1 rates — the measurement
+half of every keep-vs-drop filter in a training-data pipeline (the
+Naive-Bayes classifier in operators/classify.py, the CCNet bigram-LM
+filter in operators/lm.py, DSIR weights in operators/importance.py
+all produce scores whose usefulness IS their ranking quality).
+
+ROC-AUC without a global sort: the textbook estimator is the
+Mann-Whitney U statistic — rank all scores, sum the positive ranks —
+which naively needs a TOTAL ORDER (a single-partition window at
+corpus grain). This operator computes the identical quantity from
+GROUPED counts instead::
+
+    per distinct score s:   pos(s), neg(s)
+    2 * U = Σ_s pos(s) * (2 * cumneg(<s) + neg(s))
+    AUC   = U / (P * N)
+
+(the ``pos*neg`` term is exactly the tie midrank correction). The
+cumulative ``cumneg(<s)`` runs two-phase: scores are range-bucketed
+by ``score DIV 2^bucket_shift`` (truncating division — identical in
+Spark ``DIV`` and DuckDB ``//`` for negatives too, and monotone in
+the score, so bucket order is score order); within-bucket cumulation
+is a window PARTITIONED BY bucket, and only the bucket TOTALS — a
+frame bounded by the score range / 2^bucket_shift, independent of
+corpus size — pass through a global-order window (the documented
+bounded-aggregate exception, the plans/streaming_plans.py
+precedent). No corpus-grain total order anywhere.
+
+Exactness: scores and labels are LONGs; U, P, N are LONG sums;
+``auc_nanos = (2U * 1e9) DIV (2PN)`` is computed in DECIMAL(38,0)
+(Spark decimal ``DIV`` == DuckDB HUGEINT ``//``, verified) so it
+never overflows and is bit-equal cross-engine at any corpus size.
+
+Cited reference scope: italovinicius18/lakehouse-file-format-compare
+has no evaluation surface (dags/ are format-comparison ETL);
+extension surface per the training-data-pipeline brief (SURVEY §2
+extensions — the evaluation companion to the quality-scoring
+family).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+#: default range-bucket width exponent for the two-phase cumulative:
+#: nano-scaled scores spanning ±1e15 make ~2^51/2^44 ≈ 128 buckets.
+AUC_BUCKET_SHIFT = 44
+
+
+def _dec_div_nanos(num, den):
+    """floor((num * 1e9) / den) in DECIMAL(38,0) — overflow-free and
+    bit-equal to DuckDB ``(num::HUGEINT * 1000000000) // den``."""
+    return F.expr(
+        f"CAST((CAST({num} AS DECIMAL(38,0)) * 1000000000) "
+        f"DIV CAST({den} AS DECIMAL(38,0)) AS BIGINT)"
+    )
+
+
+def auc_report(
+    scored: DataFrame,
+    score_col: str = "score",
+    label_col: str = "label",
+    bucket_shift: int = AUC_BUCKET_SHIFT,
+) -> DataFrame:
+    """One exact row: ``auc_num`` (= 2U, LONG), ``auc_den`` (= 2PN,
+    LONG), ``auc_nanos`` (floor(AUC * 1e9), decimal-exact), ``n_pos``,
+    ``n_neg``. Higher score ranks toward label 1; ties contribute the
+    Mann-Whitney midrank 1/2. Degenerate inputs (no positives or no
+    negatives, or empty) return ``auc_den = 0`` and ``auc_nanos = 0``
+    — well-defined, never a division error."""
+    width = 1 << bucket_shift
+    per_score = (
+        scored.select(
+            F.col(score_col).cast("long").alias("s"),
+            F.col(label_col).cast("long").alias("y"),
+        )
+        .groupBy("s")
+        .agg(
+            F.sum("y").cast("long").alias("pos"),
+            F.sum(F.lit(1) - F.col("y")).cast("long").alias("neg"),
+        )
+        .withColumn("b", F.expr(f"s DIV {width}"))
+    )
+    bucket_totals = per_score.groupBy("b").agg(
+        F.sum("neg").cast("long").alias("__bneg")
+    )
+    # global-order window over BUCKET TOTALS only (bounded frame)
+    w_buckets = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = bucket_totals.select(
+        "b", F.coalesce(F.sum("__bneg").over(w_buckets), F.lit(0)).alias("__off")
+    )
+    w_in = (
+        Window.partitionBy("b").orderBy("s").rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = per_score.join(F.broadcast(offsets), "b").select(
+        "s",
+        "pos",
+        "neg",
+        (
+            F.col("__off") + F.coalesce(F.sum("neg").over(w_in), F.lit(0))
+        ).alias("cumneg"),
+    )
+    agg = cum.agg(
+        F.coalesce(
+            F.sum(F.col("pos") * (F.lit(2) * F.col("cumneg") + F.col("neg"))),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("auc_num"),
+        F.coalesce(F.sum("pos"), F.lit(0)).cast("long").alias("n_pos"),
+        F.coalesce(F.sum("neg"), F.lit(0)).cast("long").alias("n_neg"),
+    )
+    return agg.select(
+        "auc_num",
+        (F.lit(2) * F.col("n_pos") * F.col("n_neg")).cast("long").alias("auc_den"),
+        F.when(
+            (F.col("n_pos") > 0) & (F.col("n_neg") > 0),
+            _dec_div_nanos("auc_num", "2 * n_pos * n_neg"),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("auc_nanos"),
+        "n_pos",
+        "n_neg",
+    )
+
+
+def confusion_report(
+    scored: DataFrame, pred_col: str = "predicted", label_col: str = "label"
+) -> DataFrame:
+    """One exact row of confusion counts and nano-scaled rates:
+    ``tp fp tn fn`` plus ``precision_nanos recall_nanos f1_nanos
+    accuracy_nanos`` (floor(rate * 1e9), 0 when the denominator is 0).
+    One scan, one aggregate — mergeable across shards by summing the
+    counts and re-deriving the rates."""
+    p = F.col(pred_col).cast("long")
+    y = F.col(label_col).cast("long")
+    agg = scored.agg(
+        F.coalesce(F.sum(p * y), F.lit(0)).cast("long").alias("tp"),
+        F.coalesce(F.sum(p * (1 - y)), F.lit(0)).cast("long").alias("fp"),
+        F.coalesce(F.sum((1 - p) * y), F.lit(0)).cast("long").alias("fn"),
+        F.coalesce(F.sum((1 - p) * (1 - y)), F.lit(0)).cast("long").alias("tn"),
+    )
+    def _rate(num: str, den: str, name: str):
+        return (
+            F.when(F.expr(den) > 0, _dec_div_nanos(num, den))
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias(name)
+        )
+
+    return agg.select(
+        "tp",
+        "fp",
+        "tn",
+        "fn",
+        _rate("tp", "tp + fp", "precision_nanos"),
+        _rate("tp", "tp + fn", "recall_nanos"),
+        _rate("2 * tp", "2 * tp + fp + fn", "f1_nanos"),
+        _rate("tp + tn", "tp + fp + tn + fn", "accuracy_nanos"),
+    )

@@ -504,14 +504,50 @@ def lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _lm_auc_scalars(docs: DataFrame) -> DataFrame:
+    """``lmauc_*``: the exact ROC-AUC of the bigram-LM filter's
+    ranking (operators/evaluation.py, rank-free Mann-Whitney form) at
+    separating the ``lang='en'`` train slice from everything else —
+    the formal version of the lm_flagged_train_grp/lm_flagged_other
+    discrimination split. Per-doc ranking score = mean log-prob in
+    milli-nano-nats, computed POSITIVE-ONLY (negate the non-positive
+    ``lp_nanos`` before the truncating division, negate back after)
+    so no engine's negative-division convention is ever exercised.
+    Only docs with >= 1 bigram participate. Envelope: ``|lp_nanos| *
+    1000`` must fit a LONG — ~4e8 bigrams per document at ~20 nats
+    each; chunk longer docs upstream."""
+    from ..operators.evaluation import auc_report
+    from ..operators.lm import bigram_lm_score, bigram_lm_train
+
+    train = docs.where(F.col("lang") == "en")
+    model, ctx_totals, vocab = bigram_lm_train(train)
+    scored = bigram_lm_score(docs, model, ctx_totals, vocab, keep_cols=("lang",))
+    s = scored.where(F.col("n_bigrams") > 0).select(
+        F.expr("-(((-lp_nanos) * 1000) DIV n_bigrams)").alias("score"),
+        (F.col("lang") == "en").cast("int").alias("label"),
+    )
+    return auc_report(s).select(
+        F.col("auc_num").alias("lmauc_num"),
+        F.col("auc_den").alias("lmauc_den"),
+        F.col("auc_nanos").alias("lmauc_nanos"),
+        F.col("n_pos").alias("lmauc_pos"),
+        F.col("n_neg").alias("lmauc_neg"),
+    )
+
+
 def quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc heuristic quality ratios, widened (r10) with the
     ``lm_*`` CCNet-style bigram-LM perplexity-filter scalars
     (operators/lm.py: train on the ``lang='en'`` reference slice,
     score every doc, flag the high-perplexity tail — all reduced to
-    exact nano-fixed-point LONGs the oracle replays from scratch)."""
-    return quality_serving(spark, sf_dir).crossJoin(
-        F.broadcast(lm_perplexity(spark, sf_dir))
+    exact nano-fixed-point LONGs the oracle replays from scratch) and
+    (late r10) the ``lmauc_*`` exact ROC-AUC of that filter's ranking
+    (:func:`_lm_auc_scalars`)."""
+    docs = table(spark, sf_dir, "documents")
+    return (
+        quality_serving(spark, sf_dir)
+        .crossJoin(F.broadcast(lm_perplexity(spark, sf_dir)))
+        .crossJoin(F.broadcast(_lm_auc_scalars(docs)))
     )
 
 
@@ -578,6 +614,36 @@ _LM_SQL_CTES = f"""lm_tok AS (
            CAST(SUM((doc_id % 97) * lp) AS BIGINT) AS lm_fp
     FROM lm_fl, lm_facts
     GROUP BY 1, 2, 3
+), lmauc_s AS (
+    -- mean log-prob in milli-nano-nats; positive-only division
+    -- (lp <= 0 always), negated back — no negative-division
+    -- convention exercised on either engine
+    SELECT -(((-lp) * 1000) // nb) AS s,
+           CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+    FROM lm_fl WHERE nb > 0
+), lmauc_ps AS (
+    SELECT s, CAST(SUM(y) AS BIGINT) AS pos,
+           CAST(SUM(1 - y) AS BIGINT) AS neg
+    FROM lmauc_s GROUP BY s
+), lmauc_c AS (
+    SELECT pos, neg,
+           COALESCE(SUM(neg) OVER (ORDER BY s ROWS BETWEEN UNBOUNDED
+                     PRECEDING AND 1 PRECEDING), 0) AS cumneg
+    FROM lmauc_ps
+), lmauc AS (
+    SELECT CAST(COALESCE(SUM(pos * (2 * cumneg + neg)), 0) AS BIGINT)
+               AS lmauc_num,
+           CAST(2 * COALESCE(SUM(pos), 0) * COALESCE(SUM(neg), 0)
+               AS BIGINT) AS lmauc_den,
+           CASE WHEN COALESCE(SUM(pos), 0) > 0
+                 AND COALESCE(SUM(neg), 0) > 0
+                THEN CAST((CAST(COALESCE(SUM(pos * (2 * cumneg + neg)), 0)
+                                AS HUGEINT) * 1000000000)
+                          // (2 * SUM(pos) * SUM(neg)) AS BIGINT)
+                ELSE CAST(0 AS BIGINT) END AS lmauc_nanos,
+           CAST(COALESCE(SUM(pos), 0) AS BIGINT) AS lmauc_pos,
+           CAST(COALESCE(SUM(neg), 0) AS BIGINT) AS lmauc_neg
+    FROM lmauc_c
 )"""
 
 QUALITY_SQL = f"""
@@ -609,8 +675,9 @@ SELECT doc_id,
            AS quality_score,
        lm_train_docs, lm_vocab, lm_model_rows, lm_scored_docs,
        lm_tokens, lm_lp_nanos, lm_flagged_docs, lm_flagged_train_grp,
-       lm_flagged_other, lm_fp
-FROM ratios, lmagg
+       lm_flagged_other, lm_fp,
+       lmauc_num, lmauc_den, lmauc_nanos, lmauc_pos, lmauc_neg
+FROM ratios, lmagg, lmauc
 """
 
 

@@ -202,12 +202,20 @@ def main() -> None:
 
         wf = winnow_scalars(docs).collect()[0]
 
+        # r10 continuation: exact Mann-Whitney AUC of the LM filter —
+        # grouped integer math, layout-proof by construction
+        from lakehouse_file_format_compare_spark.plans.text_plans import (
+            _lm_auc_scalars,
+        )
+
+        lmauc = _lm_auc_scalars(docs).collect()[0]
+
         print(json.dumps({
             "master": master, "approx_distinct": ad, "dsir": dsir, "pr": pr,
             "einc_kept": einc, "bpe_merges": merges, "bpe_fp": bpe_fp,
             "lm": lm.asDict(), "km": km.asDict(), "zipf": zf.asDict(),
             "hits": ht, "lpa": lpa, "tri": tri.asDict(), "kcore": kc,
-            "uv": uv, "winnow": wf.asDict(),
+            "uv": uv, "winnow": wf.asDict(), "lmauc": lmauc.asDict(),
         }))
     finally:
         spark.stop()

@@ -1,0 +1,162 @@
+"""Exact classifier evaluation (operators/evaluation.py): ROC-AUC in
+the rank-free Mann-Whitney form vs an O(P*N) brute-force mirror
+(random + hypothesis sweeps, ties-heavy), confusion-report rates,
+degenerate inputs, bucket-width independence, layout invariance and
+plan pins, plus the lmauc_* driver-row integration."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from lakehouse_file_format_compare_spark.operators.evaluation import (
+    auc_report,
+    confusion_report,
+)
+
+
+def _auc_mirror(pairs):
+    """Brute-force 2U/(2PN) with midrank ties."""
+    pos = [s for s, y in pairs if y == 1]
+    neg = [s for s, y in pairs if y == 0]
+    if not pos or not neg:
+        return (0 if not pairs else sum(1 for p in pos for n in neg if p > n) * 2
+                + sum(1 for p in pos for n in neg if p == n), 0, 0)
+    num = sum(2 for p in pos for n in neg if p > n) + sum(
+        1 for p in pos for n in neg if p == n
+    )
+    den = 2 * len(pos) * len(neg)
+    return num, den, (num * 10**9) // den
+
+
+def _check(spark, pairs, bucket_shift=44):
+    df = spark.createDataFrame(pairs, "score long, label int")
+    r = auc_report(df, "score", "label", bucket_shift=bucket_shift).collect()[0]
+    num, den, nanos = _auc_mirror(pairs)
+    if den == 0:
+        assert r.auc_den == 0 and r.auc_nanos == 0
+    else:
+        assert (r.auc_num, r.auc_den, r.auc_nanos) == (num, den, nanos), (
+            pairs,
+            (r.auc_num, r.auc_den, r.auc_nanos),
+            (num, den, nanos),
+        )
+
+
+def test_auc_matches_bruteforce_random(spark):
+    rng = random.Random(7)
+    for _ in range(5):
+        n = rng.randint(2, 80)
+        pairs = [
+            (
+                rng.randint(-(10**15), 10**15)
+                if rng.random() < 0.5
+                else rng.randint(-4, 4),  # heavy ties half the time
+                rng.randint(0, 1),
+            )
+            for _ in range(n)
+        ]
+        _check(spark, pairs)
+
+
+@given(
+    pairs=st.lists(
+        st.tuples(
+            st.integers(min_value=-(10**15), max_value=10**15),
+            st.integers(min_value=0, max_value=1),
+        ),
+        min_size=1,
+        max_size=25,
+    ),
+    shift=st.sampled_from([2, 30, 44, 62]),
+)
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+def test_auc_matches_bruteforce_swept(spark, pairs, shift):
+    """Any score/label mix, any bucket width (shift=62 collapses to a
+    single bucket; shift=2 makes per-score buckets) — identical AUC."""
+    _check(spark, pairs, bucket_shift=shift)
+
+
+def test_auc_known_cases(spark):
+    perfect = [(10, 1), (9, 1), (1, 0), (0, 0)]
+    _check(spark, perfect)
+    assert _auc_mirror(perfect)[2] == 10**9
+    inverted = [(0, 1), (10, 0)]
+    _check(spark, inverted)
+    assert _auc_mirror(inverted)[2] == 0
+    all_tied = [(5, 1), (5, 0), (5, 1), (5, 0)]
+    _check(spark, all_tied)
+    assert _auc_mirror(all_tied)[2] == 500_000_000
+
+
+def test_auc_degenerate_inputs(spark):
+    empty = spark.createDataFrame([], "score long, label int")
+    r = auc_report(empty).collect()[0]
+    assert (r.auc_num, r.auc_den, r.auc_nanos, r.n_pos, r.n_neg) == (0, 0, 0, 0, 0)
+    one_class = spark.createDataFrame([(3, 1), (9, 1)], "score long, label int")
+    r = auc_report(one_class).collect()[0]
+    assert r.auc_den == 0 and r.auc_nanos == 0 and r.n_pos == 2 and r.n_neg == 0
+
+
+def test_auc_layout_invariant(spark):
+    rng = random.Random(11)
+    pairs = [(rng.randint(-100, 100), rng.randint(0, 1)) for _ in range(300)]
+    df = spark.createDataFrame(pairs, "score long, label int")
+    base = auc_report(df).collect()[0]
+    moved = auc_report(df.repartition(13)).collect()[0]
+    assert base == moved
+
+
+def test_confusion_report(spark):
+    df = spark.createDataFrame(
+        [(1, 1), (1, 0), (0, 1), (0, 0), (1, 1)], "predicted int, label int"
+    )
+    r = confusion_report(df).collect()[0]
+    assert (r.tp, r.fp, r.fn, r.tn) == (2, 1, 1, 1)
+    assert r.precision_nanos == (2 * 10**9) // 3
+    assert r.recall_nanos == (2 * 10**9) // 3
+    assert r.f1_nanos == (4 * 10**9) // 6
+    assert r.accuracy_nanos == (3 * 10**9) // 5
+    empty = confusion_report(
+        spark.createDataFrame([], "predicted int, label int")
+    ).collect()[0]
+    assert (empty.tp, empty.fp, empty.fn, empty.tn) == (0, 0, 0, 0)
+    assert empty.precision_nanos == 0 and empty.f1_nanos == 0
+
+
+def test_plan_shape(spark):
+    df = spark.range(1000).select(
+        (F.col("id") % 37).cast("long").alias("score"),
+        (F.col("id") % 2).cast("int").alias("label"),
+    )
+    for frame in [auc_report(df), confusion_report(df.withColumnRenamed("score", "predicted"))]:
+        plan = frame._sc._jvm.PythonSQLUtils.explainString(
+            frame._jdf.queryExecution(), "formatted"
+        )
+        assert "BatchEvalPython" not in plan
+        assert "ArrowEvalPython" not in plan
+        assert "CartesianProduct" not in plan
+
+
+def test_lm_auc_driver_scalars(spark):
+    """The lmauc_* widening discriminates en from other languages
+    (AUC well above chance) and its denominator covers every scored
+    doc."""
+    from lakehouse_file_format_compare_spark.plans.text_plans import (
+        _lm_auc_scalars,
+    )
+    from lakehouse_file_format_compare_spark.sources.testdata import table
+
+    docs = table(spark, "/root/testdata/sf0.001", "documents")
+    r = _lm_auc_scalars(docs).collect()[0]
+    assert r.lmauc_pos > 0 and r.lmauc_neg > 0
+    assert r.lmauc_den == 2 * r.lmauc_pos * r.lmauc_neg
+    assert r.lmauc_nanos > 700_000_000  # the en-trained LM ranks en high

@@ -595,6 +595,17 @@ def test_no_python_row_udfs_in_r10_operators(spark):
         winnow_shared_pairs(winnow_fingerprints(docs)),
         winnow_scalars(docs),
     ]
+    from lakehouse_file_format_compare_spark.operators.evaluation import (
+        auc_report,
+        confusion_report,
+    )
+
+    eval_in = docs.select(
+        (F.col("doc_id") % 37).cast("long").alias("score"),
+        (F.col("doc_id") % 2).cast("int").alias("label"),
+        (F.col("doc_id") % 3 == 0).cast("int").alias("predicted"),
+    )
+    frames += [auc_report(eval_in), confusion_report(eval_in)]
     for df in frames:
         plan = df._sc._jvm.PythonSQLUtils.explainString(
             df._jdf.queryExecution(), "formatted"
