@@ -35,6 +35,7 @@ from ..functions.numeric import grid, grid_sql
 from ..functions.repetition import _lines, top_ngram_char_fraction
 from ..functions.stats import percentile_summary
 from ..operators.decontaminate import (
+    _ngram_set,
     jaccard_contamination,
     minhash_contamination,
     ngram_contamination,
@@ -234,6 +235,72 @@ def _dec_agg(docs: DataFrame) -> DataFrame:
     return ngram_contamination(docs, eval_docs, n=DECON_N).agg(
         F.count(F.lit(1)).alias("decon_pairs"),
         F.sum("shared_ngrams").cast("long").alias("decon_shared_total"),
+    )
+
+
+#: Bloom prefilter parameters for the bf_* contract block: 256 words
+#: = 8192 bits at k=4 over ~1-2k eval n-grams — a deliberately LOSSY
+#: setting so bf_false_pos is non-degenerate and the no-false-negative
+#: guarantee (bf_missed == 0) is tested against real collisions.
+BF_WORDS = 256
+BF_K = 4
+
+
+def _bf_agg(docs: DataFrame) -> DataFrame:
+    """Bloom-filter membership cross-check (operators/membership.py)
+    over the SAME eval n-gram set the decon_* block uses: build the
+    filter from the eval grams, probe every distinct corpus gram, and
+    reduce to exact bf_* LONGs — bitmap population, probe hits, exact
+    hits, the false-positive count, and ``bf_missed`` which MUST be 0
+    (Bloom's guarantee; a driver-hashed value, not a boolean). This is
+    contract surface (suite-only, like the LSH recall check): the
+    serving path uses the prefilter inside
+    ``bloom_prefiltered_contamination``."""
+    from ..operators.membership import bloom_build, bloom_probe
+
+    eval_docs = docs.orderBy("doc_id").limit(DECON_EVAL_DOCS)
+    e = (
+        _ngram_set(eval_docs, DECON_N, "doc_id", "text", "eval_id")
+        .select("ngram")
+        .distinct()
+    )
+    c = (
+        _ngram_set(docs, DECON_N, "doc_id", "text", "doc_id")
+        .select("ngram")
+        .distinct()
+    )
+    bloom = bloom_build(e, "ngram", n_words=BF_WORDS, k=BF_K)
+    hits = (
+        bloom_probe(c, "ngram", bloom, n_words=BF_WORDS, k=BF_K)
+        .where(F.col("bf_member") == 1)
+        .select("ngram")
+    )
+    true_g = c.join(e, "ngram", "left_semi")
+    filt = bloom.agg(
+        F.count(F.lit(1)).cast("long").alias("bf_words_nonzero"),
+        F.coalesce(F.sum(F.bit_count("bits")), F.lit(0))
+        .cast("long")
+        .alias("bf_bits_set"),
+    )
+    probe = hits.agg(F.count(F.lit(1)).cast("long").alias("bf_probe_hits"))
+    tru = true_g.agg(F.count(F.lit(1)).cast("long").alias("bf_true_ngrams"))
+    missed = true_g.join(hits, "ngram", "left_anti").agg(
+        F.count(F.lit(1)).cast("long").alias("bf_missed")
+    )
+    return (
+        filt.crossJoin(F.broadcast(probe))
+        .crossJoin(F.broadcast(tru))
+        .crossJoin(F.broadcast(missed))
+        .select(
+            "bf_words_nonzero",
+            "bf_bits_set",
+            "bf_probe_hits",
+            "bf_true_ngrams",
+            (F.col("bf_probe_hits") - F.col("bf_true_ngrams"))
+            .cast("long")
+            .alias("bf_false_pos"),
+            "bf_missed",
+        )
     )
 
 
@@ -486,6 +553,7 @@ def corpus_hygiene_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(lm_agg).crossJoin(ch_agg).crossJoin(fd_agg)
         .crossJoin(sd_agg).crossJoin(ss_agg).crossJoin(bl_agg)
         .crossJoin(_scon_agg(docs)).crossJoin(_nbq_agg(docs))
+        .crossJoin(_bf_agg(docs))
     )
 
 
@@ -909,7 +977,41 @@ WITH aug AS (
            COALESCE(SUM(CASE WHEN predicted = label THEN 1 ELSE 0 END), 0) AS nbq_correct,
            {grid_sql("COALESCE(SUM(" + grid_sql("margin", 2) + "), 0)", 2)} AS nbq_margin_total
     FROM nb_scored
-), nbq_v AS (SELECT v AS nbq_vocab FROM nb_tot)
+), nbq_v AS (SELECT v AS nbq_vocab FROM nb_tot
+), bf_ek AS (
+    SELECT DISTINCT ngram FROM eval_g
+), bf_ck AS (
+    SELECT DISTINCT ngram FROM corpus_g
+), bf_j AS (
+    SELECT unnest(generate_series(0, {BF_K - 1})) AS j
+), bf_bits AS (
+    SELECT idx // 32 AS word,
+           bit_or(1::BIGINT << CAST(idx % 32 AS INT)) AS bits
+    FROM (SELECT (CAST('0x' || substring(md5('bf' || CAST(j AS VARCHAR) || '|' || ngram), 1, 12) AS BIGINT)) % {BF_WORDS * 32} AS idx
+          FROM bf_ek, bf_j)
+    GROUP BY 1
+), bf_hits AS (
+    SELECT ngram FROM (
+        SELECT p.ngram,
+               MIN(COALESCE((b.bits >> CAST(p.idx % 32 AS INT)) & 1, 0)) AS hit
+        FROM (SELECT ngram,
+                     (CAST('0x' || substring(md5('bf' || CAST(j AS VARCHAR) || '|' || ngram), 1, 12) AS BIGINT)) % {BF_WORDS * 32} AS idx
+              FROM bf_ck, bf_j) p
+        LEFT JOIN bf_bits b ON (p.idx // 32) = b.word
+        GROUP BY p.ngram
+    ) WHERE hit = 1
+), bf_true AS (
+    SELECT ngram FROM bf_ck WHERE ngram IN (SELECT ngram FROM bf_ek)
+), bf AS (
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM bf_bits) AS bf_words_nonzero,
+           (SELECT CAST(COALESCE(SUM(bit_count(bits)), 0) AS BIGINT) FROM bf_bits) AS bf_bits_set,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM bf_hits) AS bf_probe_hits,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM bf_true) AS bf_true_ngrams,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM bf_hits)
+               - (SELECT CAST(COUNT(*) AS BIGINT) FROM bf_true) AS bf_false_pos,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM bf_true
+            WHERE ngram NOT IN (SELECT ngram FROM bf_hits)) AS bf_missed
+)
 SELECT CAST(pii_email_hits AS BIGINT) AS pii_email_hits,
        CAST(pii_phone_hits AS BIGINT) AS pii_phone_hits,
        CAST(pii_ipv4_hits AS BIGINT) AS pii_ipv4_hits,
@@ -953,8 +1055,10 @@ SELECT CAST(pii_email_hits AS BIGINT) AS pii_email_hits,
        CAST(nbq_pred_pos AS BIGINT) AS nbq_pred_pos,
        CAST(nbq_correct AS BIGINT) AS nbq_correct,
        nbq_margin_total,
-       CAST(nbq_vocab AS BIGINT) AS nbq_vocab
-FROM pii_agg, rep_agg, top_agg, bm_agg, dec_agg, pct, lm_agg, chunk_agg, enc_agg, fd_agg, sd_agg, ss_agg, bl_agg, sc_agg, nbq_agg, nbq_v
+       CAST(nbq_vocab AS BIGINT) AS nbq_vocab,
+       bf_words_nonzero, bf_bits_set, bf_probe_hits,
+       bf_true_ngrams, bf_false_pos, bf_missed
+FROM pii_agg, rep_agg, top_agg, bm_agg, dec_agg, pct, lm_agg, chunk_agg, enc_agg, fd_agg, sd_agg, ss_agg, bl_agg, sc_agg, nbq_agg, nbq_v, bf
 """
 
 

@@ -606,6 +606,19 @@ def test_no_python_row_udfs_in_r10_operators(spark):
         (F.col("doc_id") % 3 == 0).cast("int").alias("predicted"),
     )
     frames += [auc_report(eval_in), confusion_report(eval_in)]
+    from lakehouse_file_format_compare_spark.operators.membership import (
+        bloom_build,
+        bloom_prefiltered_contamination,
+        bloom_probe,
+    )
+
+    keys = docs.select(F.col("text").alias("key"))
+    frames += [
+        bloom_probe(keys, "key", bloom_build(keys.limit(100), "key")),
+        bloom_prefiltered_contamination(
+            docs, docs.orderBy("doc_id").limit(10), n=8
+        ),
+    ]
     for df in frames:
         plan = df._sc._jvm.PythonSQLUtils.explainString(
             df._jdf.queryExecution(), "formatted"
