@@ -1594,3 +1594,108 @@ def test_kcore_walltime_scales_linearly_in_edges(spark):
     )
     assert "BatchEvalPython" not in plan and "CartesianProduct" not in plan
     e1.unpersist(); e10.unpersist()
+
+
+@pytest.mark.scale
+def test_winnow_scales_exactly_under_doc_replication(spark):
+    """r10 continuation: winnowing is per-document — replicating every
+    document K times under fresh ids multiplies selections and gram
+    totals by exactly K, leaves the distinct fingerprint set and the
+    density UNCHANGED, and each copy selects the identical
+    (pos, fp) set. The only cross-doc stage (the shared-pair join)
+    is excluded here — its growth is the documented quadratic-in-dups
+    pair semantics, capped by the hot-bucket dial."""
+    from functools import reduce
+
+    from pyspark.sql import DataFrame
+
+    from lakehouse_file_format_compare_spark.operators.winnow import (
+        winnow_fingerprints,
+        winnow_scalars,
+    )
+
+    K = 4
+    docs = table(spark, SF_SCALE, "documents").select("doc_id", "text")
+    n1 = docs.count()
+    copies = [
+        docs.select((F.col("doc_id") + F.lit(i * 10_000_000)).alias("doc_id"), "text")
+        for i in range(K)
+    ]
+    dk = reduce(DataFrame.unionByName, copies).cache()
+    assert dk.count() == K * n1
+
+    r1 = winnow_scalars(docs).collect()[0]
+    rk = winnow_scalars(dk).collect()[0]
+    assert rk.wf_selected == K * r1.wf_selected
+    assert rk.wf_total_grams == K * r1.wf_total_grams
+    assert rk.wf_docs == K * r1.wf_docs
+    assert rk.wf_distinct_fps == r1.wf_distinct_fps
+    assert rk.wf_density_nanos == r1.wf_density_nanos
+
+    # per-copy identity: copy i's selections == the originals shifted
+    base = {(r.doc_id, r.pos, r.fp) for r in winnow_fingerprints(docs).collect()}
+    got = {(r.doc_id, r.pos, r.fp) for r in winnow_fingerprints(dk).collect()}
+    want = {
+        (d + i * 10_000_000, p, f) for i in range(K) for (d, p, f) in base
+    }
+    assert got == want
+    dk.unpersist()
+
+
+@pytest.mark.scale
+def test_auc_is_replication_invariant(spark):
+    """r10 continuation: duplicating every scored row K times scales
+    both Mann-Whitney counts by exactly K^2 and leaves the AUC
+    bit-identical — the property that makes per-shard AUC estimates
+    meaningful at 100 TB."""
+    from functools import reduce
+
+    from pyspark.sql import DataFrame
+
+    from lakehouse_file_format_compare_spark.operators.evaluation import (
+        auc_report,
+    )
+
+    K = 3
+    docs = table(spark, SF_SCALE, "documents")
+    scored = docs.select(
+        (F.xxhash64("text") % 1000).alias("score"),
+        (F.col("lang") == "en").cast("int").alias("label"),
+    ).cache()
+    r1 = auc_report(scored).collect()[0]
+    dk = reduce(DataFrame.unionByName, [scored for _ in range(K)])
+    rk = auc_report(dk).collect()[0]
+    assert rk.auc_num == K * K * r1.auc_num
+    assert rk.auc_den == K * K * r1.auc_den
+    assert rk.auc_nanos == r1.auc_nanos
+    assert rk.n_pos == K * r1.n_pos and rk.n_neg == K * r1.n_neg
+    scored.unpersist()
+
+
+@pytest.mark.scale
+def test_bloom_filter_is_corpus_independent_and_never_misses(spark):
+    """r10 continuation: the filter's size is bounded by its
+    parameters (n_words rows), NOT by how many keys went in or how
+    big the probing corpus is — and inserted keys still probe
+    positive when the key set grows 10x into heavy bit collisions."""
+    from lakehouse_file_format_compare_spark.operators.membership import (
+        bloom_build,
+        bloom_probe,
+    )
+
+    docs = table(spark, SF_SCALE, "documents")
+    small = docs.limit(400).select(F.col("text").alias("key")).distinct().cache()
+    big = docs.select(F.col("text").alias("key")).distinct().cache()
+    n_small, n_big = small.count(), big.count()
+    assert n_big > 5 * n_small
+    b_small = bloom_build(small, "key", n_words=64)
+    b_big = bloom_build(big, "key", n_words=64)
+    assert b_small.count() <= 64 and b_big.count() <= 64
+    # no false negatives even when the filter is saturated
+    missed = (
+        bloom_probe(big, "key", b_big, n_words=64)
+        .where(F.col("bf_member") == 0)
+        .count()
+    )
+    assert missed == 0
+    small.unpersist(); big.unpersist()
