@@ -127,6 +127,145 @@ def auc_report(
     )
 
 
+def _cum_counts(
+    scored: DataFrame, score_col: str, label_col: str, bucket_shift: int
+) -> DataFrame:
+    """(s, pos, neg, cumpos, cumneg): per distinct score, the class
+    counts and the exclusive ascending cumulatives — the shared
+    two-phase shape (range buckets; global-order window over bucket
+    totals only) both AUC and threshold selection reduce to."""
+    width = 1 << bucket_shift
+    per_score = (
+        scored.select(
+            F.col(score_col).cast("long").alias("s"),
+            F.col(label_col).cast("long").alias("y"),
+        )
+        .groupBy("s")
+        .agg(
+            F.sum("y").cast("long").alias("pos"),
+            F.sum(F.lit(1) - F.col("y")).cast("long").alias("neg"),
+        )
+        .withColumn("b", F.expr(f"s DIV {width}"))
+    )
+    bucket_totals = per_score.groupBy("b").agg(
+        F.sum("pos").cast("long").alias("__bpos"),
+        F.sum("neg").cast("long").alias("__bneg"),
+    )
+    w_buckets = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = bucket_totals.select(
+        "b",
+        F.coalesce(F.sum("__bpos").over(w_buckets), F.lit(0)).alias("__offp"),
+        F.coalesce(F.sum("__bneg").over(w_buckets), F.lit(0)).alias("__offn"),
+    )
+    w_in = (
+        Window.partitionBy("b").orderBy("s").rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return per_score.join(F.broadcast(offsets), "b").select(
+        "s",
+        "pos",
+        "neg",
+        (F.col("__offp") + F.coalesce(F.sum("pos").over(w_in), F.lit(0))).alias(
+            "cumpos"
+        ),
+        (F.col("__offn") + F.coalesce(F.sum("neg").over(w_in), F.lit(0))).alias(
+            "cumneg"
+        ),
+    )
+
+
+def best_threshold_report(
+    scored: DataFrame,
+    score_col: str = "score",
+    label_col: str = "label",
+    bucket_shift: int = AUC_BUCKET_SHIFT,
+) -> DataFrame:
+    """Exact threshold selection over the score distribution: for
+    every candidate threshold t (each distinct score; predict 1 iff
+    score >= t) evaluate Youden's J and F1, and return ONE row with
+    the maxima and the thresholds achieving them.
+
+    Exact integer forms: with tp(t) = positives scoring >= t and
+    fp(t) likewise, ``J * P * N = tp*N - fp*P`` (``youden_scaled``, a
+    LONG — no division), and F1 = 2tp / (tp + fp + P) is reduced to
+    nanos in DECIMAL(38,0). Ties break to the SMALLEST threshold
+    (max-metric-then-min-threshold, two deterministic aggregates) so
+    the result is bit-equal cross-engine. Degenerate inputs return
+    zeros. Same two-phase cumulative shape as :func:`auc_report` —
+    no corpus-grain total order."""
+    cum = _cum_counts(scored, score_col, label_col, bucket_shift)
+    tot = cum.agg(
+        F.coalesce(F.sum("pos"), F.lit(0)).cast("long").alias("P"),
+        F.coalesce(F.sum("neg"), F.lit(0)).cast("long").alias("N"),
+    )
+    per_t = cum.crossJoin(F.broadcast(tot)).select(
+        "s",
+        (F.col("P") - F.col("cumpos")).alias("tp"),
+        (F.col("N") - F.col("cumneg")).alias("fp"),
+        "P",
+        "N",
+    )
+    metrics = per_t.select(
+        "s",
+        "tp",
+        "fp",
+        (F.col("tp") * F.col("N") - F.col("fp") * F.col("P")).alias("j"),
+        _dec_div_nanos("2 * tp", "tp + fp + P").alias("f1"),
+    )
+    best = metrics.agg(
+        F.count(F.lit(1)).cast("long").alias("n_thresholds"),
+        F.coalesce(F.max("j"), F.lit(0)).cast("long").alias("youden_scaled"),
+        F.coalesce(F.max("f1"), F.lit(0)).cast("long").alias("f1_best_nanos"),
+    )
+    picks = (
+        metrics.crossJoin(F.broadcast(best))
+        .agg(
+            F.coalesce(
+                F.min(F.when(F.col("j") == F.col("youden_scaled"), F.col("s"))),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("youden_score"),
+            F.coalesce(
+                F.min(F.when(F.col("f1") == F.col("f1_best_nanos"), F.col("s"))),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("f1_score"),
+            F.coalesce(
+                F.max(
+                    F.when(
+                        F.col("j") == F.col("youden_scaled"),
+                        F.struct(F.negate(F.col("s")).alias("ns"), "tp", "fp"),
+                    )
+                ).getField("tp"),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("youden_tp"),
+            F.coalesce(
+                F.max(
+                    F.when(
+                        F.col("j") == F.col("youden_scaled"),
+                        F.struct(F.negate(F.col("s")).alias("ns"), "tp", "fp"),
+                    )
+                ).getField("fp"),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("youden_fp"),
+        )
+    )
+    return best.crossJoin(F.broadcast(picks)).select(
+        "n_thresholds",
+        "youden_scaled",
+        "youden_score",
+        "youden_tp",
+        "youden_fp",
+        "f1_best_nanos",
+        "f1_score",
+    )
+
+
 def confusion_report(
     scored: DataFrame, pred_col: str = "predicted", label_col: str = "label"
 ) -> DataFrame:

@@ -516,7 +516,7 @@ def _lm_auc_scalars(docs: DataFrame) -> DataFrame:
     Only docs with >= 1 bigram participate. Envelope: ``|lp_nanos| *
     1000`` must fit a LONG — ~4e8 bigrams per document at ~20 nats
     each; chunk longer docs upstream."""
-    from ..operators.evaluation import auc_report
+    from ..operators.evaluation import auc_report, best_threshold_report
     from ..operators.lm import bigram_lm_score, bigram_lm_train
 
     train = docs.where(F.col("lang") == "en")
@@ -526,13 +526,23 @@ def _lm_auc_scalars(docs: DataFrame) -> DataFrame:
         F.expr("-(((-lp_nanos) * 1000) DIV n_bigrams)").alias("score"),
         (F.col("lang") == "en").cast("int").alias("label"),
     )
-    return auc_report(s).select(
+    auc = auc_report(s).select(
         F.col("auc_num").alias("lmauc_num"),
         F.col("auc_den").alias("lmauc_den"),
         F.col("auc_nanos").alias("lmauc_nanos"),
         F.col("n_pos").alias("lmauc_pos"),
         F.col("n_neg").alias("lmauc_neg"),
     )
+    th = best_threshold_report(s).select(
+        F.col("n_thresholds").alias("lmth_thresholds"),
+        F.col("youden_scaled").alias("lmth_youden_scaled"),
+        F.col("youden_score").alias("lmth_youden_score"),
+        F.col("youden_tp").alias("lmth_youden_tp"),
+        F.col("youden_fp").alias("lmth_youden_fp"),
+        F.col("f1_best_nanos").alias("lmth_f1_nanos"),
+        F.col("f1_score").alias("lmth_f1_score"),
+    )
+    return auc.crossJoin(F.broadcast(th))
 
 
 def quality(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -644,6 +654,44 @@ _LM_SQL_CTES = f"""lm_tok AS (
            CAST(COALESCE(SUM(pos), 0) AS BIGINT) AS lmauc_pos,
            CAST(COALESCE(SUM(neg), 0) AS BIGINT) AS lmauc_neg
     FROM lmauc_c
+), lmth_c AS (
+    SELECT s, pos, neg,
+           COALESCE(SUM(pos) OVER (ORDER BY s ROWS BETWEEN UNBOUNDED
+                     PRECEDING AND 1 PRECEDING), 0) AS cumpos,
+           COALESCE(SUM(neg) OVER (ORDER BY s ROWS BETWEEN UNBOUNDED
+                     PRECEDING AND 1 PRECEDING), 0) AS cumneg
+    FROM lmauc_ps
+), lmth_tot AS (
+    SELECT CAST(COALESCE(SUM(pos), 0) AS BIGINT) AS tp_all,
+           CAST(COALESCE(SUM(neg), 0) AS BIGINT) AS tn_all
+    FROM lmauc_ps
+), lmth_m AS (
+    -- threshold t = s: predict positive iff score >= t
+    SELECT s, (tp_all - cumpos) AS tp, (tn_all - cumneg) AS fp,
+           ((tp_all - cumpos) * tn_all - (tn_all - cumneg) * tp_all) AS j,
+           CASE WHEN ((tp_all - cumpos) + (tn_all - cumneg) + tp_all) > 0
+                THEN CAST((CAST(2 * (tp_all - cumpos) AS HUGEINT) * 1000000000)
+                          // ((tp_all - cumpos) + (tn_all - cumneg) + tp_all)
+                          AS BIGINT)
+                ELSE CAST(0 AS BIGINT) END AS f1
+    FROM lmth_c, lmth_tot
+), lmth_best AS (
+    SELECT COUNT(*) AS nth, MAX(j) AS jb, MAX(f1) AS f1b FROM lmth_m
+), lmth_pick AS (
+    SELECT MIN(CASE WHEN j = (SELECT jb FROM lmth_best) THEN s END) AS ys,
+           MIN(CASE WHEN f1 = (SELECT f1b FROM lmth_best) THEN s END) AS f1s
+    FROM lmth_m
+), lmth AS (
+    SELECT CAST(nth AS BIGINT) AS lmth_thresholds,
+           CAST(COALESCE(jb, 0) AS BIGINT) AS lmth_youden_scaled,
+           CAST(COALESCE(ys, 0) AS BIGINT) AS lmth_youden_score,
+           CAST(COALESCE((SELECT tp FROM lmth_m WHERE s = ys), 0) AS BIGINT)
+               AS lmth_youden_tp,
+           CAST(COALESCE((SELECT fp FROM lmth_m WHERE s = ys), 0) AS BIGINT)
+               AS lmth_youden_fp,
+           CAST(COALESCE(f1b, 0) AS BIGINT) AS lmth_f1_nanos,
+           CAST(COALESCE(f1s, 0) AS BIGINT) AS lmth_f1_score
+    FROM lmth_best, lmth_pick
 )"""
 
 QUALITY_SQL = f"""
@@ -676,8 +724,10 @@ SELECT doc_id,
        lm_train_docs, lm_vocab, lm_model_rows, lm_scored_docs,
        lm_tokens, lm_lp_nanos, lm_flagged_docs, lm_flagged_train_grp,
        lm_flagged_other, lm_fp,
-       lmauc_num, lmauc_den, lmauc_nanos, lmauc_pos, lmauc_neg
-FROM ratios, lmagg, lmauc
+       lmauc_num, lmauc_den, lmauc_nanos, lmauc_pos, lmauc_neg,
+       lmth_thresholds, lmth_youden_scaled, lmth_youden_score,
+       lmth_youden_tp, lmth_youden_fp, lmth_f1_nanos, lmth_f1_score
+FROM ratios, lmagg, lmauc, lmth
 """
 
 

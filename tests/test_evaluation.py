@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 
 from lakehouse_file_format_compare_spark.operators.evaluation import (
     auc_report,
+    best_threshold_report,
     confusion_report,
 )
 
@@ -144,6 +145,71 @@ def test_plan_shape(spark):
         assert "BatchEvalPython" not in plan
         assert "ArrowEvalPython" not in plan
         assert "CartesianProduct" not in plan
+
+
+def _threshold_mirror(pairs):
+    """Brute-force per-threshold Youden J / F1 sweep with the
+    max-metric-then-min-threshold tie rule."""
+    scores = sorted({s for s, _ in pairs})
+    P = sum(y for _, y in pairs)
+    N = len(pairs) - P
+    rows = []
+    for t in scores:
+        tp = sum(1 for s, y in pairs if s >= t and y == 1)
+        fp = sum(1 for s, y in pairs if s >= t and y == 0)
+        j = tp * N - fp * P
+        den = tp + fp + P
+        f1 = (2 * tp * 10**9) // den if den > 0 else 0
+        rows.append((t, tp, fp, j, f1))
+    if not rows:
+        return (0, 0, 0, 0, 0, 0, 0)
+    jb = max(r[3] for r in rows)
+    f1b = max(r[4] for r in rows)
+    ys = min(r[0] for r in rows if r[3] == jb)
+    f1s = min(r[0] for r in rows if r[4] == f1b)
+    ytp, yfp = next((r[1], r[2]) for r in rows if r[0] == ys)
+    return (len(rows), jb, ys, ytp, yfp, f1b, f1s)
+
+
+@given(
+    pairs=st.lists(
+        st.tuples(
+            st.integers(min_value=-(10**14), max_value=10**14),
+            st.integers(min_value=0, max_value=1),
+        ),
+        min_size=0,
+        max_size=25,
+    ),
+    shift=st.sampled_from([2, 44, 62]),
+)
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+def test_best_threshold_matches_bruteforce_swept(spark, pairs, shift):
+    df = spark.createDataFrame(pairs, "score long, label int")
+    r = best_threshold_report(df, "score", "label", bucket_shift=shift).collect()[0]
+    got = (
+        r.n_thresholds,
+        r.youden_scaled,
+        r.youden_score,
+        r.youden_tp,
+        r.youden_fp,
+        r.f1_best_nanos,
+        r.f1_score,
+    )
+    assert got == _threshold_mirror(pairs), (pairs, got)
+
+
+def test_best_threshold_perfect_separation(spark):
+    df = spark.createDataFrame(
+        [(10, 1), (9, 1), (2, 0), (1, 0)], "score long, label int"
+    )
+    r = best_threshold_report(df).collect()[0]
+    assert r.youden_scaled == 2 * 2  # tp*N - fp*P = 2*2 - 0
+    assert r.youden_score == 9 and r.youden_tp == 2 and r.youden_fp == 0
+    assert r.f1_best_nanos == 10**9
 
 
 def test_lm_auc_driver_scalars(spark):

@@ -605,7 +605,15 @@ def test_no_python_row_udfs_in_r10_operators(spark):
         (F.col("doc_id") % 2).cast("int").alias("label"),
         (F.col("doc_id") % 3 == 0).cast("int").alias("predicted"),
     )
-    frames += [auc_report(eval_in), confusion_report(eval_in)]
+    from lakehouse_file_format_compare_spark.operators.evaluation import (
+        best_threshold_report,
+    )
+
+    frames += [
+        auc_report(eval_in),
+        confusion_report(eval_in),
+        best_threshold_report(eval_in),
+    ]
     from lakehouse_file_format_compare_spark.operators.membership import (
         bloom_build,
         bloom_prefiltered_contamination,
