@@ -127,6 +127,92 @@ def auc_report(
     )
 
 
+def grouped_auc_report(
+    scored: DataFrame,
+    group_cols: list[str],
+    score_col: str = "score",
+    label_col: str = "label",
+    bucket_shift: int = AUC_BUCKET_SHIFT,
+) -> DataFrame:
+    """Per-group exact ROC-AUC — one row per distinct ``group_cols``
+    value with the same ``auc_num / auc_den / auc_nanos / n_pos /
+    n_neg`` columns as :func:`auc_report`. The per-source quality
+    monitor: which slice of the corpus does a filter actually rank
+    well?
+
+    Plan shape improves on the ungrouped case: BOTH cumulative
+    windows are partitioned (within-bucket by ``(groups, b)``, bucket
+    totals by ``groups``) — there is NO globally-ordered window
+    anywhere, so the operator scales with groups x score-range, never
+    through a single partition."""
+    width = 1 << bucket_shift
+    g = [F.col(c) for c in group_cols]
+    per_score = (
+        scored.select(
+            *g,
+            F.col(score_col).cast("long").alias("s"),
+            F.col(label_col).cast("long").alias("y"),
+        )
+        .groupBy(*group_cols, "s")
+        .agg(
+            F.sum("y").cast("long").alias("pos"),
+            F.sum(F.lit(1) - F.col("y")).cast("long").alias("neg"),
+        )
+        .withColumn("b", F.expr(f"s DIV {width}"))
+    )
+    w_buckets = (
+        Window.partitionBy(*group_cols)
+        .orderBy("b")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = (
+        per_score.groupBy(*group_cols, "b")
+        .agg(F.sum("neg").cast("long").alias("__bneg"))
+        .select(
+            *group_cols,
+            "b",
+            F.coalesce(F.sum("__bneg").over(w_buckets), F.lit(0)).alias("__off"),
+        )
+    )
+    w_in = (
+        Window.partitionBy(*group_cols, "b")
+        .orderBy("s")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = per_score.join(offsets, [*group_cols, "b"]).select(
+        *group_cols,
+        "pos",
+        "neg",
+        (F.col("__off") + F.coalesce(F.sum("neg").over(w_in), F.lit(0))).alias(
+            "cumneg"
+        ),
+    )
+    agg = cum.groupBy(*group_cols).agg(
+        F.coalesce(
+            F.sum(F.col("pos") * (F.lit(2) * F.col("cumneg") + F.col("neg"))),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("auc_num"),
+        F.coalesce(F.sum("pos"), F.lit(0)).cast("long").alias("n_pos"),
+        F.coalesce(F.sum("neg"), F.lit(0)).cast("long").alias("n_neg"),
+    )
+    return agg.select(
+        *group_cols,
+        "auc_num",
+        (F.lit(2) * F.col("n_pos") * F.col("n_neg")).cast("long").alias("auc_den"),
+        F.when(
+            (F.col("n_pos") > 0) & (F.col("n_neg") > 0),
+            _dec_div_nanos("auc_num", "2 * n_pos * n_neg"),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("auc_nanos"),
+        "n_pos",
+        "n_neg",
+    )
+
+
 def _cum_counts(
     scored: DataFrame, score_col: str, label_col: str, bucket_shift: int
 ) -> DataFrame:

@@ -516,13 +516,24 @@ def _lm_auc_scalars(docs: DataFrame) -> DataFrame:
     Only docs with >= 1 bigram participate. Envelope: ``|lp_nanos| *
     1000`` must fit a LONG — ~4e8 bigrams per document at ~20 nats
     each; chunk longer docs upstream."""
-    from ..operators.evaluation import auc_report, best_threshold_report
+    from ..operators.evaluation import (
+        auc_report,
+        best_threshold_report,
+        grouped_auc_report,
+    )
     from ..operators.lm import bigram_lm_score, bigram_lm_train
 
     train = docs.where(F.col("lang") == "en")
     model, ctx_totals, vocab = bigram_lm_train(train)
-    scored = bigram_lm_score(docs, model, ctx_totals, vocab, keep_cols=("lang",))
+    # three evaluation blocks (AUC, threshold sweep, per-source AUC)
+    # consume the per-doc scores — cut the lineage once so the LM
+    # scoring pass runs once, not once per block (the pagerank /
+    # incremental-dedup lazy-localCheckpoint discipline)
+    scored = bigram_lm_score(
+        docs, model, ctx_totals, vocab, keep_cols=("lang", "source")
+    ).localCheckpoint(eager=False)
     s = scored.where(F.col("n_bigrams") > 0).select(
+        "source",
         F.expr("-(((-lp_nanos) * 1000) DIV n_bigrams)").alias("score"),
         (F.col("lang") == "en").cast("int").alias("label"),
     )
@@ -542,7 +553,24 @@ def _lm_auc_scalars(docs: DataFrame) -> DataFrame:
         F.col("f1_best_nanos").alias("lmth_f1_nanos"),
         F.col("f1_score").alias("lmth_f1_score"),
     )
-    return auc.crossJoin(F.broadcast(th))
+    # per-source AUC rows reduced to exact scalars: count, min/max,
+    # summed numerator, and a source-keyed fingerprint so any single
+    # source's AUC moving is visible in the driver hash
+    per_src = grouped_auc_report(s, ["source"])
+    w_src = F.pmod(
+        F.conv(F.substring(F.md5("source"), 1, 6), 16, 10).cast("long"),
+        F.lit(9973),
+    )
+    gauc = per_src.agg(
+        F.count(F.lit(1)).cast("long").alias("gauc_sources"),
+        F.coalesce(F.min("auc_nanos"), F.lit(0)).cast("long").alias("gauc_min_nanos"),
+        F.coalesce(F.max("auc_nanos"), F.lit(0)).cast("long").alias("gauc_max_nanos"),
+        F.coalesce(F.sum("auc_num"), F.lit(0)).cast("long").alias("gauc_num_total"),
+        F.coalesce(F.sum(w_src * F.col("auc_nanos")), F.lit(0))
+        .cast("long")
+        .alias("gauc_fp"),
+    )
+    return auc.crossJoin(F.broadcast(th)).crossJoin(F.broadcast(gauc))
 
 
 def quality(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -692,6 +720,40 @@ _LM_SQL_CTES = f"""lm_tok AS (
            CAST(COALESCE(f1b, 0) AS BIGINT) AS lmth_f1_nanos,
            CAST(COALESCE(f1s, 0) AS BIGINT) AS lmth_f1_score
     FROM lmth_best, lmth_pick
+), gauc_s AS (
+    SELECT d.source, -(((-f.lp) * 1000) // f.nb) AS s,
+           CASE WHEN f.lang = 'en' THEN 1 ELSE 0 END AS y
+    FROM lm_fl f JOIN documents d USING (doc_id) WHERE f.nb > 0
+), gauc_ps AS (
+    SELECT source, s, CAST(SUM(y) AS BIGINT) AS pos,
+           CAST(SUM(1 - y) AS BIGINT) AS neg
+    FROM gauc_s GROUP BY source, s
+), gauc_c AS (
+    SELECT source, pos, neg,
+           COALESCE(SUM(neg) OVER (PARTITION BY source ORDER BY s
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                    0) AS cumneg
+    FROM gauc_ps
+), gauc_rows AS (
+    SELECT source,
+           CAST(COALESCE(SUM(pos * (2 * cumneg + neg)), 0) AS BIGINT) AS num,
+           CAST(COALESCE(SUM(pos), 0) AS BIGINT) AS p,
+           CAST(COALESCE(SUM(neg), 0) AS BIGINT) AS n
+    FROM gauc_c GROUP BY source
+), gauc AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS gauc_sources,
+           CAST(COALESCE(MIN(CASE WHEN p > 0 AND n > 0
+                THEN CAST((CAST(num AS HUGEINT) * 1000000000) // (2 * p * n) AS BIGINT)
+                ELSE 0 END), 0) AS BIGINT) AS gauc_min_nanos,
+           CAST(COALESCE(MAX(CASE WHEN p > 0 AND n > 0
+                THEN CAST((CAST(num AS HUGEINT) * 1000000000) // (2 * p * n) AS BIGINT)
+                ELSE 0 END), 0) AS BIGINT) AS gauc_max_nanos,
+           CAST(COALESCE(SUM(num), 0) AS BIGINT) AS gauc_num_total,
+           CAST(COALESCE(SUM((CAST('0x' || substring(md5(source), 1, 6) AS BIGINT) % 9973)
+                * (CASE WHEN p > 0 AND n > 0
+                   THEN CAST((CAST(num AS HUGEINT) * 1000000000) // (2 * p * n) AS BIGINT)
+                   ELSE 0 END)), 0) AS BIGINT) AS gauc_fp
+    FROM gauc_rows
 )"""
 
 QUALITY_SQL = f"""
@@ -726,8 +788,10 @@ SELECT doc_id,
        lm_flagged_other, lm_fp,
        lmauc_num, lmauc_den, lmauc_nanos, lmauc_pos, lmauc_neg,
        lmth_thresholds, lmth_youden_scaled, lmth_youden_score,
-       lmth_youden_tp, lmth_youden_fp, lmth_f1_nanos, lmth_f1_score
-FROM ratios, lmagg, lmauc, lmth
+       lmth_youden_tp, lmth_youden_fp, lmth_f1_nanos, lmth_f1_score,
+       gauc_sources, gauc_min_nanos, gauc_max_nanos, gauc_num_total,
+       gauc_fp
+FROM ratios, lmagg, lmauc, lmth, gauc
 """
 
 

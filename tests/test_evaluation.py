@@ -17,6 +17,7 @@ from lakehouse_file_format_compare_spark.operators.evaluation import (
     auc_report,
     best_threshold_report,
     confusion_report,
+    grouped_auc_report,
 )
 
 
@@ -210,6 +211,54 @@ def test_best_threshold_perfect_separation(spark):
     assert r.youden_scaled == 2 * 2  # tp*N - fp*P = 2*2 - 0
     assert r.youden_score == 9 and r.youden_tp == 2 and r.youden_fp == 0
     assert r.f1_best_nanos == 10**9
+
+
+def test_grouped_auc_matches_per_group_filter(spark):
+    """grouped_auc_report(group) row-for-row equals running
+    auc_report on each group's slice — including one-class and
+    singleton groups."""
+    rng = random.Random(5)
+    rows = [
+        (
+            f"g{rng.randint(0, 4)}",
+            rng.randint(-50, 50),
+            rng.randint(0, 1),
+        )
+        for _ in range(200)
+    ] + [("lonely", 3, 1), ("oneclass", 1, 0), ("oneclass", 2, 0)]
+    df = spark.createDataFrame(rows, "source string, score long, label int")
+    got = {
+        r.source: (r.auc_num, r.auc_den, r.auc_nanos, r.n_pos, r.n_neg)
+        for r in grouped_auc_report(df, ["source"]).collect()
+    }
+    assert set(got) == {f"g{i}" for i in range(5)} | {"lonely", "oneclass"}
+    for src in got:
+        ref = auc_report(df.where(F.col("source") == src)).collect()[0]
+        assert got[src] == (
+            ref.auc_num,
+            ref.auc_den,
+            ref.auc_nanos,
+            ref.n_pos,
+            ref.n_neg,
+        ), src
+    assert got["lonely"][1] == 0 and got["oneclass"][1] == 0
+
+
+def test_grouped_auc_has_no_global_window(spark):
+    """Every window in the grouped plan is partitioned — a grouped
+    evaluation must never funnel through a single partition."""
+    df = spark.range(2000).select(
+        (F.col("id") % 7).cast("string").alias("source"),
+        (F.col("id") % 101).cast("long").alias("score"),
+        (F.col("id") % 2).cast("int").alias("label"),
+    )
+    frame = grouped_auc_report(df, ["source"])
+    plan = frame._sc._jvm.PythonSQLUtils.explainString(
+        frame._jdf.queryExecution(), "formatted"
+    )
+    assert "SinglePartition" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
 
 
 def test_lm_auc_driver_scalars(spark):
