@@ -259,6 +259,68 @@ def _cum_counts(
     )
 
 
+def ks_report(
+    scored: DataFrame,
+    score_col: str = "score",
+    label_col: str = "label",
+    bucket_shift: int = AUC_BUCKET_SHIFT,
+) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov statistic between the label-1 and
+    label-0 score distributions — the exact DISTRIBUTIONAL companion
+    to the AUC (AUC measures ranking; KS measures the largest CDF
+    gap, the classic score-separation / drift statistic).
+
+    Exact integer form: ``D * P * N = max_s |cumpos(<=s)*N -
+    cumneg(<=s)*P|`` over distinct scores (inclusive cumulatives) —
+    no division until the final ``ks_nanos`` in DECIMAL(38,0).
+    Returns one row: ``ks_num`` (the scaled max), ``ks_den`` (= P*N),
+    ``ks_nanos`` (floor(D * 1e9)), ``ks_score`` (the smallest score
+    achieving the max — deterministic tie rule), ``n_pos``,
+    ``n_neg``. Degenerate inputs return zeros. Same two-phase
+    cumulative shape as :func:`auc_report`."""
+    cum = _cum_counts(scored, score_col, label_col, bucket_shift)
+    tot = cum.agg(
+        F.coalesce(F.sum("pos"), F.lit(0)).cast("long").alias("P"),
+        F.coalesce(F.sum("neg"), F.lit(0)).cast("long").alias("N"),
+    )
+    gaps = cum.crossJoin(F.broadcast(tot)).select(
+        "s",
+        "P",
+        "N",
+        F.abs(
+            (F.col("cumpos") + F.col("pos")) * F.col("N")
+            - (F.col("cumneg") + F.col("neg")) * F.col("P")
+        ).alias("gap"),
+    )
+    best = gaps.agg(
+        F.coalesce(F.max("gap"), F.lit(0)).cast("long").alias("ks_num"),
+        F.coalesce(F.max("P"), F.lit(0)).cast("long").alias("P"),
+        F.coalesce(F.max("N"), F.lit(0)).cast("long").alias("N"),
+    )
+    pick = (
+        gaps.crossJoin(F.broadcast(best.select(F.col("ks_num").alias("__m"))))
+        .agg(
+            F.coalesce(F.min(F.when(F.col("gap") == F.col("__m"), F.col("s"))), F.lit(0))
+            .cast("long")
+            .alias("ks_score")
+        )
+    )
+    return best.crossJoin(F.broadcast(pick)).select(
+        "ks_num",
+        (F.col("P") * F.col("N")).cast("long").alias("ks_den"),
+        F.when(
+            (F.col("P") > 0) & (F.col("N") > 0),
+            _dec_div_nanos("ks_num", "P * N"),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("ks_nanos"),
+        "ks_score",
+        F.col("P").alias("n_pos"),
+        F.col("N").alias("n_neg"),
+    )
+
+
 def best_threshold_report(
     scored: DataFrame,
     score_col: str = "score",

@@ -520,6 +520,7 @@ def _lm_auc_scalars(docs: DataFrame) -> DataFrame:
         auc_report,
         best_threshold_report,
         grouped_auc_report,
+        ks_report,
     )
     from ..operators.lm import bigram_lm_score, bigram_lm_train
 
@@ -570,7 +571,17 @@ def _lm_auc_scalars(docs: DataFrame) -> DataFrame:
         .cast("long")
         .alias("gauc_fp"),
     )
-    return auc.crossJoin(F.broadcast(th)).crossJoin(F.broadcast(gauc))
+    ks = ks_report(s).select(
+        F.col("ks_num").alias("lmks_num"),
+        F.col("ks_den").alias("lmks_den"),
+        F.col("ks_nanos").alias("lmks_nanos"),
+        F.col("ks_score").alias("lmks_score"),
+    )
+    return (
+        auc.crossJoin(F.broadcast(th))
+        .crossJoin(F.broadcast(gauc))
+        .crossJoin(F.broadcast(ks))
+    )
 
 
 def quality(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -754,6 +765,22 @@ _LM_SQL_CTES = f"""lm_tok AS (
                    THEN CAST((CAST(num AS HUGEINT) * 1000000000) // (2 * p * n) AS BIGINT)
                    ELSE 0 END)), 0) AS BIGINT) AS gauc_fp
     FROM gauc_rows
+), lmks_g AS (
+    SELECT s,
+           abs((cumpos + pos) * (SELECT tn_all FROM lmth_tot)
+               - (cumneg + neg) * (SELECT tp_all FROM lmth_tot)) AS gap
+    FROM lmth_c
+), lmks AS (
+    SELECT CAST(COALESCE(MAX(gap), 0) AS BIGINT) AS lmks_num,
+           CAST((SELECT tp_all * tn_all FROM lmth_tot) AS BIGINT) AS lmks_den,
+           CASE WHEN (SELECT tp_all FROM lmth_tot) > 0
+                 AND (SELECT tn_all FROM lmth_tot) > 0
+                THEN CAST((CAST(COALESCE(MAX(gap), 0) AS HUGEINT) * 1000000000)
+                          // (SELECT tp_all * tn_all FROM lmth_tot) AS BIGINT)
+                ELSE CAST(0 AS BIGINT) END AS lmks_nanos,
+           CAST(COALESCE(MIN(CASE WHEN gap = (SELECT MAX(gap) FROM lmks_g)
+                                  THEN s END), 0) AS BIGINT) AS lmks_score
+    FROM lmks_g
 )"""
 
 QUALITY_SQL = f"""
@@ -790,8 +817,9 @@ SELECT doc_id,
        lmth_thresholds, lmth_youden_scaled, lmth_youden_score,
        lmth_youden_tp, lmth_youden_fp, lmth_f1_nanos, lmth_f1_score,
        gauc_sources, gauc_min_nanos, gauc_max_nanos, gauc_num_total,
-       gauc_fp
-FROM ratios, lmagg, lmauc, lmth, gauc
+       gauc_fp,
+       lmks_num, lmks_den, lmks_nanos, lmks_score
+FROM ratios, lmagg, lmauc, lmth, gauc, lmks
 """
 
 

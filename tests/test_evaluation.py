@@ -18,6 +18,7 @@ from lakehouse_file_format_compare_spark.operators.evaluation import (
     best_threshold_report,
     confusion_report,
     grouped_auc_report,
+    ks_report,
 )
 
 
@@ -211,6 +212,57 @@ def test_best_threshold_perfect_separation(spark):
     assert r.youden_scaled == 2 * 2  # tp*N - fp*P = 2*2 - 0
     assert r.youden_score == 9 and r.youden_tp == 2 and r.youden_fp == 0
     assert r.f1_best_nanos == 10**9
+
+
+def _ks_mirror(pairs):
+    P = sum(y for _, y in pairs)
+    N = len(pairs) - P
+    scores = sorted({s for s, _ in pairs})
+    if not scores:
+        return (0, 0, 0, 0, 0, 0)
+    gaps = {}
+    for t in scores:
+        cp = sum(1 for s, y in pairs if s <= t and y == 1)
+        cn = sum(1 for s, y in pairs if s <= t and y == 0)
+        gaps[t] = abs(cp * N - cn * P)
+    best = max(gaps.values())
+    bs = min(t for t, g in gaps.items() if g == best)
+    nanos = (best * 10**9) // (P * N) if P > 0 and N > 0 else 0
+    return (best, P * N, nanos, bs, P, N)
+
+
+@given(
+    pairs=st.lists(
+        st.tuples(
+            st.integers(min_value=-(10**14), max_value=10**14),
+            st.integers(min_value=0, max_value=1),
+        ),
+        min_size=0,
+        max_size=25,
+    ),
+    shift=st.sampled_from([2, 44, 62]),
+)
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+def test_ks_matches_bruteforce_swept(spark, pairs, shift):
+    df = spark.createDataFrame(pairs, "score long, label int")
+    r = ks_report(df, "score", "label", bucket_shift=shift).collect()[0]
+    got = (r.ks_num, r.ks_den, r.ks_nanos, r.ks_score, r.n_pos, r.n_neg)
+    assert got == _ks_mirror(pairs), (pairs, got)
+
+
+def test_ks_known_cases(spark):
+    disjoint = [(i, 1) for i in range(5)] + [(100 + i, 0) for i in range(5)]
+    df = spark.createDataFrame(disjoint, "score long, label int")
+    assert ks_report(df).collect()[0].ks_nanos == 10**9
+    identical = [(i % 3, 1) for i in range(6)] + [(i % 3, 0) for i in range(6)]
+    df2 = spark.createDataFrame(identical, "score long, label int")
+    assert ks_report(df2).collect()[0].ks_nanos == 0
+    empty = spark.createDataFrame([], "score long, label int")
+    assert tuple(ks_report(empty).collect()[0]) == (0, 0, 0, 0, 0, 0)
 
 
 def test_grouped_auc_matches_per_group_filter(spark):
