@@ -122,6 +122,10 @@ HEADLINE = [
     # models — driver contracts live in text_token_stats'
     # bpea_*/uv_*/wp_*
     "tokenizer_apply_serving",
+    # r10 continuation: LM-filter evaluation block (AUC + threshold
+    # sweep + per-source AUC + KS over one shared scored frame) —
+    # driver contracts in text_quality's lmauc_*/lmth_*/gauc_*/lmks_*
+    "filter_eval_serving",
 ]
 
 STEADY_REPS = 3  # min-of-N steady protocol (r7 verdict #3)
@@ -279,6 +283,20 @@ def build_bench_queries() -> dict:
     from lakehouse_file_format_compare_spark.plans import dedup_plans as _dp
 
     queries["incremental_embedding_serving"] = _dp.incremental_embedding_serving
+
+    # r10 continuation: the full evaluation block over the LM filter
+    # (train + score + AUC + threshold sweep + per-source AUC + KS) —
+    # driver contracts live in text_quality's lmauc_*/lmth_*/gauc_*/
+    # lmks_*; this times what a production filter-evaluation run costs
+    def _filter_eval_serving(spark_, sf_dir_):
+        from lakehouse_file_format_compare_spark.plans.text_plans import (
+            _lm_auc_scalars,
+        )
+        from lakehouse_file_format_compare_spark.sources.testdata import table
+
+        return _lm_auc_scalars(table(spark_, sf_dir_, "documents"))
+
+    queries["filter_eval_serving"] = _filter_eval_serving
     return queries
 
 
