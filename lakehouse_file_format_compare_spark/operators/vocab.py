@@ -626,3 +626,100 @@ def wordpiece_apply(
             ),
         )
     )
+
+
+def richness_report(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Vocabulary richness + concentration, one exact LONG row — the
+    corpus-health companions to :func:`zipf_fit`:
+
+    - ``rich_vocab`` (V), ``rich_tokens`` (N), ``rich_f1`` /
+      ``rich_f2`` (singleton / doubleton word counts);
+    - ``rich_chao1_nanos``: the bias-corrected Chao1 lower-bound
+      estimate of the UNSEEN-inclusive vocabulary size (Chao 1984,
+      Chiu 2014 correction — defined even when F2 = 0)::
+
+          chao1 = V + F1*(F1-1) / (2*(F2+1))
+
+      as ``V*1e9 + (F1*(F1-1)*1e9) DIV (2*(F2+1))`` — how much
+      vocabulary more crawl would surface;
+    - ``rich_gini_nanos``: the Gini concentration of word frequencies
+      (0 = uniform usage, →1 = a few words dominate). Computed with
+      NO word-grain ranking: within a tie class of ``c`` words at
+      frequency ``n`` the rank-weighted sum is the closed form
+      ``n * (c*offset + c*(c+1) DIV 2)``, so the only ordered pass is
+      a cumulative over DISTINCT FREQUENCY CLASSES — a table of
+      O(sqrt(N)) rows by Zipf (the bounded-aggregate window
+      exception, the zipf_fit precedent)::
+
+          G = (2 * Σ_r r*f_r - (V+1) * N) / (V * N)
+
+      in exact LONGs (envelope: ``V*N`` must fit a LONG — V=1e8
+      words x N=9e10 tokens is fine; past that, shard and merge the
+      class table).
+
+    Empty corpus returns all zeros. Tokenization matches
+    operators/divergence.py / the vocab family (lowercase, split
+    on whitespace, drop empties).
+    """
+    from pyspark.sql import Window
+
+    wc = (
+        _words(docs, text_col)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    classes = wc.groupBy("n").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    w_cum = Window.orderBy("n").rowsBetween(Window.unboundedPreceding, -1)
+    with_off = classes.select(
+        "n",
+        "c",
+        F.coalesce(F.sum("c").over(w_cum), F.lit(0)).alias("off"),
+    )
+    agg = with_off.agg(
+        F.coalesce(F.sum("c"), F.lit(0)).cast("long").alias("rich_vocab"),
+        F.coalesce(F.sum(F.col("n") * F.col("c")), F.lit(0))
+        .cast("long")
+        .alias("rich_tokens"),
+        F.coalesce(F.sum(F.when(F.col("n") == 1, F.col("c"))), F.lit(0))
+        .cast("long")
+        .alias("rich_f1"),
+        F.coalesce(F.sum(F.when(F.col("n") == 2, F.col("c"))), F.lit(0))
+        .cast("long")
+        .alias("rich_f2"),
+        F.coalesce(
+            F.sum(
+                F.col("n")
+                * (
+                    F.col("c") * F.col("off")
+                    + F.expr("(c * (c + 1)) DIV 2")
+                )
+            ),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("__rank_sum"),
+    )
+    return agg.select(
+        "rich_vocab",
+        "rich_tokens",
+        "rich_f1",
+        "rich_f2",
+        (
+            F.col("rich_vocab") * F.lit(1_000_000_000)
+            + F.expr(
+                "(rich_f1 * (rich_f1 - 1) * 1000000000) DIV (2 * (rich_f2 + 1))"
+            )
+        )
+        .cast("long")
+        .alias("rich_chao1_nanos"),
+        F.when(
+            (F.col("rich_vocab") > 0) & (F.col("rich_tokens") > 0),
+            F.expr(
+                "((2 * __rank_sum - (rich_vocab + 1) * rich_tokens) * 1000000000)"
+                " DIV (rich_vocab * rich_tokens)"
+            ),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("rich_gini_nanos"),
+    )

@@ -362,7 +362,13 @@ def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     BPE_APPLY_MERGES list — operators/vocab.py::bpe_apply, the
     Heaps-law broadcast-map shape).
     Bench-wise this DRIVER row is no longer timed (r10): bench.py
-    times token_stats_serving and tokenizer_stats separately."""
+    times token_stats_serving and tokenizer_stats separately.
+    Widened late r10 with ``rich_*`` (operators/vocab.py::
+    richness_report): exact vocabulary richness (Chao1 lower bound,
+    bias-corrected) and word-frequency Gini concentration, both pure
+    frequency-class arithmetic replayed in the oracle."""
+    from ..operators.vocab import richness_report
+
     docs = table(spark, sf_dir, "documents")
     return (
         token_stats_serving(spark, sf_dir)
@@ -370,6 +376,7 @@ def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(_bpe_apply_scalars(docs)))
         .crossJoin(F.broadcast(_unigram_scalars(docs)))
         .crossJoin(F.broadcast(_wordpiece_scalars(docs)))
+        .crossJoin(F.broadcast(richness_report(docs)))
     )
 
 
@@ -427,6 +434,30 @@ WITH words AS (
            MAX(CASE WHEN rn = 1 THEN n END) AS bpe_top_n,
            CAST(SUM(rn * n) AS BIGINT) AS bpe_fp
     FROM btop
+), rcls AS (
+    SELECT n, CAST(COUNT(*) AS BIGINT) AS c FROM words GROUP BY n
+), roff AS (
+    SELECT n, c,
+           COALESCE(SUM(c) OVER (ORDER BY n ROWS BETWEEN UNBOUNDED
+                     PRECEDING AND 1 PRECEDING), 0) AS off
+    FROM rcls
+), ragg AS (
+    SELECT CAST(COALESCE(SUM(c), 0) AS BIGINT) AS rich_vocab,
+           CAST(COALESCE(SUM(n * c), 0) AS BIGINT) AS rich_tokens,
+           CAST(COALESCE(SUM(CASE WHEN n = 1 THEN c END), 0) AS BIGINT) AS rich_f1,
+           CAST(COALESCE(SUM(CASE WHEN n = 2 THEN c END), 0) AS BIGINT) AS rich_f2,
+           CAST(COALESCE(SUM(n * (c * off + (c * (c + 1)) // 2)), 0) AS BIGINT) AS rs
+    FROM roff
+), rich AS (
+    SELECT rich_vocab, rich_tokens, rich_f1, rich_f2,
+           CAST(rich_vocab * 1000000000
+                + (rich_f1 * (rich_f1 - 1) * 1000000000) // (2 * (rich_f2 + 1))
+                AS BIGINT) AS rich_chao1_nanos,
+           CASE WHEN rich_vocab > 0 AND rich_tokens > 0
+                THEN CAST(((2 * rs - (rich_vocab + 1) * rich_tokens) * 1000000000)
+                          // (rich_vocab * rich_tokens) AS BIGINT)
+                ELSE CAST(0 AS BIGINT) END AS rich_gini_nanos
+    FROM ragg
 ), ap_words AS (
     SELECT doc_id, word FROM (
         SELECT doc_id,
@@ -456,8 +487,10 @@ SELECT doc_id,
        zipf_terms, zipf_num, zipf_den, zipf_slope_grid,
        uv_tokens, uv_cost_nanos, uv_fp,
        up_top_piece, up_top_n, up_fp,
-       wp_tokens, wp_cost_micros, wp_fp
-FROM documents, vagg, bagg, apagg, zipf, uvagg, upagg, wpagg
+       wp_tokens, wp_cost_micros, wp_fp,
+       rich_vocab, rich_tokens, rich_f1, rich_f2,
+       rich_chao1_nanos, rich_gini_nanos
+FROM documents, vagg, bagg, apagg, zipf, uvagg, upagg, wpagg, rich
 """
 
 TOKEN_STATS_SQL = TOKEN_STATS_SQL.replace("{UV_CTES}", _uv_oracle_ctes())

@@ -454,3 +454,89 @@ def test_wordpiece_matches_python_reference(spark, words, vocab):
     }
     for i, w in enumerate(words):
         assert got[i] == _py_greedy(w, vocab, UV_OOV, UV_LONG), (w, vocab)
+
+
+def test_richness_report_matches_counter_mirror(spark):
+    """Chao1 + Gini vs a pure-Python Counter mirror, including the
+    degenerate regimes (all singletons, one word, empty/null)."""
+    from collections import Counter
+
+    from lakehouse_file_format_compare_spark.operators.vocab import (
+        richness_report,
+    )
+
+    def mirror(texts):
+        c = Counter(
+            w
+            for t in texts
+            if t
+            for w in t.lower().strip().split()
+            if w
+        )
+        V, N = len(c), sum(c.values())
+        f1 = sum(1 for v in c.values() if v == 1)
+        f2 = sum(1 for v in c.values() if v == 2)
+        chao1 = V * 10**9 + (f1 * (f1 - 1) * 10**9) // (2 * (f2 + 1))
+        if V == 0 or N == 0:
+            return (0, 0, 0, 0, 0, 0)
+        freqs = sorted(c.values())
+        rank_sum = sum((i + 1) * f for i, f in enumerate(freqs))
+        gini = ((2 * rank_sum - (V + 1) * N) * 10**9) // (V * N)
+        return (V, N, f1, f2, chao1, gini)
+
+    cases = [
+        ["a a a b b c", "d e f"],
+        ["same same same same"],
+        ["x y z w v u t s r q"],
+        [],
+        [None, "  "],
+        ["one two two three three three four four four four"],
+    ]
+    for texts in cases:
+        df = spark.createDataFrame(
+            [(j, t) for j, t in enumerate(texts)] or [],
+            "doc_id long, text string",
+        )
+        r = richness_report(df).collect()[0]
+        got = (
+            r.rich_vocab,
+            r.rich_tokens,
+            r.rich_f1,
+            r.rich_f2,
+            r.rich_chao1_nanos,
+            r.rich_gini_nanos,
+        )
+        assert got == mirror(texts), (texts, got)
+
+
+def test_richness_gini_bounds_and_monotonicity(spark):
+    """Gini is 0 for uniform usage and strictly grows as one word
+    takes over; Chao1 is always >= V."""
+    from lakehouse_file_format_compare_spark.operators.vocab import (
+        richness_report,
+    )
+
+    uniform = spark.createDataFrame(
+        [(1, "a b c d e a b c d e")], "doc_id long, text string"
+    )
+    r_u = richness_report(uniform).collect()[0]
+    assert r_u.rich_gini_nanos == 0
+    skewed = spark.createDataFrame(
+        [(1, " ".join(["a"] * 50 + ["b", "c", "d", "e"]))],
+        "doc_id long, text string",
+    )
+    r_s = richness_report(skewed).collect()[0]
+    assert r_s.rich_gini_nanos > 500_000_000
+    assert r_s.rich_chao1_nanos >= r_s.rich_vocab * 10**9
+
+
+def test_richness_is_layout_invariant(spark):
+    from lakehouse_file_format_compare_spark.operators.vocab import (
+        richness_report,
+    )
+    from lakehouse_file_format_compare_spark.sources.testdata import table
+
+    docs = table(spark, SF_CORRECTNESS, "documents")
+    a = richness_report(docs).collect()[0]
+    b = richness_report(docs.repartition(17, "source")).collect()[0]
+    assert a == b
