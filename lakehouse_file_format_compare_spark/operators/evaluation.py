@@ -70,7 +70,6 @@ def auc_report(
     Mann-Whitney midrank 1/2. Degenerate inputs (no positives or no
     negatives, or empty) return ``auc_den = 0`` and ``auc_nanos = 0``
     — well-defined, never a division error."""
-    width = 1 << bucket_shift
     per_score = (
         scored.select(
             F.col(score_col).cast("long").alias("s"),
@@ -80,6 +79,35 @@ def auc_report(
         .agg(
             F.sum("y").cast("long").alias("pos"),
             F.sum(F.lit(1) - F.col("y")).cast("long").alias("neg"),
+        )
+    )
+    return auc_from_counts(per_score, bucket_shift=bucket_shift)
+
+
+def auc_from_counts(
+    per_score: DataFrame,
+    score_col: str = "s",
+    pos_col: str = "pos",
+    neg_col: str = "neg",
+    bucket_shift: int = AUC_BUCKET_SHIFT,
+) -> DataFrame:
+    """:func:`auc_report` over PRE-AGGREGATED per-score class counts
+    ``(score, pos, neg)`` — the mergeable form: per-score counts are
+    additive, so shard- or micro-batch-level count tables can be
+    summed and fed here (the streaming AUC monitor's read path).
+    Duplicate score rows are re-aggregated first, so callers may pass
+    an unmerged union of count tables directly."""
+    width = 1 << bucket_shift
+    per_score = (
+        per_score.select(
+            F.col(score_col).cast("long").alias("s"),
+            F.col(pos_col).cast("long").alias("pos"),
+            F.col(neg_col).cast("long").alias("neg"),
+        )
+        .groupBy("s")
+        .agg(
+            F.sum("pos").cast("long").alias("pos"),
+            F.sum("neg").cast("long").alias("neg"),
         )
         .withColumn("b", F.expr(f"s DIV {width}"))
     )
