@@ -155,3 +155,36 @@ def bloom_prefiltered_contamination(
         .groupBy("doc_id", "eval_id")
         .agg(F.count(F.lit(1)).alias("shared_ngrams"))
     )
+
+
+def bloom_decontaminate(
+    corpus: DataFrame,
+    eval_docs: DataFrame,
+    n: int = 13,
+    min_shared: int = 1,
+    n_words: int = 1024,
+    k: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    eval_id_col: str = "doc_id",
+    eval_text_col: str = "text",
+) -> DataFrame:
+    """Drop corpus documents with >= ``min_shared`` n-gram overlaps
+    with ANY eval document — identical semantics (and pinned-identical
+    results) to operators/decontaminate.py::decontaminate, with the
+    corpus-side join replaced by the Bloom probe + exact-verify
+    sliver. The drop-in scale path for the exact decontamination
+    pass."""
+    flagged = (
+        bloom_prefiltered_contamination(
+            corpus, eval_docs, n, n_words, k,
+            id_col, text_col, eval_id_col, eval_text_col,
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("shared_ngrams").alias("total_shared"))
+        .where(F.col("total_shared") >= min_shared)
+        .select("doc_id")
+    )
+    return corpus.join(
+        flagged.withColumnRenamed("doc_id", id_col), id_col, "left_anti"
+    )

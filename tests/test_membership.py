@@ -139,3 +139,24 @@ def test_plan_shape(spark):
     assert "ArrowEvalPython" not in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan  # the filter is broadcast
+
+
+def test_bloom_decontaminate_equals_direct(spark):
+    from lakehouse_file_format_compare_spark.operators.decontaminate import (
+        decontaminate,
+    )
+    from lakehouse_file_format_compare_spark.operators.membership import (
+        bloom_decontaminate,
+    )
+
+    docs = table(spark, SF_SMOKE, "documents")
+    ev = docs.orderBy("doc_id").limit(25)
+    direct = {r.doc_id for r in decontaminate(docs, ev, n=8).select("doc_id").collect()}
+    pre = {
+        r.doc_id
+        for r in bloom_decontaminate(docs, ev, n=8, n_words=256)
+        .select("doc_id")
+        .collect()
+    }
+    assert direct == pre
+    assert len(pre) < docs.count()  # something was actually dropped

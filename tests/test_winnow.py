@@ -214,3 +214,38 @@ def test_selection_is_layout_invariant(spark):
         for r in winnow_fingerprints(docs.repartition(17, "source")).collect()
     }
     assert base == shuffled
+
+
+def test_winnow_pairs_feed_connected_components(spark):
+    """Cross-family integration: winnow shared pairs drive the same
+    connected-components canonicalization the MinHash path uses —
+    planted substring-sharing docs collapse into one component."""
+    from lakehouse_file_format_compare_spark.operators.components import (
+        connected_components,
+    )
+
+    # a long shared run: every interior window selects the same
+    # fingerprints, so well over min_shared=2 survive any boundary
+    # context differences
+    shared = "zq xj kv wm pf gb qz jx vk mw fp bg zq xj kv"
+    docs = spark.createDataFrame(
+        [
+            (1, f"alpha beta {shared} gamma"),
+            (2, f"delta {shared} epsilon zeta"),
+            (3, f"eta theta iota {shared}"),
+            # no 5-gram in common with anything else (the first cut of
+            # this fixture gave both docs the word "unrelated" — nine
+            # normalized chars, over the t=8 guarantee — and the
+            # detector correctly paired them)
+            (10, "oak elm fir yew ash"),
+            (11, "red blue green cyan pink"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = winnow_shared_pairs(winnow_fingerprints(docs), min_shared=2)
+    comp = {
+        r.node: r.component
+        for r in connected_components(pairs).collect()
+    }
+    assert comp[1] == comp[2] == comp[3]
+    assert 10 not in comp and 11 not in comp
