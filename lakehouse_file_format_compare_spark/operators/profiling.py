@@ -180,3 +180,74 @@ def key_skew_report(
             grid(F.col("max_count") / F.col("avg_count"), 4),
         )
     )
+
+
+def exact_quantiles(
+    df: DataFrame,
+    value_col: str,
+    probs_bp: tuple[int, ...] = (5000, 9500, 9900),
+    bucket_shift: int = 44,
+) -> DataFrame:
+    """EXACT order statistics of a LONG column with no global sort and
+    no approximation — the exact companion to the binned ``qh_*``
+    histogram quantiles in operators/sketches.py (those are mergeable
+    but bin-grained; this is value-grained and exact).
+
+    ``probs_bp`` are basis points (5000 = the median). The quantile at
+    p is the inverted-CDF value: the smallest v whose inclusive
+    cumulative count reaches ``k = ceil(n * p)`` (exact integer:
+    ``(n*bp + 9999) DIV 10000``) — the classic "lower" convention,
+    deterministic cross-engine.
+
+    Plan shape: one scan into per-VALUE-CLASS counts (map-side
+    combined; the class table is bounded by the column's distinct
+    values, not the row count), the operators/evaluation.py two-phase
+    cumulative (range buckets by truncating DIV; only bucket totals
+    cross a globally-ordered window), then one conditional-min
+    aggregate per requested quantile. Returns ONE row:
+    ``n, q{bp}...`` — all LONGs; empty input returns zeros.
+    """
+    from pyspark.sql import Window
+
+    width = 1 << bucket_shift
+    classes = (
+        df.select(F.col(value_col).cast("long").alias("v"))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .withColumn("b", F.expr(f"v DIV {width}"))
+    )
+    w_buckets = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (
+        classes.groupBy("b")
+        .agg(F.sum("c").cast("long").alias("__bc"))
+        .select(
+            "b",
+            F.coalesce(F.sum("__bc").over(w_buckets), F.lit(0)).alias("__off"),
+        )
+    )
+    w_in = (
+        Window.partitionBy("b").orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = classes.join(F.broadcast(offsets), "b").select(
+        "v",
+        (F.col("__off") + F.sum("c").over(w_in)).alias("cum"),
+    )
+    tot = classes.agg(F.coalesce(F.sum("c"), F.lit(0)).cast("long").alias("n"))
+    with_n = cum.crossJoin(F.broadcast(tot))
+    return with_n.agg(
+        F.coalesce(F.max("n"), F.lit(0)).cast("long").alias("n"),
+        *[
+            F.coalesce(
+                F.min(
+                    F.when(
+                        F.col("cum") >= F.expr(f"(n * {bp} + 9999) DIV 10000"),
+                        F.col("v"),
+                    )
+                ),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias(f"q{bp}")
+            for bp in probs_bp
+        ],
+    )

@@ -1094,6 +1094,22 @@ def pivot_status_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pivot().count() yields NULL (not 0) for absent (priority, status)
     # combos — coalesce to 0 so the result is stable at scale factors
     # where a combo is empty.
+    # late r10: exact order statistics of o_totalprice in integer
+    # cents (operators/profiling.py::exact_quantiles — value-class
+    # cumulative, no global sort, no approximation; the exact
+    # companion to the binned qh_* family). floor(x*100 + 0.5) on the
+    # same IEEE doubles is bit-equal cross-engine.
+    from ..operators.profiling import exact_quantiles
+
+    cents = orders.select(
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long").alias("cents")
+    )
+    eq = exact_quantiles(cents, "cents", probs_bp=(5000, 9500, 9900)).select(
+        F.col("n").alias("eq_n"),
+        F.col("q5000").alias("eq_p50_cents"),
+        F.col("q9500").alias("eq_p95_cents"),
+        F.col("q9900").alias("eq_p99_cents"),
+    )
     return (
         pivoted.select(
             "o_orderpriority",
@@ -1103,6 +1119,7 @@ def pivot_status_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .crossJoin(F.broadcast(prof_agg))
         .crossJoin(F.broadcast(skew))
+        .crossJoin(F.broadcast(eq))
     )
 
 
@@ -1151,6 +1168,26 @@ WITH prof AS (
            MAX(CASE WHEN rn = 1 THEN key END) AS skew_top1_key,
            CAST(SUM(rn * cnt) AS BIGINT) AS skew_topk_fp
     FROM ktop
+), eq_cls AS (
+    SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS v,
+           CAST(COUNT(*) AS BIGINT) AS c
+    FROM orders GROUP BY 1
+), eq_cum AS (
+    SELECT v, SUM(c) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) AS cum
+    FROM eq_cls
+), eq_tot AS (
+    SELECT CAST(COALESCE(SUM(c), 0) AS BIGINT) AS eq_n FROM eq_cls
+), eq AS (
+    SELECT eq_n,
+           CAST(COALESCE(MIN(CASE WHEN cum >= (eq_n * 5000 + 9999) // 10000
+                                  THEN v END), 0) AS BIGINT) AS eq_p50_cents,
+           CAST(COALESCE(MIN(CASE WHEN cum >= (eq_n * 9500 + 9999) // 10000
+                                  THEN v END), 0) AS BIGINT) AS eq_p95_cents,
+           CAST(COALESCE(MIN(CASE WHEN cum >= (eq_n * 9900 + 9999) // 10000
+                                  THEN v END), 0) AS BIGINT) AS eq_p99_cents
+    FROM eq_cum, eq_tot
+    GROUP BY eq_n
 )
 SELECT o_orderpriority,
        CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
@@ -1158,11 +1195,13 @@ SELECT o_orderpriority,
        CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_p,
        prof_rows, prof_nulls_total, prof_distinct_fp, prof_max_num_sum,
        prof_min_str,
-       skew_keys, skew_max, skew_p99, skew_top1_key, skew_topk_fp
-FROM orders, prof, skew
+       skew_keys, skew_max, skew_p99, skew_top1_key, skew_topk_fp,
+       eq_n, eq_p50_cents, eq_p95_cents, eq_p99_cents
+FROM orders, prof, skew, eq
 GROUP BY o_orderpriority, prof_rows, prof_nulls_total, prof_distinct_fp,
          prof_max_num_sum, prof_min_str,
-         skew_keys, skew_max, skew_p99, skew_top1_key, skew_topk_fp
+         skew_keys, skew_max, skew_p99, skew_top1_key, skew_topk_fp,
+         eq_n, eq_p50_cents, eq_p95_cents, eq_p99_cents
 """
 
 

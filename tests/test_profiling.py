@@ -172,3 +172,73 @@ def test_skew_report_flags_planted_hot_key(spark):
     assert r["max_count"] == 5_001
     assert r["skew_ratio"] > 1_000
     assert r["p50_count"] == 1.0
+
+
+def test_exact_quantiles_match_sorted_mirror(spark):
+    """Exact order statistics vs a sorted-list mirror: random values
+    (wide range + heavy ties), every basis point incl. p100, empty
+    input."""
+    import random
+
+    from lakehouse_file_format_compare_spark.operators.profiling import (
+        exact_quantiles,
+    )
+
+    bps = (1, 2500, 5000, 9500, 9900, 10000)
+
+    def mirror(vals):
+        n = len(vals)
+        if n == 0:
+            return (0,) + (0,) * len(bps)
+        s = sorted(vals)
+        return (n,) + tuple(s[(n * bp + 9999) // 10000 - 1] for bp in bps)
+
+    rng = random.Random(29)
+    for _ in range(4):
+        n = rng.randint(1, 150)
+        vals = [
+            rng.randint(-(10**12), 10**12)
+            if rng.random() < 0.5
+            else rng.randint(-3, 3)
+            for _ in range(n)
+        ]
+        df = spark.createDataFrame([(v,) for v in vals], "x long")
+        got = tuple(exact_quantiles(df, "x", bps).collect()[0])
+        assert got == mirror(vals), (vals, got)
+    empty = spark.createDataFrame([], "x long")
+    assert tuple(exact_quantiles(empty, "x", bps).collect()[0]) == (0,) * 7
+
+
+def test_exact_quantiles_layout_and_bucket_invariant(spark):
+    from lakehouse_file_format_compare_spark.operators.profiling import (
+        exact_quantiles,
+    )
+    from lakehouse_file_format_compare_spark.sources.testdata import table
+    from pyspark.sql import functions as F
+
+    cents = table(spark, SF_CORRECTNESS, "orders").select(
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long").alias("v")
+    )
+    a = tuple(exact_quantiles(cents, "v").collect()[0])
+    b = tuple(exact_quantiles(cents.repartition(13), "v").collect()[0])
+    c = tuple(exact_quantiles(cents, "v", bucket_shift=8).collect()[0])
+    d = tuple(exact_quantiles(cents, "v", bucket_shift=62).collect()[0])
+    assert a == b == c == d
+
+
+def test_exact_quantiles_plan_shape(spark):
+    from lakehouse_file_format_compare_spark.operators.profiling import (
+        exact_quantiles,
+    )
+    from lakehouse_file_format_compare_spark.sources.testdata import table
+    from pyspark.sql import functions as F
+
+    cents = table(spark, SF_CORRECTNESS, "orders").select(
+        F.col("o_orderkey").cast("long").alias("v")
+    )
+    frame = exact_quantiles(cents, "v")
+    plan = frame._sc._jvm.PythonSQLUtils.explainString(
+        frame._jdf.queryExecution(), "formatted"
+    )
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
