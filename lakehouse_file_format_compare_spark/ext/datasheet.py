@@ -65,6 +65,13 @@ def corpus_datasheet(
     - ``diversity``: the corpus distinct-n scalars (Li et al. 2016;
       plans/text_plans._distinct_n_scalars — counts and truncating
       LONG-division nano ratios);
+    - ``richness`` (late r10): Chao1 unseen-vocabulary lower bound,
+      singleton/doubleton counts and word-frequency Gini
+      (operators/vocab.py::richness_report);
+    - ``evaluation`` (late r10): the exact ROC-AUC and KS of the LM
+      filter's train-slice-vs-other ranking
+      (operators/evaluation.py) — how separable the reference slice
+      actually is;
     - ``geometry`` (only when ``embeddings`` is passed): the
       embedding-health moments (anisotropy numerators —
       plans/similarity_plans._embedding_moments).
@@ -132,6 +139,27 @@ def corpus_datasheet(
     # reverse edge stays out of module scope
     from ..plans.text_plans import _distinct_n_scalars
 
+    from ..operators.evaluation import auc_report, ks_report
+    from ..operators.lm import bigram_lm_score, bigram_lm_train
+    from ..operators.vocab import richness_report
+
+    model, ctx_totals, vocab_frame = bigram_lm_train(
+        docs.where(F.col(lang_col) == train_lang), text_col
+    )
+    scored = bigram_lm_score(
+        docs, model, ctx_totals, vocab_frame, text_col, id_col,
+        keep_cols=(lang_col,),
+    ).localCheckpoint(eager=False)
+    ranked = scored.where(F.col("n_bigrams") > 0).select(
+        F.expr("-(((-lp_nanos) * 1000) DIV n_bigrams)").alias("score"),
+        (F.col(lang_col) == train_lang).cast("int").alias("label"),
+    )
+    evaluation = (
+        auc_report(ranked)
+        .select("auc_nanos", "n_pos", "n_neg")
+        .crossJoin(F.broadcast(ks_report(ranked).select("ks_nanos")))
+    )
+
     out = (
         _tall(volume, "volume")
         .unionByName(_tall(vocab, "vocabulary"))
@@ -144,6 +172,8 @@ def corpus_datasheet(
                 "diversity",
             )
         )
+        .unionByName(_tall(richness_report(docs, text_col), "richness"))
+        .unionByName(_tall(evaluation, "evaluation"))
     )
     if embeddings is not None:
         from ..plans.similarity_plans import _embedding_moments

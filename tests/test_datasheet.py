@@ -113,5 +113,45 @@ def test_datasheet_schema_and_sections(spark):
     assert [f.name for f in df.schema.fields] == ["section", "metric", "value"]
     assert {r.section for r in df.collect()} == {
         "volume", "vocabulary", "lang_mix", "quality", "duplication",
-        "diversity",
+        "diversity", "richness", "evaluation",
     }
+
+
+def test_datasheet_richness_and_evaluation_sections(spark):
+    """The late-r10 sections agree with their operators run directly."""
+    from pyspark.sql import functions as F
+
+    from lakehouse_file_format_compare_spark.operators.evaluation import (
+        auc_report,
+    )
+    from lakehouse_file_format_compare_spark.operators.lm import (
+        bigram_lm_score,
+        bigram_lm_train,
+    )
+    from lakehouse_file_format_compare_spark.operators.vocab import (
+        richness_report,
+    )
+
+    docs = table(spark, SF_SMOKE, "documents")
+    sheet = {
+        (r.section, r.metric): r.value
+        for r in corpus_datasheet(docs).collect()
+        if r.section in ("richness", "evaluation")
+    }
+    rich = richness_report(docs).collect()[0]
+    assert sheet[("richness", "rich_vocab")] == rich.rich_vocab
+    assert sheet[("richness", "rich_chao1_nanos")] == rich.rich_chao1_nanos
+    assert sheet[("richness", "rich_gini_nanos")] == rich.rich_gini_nanos
+    model, ctx, voc = bigram_lm_train(docs.where(F.col("lang") == "en"))
+    ranked = (
+        bigram_lm_score(docs, model, ctx, voc, keep_cols=("lang",))
+        .where(F.col("n_bigrams") > 0)
+        .select(
+            F.expr("-(((-lp_nanos) * 1000) DIV n_bigrams)").alias("score"),
+            (F.col("lang") == "en").cast("int").alias("label"),
+        )
+    )
+    want = auc_report(ranked).collect()[0]
+    assert sheet[("evaluation", "auc_nanos")] == want.auc_nanos
+    assert sheet[("evaluation", "n_pos")] == want.n_pos
+    assert sheet[("evaluation", "auc_nanos")] > 500_000_000
