@@ -442,6 +442,140 @@ def best_threshold_report(
     )
 
 
+def full_eval_report(
+    scored: DataFrame,
+    score_col: str = "score",
+    label_col: str = "label",
+    bucket_shift: int = AUC_BUCKET_SHIFT,
+) -> DataFrame:
+    """AUC + KS + threshold selection FUSED over one cumulative pass.
+
+    :func:`auc_report`, :func:`ks_report` and
+    :func:`best_threshold_report` each reduce to per-score class
+    counts with cumulatives — run separately they build the same
+    two-phase cumulative three times. This computes the cumulative
+    ONCE and derives every metric from it; each output column is
+    bit-equal to its standalone counterpart (pinned in tests). One
+    row: ``auc_num auc_den auc_nanos n_pos n_neg ks_num ks_den
+    ks_nanos ks_score n_thresholds youden_scaled youden_score
+    youden_tp youden_fp f1_best_nanos f1_score``.
+
+    This is the serving shape for filter evaluation: at 100 TB the
+    corpus-sized work (the per-score groupBy) happens once, and the
+    metric algebra runs over the distinct-score frame once instead of
+    three times."""
+    cum = _cum_counts(scored, score_col, label_col, bucket_shift)
+    tot = cum.agg(
+        F.coalesce(F.sum("pos"), F.lit(0)).cast("long").alias("P"),
+        F.coalesce(F.sum("neg"), F.lit(0)).cast("long").alias("N"),
+    )
+    m = cum.crossJoin(F.broadcast(tot)).select(
+        "s",
+        "P",
+        "N",
+        (F.col("pos") * (F.lit(2) * F.col("cumneg") + F.col("neg"))).alias(
+            "auc_term"
+        ),
+        F.abs(
+            (F.col("cumpos") + F.col("pos")) * F.col("N")
+            - (F.col("cumneg") + F.col("neg")) * F.col("P")
+        ).alias("gap"),
+        (F.col("P") - F.col("cumpos")).alias("tp"),
+        (F.col("N") - F.col("cumneg")).alias("fp"),
+    )
+    m = m.select(
+        "s",
+        "P",
+        "N",
+        "auc_term",
+        "gap",
+        "tp",
+        "fp",
+        (F.col("tp") * F.col("N") - F.col("fp") * F.col("P")).alias("j"),
+        _dec_div_nanos("2 * tp", "tp + fp + P").alias("f1"),
+    )
+    best = m.agg(
+        F.coalesce(F.sum("auc_term"), F.lit(0)).cast("long").alias("auc_num"),
+        F.coalesce(F.max("P"), F.lit(0)).cast("long").alias("n_pos"),
+        F.coalesce(F.max("N"), F.lit(0)).cast("long").alias("n_neg"),
+        F.coalesce(F.max("gap"), F.lit(0)).cast("long").alias("ks_num"),
+        F.count(F.lit(1)).cast("long").alias("n_thresholds"),
+        F.coalesce(F.max("j"), F.lit(0)).cast("long").alias("youden_scaled"),
+        F.coalesce(F.max("f1"), F.lit(0)).cast("long").alias("f1_best_nanos"),
+    )
+    picks = m.crossJoin(F.broadcast(best)).agg(
+        F.coalesce(
+            F.min(F.when(F.col("gap") == F.col("ks_num"), F.col("s"))), F.lit(0)
+        )
+        .cast("long")
+        .alias("ks_score"),
+        F.coalesce(
+            F.min(F.when(F.col("j") == F.col("youden_scaled"), F.col("s"))),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("youden_score"),
+        F.coalesce(
+            F.min(F.when(F.col("f1") == F.col("f1_best_nanos"), F.col("s"))),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("f1_score"),
+        F.coalesce(
+            F.max(
+                F.when(
+                    F.col("j") == F.col("youden_scaled"),
+                    F.struct(F.negate(F.col("s")).alias("ns"), "tp", "fp"),
+                )
+            ).getField("tp"),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("youden_tp"),
+        F.coalesce(
+            F.max(
+                F.when(
+                    F.col("j") == F.col("youden_scaled"),
+                    F.struct(F.negate(F.col("s")).alias("ns"), "tp", "fp"),
+                )
+            ).getField("fp"),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("youden_fp"),
+    )
+    return best.crossJoin(F.broadcast(picks)).select(
+        "auc_num",
+        (F.lit(2) * F.col("n_pos") * F.col("n_neg")).cast("long").alias("auc_den"),
+        F.when(
+            (F.col("n_pos") > 0) & (F.col("n_neg") > 0),
+            _dec_div_nanos("auc_num", "2 * n_pos * n_neg"),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("auc_nanos"),
+        "n_pos",
+        "n_neg",
+        "ks_num",
+        (F.col("n_pos") * F.col("n_neg")).cast("long").alias("ks_den"),
+        F.when(
+            (F.col("n_pos") > 0) & (F.col("n_neg") > 0),
+            _dec_div_nanos("ks_num", "n_pos * n_neg"),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("ks_nanos"),
+        "ks_score",
+        "n_thresholds",
+        "youden_scaled",
+        "youden_score",
+        "youden_tp",
+        "youden_fp",
+        "f1_best_nanos",
+        "f1_score",
+    )
+
+
 def confusion_report(
     scored: DataFrame, pred_col: str = "predicted", label_col: str = "label"
 ) -> DataFrame:

@@ -549,12 +549,7 @@ def _lm_auc_scalars(docs: DataFrame) -> DataFrame:
     Only docs with >= 1 bigram participate. Envelope: ``|lp_nanos| *
     1000`` must fit a LONG — ~4e8 bigrams per document at ~20 nats
     each; chunk longer docs upstream."""
-    from ..operators.evaluation import (
-        auc_report,
-        best_threshold_report,
-        grouped_auc_report,
-        ks_report,
-    )
+    from ..operators.evaluation import full_eval_report, grouped_auc_report
     from ..operators.lm import bigram_lm_score, bigram_lm_train
 
     train = docs.where(F.col("lang") == "en")
@@ -571,14 +566,15 @@ def _lm_auc_scalars(docs: DataFrame) -> DataFrame:
         F.expr("-(((-lp_nanos) * 1000) DIV n_bigrams)").alias("score"),
         (F.col("lang") == "en").cast("int").alias("label"),
     )
-    auc = auc_report(s).select(
+    # one fused cumulative pass serves AUC + threshold sweep + KS
+    # (operators/evaluation.py::full_eval_report — bit-equal to the
+    # standalone reports, so the oracle replay is unchanged)
+    fused = full_eval_report(s).select(
         F.col("auc_num").alias("lmauc_num"),
         F.col("auc_den").alias("lmauc_den"),
         F.col("auc_nanos").alias("lmauc_nanos"),
         F.col("n_pos").alias("lmauc_pos"),
         F.col("n_neg").alias("lmauc_neg"),
-    )
-    th = best_threshold_report(s).select(
         F.col("n_thresholds").alias("lmth_thresholds"),
         F.col("youden_scaled").alias("lmth_youden_scaled"),
         F.col("youden_score").alias("lmth_youden_score"),
@@ -586,6 +582,10 @@ def _lm_auc_scalars(docs: DataFrame) -> DataFrame:
         F.col("youden_fp").alias("lmth_youden_fp"),
         F.col("f1_best_nanos").alias("lmth_f1_nanos"),
         F.col("f1_score").alias("lmth_f1_score"),
+        F.col("ks_num").alias("lmks_num"),
+        F.col("ks_den").alias("lmks_den"),
+        F.col("ks_nanos").alias("lmks_nanos"),
+        F.col("ks_score").alias("lmks_score"),
     )
     # per-source AUC rows reduced to exact scalars: count, min/max,
     # summed numerator, and a source-keyed fingerprint so any single
@@ -604,17 +604,7 @@ def _lm_auc_scalars(docs: DataFrame) -> DataFrame:
         .cast("long")
         .alias("gauc_fp"),
     )
-    ks = ks_report(s).select(
-        F.col("ks_num").alias("lmks_num"),
-        F.col("ks_den").alias("lmks_den"),
-        F.col("ks_nanos").alias("lmks_nanos"),
-        F.col("ks_score").alias("lmks_score"),
-    )
-    return (
-        auc.crossJoin(F.broadcast(th))
-        .crossJoin(F.broadcast(gauc))
-        .crossJoin(F.broadcast(ks))
-    )
+    return fused.crossJoin(F.broadcast(gauc))
 
 
 def quality(spark: SparkSession, sf_dir: str) -> DataFrame:

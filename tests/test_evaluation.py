@@ -327,3 +327,41 @@ def test_lm_auc_driver_scalars(spark):
     assert r.lmauc_pos > 0 and r.lmauc_neg > 0
     assert r.lmauc_den == 2 * r.lmauc_pos * r.lmauc_neg
     assert r.lmauc_nanos > 700_000_000  # the en-trained LM ranks en high
+
+
+def test_full_eval_report_equals_standalone_blocks(spark):
+    """The fused one-cumulative-pass report is bit-equal to the three
+    standalone reports, column for column, on ties-heavy data — and on
+    degenerate inputs."""
+    rng = random.Random(23)
+    for pairs in [
+        [(rng.randint(-30, 30), rng.randint(0, 1)) for _ in range(150)],
+        [(5, 1), (5, 0)],
+        [(1, 1), (2, 1)],  # one class
+        [],
+    ]:
+        df = spark.createDataFrame(pairs, "score long, label int")
+        from lakehouse_file_format_compare_spark.operators.evaluation import (
+            full_eval_report,
+        )
+
+        f = full_eval_report(df).collect()[0]
+        a = auc_report(df).collect()[0]
+        t = best_threshold_report(df).collect()[0]
+        k = ks_report(df).collect()[0]
+        assert (f.auc_num, f.auc_den, f.auc_nanos, f.n_pos, f.n_neg) == tuple(a)
+        assert (
+            f.n_thresholds,
+            f.youden_scaled,
+            f.youden_score,
+            f.youden_tp,
+            f.youden_fp,
+            f.f1_best_nanos,
+            f.f1_score,
+        ) == tuple(t)
+        assert (f.ks_num, f.ks_den, f.ks_nanos, f.ks_score) == (
+            k.ks_num,
+            k.ks_den,
+            k.ks_nanos,
+            k.ks_score,
+        )
