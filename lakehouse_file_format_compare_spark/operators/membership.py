@@ -122,6 +122,53 @@ def bloom_probe(
     )
 
 
+def bloom_literal(bloom: DataFrame, n_words: int = 1024) -> list[int]:
+    """Collect the filter into a dense ``n_words`` LONG list — a
+    BOUNDED driver read (the filter's size is a parameter, never data
+    -dependent; the k-means literal-centroid discipline). Feed to
+    :func:`bloom_probe_literal`."""
+    words = [0] * n_words
+    for r in bloom.collect():
+        words[int(r["word"])] = int(r["bits"])
+    return words
+
+
+def bloom_probe_literal(
+    keys: DataFrame,
+    key_col: str,
+    words: list[int],
+    k: int = 4,
+    tag: str = "bf",
+) -> DataFrame:
+    """Probe against a LITERAL filter: the bitmap rides the plan as an
+    array literal, so the probe is a pure per-row projection — NO
+    join, NO explode, NO shuffle (plan-pinned). This is what a Bloom
+    filter is for at scale: an in-task bitmap lookup. Returns the
+    input columns plus ``bf_member``; verdicts are bit-equal to
+    :func:`bloom_probe` (pinned). Use the join form instead when the
+    filter is too large to embed in a plan (~beyond 2^14 words)."""
+    m = len(words) * WORD_BITS
+    in_cols = list(keys.columns)
+    staged = keys.withColumn(
+        "__bfarr", F.array(*[F.lit(int(w)).cast("long") for w in words])
+    )
+    for j in range(k):
+        staged = staged.withColumn(
+            f"__bfi{j}", _bit_index(F.col(key_col), j, m, tag)
+        )
+    cond = " AND ".join(
+        f"((shiftright(element_at(__bfarr, CAST(__bfi{j} DIV {WORD_BITS} AS INT) + 1),"
+        f" CAST(__bfi{j} % {WORD_BITS} AS INT)) & 1) = 1)"
+        for j in range(k)
+    )
+    return staged.select(
+        *in_cols,
+        F.expr(f"CAST(CASE WHEN {cond} THEN 1 ELSE 0 END AS INT)").alias(
+            "bf_member"
+        ),
+    )
+
+
 def bloom_prefiltered_contamination(
     corpus: DataFrame,
     eval_docs: DataFrame,
@@ -143,15 +190,20 @@ def bloom_prefiltered_contamination(
 
     e = _ngram_set(eval_docs, n, eval_id_col, eval_text_col, "eval_id")
     c = _ngram_set(corpus, n, id_col, text_col, "doc_id")
-    bloom = bloom_build(
-        e.select("ngram").distinct(), "ngram", n_words=n_words, k=k
+    words = bloom_literal(
+        bloom_build(e.select("ngram").distinct(), "ngram", n_words=n_words, k=k),
+        n_words,
     )
-    hits = bloom_probe(
-        c.select("ngram").distinct(), "ngram", bloom, n_words=n_words, k=k
-    ).where(F.col("bf_member") == 1).select("ngram")
+    # literal probe: the bitmap rides the plan, so the corpus side is
+    # filtered IN-TASK before any shuffle — the prefilter costs one
+    # projection, and only probe-positive grams reach the exact join
+    survivors = (
+        bloom_probe_literal(c, "ngram", words, k=k)
+        .where(F.col("bf_member") == 1)
+        .drop("bf_member")
+    )
     return (
-        c.join(hits, "ngram", "left_semi")
-        .join(F.broadcast(e), "ngram")
+        survivors.join(F.broadcast(e), "ngram")
         .groupBy("doc_id", "eval_id")
         .agg(F.count(F.lit(1)).alias("shared_ngrams"))
     )

@@ -256,31 +256,53 @@ def _bf_agg(docs: DataFrame) -> DataFrame:
     contract surface (suite-only, like the LSH recall check): the
     serving path uses the prefilter inside
     ``bloom_prefiltered_contamination``."""
-    from ..operators.membership import bloom_build, bloom_probe
+    from ..operators.membership import (
+        bloom_build,
+        bloom_literal,
+        bloom_probe_literal,
+    )
 
     eval_docs = docs.orderBy("doc_id").limit(DECON_EVAL_DOCS)
+    # the gram frames feed multiple consumers (probe / exact semi-join
+    # / anti-join) — cut the lineage once so the corpus gram
+    # explode+distinct runs once (the dedup_stage discipline)
     e = (
         _ngram_set(eval_docs, DECON_N, "doc_id", "text", "eval_id")
         .select("ngram")
         .distinct()
+        .localCheckpoint(eager=False)
     )
     c = (
         _ngram_set(docs, DECON_N, "doc_id", "text", "doc_id")
         .select("ngram")
         .distinct()
+        .localCheckpoint(eager=False)
     )
-    bloom = bloom_build(e, "ngram", n_words=BF_WORDS, k=BF_K)
+    # LITERAL probe: collect the parameter-bounded bitmap (BF_WORDS
+    # LONGs — a sanctioned bounded driver read, the k-means
+    # literal-centroid discipline) and probe as a pure projection —
+    # no probe explode, no string re-shuffle, no broadcast join
+    words = bloom_literal(
+        bloom_build(e, "ngram", n_words=BF_WORDS, k=BF_K), BF_WORDS
+    )
     hits = (
-        bloom_probe(c, "ngram", bloom, n_words=BF_WORDS, k=BF_K)
+        bloom_probe_literal(c, "ngram", words, k=BF_K)
         .where(F.col("bf_member") == 1)
         .select("ngram")
+        .localCheckpoint(eager=False)
     )
     true_g = c.join(e, "ngram", "left_semi")
-    filt = bloom.agg(
-        F.count(F.lit(1)).cast("long").alias("bf_words_nonzero"),
-        F.coalesce(F.sum(F.bit_count("bits")), F.lit(0))
-        .cast("long")
-        .alias("bf_bits_set"),
+    # filter-shape facts come straight off the collected bitmap — the
+    # same values the bloom frame aggregate produced
+    spark = docs.sparkSession
+    filt = spark.createDataFrame(
+        [
+            (
+                sum(1 for w in words if w),
+                sum(bin(w & 0xFFFFFFFF).count("1") for w in words),
+            )
+        ],
+        "bf_words_nonzero long, bf_bits_set long",
     )
     probe = hits.agg(F.count(F.lit(1)).cast("long").alias("bf_probe_hits"))
     tru = true_g.agg(F.count(F.lit(1)).cast("long").alias("bf_true_ngrams"))

@@ -160,3 +160,49 @@ def test_bloom_decontaminate_equals_direct(spark):
     }
     assert direct == pre
     assert len(pre) < docs.count()  # something was actually dropped
+
+
+def test_literal_probe_equals_join_probe(spark):
+    """bloom_probe_literal verdicts are bit-equal to the join-form
+    probe across collision-heavy parameterizations, and its plan is a
+    pure projection — no join, no explode, no exchange."""
+    import random
+    import string
+
+    from lakehouse_file_format_compare_spark.operators.membership import (
+        bloom_literal,
+        bloom_probe_literal,
+    )
+
+    rng = random.Random(31)
+    keys = [
+        "".join(rng.choices(string.ascii_lowercase + " ", k=rng.randint(0, 10)))
+        for _ in range(60)
+    ]
+    probes = keys[:20] + [
+        "".join(rng.choices(string.ascii_lowercase, k=5)) for _ in range(40)
+    ]
+    kdf = spark.createDataFrame([(x,) for x in set(keys)], "key string")
+    pdf = spark.createDataFrame([(x,) for x in set(probes)], "key string")
+    for n_words, k in [(1, 3), (4, 4), (64, 2)]:
+        bloom = bloom_build(kdf, "key", n_words=n_words, k=k)
+        join_res = {
+            r.key: r.bf_member
+            for r in bloom_probe(pdf, "key", bloom, n_words=n_words, k=k).collect()
+        }
+        lit_res = {
+            r.key: r.bf_member
+            for r in bloom_probe_literal(
+                pdf, "key", bloom_literal(bloom, n_words), k=k
+            ).collect()
+        }
+        assert join_res == lit_res, (n_words, k)
+    frame = bloom_probe_literal(
+        pdf, "key", bloom_literal(bloom_build(kdf, "key", n_words=8), 8)
+    )
+    plan = frame._sc._jvm.PythonSQLUtils.explainString(
+        frame._jdf.queryExecution(), "formatted"
+    )
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+    assert "Generate" not in plan
