@@ -248,7 +248,6 @@ def _cum_counts(
     counts and the exclusive ascending cumulatives — the shared
     two-phase shape (range buckets; global-order window over bucket
     totals only) both AUC and threshold selection reduce to."""
-    width = 1 << bucket_shift
     per_score = (
         scored.select(
             F.col(score_col).cast("long").alias("s"),
@@ -258,6 +257,21 @@ def _cum_counts(
         .agg(
             F.sum("y").cast("long").alias("pos"),
             F.sum(F.lit(1) - F.col("y")).cast("long").alias("neg"),
+        )
+    )
+    return _cum_from_counts(per_score, bucket_shift)
+
+
+def _cum_from_counts(per_score: DataFrame, bucket_shift: int) -> DataFrame:
+    """:func:`_cum_counts` over pre-aggregated (s, pos, neg) rows —
+    re-aggregates duplicates first so unions of count shards can be
+    fed directly (the streaming monitor's read path)."""
+    width = 1 << bucket_shift
+    per_score = (
+        per_score.groupBy("s")
+        .agg(
+            F.sum("pos").cast("long").alias("pos"),
+            F.sum("neg").cast("long").alias("neg"),
         )
         .withColumn("b", F.expr(f"s DIV {width}"))
     )
@@ -464,7 +478,40 @@ def full_eval_report(
     corpus-sized work (the per-score groupBy) happens once, and the
     metric algebra runs over the distinct-score frame once instead of
     three times."""
-    cum = _cum_counts(scored, score_col, label_col, bucket_shift)
+    per_score = (
+        scored.select(
+            F.col(score_col).cast("long").alias("s"),
+            F.col(label_col).cast("long").alias("y"),
+        )
+        .groupBy("s")
+        .agg(
+            F.sum("y").cast("long").alias("pos"),
+            F.sum(F.lit(1) - F.col("y")).cast("long").alias("neg"),
+        )
+    )
+    return full_eval_from_counts(per_score, bucket_shift=bucket_shift)
+
+
+def full_eval_from_counts(
+    per_score: DataFrame,
+    score_col: str = "s",
+    pos_col: str = "pos",
+    neg_col: str = "neg",
+    bucket_shift: int = AUC_BUCKET_SHIFT,
+) -> DataFrame:
+    """:func:`full_eval_report` over pre-aggregated per-score class
+    counts — the mergeable form (counts are additive), completing the
+    streaming monitor: a drained count store serves AUC + KS +
+    threshold selection in one pass. Duplicate score rows are
+    re-aggregated first."""
+    cum = _cum_from_counts(
+        per_score.select(
+            F.col(score_col).cast("long").alias("s"),
+            F.col(pos_col).cast("long").alias("pos"),
+            F.col(neg_col).cast("long").alias("neg"),
+        ),
+        bucket_shift,
+    )
     tot = cum.agg(
         F.coalesce(F.sum("pos"), F.lit(0)).cast("long").alias("P"),
         F.coalesce(F.sum("neg"), F.lit(0)).cast("long").alias("N"),

@@ -38,7 +38,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
-from ..operators.evaluation import auc_from_counts
+from ..operators.evaluation import auc_from_counts, full_eval_from_counts
 from ..storage import Warehouse
 
 
@@ -117,3 +117,9 @@ class StreamingAucMonitor:
         """The exact cumulative AUC over everything drained so far —
         bit-identical to auc_report on the full input."""
         return auc_from_counts(self.counts(name))
+
+    def full_eval(self, name: str) -> DataFrame:
+        """The full fused evaluation (AUC + KS + threshold selection)
+        over everything drained so far — bit-identical to
+        full_eval_report on the full input."""
+        return full_eval_from_counts(self.counts(name))

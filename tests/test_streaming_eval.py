@@ -98,3 +98,17 @@ def test_replay_is_noop(spark, scored, drained, tmp_path_factory):
     assert tuple(replay.auc("docs").collect()[0]) == tuple(
         auc_report(scored).collect()[0]
     )
+
+
+def test_drain_full_eval_equals_batch(spark, scored, drained):
+    """The drained count store serves the full fused evaluation
+    (AUC + KS + threshold) bit-identical to the one-shot batch."""
+    from lakehouse_file_format_compare_spark.operators.evaluation import (
+        full_eval_report,
+    )
+
+    monitor, _, _ = drained
+    got = monitor.full_eval("docs").collect()[0]
+    want = full_eval_report(scored).collect()[0]
+    assert tuple(got) == tuple(want)
+    assert got.n_thresholds > 1
