@@ -154,6 +154,32 @@ label: the community diagnostic FINER than connected components;
 fixed rounds make the outcome an exact integer value the oracle
 replays as unrolled count→argmax CTEs over the same symmetrized
 edge set).
+
+r10 second continuation: ``text_fingerprints`` widened with ``wf_*``
+(operators/winnow.py — Schleimer 2003 / MOSS winnowing local
+fingerprints: rightmost-min window selection as one integer window
+min over an (hash+1)*B - pos encoding, replayed window-for-window in
+the oracle). ``text_quality`` widened with the exact evaluation
+family (operators/evaluation.py): ``lmauc_*`` (rank-free
+Mann-Whitney ROC-AUC of the LM filter's en-vs-other ranking, tie
+midranks exact), ``lmth_*`` (Youden-J / F1-max threshold selection,
+ties to the smallest threshold), ``gauc_*`` (per-SOURCE AUC reduced
+to exact scalars — both cumulative windows group-partitioned) and
+``lmks_*`` (two-sample Kolmogorov-Smirnov max-CDF-gap) — all derived
+from ONE fused cumulative pass (full_eval_report) over ONE
+lazily-checkpointed scored frame, every value replayed in the
+oracle. ``corpus_hygiene_suite`` widened with ``bf_*``
+(operators/membership.py — mergeable Bloom-filter membership sketch
+at deliberately collision-heavy sizing: bitmap population, probe
+hits, exact hits, the false-positive count as hashed VALUES and
+``bf_missed == 0`` the no-false-negative guarantee; the probe rides
+the plan as an array LITERAL — a pure projection).
+``text_token_stats`` widened with ``rich_*`` (operators/vocab.py::
+richness_report — bias-corrected Chao1 unseen-vocabulary lower bound
++ word-frequency Gini via closed-form tie-class arithmetic).
+``op_pivot_status_matrix`` widened with ``eq_*``
+(operators/profiling.py::exact_quantiles — exact value-grained
+p50/p95/p99 of o_totalprice in integer cents, no global sort).
 """
 
 from __future__ import annotations
