@@ -207,3 +207,79 @@ def importance_resample(
         tag=tag,
     )
     return w.orderBy(F.col("weight").desc(), F.col("doc_id")).limit(int(k))
+
+
+def greedy_coverage_selection(
+    docs: DataFrame,
+    k: int = 4,
+    n: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> list[tuple[int, int, int, int]]:
+    """Greedy facility-location selection by word n-gram coverage —
+    the classic submodular data-selection primitive (Nemhauser 1978
+    greedy on a coverage function; the diversity-driven counterpart to
+    DSIR's distribution matching above): at each of ``k`` steps pick
+    the document contributing the MOST n-grams not yet covered by the
+    picks so far, ties to the smallest id. The (1 - 1/e) greedy
+    guarantee holds because gram coverage is monotone submodular.
+
+    Returns ``[(step, doc_id, new_grams, covered_total), ...]``
+    (at most ``k`` entries — stops early when every remaining document
+    adds nothing). Deterministic and exact: counts are integers and
+    the per-step argmax breaks ties on the id.
+
+    Scale shape (100 TB): the corpus is exploded into DISTINCT
+    (doc, gram) pairs ONCE (lineage-cut so iterations never re-split
+    text); each step is one anti-join against the covered-gram set
+    (bounded by the selected docs' gram union, broadcast while small),
+    one per-doc count, and a 1-row TakeOrderedAndProject argmax — a
+    BOUNDED driver read per step (the k-means per-iteration collect
+    discipline). The covered set is lazily checkpointed per step so
+    the plan never grows with the step count. k is small by design
+    (selection budgets are); for large k, batch the greedy (pick the
+    top-b per round) — the standard lazy-greedy relaxation.
+    """
+    if k < 1 or n < 1:
+        raise ValueError("k and n must be >= 1")
+    toks = _tokens(text_col)
+    staged = docs.select(F.col(id_col).alias("doc_id"), toks.alias("__t"))
+    grams = (
+        staged.where(F.size("__t") >= n)
+        .select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(
+                    F.transform(
+                        F.sequence(F.lit(1), F.size("__t") - (n - 1)),
+                        lambda i: F.concat_ws(" ", F.slice(F.col("__t"), i, n)),
+                    )
+                )
+            ).alias("gram"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    covered = None
+    out: list[tuple[int, int, int, int]] = []
+    total = 0
+    for step in range(1, k + 1):
+        remaining = (
+            grams if covered is None else grams.join(covered, "gram", "left_anti")
+        )
+        top = (
+            remaining.groupBy("doc_id")
+            .agg(F.count(F.lit(1)).cast("long").alias("new_grams"))
+            .orderBy(F.col("new_grams").desc(), F.col("doc_id"))
+            .limit(1)
+            .collect()
+        )
+        if not top or top[0]["new_grams"] == 0:
+            break
+        doc_id, new_grams = int(top[0]["doc_id"]), int(top[0]["new_grams"])
+        total += new_grams
+        out.append((step, doc_id, new_grams, total))
+        picked = grams.where(F.col("doc_id") == doc_id).select("gram")
+        covered = (
+            picked if covered is None else covered.union(picked).distinct()
+        ).localCheckpoint(eager=False)
+    return out

@@ -1088,6 +1088,32 @@ def _distinct_n_scalars(docs: DataFrame) -> DataFrame:
 WINNOW_K = 5
 WINNOW_W = 4
 
+#: greedy-coverage selection budget / gram order for the cov_* block
+COV_K = 3
+COV_N = 2
+
+
+def _coverage_scalars(docs: DataFrame) -> DataFrame:
+    """One row of cov_* LONGs: the greedy facility-location selection
+    (operators/importance.py::greedy_coverage_selection, K=3 picks by
+    bigram coverage, ties to the smallest id) embedded as literals —
+    the greedy runs bounded per-step argmax collects (the k-means
+    collect discipline), and the oracle replays the unrolled steps as
+    MATERIALIZED CTEs (the pr_*/hits_* lesson). Steps past early
+    termination read as zeros on both engines."""
+    from ..operators.importance import greedy_coverage_selection
+
+    steps = greedy_coverage_selection(docs, k=COV_K, n=COV_N)
+    by_step = {s: (d, g) for s, d, g, _ in steps}
+    total = steps[-1][3] if steps else 0
+    cols = [F.lit(len(steps)).cast("long").alias("cov_steps")]
+    for i in range(1, COV_K + 1):
+        d, g = by_step.get(i, (0, 0))
+        cols.append(F.lit(d).cast("long").alias(f"cov_doc{i}"))
+        cols.append(F.lit(g).cast("long").alias(f"cov_new{i}"))
+    cols.append(F.lit(total).cast("long").alias("cov_total"))
+    return docs.sparkSession.range(1).select(*cols)
+
 
 def fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc rolling-hash fingerprints. Widened (r10) with the
@@ -1105,6 +1131,7 @@ def fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select("doc_id", T.fingerprint(F.col("text")).alias("fp"))
         .crossJoin(F.broadcast(_distinct_n_scalars(docs)))
         .crossJoin(F.broadcast(winnow_scalars(docs, k=WINNOW_K, w=WINNOW_W)))
+        .crossJoin(F.broadcast(_coverage_scalars(docs)))
     )
 
 
@@ -1164,6 +1191,71 @@ def _winnow_duck_ctes() -> str:
 )"""
 
 
+def _coverage_duck_ctes() -> str:
+    """DuckDB replay of the cov_* greedy: each step is a MATERIALIZED
+    pick (argmax of uncovered-gram counts, ties to smallest id) and a
+    MATERIALIZED covered-set union — plain CTEs would re-inline the
+    chain exponentially (the unigram-Viterbi lesson). Greedy coverage
+    gains are non-increasing, so counting positive-gain picks equals
+    Spark's break-at-first-zero step count."""
+    if COV_N != 2:  # the gram lambda below is written for bigrams
+        raise ValueError("_coverage_duck_ctes assumes COV_N == 2")
+    n = COV_N
+    parts = [f"""cov_g AS MATERIALIZED (
+    SELECT DISTINCT doc_id, g FROM (
+        SELECT doc_id,
+               unnest(CASE WHEN len(t) >= {n}
+                      THEN list_transform(range(1, len(t) - {n - 2}),
+                                          i -> t[i] || ' ' || t[i+1])
+                      ELSE [] END) AS g
+        FROM (SELECT doc_id,
+                     list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                                 w -> length(w) > 0) AS t
+              FROM documents))
+)"""]
+    prev_cov = None
+    for i in range(1, COV_K + 1):
+        remaining = (
+            "cov_g"
+            if prev_cov is None
+            else f"(SELECT * FROM cov_g WHERE g NOT IN (SELECT g FROM {prev_cov}))"
+        )
+        parts.append(f"""cov_p{i} AS MATERIALIZED (
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS c
+    FROM {remaining} GROUP BY doc_id ORDER BY c DESC, doc_id LIMIT 1
+)""")
+        union = (
+            ""
+            if prev_cov is None
+            else f"SELECT g FROM {prev_cov} UNION "
+        )
+        parts.append(f"""cov_c{i} AS MATERIALIZED (
+    {union}SELECT g FROM cov_g
+    WHERE doc_id = (SELECT doc_id FROM cov_p{i})
+      AND (SELECT c FROM cov_p{i}) > 0
+)""")
+        prev_cov = f"cov_c{i}"
+    picks = " + ".join(
+        f"COALESCE((SELECT CASE WHEN c > 0 THEN 1 ELSE 0 END FROM cov_p{i}), 0)"
+        for i in range(1, COV_K + 1)
+    )
+    cols = [f"CAST({picks} AS BIGINT) AS cov_steps"]
+    news = []
+    for i in range(1, COV_K + 1):
+        cols.append(
+            f"CAST(COALESCE((SELECT CASE WHEN c > 0 THEN doc_id ELSE 0 END FROM cov_p{i}), 0) AS BIGINT) AS cov_doc{i}"
+        )
+        cols.append(
+            f"CAST(COALESCE((SELECT CASE WHEN c > 0 THEN c ELSE 0 END FROM cov_p{i}), 0) AS BIGINT) AS cov_new{i}"
+        )
+        news.append(
+            f"COALESCE((SELECT CASE WHEN c > 0 THEN c ELSE 0 END FROM cov_p{i}), 0)"
+        )
+    cols.append(f"CAST({' + '.join(news)} AS BIGINT) AS cov_total")
+    parts.append("cov AS (\n    SELECT " + ",\n           ".join(cols) + "\n)")
+    return ", ".join(parts)
+
+
 FINGERPRINTS_SQL = """
 WITH dn_toks AS (
     SELECT list_filter(string_split_regex(lower(trim(text)), '\\s+'),
@@ -1194,15 +1286,19 @@ WITH dn_toks AS (
            CASE WHEN dn2_total > 0 THEN (dn2_distinct * 1000000000) // dn2_total ELSE 0 END AS dn2_nanos,
            CASE WHEN dn3_total > 0 THEN (dn3_distinct * 1000000000) // dn3_total ELSE 0 END AS dn3_nanos
     FROM dn_totals, dn1, dn2, dn3
-), __WINNOW__
+), __WINNOW__, __COVERAGE__
 SELECT doc_id, md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fp,
        dn1_distinct, dn2_distinct, dn3_distinct,
        dn1_total, dn2_total, dn3_total,
        dn1_nanos, dn2_nanos, dn3_nanos,
        wf_selected, wf_distinct_fps, wf_docs, wf_total_grams,
-       wf_density_nanos, wf_shared_pairs, wf_top_pair_shared
-FROM documents, dn, wf
-""".replace("__WINNOW__", _winnow_duck_ctes())
+       wf_density_nanos, wf_shared_pairs, wf_top_pair_shared,
+       cov_steps, cov_doc1, cov_new1, cov_doc2, cov_new2,
+       cov_doc3, cov_new3, cov_total
+FROM documents, dn, wf, cov
+""".replace("__WINNOW__", _winnow_duck_ctes()).replace(
+    "__COVERAGE__", _coverage_duck_ctes()
+)
 
 
 QUERIES = {

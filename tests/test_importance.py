@@ -124,3 +124,74 @@ def test_ten_x_corpus_same_contract(spark):
     assert len(sel) == DSIR_K
     marked = sum(1 for r in sel if r["doc_id"] % DSIR_MARK_MOD == 0)
     assert marked / DSIR_K >= 2.5 / DSIR_MARK_MOD, marked
+
+
+def test_greedy_coverage_matches_python_mirror(spark):
+    """Greedy facility-location selection vs a pure-Python greedy:
+    picks, gains, totals, ties to the smallest id, early stop when
+    nothing new remains, sub-n docs and null text contribute nothing."""
+    from lakehouse_file_format_compare_spark.operators.importance import (
+        greedy_coverage_selection,
+    )
+
+    texts = [
+        (1, "a b c d e f"),
+        (2, "a b c d e f"),  # exact duplicate: never picked after 1
+        (3, "x y z w"),
+        (4, "a b x y q r s t u v"),
+        (5, None),
+        (6, "solo"),
+    ]
+
+    def mirror(k, n):
+        gsets = {}
+        for i, t in texts:
+            ws = [w for w in (t or "").lower().strip().split() if w]
+            gsets[i] = (
+                {" ".join(ws[j : j + n]) for j in range(len(ws) - n + 1)}
+                if len(ws) >= n
+                else set()
+            )
+        covered, out, total = set(), [], 0
+        for step in range(1, k + 1):
+            best = max(gsets.items(), key=lambda kv: (len(kv[1] - covered), -kv[0]))
+            gain = len(best[1] - covered)
+            if gain == 0:
+                break
+            covered |= best[1]
+            total += gain
+            out.append((step, best[0], gain, total))
+        return out
+
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+    for k, n in [(4, 2), (3, 3), (10, 2), (2, 1)]:
+        got = greedy_coverage_selection(df, k=k, n=n)
+        assert got == mirror(k, n), (k, n, got)
+        gains = [g for _, _, g, _ in got]
+        assert gains == sorted(gains, reverse=True)  # submodularity
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    assert greedy_coverage_selection(empty, k=3) == []
+
+
+def test_greedy_coverage_on_real_corpus(spark):
+    """On the documents table: gains non-increasing, totals match the
+    union of the picked docs' distinct bigram sets exactly."""
+    from pyspark.sql import functions as F
+
+    from lakehouse_file_format_compare_spark.operators.importance import (
+        greedy_coverage_selection,
+    )
+    from lakehouse_file_format_compare_spark.sources.testdata import table
+
+    docs = table(spark, "/root/testdata/sf0.001", "documents")
+    steps = greedy_coverage_selection(docs, k=3, n=2)
+    assert len(steps) == 3
+    gains = [g for _, _, g, _ in steps]
+    assert gains == sorted(gains, reverse=True)
+    picked = [d for _, d, _, _ in steps]
+    rows = docs.where(F.col("doc_id").isin(picked)).select("text").collect()
+    union = set()
+    for r in rows:
+        ws = [w for w in r.text.lower().strip().split() if w]
+        union |= {" ".join(ws[j : j + 2]) for j in range(len(ws) - 1)}
+    assert steps[-1][3] == len(union)
