@@ -210,12 +210,36 @@ def main() -> None:
 
         lmauc = _lm_auc_scalars(docs).collect()[0]
 
+        # r10 continuation: richness (Chao1/Gini), exact order
+        # statistics and greedy coverage picks — all exact integers
+        from lakehouse_file_format_compare_spark.operators.importance import (
+            greedy_coverage_selection,
+        )
+        from lakehouse_file_format_compare_spark.operators.profiling import (
+            exact_quantiles,
+        )
+        from lakehouse_file_format_compare_spark.operators.vocab import (
+            richness_report,
+        )
+
+        rich = richness_report(docs).collect()[0]
+        eq = exact_quantiles(
+            table(spark, "/root/testdata/sf0.01", "orders").select(
+                F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+                .cast("long")
+                .alias("v")
+            ),
+            "v",
+        ).collect()[0]
+        cov = greedy_coverage_selection(docs, k=3, n=2)
+
         print(json.dumps({
             "master": master, "approx_distinct": ad, "dsir": dsir, "pr": pr,
             "einc_kept": einc, "bpe_merges": merges, "bpe_fp": bpe_fp,
             "lm": lm.asDict(), "km": km.asDict(), "zipf": zf.asDict(),
             "hits": ht, "lpa": lpa, "tri": tri.asDict(), "kcore": kc,
             "uv": uv, "winnow": wf.asDict(), "lmauc": lmauc.asDict(),
+            "rich": rich.asDict(), "eq": eq.asDict(), "cov": cov,
         }))
     finally:
         spark.stop()

@@ -145,6 +145,6 @@ def test_invariance_contracts_across_parallelism(spark):
         # deterministic — compare levels against each other
         for key in ("einc_kept", "bpe_merges", "bpe_fp",
                     "lm", "km", "zipf", "hits", "lpa", "tri", "kcore",
-                    "uv", "winnow", "lmauc"):
+                    "uv", "winnow", "lmauc", "rich", "eq", "cov"):
             assert got[key] == sweep_ref.setdefault(key, got[key]), (
                 master, key, "moved across parallelism")

@@ -1699,3 +1699,57 @@ def test_bloom_filter_is_corpus_independent_and_never_misses(spark):
     )
     assert missed == 0
     small.unpersist(); big.unpersist()
+
+
+@pytest.mark.scale
+def test_exact_quantiles_are_replication_invariant(spark):
+    """r10 continuation: duplicating every row K times leaves every
+    exact quantile IDENTICAL (k = ceil(K*n*p) lands on the same value
+    class) while n scales by exactly K — the property that makes
+    per-shard class tables mergeable."""
+    from functools import reduce
+
+    from pyspark.sql import DataFrame
+
+    from lakehouse_file_format_compare_spark.operators.profiling import (
+        exact_quantiles,
+    )
+
+    K = 3
+    cents = table(spark, SF_SCALE, "orders").select(
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long").alias("v")
+    ).cache()
+    r1 = exact_quantiles(cents, "v").collect()[0]
+    rk = exact_quantiles(
+        reduce(DataFrame.unionByName, [cents for _ in range(K)]), "v"
+    ).collect()[0]
+    assert rk.n == K * r1.n
+    assert (rk.q5000, rk.q9500, rk.q9900) == (r1.q5000, r1.q9500, r1.q9900)
+    cents.unpersist()
+
+
+@pytest.mark.scale
+def test_greedy_coverage_picks_invariant_under_replication(spark):
+    """r10 continuation: replicating every document under LARGER fresh
+    ids changes no pick and no gain — copies tie with originals and
+    the smallest-id rule keeps selecting the originals; gains are
+    set-cardinalities, untouched by multiplicity."""
+    from functools import reduce
+
+    from pyspark.sql import DataFrame
+
+    from lakehouse_file_format_compare_spark.operators.importance import (
+        greedy_coverage_selection,
+    )
+
+    docs = table(spark, SF_SCALE, "documents").select("doc_id", "text")
+    base = greedy_coverage_selection(docs, k=3, n=2)
+    copies = [docs] + [
+        docs.select(
+            (F.col("doc_id") + F.lit(i * 10_000_000)).alias("doc_id"), "text"
+        )
+        for i in (1, 2)
+    ]
+    replicated = reduce(DataFrame.unionByName, copies)
+    assert greedy_coverage_selection(replicated, k=3, n=2) == base
+    assert len(base) == 3 and base[0][2] >= base[1][2] >= base[2][2]
