@@ -194,3 +194,40 @@ def encoding_noise_score(text: Column) -> Column:
     return F.when(
         n > 0, F.least(encoding_noise_count(text).cast("double") / n, F.lit(1.0))
     ).otherwise(F.lit(0.0))
+
+
+# --- cleaning transforms (r10 continuation) -------------------------
+# Web-crawl hygiene: strip markup, entities and control characters,
+# then normalize whitespace. Patterns are deliberately dialect-neutral
+# (character classes only — no lookaround) so the SAME strings run on
+# Spark's Java regex and DuckDB's RE2, making every transform
+# oracle-replayable (tests/test_text_clean.py).
+
+HTML_TAG_RE = r"<[^>]*>"
+HTML_ENTITY_RE = r"&[a-zA-Z]{2,8};|&#[0-9]{1,6};"
+CONTROL_CHAR_RE = r"[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]"
+
+
+def strip_html(text: Column) -> Column:
+    """Replace tags and entities with spaces (a space, not empty, so
+    ``a<br>b`` stays two tokens)."""
+    return F.regexp_replace(
+        F.regexp_replace(text, HTML_TAG_RE, " "), HTML_ENTITY_RE, " "
+    )
+
+
+def strip_control_chars(text: Column) -> Column:
+    """Drop C0/C1-ish control characters (keeps tab/newline/CR — those
+    are whitespace, handled by collapse)."""
+    return F.regexp_replace(text, CONTROL_CHAR_RE, "")
+
+
+def collapse_whitespace(text: Column) -> Column:
+    return F.trim(F.regexp_replace(text, r"\s+", " "))
+
+
+def clean_text(text: Column) -> Column:
+    """The composed crawl-cleaning pass: strip markup -> strip control
+    chars -> collapse whitespace. Pure column expressions — runs
+    inside whole-stage codegen, no Python."""
+    return collapse_whitespace(strip_control_chars(strip_html(text)))
