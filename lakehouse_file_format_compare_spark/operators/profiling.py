@@ -251,3 +251,79 @@ def exact_quantiles(
             for bp in probs_bp
         ],
     )
+
+
+def grouped_exact_quantiles(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    probs_bp: tuple[int, ...] = (5000, 9500),
+    bucket_shift: int = 44,
+) -> DataFrame:
+    """Per-group :func:`exact_quantiles` — one row per distinct group
+    with ``n, q{bp}...``. Like the grouped AUC, BOTH cumulative
+    windows are group-partitioned (within-bucket by ``(groups, b)``,
+    bucket totals by ``groups``): no globally-ordered window anywhere,
+    so per-group order statistics scale with groups x value-range,
+    never through a single partition. The per-group profiling
+    workhorse (per-source length percentiles, per-domain size
+    distributions)."""
+    from pyspark.sql import Window
+
+    width = 1 << bucket_shift
+    classes = (
+        df.select(*group_cols, F.col(value_col).cast("long").alias("v"))
+        .groupBy(*group_cols, "v")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .withColumn("b", F.expr(f"v DIV {width}"))
+    )
+    w_buckets = (
+        Window.partitionBy(*group_cols)
+        .orderBy("b")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = (
+        classes.groupBy(*group_cols, "b")
+        .agg(F.sum("c").cast("long").alias("__bc"))
+        .select(
+            *group_cols,
+            "b",
+            F.coalesce(F.sum("__bc").over(w_buckets), F.lit(0)).alias("__off"),
+        )
+    )
+    w_in = (
+        Window.partitionBy(*group_cols, "b")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = classes.join(offsets, [*group_cols, "b"]).select(
+        *group_cols,
+        "v",
+        "c",
+        (F.col("__off") + F.sum("c").over(w_in)).alias("cum"),
+    )
+    totals = cum.groupBy(*group_cols).agg(
+        F.coalesce(F.sum("c"), F.lit(0)).cast("long").alias("n")
+    )
+    return (
+        cum.join(totals, group_cols)
+        .groupBy(*group_cols)
+        .agg(
+            F.max("n").cast("long").alias("n"),
+            *[
+                F.coalesce(
+                    F.min(
+                        F.when(
+                            F.col("cum")
+                            >= F.expr(f"(n * {bp} + 9999) DIV 10000"),
+                            F.col("v"),
+                        )
+                    ),
+                    F.lit(0),
+                )
+                .cast("long")
+                .alias(f"q{bp}")
+                for bp in probs_bp
+            ],
+        )
+    )

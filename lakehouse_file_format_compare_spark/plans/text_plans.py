@@ -887,14 +887,49 @@ def _divergence_agg(docs: DataFrame) -> DataFrame:
     return div.crossJoin(F.broadcast(psi))
 
 
+def _glq_scalars(docs: DataFrame) -> DataFrame:
+    """glq_* (late r10): per-SOURCE exact length percentiles
+    (operators/profiling.py::grouped_exact_quantiles — both cumulative
+    windows group-partitioned, no global window) reduced to exact
+    scalars with the gauc_* source-keyed fingerprint (p50*1e5 + p95
+    per source so either percentile moving is visible)."""
+    from ..operators.profiling import grouped_exact_quantiles
+
+    per = grouped_exact_quantiles(
+        docs.select("source", F.length("text").alias("len")),
+        ["source"],
+        "len",
+        probs_bp=(5000, 9500),
+    )
+    w_src = F.pmod(
+        F.conv(F.substring(F.md5("source"), 1, 6), 16, 10).cast("long"),
+        F.lit(9973),
+    )
+    return per.agg(
+        F.count(F.lit(1)).cast("long").alias("glq_sources"),
+        F.coalesce(F.min("q5000"), F.lit(0)).cast("long").alias("glq_min_p50"),
+        F.coalesce(F.max("q9500"), F.lit(0)).cast("long").alias("glq_max_p95"),
+        F.coalesce(
+            F.sum(w_src * (F.col("q5000") * F.lit(100_000) + F.col("q9500"))),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("glq_fp"),
+    )
+
+
 def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     scores = T.lang_scores(F.col("text"))
-    return docs.select(
-        "doc_id",
-        *[scores[lang].alias(f"hits_{lang}") for lang in T.LANG_MARKERS],
-        T.lang_id(F.col("text")).alias("lang_pred"),
-    ).crossJoin(F.broadcast(_divergence_agg(docs)))
+    return (
+        docs.select(
+            "doc_id",
+            *[scores[lang].alias(f"hits_{lang}") for lang in T.LANG_MARKERS],
+            T.lang_id(F.col("text")).alias("lang_pred"),
+        )
+        .crossJoin(F.broadcast(_divergence_agg(docs)))
+        .crossJoin(F.broadcast(_glq_scalars(docs)))
+    )
 
 
 def _duck_hits(lang: str) -> str:
@@ -999,13 +1034,38 @@ WITH scored AS (
            MAX(CASE WHEN rn = 1 THEN source END) AS psi_top_source
     FROM (SELECT *, row_number() OVER (ORDER BY psi_nanos DESC, source) AS rn
           FROM ps_agg)
+), glq_cls AS (
+    SELECT source, CAST(length(text) AS BIGINT) AS v,
+           CAST(COUNT(*) AS BIGINT) AS c
+    FROM documents GROUP BY 1, 2
+), glq_cum AS (
+    SELECT source, v, c,
+           SUM(c) OVER (PARTITION BY source ORDER BY v
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+    FROM glq_cls
+), glq_tot AS (
+    SELECT source, CAST(SUM(c) AS BIGINT) AS n FROM glq_cls GROUP BY source
+), glq_rows AS (
+    SELECT g.source, t.n,
+           MIN(CASE WHEN g.cum >= (t.n * 5000 + 9999) // 10000 THEN g.v END) AS p50,
+           MIN(CASE WHEN g.cum >= (t.n * 9500 + 9999) // 10000 THEN g.v END) AS p95
+    FROM glq_cum g JOIN glq_tot t USING (source)
+    GROUP BY g.source, t.n
+), glq AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS glq_sources,
+           CAST(COALESCE(MIN(p50), 0) AS BIGINT) AS glq_min_p50,
+           CAST(COALESCE(MAX(p95), 0) AS BIGINT) AS glq_max_p95,
+           CAST(COALESCE(SUM((CAST('0x' || substring(md5(source), 1, 6) AS BIGINT) % 9973)
+                * (p50 * 100000 + p95)), 0) AS BIGINT) AS glq_fp
+    FROM glq_rows
 )
 SELECT doc_id, {', '.join(f'hits_{lang}' for lang in T.LANG_MARKERS)},
        CASE {_LANG_CASE} ELSE 'und' END AS lang_pred,
        div_sources, div_kl_nanos, div_js_nanos, div_tv_nanos,
        div_chi2_micros, div_cov_nanos, div_ent_nanos, div_top_kl_source,
-       psi_nanos_total, psi_top_source
-FROM best_of, dv, ps
+       psi_nanos_total, psi_top_source,
+       glq_sources, glq_min_p50, glq_max_p95, glq_fp
+FROM best_of, dv, ps, glq
 """
 
 

@@ -242,3 +242,38 @@ def test_exact_quantiles_plan_shape(spark):
     )
     assert "BatchEvalPython" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_grouped_exact_quantiles_match_per_group_filter(spark):
+    """grouped_exact_quantiles row-for-row equals exact_quantiles run
+    on each group slice (singleton groups included) and its plan has
+    no globally-ordered window."""
+    import random
+
+    from lakehouse_file_format_compare_spark.operators.profiling import (
+        exact_quantiles,
+        grouped_exact_quantiles,
+    )
+    from pyspark.sql import functions as F
+
+    rng = random.Random(41)
+    rows = [
+        (f"g{rng.randint(0, 4)}", rng.randint(-100, 100)) for _ in range(400)
+    ] + [("solo", 7)]
+    df = spark.createDataFrame(rows, "source string, v long")
+    got = {
+        r.source: (r.n, r.q5000, r.q9500)
+        for r in grouped_exact_quantiles(df, ["source"], "v").collect()
+    }
+    assert len(got) == 6
+    for src in got:
+        ref = exact_quantiles(
+            df.where(F.col("source") == src), "v", (5000, 9500)
+        ).collect()[0]
+        assert got[src] == (ref.n, ref.q5000, ref.q9500), src
+    frame = grouped_exact_quantiles(df, ["source"], "v")
+    plan = frame._sc._jvm.PythonSQLUtils.explainString(
+        frame._jdf.queryExecution(), "formatted"
+    )
+    assert "SinglePartition" not in plan
+    assert "BatchEvalPython" not in plan
