@@ -27,8 +27,14 @@ def _py_kmeans(vecs, k, iters):
     """Pure-Python mirror of the operator's exact arithmetic.
     vecs: {vec_id: [float]}. Returns (centroids, {vec_id: (cluster,
     dist)})."""
+    # the operator consumes array<float> (float32) — replicate the
+    # float32 round-trip BEFORE snapping, or doubles that land near a
+    # .5 micro boundary snap to the other side (a hypothesis draw
+    # found 0.3769005009719931: float32 gives 376900, float64 376901)
+    import numpy as np
+
     snapped = {
-        i: [math.floor(float(x) * MICRO + 0.5) for x in v]
+        i: [math.floor(float(np.float32(x)) * MICRO + 0.5) for x in v]
         for i, v in vecs.items()
     }
     cents = {i: list(snapped[i]) for i in sorted(snapped) if i < k}
@@ -222,7 +228,7 @@ def test_kmeans_pp_seeds_deterministic_and_spread(spark, blob_docs):
 
 # --- hypothesis sweep: arbitrary point sets match the pure-Python fit ---
 
-from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import HealthCheck, example, given, settings  # noqa: E402
 from hypothesis import strategies as st  # noqa: E402
 
 _COMP = st.floats(
@@ -230,6 +236,10 @@ _COMP = st.floats(
 )
 
 
+# the float32-boundary regression hypothesis found (see _py_kmeans)
+@example(
+    pts=[(0.0, 0.0, 0.0), (0.0, 0.0, 0.3769005009719931)], k=1, iters=1
+)
 @given(
     pts=st.lists(
         st.tuples(_COMP, _COMP, _COMP), min_size=2, max_size=8, unique=True
