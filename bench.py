@@ -126,6 +126,10 @@ HEADLINE = [
     # sweep + per-source AUC + KS over one shared scored frame) —
     # driver contracts in text_quality's lmauc_*/lmth_*/gauc_*/lmks_*
     "filter_eval_serving",
+    # r10 continuation: winnowing fingerprint selection over the full
+    # corpus (per-doc window only) — driver contract in
+    # text_fingerprints' wf_*
+    "winnow_serving",
 ]
 
 STEADY_REPS = 3  # min-of-N steady protocol (r7 verdict #3)
@@ -297,6 +301,16 @@ def build_bench_queries() -> dict:
         return _lm_auc_scalars(table(spark_, sf_dir_, "documents"))
 
     queries["filter_eval_serving"] = _filter_eval_serving
+
+    def _winnow_serving(spark_, sf_dir_):
+        from lakehouse_file_format_compare_spark.operators.winnow import (
+            winnow_fingerprints,
+        )
+        from lakehouse_file_format_compare_spark.sources.testdata import table
+
+        return winnow_fingerprints(table(spark_, sf_dir_, "documents"))
+
+    queries["winnow_serving"] = _winnow_serving
     return queries
 
 
