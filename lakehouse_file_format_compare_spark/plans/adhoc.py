@@ -900,26 +900,33 @@ def approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     as oracle values, the HLL++ estimate pinned by an in-row
     tolerance boolean (a DuckDB oracle cannot replicate Spark's HLL++
     registers, but it CAN assert the sketch landed within rsd of the
-    exact count it computes itself) — PLUS exactly ONE re-added
-    sketch family: the mergeable histogram quantiles (qh_*).
+    exact count it computes itself) — PLUS the families re-proven by
+    the per-round driver bisect: qh_* (mergeable histogram
+    quantiles, re-added r10, driver-GREEN in CORRECTNESS_r10) and
+    mg_* (Misra-Gries mergeable top-k, re-added r11 per schedule).
 
     Bisect protocol: the r7 widening added four families at once
     (HLL-union booleans, Misra-Gries, Count-Min, histogram quantiles)
     and the row went red at the driver that exact round while staying
     green in every sandbox replay. The families re-enter one per
-    round so CORRECTNESS_r{N} itself names the offender. qh_* goes
-    first because it is the family with no cross-engine surface at
-    all: bins are FLOOR(price/4096) on an IEEE-exact DOUBLE grid,
-    merge is lossless integer addition, and the fingerprint is pure
-    LONG arithmetic — if THIS goes red the mismatch is in the shared
-    scaffolding (month(), the join fan-in), not sketch math.
-    Remaining schedule: r11 mg_*, r12 cms_*, r13 HLL-union booleans.
+    round so CORRECTNESS_r{N} itself names the offender. qh_* went
+    first (no cross-engine surface at all: IEEE-exact DOUBLE bins,
+    lossless integer merge, LONG fingerprint) and came back GREEN at
+    the driver in r10 — scaffolding exonerated. mg_* re-enters in
+    r11: plain integer SQL (row_number/CASE/SUM over exact counts),
+    the PROFILE_r10 §1.1 cross-row priors rate it likely-green (the
+    md5 hex-cast the cms family uses is exonerated by green dsir_*
+    rows elsewhere; the construct unique to the top suspect is the
+    cms `unnest(generate_series(...))` depths CTE).
+    Remaining schedule: r12 cms_*, r13 HLL-union booleans.
     The full four-family row stays oracle-covered in pytest
     (approx_distinct_sketch_rollup, tests/test_correctness.py)."""
     from ..operators.sketches import (
         histogram_partials,
         histogram_quantile_bins,
         histogram_rollup,
+        topk_partial_summaries,
+        topk_rollup,
     )
 
     orders = table(spark, sf_dir, "orders")
@@ -956,11 +963,37 @@ def approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("bin") * 1009 + F.col("cnt") * 7).cast("long").alias("__qh_fp2")
         )
     )
+    # Misra-Gries mergeable top-k (re-added r11): partials at
+    # (status, month) merged to status — exact integer values the
+    # oracle replays; same frame/constants as the demoted full row.
+    skewed = orders.select(
+        "o_orderstatus",
+        F.month("o_orderdate").alias("o_month"),
+        F.when(
+            F.pmod("o_orderkey", F.lit(MG_HEAVY_MOD)) == 0, F.lit(MG_HEAVY_KEY)
+        ).otherwise(F.col("o_custkey")).cast("long").alias("cust"),
+    )
+    mg_rollup = topk_rollup(
+        topk_partial_summaries(skewed, ["o_orderstatus", "o_month"], "cust", k=MG_K),
+        ["o_orderstatus"],
+        k=MG_K,
+    )
+    mg = mg_rollup.groupBy("o_orderstatus").agg(
+        F.max(F.when(F.col("rank") == 1, F.col("item"))).alias("mg_top1_key"),
+        F.max(F.when(F.col("rank") == 1, F.col("lower_bound"))).alias("mg_top1_lb"),
+        F.max("bound_total").alias("mg_bound_total"),
+        F.sum(
+            F.pmod(F.col("item"), F.lit(MG_FP_MOD)) * F.col("rank")
+            + F.col("lower_bound")
+        ).cast("long").alias("mg_topk_fp"),
+        F.max("n_rows").alias("__mg_rows"),
+    )
     raw = approx_distinct_raw(spark, sf_dir)
     return (
         raw.join(qbins, "o_orderstatus")
         .join(hist_fp, "o_orderstatus")
         .join(hist_fp2, "o_orderstatus")
+        .join(mg, "o_orderstatus")
         .select(
             "o_orderstatus",
             "exact_customers",
@@ -974,6 +1007,11 @@ def approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             "qh_fp",
             (F.col("__qh_rows") == F.col("n_orders")).alias("qh_rows_conserved"),
             (F.col("qh_fp") == F.col("__qh_fp2")).alias("qh_merge_order_invariant"),
+            "mg_top1_key",
+            "mg_top1_lb",
+            "mg_bound_total",
+            "mg_topk_fp",
+            (F.col("__mg_rows") == F.col("n_orders")).alias("mg_rows_conserved"),
         )
     )
 
@@ -984,6 +1022,45 @@ WITH base AS (
            COUNT(DISTINCT o_custkey) AS exact_customers,
            COUNT(*) AS n_orders
     FROM orders GROUP BY o_orderstatus
+), skew AS (
+    SELECT o_orderstatus, month(o_orderdate) AS m,
+           CASE WHEN o_orderkey % {MG_HEAVY_MOD} = 0 THEN {MG_HEAVY_KEY}
+                ELSE o_custkey END AS cust
+    FROM orders
+), c AS (
+    SELECT o_orderstatus, m, cust, COUNT(*) AS cnt
+    FROM skew GROUP BY o_orderstatus, m, cust
+), r AS (
+    SELECT *, row_number() OVER (PARTITION BY o_orderstatus, m
+                                 ORDER BY cnt DESC, cust) AS rn
+    FROM c
+), kept AS (SELECT * FROM r WHERE rn <= {MG_K}),
+bounds AS (
+    SELECT o_orderstatus, m,
+           COALESCE(MAX(CASE WHEN rn > {MG_K} THEN cnt END), 0) AS bound,
+           SUM(cnt) AS n_rows
+    FROM r GROUP BY o_orderstatus, m
+), merged AS (
+    SELECT o_orderstatus, cust, SUM(cnt) AS lb
+    FROM kept GROUP BY o_orderstatus, cust
+), side AS (
+    SELECT o_orderstatus, SUM(bound) AS bound_total, SUM(n_rows) AS nr
+    FROM bounds GROUP BY o_orderstatus
+), mr AS (
+    SELECT o_orderstatus, cust, lb,
+           row_number() OVER (PARTITION BY o_orderstatus
+                              ORDER BY lb DESC, cust) AS rank
+    FROM merged
+), mg AS (
+    SELECT m.o_orderstatus,
+           MAX(CASE WHEN rank = 1 THEN cust END) AS mg_top1_key,
+           MAX(CASE WHEN rank = 1 THEN lb END) AS mg_top1_lb,
+           MAX(s.bound_total) AS mg_bound_total,
+           CAST(SUM(cust % {MG_FP_MOD} * rank + lb) AS BIGINT) AS mg_topk_fp,
+           MAX(s.nr) AS mg_nr
+    FROM mr m JOIN side s USING (o_orderstatus)
+    WHERE rank <= {MG_K}
+    GROUP BY m.o_orderstatus
 ), hmerged AS (
     SELECT o_orderstatus,
            CAST(LEAST({HIST_N_BINS - 1}, GREATEST(0, FLOOR((o_totalprice - 0.0) / {HIST_BIN_W}))) AS BIGINT) AS bin,
@@ -1007,10 +1084,13 @@ SELECT base.o_orderstatus, exact_customers, n_orders,
        true AS approx_within_tolerance,
        qh_p50_bin, qh_p95_bin, qh_fp,
        (hq.qh_rows = n_orders) AS qh_rows_conserved,
-       true AS qh_merge_order_invariant
+       true AS qh_merge_order_invariant,
+       mg_top1_key, mg_top1_lb, mg_bound_total, mg_topk_fp,
+       (mg_nr = n_orders) AS mg_rows_conserved
 FROM base
 JOIN hq USING (o_orderstatus)
 JOIN hfp USING (o_orderstatus)
+JOIN mg USING (o_orderstatus)
 """
 
 
