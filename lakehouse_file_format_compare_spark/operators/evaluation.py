@@ -28,9 +28,15 @@ bounded-aggregate exception, the plans/streaming_plans.py
 precedent). No corpus-grain total order anywhere.
 
 Exactness: scores and labels are LONGs; U, P, N are LONG sums;
-``auc_nanos = (2U * 1e9) DIV (2PN)`` is computed in DECIMAL(38,0)
-(Spark decimal ``DIV`` == DuckDB HUGEINT ``//``, verified) so it
-never overflows and is bit-equal cross-engine at any corpus size.
+``auc_nanos = (2U * 1e9) DIV (2PN)`` does its ``*1e9`` scaling in
+DECIMAL(38,0) (Spark decimal ``DIV`` == DuckDB HUGEINT ``//``,
+verified) and is bit-equal cross-engine. Honest envelope (r10
+advice): ``auc_num`` (= 2U ≤ 2PN) and ``auc_den`` (= 2PN) are LONG,
+so the operator is exact while ``P * N < 2^62`` — e.g. 2.1e9
+positives × 2.1e9 negatives, or 4.6e13 × 10^5, far past any labeled
+eval set; past that, pre-aggregate per shard and feed
+``full_eval_from_counts`` with DECIMAL inputs. ``n_pos`` / ``n_neg``
+themselves are exact to 2^63 rows.
 
 Cited reference scope: italovinicius18/lakehouse-file-format-compare
 has no evaluation surface (dags/ are format-comparison ETL);
@@ -265,7 +271,11 @@ def _cum_counts(
 def _cum_from_counts(per_score: DataFrame, bucket_shift: int) -> DataFrame:
     """:func:`_cum_counts` over pre-aggregated (s, pos, neg) rows —
     re-aggregates duplicates first so unions of count shards can be
-    fed directly (the streaming monitor's read path)."""
+    fed directly (the streaming monitor's read path). Scores that net
+    to pos = 0 AND neg = 0 after re-aggregation are dropped (r10
+    advice): they are invisible to the raw-data path, so keeping them
+    would inflate ``n_thresholds`` and, on an all-zero input, zero
+    the F1 denominator."""
     width = 1 << bucket_shift
     per_score = (
         per_score.groupBy("s")
@@ -273,6 +283,7 @@ def _cum_from_counts(per_score: DataFrame, bucket_shift: int) -> DataFrame:
             F.sum("pos").cast("long").alias("pos"),
             F.sum("neg").cast("long").alias("neg"),
         )
+        .where((F.col("pos") + F.col("neg")) > 0)
         .withColumn("b", F.expr(f"s DIV {width}"))
     )
     bucket_totals = per_score.groupBy("b").agg(

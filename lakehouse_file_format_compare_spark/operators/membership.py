@@ -98,15 +98,21 @@ def bloom_probe(
     k: int = 4,
     tag: str = "bf",
 ) -> DataFrame:
-    """Probe each key: returns the input keys plus ``bf_member``
-    (1 = all k bits set — present OR a false positive; 0 = definitely
-    absent). The filter is broadcast; the probe is k exploded rows per
-    key, a broadcast left join on the word, and a per-key ``min``."""
+    """Probe each key: returns the INPUT FRAME — every column, every
+    row, duplicates preserved — plus ``bf_member`` (1 = all k bits
+    set — present OR a false positive; 0 = definitely absent), the
+    same contract as :func:`bloom_probe_literal` (r10 advice: the old
+    form returned distinct keys only and dropped carried columns).
+    The filter is broadcast; the probe runs on the DISTINCT keys
+    (k exploded rows per distinct key, a broadcast left join on the
+    word, a per-key ``min``) and the verdict joins back onto the
+    input — one shuffle keyed on ``key_col``, the same cost class as
+    the old per-key groupBy."""
     m = n_words * WORD_BITS
     idx = F.explode(
         F.array(*[_bit_index(F.col(key_col), j, m, tag) for j in range(k)])
     ).alias("__idx")
-    probes = keys.select(F.col(key_col), idx).select(
+    probes = keys.select(key_col).distinct().select(F.col(key_col), idx).select(
         key_col,
         F.expr(f"__idx DIV {WORD_BITS}").alias("word"),
         F.pmod("__idx", F.lit(WORD_BITS)).alias("__bit"),
@@ -114,11 +120,17 @@ def bloom_probe(
     hit = F.expr(
         "CAST(coalesce((shiftright(bits, CAST(__bit AS INT)) & 1), 0) AS INT)"
     )
-    return (
+    verdicts = (
         probes.join(F.broadcast(bloom), "word", "left")
         .select(key_col, hit.alias("__hit"))
         .groupBy(key_col)
         .agg(F.min("__hit").cast("int").alias("bf_member"))
+    )
+    # left join + coalesce: a NULL key never joins back (and can
+    # never be in the filter) — it keeps its row with bf_member = 0,
+    # matching the old groupBy form's NULL-group verdict
+    return keys.join(verdicts, key_col, "left").withColumn(
+        "bf_member", F.coalesce(F.col("bf_member"), F.lit(0)).cast("int")
     )
 
 

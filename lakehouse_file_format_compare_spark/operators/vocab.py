@@ -641,7 +641,10 @@ def richness_report(docs: DataFrame, text_col: str = "text") -> DataFrame:
           chao1 = V + F1*(F1-1) / (2*(F2+1))
 
       as ``V*1e9 + (F1*(F1-1)*1e9) DIV (2*(F2+1))`` — how much
-      vocabulary more crawl would surface;
+      vocabulary more crawl would surface. The ``*1e9`` scaling runs
+      in DECIMAL(38,0) (r10 advice: ``F1*(F1-1)*1e9`` wraps a LONG
+      once F1 exceeds ~96k singletons — real corpora have millions);
+      the DuckDB oracle replays it in HUGEINT, bit-equal;
     - ``rich_gini_nanos``: the Gini concentration of word frequencies
       (0 = uniform usage, →1 = a few words dominate). Computed with
       NO word-grain ranking: within a tie class of ``c`` words at
@@ -653,9 +656,16 @@ def richness_report(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
           G = (2 * Σ_r r*f_r - (V+1) * N) / (V * N)
 
-      in exact LONGs (envelope: ``V*N`` must fit a LONG — V=1e8
-      words x N=9e10 tokens is fine; past that, shard and merge the
-      class table).
+      with the numerator's ``*1e9`` scaling and the ``(V+1)*N`` /
+      ``V*N`` products in DECIMAL(38,0) (38 digits; never wraps).
+
+    Envelope (honest, r10-advice-corrected): the LONG rank-sum
+    accumulator ``Σ_r r*f_r ≤ V*N`` caps the operator at
+    ``V*N < 2^63`` ≈ 9.2e18 (e.g. V=1e8 words × N=9.2e10 tokens);
+    past that, shard the class table and merge in DECIMAL. The
+    ``rich_gini_nanos`` OUTPUT is always in [-1e9, 1e9] so the final
+    LONG cast is safe; ``rich_chao1_nanos`` fits a LONG while the
+    Chao1 estimate itself is < 9.2e9 distinct words.
 
     Empty corpus returns all zeros. Tokenization matches
     operators/divergence.py / the vocab family (lowercase, split
@@ -704,19 +714,21 @@ def richness_report(docs: DataFrame, text_col: str = "text") -> DataFrame:
         "rich_tokens",
         "rich_f1",
         "rich_f2",
-        (
-            F.col("rich_vocab") * F.lit(1_000_000_000)
-            + F.expr(
-                "(rich_f1 * (rich_f1 - 1) * 1000000000) DIV (2 * (rich_f2 + 1))"
-            )
-        )
-        .cast("long")
-        .alias("rich_chao1_nanos"),
+        # *1e9 scaling in DECIMAL(38,0): F1*(F1-1)*1e9 wraps a LONG
+        # past F1 ≈ 96k; (V+1)*N past V*N ≈ 9.2e9 (r10 advice)
+        F.expr(
+            "CAST(CAST(rich_vocab AS DECIMAL(38,0)) * 1000000000"
+            " + (CAST(rich_f1 AS DECIMAL(38,0)) * (rich_f1 - 1) * 1000000000)"
+            "   DIV (2 * (CAST(rich_f2 AS DECIMAL(38,0)) + 1)) AS BIGINT)"
+        ).alias("rich_chao1_nanos"),
         F.when(
             (F.col("rich_vocab") > 0) & (F.col("rich_tokens") > 0),
             F.expr(
-                "((2 * __rank_sum - (rich_vocab + 1) * rich_tokens) * 1000000000)"
-                " DIV (rich_vocab * rich_tokens)"
+                "CAST(((2 * CAST(__rank_sum AS DECIMAL(38,0))"
+                " - (CAST(rich_vocab AS DECIMAL(38,0)) + 1)"
+                "   * CAST(rich_tokens AS DECIMAL(38,0))) * 1000000000)"
+                " DIV (CAST(rich_vocab AS DECIMAL(38,0))"
+                "      * CAST(rich_tokens AS DECIMAL(38,0))) AS BIGINT)"
             ),
         )
         .otherwise(F.lit(0))

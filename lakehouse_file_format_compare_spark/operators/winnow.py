@@ -45,8 +45,11 @@ Scale shape (100 TB):
   cap, trading recall on degenerate buckets for a bounded join.
 - the position encoding assumes normalized documents shorter than
   ``B = 2**22`` characters (4 MiB of alphanumerics); longer inputs
-  should be chunked upstream at ingest (the established
-  functions/text.py chunking surface).
+  must be chunked upstream at ingest (the established
+  functions/text.py chunking surface). Enforced at runtime: a doc at
+  or past the limit raises (``raise_error`` fused into the normalize
+  projection, one length compare per doc) instead of silently
+  wrapping positions into the hash bits (r10 advice).
 
 Cited reference scope: italovinicius18/lakehouse-file-format-compare
 has no fingerprinting surface (dags/ are format-comparison ETL);
@@ -100,8 +103,27 @@ def winnow_fingerprints(
     """
     if not (k >= 1 and w >= 1):
         raise ValueError("k and w must be >= 1")
+    # Loud runtime guard (r10 advice): positions >= POS_B would wrap
+    # into the hash bits of the (hash+1)*B - pos encoding, silently
+    # breaking the substring-match guarantee. The guard is fused into
+    # the __n projection so Catalyst cannot prune it; cost is one
+    # length compare per DOC, not per gram.
     norm = docs.select(
-        F.col(id_col).alias("doc_id"), _normalize(F.col(text_col)).alias("__n")
+        F.col(id_col).alias("doc_id"),
+        F.when(
+            F.length(_normalize(F.col(text_col))) >= POS_B,
+            F.raise_error(
+                F.format_string(
+                    "winnow_fingerprints: normalized doc_id=%s has %s chars,"
+                    " >= POS_B=%s — chunk upstream (functions/text.py)",
+                    F.col(id_col).cast("string"),
+                    F.length(_normalize(F.col(text_col))).cast("string"),
+                    F.lit(str(POS_B)),
+                )
+            ),
+        )
+        .otherwise(_normalize(F.col(text_col)))
+        .alias("__n"),
     )
     grams = (
         norm.where(F.length("__n") >= k)

@@ -449,13 +449,18 @@ WITH words AS (
            CAST(COALESCE(SUM(n * (c * off + (c * (c + 1)) // 2)), 0) AS BIGINT) AS rs
     FROM roff
 ), rich AS (
+    -- *1e9 scaling in HUGEINT, mirroring the DECIMAL(38,0) Spark side
     SELECT rich_vocab, rich_tokens, rich_f1, rich_f2,
-           CAST(rich_vocab * 1000000000
-                + (rich_f1 * (rich_f1 - 1) * 1000000000) // (2 * (rich_f2 + 1))
+           CAST(CAST(rich_vocab AS HUGEINT) * 1000000000
+                + (CAST(rich_f1 AS HUGEINT) * (rich_f1 - 1) * 1000000000)
+                  // (2 * (CAST(rich_f2 AS HUGEINT) + 1))
                 AS BIGINT) AS rich_chao1_nanos,
            CASE WHEN rich_vocab > 0 AND rich_tokens > 0
-                THEN CAST(((2 * rs - (rich_vocab + 1) * rich_tokens) * 1000000000)
-                          // (rich_vocab * rich_tokens) AS BIGINT)
+                THEN CAST(((2 * CAST(rs AS HUGEINT)
+                            - (CAST(rich_vocab AS HUGEINT) + 1)
+                              * CAST(rich_tokens AS HUGEINT)) * 1000000000)
+                          // (CAST(rich_vocab AS HUGEINT)
+                              * CAST(rich_tokens AS HUGEINT)) AS BIGINT)
                 ELSE CAST(0 AS BIGINT) END AS rich_gini_nanos
     FROM ragg
 ), ap_words AS (

@@ -329,6 +329,44 @@ def test_lm_auc_driver_scalars(spark):
     assert r.lmauc_nanos > 700_000_000  # the en-trained LM ranks en high
 
 
+def test_from_counts_ignores_zero_net_scores(spark):
+    """r10 advice: count shards that net to pos=0 AND neg=0 for a
+    score (e.g. a correction shard cancelling an earlier one) must be
+    invisible — same n_thresholds and report as the raw data, and an
+    ALL-zero input must behave like an empty one (no NULL F1 from a
+    tp+fp+P=0 denominator)."""
+    from lakehouse_file_format_compare_spark.operators.evaluation import (
+        full_eval_from_counts,
+        full_eval_report,
+    )
+
+    raw = [(3, 1), (3, 0), (7, 1), (1, 0)]
+    df = spark.createDataFrame(raw, "score long, label int")
+    want = full_eval_report(df).collect()[0]
+    # shard union: score 5 appears with counts that net to zero
+    shards = spark.createDataFrame(
+        [
+            (3, 1, 1), (7, 1, 0), (1, 0, 1),
+            (5, 2, 3), (5, -2, -3),  # nets to (0, 0)
+        ],
+        "s long, pos long, neg long",
+    )
+    got = full_eval_from_counts(shards).collect()[0]
+    assert tuple(got) == tuple(want)
+    assert got.n_thresholds == 3  # scores 1, 3, 7 — not 5
+
+    all_zero = spark.createDataFrame(
+        [(3, 0, 0), (5, 0, 0)], "s long, pos long, neg long"
+    )
+    empty = full_eval_from_counts(all_zero).collect()[0]
+    want_empty = full_eval_report(
+        spark.createDataFrame([], "score long, label int")
+    ).collect()[0]
+    assert tuple(empty) == tuple(want_empty)
+    assert empty.n_thresholds == 0
+    assert all(v is not None for v in tuple(empty))
+
+
 def test_full_eval_report_equals_standalone_blocks(spark):
     """The fused one-cumulative-pass report is bit-equal to the three
     standalone reports, column for column, on ties-heavy data — and on

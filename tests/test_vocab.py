@@ -509,6 +509,40 @@ def test_richness_report_matches_counter_mirror(spark):
         assert got == mirror(texts), (texts, got)
 
 
+def test_richness_survives_f1_past_long_wrap(spark):
+    """r10 advice (medium): F1*(F1-1)*1e9 wraps a LONG once F1 >
+    ~96k singletons. 120k singletons + 16 doubletons keeps the Chao1
+    OUTPUT inside the documented LONG envelope while the old plain-
+    BIGINT intermediate (1.44e19 * 1e9) silently wrapped; the
+    DECIMAL(38,0) path must produce the exact integer."""
+    from lakehouse_file_format_compare_spark.operators.vocab import (
+        richness_report,
+    )
+
+    n_single, n_double = 120_000, 16
+    per_doc = 1000
+    docs = spark.range(n_single // per_doc).selectExpr(
+        "id AS doc_id",
+        f"array_join(transform(sequence(0, {per_doc - 1}),"
+        f" i -> concat('w', id * {per_doc} + i)), ' ') AS text",
+    ).unionByName(
+        spark.range(1).selectExpr(
+            "id + 1000000 AS doc_id",
+            f"array_join(flatten(transform(sequence(0, {n_double - 1}),"
+            f" i -> array(concat('d', i), concat('d', i)))), ' ') AS text",
+        )
+    )
+    r = richness_report(docs).collect()[0]
+    V = n_single + n_double
+    N = n_single + 2 * n_double
+    f1, f2 = n_single, n_double
+    chao1 = V * 10**9 + (f1 * (f1 - 1) * 10**9) // (2 * (f2 + 1))
+    assert (r.rich_vocab, r.rich_tokens, r.rich_f1, r.rich_f2) == (V, N, f1, f2)
+    assert r.rich_chao1_nanos == chao1
+    # singleton-dominated corpus: frequencies near-uniform, Gini ~ 0+
+    assert 0 <= r.rich_gini_nanos < 10**8
+
+
 def test_richness_gini_bounds_and_monotonicity(spark):
     """Gini is 0 for uniform usage and strictly grows as one word
     takes over; Chao1 is always >= V."""

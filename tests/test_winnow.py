@@ -136,6 +136,33 @@ def test_shared_pairs_counts_and_cap(spark):
     assert winnow_shared_pairs(fps, max_bucket=5).count() == 0
 
 
+def test_overlength_doc_raises_loudly(spark):
+    """r10 advice: a normalized doc at/past POS_B = 2^22 chars would
+    silently wrap positions into the hash bits — it must raise, not
+    fingerprint wrongly; a doc just under the limit must pass."""
+    import pytest
+
+    from lakehouse_file_format_compare_spark.operators.winnow import (
+        POS_B,
+        winnow_fingerprints,
+    )
+
+    too_long = spark.sql(
+        f"SELECT CAST(1 AS BIGINT) AS doc_id, repeat('a', {POS_B}) AS text"
+    )
+    with pytest.raises(Exception, match="winnow_fingerprints.*chunk upstream"):
+        winnow_fingerprints(too_long, k=5, w=4).count()
+
+    # pass side: a large-but-legal doc fingerprints fine (the full
+    # POS_B-1 boundary doc would grind 4M grams through the per-doc
+    # window — the guard expression `length >= POS_B` carries the
+    # boundary)
+    legal = spark.sql(
+        "SELECT CAST(1 AS BIGINT) AS doc_id, repeat('ab', 25000) AS text"
+    )
+    assert winnow_fingerprints(legal, k=5, w=4).count() >= 1
+
+
 def test_empty_and_degenerate_inputs(spark):
     empty = spark.createDataFrame([], "doc_id long, text string")
     assert winnow_fingerprints(empty).count() == 0
