@@ -39,6 +39,25 @@ def _bucket(tag: str, key_cols: tuple[str, ...], seed: int):
     )
 
 
+def _portable_bucket(tag: str, key_cols: tuple[str, ...], seed: int):
+    # Engine-portable twin of _bucket (md5 == md5 across Spark and
+    # DuckDB; the operators/sketches.py hex-prefix discipline): used
+    # where a DuckDB oracle must replay the ASSIGNMENT itself, not
+    # just its invariants. Slightly slower than xxhash64 — keep
+    # _bucket for non-oracled production paths.
+    h = F.md5(
+        F.concat_ws(
+            "\x1f",
+            F.lit(tag),
+            *[F.col(c).cast("string") for c in key_cols],
+            F.lit(str(seed)),
+        )
+    )
+    return F.pmod(
+        F.conv(F.substring(h, 1, 8), 16, 10).cast("long"), F.lit(_BUCKETS)
+    )
+
+
 def _order_hash(key_cols: tuple[str, ...]):
     # md5 of the concatenated key: portable (DuckDB md5 == Spark md5),
     # uniform enough for sampling, and a total order when tie-broken
@@ -356,6 +375,7 @@ def leakage_safe_splits(
     src: str = "doc_a",
     dst: str = "doc_b",
     seed: int = 42,
+    portable: bool = False,
 ) -> DataFrame:
     """Near-dup-aware train/val/test assignment (r10): split by the
     near-duplicate COMPONENT, not the document, so no two documents
@@ -377,14 +397,32 @@ def leakage_safe_splits(
     Output: ``docs`` + (canonical_id, is_canonical, split). Weights
     are honored in expectation at COMPONENT granularity; a giant
     component (boilerplate cluster) moves whole — by design, that is
-    the leakage guarantee."""
+    the leakage guarantee.
+
+    ``portable=True`` swaps the xxhash64 bucket for the md5-prefix
+    one (r11): bit-replayable by a DuckDB oracle — the
+    dedup_components driver row value-matches the full assignment."""
     from .components import canonicalize
 
     with_canon = canonicalize(docs, pairs, id_col=id_col, src=src, dst=dst)
+    return split_assign(with_canon, weights, seed=seed, portable=portable)
+
+
+def split_assign(
+    with_canon: DataFrame,
+    weights: dict[str, float],
+    seed: int = 42,
+    portable: bool = False,
+) -> DataFrame:
+    """The assignment half of :func:`leakage_safe_splits`: add
+    ``split`` to a frame that already carries ``canonical_id``
+    (callers that computed components once reuse them — the
+    dedup_components driver row)."""
     total = sum(weights.values())
     if abs(total - 1.0) > 1e-9:
         raise ValueError(f"weights must sum to 1, got {total}")
-    bucket = _bucket("leak_split", ("canonical_id",), seed)
+    mk = _portable_bucket if portable else _bucket
+    bucket = mk("leak_split", ("canonical_id",), seed)
     expr = None
     cum = 0.0
     names = list(weights)

@@ -174,6 +174,119 @@ def _inc_agg(docs: DataFrame) -> DataFrame:
     )
 
 
+CINC_HORIZON = 1  # retention horizon (batches) for the managed fold
+
+
+def _cinc_corpus(docs: DataFrame) -> DataFrame:
+    """_inc_corpus plus a SECOND planted wave: every doc with
+    2*INC_SPLIT <= doc_id < 3*INC_SPLIT and doc_id % INC_PLANT_MOD
+    == 1 gets the text of doc_id - 2*INC_SPLIT (a batch-1 donor,
+    ids < INC_SPLIT, never overwritten). Restricted to doc_id <
+    3*INC_SPLIT — the three-batch managed-fold fixture."""
+    base = docs.where(F.col("doc_id") < 3 * INC_SPLIT)
+    donors1 = base.select(
+        (F.col("doc_id") + INC_SPLIT).alias("doc_id"),
+        F.col("text").alias("__d1"),
+    )
+    donors2 = base.select(
+        (F.col("doc_id") + 2 * INC_SPLIT).alias("doc_id"),
+        F.col("text").alias("__d2"),
+    )
+    return (
+        base.join(donors1, "doc_id", "left")
+        .join(donors2, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(
+                (F.col("doc_id") >= INC_SPLIT)
+                & (F.col("doc_id") < 2 * INC_SPLIT)
+                & (F.pmod(F.col("doc_id"), F.lit(INC_PLANT_MOD)) == 1)
+                & F.col("__d1").isNotNull(),
+                F.col("__d1"),
+            )
+            .when(
+                (F.col("doc_id") >= 2 * INC_SPLIT)
+                & (F.col("doc_id") < 3 * INC_SPLIT)
+                & (F.pmod(F.col("doc_id"), F.lit(INC_PLANT_MOD)) == 1)
+                & F.col("__d2").isNotNull(),
+                F.col("__d2"),
+            )
+            .otherwise(F.col("text"))
+            .alias("text"),
+        )
+    )
+
+
+def _cinc_agg(docs: DataFrame) -> DataFrame:
+    """r11 widening (r10 verdict #3): the signature-store
+    retention/compaction contract (operators/lifecycle.py). A
+    three-batch managed MinHash fold at horizon=1 over the
+    double-planted corpus; exact values the oracle replays (batch-3
+    size and planted count) plus earned booleans:
+
+    - ``cinc_planted_dropped_ok``: every batch-3 planted duplicate
+      whose (tokenful) donor survived the fold is dropped — donors
+      are KEPT rows, never compacted, so identical text => identical
+      signature => same bucket => est 1.0, deterministic at any sf;
+    - ``cinc_tombstones_recent_only_ok``: the final store holds NO
+      dropped-doc row older than the horizon (compaction actually
+      enforced);
+    - ``cinc_compaction_pruned_ok``: the managed store is strictly
+      smaller than the unmanaged one (= every tokenful doc) — wave-1
+      plants guarantee out-of-horizon tombstones existed to prune."""
+    from ..operators import lifecycle as L
+
+    corpus = _cinc_corpus(docs)
+    b1 = corpus.where(F.col("doc_id") < INC_SPLIT)
+    b2 = corpus.where(
+        (F.col("doc_id") >= INC_SPLIT) & (F.col("doc_id") < 2 * INC_SPLIT)
+    )
+    b3 = corpus.where(F.col("doc_id") >= 2 * INC_SPLIT)
+    k1, store = L.incremental_minhash_dedup_managed(
+        b1, None, batch_id=1, horizon=CINC_HORIZON,
+        threshold=JACCARD_THRESHOLD,
+    )
+    _, store = L.incremental_minhash_dedup_managed(
+        b2, store, batch_id=2, horizon=CINC_HORIZON,
+        threshold=JACCARD_THRESHOLD,
+    )
+    k3, store = L.incremental_minhash_dedup_managed(
+        b3, store, batch_id=3, horizon=CINC_HORIZON,
+        threshold=JACCARD_THRESHOLD,
+    )
+    planted3 = b3.where(F.pmod(F.col("doc_id"), F.lit(INC_PLANT_MOD)) == 1)
+    # planted batch-3 docs whose donor is kept AND tokenful
+    kept_donors = k1.where(F.length(F.trim("text")) > 0).select(
+        (F.col("doc_id") + 2 * INC_SPLIT).alias("doc_id")
+    )
+    must_drop = planted3.join(kept_donors, "doc_id", "left_semi")
+    viol = must_drop.join(k3.select("doc_id"), "doc_id", "left_semi").agg(
+        F.count(F.lit(1)).alias("__v")
+    )
+    n_new3 = b3.agg(F.count(F.lit(1)).cast("long").alias("cinc_new3"))
+    n_planted3 = planted3.agg(
+        F.count(F.lit(1)).cast("long").alias("cinc_planted3")
+    )
+    old_tomb = store.where(
+        (~F.col("kept")) & (F.col("batch_id") <= 3 - CINC_HORIZON)
+    ).agg(F.count(F.lit(1)).alias("__ot"))
+    n_store = store.agg(F.count(F.lit(1)).alias("__sr"))
+    n_tokenful = corpus.where(F.length(F.trim("text")) > 0).agg(
+        F.count(F.lit(1)).alias("__tf")
+    )
+    return (
+        n_new3.crossJoin(n_planted3).crossJoin(viol)
+        .crossJoin(old_tomb).crossJoin(n_store).crossJoin(n_tokenful)
+        .select(
+            "cinc_new3",
+            "cinc_planted3",
+            (F.col("__v") == 0).alias("cinc_planted_dropped_ok"),
+            (F.col("__ot") == 0).alias("cinc_tombstones_recent_only_ok"),
+            (F.col("__sr") < F.col("__tf")).alias("cinc_compaction_pruned_ok"),
+        )
+    )
+
+
 def minhash_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver-checkable quality contract for MinHash-LSH: the oracle
     computes the TRUE near-dup pair count (exact n-gram Jaccard in
@@ -181,7 +294,9 @@ def minhash_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     over the true pair set >= floor, and precision == 1.0 (guaranteed
     by the verified-candidate design: every LSH candidate is re-checked
     with exact Jaccard before emission, operators/dedup.py). Widened
-    in r9 with the incremental-dedup contract (inc_*, see _inc_agg)."""
+    in r9 with the incremental-dedup contract (inc_*, see _inc_agg)
+    and in r11 with the store retention/compaction contract (cinc_*,
+    see _cinc_agg / operators/lifecycle.py)."""
     true_pairs = ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
     lsh_pairs = minhash_lsh(spark, sf_dir).select(
         F.col("doc_a").alias("la"), F.col("doc_b").alias("lb")
@@ -207,6 +322,7 @@ def minhash_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("fp") == 0).alias("precision_ok"),
         )
         .crossJoin(F.broadcast(_inc_agg(table(spark, sf_dir, "documents"))))
+        .crossJoin(F.broadcast(_cinc_agg(table(spark, sf_dir, "documents"))))
     )
 
 
@@ -258,10 +374,26 @@ WITH toks AS (
     JOIN sizes sb ON sb.doc = doc_b
     WHERE common / CAST(sa.sz + sb.sz - common AS DOUBLE) >= {JACCARD_THRESHOLD}
 )
+, cinc AS (
+    -- r11 retention/compaction contract: batch 3 of the three-batch
+    -- managed fold is [2*INC_SPLIT, 3*INC_SPLIT); wave-2 plants
+    -- target batch-1 donors at doc_id - 2*INC_SPLIT
+    SELECT CAST(COUNT(*) AS BIGINT) AS cinc_new3,
+           CAST(COUNT(*) FILTER (
+               WHERE d.doc_id % {INC_PLANT_MOD} = 1
+                 AND dn.text IS NOT NULL) AS BIGINT) AS cinc_planted3
+    FROM documents d
+    LEFT JOIN documents dn ON dn.doc_id = d.doc_id - {2 * INC_SPLIT}
+    WHERE d.doc_id >= {2 * INC_SPLIT} AND d.doc_id < {3 * INC_SPLIT}
+)
 SELECT n_true_pairs, true AS recall_ok, true AS precision_ok,
        inc_new, inc_planted, inc_store_rows,
-       true AS inc_planted_dropped_ok, true AS inc_kept_bounded_ok
-FROM truep CROSS JOIN inc
+       true AS inc_planted_dropped_ok, true AS inc_kept_bounded_ok,
+       cinc_new3, cinc_planted3,
+       true AS cinc_planted_dropped_ok,
+       true AS cinc_tombstones_recent_only_ok,
+       true AS cinc_compaction_pruned_ok
+FROM truep CROSS JOIN inc CROSS JOIN cinc
 """
 
 
@@ -352,7 +484,15 @@ def components(spark: SparkSession, sf_dir: str) -> DataFrame:
     iterated H-index (operators/components.py::kcore; the oracle
     replays the unrolled rounds with the ROW_NUMBER form of the
     H-index — max_i min(i, v_i) over the desc-sorted neighbor
-    values, proven equal to the Spark prefix-count form)."""
+    values, proven equal to the Spark prefix-count form). Widened
+    (r11, r10 verdict #4) with the leakage-safe split contract
+    (operators/sampling.py::split_assign over the same canonical
+    assignment, portable md5 buckets): the oracle replays the FULL
+    per-doc ``split`` assignment value-for-value, and
+    ``split_straddling_pairs`` carries the guarantee itself — the
+    number of found near-dup pairs crossing a split boundary,
+    computed from the real assignment on both sides (zero by the
+    component construction)."""
     docs = table(spark, sf_dir, "documents")
     pairs = D.ngram_jaccard_pairs(
         docs, threshold=JACCARD_THRESHOLD
@@ -378,17 +518,43 @@ def components(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum((F.col("node") % 97) * (F.col("community") + 1)), F.lit(0)
         ).cast("long").alias("lpa_fp"),
     )
+    from ..operators.sampling import split_assign
+
+    assigned = split_assign(
+        C.canonicalize(docs, pairs).select(
+            "doc_id", "canonical_id", "is_canonical"
+        ),
+        SPLIT_WEIGHTS,
+        portable=True,
+    ).localCheckpoint(eager=False)
+    straddle = (
+        pairs.join(
+            assigned.select(
+                F.col("doc_id").alias("doc_a"), F.col("split").alias("__sa")
+            ),
+            "doc_a",
+        )
+        .join(
+            assigned.select(
+                F.col("doc_id").alias("doc_b"), F.col("split").alias("__sb")
+            ),
+            "doc_b",
+        )
+        .where(F.col("__sa") != F.col("__sb"))
+        .agg(F.count(F.lit(1)).cast("long").alias("split_straddling_pairs"))
+    )
     return (
-        C.canonicalize(docs, pairs)
-        .select("doc_id", "canonical_id", "is_canonical")
+        assigned
         .crossJoin(F.broadcast(tri))
         .crossJoin(F.broadcast(lpa_agg))
         .crossJoin(F.broadcast(kc_agg))
+        .crossJoin(F.broadcast(straddle))
     )
 
 
 LPA_ITERS = 4
 KCORE_ITERS = 4
+SPLIT_WEIGHTS = {"train": 0.8, "val": 0.1, "test": 0.1}
 
 
 def _kcore_oracle_ctes(iterations: int = KCORE_ITERS) -> str:
@@ -525,15 +691,36 @@ WITH RECURSIVE toks AS (
                           AS BIGINT)
                 ELSE 0 END AS tri_gcc_grid
     FROM ttri, twed
-), {{LPA_CTES}}, {{KCORE_CTES}}
-SELECT d.doc_id,
-       COALESCE(c.component, d.doc_id) AS canonical_id,
-       d.doc_id = COALESCE(c.component, d.doc_id) AS is_canonical,
+), {{LPA_CTES}}, {{KCORE_CTES}}, assigned AS (
+    -- r11 leakage-safe split replay: md5-prefix bucket over the
+    -- CANONICAL id (sampling.py::_portable_bucket, tag 'leak_split',
+    -- seed 42), thresholds 8000/9000 of 10000 for 0.8/0.1/0.1
+    SELECT doc_id, canonical_id,
+           doc_id = canonical_id AS is_canonical,
+           CASE WHEN b < 8000 THEN 'train'
+                WHEN b < 9000 THEN 'val'
+                ELSE 'test' END AS split
+    FROM (
+        SELECT d.doc_id,
+               COALESCE(c.component, d.doc_id) AS canonical_id,
+               CAST(('0x' || substr(md5('leak_split' || chr(31)
+                    || CAST(COALESCE(c.component, d.doc_id) AS VARCHAR)
+                    || chr(31) || '42'), 1, 8)) AS BIGINT) % 10000 AS b
+        FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
+    )
+), straddle AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS split_straddling_pairs
+    FROM pairs p
+    JOIN assigned a ON a.doc_id = p.doc_a
+    JOIN assigned b ON b.doc_id = p.doc_b
+    WHERE a.split <> b.split
+)
+SELECT a.doc_id, a.canonical_id, a.is_canonical, a.split,
        tri_edges, tri_triangles, tri_wedges, tri_gcc_grid,
        lpa_nodes, lpa_communities, lpa_fp,
-       kcore_max, kcore_ge2, kcore_fp
-FROM documents d LEFT JOIN comp c ON d.doc_id = c.node, tagg, lpa_agg,
-     kcore_agg
+       kcore_max, kcore_ge2, kcore_fp,
+       split_straddling_pairs
+FROM assigned a, tagg, lpa_agg, kcore_agg, straddle
 """
 
 COMPONENTS_SQL = COMPONENTS_SQL.replace("{LPA_CTES}", _lpa_oracle_ctes())

@@ -5,6 +5,7 @@ for the xxhash64 paths."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from lakehouse_file_format_compare_spark.operators.packing import (
@@ -594,14 +595,18 @@ def _leak_fixture(spark):
     return docs, pairs
 
 
-def test_leakage_safe_no_pair_straddles_splits(spark):
+@pytest.mark.parametrize("portable", [False, True])
+def test_leakage_safe_no_pair_straddles_splits(spark, portable):
+    """Both bucket hashes (xxhash64 production, md5 oracle-portable —
+    r11) carry the identical guarantee."""
     from lakehouse_file_format_compare_spark.operators.sampling import (
         leakage_safe_splits,
     )
 
     docs, pairs = _leak_fixture(spark)
     out = leakage_safe_splits(
-        docs, pairs, {"train": 0.7, "val": 0.15, "test": 0.15}
+        docs, pairs, {"train": 0.7, "val": 0.15, "test": 0.15},
+        portable=portable,
     )
     split_of = {r.doc_id: r.split for r in out.collect()}
     for a, b in [(r.doc_a, r.doc_b) for r in pairs.collect()]:
@@ -610,6 +615,35 @@ def test_leakage_safe_no_pair_straddles_splits(spark):
     for k in range(10):
         assert split_of[3 * k] == split_of[3 * k + 2]
     assert set(split_of.values()) <= {"train", "val", "test"}
+
+
+def test_portable_bucket_matches_duckdb(spark):
+    """The md5-prefix bucket is bit-replayable: DuckDB computes the
+    identical bucket for the identical (tag, key, seed)."""
+    import duckdb
+
+    from lakehouse_file_format_compare_spark.operators.sampling import (
+        _portable_bucket,
+    )
+
+    df = spark.createDataFrame(
+        [(i,) for i in [0, 1, 7, 123456789, -5]], "canonical_id long"
+    )
+    got = {
+        r.canonical_id: r.b
+        for r in df.select(
+            "canonical_id",
+            _portable_bucket("leak_split", ("canonical_id",), 42).alias("b"),
+        ).collect()
+    }
+    con = duckdb.connect()
+    for cid, b in got.items():
+        (want,) = con.execute(
+            "SELECT CAST(('0x' || substr(md5('leak_split' || chr(31) || "
+            f"CAST({cid} AS VARCHAR) || chr(31) || '42'), 1, 8)) AS BIGINT)"
+            " % 10000"
+        ).fetchone()
+        assert b == want, (cid, b, want)
 
 
 def test_leakage_safe_stable_under_growth(spark):
