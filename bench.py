@@ -130,6 +130,12 @@ HEADLINE = [
     # corpus (per-doc window only) — driver contract in
     # text_fingerprints' wf_*
     "winnow_serving",
+    # r11 (r10 verdict #5): the end-to-end tokenizer pipeline (train
+    # on the corpus -> apply the trained model -> budget report, all
+    # three families in one row) — the comparable
+    # tokenize-the-corpus number; driver contract is the
+    # tokenizer_pipeline registry row with a full train+apply oracle
+    "tokenizer_pipeline",
 ]
 
 STEADY_REPS = 3  # min-of-N steady protocol (r7 verdict #3)

@@ -1345,8 +1345,14 @@ def ppjoin_jaccard_pairs(
     that matters on Zipf-skewed REAL text, where a handful of
     stop-shingles give the naive join quadratic buckets; the
     candidate-volume contract (tests/test_ppjoin.py) pins that bound
-    directly instead of a wall-clock comparison the synthetic corpus
-    would invert.
+    directly, and the r11 crossover contract
+    (tests/test_scale_contracts.py::
+    test_ppjoin_beats_naive_on_zipf_skewed_corpus) DEMONSTRATES the
+    win condition: on a boilerplate-heavy corpus the naive pair
+    universe is exactly n(n-1)/2 while the PPJoin prefix candidates
+    are exactly the planted duplicate pairs, and the measured walls
+    cross (naive ~quadratic growth, PPJoin ~linear; see PROFILE_r11
+    for the committed readings).
     """
     if not 0 < threshold <= 1:
         raise ValueError("threshold must be in (0, 1]")

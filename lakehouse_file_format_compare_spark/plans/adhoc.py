@@ -1347,7 +1347,11 @@ QUERIES = {
     # tests/test_correctness.py::test_demoted_scalar_subquery_oracle
     "op_window_functions_suite": window_functions_suite,
     "op_approx_distinct": approx_distinct,
-    "op_correlated_subquery": correlated_subquery,
+    # op_correlated_subquery demoted from the 50-cap registry in r11
+    # (Catalyst's decorrelation plan shape is already driver-visible
+    # via the tpch join-agg rows; swapped for tokenizer_pipeline,
+    # which carries a full train+apply oracle) — its oracle runs in
+    # tests/test_correctness.py::test_demoted_correlated_subquery_oracle
     "op_pivot_status_matrix": pivot_status_matrix,
     # op_explode_token_counts demoted from the 50-cap registry in r5
     # (explode coverage also driver-visible via dedup_ngram_jaccard's
@@ -1370,6 +1374,5 @@ ORACLES = {
     "op_semi_anti_join": SEMI_ANTI_JOIN_SQL,
     "op_window_functions_suite": WINDOW_FUNCTIONS_SUITE_SQL,
     "op_approx_distinct": APPROX_DISTINCT_SQL,
-    "op_correlated_subquery": CORRELATED_SUBQUERY_SQL,
     "op_pivot_status_matrix": PIVOT_STATUS_MATRIX_SQL,
 }

@@ -1366,11 +1366,337 @@ FROM documents, dn, wf, cov
 )
 
 
+# ---------------------------------------------------------------------------
+# tokenizer_pipeline (r11, r10 verdict #5): the three industrial
+# tokenizer families END-TO-END — train on the corpus, apply the
+# trained model back to the corpus, report the token budget — as ONE
+# driver row with a full oracle replay. Unlike the text_token_stats
+# widenings (fixed literal models, because a static SQL string cannot
+# replay an iterative trainer), here the ORACLE TRAINS TOO:
+# - BPE: the merge loop is unrolled into TP_BPE_MERGES argmax CTEs
+#   over the '<c>'-encoded distinct-word table (pair counts from the
+#   encoding, best pair by (count DESC, x, y) — bit-equal to
+#   bpe_train's tie-break — then one literal replace per merge);
+# - unigram / WordPiece: the model is DERIVED from the corpus (top-K
+#   substring seed pieces, Kudo 2018 seeding) with a pure-integer
+#   cost formula both engines compute identically, then the existing
+#   unrolled Viterbi DP / greedy longest-match machinery runs with
+#   the vocab as a COMPUTED table instead of VALUES literals.
+# Driver reads on the Spark side are bounded and documented: one
+# argmax row per BPE merge (bpe_train), one K-row seed collect
+# (the k-means literal-centroid discipline).
+# ---------------------------------------------------------------------------
+
+TP_BPE_MERGES = 4
+TP_UV_K = 16
+
+
+def _tp_vocab_cost(mx: int, n: int, piece_len: int) -> int:
+    """Integer piece cost: rarer pieces and longer pieces cost more
+    (a -log-prob stand-in on an exact integer grid). DuckDB replays
+    as ((mx // pn) + length(piece)) * 1000000."""
+    return ((mx // n) + piece_len) * 1_000_000
+
+
+def tokenizer_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row per family: (family, model_size, model_desc, tokens,
+    cost_nanos, fp) — the trained model itself (model_desc), the
+    corpus token budget under it, and a per-doc fingerprint so any
+    document's tokenization moving is visible in the hash."""
+    from ..operators.vocab import (
+        bpe_apply,
+        bpe_train,
+        unigram_apply,
+        unigram_piece_stats,
+        wordpiece_apply,
+    )
+
+    _ULW = UV_LONGWORD_NANOS
+
+    docs = table(spark, sf_dir, "documents")
+    merges = bpe_train(docs, n_merges=TP_BPE_MERGES)
+    if len(merges) != TP_BPE_MERGES:
+        raise RuntimeError(
+            f"tokenizer_pipeline: corpus trained only {len(merges)} BPE "
+            f"merges (< {TP_BPE_MERGES}); the oracle unrolls exactly "
+            f"{TP_BPE_MERGES} — use a larger corpus"
+        )
+    bpe_desc = " ".join(f"{x}+{y}" for x, y in merges)
+
+    def _family(agg_df, family, size, desc, tok_col, cost_col, fp_col):
+        return agg_df.select(
+            F.lit(family).alias("family"),
+            F.lit(int(size)).cast("long").alias("model_size"),
+            F.lit(desc).alias("model_desc"),
+            F.col(tok_col).alias("tokens"),
+            cost_col.alias("cost_nanos"),
+            F.col(fp_col).alias("fp"),
+        )
+
+    bpe_row = _family(
+        bpe_apply(docs, merges).agg(
+            F.sum("n_bpe_tokens").cast("long").alias("__t"),
+            F.sum(F.col("doc_id") * F.col("n_bpe_tokens"))
+            .cast("long")
+            .alias("__fp"),
+        ),
+        "bpe", TP_BPE_MERGES, bpe_desc,
+        "__t", F.lit(0).cast("long"), "__fp",
+    )
+
+    seed = sorted(
+        unigram_piece_stats(docs, top_k=TP_UV_K).collect(),
+        key=lambda r: (-r.n, r.piece),
+    )
+    mx = max(r.n for r in seed)
+    vocab = {r.piece: _tp_vocab_cost(mx, r.n, len(r.piece)) for r in seed}
+    uv_desc = " ".join(r.piece for r in seed)
+    uv_row = _family(
+        unigram_apply(docs, vocab, UV_OOV_NANOS, _ULW).agg(
+            F.sum("n_uv_tokens").cast("long").alias("__t"),
+            F.sum("uv_cost_nanos").cast("long").alias("__c"),
+            F.sum(F.col("doc_id") * F.col("n_uv_tokens"))
+            .cast("long")
+            .alias("__fp"),
+        ),
+        "unigram", len(vocab), uv_desc,
+        "__t", F.col("__c"), "__fp",
+    )
+    wp_row = _family(
+        wordpiece_apply(docs, vocab, UV_OOV_NANOS, _ULW).agg(
+            F.sum("n_wp_tokens").cast("long").alias("__t"),
+            (F.sum("wp_cost_micros") * F.lit(1000)).cast("long").alias("__c"),
+            F.sum(F.col("doc_id") * F.col("n_wp_tokens"))
+            .cast("long")
+            .alias("__fp"),
+        ),
+        "wordpiece", len(vocab), uv_desc,
+        "__t", F.col("__c"), "__fp",
+    )
+    return bpe_row.unionByName(uv_row).unionByName(wp_row)
+
+
+def _tp_oracle_sql() -> str:
+    """The full TRAIN + APPLY replay (see the tokenizer_pipeline
+    banner above). Every CTE is integer-exact; the BPE argmax
+    tie-break (count DESC, x, y) and the seed-vocab cost formula
+    mirror the Spark side bit-for-bit."""
+    from ..operators.vocab import UV_ENC, UV_MAX_PIECE, UV_MAX_WORD
+
+    oov_enc = UV_OOV_NANOS * UV_ENC + 1
+    lens = ", ".join(f"({l})" for l in range(2, UV_MAX_PIECE + 1))
+    ctes = [
+        r"""words AS MATERIALIZED (
+    SELECT word, CAST(COUNT(*) AS BIGINT) AS n FROM (
+        SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS word
+        FROM documents
+    ) WHERE length(word) > 0
+    GROUP BY word
+)""",
+        r"""ap_words AS MATERIALIZED (
+    SELECT doc_id, word FROM (
+        SELECT doc_id,
+               unnest(string_split_regex(lower(trim(text)), '\s+')) AS word
+        FROM documents
+    ) WHERE length(word) > 0
+)""",
+        r"""bsym0 AS MATERIALIZED (
+    SELECT word, n, regexp_replace(word, '(.)', '<\1>', 'g') AS e FROM words
+)""",
+    ]
+    for m in range(1, TP_BPE_MERGES + 1):
+        ctes.append(f"""bp{m} AS (
+    SELECT s[i] AS x, s[i + 1] AS y, CAST(SUM(n) AS BIGINT) AS c
+    FROM (SELECT n, regexp_extract_all(e, '<([^>]*)>', 1) AS s
+          FROM bsym{m - 1}) t,
+         LATERAL (SELECT unnest(generate_series(1, len(s) - 1)) AS i) i
+    GROUP BY 1, 2
+)""")
+        ctes.append(
+            f"bb{m} AS (SELECT x, y FROM bp{m} ORDER BY c DESC, x, y LIMIT 1)"
+        )
+        ctes.append(f"""bsym{m} AS MATERIALIZED (
+    SELECT word, n,
+           replace(e, '<' || b.x || '><' || b.y || '>',
+                   '<' || b.x || b.y || '>') AS e
+    FROM bsym{m - 1}, bb{m} b
+)""")
+    merge_desc = " || ' ' || ".join(
+        f"(SELECT x || '+' || y FROM bb{m})"
+        for m in range(1, TP_BPE_MERGES + 1)
+    )
+    ctes.append(f"""btok AS (
+    SELECT word,
+           CAST(length(regexp_replace(e, '[^<]', '', 'g')) AS BIGINT) AS nt
+    FROM bsym{TP_BPE_MERGES}
+)""")
+    ctes.append("""bpe_doc AS (
+    SELECT a.doc_id, SUM(t.nt) AS nt
+    FROM ap_words a JOIN btok t USING (word) GROUP BY a.doc_id
+)""")
+    ctes.append(f"""bpe_row AS (
+    SELECT 'bpe' AS family, CAST({TP_BPE_MERGES} AS BIGINT) AS model_size,
+           {merge_desc} AS model_desc,
+           CAST(SUM(nt) AS BIGINT) AS tokens,
+           CAST(0 AS BIGINT) AS cost_nanos,
+           CAST(SUM(doc_id * nt) AS BIGINT) AS fp
+    FROM bpe_doc
+)""")
+    # trained seed vocab (shared by unigram + WordPiece)
+    ctes.append(f"""tp_pieces AS (
+    SELECT substr(w.word, i.i, ls.l) AS piece, CAST(SUM(w.n) AS BIGINT) AS pn
+    FROM words w, (VALUES (1), {lens}) ls(l),
+         LATERAL (SELECT unnest(generate_series(1, length(w.word) - ls.l + 1)) AS i) i
+    GROUP BY 1
+)""")
+    ctes.append(f"""tp_top AS MATERIALIZED (
+    SELECT piece, pn FROM tp_pieces ORDER BY pn DESC, piece LIMIT {TP_UV_K}
+)""")
+    ctes.append(f"""tp_vocab AS MATERIALIZED (
+    SELECT piece,
+           ((mx // pn) + length(piece)) * 1000000 AS cost_nanos,
+           CAST((((mx // pn) + length(piece)) * 1000000) * {UV_ENC} + 1
+                AS BIGINT) AS enc
+    FROM tp_top, (SELECT MAX(pn) AS mx FROM tp_top)
+)""")
+    ctes.append("""tp_desc AS (
+    SELECT string_agg(piece, ' ' ORDER BY pn DESC, piece) AS d,
+           CAST(COUNT(*) AS BIGINT) AS k
+    FROM tp_top
+)""")
+    # unigram Viterbi DP over the TRAINED vocab (the uv_* machinery
+    # with the vocab as a computed table)
+    ctes.append(f"""tp_w AS MATERIALIZED (
+    SELECT word FROM words WHERE length(word) <= {UV_MAX_WORD}
+)""")
+    ctes.append(f"""tp_edges AS MATERIALIZED (
+    SELECT p.word, p.j, 1 AS l,
+           COALESCE(v.enc, CAST({oov_enc} AS BIGINT)) AS enc
+    FROM (
+        SELECT w.word, i.j, substr(w.word, i.j, 1) AS piece
+        FROM tp_w w,
+             LATERAL (SELECT unnest(generate_series(1, length(w.word))) AS j) i
+    ) p LEFT JOIN tp_vocab v USING (piece)
+    UNION ALL
+    SELECT p.word, p.j, p.l, v.enc
+    FROM (
+        SELECT w.word, i.j, ls.l,
+               substr(w.word, i.j - ls.l + 1, ls.l) AS piece
+        FROM tp_w w, (VALUES {lens}) ls(l),
+             LATERAL (SELECT unnest(generate_series(ls.l, length(w.word))) AS j) i
+    ) p JOIN tp_vocab v USING (piece)
+)""")
+    ctes.append("""tp_b1 AS MATERIALIZED (
+    SELECT word, MIN(enc) AS s FROM tp_edges WHERE j = 1 GROUP BY word
+)""")
+    for j in range(2, UV_MAX_WORD + 1):
+        branches = []
+        for l in range(1, min(j, UV_MAX_PIECE) + 1):
+            if l == j:
+                branches.append(
+                    f"SELECT e.word, e.enc AS cand FROM tp_edges e"
+                    f" WHERE e.j = {j} AND e.l = {l}"
+                )
+            else:
+                branches.append(
+                    f"SELECT e.word, b.s + e.enc AS cand FROM tp_edges e"
+                    f" JOIN tp_b{j - l} b USING (word)"
+                    f" WHERE e.j = {j} AND e.l = {l}"
+                )
+        ctes.append(f"""tp_b{j} AS MATERIALIZED (
+    SELECT word, MIN(cand) AS s FROM (
+    {" UNION ALL ".join(branches)}
+    ) GROUP BY word
+)""")
+    finals = " UNION ALL ".join(
+        f"SELECT word, s FROM tp_b{j} WHERE length(word) = {j}"
+        for j in range(1, UV_MAX_WORD + 1)
+    )
+    ctes.append(f"tp_states AS MATERIALIZED ({finals})")
+    ctes.append(f"""tp_doc AS (
+    SELECT a.doc_id,
+           SUM(CASE WHEN length(a.word) > {UV_MAX_WORD} THEN 1
+                    ELSE st.s % {UV_ENC} END) AS nt,
+           SUM(CASE WHEN length(a.word) > {UV_MAX_WORD}
+                    THEN {UV_LONGWORD_NANOS}
+                    ELSE st.s // {UV_ENC} END) AS cost
+    FROM ap_words a LEFT JOIN tp_states st USING (word)
+    GROUP BY a.doc_id
+)""")
+    ctes.append("""tp_uvagg AS (
+    SELECT CAST(SUM(nt) AS BIGINT) AS tokens,
+           CAST(SUM(cost) AS BIGINT) AS cost_nanos,
+           CAST(SUM(doc_id * nt) AS BIGINT) AS fp
+    FROM tp_doc
+)""")
+    # greedy longest-match (WordPiece) with the same trained vocab:
+    # per-length LEFT JOINs replace the static CASE chains
+    joins = "\n    ".join(
+        f"LEFT JOIN tp_vocab v{l} ON length(v{l}.piece) = {l}"
+        f" AND v{l}.piece = substr(s.word, s.pos, {l})"
+        for l in range(UV_MAX_PIECE, 0, -1)
+    )
+    adv = "COALESCE(" + ", ".join(
+        [f"length(v{l}.piece)" for l in range(UV_MAX_PIECE, 0, -1)] + ["1"]
+    ) + ")"
+    pc = "COALESCE(" + ", ".join(
+        [f"v{l}.cost_nanos // 1000" for l in range(UV_MAX_PIECE, 0, -1)]
+        + [str(UV_OOV_NANOS // 1000)]
+    ) + ")"
+    ctes.append("""tpw_s0 AS MATERIALIZED (
+    SELECT word, 1 AS pos, CAST(0 AS BIGINT) AS nt,
+           CAST(0 AS BIGINT) AS cost
+    FROM tp_w
+)""")
+    for k in range(1, UV_MAX_WORD + 1):
+        ctes.append(f"""tpw_s{k} AS MATERIALIZED (
+    SELECT s.word,
+           CASE WHEN s.pos > length(s.word) THEN s.pos
+                ELSE s.pos + {adv} END AS pos,
+           CASE WHEN s.pos > length(s.word) THEN s.nt ELSE s.nt + 1 END AS nt,
+           CASE WHEN s.pos > length(s.word) THEN s.cost
+                ELSE s.cost + {pc} END AS cost
+    FROM tpw_s{k - 1} s
+    {joins}
+)""")
+    ctes.append(f"""tpw_doc AS (
+    SELECT a.doc_id,
+           SUM(CASE WHEN length(a.word) > {UV_MAX_WORD} THEN 1
+                    ELSE f.nt END) AS nt,
+           SUM(CASE WHEN length(a.word) > {UV_MAX_WORD}
+                    THEN {UV_LONGWORD_NANOS // 1000}
+                    ELSE f.cost END) AS cost
+    FROM ap_words a LEFT JOIN tpw_s{UV_MAX_WORD} f USING (word)
+    GROUP BY a.doc_id
+)""")
+    ctes.append("""tpw_agg AS (
+    SELECT CAST(SUM(nt) AS BIGINT) AS tokens,
+           CAST(SUM(cost) * 1000 AS BIGINT) AS cost_nanos,
+           CAST(SUM(doc_id * nt) AS BIGINT) AS fp
+    FROM tpw_doc
+)""")
+    return (
+        "WITH " + ",\n".join(ctes) + """
+SELECT family, model_size, model_desc, tokens, cost_nanos, fp FROM bpe_row
+UNION ALL
+SELECT 'unigram', (SELECT k FROM tp_desc), (SELECT d FROM tp_desc),
+       tokens, cost_nanos, fp FROM tp_uvagg
+UNION ALL
+SELECT 'wordpiece', (SELECT k FROM tp_desc), (SELECT d FROM tp_desc),
+       tokens, cost_nanos, fp FROM tpw_agg
+"""
+    )
+
+
+TOKENIZER_PIPELINE_SQL = _tp_oracle_sql()
+
+
 QUERIES = {
     "text_token_stats": token_stats,
     "text_quality": quality,
     "text_lang_id": lang_id,
     "text_fingerprints": fingerprints,
+    "tokenizer_pipeline": tokenizer_pipeline,
 }
 
 ORACLES = {
@@ -1378,4 +1704,5 @@ ORACLES = {
     "text_quality": QUALITY_SQL,
     "text_lang_id": LANG_ID_SQL,
     "text_fingerprints": FINGERPRINTS_SQL,
+    "tokenizer_pipeline": TOKENIZER_PIPELINE_SQL,
 }

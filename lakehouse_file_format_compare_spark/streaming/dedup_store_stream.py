@@ -45,7 +45,19 @@ from ..storage import Warehouse
 @dataclass
 class StreamingIncrementalDedupLoader:
     """Drain a file-source stream of documents into a deduped table
-    plus a signature store, micro-batch by micro-batch."""
+    plus a signature store, micro-batch by micro-batch.
+
+    ``horizon`` (r11, operators/lifecycle.py): when set, the store
+    rows carry (batch_seq, kept) lifecycle columns and every
+    micro-batch ends with a compaction DELETE of dropped-doc rows
+    older than ``horizon`` batches — the retention discipline that
+    keeps the store at |kept| + horizon-window tombstones instead of
+    every-doc-ever. Replay-safe: foreachBatch batch ids are stable
+    across checkpoint replays, the insert-only merge ignores
+    re-inserted keys (flags cannot flip), and re-deleting aged
+    tombstones is a no-op. The fold guarantee weakens exactly as
+    documented in operators/lifecycle.py: exact within the retention
+    horizon."""
 
     warehouse: Warehouse
     checkpoint_root: str
@@ -56,6 +68,7 @@ class StreamingIncrementalDedupLoader:
     fmt: str = "parquet"
     id_col: str = "doc_id"
     text_col: str = "text"
+    horizon: int | None = None
 
     def _store_name(self, name: str) -> str:
         return f"{name}_sigstore"
@@ -80,6 +93,8 @@ class StreamingIncrementalDedupLoader:
             batch = batch_df.select(self.id_col, self.text_col)
             try:
                 history = wh.read_table("silver", self._store_name(name), self.fmt)
+                if self.horizon is not None:
+                    history = history.select("doc", "signature")
             except Exception:
                 history = None  # first batch: no store yet
             # materialized once (eager localCheckpoint): the dedup's
@@ -109,10 +124,30 @@ class StreamingIncrementalDedupLoader:
                 kept, "silver", name,
                 keys=[self.id_col], fmt=self.fmt, policy="insert_only",
             )
+            store_rows = new_sigs
+            if self.horizon is not None:
+                from ..operators.lifecycle import stamp_batch
+
+                from pyspark.sql import functions as F
+
+                store_rows = stamp_batch(
+                    new_sigs,
+                    batch_id,
+                    kept.select(F.col(self.id_col).alias("doc")),
+                    "doc",
+                ).localCheckpoint(eager=True)  # flags computed BEFORE
+                # the store merge below changes what "history" means
             wh.merge_table(
-                new_sigs, "silver", self._store_name(name),
+                store_rows, "silver", self._store_name(name),
                 keys=["doc"], fmt=self.fmt, policy="insert_only",
             )
+            if self.horizon is not None:
+                # compaction last: a pure shrink, idempotent on replay
+                wh.delete_from(
+                    "silver", self._store_name(name),
+                    f"(NOT kept) AND batch_id <= {int(batch_id) - self.horizon}",
+                    fmt=self.fmt,
+                )
 
         query = (
             stream.writeStream.foreachBatch(dedup_batch)

@@ -234,3 +234,31 @@ def test_fold_matches_python_reference(spark, words, merges):
     got = {r.word: list(r.tokens) for r in word_bpe_tokens(df, merges).collect()}
     for w in words:
         assert got[w] == _py_bpe(w, merges), (w, merges)
+
+
+def test_tokenizer_pipeline_row_shape_and_ordering(spark):
+    """tokenizer_pipeline (r11): three family rows; the greedy
+    WordPiece budget can never beat the optimal Viterbi budget under
+    the SAME trained model/cost scale (greedy >= optimal per word,
+    summed); the trained BPE merge list is non-trivial and the model
+    descriptions are consistent between the unigram and WordPiece
+    rows (one shared trained vocab)."""
+    from lakehouse_file_format_compare_spark.plans.text_plans import (
+        TP_BPE_MERGES,
+        TP_UV_K,
+        tokenizer_pipeline,
+    )
+    from tests.conftest import SF_SMOKE
+
+    rows = {r.family: r for r in tokenizer_pipeline(spark, SF_SMOKE).collect()}
+    assert set(rows) == {"bpe", "unigram", "wordpiece"}
+    b, u, w = rows["bpe"], rows["unigram"], rows["wordpiece"]
+    assert b.model_size == TP_BPE_MERGES
+    assert len(b.model_desc.split()) == TP_BPE_MERGES
+    assert all("+" in m for m in b.model_desc.split())
+    assert u.model_size == w.model_size <= TP_UV_K
+    assert u.model_desc == w.model_desc
+    assert b.cost_nanos == 0
+    # optimal (Viterbi) <= greedy (WordPiece) on the shared cost scale
+    assert 0 < u.cost_nanos <= w.cost_nanos
+    assert u.tokens > 0 and w.tokens > 0 and b.tokens > 0

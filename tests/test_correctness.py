@@ -37,6 +37,22 @@ def test_registry_is_exactly_50(spark):
     assert len(ORACLES) == 50
 
 
+def test_demoted_correlated_subquery_oracle(spark):
+    """op_correlated_subquery left the driver registry in r11
+    (Catalyst's decorrelated plan shape is already driver-visible via
+    the tpch join-agg rows; swapped for tokenizer_pipeline); its
+    oracle coverage continues here."""
+    from lakehouse_file_format_compare_spark.plans.adhoc import (
+        CORRELATED_SUBQUERY_SQL,
+        correlated_subquery,
+    )
+
+    ok, msg = compare(
+        spark, SF_CORRECTNESS, correlated_subquery, CORRELATED_SUBQUERY_SQL
+    )
+    assert ok, msg
+
+
 def test_demoted_distinct_projection_oracle(spark):
     """op_distinct_projection left the driver registry in r4 (swapped
     for corpus_build_summary); its oracle coverage continues here."""

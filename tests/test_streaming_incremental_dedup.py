@@ -175,6 +175,69 @@ def vec_drained(spark, tmp_path_factory):
     return loader, planted
 
 
+def test_horizon_drain_compacts_and_stays_exact_in_window(spark, corpus, tmp_path_factory):
+    """r11 retention mode (operators/lifecycle.py lifted to the
+    stream): with horizon=1 over the 3-batch drain, every planted
+    duplicate still drops (its donor is KEPT — kept rows are never
+    compacted), the store ends strictly smaller than every-doc-ever,
+    no out-of-horizon tombstone survives, and a replay against the
+    committed tables is still a no-op."""
+    src = str(tmp_path_factory.mktemp("hdedup_src"))
+    for i, (lo, hi) in enumerate(CUTS):
+        (
+            corpus.where((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(f"{src}/batch_{i}")
+        )
+    wh = Warehouse(spark, str(tmp_path_factory.mktemp("hdedup_wh")))
+    loader = StreamingIncrementalDedupLoader(
+        wh, str(tmp_path_factory.mktemp("hdedup_ckpt")),
+        threshold=THRESHOLD, horizon=1,
+    )
+    schema = spark.createDataFrame([], "doc_id long, text string").schema
+    loader.run(f"{src}/batch_*", "docs", schema, max_files_per_trigger=1)
+
+    kept = set(_kept_ids(wh))
+    store = wh.read_table("silver", "docs_sigstore")
+    assert set(store.columns) == {"doc", "signature", "batch_id", "kept"}
+    n_all = corpus.where(F.length(F.trim("text")) > 0).count()
+    assert store.count() < n_all  # compaction actually pruned
+    # no dropped-doc row older than the horizon (final batch_id is 2)
+    assert store.where(
+        (~F.col("kept")) & (F.col("batch_id") <= 2 - 1)
+    ).count() == 0
+    # every kept doc is indexed forever
+    assert store.where(F.col("kept")).count() == len(
+        kept & {r.doc for r in store.select("doc").collect()}
+    )
+    # planted dups (donors in batch 0, copies in batches 1-2 at
+    # id >= 250) still always drop: donors are kept rows
+    donors_kept = {
+        r.doc_id for r in corpus.where(F.col("doc_id") < 250).collect()
+    } & kept
+    planted = {
+        r.doc_id
+        for r in corpus.where(
+            (F.col("doc_id") >= 250) & (F.pmod("doc_id", F.lit(5)) == 1)
+        ).collect()
+        if r.doc_id - 250 in donors_kept
+    }
+    assert planted and not (planted & kept)
+    # replay: fresh checkpoint, same tables — bit-identical
+    import tempfile
+
+    before_kept = _kept_ids(wh)
+    before_store = store.count()
+    replay = StreamingIncrementalDedupLoader(
+        wh, tempfile.mkdtemp(prefix="hdedup_ckpt_replay"),
+        threshold=THRESHOLD, horizon=1,
+    )
+    replay.run(f"{src}/batch_*", "docs", schema, max_files_per_trigger=1)
+    assert _kept_ids(wh) == before_kept
+    assert wh.read_table("silver", "docs_sigstore").count() == before_store
+
+
 def test_embedding_drain_equals_full_run(spark, vec_drained):
     from lakehouse_file_format_compare_spark.operators.dedup import (
         full_embedding_est_dedup,
