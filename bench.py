@@ -136,6 +136,9 @@ HEADLINE = [
     # tokenize-the-corpus number; driver contract is the
     # tokenizer_pipeline registry row with a full train+apply oracle
     "tokenizer_pipeline",
+    # r11: trigram stupid-backoff LM filter (train + score the
+    # corpus) — driver contract lives in text_quality's sb_*
+    "sb_perplexity_serving",
 ]
 
 STEADY_REPS = 3  # min-of-N steady protocol (r7 verdict #3)
@@ -287,6 +290,24 @@ def build_bench_queries() -> dict:
     # train+score block as its own entry (same split discipline).
     queries["text_quality"] = text_plans.quality_serving
     queries["lm_perplexity_serving"] = text_plans.lm_perplexity
+
+    # r11: trigram stupid-backoff filter (text_quality's sb_* driver
+    # widening) — its train+score block timed as its own entry
+    def _sb_serving(spark_, sf_dir_):
+        from pyspark.sql import functions as _F
+
+        from lakehouse_file_format_compare_spark.operators.lm import (
+            stupid_backoff_report,
+        )
+        from lakehouse_file_format_compare_spark.sources.testdata import (
+            table as _table,
+        )
+
+        return stupid_backoff_report(
+            _table(spark_, sf_dir_, "documents"), _F.col("lang") == "en"
+        )
+
+    queries["sb_perplexity_serving"] = _sb_serving
     queries["kmeans_serving"] = similarity_plans.kmeans_serving
     queries["tokenizer_apply_serving"] = text_plans.tokenizer_apply_serving
 

@@ -314,3 +314,300 @@ def perplexity_report(
         "lm_flagged_other",
         "lm_fp",
     )
+
+
+# ---------------------------------------------------------------------------
+# Trigram LM with STUPID BACKOFF (r11): the web-scale backoff of
+# Brants et al. 2007 ("Large Language Models in Machine Translation")
+# — the scheme you actually run at 100 TB, chosen there precisely
+# because it needs NO normalization pass: the score
+#
+#     S(w | c2 c1) = c(c2 c1 w) / c(c2 c1)            if trigram seen
+#                  = a * c(c1 w) / c(c1)              elif bigram seen
+#                  = a^2 * (c(w) + k) / (N + k*V)     else (add-k OOV floor)
+#
+# with a = 0.4 is a relative score, not a probability, so every level
+# is a plain count ratio — three model-bounded tables, zero
+# renormalization shuffles. Closer to CCNet's KenLM filter than the
+# add-k bigram above (higher order + backoff), while keeping the
+# exact-integer discipline: each token's term is
+# floor(ln(ratio) * 1e9 + 0.5) + backoffs * LN_ALPHA_NANOS — the ln
+# snap is one IEEE double op (identical cross-engine) and the alpha
+# penalty a PRECOMPUTED integer constant, so per-doc scores are LONG
+# sums, partition-layout-proof and bit-replayable in DuckDB.
+# ---------------------------------------------------------------------------
+
+#: floor(ln(0.4) * 1e9 + 0.5) — the integer backoff penalty
+LN_ALPHA_NANOS = -916_290_732
+
+#: flag threshold for the stupid-backoff score (nats-per-token,
+#: integer nanos). Calibrated like THETA_NANOS on the synthetic
+#: corpus (en-trained): worst en per-token score is -2.584 nats at
+#: sf0.001/0.01 and -3.590 at sf0.1, while the non-en tail reaches
+#: -4.35; 3.8 flags ZERO en docs at sf0.001/0.01/0.1 and 102/81/19
+#: non-en docs respectively (measured r11). Real deployments
+#: recalibrate per reference corpus; the integer cross-multiplied
+#: flag mechanics are threshold-agnostic.
+THETA3_NANOS = 3_800_000_000
+
+
+def doc_trigrams(
+    docs: DataFrame, text_col: str = "text", keep_cols: tuple = ("doc_id",)
+) -> DataFrame:
+    """One row per (doc, position): (``c2``, ``c1``, ``w``) with a
+    double-BOS context (position 1 conditions on (<s>, <s>), position
+    2 on (<s>, w1)). Empty documents contribute no rows. Same
+    zip-not-index discipline as :func:`doc_bigrams` (indexing the
+    token array inside a lambda re-runs the split per element —
+    O(tokens^2))."""
+    tri_t = "array<struct<c2:string,c1:string,w:string>>"
+    with_ws = docs.select(
+        *keep_cols, _tokens(F.col(text_col)).alias("__ws")
+    )
+    ws = F.col("__ws")
+    # prepend the BOS pads THEN slice back to exactly size(ws):
+    # building the context arrays as concat(pad, slice(ws, ...)) gives
+    # length 2 for a 1-token doc (zip_with NULL-pads to the longest
+    # side — caught by the hypothesis sweep), while slice-of-concat is
+    # exactly size(ws) for every length
+    c1s = F.slice(F.concat(F.array(F.lit(BOS)), ws), 1, F.size(ws))
+    c2s = F.slice(
+        F.concat(F.array(F.lit(BOS), F.lit(BOS)), ws), 1, F.size(ws)
+    )
+    zipped = F.zip_with(
+        F.zip_with(
+            c2s, c1s, lambda a, b: F.struct(a.alias("c2"), b.alias("c1"))
+        ),
+        ws,
+        lambda cc, w: F.struct(
+            cc["c2"].alias("c2"), cc["c1"].alias("c1"), w.alias("w")
+        ),
+    )
+    tris = F.when(F.size(ws) > 0, zipped).otherwise(
+        F.expr(f"CAST(array() AS {tri_t})")
+    )
+    return with_ws.select(*keep_cols, F.explode(tris).alias("tg")).select(
+        *keep_cols,
+        F.col("tg.c2").alias("c2"),
+        F.col("tg.c1").alias("c1"),
+        F.col("tg.w").alias("w"),
+    )
+
+
+def stupid_backoff_train(train_docs: DataFrame, text_col: str = "text"):
+    """Train the three count tables from ONE trigram explode.
+
+    Returns ``(tri, trictx, bi, bictx, uni, totals)``:
+    - ``tri`` (c2, c1, w, c3) distinct observed trigrams;
+    - ``trictx`` (c2, c1, ct) trigram-context totals;
+    - ``bi`` (c1, w, cb) bigram counts — a re-aggregation of ``tri``
+      (every position contributes exactly one trigram row, so
+      grouping it by (c1, w) IS the bigram count over the same
+      positions);
+    - ``bictx`` (c1, cc) bigram-context totals;
+    - ``uni`` (w, cu) unigram counts;
+    - ``totals`` one row (n, v) — total tokens and vocabulary size.
+
+    The ``tri`` lineage is cut (lazy localCheckpoint, the
+    bigram_lm_train discipline) — five derived tables re-aggregate it
+    without re-running the train-slice explode."""
+    tg = doc_trigrams(train_docs, text_col, keep_cols=())
+    tri = tg.groupBy("c2", "c1", "w").agg(
+        F.count(F.lit(1)).cast("long").alias("c3")
+    ).localCheckpoint(eager=False)
+    trictx = tri.groupBy("c2", "c1").agg(
+        F.sum("c3").cast("long").alias("ct")
+    )
+    bi = tri.groupBy("c1", "w").agg(F.sum("c3").cast("long").alias("cb"))
+    bictx = bi.groupBy("c1").agg(F.sum("cb").cast("long").alias("cc"))
+    # unigram counts cover every OUTCOME token (BOS is a context,
+    # never an outcome — the `w` side already excludes it), including
+    # document-initial positions, so N is the true train token count
+    uni = bi.groupBy("w").agg(F.sum("cb").cast("long").alias("cu"))
+    totals = uni.agg(
+        F.coalesce(F.sum("cu"), F.lit(0)).cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("v"),
+    )
+    return tri, trictx, bi, bictx, uni, totals
+
+
+def stupid_backoff_score(
+    docs: DataFrame,
+    tri: DataFrame,
+    trictx: DataFrame,
+    bi: DataFrame,
+    bictx: DataFrame,
+    uni: DataFrame,
+    totals: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    keep_cols: tuple = (),
+) -> DataFrame:
+    """Per-document stupid-backoff score: (id, *keep, n_tokens,
+    sb_nanos, n_hit3, n_hit2, n_hit1) — the per-level hit counts are
+    the model-coverage diagnostic (how often the trigram table
+    answered vs backing off). Empty documents score (0, 0, 0, 0, 0).
+
+    Plan shape: ONE corpus trigram explode, five model-bounded left
+    joins (AQE broadcasts them when they fit), a CASE picking the
+    deepest observed level, one per-doc LONG re-aggregation."""
+    keep = (id_col, *keep_cols)
+    tg = doc_trigrams(docs, text_col, keep_cols=keep)
+    lvl3 = F.col("c3").isNotNull()
+    lvl2 = F.col("cb").isNotNull()
+    uden = F.col("n").cast("double") + F.lit(SMOOTH_K) * F.col("v")
+    term = (
+        F.when(
+            lvl3,
+            F.floor(
+                F.log(F.col("c3").cast("double") / F.col("ct")) * NANO
+                + F.lit(0.5)
+            ).cast("long"),
+        )
+        .when(
+            lvl2,
+            F.floor(
+                F.log(F.col("cb").cast("double") / F.col("cc")) * NANO
+                + F.lit(0.5)
+            ).cast("long")
+            + F.lit(LN_ALPHA_NANOS),
+        )
+        .otherwise(
+            F.when(
+                uden > F.lit(0.0),
+                F.floor(
+                    F.log(
+                        (
+                            F.coalesce(F.col("cu"), F.lit(0)).cast("double")
+                            + F.lit(SMOOTH_K)
+                        )
+                        / uden
+                    )
+                    * NANO
+                    + F.lit(0.5)
+                ).cast("long"),
+            ).otherwise(F.lit(0).cast("long"))
+            + F.lit(2 * LN_ALPHA_NANOS)
+        )
+    )
+    scored = (
+        tg.join(tri, ["c2", "c1", "w"], "left")
+        .join(trictx, ["c2", "c1"], "left")
+        .join(bi, ["c1", "w"], "left")
+        .join(bictx, ["c1"], "left")
+        .join(uni, ["w"], "left")
+        .crossJoin(F.broadcast(totals))
+        .groupBy(*keep)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum(term).cast("long").alias("sb_nanos"),
+            F.sum(lvl3.cast("long")).cast("long").alias("n_hit3"),
+            F.sum((~lvl3 & lvl2).cast("long")).cast("long").alias("n_hit2"),
+            F.sum((~lvl3 & ~lvl2).cast("long")).cast("long").alias("n_hit1"),
+        )
+    )
+    zero = F.lit(0).cast("long")
+    return (
+        docs.select(*keep)
+        .join(scored, list(keep), "left")
+        .select(
+            *keep,
+            F.coalesce(F.col("n_tokens"), zero).alias("n_tokens"),
+            F.coalesce(F.col("sb_nanos"), zero).alias("sb_nanos"),
+            F.coalesce(F.col("n_hit3"), zero).alias("n_hit3"),
+            F.coalesce(F.col("n_hit2"), zero).alias("n_hit2"),
+            F.coalesce(F.col("n_hit1"), zero).alias("n_hit1"),
+        )
+    )
+
+
+def stupid_backoff_report(
+    docs: DataFrame,
+    train_filter,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    group_col: str = "lang",
+    train_group_value: str = "en",
+    theta_nanos: int = THETA3_NANOS,
+) -> DataFrame:
+    """One exact-LONG row of sb_* scalars — the trigram companion to
+    :func:`perplexity_report`: trainer facts (train docs, vocab,
+    trigram/bigram model rows), corpus totals (scored docs, tokens,
+    total score, per-level backoff hit counts), the integer
+    high-score flag split by train group, and the per-doc
+    fingerprint."""
+    train = docs.where(train_filter)
+    tri, trictx, bi, bictx, uni, totals = stupid_backoff_train(
+        train, text_col
+    )
+    scored = stupid_backoff_score(
+        docs, tri, trictx, bi, bictx, uni, totals, text_col, id_col,
+        keep_cols=(group_col,),
+    ).withColumn(
+        "flagged",
+        (F.col("n_tokens") > 0)
+        & (F.col("sb_nanos") < F.lit(-theta_nanos) * F.col("n_tokens")),
+    )
+    train_grp = F.col(group_col) == F.lit(train_group_value)
+    facts = (
+        tri.agg(F.count(F.lit(1)).cast("long").alias("sb_tri_rows"))
+        .crossJoin(
+            F.broadcast(
+                bi.agg(F.count(F.lit(1)).cast("long").alias("sb_bi_rows"))
+            )
+        )
+        .crossJoin(
+            F.broadcast(
+                totals.select(
+                    F.col("n").alias("sb_train_tokens"),
+                    F.col("v").alias("sb_vocab"),
+                )
+            )
+        )
+        .crossJoin(
+            F.broadcast(
+                train.agg(
+                    F.count(F.lit(1)).cast("long").alias("sb_train_docs")
+                )
+            )
+        )
+    )
+
+    def _z(col):
+        return F.coalesce(col.cast("long"), F.lit(0).cast("long"))
+
+    agg = scored.agg(
+        _z(F.sum((F.col("n_tokens") > 0).cast("long"))).alias(
+            "sb_scored_docs"
+        ),
+        _z(F.sum("n_tokens")).alias("sb_tokens"),
+        _z(F.sum("sb_nanos")).alias("sb_nanos_total"),
+        _z(F.sum("n_hit3")).alias("sb_hit3"),
+        _z(F.sum("n_hit2")).alias("sb_hit2"),
+        _z(F.sum("n_hit1")).alias("sb_hit1"),
+        _z(F.sum(F.col("flagged").cast("long"))).alias("sb_flagged_docs"),
+        _z(F.sum((F.col("flagged") & train_grp).cast("long"))).alias(
+            "sb_flagged_train_grp"
+        ),
+        _z(F.sum((F.col("flagged") & ~train_grp).cast("long"))).alias(
+            "sb_flagged_other"
+        ),
+        _z(F.sum((F.col(id_col) % 97) * F.col("sb_nanos"))).alias("sb_fp"),
+    )
+    return agg.crossJoin(F.broadcast(facts)).select(
+        "sb_train_docs",
+        "sb_train_tokens",
+        "sb_vocab",
+        "sb_tri_rows",
+        "sb_bi_rows",
+        "sb_scored_docs",
+        "sb_tokens",
+        "sb_nanos_total",
+        "sb_hit3",
+        "sb_hit2",
+        "sb_hit1",
+        "sb_flagged_docs",
+        "sb_flagged_train_grp",
+        "sb_flagged_other",
+        "sb_fp",
+    )

@@ -432,3 +432,82 @@ def split_assign(
         expr = F.when(cond, name) if expr is None else expr.when(cond, name)
     expr = (expr.otherwise(names[-1]) if expr is not None else F.lit(names[-1]))
     return with_canon.withColumn("split", expr)
+
+
+#: 13 md5 hex digits = 52 uniform bits — exactly representable in a
+#: double, so u = (h + 1) / 2^52 is in (0, 1] with no rounding.
+_WS_BITS = 1 << 52
+
+
+def weighted_sample_topk(
+    df: DataFrame,
+    weight_col: str,
+    k: int,
+    key_cols: tuple[str, ...],
+    seed: int = 42,
+    tag: str = "wsamp",
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement (Efraimidis-Spirakis
+    2006, algorithm A-ES): select ``k`` rows with inclusion
+    probability proportional to ``weight_col``, in ONE pass with NO
+    global sort — every row draws the exponential key
+
+        e = -ln(u) / w        (u deterministic uniform in (0, 1])
+
+    and the k SMALLEST keys win (equivalently the classic largest
+    u^(1/w) formulation). The quality-weighted subsample a training
+    pipeline draws ("sample 1M docs proportional to quality score")
+    — the weighted counterpart of :func:`stratified_sample`.
+
+    Engine-portable determinism: ``u`` comes from 13 md5 hex digits
+    (52 bits — exact in a double) of the domain-tagged key, the
+    ``-ln(u)/w`` arithmetic is the same IEEE double ops on Spark and
+    DuckDB, and the key is snapped to integer nanos
+    (``floor(e * 1e9 + 0.5)``, the zipf/lm ln-snap discipline) with
+    ties broken on the key columns — so the selected set is
+    bit-replayable cross-engine. Selection is ``orderBy(...).
+    limit(k)`` = TakeOrderedAndProject (per-partition top-k heaps +
+    driver merge of k*partitions rows, never a global sort).
+
+    Envelope: weights must be > 0 (non-positive rows are dropped —
+    zero-weight rows have inclusion probability 0 anyway, and a
+    negative weight is a caller bug); ``e * 1e9`` fits a LONG while
+    ``36 / w_min * 1e9 < 2^63`` i.e. w_min > ~4e-9 — snap-scale
+    weights below that.
+
+    Returns the selected rows with ``ws_rank`` (1-based) and
+    ``ws_key_nanos``.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    "\x1f",
+                    F.lit(tag),
+                    *[F.col(c).cast("string") for c in key_cols],
+                    F.lit(str(seed)),
+                )
+            ),
+            1,
+            13,
+        ),
+        16,
+        10,
+    ).cast("long")
+    u = (h + F.lit(1)).cast("double") / F.lit(float(_WS_BITS))
+    w = F.col(weight_col).cast("double")
+    e_nanos = F.floor(-F.log(u) / w * F.lit(1e9) + F.lit(0.5)).cast("long")
+    return (
+        df.where(w > 0)
+        .withColumn("ws_key_nanos", e_nanos)
+        .orderBy("ws_key_nanos", *key_cols)
+        .limit(k)
+        .withColumn(
+            "ws_rank",
+            F.row_number().over(
+                Window.orderBy("ws_key_nanos", *key_cols)
+            ),
+        )
+    )

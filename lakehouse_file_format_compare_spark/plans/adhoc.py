@@ -1126,6 +1126,7 @@ WHERE l_quantity < 0.5 * avg_qty
 
 PROF_COLS = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"]
 SKEW_TOP_K = 5
+WSAMP_K = 25
 
 
 def pivot_status_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1190,6 +1191,25 @@ def pivot_status_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("q9500").alias("eq_p95_cents"),
         F.col("q9900").alias("eq_p99_cents"),
     )
+    # r11: Efraimidis-Spirakis weighted sampling without replacement
+    # (operators/sampling.py::weighted_sample_topk) — the selected set
+    # is bit-replayable (md5-uniform + nano-snapped -ln(u)/w keys), so
+    # the oracle re-derives the IDENTICAL k winners and their ranks.
+    from ..operators.sampling import weighted_sample_topk
+
+    ws = weighted_sample_topk(
+        orders, "o_totalprice", WSAMP_K, ("o_orderkey",)
+    )
+    wsagg = ws.agg(
+        F.count(F.lit(1)).cast("long").alias("wsamp_k"),
+        F.max(F.when(F.col("ws_rank") == 1, F.col("o_orderkey"))).alias(
+            "wsamp_top_key"
+        ),
+        F.sum(
+            F.col("ws_rank") * F.pmod(F.col("o_orderkey"), F.lit(MG_FP_MOD))
+        ).cast("long").alias("wsamp_fp"),
+        F.sum("ws_key_nanos").cast("long").alias("wsamp_key_total"),
+    )
     return (
         pivoted.select(
             "o_orderpriority",
@@ -1200,6 +1220,7 @@ def pivot_status_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(prof_agg))
         .crossJoin(F.broadcast(skew))
         .crossJoin(F.broadcast(eq))
+        .crossJoin(F.broadcast(wsagg))
     )
 
 
@@ -1268,6 +1289,24 @@ WITH prof AS (
                                   THEN v END), 0) AS BIGINT) AS eq_p99_cents
     FROM eq_cum, eq_tot
     GROUP BY eq_n
+),
+wsamp AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS wsamp_k,
+           MAX(CASE WHEN ws_rank = 1 THEN o_orderkey END) AS wsamp_top_key,
+           CAST(SUM(ws_rank * (o_orderkey % {MG_FP_MOD})) AS BIGINT) AS wsamp_fp,
+           CAST(SUM(ws_key_nanos) AS BIGINT) AS wsamp_key_total
+    FROM (
+        SELECT o_orderkey, ws_key_nanos,
+               row_number() OVER (ORDER BY ws_key_nanos, o_orderkey) AS ws_rank
+        FROM (
+            SELECT o_orderkey,
+                   CAST(floor(-ln((CAST(('0x' || substr(md5('wsamp' || chr(31)
+                        || CAST(o_orderkey AS VARCHAR) || chr(31) || '42'),
+                        1, 13)) AS BIGINT) + 1) / 4503599627370496.0)
+                        / o_totalprice * 1e9 + 0.5) AS BIGINT) AS ws_key_nanos
+            FROM orders WHERE o_totalprice > 0
+        ) ORDER BY ws_key_nanos, o_orderkey LIMIT {WSAMP_K}
+    )
 )
 SELECT o_orderpriority,
        CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
@@ -1276,12 +1315,14 @@ SELECT o_orderpriority,
        prof_rows, prof_nulls_total, prof_distinct_fp, prof_max_num_sum,
        prof_min_str,
        skew_keys, skew_max, skew_p99, skew_top1_key, skew_topk_fp,
-       eq_n, eq_p50_cents, eq_p95_cents, eq_p99_cents
-FROM orders, prof, skew, eq
+       eq_n, eq_p50_cents, eq_p95_cents, eq_p99_cents,
+       wsamp_k, wsamp_top_key, wsamp_fp, wsamp_key_total
+FROM orders, prof, skew, eq, wsamp
 GROUP BY o_orderpriority, prof_rows, prof_nulls_total, prof_distinct_fp,
          prof_max_num_sum, prof_min_str,
          skew_keys, skew_max, skew_p99, skew_top1_key, skew_topk_fp,
-         eq_n, eq_p50_cents, eq_p95_cents, eq_p99_cents
+         eq_n, eq_p50_cents, eq_p95_cents, eq_p99_cents,
+         wsamp_k, wsamp_top_key, wsamp_fp, wsamp_key_total
 """
 
 

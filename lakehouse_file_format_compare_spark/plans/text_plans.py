@@ -617,14 +617,24 @@ def quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``lm_*`` CCNet-style bigram-LM perplexity-filter scalars
     (operators/lm.py: train on the ``lang='en'`` reference slice,
     score every doc, flag the high-perplexity tail — all reduced to
-    exact nano-fixed-point LONGs the oracle replays from scratch) and
+    exact nano-fixed-point LONGs the oracle replays from scratch),
     (late r10) the ``lmauc_*`` exact ROC-AUC of that filter's ranking
-    (:func:`_lm_auc_scalars`)."""
+    (:func:`_lm_auc_scalars`), and (r11) the ``sb_*`` TRIGRAM
+    stupid-backoff filter (operators/lm.py::stupid_backoff_report,
+    Brants 2007 — the web-scale backoff; train + score + per-level
+    backoff hit counts + flag split, all replayed from scratch in the
+    oracle). Benched as quality_serving (the raw per-doc path) — the
+    widenings never enter the timed series."""
+    from ..operators.lm import stupid_backoff_report
+
     docs = table(spark, sf_dir, "documents")
     return (
         quality_serving(spark, sf_dir)
         .crossJoin(F.broadcast(lm_perplexity(spark, sf_dir)))
         .crossJoin(F.broadcast(_lm_auc_scalars(docs)))
+        .crossJoin(
+            F.broadcast(stupid_backoff_report(docs, F.col("lang") == "en"))
+        )
     )
 
 
@@ -811,8 +821,99 @@ _LM_SQL_CTES = f"""lm_tok AS (
     FROM lmks_g
 )"""
 
+# sb_* replay (operators/lm.py trigram stupid backoff, r11): full
+# train + score from scratch — same double-BOS trigram frame, same
+# deepest-observed-level CASE, the identical nano-snapped ln ratios
+# and the precomputed integer LN_ALPHA_NANOS backoff penalty.
+from ..operators.lm import LN_ALPHA_NANOS as _SB_ALPHA  # noqa: E402
+from ..operators.lm import THETA3_NANOS as _SB_THETA  # noqa: E402
+
+_SB_SQL_CTES = f"""sb_tg AS (
+    SELECT doc_id, lang,
+           CASE WHEN i >= 3 THEN ws[i-2] ELSE '<s>' END AS c2,
+           CASE WHEN i >= 2 THEN ws[i-1] ELSE '<s>' END AS c1,
+           ws[i] AS w
+    FROM lm_tok, LATERAL (SELECT unnest(generate_series(1, len(ws))) AS i)
+), sb_tri AS (
+    SELECT c2, c1, w, CAST(COUNT(*) AS BIGINT) AS c3 FROM sb_tg
+    WHERE lang = 'en' GROUP BY c2, c1, w
+), sb_trictx AS (
+    SELECT c2, c1, CAST(SUM(c3) AS BIGINT) AS ct FROM sb_tri GROUP BY c2, c1
+), sb_bi AS (
+    SELECT c1, w, CAST(SUM(c3) AS BIGINT) AS cb FROM sb_tri GROUP BY c1, w
+), sb_bictx AS (
+    SELECT c1, CAST(SUM(cb) AS BIGINT) AS cc FROM sb_bi GROUP BY c1
+), sb_uni AS (
+    SELECT w, CAST(SUM(cb) AS BIGINT) AS cu FROM sb_bi GROUP BY w
+), sb_tot AS (
+    SELECT CAST(COALESCE(SUM(cu), 0) AS BIGINT) AS n,
+           CAST(COUNT(*) AS BIGINT) AS v
+    FROM sb_uni
+), sb_terms AS (
+    SELECT g.doc_id, g.lang,
+           CASE WHEN t.c3 IS NOT NULL THEN
+                    CAST(floor(ln(CAST(t.c3 AS DOUBLE) / tc.ct)
+                         * 1000000000 + 0.5) AS BIGINT)
+                WHEN b.cb IS NOT NULL THEN
+                    CAST(floor(ln(CAST(b.cb AS DOUBLE) / bc.cc)
+                         * 1000000000 + 0.5) AS BIGINT) + ({_SB_ALPHA})
+                ELSE CASE WHEN (sb_tot.n + 0.5 * sb_tot.v) > 0
+                          THEN CAST(floor(ln((COALESCE(u.cu, 0) + 0.5)
+                               / (sb_tot.n + 0.5 * sb_tot.v))
+                               * 1000000000 + 0.5) AS BIGINT)
+                          ELSE CAST(0 AS BIGINT) END + ({2 * _SB_ALPHA})
+           END AS t,
+           CASE WHEN t.c3 IS NOT NULL THEN 3
+                WHEN b.cb IS NOT NULL THEN 2 ELSE 1 END AS lvl
+    FROM sb_tg g
+    LEFT JOIN sb_tri t ON g.c2 = t.c2 AND g.c1 = t.c1 AND g.w = t.w
+    LEFT JOIN sb_trictx tc ON g.c2 = tc.c2 AND g.c1 = tc.c1
+    LEFT JOIN sb_bi b ON g.c1 = b.c1 AND g.w = b.w
+    LEFT JOIN sb_bictx bc ON g.c1 = bc.c1
+    LEFT JOIN sb_uni u ON g.w = u.w
+    CROSS JOIN sb_tot
+), sb_pd AS (
+    SELECT d.doc_id, d.lang,
+           CAST(COALESCE(COUNT(t.t), 0) AS BIGINT) AS nt,
+           CAST(COALESCE(SUM(t.t), 0) AS BIGINT) AS lp,
+           CAST(COALESCE(SUM(CASE WHEN lvl = 3 THEN 1 END), 0) AS BIGINT) AS h3,
+           CAST(COALESCE(SUM(CASE WHEN lvl = 2 THEN 1 END), 0) AS BIGINT) AS h2,
+           CAST(COALESCE(SUM(CASE WHEN lvl = 1 THEN 1 END), 0) AS BIGINT) AS h1
+    FROM documents d LEFT JOIN sb_terms t ON d.doc_id = t.doc_id
+    GROUP BY d.doc_id, d.lang
+), sb_fl AS (
+    SELECT *, (nt > 0 AND lp < -{_SB_THETA} * nt) AS fl FROM sb_pd
+), sb_facts AS (
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM documents
+            WHERE lang = 'en') AS sb_train_docs,
+           (SELECT n FROM sb_tot) AS sb_train_tokens,
+           (SELECT v FROM sb_tot) AS sb_vocab,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM sb_tri) AS sb_tri_rows,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM sb_bi) AS sb_bi_rows
+), sbagg AS (
+    SELECT sb_facts.sb_train_docs, sb_facts.sb_train_tokens,
+           sb_facts.sb_vocab, sb_facts.sb_tri_rows, sb_facts.sb_bi_rows,
+           CAST(SUM(CASE WHEN nt > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS sb_scored_docs,
+           CAST(SUM(nt) AS BIGINT) AS sb_tokens,
+           CAST(SUM(lp) AS BIGINT) AS sb_nanos_total,
+           CAST(SUM(h3) AS BIGINT) AS sb_hit3,
+           CAST(SUM(h2) AS BIGINT) AS sb_hit2,
+           CAST(SUM(h1) AS BIGINT) AS sb_hit1,
+           CAST(SUM(CASE WHEN fl THEN 1 ELSE 0 END) AS BIGINT)
+               AS sb_flagged_docs,
+           CAST(SUM(CASE WHEN fl AND lang = 'en' THEN 1 ELSE 0 END)
+               AS BIGINT) AS sb_flagged_train_grp,
+           CAST(SUM(CASE WHEN fl AND lang <> 'en' THEN 1 ELSE 0 END)
+               AS BIGINT) AS sb_flagged_other,
+           CAST(SUM((doc_id % 97) * lp) AS BIGINT) AS sb_fp
+    FROM sb_fl, sb_facts
+    GROUP BY 1, 2, 3, 4, 5
+)"""
+
+
 QUALITY_SQL = f"""
-WITH {_LM_SQL_CTES}, base AS (
+WITH {_LM_SQL_CTES}, {_SB_SQL_CTES}, base AS (
     SELECT doc_id,
            length(text) AS n,
            CASE WHEN length(trim(text)) = 0 THEN 0
@@ -846,8 +947,12 @@ SELECT doc_id,
        lmth_youden_tp, lmth_youden_fp, lmth_f1_nanos, lmth_f1_score,
        gauc_sources, gauc_min_nanos, gauc_max_nanos, gauc_num_total,
        gauc_fp,
-       lmks_num, lmks_den, lmks_nanos, lmks_score
-FROM ratios, lmagg, lmauc, lmth, gauc, lmks
+       lmks_num, lmks_den, lmks_nanos, lmks_score,
+       sb_train_docs, sb_train_tokens, sb_vocab, sb_tri_rows, sb_bi_rows,
+       sb_scored_docs, sb_tokens, sb_nanos_total,
+       sb_hit3, sb_hit2, sb_hit1,
+       sb_flagged_docs, sb_flagged_train_grp, sb_flagged_other, sb_fp
+FROM ratios, lmagg, lmauc, lmth, gauc, lmks, sbagg
 """
 
 

@@ -312,3 +312,53 @@ def test_r10_late_surfaces_on_empty(spark, empty_docs):
     blank = spark.createDataFrame([(1, "  ")], "doc_id long, text string")
     assert unigram_apply(blank, vocab).count() == 0
     assert wordpiece_apply(blank, vocab).count() == 0
+
+
+def test_r11_operators_on_empty(spark, empty_docs, empty_emb):
+    """r11 surfaces: lifecycle-managed folds, weighted sampling,
+    stupid backoff, split_assign — all fine on zero rows."""
+    from lakehouse_file_format_compare_spark.operators.lifecycle import (
+        incremental_embedding_dedup_managed,
+        incremental_minhash_dedup_managed,
+        store_lifecycle_report,
+    )
+    from lakehouse_file_format_compare_spark.operators.lm import (
+        stupid_backoff_report,
+        stupid_backoff_score,
+        stupid_backoff_train,
+    )
+    from lakehouse_file_format_compare_spark.operators.sampling import (
+        split_assign,
+        weighted_sample_topk,
+    )
+
+    kept, store = incremental_minhash_dedup_managed(
+        empty_docs, None, batch_id=1, horizon=2
+    )
+    assert kept.count() == 0 and store.count() == 0
+    rep = store_lifecycle_report(store).collect()[0]
+    assert (rep.store_rows, rep.kept_rows, rep.tombstone_rows) == (0, 0, 0)
+    assert rep.oldest_batch == -1
+
+    emb = empty_emb.select("vec_id", F.col("embedding").alias("embedding"))
+    kept_e, store_e = incremental_embedding_dedup_managed(
+        emb, None, batch_id=1, horizon=1, dim=64
+    )
+    assert kept_e.count() == 0 and store_e.count() == 0
+
+    parts = stupid_backoff_train(empty_docs)
+    assert stupid_backoff_score(empty_docs, *parts).count() == 0
+    r = stupid_backoff_report(
+        empty_docs.withColumn("lang", F.lit("en")), F.col("lang") == "en"
+    ).collect()[0]
+    assert r.sb_tokens == 0 and r.sb_flagged_docs == 0
+
+    assert weighted_sample_topk(
+        empty_docs.withColumn("w", F.lit(1.0)), "w", 5, ("doc_id",)
+    ).count() == 0
+    assigned = split_assign(
+        empty_docs.withColumn("canonical_id", F.col("doc_id")),
+        {"train": 0.8, "val": 0.2},
+        portable=True,
+    )
+    assert assigned.count() == 0 and "split" in assigned.columns

@@ -225,3 +225,183 @@ def test_scores_match_reference_on_arbitrary_corpora(
     }
     want, _, _ = _py_reference(rows, lambda lang: lang == "en")
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Trigram stupid backoff (r11)
+# ---------------------------------------------------------------------------
+
+
+def _py_sb_reference(rows, train_pred):
+    """Pure-Python stupid-backoff trigram LM with the operator's exact
+    integer arithmetic (nano-snapped ln ratios + the precomputed
+    LN_ALPHA_NANOS penalty per backoff level)."""
+    from lakehouse_file_format_compare_spark.operators.lm import (
+        LN_ALPHA_NANOS,
+    )
+
+    def toks(t):
+        return [w for w in re.split(r"\s+", t.strip().lower()) if w]
+
+    tri, trictx, bi, bictx, uni = (
+        Counter(), Counter(), Counter(), Counter(), Counter()
+    )
+    for _, t, lang in rows:
+        if not train_pred(lang):
+            continue
+        ws = toks(t)
+        for i, w in enumerate(ws):
+            c2 = ws[i - 2] if i >= 2 else BOS
+            c1 = ws[i - 1] if i >= 1 else BOS
+            tri[(c2, c1, w)] += 1
+            trictx[(c2, c1)] += 1
+            bi[(c1, w)] += 1
+            bictx[c1] += 1
+            uni[w] += 1
+    n, v = sum(uni.values()), len(uni)
+    out = {}
+    for did, t, _ in rows:
+        ws = toks(t)
+        lp, h3, h2, h1 = 0, 0, 0, 0
+        for i, w in enumerate(ws):
+            c2 = ws[i - 2] if i >= 2 else BOS
+            c1 = ws[i - 1] if i >= 1 else BOS
+            if (c2, c1, w) in tri:
+                lp += math.floor(
+                    math.log(tri[(c2, c1, w)] / trictx[(c2, c1)]) * NANO
+                    + 0.5
+                )
+                h3 += 1
+            elif (c1, w) in bi:
+                lp += (
+                    math.floor(
+                        math.log(bi[(c1, w)] / bictx[c1]) * NANO + 0.5
+                    )
+                    + LN_ALPHA_NANOS
+                )
+                h2 += 1
+            else:
+                den = n + SMOOTH_K * v
+                if den > 0:
+                    lp += math.floor(
+                        math.log((uni.get(w, 0) + SMOOTH_K) / den) * NANO
+                        + 0.5
+                    )
+                lp += 2 * LN_ALPHA_NANOS
+                h1 += 1
+        out[did] = (len(ws), lp, h3, h2, h1)
+    return out, n, v, len(tri), len(bi)
+
+
+def test_sb_scores_match_pure_python_reference(spark, fixture_docs):
+    from lakehouse_file_format_compare_spark.operators.lm import (
+        stupid_backoff_score,
+        stupid_backoff_train,
+    )
+
+    parts = stupid_backoff_train(fixture_docs.where(F.col("lang") == "en"))
+    got = {
+        r.doc_id: (r.n_tokens, r.sb_nanos, r.n_hit3, r.n_hit2, r.n_hit1)
+        for r in stupid_backoff_score(fixture_docs, *parts).collect()
+    }
+    want, n, v, tri_rows, bi_rows = _py_sb_reference(
+        ROWS, lambda lang: lang == "en"
+    )
+    assert got == want
+    tri, trictx, bi, bictx, uni, totals = parts
+    tot = totals.collect()[0]
+    assert (tot.n, tot.v) == (n, v)
+    assert tri.count() == tri_rows and bi.count() == bi_rows
+
+
+def test_sb_backoff_levels_and_monotone_penalty(spark, fixture_docs):
+    """A doc made of seen trigrams scores all-hit3; one with only
+    seen bigrams backs off once per token; gibberish lands on the
+    unigram floor twice-penalized — and per-token scores order
+    hit3 > hit2 > hit1 on this fixture."""
+    from lakehouse_file_format_compare_spark.operators.lm import (
+        stupid_backoff_score,
+        stupid_backoff_train,
+    )
+
+    parts = stupid_backoff_train(fixture_docs.where(F.col("lang") == "en"))
+    probes = spark.createDataFrame(
+        [
+            (100, "the quick brown fox"),       # seen trigrams (doc 0)
+            (101, "dog sleeps"),                # "dog sleeps" bigram seen,
+                                                # trigram ctx (<s>,dog) unseen
+            (102, "zzqx vvwp"),                 # pure OOV
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: r for r in stupid_backoff_score(probes, *parts).collect()
+    }
+    assert got[100].n_hit3 == 4 and got[100].n_hit2 == 0
+    assert got[101].n_hit2 >= 1
+    assert got[102].n_hit1 == 2 and got[102].n_hit3 == 0
+    per_tok = {k: r.sb_nanos / r.n_tokens for k, r in got.items()}
+    assert per_tok[100] > per_tok[102]
+
+
+def test_sb_empty_train_and_empty_docs(spark, fixture_docs):
+    from lakehouse_file_format_compare_spark.operators.lm import (
+        stupid_backoff_score,
+        stupid_backoff_train,
+        LN_ALPHA_NANOS,
+    )
+
+    parts = stupid_backoff_train(
+        fixture_docs.where(F.col("lang") == "nope")
+    )
+    got = {
+        r.doc_id: (r.n_tokens, r.sb_nanos)
+        for r in stupid_backoff_score(fixture_docs, *parts).collect()
+    }
+    assert got[3] == (0, 0) and got[4] == (0, 0)
+    # degenerate model: every token takes only the double penalty
+    nb = len("the quick brown dog sleeps".split())
+    assert got[1] == (nb, nb * 2 * LN_ALPHA_NANOS)
+
+
+def test_sb_report_discriminates_on_testdata(spark):
+    from lakehouse_file_format_compare_spark.operators.lm import (
+        stupid_backoff_report,
+    )
+    from lakehouse_file_format_compare_spark.sources.testdata import table
+
+    docs = table(spark, SF_SMOKE, "documents")
+    r = stupid_backoff_report(docs, F.col("lang") == "en").collect()[0]
+    assert r.sb_train_docs > 0 and r.sb_vocab > 0
+    assert r.sb_tri_rows >= r.sb_bi_rows > 0
+    assert r.sb_tokens > 0 and r.sb_hit3 + r.sb_hit2 + r.sb_hit1 == r.sb_tokens
+    # the flag must discriminate: no in-slice doc flagged, some
+    # out-of-slice docs flagged (threshold calibrated for this corpus)
+    assert r.sb_flagged_train_grp == 0
+    assert r.sb_flagged_other > 0
+
+
+@given(texts=st.lists(_WORD, min_size=1, max_size=6),
+       train_n=st.integers(min_value=0, max_value=3))
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture,
+                                 HealthCheck.too_slow])
+def test_sb_scores_match_reference_on_arbitrary_corpora(
+    spark, texts, train_n
+):
+    from lakehouse_file_format_compare_spark.operators.lm import (
+        stupid_backoff_score,
+        stupid_backoff_train,
+    )
+
+    rows = [
+        (i, t, "en" if i < train_n else "xx") for i, t in enumerate(texts)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    parts = stupid_backoff_train(df.where(F.col("lang") == "en"))
+    got = {
+        r.doc_id: (r.n_tokens, r.sb_nanos, r.n_hit3, r.n_hit2, r.n_hit1)
+        for r in stupid_backoff_score(df, *parts).collect()
+    }
+    want, *_ = _py_sb_reference(rows, lambda lang: lang == "en")
+    assert got == want

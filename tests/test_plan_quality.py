@@ -627,6 +627,13 @@ def test_no_python_row_udfs_in_r10_operators(spark):
             docs, docs.orderBy("doc_id").limit(10), n=8
         ),
     ]
+    # r11 additions: trigram stupid backoff + the tokenizer pipeline's
+    # seed-vocab scalars stay JVM-side too
+    from lakehouse_file_format_compare_spark.operators.lm import (
+        stupid_backoff_report,
+    )
+
+    frames += [stupid_backoff_report(docs, F.col("lang") == "en")]
     for df in frames:
         plan = df._sc._jvm.PythonSQLUtils.explainString(
             df._jdf.queryExecution(), "formatted"

@@ -693,3 +693,105 @@ def test_leakage_safe_weights_roughly_honored(spark):
     out = leakage_safe_splits(docs, pairs, {"train": 0.7, "test": 0.3})
     n_train = out.where(out.split == "train").count()
     assert 0.6 * 600 < n_train < 0.8 * 600
+
+
+# ---------------------------------------------------------------------------
+# weighted_sample_topk (r11): Efraimidis-Spirakis A-ES without
+# replacement — DuckDB bit-replay, weighted semantics, layout
+# invariance, degenerate inputs.
+# ---------------------------------------------------------------------------
+
+
+def _ws_duck_sql(k: int, seed: int = 42, tag: str = "wsamp") -> str:
+    return f"""
+    SELECT o_orderkey, ws_key_nanos,
+           row_number() OVER (ORDER BY ws_key_nanos, o_orderkey) AS ws_rank
+    FROM (
+        SELECT o_orderkey,
+               CAST(floor(-ln((CAST(('0x' || substr(md5('{tag}' || chr(31)
+                    || CAST(o_orderkey AS VARCHAR) || chr(31) || '{seed}'),
+                    1, 13)) AS BIGINT) + 1) / 4503599627370496.0)
+                    / o_totalprice * 1e9 + 0.5) AS BIGINT) AS ws_key_nanos
+        FROM orders WHERE o_totalprice > 0
+    ) ORDER BY ws_key_nanos, o_orderkey LIMIT {k}
+    """
+
+
+def test_weighted_sample_matches_duckdb(spark):
+    import duckdb
+
+    from lakehouse_file_format_compare_spark.operators.sampling import (
+        weighted_sample_topk,
+    )
+    from lakehouse_file_format_compare_spark.sources.testdata import table
+    from tests.conftest import SF_SMOKE
+
+    orders = table(spark, SF_SMOKE, "orders")
+    got = sorted(
+        (r.o_orderkey, r.ws_key_nanos, r.ws_rank)
+        for r in weighted_sample_topk(
+            orders, "o_totalprice", 25, ("o_orderkey",)
+        ).select("o_orderkey", "ws_key_nanos", "ws_rank").collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW orders AS SELECT * FROM "
+        f"read_parquet('{SF_SMOKE}/orders.parquet')"
+    )
+    want = sorted(tuple(r) for r in con.execute(_ws_duck_sql(25)).fetchall())
+    assert got == want
+
+
+def test_weighted_sample_semantics(spark):
+    from lakehouse_file_format_compare_spark.operators.sampling import (
+        weighted_sample_topk,
+    )
+
+    df = spark.createDataFrame(
+        [(i, 1e12 if i == 7 else (0.001 if i == 3 else 1.0))
+         for i in range(40)] + [(100, 0.0), (101, -5.0)],
+        "id long, w double",
+    )
+    out = weighted_sample_topk(df, "w", 10, ("id",))
+    rows = out.collect()
+    ids = [r.id for r in rows]
+    assert len(ids) == len(set(ids)) == 10  # without replacement
+    assert 7 in ids          # -ln(u)/1e12 ~ 0: giant weight always wins
+    assert 100 not in ids and 101 not in ids  # non-positive dropped
+    assert sorted(r.ws_rank for r in rows) == list(range(1, 11))
+    # k > n: everything positive-weight comes back (ids 0..39)
+    assert weighted_sample_topk(df, "w", 1000, ("id",)).count() == 40
+    # layout invariance
+    re_ids = {
+        r.id
+        for r in weighted_sample_topk(
+            df.repartition(13, "w"), "w", 10, ("id",)
+        ).collect()
+    }
+    assert re_ids == set(ids)
+
+
+def test_weighted_sample_inclusion_tracks_weight(spark):
+    """Across seeds, a weight-10 item is selected materially more
+    often than a weight-1 item (the A-ES guarantee, checked
+    statistically on a fixed seed set — deterministic, no flake)."""
+    from lakehouse_file_format_compare_spark.operators.sampling import (
+        weighted_sample_topk,
+    )
+
+    df = spark.createDataFrame(
+        [(i, 10.0 if i == 0 else 1.0) for i in range(30)],
+        "id long, w double",
+    )
+    hits_heavy = hits_light = 0
+    for seed in range(20):
+        ids = {
+            r.id
+            for r in weighted_sample_topk(
+                df, "w", 5, ("id",), seed=seed
+            ).collect()
+        }
+        hits_heavy += 0 in ids
+        hits_light += 1 in ids
+    assert hits_heavy > hits_light
+    assert hits_heavy >= 12  # w=10 of total 39: P(sel) ~ 0.8+ at k=5
