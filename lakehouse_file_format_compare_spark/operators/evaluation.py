@@ -668,3 +668,158 @@ def confusion_report(
         _rate("2 * tp", "2 * tp + fp + fn", "f1_nanos"),
         _rate("tp + tn", "tp + fp + tn + fn", "accuracy_nanos"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Isotonic calibration (r11): turn a filter's raw scores into
+# calibrated P(label=1 | score) — monotone regression, the standard
+# post-hoc calibration for quality classifiers (Zadrozny & Elkan
+# 2002). Computed EXACTLY, distributed, with no PAVA recursion: on
+# (score-bin, pos, n) totals the isotonic fit has the closed minimax
+# form
+#
+#     g(i) = max_{j<=i} min_{k>=j} mean(pos rate over bins j..k)
+#
+# (Robertson-Wright-Dykstra 1988, the minimax characterization of
+# the PAVA solution). Bin totals are a BOUNDED frame (n_bins rows —
+# the documented bounded-aggregate exception), so the B^2 interval
+# enumeration and both optimizing passes never touch corpus-grain
+# data; the only corpus-sized work is the one binning aggregation.
+# Interval means are nano-floored via the DECIMAL(38,0) division
+# (bit-equal to DuckDB HUGEINT //) — and because floor commutes with
+# both min and max, max_j min_k floor(mean * 1e9) ==
+# floor((max_j min_k mean) * 1e9): the output is EXACTLY the
+# nano-floor of the true rational PAVA fit, not an approximation
+# (pinned against an exact-Fraction PAVA mirror in
+# tests/test_evaluation.py).
+# ---------------------------------------------------------------------------
+
+
+def isotonic_calibrate_bins(
+    scored: DataFrame,
+    score_col: str = "score",
+    label_col: str = "label",
+    n_bins: int = 32,
+) -> DataFrame:
+    """(bin_idx, bin_lo, n, pos, cal_nanos) for every NON-EMPTY
+    equal-width score bin, ``cal_nanos`` the isotonic-calibrated
+    positive rate in integer nanos — non-decreasing in the bin index
+    by construction. Bin edges derive from the observed integer
+    score min/max (deterministic, replayable); a constant score
+    column lands everything in bin 0. Empty input returns no rows."""
+    if n_bins < 1:
+        raise ValueError("n_bins must be >= 1")
+    base = scored.select(
+        F.col(score_col).cast("long").alias("s"),
+        F.col(label_col).cast("long").alias("y"),
+    )
+    rng = base.agg(
+        F.min("s").alias("__lo"), F.max("s").alias("__hi")
+    )
+    # integer bin: (s - lo) * B DIV (hi - lo + 1) — exact LONG math,
+    # every value in [0, B-1]
+    binned = (
+        base.crossJoin(F.broadcast(rng))
+        .select(
+            F.expr(
+                f"(s - __lo) * {n_bins} DIV (__hi - __lo + 1)"
+            ).alias("bin_idx"),
+            "s",
+            "y",
+        )
+        .groupBy("bin_idx")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("y").cast("long").alias("pos"),
+            F.min("s").cast("long").alias("bin_lo"),
+        )
+    )
+    # everything below runs on <= n_bins rows
+    w_cum = Window.orderBy("bin_idx").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = binned.select(
+        "bin_idx",
+        "bin_lo",
+        "n",
+        "pos",
+        F.sum("n").over(w_cum).alias("cumn"),
+        F.sum("pos").over(w_cum).alias("cumpos"),
+        F.row_number().over(Window.orderBy("bin_idx")).alias("__i"),
+    )
+    j = cum.select(
+        F.col("__i").alias("__j"),
+        (F.col("cumn") - F.col("n")).alias("__nbefore"),
+        (F.col("cumpos") - F.col("pos")).alias("__pbefore"),
+    )
+    k = cum.select(
+        F.col("__i").alias("__k"),
+        F.col("cumn").alias("__nthru"),
+        F.col("cumpos").alias("__pthru"),
+    )
+    intervals = j.join(k, F.col("__j") <= F.col("__k")).select(
+        "__j",
+        "__k",
+        _dec_div_nanos(
+            "__pthru - __pbefore", "__nthru - __nbefore"
+        ).alias("__mean_nanos"),
+    )
+    inner = intervals.groupBy("__j").agg(
+        F.min("__mean_nanos").alias("__inner")
+    )
+    w_run = Window.orderBy("__j").rowsBetween(Window.unboundedPreceding, 0)
+    outer = inner.select(
+        "__j", F.max("__inner").over(w_run).alias("cal_nanos")
+    )
+    return (
+        cum.join(outer, cum["__i"] == outer["__j"])
+        .select("bin_idx", "bin_lo", "n", "pos", "cal_nanos")
+    )
+
+
+def calibration_report(
+    scored: DataFrame,
+    score_col: str = "score",
+    label_col: str = "label",
+    n_bins: int = 32,
+) -> DataFrame:
+    """One exact-LONG row summarizing the isotonic fit: non-empty bin
+    count, min/max calibrated values, a rank-weighted fingerprint,
+    and two earned invariants — the fit is monotone non-decreasing
+    and mass-conserving (sum of cal * n == total positives at nano
+    resolution, PAVA's defining property, within n_bins nanos of
+    snap error)."""
+    bins = isotonic_calibrate_bins(scored, score_col, label_col, n_bins)
+    w = Window.orderBy("bin_idx")
+    with_prev = bins.select(
+        "*",
+        F.lag("cal_nanos").over(w).alias("__prev"),
+        F.row_number().over(w).alias("__r"),
+    )
+    return with_prev.agg(
+        F.count(F.lit(1)).cast("long").alias("cal_bins"),
+        F.coalesce(F.min("cal_nanos"), F.lit(0)).cast("long").alias(
+            "cal_min_nanos"
+        ),
+        F.coalesce(F.max("cal_nanos"), F.lit(0)).cast("long").alias(
+            "cal_max_nanos"
+        ),
+        F.coalesce(F.sum(F.col("__r") * F.col("cal_nanos")), F.lit(0))
+        .cast("long")
+        .alias("cal_fp"),
+        F.coalesce(
+            F.min(
+                (F.col("__prev").isNull())
+                | (F.col("cal_nanos") >= F.col("__prev"))
+            ),
+            F.lit(True),
+        ).alias("cal_monotone_ok"),
+        (
+            F.abs(
+                F.coalesce(F.sum(F.col("cal_nanos") * F.col("n")), F.lit(0))
+                - F.coalesce(F.sum("pos"), F.lit(0))
+                * F.lit(1_000_000_000)
+            )
+            <= F.coalesce(F.sum("n"), F.lit(0))
+        ).alias("cal_mass_ok"),
+    )

@@ -542,6 +542,9 @@ def lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+LMCAL_BINS = 16
+
+
 def _lm_auc_scalars(docs: DataFrame) -> DataFrame:
     """``lmauc_*``: the exact ROC-AUC of the bigram-LM filter's
     ranking (operators/evaluation.py, rank-free Mann-Whitney form) at
@@ -609,7 +612,20 @@ def _lm_auc_scalars(docs: DataFrame) -> DataFrame:
         .cast("long")
         .alias("gauc_fp"),
     )
-    return fused.crossJoin(F.broadcast(gauc))
+    # r11: isotonic calibration of the SAME scored frame — the exact
+    # nano-floor of the true PAVA fit (operators/evaluation.py), its
+    # minimax replayed verbatim in the oracle
+    from ..operators.evaluation import calibration_report
+
+    lmcal = calibration_report(s, n_bins=LMCAL_BINS).select(
+        F.col("cal_bins").alias("lmcal_bins"),
+        F.col("cal_min_nanos").alias("lmcal_min_nanos"),
+        F.col("cal_max_nanos").alias("lmcal_max_nanos"),
+        F.col("cal_fp").alias("lmcal_fp"),
+        F.col("cal_monotone_ok").alias("lmcal_monotone_ok"),
+        F.col("cal_mass_ok").alias("lmcal_mass_ok"),
+    )
+    return fused.crossJoin(F.broadcast(gauc)).crossJoin(F.broadcast(lmcal))
 
 
 def quality(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -819,6 +835,36 @@ _LM_SQL_CTES = f"""lm_tok AS (
            CAST(COALESCE(MIN(CASE WHEN gap = (SELECT MAX(gap) FROM lmks_g)
                                   THEN s END), 0) AS BIGINT) AS lmks_score
     FROM lmks_g
+), lmcal_rng AS (
+    -- r11 isotonic calibration replay: minimax PAVA over 16
+    -- equal-width bins of the same per-doc score frame
+    SELECT MIN(s) AS lo, MAX(s) AS hi FROM lmauc_s
+), lmcal_b AS (
+    SELECT (s - lo) * {LMCAL_BINS} // (hi - lo + 1) AS bin_idx,
+           CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(y) AS BIGINT) AS pos
+    FROM lmauc_s, lmcal_rng GROUP BY 1
+), lmcal_cum AS (
+    SELECT bin_idx, n, pos,
+           SUM(n) OVER (ORDER BY bin_idx) AS cumn,
+           SUM(pos) OVER (ORDER BY bin_idx) AS cumpos,
+           row_number() OVER (ORDER BY bin_idx) AS i
+    FROM lmcal_b
+), lmcal_pairs AS (
+    SELECT j.i AS j,
+           CAST((CAST(k.cumpos - j.cumpos + j.pos AS HUGEINT) * 1000000000)
+                // (k.cumn - j.cumn + j.n) AS BIGINT) AS m
+    FROM lmcal_cum j JOIN lmcal_cum k ON j.i <= k.i
+), lmcal_inner AS (
+    SELECT j, MIN(m) AS v FROM lmcal_pairs GROUP BY j
+), lmcal_g AS (
+    SELECT j AS i, MAX(v) OVER (ORDER BY j) AS g FROM lmcal_inner
+), lmcal AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS lmcal_bins,
+           CAST(COALESCE(MIN(g), 0) AS BIGINT) AS lmcal_min_nanos,
+           CAST(COALESCE(MAX(g), 0) AS BIGINT) AS lmcal_max_nanos,
+           CAST(COALESCE(SUM(i * g), 0) AS BIGINT) AS lmcal_fp,
+           true AS lmcal_monotone_ok, true AS lmcal_mass_ok
+    FROM lmcal_g
 )"""
 
 # sb_* replay (operators/lm.py trigram stupid backoff, r11): full
@@ -951,8 +997,10 @@ SELECT doc_id,
        sb_train_docs, sb_train_tokens, sb_vocab, sb_tri_rows, sb_bi_rows,
        sb_scored_docs, sb_tokens, sb_nanos_total,
        sb_hit3, sb_hit2, sb_hit1,
-       sb_flagged_docs, sb_flagged_train_grp, sb_flagged_other, sb_fp
-FROM ratios, lmagg, lmauc, lmth, gauc, lmks, sbagg
+       sb_flagged_docs, sb_flagged_train_grp, sb_flagged_other, sb_fp,
+       lmcal_bins, lmcal_min_nanos, lmcal_max_nanos, lmcal_fp,
+       lmcal_monotone_ok, lmcal_mass_ok
+FROM ratios, lmagg, lmauc, lmth, gauc, lmks, sbagg, lmcal
 """
 
 

@@ -403,3 +403,128 @@ def test_full_eval_report_equals_standalone_blocks(spark):
             k.ks_nanos,
             k.ks_score,
         )
+
+
+# ---------------------------------------------------------------------------
+# Isotonic calibration (r11)
+# ---------------------------------------------------------------------------
+
+
+def _py_pava_nanos(bin_rows):
+    """Exact-Fraction PAVA over (bin_idx, n, pos) rows, nano-floored —
+    the ground truth isotonic_calibrate_bins must equal exactly
+    (floor commutes with the minimax, see the operator banner)."""
+    from fractions import Fraction
+
+    rows = sorted(bin_rows)
+    blocks = []  # [sum_pos, sum_n]
+    for _, n, pos in rows:
+        blocks.append([pos, n])
+        while len(blocks) >= 2 and (
+            Fraction(blocks[-2][0], blocks[-2][1])
+            > Fraction(blocks[-1][0], blocks[-1][1])
+        ):
+            p2, n2 = blocks.pop()
+            blocks[-1][0] += p2
+            blocks[-1][1] += n2
+    out = []
+    i = 0
+    for p, n in blocks:
+        v = (p * 10**9) // n
+        cnt = 0
+        while cnt < n:
+            bidx, bn, _ = rows[i]
+            out.append((bidx, v))
+            cnt += bn
+            i += 1
+    return dict(out)
+
+
+def test_isotonic_equals_exact_fraction_pava(spark):
+    import random
+
+    from lakehouse_file_format_compare_spark.operators.evaluation import (
+        isotonic_calibrate_bins,
+    )
+
+    rng = random.Random(7)
+    for trial in range(4):
+        pairs = [
+            (rng.randint(-40, 40), rng.random() < 0.3 + 0.4 * (i % 3))
+            for i in range(300)
+        ]
+        df = spark.createDataFrame(
+            [(s, int(y)) for s, y in pairs], "score long, label int"
+        )
+        got = {
+            r.bin_idx: r.cal_nanos
+            for r in isotonic_calibrate_bins(df, n_bins=8).collect()
+        }
+        # rebuild the bin totals exactly as the operator bins them
+        lo = min(s for s, _ in pairs)
+        hi = max(s for s, _ in pairs)
+        from collections import defaultdict
+
+        agg = defaultdict(lambda: [0, 0])
+        for s, y in pairs:
+            b = (s - lo) * 8 // (hi - lo + 1)
+            agg[b][0] += 1
+            agg[b][1] += int(y)
+        want = _py_pava_nanos(
+            [(b, n, p) for b, (n, p) in agg.items()]
+        )
+        assert got == want, trial
+
+
+def test_isotonic_monotone_and_mass(spark):
+    from lakehouse_file_format_compare_spark.operators.evaluation import (
+        calibration_report,
+        isotonic_calibrate_bins,
+    )
+
+    df = spark.createDataFrame(
+        [(s, 1 if (s * 7919) % 10 < (s + 50) // 12 else 0)
+         for s in range(-50, 60)],
+        "score long, label int",
+    )
+    bins = sorted(
+        (r.bin_idx, r.cal_nanos)
+        for r in isotonic_calibrate_bins(df, n_bins=16).collect()
+    )
+    vals = [v for _, v in bins]
+    assert vals == sorted(vals)  # monotone
+    assert all(0 <= v <= 10**9 for v in vals)
+    rep = calibration_report(df, n_bins=16).collect()[0]
+    assert rep.cal_monotone_ok and rep.cal_mass_ok
+    assert rep.cal_bins == len(bins)
+    assert rep.cal_min_nanos == vals[0] and rep.cal_max_nanos == vals[-1]
+
+
+def test_isotonic_degenerate_inputs(spark):
+    from lakehouse_file_format_compare_spark.operators.evaluation import (
+        calibration_report,
+        isotonic_calibrate_bins,
+    )
+
+    empty = spark.createDataFrame([], "score long, label int")
+    assert isotonic_calibrate_bins(empty).count() == 0
+    rep = calibration_report(empty).collect()[0]
+    assert rep.cal_bins == 0 and rep.cal_monotone_ok and rep.cal_mass_ok
+    # constant score: one bin, cal = overall rate
+    const = spark.createDataFrame(
+        [(5, 1), (5, 0), (5, 1), (5, 1)], "score long, label int"
+    )
+    rows = isotonic_calibrate_bins(const).collect()
+    assert len(rows) == 1 and rows[0].cal_nanos == 750_000_000
+    # perfectly separable: calibrated to 0 then 1
+    sep = spark.createDataFrame(
+        [(i, 1 if i >= 10 else 0) for i in range(20)], "score long, label int"
+    )
+    svals = [
+        r.cal_nanos
+        for r in sorted(
+            isotonic_calibrate_bins(sep, n_bins=4).collect(),
+            key=lambda r: r.bin_idx,
+        )
+    ]
+    assert svals[0] == 0 and svals[-1] == 10**9

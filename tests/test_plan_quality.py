@@ -634,6 +634,20 @@ def test_no_python_row_udfs_in_r10_operators(spark):
     )
 
     frames += [stupid_backoff_report(docs, F.col("lang") == "en")]
+    from lakehouse_file_format_compare_spark.operators.evaluation import (
+        calibration_report,
+    )
+    from lakehouse_file_format_compare_spark.operators.sampling import (
+        weighted_sample_topk,
+    )
+
+    frames += [
+        calibration_report(eval_in),
+        weighted_sample_topk(
+            docs.withColumn("w", (F.col("doc_id") % 7 + 1).cast("double")),
+            "w", 10, ("doc_id",),
+        ),
+    ]
     for df in frames:
         plan = df._sc._jvm.PythonSQLUtils.explainString(
             df._jdf.queryExecution(), "formatted"
