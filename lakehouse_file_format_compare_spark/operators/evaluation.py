@@ -735,46 +735,7 @@ def isotonic_calibrate_bins(
         )
     )
     # everything below runs on <= n_bins rows
-    w_cum = Window.orderBy("bin_idx").rowsBetween(
-        Window.unboundedPreceding, 0
-    )
-    cum = binned.select(
-        "bin_idx",
-        "bin_lo",
-        "n",
-        "pos",
-        F.sum("n").over(w_cum).alias("cumn"),
-        F.sum("pos").over(w_cum).alias("cumpos"),
-        F.row_number().over(Window.orderBy("bin_idx")).alias("__i"),
-    )
-    j = cum.select(
-        F.col("__i").alias("__j"),
-        (F.col("cumn") - F.col("n")).alias("__nbefore"),
-        (F.col("cumpos") - F.col("pos")).alias("__pbefore"),
-    )
-    k = cum.select(
-        F.col("__i").alias("__k"),
-        F.col("cumn").alias("__nthru"),
-        F.col("cumpos").alias("__pthru"),
-    )
-    intervals = j.join(k, F.col("__j") <= F.col("__k")).select(
-        "__j",
-        "__k",
-        _dec_div_nanos(
-            "__pthru - __pbefore", "__nthru - __nbefore"
-        ).alias("__mean_nanos"),
-    )
-    inner = intervals.groupBy("__j").agg(
-        F.min("__mean_nanos").alias("__inner")
-    )
-    w_run = Window.orderBy("__j").rowsBetween(Window.unboundedPreceding, 0)
-    outer = inner.select(
-        "__j", F.max("__inner").over(w_run).alias("cal_nanos")
-    )
-    return (
-        cum.join(outer, cum["__i"] == outer["__j"])
-        .select("bin_idx", "bin_lo", "n", "pos", "cal_nanos")
-    )
+    return _isotonic_from_binned(binned)
 
 
 def calibration_report(
@@ -822,4 +783,129 @@ def calibration_report(
             )
             <= F.coalesce(F.sum("n"), F.lit(0))
         ).alias("cal_mass_ok"),
+    )
+
+
+def isotonic_calibrate_from_counts(
+    per_score: DataFrame,
+    score_col: str = "s",
+    pos_col: str = "pos",
+    neg_col: str = "neg",
+    n_bins: int = 32,
+) -> DataFrame:
+    """:func:`isotonic_calibrate_bins` over PRE-AGGREGATED per-score
+    class counts — the mergeable form (counts are additive), so the
+    streaming monitor's drained count store serves a calibration
+    curve with no raw-score re-read. Duplicate score rows are
+    re-aggregated first; zero-net scores are invisible (the
+    _cum_from_counts discipline). Bit-equal to running
+    :func:`isotonic_calibrate_bins` on the raw rows (pinned)."""
+    if n_bins < 1:
+        raise ValueError("n_bins must be >= 1")
+    base = (
+        per_score.select(
+            F.col(score_col).cast("long").alias("s"),
+            F.col(pos_col).cast("long").alias("pos"),
+            F.col(neg_col).cast("long").alias("neg"),
+        )
+        .groupBy("s")
+        .agg(
+            F.sum("pos").cast("long").alias("pos"),
+            F.sum("neg").cast("long").alias("neg"),
+        )
+        .where((F.col("pos") + F.col("neg")) > 0)
+    )
+    rng = base.agg(F.min("s").alias("__lo"), F.max("s").alias("__hi"))
+    binned = (
+        base.crossJoin(F.broadcast(rng))
+        .select(
+            F.expr(
+                f"(s - __lo) * {n_bins} DIV (__hi - __lo + 1)"
+            ).alias("bin_idx"),
+            "s",
+            "pos",
+            "neg",
+        )
+        .groupBy("bin_idx")
+        .agg(
+            F.sum(F.col("pos") + F.col("neg")).cast("long").alias("n"),
+            F.sum("pos").cast("long").alias("pos"),
+            F.min("s").cast("long").alias("bin_lo"),
+        )
+    )
+    return _isotonic_from_binned(binned)
+
+
+def _isotonic_from_binned(binned: DataFrame) -> DataFrame:
+    """Shared minimax tail over a (bin_idx, bin_lo, n, pos) frame."""
+    w_cum = Window.orderBy("bin_idx").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = binned.select(
+        "bin_idx",
+        "bin_lo",
+        "n",
+        "pos",
+        F.sum("n").over(w_cum).alias("cumn"),
+        F.sum("pos").over(w_cum).alias("cumpos"),
+        F.row_number().over(Window.orderBy("bin_idx")).alias("__i"),
+    )
+    j = cum.select(
+        F.col("__i").alias("__j"),
+        (F.col("cumn") - F.col("n")).alias("__nbefore"),
+        (F.col("cumpos") - F.col("pos")).alias("__pbefore"),
+    )
+    k = cum.select(
+        F.col("__i").alias("__k"),
+        F.col("cumn").alias("__nthru"),
+        F.col("cumpos").alias("__pthru"),
+    )
+    intervals = j.join(k, F.col("__j") <= F.col("__k")).select(
+        "__j",
+        _dec_div_nanos(
+            "__pthru - __pbefore", "__nthru - __nbefore"
+        ).alias("__mean_nanos"),
+    )
+    inner = intervals.groupBy("__j").agg(
+        F.min("__mean_nanos").alias("__inner")
+    )
+    w_run = Window.orderBy("__j").rowsBetween(Window.unboundedPreceding, 0)
+    outer = inner.select(
+        "__j", F.max("__inner").over(w_run).alias("cal_nanos")
+    )
+    return (
+        cum.join(outer, cum["__i"] == outer["__j"])
+        .select("bin_idx", "bin_lo", "n", "pos", "cal_nanos")
+    )
+
+
+def calibrate_scores(
+    scored: DataFrame,
+    score_col: str = "score",
+    label_col: str = "label",
+    n_bins: int = 32,
+) -> DataFrame:
+    """The serving half: fit the isotonic curve and map every row's
+    raw score through it — input columns plus ``cal_nanos``, the
+    calibrated P(label=1) in integer nanos (monotone in the score).
+    The fit is a bounded frame, so the map-back is one broadcast join
+    on the bin index; two corpus passes total (bin totals + apply).
+    Rows tied to the fit's own training data — for held-out
+    calibration, fit on one split via :func:`isotonic_calibrate_bins`
+    and join its (bounded) output yourself."""
+    base = scored.withColumn("__s", F.col(score_col).cast("long"))
+    rng = base.agg(
+        F.min("__s").alias("__lo"), F.max("__s").alias("__hi")
+    )
+    bins = isotonic_calibrate_bins(
+        scored, score_col, label_col, n_bins
+    ).select("bin_idx", "cal_nanos")
+    return (
+        base.crossJoin(F.broadcast(rng))
+        .withColumn(
+            "bin_idx",
+            F.expr(f"(__s - __lo) * {n_bins} DIV (__hi - __lo + 1)"),
+        )
+        .join(F.broadcast(bins), "bin_idx")
+        .drop("bin_idx", "__s", "__lo", "__hi")
     )

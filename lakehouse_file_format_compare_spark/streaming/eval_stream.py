@@ -123,3 +123,15 @@ class StreamingAucMonitor:
         over everything drained so far — bit-identical to
         full_eval_report on the full input."""
         return full_eval_from_counts(self.counts(name))
+
+    def calibration(self, name: str, n_bins: int = 32) -> DataFrame:
+        """Isotonic calibration curve (r11) over everything drained so
+        far — bit-identical to isotonic_calibrate_bins on the full
+        input (operators/evaluation.py; the same mergeable count
+        store serves ranking, separation, threshold AND calibration
+        with no raw-score re-read)."""
+        from ..operators.evaluation import isotonic_calibrate_from_counts
+
+        return isotonic_calibrate_from_counts(
+            self.counts(name), n_bins=n_bins
+        )

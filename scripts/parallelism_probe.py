@@ -223,6 +223,38 @@ def main() -> None:
         )
 
         rich = richness_report(docs).collect()[0]
+
+        # r11: end-to-end tokenizer pipeline rows (trained BPE merges
+        # + seed-derived unigram/WordPiece budgets), the trigram
+        # stupid-backoff report, and the A-ES weighted-sample winners
+        # — all deterministic integer/argmax outputs; layout must not
+        # move any of them (lmauc below already carries the lmcal_*
+        # isotonic-calibration scalars after the r11 widening)
+        from lakehouse_file_format_compare_spark.operators.lm import (
+            stupid_backoff_report,
+        )
+        from lakehouse_file_format_compare_spark.operators.sampling import (
+            weighted_sample_topk,
+        )
+        from lakehouse_file_format_compare_spark.plans.text_plans import (
+            tokenizer_pipeline,
+        )
+
+        tp = sorted(
+            [list(r) for r in tokenizer_pipeline(
+                spark, "/root/testdata/sf0.001"
+            ).collect()]
+        )
+        sb = stupid_backoff_report(docs, F.col("lang") == "en").collect()[0]
+        wsamp = sorted(
+            [r["doc_id"], r["ws_rank"]]
+            for r in weighted_sample_topk(
+                docs.withColumn(
+                    "w", (F.pmod("doc_id", F.lit(7)) + 1).cast("double")
+                ),
+                "w", 15, ("doc_id",),
+            ).collect()
+        )
         eq = exact_quantiles(
             table(spark, "/root/testdata/sf0.01", "orders").select(
                 F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
@@ -240,6 +272,7 @@ def main() -> None:
             "hits": ht, "lpa": lpa, "tri": tri.asDict(), "kcore": kc,
             "uv": uv, "winnow": wf.asDict(), "lmauc": lmauc.asDict(),
             "rich": rich.asDict(), "eq": eq.asDict(), "cov": cov,
+            "tp": tp, "sb": sb.asDict(), "wsamp": wsamp,
         }))
     finally:
         spark.stop()

@@ -528,3 +528,29 @@ def test_isotonic_degenerate_inputs(spark):
         )
     ]
     assert svals[0] == 0 and svals[-1] == 10**9
+
+
+def test_calibrate_scores_apply_half(spark):
+    """Per-row calibrated values equal the fitted bin values, are
+    monotone in the raw score, and every input row survives."""
+    from lakehouse_file_format_compare_spark.operators.evaluation import (
+        calibrate_scores,
+        isotonic_calibrate_bins,
+    )
+
+    df = spark.createDataFrame(
+        [(s, 1 if (s * 31) % 17 < (s + 40) // 8 else 0)
+         for s in range(-40, 40)],
+        "score long, label int",
+    )
+    out = calibrate_scores(df, n_bins=8).collect()
+    assert len(out) == df.count()
+    by_score = sorted((r.score, r.cal_nanos) for r in out)
+    vals = [v for _, v in by_score]
+    assert vals == sorted(vals)  # monotone in raw score
+    fit = {r.bin_idx: r.cal_nanos
+           for r in isotonic_calibrate_bins(df, n_bins=8).collect()}
+    lo = min(s for s, _ in by_score)
+    hi = max(s for s, _ in by_score)
+    for s, v in by_score:
+        assert v == fit[(s - lo) * 8 // (hi - lo + 1)]

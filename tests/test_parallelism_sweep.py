@@ -143,8 +143,12 @@ def test_invariance_contracts_across_parallelism(spark):
         # r10: incremental-embedding fold kept set, BPE train/apply,
         # LM perplexity report, k-means facts and the Zipf fit are
         # deterministic — compare levels against each other
+        # r11 keys: tokenizer pipeline (trained BPE + seed-vocab
+        # budgets), stupid-backoff report, weighted-sample winners —
+        # and lmauc now carries the lmcal_* isotonic scalars
         for key in ("einc_kept", "bpe_merges", "bpe_fp",
                     "lm", "km", "zipf", "hits", "lpa", "tri", "kcore",
-                    "uv", "winnow", "lmauc", "rich", "eq", "cov"):
+                    "uv", "winnow", "lmauc", "rich", "eq", "cov",
+                    "tp", "sb", "wsamp"):
             assert got[key] == sweep_ref.setdefault(key, got[key]), (
                 master, key, "moved across parallelism")

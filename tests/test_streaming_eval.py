@@ -112,3 +112,25 @@ def test_drain_full_eval_equals_batch(spark, scored, drained):
     want = full_eval_report(scored).collect()[0]
     assert tuple(got) == tuple(want)
     assert got.n_thresholds > 1
+
+
+def test_drain_calibration_equals_batch(spark, scored, drained):
+    """r11: the drained count store serves the isotonic calibration
+    curve bit-identically to the one-shot batch fit on the raw
+    rows (floor-exact minimax on additive counts)."""
+    from lakehouse_file_format_compare_spark.operators.evaluation import (
+        isotonic_calibrate_bins,
+    )
+
+    monitor, _, _ = drained
+    got = sorted(
+        (r.bin_idx, r.bin_lo, r.n, r.pos, r.cal_nanos)
+        for r in monitor.calibration("docs", n_bins=8).collect()
+    )
+    want = sorted(
+        (r.bin_idx, r.bin_lo, r.n, r.pos, r.cal_nanos)
+        for r in isotonic_calibrate_bins(scored, n_bins=8).collect()
+    )
+    assert got == want and len(got) > 1
+    vals = [v for *_, v in got]
+    assert vals == sorted(vals)
