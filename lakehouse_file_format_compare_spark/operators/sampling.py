@@ -511,3 +511,50 @@ def weighted_sample_topk(
             ),
         )
     )
+
+
+def upsample_mixture(
+    df: DataFrame,
+    source_col: str,
+    factors: dict[str, float],
+    key_cols: tuple[str, ...],
+    seed: int = 42,
+    portable: bool = False,
+) -> DataFrame:
+    """The other half of temperature rebalancing:
+    :func:`mixture_sample` can only DROP (its keep fractions cap at
+    1), so upweighting a tail source needs replication — every row
+    whose source has factor ``f`` comes back ``floor(f)`` times plus
+    one more iff its key bucket falls under ``frac(f)`` (keyed
+    Bernoulli residual, domain-tagged 'upsample'). Deterministic per
+    key, zero shuffle (one narrow ``explode``), stable under corpus
+    growth; a ``copy_id`` column (0-based) keeps the copies distinct
+    for downstream packing/splitting (fold it into their keys).
+    Sources absent from ``factors`` keep factor 1.0; factor 0 drops
+    the source. ``portable=True`` swaps in the md5 bucket so a DuckDB
+    oracle can replay the exact multiplicities."""
+    for name, f in factors.items():
+        if f < 0:
+            raise ValueError(f"factor for {name!r} must be >= 0, got {f}")
+    mk = _portable_bucket if portable else _bucket
+    bucket = mk("upsample", key_cols, seed)
+    whole = None
+    resid = None
+    for name, f in factors.items():
+        cond = F.col(source_col) == name
+        w = F.lit(int(f))
+        r = F.lit(int(round((f - int(f)) * _BUCKETS)))
+        whole = F.when(cond, w) if whole is None else whole.when(cond, w)
+        resid = F.when(cond, r) if resid is None else resid.when(cond, r)
+    whole = whole.otherwise(F.lit(1)) if whole is not None else F.lit(1)
+    resid = resid.otherwise(F.lit(0)) if resid is not None else F.lit(0)
+    n_copies = whole + (bucket < resid).cast("int")
+    return (
+        df.withColumn("__nc", n_copies)
+        .where(F.col("__nc") > 0)
+        .withColumn(
+            "copy_id",
+            F.explode(F.sequence(F.lit(0), F.col("__nc") - 1)),
+        )
+        .drop("__nc")
+    )

@@ -795,3 +795,99 @@ def test_weighted_sample_inclusion_tracks_weight(spark):
         hits_light += 1 in ids
     assert hits_heavy > hits_light
     assert hits_heavy >= 12  # w=10 of total 39: P(sel) ~ 0.8+ at k=5
+
+
+# ---------------------------------------------------------------------------
+# upsample_mixture (r11): deterministic fractional replication — the
+# upweighting half mixture_sample (drop-only) cannot express.
+# ---------------------------------------------------------------------------
+
+
+def test_upsample_mixture_matches_duckdb(spark):
+    """Exact multiplicities replayed in DuckDB (portable bucket):
+    factor 2.3 => every key twice plus a md5-bucketed 30% residual."""
+    import duckdb
+
+    from lakehouse_file_format_compare_spark.operators.sampling import (
+        upsample_mixture,
+    )
+    from tests.conftest import SF_SMOKE
+
+    docs = table(spark, SF_SMOKE, "documents")
+    out = upsample_mixture(
+        docs, "source", {"src0": 2.3, "src1": 0.0},
+        key_cols=("doc_id",), portable=True,
+    )
+    got = sorted(
+        (r.doc_id, r.copy_id)
+        for r in out.select("doc_id", "copy_id").collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{SF_SMOKE}/documents.parquet')"
+    )
+    want = sorted(
+        tuple(r)
+        for r in con.execute("""
+        SELECT doc_id, unnest(generate_series(0, nc - 1)) AS copy_id
+        FROM (
+            SELECT doc_id,
+                   CASE WHEN source = 'src1' THEN 0
+                        WHEN source = 'src0' THEN 2 + CASE WHEN
+                            CAST(('0x' || substr(md5('upsample' || chr(31)
+                                 || CAST(doc_id AS VARCHAR) || chr(31)
+                                 || '42'), 1, 8)) AS BIGINT) % 10000 < 3000
+                            THEN 1 ELSE 0 END
+                        ELSE 1 END AS nc
+            FROM documents
+        ) WHERE nc > 0
+        """).fetchall()
+    )
+    assert got == want
+    assert len(got) > docs.count()  # net upsample
+
+
+def test_upsample_mixture_contracts(spark):
+    from lakehouse_file_format_compare_spark.operators.sampling import (
+        upsample_mixture,
+    )
+    from tests.conftest import SF_CORRECTNESS
+
+    docs = table(spark, SF_CORRECTNESS, "documents")
+    before = {
+        r.source: r.n
+        for r in docs.groupBy("source").agg(
+            F.count(F.lit(1)).alias("n")
+        ).collect()
+    }
+    out = upsample_mixture(
+        docs, "source", {"src0": 3.0, "src1": 1.5}, key_cols=("doc_id",)
+    )
+    after = {
+        r.source: r.n
+        for r in out.groupBy("source").agg(
+            F.count(F.lit(1)).alias("n")
+        ).collect()
+    }
+    assert after["src0"] == 3 * before["src0"]  # integral factor exact
+    assert 1.3 * before["src1"] < after["src1"] < 1.7 * before["src1"]
+    unlisted = [s for s in before if s not in ("src0", "src1")]
+    assert all(after[s] == before[s] for s in unlisted)
+    # copies are distinct and per-key stable under subsetting
+    trip = {
+        (r.doc_id, r.copy_id)
+        for r in out.where(F.col("source") == "src0")
+        .select("doc_id", "copy_id").collect()
+    }
+    assert all((d, c) in trip for d, _ in trip for c in (0, 1, 2))
+    sub = upsample_mixture(
+        docs.where(F.col("doc_id") % 2 == 0), "source",
+        {"src0": 3.0, "src1": 1.5}, key_cols=("doc_id",),
+    )
+    full_pairs = {
+        (r.doc_id, r.copy_id)
+        for r in out.select("doc_id", "copy_id").collect()
+    }
+    for r in sub.select("doc_id", "copy_id").collect():
+        assert (r.doc_id, r.copy_id) in full_pairs

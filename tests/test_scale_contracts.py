@@ -1872,3 +1872,72 @@ def test_ppjoin_beats_naive_on_zipf_skewed_corpus(spark):
         assert na4 / max(na1, 1e-9) > pp4 / max(pp1, 1e-9), msg
     elif not (pp4 < na4):
         warnings.warn(f"informational crossover bound not met: {msg}")
+
+
+@pytest.mark.scale
+def test_stupid_backoff_replication_invariants(spark):
+    """5x exact corpus replication: the model's distinct-n-gram tables
+    are INVARIANT (same trigrams/bigrams/vocab observed), the per
+    -level hit counts scale exactly 5x, and every document whose
+    score never reaches the unigram floor scores IDENTICALLY (the
+    trigram/bigram count RATIOS are replication-invariant; only the
+    add-k unigram floor moves with N) — the layout/scale proof for
+    operators/lm.py stupid backoff."""
+    from functools import reduce
+
+    from pyspark.sql import DataFrame
+
+    from lakehouse_file_format_compare_spark.operators.lm import (
+        stupid_backoff_score,
+        stupid_backoff_train,
+    )
+
+    docs = table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text", "lang"
+    ).cache()
+    copies = [
+        docs.select(
+            (F.col("doc_id") + F.lit(i * 10_000_000)).alias("doc_id"),
+            "text",
+            "lang",
+        )
+        for i in range(5)
+    ]
+    big = reduce(DataFrame.unionByName, copies).cache()
+    assert big.count() == 5 * docs.count()
+
+    p1 = stupid_backoff_train(docs.where(F.col("lang") == "en"))
+    p5 = stupid_backoff_train(big.where(F.col("lang") == "en"))
+    tri1, _, bi1, _, uni1, tot1 = p1
+    tri5, _, bi5, _, uni5, tot5 = p5
+    assert tri1.count() == tri5.count()
+    assert bi1.count() == bi5.count()
+    t1, t5 = tot1.collect()[0], tot5.collect()[0]
+    assert t5.v == t1.v and t5.n == 5 * t1.n
+
+    s1 = {
+        r.doc_id: (r.n_tokens, r.sb_nanos, r.n_hit3, r.n_hit2, r.n_hit1)
+        for r in stupid_backoff_score(docs, *p1).collect()
+    }
+    s5 = {
+        r.doc_id: (r.n_tokens, r.sb_nanos, r.n_hit3, r.n_hit2, r.n_hit1)
+        for r in stupid_backoff_score(big, *p5).collect()
+    }
+    # hit totals scale exactly 5x
+    for idx in (2, 3, 4):
+        assert sum(v[idx] for v in s5.values()) == 5 * sum(
+            v[idx] for v in s1.values()
+        )
+    # copies score identically to each other, and identically to the
+    # base corpus wherever the unigram floor is never touched
+    floor_free = 0
+    for d, v in s1.items():
+        for i in range(5):
+            assert s5[d + i * 10_000_000][0] == v[0]
+            assert s5[d + i * 10_000_000][2:] == v[2:]
+        if v[4] == 0:
+            assert s5[d][1] == v[1], d
+            floor_free += 1
+    assert floor_free > 0  # the invariance clause was exercised
+    docs.unpersist()
+    big.unpersist()
