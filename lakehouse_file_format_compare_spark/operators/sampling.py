@@ -558,3 +558,52 @@ def upsample_mixture(
         )
         .drop("__nc")
     )
+
+
+def weighted_sample_topk_per_group(
+    df: DataFrame,
+    weight_col: str,
+    k: int,
+    group_cols: tuple[str, ...],
+    key_cols: tuple[str, ...],
+    seed: int = 42,
+    tag: str = "wsamp",
+) -> DataFrame:
+    """Per-group :func:`weighted_sample_topk`: k rows PER GROUP with
+    inclusion probability proportional to weight (e.g. "sample 10k
+    docs per source, quality-weighted"). Same exponential keys; the
+    selection is a rank-<=k filter over a window PARTITIONED by the
+    group — Catalyst's WindowGroupLimit pushdown keeps only k rows
+    per group through the partial sort, so no group ever materializes
+    whole (the stratified_sample / top_k_per_group plan shape). Same
+    determinism, same DuckDB replayability, same w > 0 envelope."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    "\x1f",
+                    F.lit(tag),
+                    *[F.col(c).cast("string") for c in key_cols],
+                    F.lit(str(seed)),
+                )
+            ),
+            1,
+            13,
+        ),
+        16,
+        10,
+    ).cast("long")
+    u = (h + F.lit(1)).cast("double") / F.lit(float(_WS_BITS))
+    w = F.col(weight_col).cast("double")
+    e_nanos = F.floor(-F.log(u) / w * F.lit(1e9) + F.lit(0.5)).cast("long")
+    win = Window.partitionBy(*group_cols).orderBy(
+        "ws_key_nanos", *[F.col(c) for c in key_cols]
+    )
+    return (
+        df.where(w > 0)
+        .withColumn("ws_key_nanos", e_nanos)
+        .withColumn("ws_rank", F.row_number().over(win))
+        .where(F.col("ws_rank") <= k)
+    )

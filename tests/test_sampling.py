@@ -891,3 +891,49 @@ def test_upsample_mixture_contracts(spark):
     }
     for r in sub.select("doc_id", "copy_id").collect():
         assert (r.doc_id, r.copy_id) in full_pairs
+
+
+def test_weighted_sample_per_group(spark):
+    """Per-group variant: exactly min(k, group size) rows per group,
+    ranks 1..k, selections equal to running the global sampler on
+    each group alone (same keys), and the plan carries the
+    WindowGroupLimit pushdown (no group materializes whole)."""
+    from lakehouse_file_format_compare_spark.operators.sampling import (
+        weighted_sample_topk,
+        weighted_sample_topk_per_group,
+    )
+    from tests.conftest import SF_SMOKE
+
+    docs = table(spark, SF_SMOKE, "documents").withColumn(
+        "w", (F.pmod("doc_id", F.lit(9)) + 1).cast("double")
+    )
+    out = weighted_sample_topk_per_group(
+        docs, "w", 7, ("source",), ("doc_id",)
+    )
+    per = {
+        r.source: r.n
+        for r in out.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    sizes = {
+        r.source: r.n
+        for r in docs.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert per == {s: min(7, n) for s, n in sizes.items()}
+    # group-local equivalence to the global sampler
+    some_source = sorted(sizes)[0]
+    grp = {
+        (r.doc_id, r.ws_rank)
+        for r in out.where(F.col("source") == some_source)
+        .select("doc_id", "ws_rank").collect()
+    }
+    solo = {
+        (r.doc_id, r.ws_rank)
+        for r in weighted_sample_topk(
+            docs.where(F.col("source") == some_source), "w", 7, ("doc_id",)
+        ).select("doc_id", "ws_rank").collect()
+    }
+    assert grp == solo
+    plan = out._sc._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "formatted"
+    )
+    assert "WindowGroupLimit" in plan
