@@ -909,3 +909,106 @@ def calibrate_scores(
         .join(F.broadcast(bins), "bin_idx")
         .drop("bin_idx", "__s", "__lo", "__hi")
     )
+
+
+def grouped_isotonic_calibrate(
+    scored: DataFrame,
+    group_cols: list[str],
+    score_col: str = "score",
+    label_col: str = "label",
+    n_bins: int = 32,
+) -> DataFrame:
+    """Per-group isotonic calibration — one fitted curve per distinct
+    ``group_cols`` value (per-source calibration: the same raw score
+    can mean different things on different slices), with the same
+    (bin_idx, bin_lo, n, pos, cal_nanos) columns as
+    :func:`isotonic_calibrate_bins` plus the group columns. Bin edges
+    derive from each group's OWN score min/max.
+
+    Plan shape mirrors :func:`grouped_auc_report`: every window is
+    PARTITIONED by the group, the interval enumeration is a
+    group-equijoined self-join of the per-group bin totals (groups ×
+    B² rows, never corpus-grain), and there is no globally-ordered
+    window anywhere — the operator scales with groups × bins."""
+    if n_bins < 1:
+        raise ValueError("n_bins must be >= 1")
+    g = [F.col(c) for c in group_cols]
+    base = scored.select(
+        *g,
+        F.col(score_col).cast("long").alias("s"),
+        F.col(label_col).cast("long").alias("y"),
+    )
+    rng = base.groupBy(*group_cols).agg(
+        F.min("s").alias("__lo"), F.max("s").alias("__hi")
+    )
+    binned = (
+        base.join(rng, group_cols)
+        .select(
+            *g,
+            F.expr(
+                f"(s - __lo) * {n_bins} DIV (__hi - __lo + 1)"
+            ).alias("bin_idx"),
+            "s",
+            "y",
+        )
+        .groupBy(*group_cols, "bin_idx")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("y").cast("long").alias("pos"),
+            F.min("s").cast("long").alias("bin_lo"),
+        )
+    )
+    w_cum = (
+        Window.partitionBy(*group_cols)
+        .orderBy("bin_idx")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = binned.select(
+        *g,
+        "bin_idx",
+        "bin_lo",
+        "n",
+        "pos",
+        F.sum("n").over(w_cum).alias("cumn"),
+        F.sum("pos").over(w_cum).alias("cumpos"),
+        F.row_number()
+        .over(Window.partitionBy(*group_cols).orderBy("bin_idx"))
+        .alias("__i"),
+    )
+    j = cum.select(
+        *g,
+        F.col("__i").alias("__j"),
+        (F.col("cumn") - F.col("n")).alias("__nbefore"),
+        (F.col("cumpos") - F.col("pos")).alias("__pbefore"),
+    )
+    k = cum.select(
+        *g,
+        F.col("__i").alias("__k"),
+        F.col("cumn").alias("__nthru"),
+        F.col("cumpos").alias("__pthru"),
+    )
+    intervals = j.join(
+        k, [*group_cols], "inner"
+    ).where(F.col("__j") <= F.col("__k")).select(
+        *g,
+        "__j",
+        _dec_div_nanos(
+            "__pthru - __pbefore", "__nthru - __nbefore"
+        ).alias("__mean_nanos"),
+    )
+    inner = intervals.groupBy(*group_cols, "__j").agg(
+        F.min("__mean_nanos").alias("__inner")
+    )
+    w_run = (
+        Window.partitionBy(*group_cols)
+        .orderBy("__j")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    outer = inner.select(
+        *g,
+        F.col("__j").alias("__i"),
+        F.max("__inner").over(w_run).alias("cal_nanos"),
+    )
+    return cum.join(outer, [*group_cols, "__i"]).select(
+        *g, "bin_idx", "bin_lo", "n", "pos", "cal_nanos"
+    )

@@ -554,3 +554,43 @@ def test_calibrate_scores_apply_half(spark):
     hi = max(s for s, _ in by_score)
     for s, v in by_score:
         assert v == fit[(s - lo) * 8 // (hi - lo + 1)]
+
+
+def test_grouped_isotonic_equals_per_group_filter(spark):
+    """Each group's fitted curve is bit-identical to running the
+    ungrouped operator on that group's slice alone, and the plan has
+    NO globally-ordered window (every window partitioned by the
+    group — the grouped_auc_report shape)."""
+    from lakehouse_file_format_compare_spark.operators.evaluation import (
+        grouped_isotonic_calibrate,
+        isotonic_calibrate_bins,
+    )
+
+    rows = [
+        ("a", s, 1 if (s * 13) % 11 < (s + 30) // 7 else 0)
+        for s in range(-30, 30)
+    ] + [
+        ("b", s, 1 if s > 0 else 0) for s in range(-20, 50, 2)
+    ]
+    df = spark.createDataFrame(rows, "src string, score long, label int")
+    got = {
+        (r.src, r.bin_idx): (r.bin_lo, r.n, r.pos, r.cal_nanos)
+        for r in grouped_isotonic_calibrate(
+            df, ["src"], n_bins=8
+        ).collect()
+    }
+    for src in ("a", "b"):
+        want = {
+            (src, r.bin_idx): (r.bin_lo, r.n, r.pos, r.cal_nanos)
+            for r in isotonic_calibrate_bins(
+                df.where(F.col("src") == src), n_bins=8
+            ).collect()
+        }
+        assert {k: v for k, v in got.items() if k[0] == src} == want, src
+    frame = grouped_isotonic_calibrate(df, ["src"], n_bins=8)
+    plan = frame._sc._jvm.PythonSQLUtils.explainString(
+        frame._jdf.queryExecution(), "formatted"
+    )
+    # the decisive check: no single-partition exchange anywhere —
+    # every window is group-partitioned
+    assert "SinglePartition" not in plan
