@@ -706,7 +706,13 @@ def isotonic_calibrate_bins(
     positive rate in integer nanos — non-decreasing in the bin index
     by construction. Bin edges derive from the observed integer
     score min/max (deterministic, replayable); a constant score
-    column lands everything in bin 0. Empty input returns no rows."""
+    column lands everything in bin 0. Empty input returns no rows.
+
+    Envelope: the integer binning computes ``(s - lo) * n_bins`` in
+    LONG, so ``(max score - min score) * n_bins`` must stay under
+    2^63 — nano-scaled scores spanning ±1e15 at 32 bins are 6.4e16,
+    fine; pre-scale wider domains (applies to the grouped and
+    from-counts variants too)."""
     if n_bins < 1:
         raise ValueError("n_bins must be >= 1")
     base = scored.select(

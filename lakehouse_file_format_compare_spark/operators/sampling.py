@@ -536,6 +536,14 @@ def upsample_mixture(
     for name, f in factors.items():
         if f < 0:
             raise ValueError(f"factor for {name!r} must be >= 0, got {f}")
+        if f > 1000:
+            # the explode emits floor(f) rows per input row — a factor
+            # this large is a caller bug (temperature rebalancing
+            # yields single-digit factors), not a sampling decision
+            raise ValueError(
+                f"factor for {name!r} is {f}; upsampling beyond 1000x "
+                "explodes the corpus — rebalance the mix instead"
+            )
     mk = _portable_bucket if portable else _bucket
     bucket = mk("upsample", key_cols, seed)
     whole = None

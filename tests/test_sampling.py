@@ -937,3 +937,14 @@ def test_weighted_sample_per_group(spark):
         out._jdf.queryExecution(), "formatted"
     )
     assert "WindowGroupLimit" in plan
+
+
+def test_upsample_mixture_rejects_runaway_factor(spark):
+    from lakehouse_file_format_compare_spark.operators.sampling import (
+        upsample_mixture,
+    )
+    from tests.conftest import SF_SMOKE
+
+    docs = table(spark, SF_SMOKE, "documents")
+    with pytest.raises(ValueError, match="1000x"):
+        upsample_mixture(docs, "source", {"src0": 5000.0}, ("doc_id",))
