@@ -7,7 +7,13 @@ Each plan module exposes:
 The oracle SQL lives next to the Spark implementation so the two stay
 in sync; ``__spark_entry__.py`` aggregates them for the driver's
 correctness gate. Column aliases MUST match between the two sides
-(the driver sorts columns by name before value-hashing).
+(the driver sorts columns by name before value-hashing), and every
+oracle's DuckDB output types must stay in the portable set
+{VARCHAR, BIGINT, BOOLEAN, DOUBLE, DATE, TIMESTAMP, INTEGER, arrays}
+— enforced by tests/test_oracle_portability.py. In particular CAST
+any SUM()-derived column AS BIGINT: DuckDB types it HUGEINT (int128),
+which the driver's value-hasher distinguishes from BIGINT even at
+equal values (the 5-round op_approx_distinct red, r7-r11).
 """
 
 from . import (
