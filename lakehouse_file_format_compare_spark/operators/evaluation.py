@@ -695,6 +695,25 @@ def confusion_report(
 # ---------------------------------------------------------------------------
 
 
+def _guarded_long(col, what: str):
+    """Loud NULL guard (r11 advice): a NULL (or non-castable) score
+    yields a NULL bin_idx row that survives the groupBy and sorts
+    FIRST in the bin-ordered cumulative windows, silently skewing the
+    PAVA fit — while the serving map-back join then silently drops
+    the row. Fused into the projection so Catalyst cannot prune it;
+    cost is one null-check per row."""
+    c = col.cast("long")
+    return F.when(
+        c.isNull(),
+        F.raise_error(
+            F.lit(
+                f"{what}: NULL or non-numeric value — filter or impute"
+                " upstream before calibration"
+            )
+        ),
+    ).otherwise(c)
+
+
 def isotonic_calibrate_bins(
     scored: DataFrame,
     score_col: str = "score",
@@ -716,8 +735,8 @@ def isotonic_calibrate_bins(
     if n_bins < 1:
         raise ValueError("n_bins must be >= 1")
     base = scored.select(
-        F.col(score_col).cast("long").alias("s"),
-        F.col(label_col).cast("long").alias("y"),
+        _guarded_long(F.col(score_col), "isotonic_calibrate_bins score").alias("s"),
+        _guarded_long(F.col(label_col), "isotonic_calibrate_bins label").alias("y"),
     )
     rng = base.agg(
         F.min("s").alias("__lo"), F.max("s").alias("__hi")
@@ -810,9 +829,15 @@ def isotonic_calibrate_from_counts(
         raise ValueError("n_bins must be >= 1")
     base = (
         per_score.select(
-            F.col(score_col).cast("long").alias("s"),
-            F.col(pos_col).cast("long").alias("pos"),
-            F.col(neg_col).cast("long").alias("neg"),
+            _guarded_long(
+                F.col(score_col), "isotonic_calibrate_from_counts score"
+            ).alias("s"),
+            _guarded_long(
+                F.col(pos_col), "isotonic_calibrate_from_counts pos"
+            ).alias("pos"),
+            _guarded_long(
+                F.col(neg_col), "isotonic_calibrate_from_counts neg"
+            ).alias("neg"),
         )
         .groupBy("s")
         .agg(
@@ -941,8 +966,12 @@ def grouped_isotonic_calibrate(
     g = [F.col(c) for c in group_cols]
     base = scored.select(
         *g,
-        F.col(score_col).cast("long").alias("s"),
-        F.col(label_col).cast("long").alias("y"),
+        _guarded_long(
+            F.col(score_col), "grouped_isotonic_calibrate score"
+        ).alias("s"),
+        _guarded_long(
+            F.col(label_col), "grouped_isotonic_calibrate label"
+        ).alias("y"),
     )
     rng = base.groupBy(*group_cols).agg(
         F.min("s").alias("__lo"), F.max("s").alias("__hi")

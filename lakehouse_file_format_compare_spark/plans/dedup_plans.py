@@ -254,7 +254,18 @@ def _cinc_agg(docs: DataFrame) -> DataFrame:
         b3, store, batch_id=3, horizon=CINC_HORIZON,
         threshold=JACCARD_THRESHOLD,
     )
-    planted3 = b3.where(F.pmod(F.col("doc_id"), F.lit(INC_PLANT_MOD)) == 1)
+    # "planted" = the doc actually RECEIVED donor text in _cinc_corpus
+    # (donor row exists with non-NULL text) — not merely the id
+    # pattern. The oracle counts the same way (dn.text IS NOT NULL);
+    # counting by id pattern alone only agrees while testdata doc_ids
+    # are dense through 3*INC_SPLIT (r11 ADVICE #1). Batch-1 rows of
+    # `corpus` are the donors, untouched by planting.
+    donors_exist = corpus.where(
+        (F.col("doc_id") < INC_SPLIT) & F.col("text").isNotNull()
+    ).select((F.col("doc_id") + 2 * INC_SPLIT).alias("doc_id"))
+    planted3 = b3.where(
+        F.pmod(F.col("doc_id"), F.lit(INC_PLANT_MOD)) == 1
+    ).join(donors_exist, "doc_id", "left_semi")
     # planted batch-3 docs whose donor is kept AND tokenful
     kept_donors = k1.where(F.length(F.trim("text")) > 0).select(
         (F.col("doc_id") + 2 * INC_SPLIT).alias("doc_id")

@@ -48,7 +48,7 @@ class StreamingIncrementalDedupLoader:
     plus a signature store, micro-batch by micro-batch.
 
     ``horizon`` (r11, operators/lifecycle.py): when set, the store
-    rows carry (batch_seq, kept) lifecycle columns and every
+    rows carry (batch_id, kept) lifecycle columns and every
     micro-batch ends with a compaction DELETE of dropped-doc rows
     older than ``horizon`` batches — the retention discipline that
     keeps the store at |kept| + horizon-window tombstones instead of
@@ -57,7 +57,14 @@ class StreamingIncrementalDedupLoader:
     re-inserted keys (flags cannot flip), and re-deleting aged
     tombstones is a no-op. The fold guarantee weakens exactly as
     documented in operators/lifecycle.py: exact within the retention
-    horizon."""
+    horizon.
+
+    ``horizon`` cannot change for an EXISTING store: managed stores
+    carry (batch_id, kept), unmanaged ones don't, and mixing the two
+    row shapes in one table would fail late inside a merge/DELETE with
+    an opaque schema error. The first micro-batch checks the existing
+    store's schema against the configured mode and raises a
+    descriptive error instead (r11 advice)."""
 
     warehouse: Warehouse
     checkpoint_root: str
@@ -93,10 +100,26 @@ class StreamingIncrementalDedupLoader:
             batch = batch_df.select(self.id_col, self.text_col)
             try:
                 history = wh.read_table("silver", self._store_name(name), self.fmt)
-                if self.horizon is not None:
-                    history = history.select("doc", "signature")
             except Exception:
                 history = None  # first batch: no store yet
+            if history is not None:
+                # mode guard (r11 advice): a managed store has
+                # (batch_id, kept); toggling `horizon` against an
+                # existing store would otherwise fail late with an
+                # opaque schema error inside the merge or the
+                # compaction DELETE.
+                managed_store = {"batch_id", "kept"} <= set(history.columns)
+                if (self.horizon is not None) != managed_store:
+                    raise ValueError(
+                        f"signature store '{self._store_name(name)}' was "
+                        f"created with horizon "
+                        f"{'set' if managed_store else 'unset'} but this "
+                        f"loader has horizon={self.horizon!r}; `horizon` "
+                        "cannot change for an existing store — drain into "
+                        "a new store name or rebuild it"
+                    )
+                if self.horizon is not None:
+                    history = history.select("doc", "signature")
             # materialized once (eager localCheckpoint): the dedup's
             # bucket joins AND the store merge both read it without
             # re-shingling the batch

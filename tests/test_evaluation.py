@@ -594,3 +594,33 @@ def test_grouped_isotonic_equals_per_group_filter(spark):
     # the decisive check: no single-partition exchange anywhere —
     # every window is group-partitioned
     assert "SinglePartition" not in plan
+
+
+def test_calibration_null_scores_raise(spark):
+    """r11 advice: a NULL score would land a NULL bin_idx that sorts
+    first in the cumulative windows and silently skews the PAVA fit —
+    the fused raise_error guard fails loudly instead."""
+    from lakehouse_file_format_compare_spark.operators.evaluation import (
+        grouped_isotonic_calibrate,
+        isotonic_calibrate_bins,
+        isotonic_calibrate_from_counts,
+    )
+
+    with_null = spark.createDataFrame(
+        [(1, 0), (2, 1), (None, 1), (4, 0)], "score long, label int"
+    )
+    with pytest.raises(Exception, match="NULL or non-numeric"):
+        isotonic_calibrate_bins(with_null).collect()
+    grouped = with_null.withColumn("g", F.lit("a"))
+    with pytest.raises(Exception, match="NULL or non-numeric"):
+        grouped_isotonic_calibrate(grouped, ["g"]).collect()
+    counts = spark.createDataFrame(
+        [(1, 2, 3), (None, 1, 1)], "s long, pos long, neg long"
+    )
+    with pytest.raises(Exception, match="NULL or non-numeric"):
+        isotonic_calibrate_from_counts(counts).collect()
+    # clean inputs still fit: the guard is pass-through on non-NULLs
+    clean = spark.createDataFrame(
+        [(i, 1 if i > 5 else 0) for i in range(10)], "score long, label int"
+    )
+    assert isotonic_calibrate_bins(clean, n_bins=4).count() > 0

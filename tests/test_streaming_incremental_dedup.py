@@ -264,3 +264,21 @@ def test_embedding_store_indexes_every_seen_vector(spark, vec_drained):
     loader, planted = vec_drained
     store = loader.warehouse.read_table("silver", "vecs_vecstore")
     assert store.count() == planted.count()
+
+
+def test_horizon_toggle_against_existing_store_raises(
+    spark, corpus, drained, tmp_path_factory
+):
+    """r11 advice: `horizon` cannot change for an existing signature
+    store — managed stores carry (batch_id, kept), unmanaged ones
+    don't, and mixing row shapes fails late with an opaque schema
+    error. The first micro-batch raises a descriptive one instead."""
+    loader, src, schema = drained  # unmanaged store already on disk
+    managed = StreamingIncrementalDedupLoader(
+        loader.warehouse,
+        str(tmp_path_factory.mktemp("toggle_ckpt")),
+        threshold=THRESHOLD,
+        horizon=1,
+    )
+    with pytest.raises(Exception, match="horizon"):
+        managed.run(f"{src}/batch_*", "docs", schema, max_files_per_trigger=1)
