@@ -189,6 +189,20 @@ types HUGEINT and the driver's value-hasher distinguishes from
 BIGINT at equal values. Both are now CAST AS BIGINT; a registry-wide
 portability contract (tests/test_oracle_portability.py) pins every
 oracle's DuckDB output types so the surface cannot recur.
+NEW ROW ``corpus_pipeline`` (plans/pipeline_plans.py, r11 verdict
+#4): the end-to-end training-corpus build — clean → exact dedup →
+n-gram-Jaccard dedup → bigram-LM filter → 8-gram decontamination →
+leakage-safe split → sequence packing → datasheet — as ONE lineage,
+emitting per-stage exact doc/token counts + membership fingerprints,
+per-split pack manifests, a pack mass-conservation row, and a
+datasheet fingerprint; the oracle replays the ENTIRE chain from
+scratch (regex cleaning, md5 fingerprints, shingle inverted-index
+joins at both thresholds, LM train+score+flag, contamination join,
+recursive-CTE components + md5 split buckets, packing window).
+Its slot came from ``sim_knn_lsh`` (the registry's thinnest oracle —
+n_queries + an expected-true boolean; LSH stays driver-visible via
+``similarity_scale_suite`` and pytest-oracled in
+tests/test_correctness.py::test_demoted_knn_lsh_recall_oracle).
 """
 
 from __future__ import annotations

@@ -24,6 +24,7 @@ from . import (
     fintech_plans,
     gold,
     hygiene_plans,
+    pipeline_plans,
     similarity_plans,
     streaming_plans,
     temporal_plans,
@@ -41,7 +42,8 @@ from . import (
 # op_sessionization in r5).
 ALL_PLAN_MODULES = (
     gold, tpch, adhoc, text_plans, dedup_plans, similarity_plans, streaming_plans,
-    temporal_plans, corpus_plans, ext_plans, hygiene_plans, fintech_plans,
+    temporal_plans, corpus_plans, pipeline_plans, ext_plans, hygiene_plans,
+    fintech_plans,
 )
 
 

@@ -658,7 +658,12 @@ FROM embeddings, kmagg, emagg
 
 QUERIES = {
     "sim_knn_bruteforce": knn_bruteforce,
-    "sim_knn_lsh": knn_lsh_recall,
+    # r12: sim_knn_lsh demoted to a pytest oracle
+    # (tests/test_correctness.py::test_demoted_knn_lsh_recall_oracle) —
+    # its oracle was the thinnest in the registry (n_queries + an
+    # expected-true recall boolean) and the LSH surface stays
+    # driver-visible via similarity_scale_suite; the slot funds the
+    # corpus_pipeline integration row (plans/pipeline_plans.py).
     "sim_knn_ivf": knn_ivf_recall,
     "sim_vector_stats": vector_stats,
     # r6: driver-visible recall + candidate-volume contracts for the
@@ -672,7 +677,6 @@ QUERIES = {
 # recall-tested (tests/test_ext.py).
 ORACLES = {
     "sim_knn_bruteforce": KNN_BRUTEFORCE_SQL,
-    "sim_knn_lsh": KNN_RECALL_SQL,
     "sim_knn_ivf": KNN_RECALL_SQL,
     "sim_vector_stats": VECTOR_STATS_SQL,
     "similarity_scale_suite": SIMILARITY_SCALE_SUITE_SQL,

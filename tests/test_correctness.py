@@ -162,3 +162,18 @@ def test_tpch_extended_oracles(spark):
     for name, fn in EXTENDED_QUERIES.items():
         ok, msg = compare(spark, SF_CORRECTNESS, fn, EXTENDED_ORACLES[name])
         assert ok, (name, msg)
+
+
+def test_demoted_knn_lsh_recall_oracle(spark):
+    """sim_knn_lsh left the driver registry in r12 (its oracle was the
+    thinnest in the registry — n_queries + an expected-true recall
+    boolean — and the LSH surface stays driver-visible via
+    similarity_scale_suite; swapped for the corpus_pipeline
+    integration row); its oracle coverage continues here."""
+    from lakehouse_file_format_compare_spark.plans.similarity_plans import (
+        KNN_RECALL_SQL,
+        knn_lsh_recall,
+    )
+
+    ok, msg = compare(spark, SF_CORRECTNESS, knn_lsh_recall, KNN_RECALL_SQL)
+    assert ok, msg
