@@ -204,18 +204,50 @@ def psi_nanos(
 ) -> DataFrame:
     """(group, n, psi_nanos) — exact integer PSI partial per group.
     Null values are excluded (both engines agree: a null has no bin).
-    """
-    base = df.where(F.col(value_col).isNotNull()).select(
-        F.col(group_col), F.col(value_col).cast("long").alias("__v")
+    Delegates to the count-weighted form with unit weights."""
+    return psi_from_group_counts(
+        df.withColumn("__one", F.lit(1).cast("long")),
+        group_col,
+        value_col,
+        "__one",
+        n_bins,
+        alpha,
+    )
+
+
+def psi_from_group_counts(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    count_col: str,
+    n_bins: int = PSI_BINS,
+    alpha: float = PSI_ALPHA,
+) -> DataFrame:
+    """(group, n, psi_nanos) from PRE-AGGREGATED (group, value, count)
+    rows — the count-weighted twin of :func:`psi_nanos` (r12). Counts
+    are additive, so a drained/mergeable count store serves the same
+    exact PSI with no row-grain re-read (bit-equal pinned in
+    tests/test_divergence.py); feeds the streaming monitor's
+    calibrated-score drift (operators/evaluation.py::
+    calibrated_drift_from_counts). Null values and non-positive
+    counts are excluded."""
+    base = df.where(
+        F.col(value_col).isNotNull() & (F.col(count_col) > 0)
+    ).select(
+        F.col(group_col),
+        F.col(value_col).cast("long").alias("__v"),
+        F.col(count_col).cast("long").alias("__c"),
     )
     bounds = base.agg(
         F.min("__v").alias("__mn"), F.max("__v").alias("__mx")
     )
     binned = base.crossJoin(F.broadcast(bounds)).select(
-        group_col, psi_bin("__v", "__mn", "__mx", n_bins).alias("bin")
+        group_col,
+        psi_bin("__v", "__mn", "__mx", n_bins).alias("bin"),
+        "__c",
     )
     gb = binned.groupBy(group_col, "bin").agg(
-        F.count(F.lit(1)).cast("long").alias("c")
+        F.sum("__c").cast("long").alias("c")
     )
     groups = gb.groupBy(group_col).agg(F.sum("c").cast("long").alias("n"))
     dense = groups.select(

@@ -827,17 +827,21 @@ def isotonic_calibrate_from_counts(
     :func:`isotonic_calibrate_bins` on the raw rows (pinned)."""
     if n_bins < 1:
         raise ValueError("n_bins must be >= 1")
-    base = (
+    base = _counts_base(per_score, score_col, pos_col, neg_col, "isotonic_calibrate_from_counts")
+    rng = base.agg(F.min("s").alias("__lo"), F.max("s").alias("__hi"))
+    return _isotonic_from_binned(_bin_counts(base, rng, n_bins))
+
+
+def _counts_base(per_score, score_col, pos_col, neg_col, what):
+    """Normalized (s, pos, neg) count frame: guarded casts, duplicate
+    scores re-aggregated, zero-net scores invisible (the
+    _cum_from_counts discipline). Shared by the from-counts fit and
+    the count-space serving half so both derive IDENTICAL bin edges."""
+    return (
         per_score.select(
-            _guarded_long(
-                F.col(score_col), "isotonic_calibrate_from_counts score"
-            ).alias("s"),
-            _guarded_long(
-                F.col(pos_col), "isotonic_calibrate_from_counts pos"
-            ).alias("pos"),
-            _guarded_long(
-                F.col(neg_col), "isotonic_calibrate_from_counts neg"
-            ).alias("neg"),
+            _guarded_long(F.col(score_col), f"{what} score").alias("s"),
+            _guarded_long(F.col(pos_col), f"{what} pos").alias("pos"),
+            _guarded_long(F.col(neg_col), f"{what} neg").alias("neg"),
         )
         .groupBy("s")
         .agg(
@@ -846,8 +850,13 @@ def isotonic_calibrate_from_counts(
         )
         .where((F.col("pos") + F.col("neg")) > 0)
     )
-    rng = base.agg(F.min("s").alias("__lo"), F.max("s").alias("__hi"))
-    binned = (
+
+
+def _bin_counts(base, rng, n_bins: int):
+    """(bin_idx, bin_lo, n, pos) bin totals from a normalized count
+    frame — the exact-LONG equal-width binning every calibration
+    variant shares."""
+    return (
         base.crossJoin(F.broadcast(rng))
         .select(
             F.expr(
@@ -864,7 +873,92 @@ def isotonic_calibrate_from_counts(
             F.min("s").cast("long").alias("bin_lo"),
         )
     )
-    return _isotonic_from_binned(binned)
+
+
+def calibrate_counts(
+    per_score: DataFrame,
+    score_col: str = "s",
+    pos_col: str = "pos",
+    neg_col: str = "neg",
+    n_bins: int = 32,
+) -> DataFrame:
+    """The serving half in COUNT space (r12, r11 verdict #5): map
+    every distinct score through the isotonic curve fitted on the
+    same per-score class counts — (s, pos, neg, n_rows, cal_nanos).
+    Count-space twin of :func:`calibrate_scores`: the calibrated
+    value per score is bit-equal to fitting + applying on the
+    row-grain input (pinned in tests/test_streaming_eval.py), but it
+    reads ONLY the mergeable count store — the streaming monitor's
+    serve path, no raw-score re-read."""
+    if n_bins < 1:
+        raise ValueError("n_bins must be >= 1")
+    base = _counts_base(per_score, score_col, pos_col, neg_col, "calibrate_counts")
+    rng = base.agg(F.min("s").alias("__lo"), F.max("s").alias("__hi"))
+    curve = _isotonic_from_binned(_bin_counts(base, rng, n_bins)).select(
+        "bin_idx", "cal_nanos"
+    )
+    return (
+        base.crossJoin(F.broadcast(rng))
+        .withColumn(
+            "bin_idx",
+            F.expr(f"(s - __lo) * {n_bins} DIV (__hi - __lo + 1)"),
+        )
+        .join(F.broadcast(curve), "bin_idx")
+        .select(
+            "s",
+            "pos",
+            "neg",
+            (F.col("pos") + F.col("neg")).cast("long").alias("n_rows"),
+            "cal_nanos",
+        )
+    )
+
+
+def calibrated_drift_from_counts(
+    counts: DataFrame,
+    group_col: str = "batch_key",
+    score_col: str = "s",
+    pos_col: str = "pos",
+    neg_col: str = "neg",
+    n_bins: int = 32,
+    psi_bins: int | None = None,
+    alpha: float | None = None,
+) -> DataFrame:
+    """The production monitoring loop (r11 verdict #5), entirely in
+    count space: fit the isotonic curve on the CUMULATIVE per-score
+    class counts, map every (group, score) count through it, and PSI
+    each group's CALIBRATED-score distribution against the cumulative
+    one — (group, n, psi_nanos). A drifting group (a micro-batch
+    whose calibrated P(label=1) mix has moved) surfaces as a high
+    psi_nanos without any raw-score re-read: score → calibrate →
+    monitor, all served from the mergeable store."""
+    from .divergence import PSI_ALPHA, PSI_BINS, psi_from_group_counts
+
+    psi_bins = PSI_BINS if psi_bins is None else psi_bins
+    alpha = PSI_ALPHA if alpha is None else alpha
+    cal = calibrate_counts(
+        counts, score_col, pos_col, neg_col, n_bins
+    ).select("s", "cal_nanos")
+    per_group = (
+        counts.select(
+            F.col(group_col).alias("__g"),
+            _guarded_long(
+                F.col(score_col), "calibrated_drift_from_counts score"
+            ).alias("s"),
+            (F.col(pos_col).cast("long") + F.col(neg_col).cast("long")).alias(
+                "__c"
+            ),
+        )
+        .groupBy("__g", "s")
+        .agg(F.sum("__c").cast("long").alias("__c"))
+        .where(F.col("__c") > 0)
+    )
+    joined = per_group.join(cal, "s").select(
+        F.col("__g").alias(group_col), "cal_nanos", "__c"
+    )
+    return psi_from_group_counts(
+        joined, group_col, "cal_nanos", "__c", psi_bins, alpha
+    )
 
 
 def _isotonic_from_binned(binned: DataFrame) -> DataFrame:

@@ -135,3 +135,17 @@ class StreamingAucMonitor:
         return isotonic_calibrate_from_counts(
             self.counts(name), n_bins=n_bins
         )
+
+    def calibrated_drift(self, name: str, n_bins: int = 32) -> DataFrame:
+        """r12 (r11 verdict #5): per-micro-batch PSI of the CALIBRATED
+        score distribution against the cumulative one — the
+        production loop (score → calibrate → monitor) served entirely
+        from the count store: the isotonic curve is fitted on the
+        drained cumulative counts, every (batch, score) count maps
+        through it, and a batch whose calibrated P(label=1) mix has
+        shifted surfaces as a high psi_nanos. Bit-equal to the
+        row-grain path (calibrate then psi_nanos per batch), pinned
+        in tests/test_streaming_eval.py."""
+        from ..operators.evaluation import calibrated_drift_from_counts
+
+        return calibrated_drift_from_counts(self.counts(name), n_bins=n_bins)

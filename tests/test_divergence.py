@@ -434,3 +434,36 @@ def test_windowed_counts_streaming_matches_batch(spark, tmp_path_factory):
     assert stream_psi == batch_psi
     assert len(stream_psi) > 1
     spark.catalog.dropTempView("drift_wc")
+
+
+def test_psi_from_group_counts_equals_row_grain(spark):
+    """r12: the count-weighted PSI over pre-aggregated (group, value,
+    count) rows is bit-identical to psi_nanos on the row-grain input
+    — counts are additive, so a drained store serves the same PSI."""
+    from lakehouse_file_format_compare_spark.operators.divergence import (
+        psi_from_group_counts,
+        psi_nanos,
+    )
+
+    rows = table(spark, SF_SMOKE, "documents").select(
+        F.col("source").alias("g"),
+        (F.xxhash64("text") % 40).alias("v"),
+    )
+    want = sorted(
+        tuple(r) for r in psi_nanos(rows, "g", "v").collect()
+    )
+    agg = rows.groupBy("g", "v").agg(F.count(F.lit(1)).alias("c"))
+    got = sorted(
+        tuple(r)
+        for r in psi_from_group_counts(agg, "g", "v", "c").collect()
+    )
+    assert got == want and len(got) > 1
+    # zero/negative counts are invisible, like absent rows
+    padded = agg.unionByName(
+        agg.limit(1).select("g", (F.col("v") + 1000).alias("v"), F.lit(0).alias("c"))
+    )
+    got2 = sorted(
+        tuple(r)
+        for r in psi_from_group_counts(padded, "g", "v", "c").collect()
+    )
+    assert got2 == want
