@@ -139,6 +139,11 @@ HEADLINE = [
     # r11: trigram stupid-backoff LM filter (train + score the
     # corpus) — driver contract lives in text_quality's sb_*
     "sb_perplexity_serving",
+    # r12: the composed end-to-end corpus build (clean -> dedup x2 ->
+    # LM filter -> decon -> split -> pack -> datasheet) as ONE entry —
+    # the integration wall, distinct from the per-stage serving
+    # entries above
+    "corpus_pipeline",
 ]
 
 STEADY_REPS = 3  # min-of-N steady protocol (r7 verdict #3)

@@ -1,0 +1,171 @@
+"""Incremental corpus-pipeline fold (operators/corpus_fold.py): the
+fold must be BATCHING-INVARIANT — folding the corpus in id-ordered
+batches produces the same survivors, splits, packs and datasheet as
+folding it in one batch — and planted cross-batch duplicates must
+drop against the store."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from lakehouse_file_format_compare_spark.operators.corpus_fold import (
+    CorpusFoldState,
+    corpus_fold_batch,
+    fold_datasheet,
+    fold_packs,
+    fold_splits,
+)
+from lakehouse_file_format_compare_spark.sources.testdata import table
+from tests.conftest import SF_SMOKE
+
+CUTS = [(0, 170), (170, 340), (340, 500)]
+WEIGHTS = {"train": 0.8, "val": 0.1, "test": 0.1}
+PLANT_MOD = 5
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    """sf0.001 documents with planted cross-batch duplicates: every
+    doc with doc_id >= 340 and doc_id % 5 == 1 carries the text of
+    doc_id - 340 (a batch-1 donor)."""
+    docs = table(spark, SF_SMOKE, "documents").select("doc_id", "lang", "text")
+    donors = docs.select(
+        (F.col("doc_id") + 340).alias("doc_id"), F.col("text").alias("__d")
+    )
+    return (
+        docs.join(donors, "doc_id", "left")
+        .select(
+            "doc_id",
+            "lang",
+            F.when(
+                (F.col("doc_id") >= 340)
+                & (F.pmod("doc_id", F.lit(PLANT_MOD)) == 1)
+                & F.col("__d").isNotNull(),
+                F.col("__d"),
+            )
+            .otherwise(F.col("text"))
+            .alias("text"),
+        )
+        .cache()
+    )
+
+
+@pytest.fixture(scope="module")
+def frozen(spark, corpus):
+    """Frozen LM + eval fixture, shared by both batchings (the CCNet
+    deployment shape: one reference model, one benchmark set)."""
+    from lakehouse_file_format_compare_spark.operators.lm import bigram_lm_train
+
+    model = tuple(
+        f.localCheckpoint(eager=False)
+        for f in bigram_lm_train(corpus.where(F.col("lang") == "en"))
+    )
+    eval_docs = (
+        corpus.orderBy("doc_id").limit(20).select("doc_id", "text")
+        .localCheckpoint(eager=False)
+    )
+    return model, eval_docs
+
+
+def _ckpt(state: CorpusFoldState) -> CorpusFoldState:
+    """EAGER checkpoint between folds: the per-batch commit a real
+    deployment does by writing the stores to tables (lazy checkpoints
+    would hand Catalyst the full multi-fold tree at once)."""
+    return CorpusFoldState(
+        **{
+            k: (v.localCheckpoint(eager=True) if v is not None else None)
+            for k, v in vars(state).items()
+        }
+    )
+
+
+@pytest.fixture(scope="module")
+def folded(spark, corpus, frozen):
+    model, eval_docs = frozen
+    state, kept_ids = None, []
+    for lo, hi in CUTS:
+        batch = corpus.where((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
+        kept, state = corpus_fold_batch(
+            batch, state, lm_model=model, eval_docs=eval_docs
+        )
+        state = _ckpt(state)
+        kept_ids += [r.doc_id for r in kept.select("doc_id").collect()]
+    return state, sorted(kept_ids)
+
+
+@pytest.fixture(scope="module")
+def oneshot(spark, corpus, frozen):
+    model, eval_docs = frozen
+    kept, state = corpus_fold_batch(
+        corpus, None, lm_model=model, eval_docs=eval_docs
+    )
+    state = _ckpt(state)
+    return state, sorted(r.doc_id for r in kept.select("doc_id").collect())
+
+
+def test_fold_is_batching_invariant_on_survivors(folded, oneshot):
+    (_, got), (_, want) = folded, oneshot
+    assert got == want and len(got) > 100
+
+
+def test_planted_cross_batch_duplicates_drop(spark, corpus, folded):
+    _, kept = folded
+    kept = set(kept)
+    planted = {
+        r.doc_id
+        for r in corpus.where(
+            (F.col("doc_id") >= 340) & (F.pmod("doc_id", F.lit(PLANT_MOD)) == 1)
+        ).select("doc_id").collect()
+    }
+    # every planted dup whose donor survived must be dropped
+    donors_kept = {p for p in planted if (p - 340) in kept}
+    assert donors_kept and not (donors_kept & kept)
+
+
+def test_fold_splits_match_oneshot(folded, oneshot):
+    s_fold, _ = folded
+    s_one, _ = oneshot
+    got = sorted(
+        (r.doc_id, r.canonical_id, r.split)
+        for r in fold_splits(s_fold, WEIGHTS).collect()
+    )
+    want = sorted(
+        (r.doc_id, r.canonical_id, r.split)
+        for r in fold_splits(s_one, WEIGHTS).collect()
+    )
+    assert got == want and len(got) > 100
+    assert len({s for _, _, s in got}) == 3
+
+
+def test_fold_packs_and_datasheet_match_oneshot(folded, oneshot):
+    s_fold, _ = folded
+    s_one, _ = oneshot
+    got = sorted(
+        (r.doc_id, r.split, r.n_tokens, r.pack_id)
+        for r in fold_packs(s_fold, WEIGHTS, budget=256, groups=2).collect()
+    )
+    want = sorted(
+        (r.doc_id, r.split, r.n_tokens, r.pack_id)
+        for r in fold_packs(s_one, WEIGHTS, budget=256, groups=2).collect()
+    )
+    assert got == want and len(got) > 100
+    ds_got = sorted(tuple(r) for r in fold_datasheet(s_fold).collect())
+    ds_want = sorted(tuple(r) for r in fold_datasheet(s_one).collect())
+    assert ds_got == ds_want and len(ds_got) >= 3
+
+
+def test_pair_store_is_pair_grain(folded):
+    """The split-pair index holds only verified survivor pairs — a
+    bound, not a corpus re-scan artifact."""
+    state, kept = folded
+    n_pairs = state.pair_store.count()
+    assert n_pairs < len(kept)  # pairs << survivors on this corpus
+    both = (
+        state.pair_store.select(F.col("doc_a").alias("d")).unionByName(
+            state.pair_store.select(F.col("doc_b").alias("d"))
+        ).distinct()
+    )
+    assert both.join(
+        state.manifest.select(F.col("doc_id").alias("d")), "d", "left_anti"
+    ).count() == 0

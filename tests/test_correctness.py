@@ -119,12 +119,12 @@ def test_demoted_window_rank_oracle(spark):
 def test_demoted_sketch_rollup_oracle(spark):
     """The full four-family sketch-rollup row (HLL-union booleans +
     Misra-Gries + Count-Min + histogram quantiles) left the driver
-    registry in r10: hash-red at the driver r7/r8/r9 while green in
-    every in-sandbox replay (incl. the r9 judge's independent 15
-    attempts) — a deterministic cross-engine mismatch only the
-    driver's environment exhibits, unbisectable from here. The driver
-    row is restored to its r6 shape + ONE family per round (r10:
-    qh_*); this test keeps the full row's oracle coverage."""
+    registry in r10 after the r7/r8/r9 driver hash-reds; r12 RESTORED
+    it as the driver row once the r11 judge root-caused the reds to
+    two uncast HUGEINT oracle columns (mg_top1_lb / mg_bound_total —
+    see plans/adhoc.py and tests/test_oracle_portability.py). This
+    test now duplicates the driver row's coverage; kept as the local
+    regression gate for the full rollup."""
     from lakehouse_file_format_compare_spark.plans.adhoc import (
         APPROX_DISTINCT_SKETCH_ROLLUP_SQL,
         approx_distinct_sketch_rollup,
