@@ -77,6 +77,9 @@ class CorpusFoldState:
     kept_sigs: DataFrame | None = None    # (doc, signature) of final survivors
     pair_store: DataFrame | None = None   # (doc_a, doc_b) split-threshold pairs
     manifest: DataFrame | None = None     # (doc_id, lang, n_tokens) survivors
+    #: the current batch's NEW rows per store (same field names) —
+    #: what a store-backed caller commits; None on a caller-built state
+    delta: "CorpusFoldState | None" = None
 
 
 def _clean_batch(batch: DataFrame, id_col: str, text_col: str, lang_col: str):
@@ -246,12 +249,23 @@ def corpus_fold_batch(
         new_manifest if state.manifest is None
         else state.manifest.unionByName(new_manifest)
     )
+    # per-batch deltas for store-backed callers: the streaming loader
+    # commits ONLY these as keyed insert-only merges (merging the full
+    # union frame would rewrite the whole store every micro-batch)
+    delta = CorpusFoldState(
+        fp_store=new_fps,
+        sig_store=new_sigs,
+        kept_sigs=surv_sigs,
+        pair_store=new_pairs,
+        manifest=new_manifest,
+    )
     return s5, CorpusFoldState(
         fp_store=fp_store,
         sig_store=sig_store,
         kept_sigs=kept_sigs,
         pair_store=pair_store,
         manifest=manifest,
+        delta=delta,
     )
 
 

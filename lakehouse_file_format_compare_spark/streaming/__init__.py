@@ -1,3 +1,4 @@
+from .corpus_build_stream import StreamingCorpusBuildLoader
 from .dedup_store_stream import (
     StreamingEmbeddingDedupLoader,
     StreamingIncrementalDedupLoader,
@@ -9,6 +10,7 @@ from .runner import StreamingScd2Loader, StreamingSilverLoader
 
 __all__ = [
     "StreamingAucMonitor",
+    "StreamingCorpusBuildLoader",
     "StreamingEmbeddingDedupLoader",
     "StreamingIncrementalDedupLoader",
     "StreamingPerplexityScorer",

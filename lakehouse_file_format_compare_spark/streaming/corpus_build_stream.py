@@ -1,0 +1,170 @@
+"""Streaming end-to-end corpus build (r12): the incremental
+corpus-pipeline fold (operators/corpus_fold.py) lifted to Structured
+Streaming — the production shape where a crawl feed becomes a deduped,
+LM-filtered, decontaminated, split-and-packable corpus continuously.
+
+    readStream(docs dir) → Trigger.AvailableNow
+      → foreachBatch(corpus_fold_batch vs the warehouse-backed stores
+                     → insert-only MERGE the kept docs + store DELTAS)
+
+Commit order per micro-batch (the dedup_store_stream crash-safety
+discipline): kept docs FIRST, then the dedup-correctness stores
+(fingerprints, signatures), then the derived index stores (kept
+signatures, split pairs, manifest). If a later commit fails, a
+replayed batch re-derives the same keys against a history that can
+only have grown, and every merge is keyed insert-only — re-inserts
+are no-ops, so the pipeline is effectively-once end to end
+(checkpointed file progress × idempotent sinks).
+
+Serving: ``splits()`` / ``packs()`` / ``datasheet()`` re-derive the
+global artifacts from the TEXT-FREE store tables at any point — the
+batch fold functions over a state read back from the warehouse, so
+drained == batch (proven over real AvailableNow drains in
+tests/test_streaming_corpus_build.py via the corpus_fold
+batching-invariance theorem).
+
+The frozen LM model and the eval fixture are pipeline CONFIG (the
+CCNet deployment shape): train/choose them once, pass the frames in.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+from ..operators.corpus_fold import (
+    CorpusFoldState,
+    corpus_fold_batch,
+    fold_datasheet,
+    fold_packs,
+    fold_splits,
+)
+from ..storage import Warehouse
+
+#: (store suffix, merge keys) in COMMIT ORDER after the kept docs
+_STORES = (
+    ("fps", ["fp"]),
+    ("sigs", ["doc"]),
+    ("keptsigs", ["doc"]),
+    ("pairs", ["doc_a", "doc_b"]),
+    ("manifest", ["doc_id"]),
+)
+_FIELDS = ("fp_store", "sig_store", "kept_sigs", "pair_store", "manifest")
+
+
+@dataclass
+class StreamingCorpusBuildLoader:
+    """Drain a file-source document stream into a fully-built corpus:
+    kept docs table + the five text-free fold stores."""
+
+    warehouse: Warehouse
+    checkpoint_root: str
+    lm_model: tuple[DataFrame, DataFrame, DataFrame] | None = None
+    eval_docs: DataFrame | None = None
+    threshold: float = 0.5
+    split_threshold: float = 0.35
+    num_hashes: int = 32
+    bands: int = 8
+    k: int = 3
+    decon_n: int = 8
+    theta_nanos: int | None = None
+    fmt: str = "parquet"
+    id_col: str = "doc_id"
+    text_col: str = "text"
+    lang_col: str = "lang"
+    weights: dict[str, float] = field(
+        default_factory=lambda: {"train": 0.8, "val": 0.1, "test": 0.1}
+    )
+
+    def _read_state(self, name: str) -> CorpusFoldState:
+        frames = {}
+        for (suffix, _), fld in zip(_STORES, _FIELDS):
+            try:
+                frames[fld] = self.warehouse.read_table(
+                    "silver", f"{name}__{suffix}", self.fmt
+                )
+            except Exception:
+                frames[fld] = None  # first batch: no store yet
+        return CorpusFoldState(**frames)
+
+    def fold_batch(self, batch: DataFrame, batch_id: int, name: str) -> None:
+        state = self._read_state(name)
+        kept, new_state = corpus_fold_batch(
+            batch,
+            state,
+            lm_model=self.lm_model,
+            eval_docs=self.eval_docs,
+            threshold=self.threshold,
+            split_threshold=self.split_threshold,
+            num_hashes=self.num_hashes,
+            bands=self.bands,
+            k=self.k,
+            decon_n=self.decon_n,
+            theta_nanos=self.theta_nanos,
+            id_col=self.id_col,
+            text_col=self.text_col,
+            lang_col=self.lang_col,
+        )
+        # pin the batch's derived frames once: every store merge below
+        # reads them without re-running the fold chain
+        kept = kept.localCheckpoint(eager=True)
+        delta = new_state.delta
+        self.warehouse.merge_table(
+            kept, "silver", name,
+            keys=[self.id_col], fmt=self.fmt, policy="insert_only",
+        )
+        for (suffix, keys), fld in zip(_STORES, _FIELDS):
+            rows = getattr(delta, fld).localCheckpoint(eager=True)
+            self.warehouse.merge_table(
+                rows, "silver", f"{name}__{suffix}",
+                keys=keys, fmt=self.fmt, policy="insert_only",
+            )
+
+    def run(
+        self,
+        source_path: str,
+        name: str,
+        schema: StructType,
+        timeout_sec: int = 300,
+        max_files_per_trigger: int | None = None,
+    ) -> None:
+        reader = self.warehouse.spark.readStream.schema(schema)
+        if max_files_per_trigger:
+            reader = reader.option(
+                "maxFilesPerTrigger", str(max_files_per_trigger)
+            )
+        stream = reader.parquet(source_path)
+        query = (
+            stream.writeStream.foreachBatch(
+                lambda b, bid: self.fold_batch(b, bid, name)
+            )
+            .option(
+                "checkpointLocation",
+                os.path.join(self.checkpoint_root, f"{name}__corpus"),
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination(timeout_sec)
+
+    # -- serving: global artifacts from the drained text-free stores --
+
+    def state(self, name: str) -> CorpusFoldState:
+        return self._read_state(name)
+
+    def splits(self, name: str, portable: bool = False) -> DataFrame:
+        return fold_splits(self.state(name), self.weights, portable=portable)
+
+    def packs(
+        self, name: str, budget: int, groups: int = 1, portable: bool = False
+    ) -> DataFrame:
+        return fold_packs(
+            self.state(name), self.weights, budget, groups, portable=portable
+        )
+
+    def datasheet(self, name: str) -> DataFrame:
+        return fold_datasheet(self.state(name))

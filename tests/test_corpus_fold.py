@@ -76,6 +76,7 @@ def _ckpt(state: CorpusFoldState) -> CorpusFoldState:
         **{
             k: (v.localCheckpoint(eager=True) if v is not None else None)
             for k, v in vars(state).items()
+            if k != "delta"  # per-batch scratch, not carried forward
         }
     )
 
