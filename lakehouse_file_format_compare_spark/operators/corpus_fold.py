@@ -153,16 +153,44 @@ def corpus_fold_batch(
     id_col: str = "doc_id",
     text_col: str = "text",
     lang_col: str = "lang",
+    batch_id: int | None = None,
+    horizon: int | None = None,
 ) -> tuple[DataFrame, CorpusFoldState]:
     """Fold one id-ordered batch into the corpus build. Returns
     ``(kept_batch_docs, new_state)``; kept docs carry (doc_id, lang,
     text). ``lm_model`` is the FROZEN (model, ctx_totals, vocab) from
     operators/lm.bigram_lm_train — None skips the LM stage;
     ``eval_docs`` (doc_id, text) is the benchmark fixture — None skips
-    decontamination."""
+    decontamination.
+
+    ``horizon`` (requires ``batch_id``, monotone per fold): manage the
+    signature store with the operators/lifecycle.py retention
+    discipline — rows carry (batch_id, kept), where kept = survived
+    the MINHASH stage (those are the permanent dedup index; LM/decon
+    drops are quality cuts, their signatures stay kept so future
+    duplicates of a filtered doc still drop at the dedup stage), and
+    dropped-doc tombstones age out after ``horizon`` batches. The
+    fold guarantee weakens exactly as documented in lifecycle.py:
+    exact within the retention horizon (long pure-tombstone chains
+    older than the horizon are the only divergence). The fingerprint
+    store needs no horizon: 16 bytes per distinct text, and every fp
+    is permanent corpus index (an exact dup of ANY seen doc must
+    always drop). ``horizon`` cannot change for an existing state —
+    managed and unmanaged store schemas differ (checked loudly)."""
     from .decontaminate import ngram_contamination
 
     state = state or CorpusFoldState()
+    if horizon is not None and batch_id is None:
+        raise ValueError("horizon requires batch_id (monotone per fold)")
+    if state.sig_store is not None:
+        managed_schema = {"batch_id", "kept"} <= set(state.sig_store.columns)
+        if (horizon is not None) != managed_schema:
+            raise ValueError(
+                "corpus_fold_batch: sig_store was built with horizon "
+                f"{'set' if managed_schema else 'unset'} but this fold has "
+                f"horizon={horizon!r}; horizon cannot change for an "
+                "existing state — rebuild the store"
+            )
     s1 = _clean_batch(batch, id_col, text_col, lang_col)
     # exact dedup: keep-first within the batch (min id per fp), drop
     # anything whose fingerprint is already in the store
@@ -188,9 +216,12 @@ def corpus_fold_batch(
     new_sigs = signature_store(s2, num_hashes, k, "doc_id", "text").localCheckpoint(
         eager=False
     )
+    sig_history = state.sig_store
+    if horizon is not None and sig_history is not None:
+        sig_history = sig_history.select("doc", "signature")
     s3, sig_store = incremental_minhash_dedup(
         s2,
-        state.sig_store,
+        sig_history,
         threshold=threshold,
         num_hashes=num_hashes,
         bands=bands,
@@ -200,6 +231,18 @@ def corpus_fold_batch(
         new_sigs=new_sigs,
     )
     s3 = s3.localCheckpoint(eager=False)
+    sig_delta = new_sigs
+    if horizon is not None:
+        from .lifecycle import compact_store, stamp_batch
+
+        sig_delta = stamp_batch(
+            new_sigs, batch_id, s3.select(F.col("doc_id").alias("doc")), "doc"
+        )
+        merged = (
+            sig_delta if state.sig_store is None
+            else state.sig_store.unionByName(sig_delta)
+        )
+        sig_store = compact_store(merged, batch_id, horizon)
     # frozen-LM filter (stateless given the model frames)
     if lm_model is not None:
         from .lm import THETA_NANOS, bigram_lm_score, flag_high_perplexity
@@ -254,7 +297,7 @@ def corpus_fold_batch(
     # union frame would rewrite the whole store every micro-batch)
     delta = CorpusFoldState(
         fp_store=new_fps,
-        sig_store=new_sigs,
+        sig_store=sig_delta,
         kept_sigs=surv_sigs,
         pair_store=new_pairs,
         manifest=new_manifest,

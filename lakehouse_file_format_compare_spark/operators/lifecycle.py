@@ -124,6 +124,7 @@ def incremental_minhash_dedup_managed(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_bucket_size: int | None = None,
+    new_sigs: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """:func:`dedup.incremental_minhash_dedup` with lifecycle
     management: the returned store carries ``(doc, signature,
@@ -132,13 +133,17 @@ def incremental_minhash_dedup_managed(
     localCheckpoint — the einc_* discipline: the signatures feed the
     candidate join, the est verification, the stamp join AND the
     store union) and the kept-id set is checkpointed too so stamping
-    does not re-run the dedup plan."""
+    does not re-run the dedup plan. ``new_sigs`` (optional, r12):
+    the batch's precomputed signature frame — callers that reuse the
+    signatures elsewhere (the corpus fold's split-pair index) pass it
+    to avoid signing twice."""
     from .dedup import incremental_minhash_dedup, minhash_signatures
 
-    new_sigs = minhash_signatures(
-        docs=new_docs, num_hashes=num_hashes, k=k,
-        id_col=id_col, text_col=text_col,
-    ).localCheckpoint(eager=False)
+    if new_sigs is None:
+        new_sigs = minhash_signatures(
+            docs=new_docs, num_hashes=num_hashes, k=k,
+            id_col=id_col, text_col=text_col,
+        ).localCheckpoint(eager=False)
     history = (
         None if managed_store is None
         else managed_store.select("doc", "signature")

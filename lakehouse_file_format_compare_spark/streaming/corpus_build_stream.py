@@ -76,6 +76,12 @@ class StreamingCorpusBuildLoader:
     id_col: str = "doc_id"
     text_col: str = "text"
     lang_col: str = "lang"
+    #: signature-store retention in batches (operators/lifecycle.py):
+    #: when set, sig rows carry (batch_id, kept) and every micro-batch
+    #: ends with a compaction DELETE of dropped-doc rows older than
+    #: the horizon. Cannot change for an existing store (the fold
+    #: raises a descriptive error — the dedup_store_stream guard).
+    horizon: int | None = None
     weights: dict[str, float] = field(
         default_factory=lambda: {"train": 0.8, "val": 0.1, "test": 0.1}
     )
@@ -108,6 +114,8 @@ class StreamingCorpusBuildLoader:
             id_col=self.id_col,
             text_col=self.text_col,
             lang_col=self.lang_col,
+            batch_id=batch_id,
+            horizon=self.horizon,
         )
         # pin the batch's derived frames once: every store merge below
         # reads them without re-running the fold chain
@@ -122,6 +130,13 @@ class StreamingCorpusBuildLoader:
             self.warehouse.merge_table(
                 rows, "silver", f"{name}__{suffix}",
                 keys=keys, fmt=self.fmt, policy="insert_only",
+            )
+        if self.horizon is not None:
+            # compaction last: a pure shrink, idempotent on replay
+            self.warehouse.delete_from(
+                "silver", f"{name}__sigs",
+                f"(NOT kept) AND batch_id <= {int(batch_id) - self.horizon}",
+                fmt=self.fmt,
             )
 
     def run(

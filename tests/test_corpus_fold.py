@@ -170,3 +170,88 @@ def test_pair_store_is_pair_grain(folded):
     assert both.join(
         state.manifest.select(F.col("doc_id").alias("d")), "d", "left_anti"
     ).count() == 0
+
+
+@pytest.fixture(scope="module")
+def two_wave_corpus(spark):
+    """Plants in BOTH later batches: [170,340) %5==1 carries the text
+    of doc_id-170 and [340,500) %5==1 the text of doc_id-340 — so
+    batch-2 drops become tombstones that a horizon=1 managed fold
+    compacts away at batch 3."""
+    docs = table(spark, SF_SMOKE, "documents").select("doc_id", "lang", "text")
+    d1 = docs.select((F.col("doc_id") + 170).alias("doc_id"), F.col("text").alias("__d1"))
+    d2 = docs.select((F.col("doc_id") + 340).alias("doc_id"), F.col("text").alias("__d2"))
+    return (
+        docs.join(d1, "doc_id", "left").join(d2, "doc_id", "left")
+        .select(
+            "doc_id",
+            "lang",
+            F.when(
+                (F.col("doc_id") >= 170) & (F.col("doc_id") < 340)
+                & (F.pmod("doc_id", F.lit(PLANT_MOD)) == 1)
+                & F.col("__d1").isNotNull(),
+                F.col("__d1"),
+            )
+            .when(
+                (F.col("doc_id") >= 340)
+                & (F.pmod("doc_id", F.lit(PLANT_MOD)) == 1)
+                & F.col("__d2").isNotNull(),
+                F.col("__d2"),
+            )
+            .otherwise(F.col("text"))
+            .alias("text"),
+        )
+        .cache()
+    )
+
+
+def _fold_all(corpus, horizon=None):
+    state = None
+    kept_ids = []
+    for i, (lo, hi) in enumerate(CUTS):
+        batch = corpus.where((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
+        kept, state = corpus_fold_batch(
+            batch, state, batch_id=i + 1, horizon=horizon
+        )
+        state = _ckpt(state)
+        kept_ids += [r.doc_id for r in kept.select("doc_id").collect()]
+    return state, sorted(kept_ids)
+
+
+def test_managed_fold_matches_unmanaged_and_compacts(spark, two_wave_corpus):
+    """horizon=1 (r12): the managed fold equals the unmanaged one on
+    this fixture (every planted dup's donor is a KEPT row — kept rows
+    never compact), while dropped-doc tombstones older than the
+    horizon are gone and the store is strictly smaller."""
+    s_u, kept_u = _fold_all(two_wave_corpus, horizon=None)
+    s_m, kept_m = _fold_all(two_wave_corpus, horizon=1)
+    assert kept_m == kept_u and len(kept_m) > 100
+    man_u = sorted(tuple(r) for r in s_u.manifest.collect())
+    man_m = sorted(tuple(r) for r in s_m.manifest.collect())
+    assert man_m == man_u
+    rows_u = s_u.sig_store.count()
+    rows_m = s_m.sig_store.count()
+    assert rows_m < rows_u
+    assert (
+        s_m.sig_store.where(
+            (~F.col("kept")) & (F.col("batch_id") <= 3 - 1)
+        ).count()
+        == 0
+    )
+
+
+def test_fold_horizon_toggle_raises(spark, two_wave_corpus):
+    """r11-advice discipline: horizon cannot change for an existing
+    state — managed and unmanaged sig stores have different schemas."""
+    batch1 = two_wave_corpus.where(F.col("doc_id") < 170)
+    _, unmanaged = corpus_fold_batch(batch1, None)
+    batch2 = two_wave_corpus.where(
+        (F.col("doc_id") >= 170) & (F.col("doc_id") < 340)
+    )
+    with pytest.raises(ValueError, match="horizon"):
+        corpus_fold_batch(batch2, unmanaged, batch_id=2, horizon=1)
+    _, managed = corpus_fold_batch(batch1, None, batch_id=1, horizon=1)
+    with pytest.raises(ValueError, match="horizon"):
+        corpus_fold_batch(batch2, managed)
+    with pytest.raises(ValueError, match="batch_id"):
+        corpus_fold_batch(batch1, None, horizon=1)
