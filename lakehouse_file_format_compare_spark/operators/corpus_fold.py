@@ -45,9 +45,11 @@ the exact-pair tier driver-checked.
 
 Scale notes (100 TB/day): per batch, text-grain work is shingle+sign
 the BATCH only; every store join is signature- or pair-grain. The
-signature store grows with docs-ever-seen — compose with
-operators/lifecycle.py retention (the managed store) when tombstone
-history must be bounded.
+signature store grows with docs-ever-seen — pass ``horizon`` (+ a
+monotone ``batch_id``) to manage it with the operators/lifecycle.py
+retention discipline: dropped-doc tombstones age out after ``horizon``
+batches, kept rows live forever, and the fold guarantee weakens
+exactly as lifecycle.py documents (exact within the horizon).
 """
 
 from __future__ import annotations

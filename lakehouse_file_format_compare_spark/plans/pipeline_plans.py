@@ -132,10 +132,20 @@ def corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         "left_semi",
     ).localCheckpoint(eager=False)
     # stage 3: fuzzy dedup — drop every doc Jaccard-linked (>= 0.5) to
-    # a smaller-id survivor (the incremental-dedup drop rule)
-    pairs = ngram_jaccard_pairs(s2, threshold=CP_DEDUP_J, k=CP_K)
+    # a smaller-id survivor (the incremental-dedup drop rule).
+    # ONE shingle self-join serves BOTH thresholds: pairs at the lower
+    # split threshold are computed once, the dedup stage filters
+    # >= CP_DEDUP_J (grid-snapped jaccard ≥ t is exact at 6 decimals
+    # for these thresholds), and stage 6 reuses the same frame
+    # restricted to survivors — pair jaccard depends only on texts,
+    # so pairs(s5, t) == pairs(s2, t) with both endpoints in s5.
+    pairs_all = ngram_jaccard_pairs(
+        s2, threshold=CP_SPLIT_J, k=CP_K
+    ).localCheckpoint(eager=False)
     s3 = s2.join(
-        pairs.select(F.col("doc_b").alias("doc_id")).distinct(),
+        pairs_all.where(F.col("jaccard") >= CP_DEDUP_J)
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct(),
         "doc_id",
         "left_anti",
     ).localCheckpoint(eager=False)
@@ -160,8 +170,17 @@ def corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     s5 = s4.join(contaminated, "doc_id", "left_anti").localCheckpoint(eager=False)
     # stage 6: leakage-safe split — components over the REMAINING
     # near-dup band (0.35 <= J < 0.5 survived dedup) so no linked docs
-    # straddle train/val/test; md5-portable buckets for the oracle
-    split_pairs = ngram_jaccard_pairs(s5, threshold=CP_SPLIT_J, k=CP_K)
+    # straddle train/val/test; md5-portable buckets for the oracle.
+    # Reuses the stage-3 pair frame restricted to survivors (both
+    # endpoints alive) — no second shingle explode/self-join.
+    s5_ids = s5.select("doc_id")
+    split_pairs = (
+        pairs_all.join(
+            s5_ids.withColumnRenamed("doc_id", "doc_a"), "doc_a", "left_semi"
+        )
+        .join(s5_ids.withColumnRenamed("doc_id", "doc_b"), "doc_b", "left_semi")
+        .select("doc_a", "doc_b")
+    )
     assigned = leakage_safe_splits(
         s5, split_pairs, CP_WEIGHTS, portable=True
     ).localCheckpoint(eager=False)
