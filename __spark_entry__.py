@@ -203,6 +203,13 @@ Its slot came from ``sim_knn_lsh`` (the registry's thinnest oracle —
 n_queries + an expected-true boolean; LSH stays driver-visible via
 ``similarity_scale_suite`` and pytest-oracled in
 tests/test_correctness.py::test_demoted_knn_lsh_recall_oracle).
+``corpus_build_summary`` widened with ``tbs_*``
+(operators/sampling.py::token_budget_sample — deterministic
+doc-atomic sampling to a TOKEN budget per source: rows taken in
+engine-portable md5 order until the running token total meets the
+budget, overflow bounded by one document; exact selected-set count /
+token total / fingerprint replayed window-for-window in the oracle,
+the doc-atomic bound earned as a boolean).
 """
 
 from __future__ import annotations

@@ -296,6 +296,58 @@ def weighted_sample(
     )
 
 
+def token_budget_sample(
+    df: DataFrame,
+    budget_tokens: int,
+    token_col: str,
+    key_cols: tuple[str, ...],
+    group_col: str | None = None,
+    tag: str = "tbudget",
+) -> DataFrame:
+    """Deterministic doc-atomic sampling to a TOKEN budget, not a doc
+    count — the "take 50B tokens per source" mixture op a training
+    build runs after weighting: rows are taken in the engine-portable
+    md5 order of their keys (domain-separated by ``tag``) until the
+    group's running token total reaches ``budget_tokens``. Doc-atomic
+    with the packing convention: a row is kept iff the budget was not
+    yet met when it STARTED, so a group overflows by at most its last
+    document. The sample is a PURE FUNCTION of (keys, token counts,
+    tag, budget): identical on any partitioning and replayable in
+    DuckDB (tests/test_sampling.py runs the identical window SQL).
+
+    NULL or negative token counts are excluded (they have no budget
+    semantics); zero-token rows are kept for free while budget
+    remains, like packing's empty docs.
+
+    Scale: one window per group partition, all groups in parallel —
+    the pack_sequences cost class. A single giant group serializes
+    into one partition's sort; pre-thin it with fraction_sample /
+    mixture_sample first (the two-phase production recipe), or raise
+    the budget grain. NOT growth-stable by design: adding documents
+    reshuffles the md5 order around the cutoff — pin the input
+    snapshot when reproducibility across corpus versions matters
+    (hash_split is the growth-stable tool; budgets are inherently
+    rank-based)."""
+    if budget_tokens < 1:
+        raise ValueError("budget_tokens must be >= 1")
+    h = F.md5(
+        F.concat_ws(
+            "\x1f", F.lit(tag), *[F.col(c).cast("string") for c in key_cols]
+        )
+    )
+    part = [group_col] if group_col is not None else []
+    w = Window.partitionBy(*part).orderBy(
+        h, *[F.col(c) for c in key_cols]
+    ).rowsBetween(Window.unboundedPreceding, 0)
+    nt = F.col(token_col).cast("long")
+    return (
+        df.where(nt.isNotNull() & (nt >= 0))
+        .withColumn("__cum", F.sum(nt).over(w))
+        .where(F.col("__cum") - nt < F.lit(int(budget_tokens)))
+        .drop("__cum")
+    )
+
+
 def interleave_sources(
     df: DataFrame,
     source_col: str,

@@ -197,6 +197,38 @@ def _ws_agg(docs: DataFrame) -> DataFrame:
     )
 
 
+TBS_BUDGET = 1500
+
+
+def _tbs_agg(docs: DataFrame) -> DataFrame:
+    """``tbs_*`` (r12): the token-budget mixture sampler
+    (operators/sampling.py::token_budget_sample — per SOURCE, take
+    docs in engine-portable md5 order until the running n_chars total
+    reaches the budget, doc-atomic overflow-by-one). Exact selected-set
+    values the oracle replays window-for-window, plus the earned
+    overflow bound as a boolean."""
+    from ..operators.sampling import token_budget_sample
+
+    sel = token_budget_sample(
+        docs, TBS_BUDGET, "n_chars", ("doc_id",), group_col="source"
+    )
+    per_group = sel.groupBy("source").agg(
+        F.sum("n_chars").alias("__tok"), F.max("n_chars").alias("__mx")
+    )
+    bound = per_group.agg(
+        F.min(
+            F.col("__tok") < F.lit(TBS_BUDGET) + F.col("__mx")
+        ).alias("tbs_atomic_ok")
+    )
+    return sel.agg(
+        F.count(F.lit(1)).cast("long").alias("tbs_docs"),
+        F.coalesce(F.sum("n_chars"), F.lit(0)).cast("long").alias("tbs_tokens"),
+        F.coalesce(
+            F.sum(F.col("doc_id") * 17 + F.col("n_chars")), F.lit(0)
+        ).cast("long").alias("tbs_fp"),
+    ).crossJoin(F.broadcast(bound))
+
+
 def corpus_build_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One row per split: earned contract booleans + the replicable
     gate count. All heavy work is the corpus pipeline itself; the
@@ -237,6 +269,7 @@ def corpus_build_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(_hits_agg(docs)))
         .crossJoin(F.broadcast(_cap_agg(docs)))
         .crossJoin(F.broadcast(_ws_agg(docs)))
+        .crossJoin(F.broadcast(_tbs_agg(docs)))
         .select(
             "split",
             "n_gated",
@@ -274,6 +307,11 @@ def corpus_build_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             # r8: A-ES weighted sample — exact selected-set fingerprint
             "ws_docs",
             "ws_fp",
+            # r12: token-budget mixture sampler — exact selected set
+            "tbs_docs",
+            "tbs_tokens",
+            "tbs_fp",
+            "tbs_atomic_ok",
         )
     )
 
@@ -380,6 +418,19 @@ ws AS (
             FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0)
         ORDER BY es_key DESC, doc_id LIMIT {{WS_K}})
 )
+,
+tbs AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS tbs_docs,
+           CAST(COALESCE(SUM(n_chars), 0) AS BIGINT) AS tbs_tokens,
+           CAST(COALESCE(SUM(doc_id * 17 + n_chars), 0) AS BIGINT) AS tbs_fp
+    FROM (
+        SELECT doc_id, n_chars,
+               SUM(n_chars) OVER (PARTITION BY source
+                                  ORDER BY md5('tbudget' || chr(31) || CAST(doc_id AS VARCHAR)), doc_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+        FROM documents WHERE n_chars IS NOT NULL AND n_chars >= 0)
+    WHERE c - n_chars < {TBS_BUDGET}
+)
 SELECT s.split, g.n_gated,
        true AS nonempty_ok, true AS ratio_ok, true AS packs_ok,
        CAST(d.dsir_selected AS BIGINT) AS dsir_selected,
@@ -393,9 +444,10 @@ SELECT s.split, g.n_gated,
        hx.hits_top_auth, hx.hits_top_auth_node,
        hx.hits_top_hub, hx.hits_top_hub_node, hx.hits_fp,
        c.cap_docs, c.cap_fp,
-       w.ws_docs, w.ws_fp
+       w.ws_docs, w.ws_fp,
+       tb.tbs_docs, tb.tbs_tokens, tb.tbs_fp, true AS tbs_atomic_ok
 FROM (VALUES ('train'), ('val'), ('test')) s(split), gated g, dsir d, pr p,
-     hits_agg hx, cap c, ws w
+     hits_agg hx, cap c, ws w, tbs tb
 """
 
 

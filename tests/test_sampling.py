@@ -948,3 +948,79 @@ def test_upsample_mixture_rejects_runaway_factor(spark):
     docs = table(spark, SF_SMOKE, "documents")
     with pytest.raises(ValueError, match="1000x"):
         upsample_mixture(docs, "source", {"src0": 5000.0}, ("doc_id",))
+
+
+TB_BUDGET = 1500
+
+TOKEN_BUDGET_SQL = f"""
+WITH keyed AS (
+    SELECT source, doc_id, n_chars,
+           md5('tbudget' || chr(31) || CAST(doc_id AS VARCHAR)) AS h
+    FROM documents WHERE n_chars IS NOT NULL AND n_chars >= 0
+), cum AS (
+    SELECT source, doc_id, n_chars,
+           SUM(n_chars) OVER (PARTITION BY source ORDER BY h, doc_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS c
+    FROM keyed
+)
+SELECT source, doc_id, CAST(n_chars AS BIGINT) AS n_chars
+FROM cum WHERE c - n_chars < {TB_BUDGET}
+"""
+
+
+def _token_budget(spark, sf_dir):
+    from lakehouse_file_format_compare_spark.operators.sampling import (
+        token_budget_sample,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    return token_budget_sample(
+        docs, TB_BUDGET, "n_chars", ("doc_id",), group_col="source"
+    ).select("source", "doc_id", F.col("n_chars").cast("long").alias("n_chars"))
+
+
+def test_token_budget_sample_oracle(spark):
+    """r12: the md5-ordered cumulative selection replays exactly in
+    DuckDB — the sample is a pure function of (keys, counts, budget)."""
+    ok, msg = compare(spark, SF_CORRECTNESS, _token_budget, TOKEN_BUDGET_SQL)
+    assert ok, msg
+
+
+def test_token_budget_sample_contracts(spark):
+    """Per group: the selection is doc-atomic (overflows by at most
+    the last document), meets the budget unless the group ran out,
+    and is partitioning-invariant."""
+    from lakehouse_file_format_compare_spark.operators.sampling import (
+        token_budget_sample,
+    )
+
+    docs = table(spark, SF_CORRECTNESS, "documents")
+    sel = token_budget_sample(
+        docs, TB_BUDGET, "n_chars", ("doc_id",), group_col="source"
+    )
+    got = sel.groupBy("source").agg(
+        F.sum("n_chars").alias("tok"), F.max("n_chars").alias("mx")
+    ).collect()
+    group_tokens = {
+        r.source: r.tot
+        for r in docs.groupBy("source")
+        .agg(F.sum("n_chars").alias("tot"))
+        .collect()
+    }
+    assert got
+    for r in got:
+        # doc-atomic overflow bound
+        assert r.tok < TB_BUDGET + r.mx
+        # budget met unless the whole group fits under it
+        if group_tokens[r.source] >= TB_BUDGET:
+            assert r.tok >= TB_BUDGET
+        else:
+            assert r.tok == group_tokens[r.source]
+    ids1 = sorted(r.doc_id for r in sel.select("doc_id").collect())
+    sel2 = token_budget_sample(
+        docs.repartition(7, "doc_id"), TB_BUDGET, "n_chars", ("doc_id",),
+        group_col="source",
+    )
+    ids2 = sorted(r.doc_id for r in sel2.select("doc_id").collect())
+    assert ids1 == ids2
