@@ -1941,3 +1941,19 @@ def test_stupid_backoff_replication_invariants(spark):
     assert floor_free > 0  # the invariance clause was exercised
     docs.unpersist()
     big.unpersist()
+
+
+@pytest.mark.scale
+def test_corpus_pipeline_oracle_at_scale(spark):
+    """r12: the end-to-end corpus_pipeline row hash-matches its
+    full-chain DuckDB replay at sf0.1 too (10x the driver's gate SF) —
+    the oracle's recursive component closure, LM replay and packing
+    window are scale-stable, not sf0.01 artifacts."""
+    from lakehouse_file_format_compare_spark.plans.pipeline_plans import (
+        CORPUS_PIPELINE_SQL,
+        corpus_pipeline,
+    )
+    from tests.oracle import compare
+
+    ok, msg = compare(spark, SF_SCALE, corpus_pipeline, CORPUS_PIPELINE_SQL)
+    assert ok, msg
