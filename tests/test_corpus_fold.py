@@ -255,3 +255,46 @@ def test_fold_horizon_toggle_raises(spark, two_wave_corpus):
         corpus_fold_batch(batch2, managed)
     with pytest.raises(ValueError, match="batch_id"):
         corpus_fold_batch(batch1, None, horizon=1)
+
+
+@pytest.mark.parametrize("cuts", [
+    [(0, 100), (100, 500)],
+    [(0, 250), (250, 380), (380, 450), (450, 500)],
+])
+def test_fold_invariance_across_other_batchings(spark, corpus, frozen, cuts, oneshot):
+    """The batching-invariance theorem holds for ANY id-ordered
+    batching, not just the 3-cut fixture — uneven 2-cut and 4-cut
+    batchings reproduce the one-shot survivors and manifest."""
+    model, eval_docs = frozen
+    state, kept_ids = None, []
+    for lo, hi in cuts:
+        batch = corpus.where((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
+        kept, state = corpus_fold_batch(
+            batch, state, lm_model=model, eval_docs=eval_docs
+        )
+        state = _ckpt(state)
+        kept_ids += [r.doc_id for r in kept.select("doc_id").collect()]
+    s_one, want = oneshot
+    assert sorted(kept_ids) == want
+    got_manifest = sorted(tuple(r) for r in state.manifest.collect())
+    want_manifest = sorted(tuple(r) for r in s_one.manifest.collect())
+    assert got_manifest == want_manifest
+
+
+def test_fold_plans_are_jvm_side(spark, corpus, frozen):
+    """The fold's per-batch plan stays in the zero-UDF discipline: no
+    Python evaluation, no Cartesian product (broadcast 1-row folds
+    excluded by construction — there are none here)."""
+    model, eval_docs = frozen
+    batch = corpus.where(F.col("doc_id") < 170)
+    kept, state = corpus_fold_batch(
+        batch, None, lm_model=model, eval_docs=eval_docs
+    )
+    for df in (kept, state.fp_store, state.sig_store, state.pair_store,
+               state.manifest):
+        plan = df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"
+        )
+        assert "BatchEvalPython" not in plan
+        assert "ArrowEvalPython" not in plan
+        assert "CartesianProduct" not in plan
