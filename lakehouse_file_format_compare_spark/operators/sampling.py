@@ -303,6 +303,7 @@ def token_budget_sample(
     key_cols: tuple[str, ...],
     group_col: str | None = None,
     tag: str = "tbudget",
+    priority_col: str | None = None,
 ) -> DataFrame:
     """Deterministic doc-atomic sampling to a TOKEN budget, not a doc
     count — the "take 50B tokens per source" mixture op a training
@@ -318,6 +319,14 @@ def token_budget_sample(
     NULL or negative token counts are excluded (they have no budget
     semantics); zero-token rows are kept for free while budget
     remains, like packing's empty docs.
+
+    ``priority_col`` (r12): order by (priority DESC, md5, keys)
+    instead of pure md5 order — greedy "take the BEST documents until
+    the budget" selection (quality-curriculum sampling; pair it with
+    a quality/NB/LM score). Ties stay in the portable md5 order, so
+    the sample remains a pure deterministic function. NULL priorities
+    sort LAST (they are taken only if budget remains after every
+    scored row).
 
     Scale: one window per group partition, all groups in parallel —
     the pack_sequences cost class. A single giant group serializes
@@ -336,9 +345,12 @@ def token_budget_sample(
         )
     )
     part = [group_col] if group_col is not None else []
-    w = Window.partitionBy(*part).orderBy(
-        h, *[F.col(c) for c in key_cols]
-    ).rowsBetween(Window.unboundedPreceding, 0)
+    order = [h, *[F.col(c) for c in key_cols]]
+    if priority_col is not None:
+        order = [F.col(priority_col).desc_nulls_last()] + order
+    w = Window.partitionBy(*part).orderBy(*order).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
     nt = F.col(token_col).cast("long")
     return (
         df.where(nt.isNotNull() & (nt >= 0))

@@ -1024,3 +1024,38 @@ def test_token_budget_sample_contracts(spark):
     )
     ids2 = sorted(r.doc_id for r in sel2.select("doc_id").collect())
     assert ids1 == ids2
+
+
+def test_token_budget_priority_takes_best_first(spark):
+    """priority_col (r12): greedy best-docs-until-budget — every
+    selected doc's priority >= every unselected doc's priority within
+    its group, modulo the single boundary doc the budget cut."""
+    from lakehouse_file_format_compare_spark.operators.sampling import (
+        token_budget_sample,
+    )
+
+    docs = table(spark, SF_CORRECTNESS, "documents").withColumn(
+        "prio", F.pmod(F.xxhash64("text"), F.lit(1000))
+    )
+    sel = token_budget_sample(
+        docs, TB_BUDGET, "n_chars", ("doc_id",), group_col="source",
+        priority_col="prio",
+    )
+    sel_ids = {r.doc_id for r in sel.select("doc_id").collect()}
+    rows = docs.select("source", "doc_id", "prio").collect()
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r.source, []).append((r.prio, r.doc_id))
+    for src, members in by_src.items():
+        chosen = sorted(p for p, d in members if d in sel_ids)
+        skipped = sorted(p for p, d in members if d not in sel_ids)
+        if chosen and skipped:
+            # at most ONE inversion depth: min(chosen) may equal the
+            # boundary; everything above it must be chosen
+            assert sum(1 for p in skipped if p > chosen[0]) == 0
+    # determinism under repartition, with priority in play
+    sel2 = token_budget_sample(
+        docs.repartition(5, "doc_id"), TB_BUDGET, "n_chars", ("doc_id",),
+        group_col="source", priority_col="prio",
+    )
+    assert sel_ids == {r.doc_id for r in sel2.select("doc_id").collect()}

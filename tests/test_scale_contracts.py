@@ -1957,3 +1957,34 @@ def test_corpus_pipeline_oracle_at_scale(spark):
 
     ok, msg = compare(spark, SF_SCALE, corpus_pipeline, CORPUS_PIPELINE_SQL)
     assert ok, msg
+
+
+@pytest.mark.scale
+def test_corpus_fold_scales_subquadratically(spark):
+    """r12: one corpus_fold_batch over 10x documents (sf0.01 -> sf0.1)
+    stays subquadratic in wall, and the deterministic proxies gate:
+    survivor counts scale ~linearly and the split-pair store stays
+    pair-grain (<< survivors) at both sizes."""
+    import time
+
+    from lakehouse_file_format_compare_spark.operators.corpus_fold import (
+        corpus_fold_batch,
+    )
+
+    walls, survivors, pairs = {}, {}, {}
+    for sf in ("/root/testdata/sf0.01", SF_SCALE):
+        docs = table(spark, sf, "documents").select("doc_id", "lang", "text")
+        n = docs.count()
+        t0 = time.perf_counter()
+        kept, state = corpus_fold_batch(docs, None)
+        survivors[sf] = kept.count()
+        pairs[sf] = state.pair_store.count()
+        walls[sf] = time.perf_counter() - t0
+        assert survivors[sf] > 0.8 * n  # mostly-unique synthetic corpus
+        assert pairs[sf] < survivors[sf]
+    ratio = walls[SF_SCALE] / max(walls["/root/testdata/sf0.01"], 1e-9)
+    _check_wall_ratio(
+        ratio,
+        f"corpus_fold 10x: {walls['/root/testdata/sf0.01']:.2f}s -> "
+        f"{walls[SF_SCALE]:.2f}s (x{ratio:.1f})",
+    )
