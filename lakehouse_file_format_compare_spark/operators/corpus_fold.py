@@ -209,10 +209,13 @@ def corpus_fold_batch(
     s2f = s2f.localCheckpoint(eager=False)
     new_fps = s2f.select("fp")
     s2 = s2f.drop("fp")
+    # pure append: new_fps are distinct (one per kept-first doc) and
+    # disjoint from the store (anti-joined above) — no per-batch
+    # full-store distinct shuffle
     fp_store = (
         new_fps if state.fp_store is None
         else state.fp_store.unionByName(new_fps)
-    ).distinct()
+    )
     # MinHash dedup vs the everything-seen signature store; the
     # batch is signed ONCE and the frame reused by the split index
     new_sigs = signature_store(s2, num_hashes, k, "doc_id", "text").localCheckpoint(
@@ -279,9 +282,11 @@ def corpus_fold_batch(
     new_pairs = _split_pairs_vs_store(
         surv_sigs, state.kept_sigs, split_threshold, num_hashes, bands
     )
+    # pure append: every new pair has >= 1 endpoint in this batch
+    # (unseen before), so it cannot already be in the store
     pair_store = (
         new_pairs if state.pair_store is None
-        else state.pair_store.unionByName(new_pairs).distinct()
+        else state.pair_store.unionByName(new_pairs)
     )
     kept_sigs = (
         surv_sigs if state.kept_sigs is None

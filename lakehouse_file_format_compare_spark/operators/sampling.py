@@ -360,6 +360,44 @@ def token_budget_sample(
     )
 
 
+def epoch_shuffle(
+    df: DataFrame,
+    epoch: int,
+    n_shards: int,
+    key_cols: tuple[str, ...],
+    tag: str = "epoch",
+) -> DataFrame:
+    """Deterministic per-epoch corpus permutation for training data
+    loaders: adds ``shard`` (uniform md5 bucket in [0, n_shards)) and
+    ``pos`` (md5 hex order key within the shard) — reading shards in
+    order, each sorted by ``pos``, yields a uniform pseudo-random
+    permutation that is a PURE FUNCTION of (keys, epoch, tag): the
+    same on any cluster layout, different every epoch, replayable in
+    DuckDB. No global sort anywhere: writes partition by ``shard``
+    and sort within partitions (the standard loader-shard layout);
+    at 100 TB each shard is an independent bounded sort.
+
+    The epoch folds into the hash domain, so epoch e and epoch e+1
+    orders are independent permutations — the multi-epoch shuffle
+    guarantee SGD convergence analyses assume, without an RNG."""
+    if n_shards < 1:
+        raise ValueError("n_shards must be >= 1")
+    h = F.md5(
+        F.concat_ws(
+            "\x1f",
+            F.lit(tag),
+            F.lit(str(int(epoch))),
+            *[F.col(c).cast("string") for c in key_cols],
+        )
+    )
+    shard = F.pmod(
+        F.conv(F.substring(h, 1, 8), 16, 10).cast("long"), F.lit(n_shards)
+    )
+    return df.withColumn("shard", shard).withColumn(
+        "pos", F.substring(h, 9, 24)
+    )
+
+
 def interleave_sources(
     df: DataFrame,
     source_col: str,

@@ -1059,3 +1059,54 @@ def test_token_budget_priority_takes_best_first(spark):
         group_col="source", priority_col="prio",
     )
     assert sel_ids == {r.doc_id for r in sel2.select("doc_id").collect()}
+
+
+EPOCH_SHUFFLE_SQL = """
+SELECT doc_id,
+       CAST(('0x' || substr(md5('epoch' || chr(31) || '3' || chr(31) || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 8 AS shard,
+       substr(md5('epoch' || chr(31) || '3' || chr(31) || CAST(doc_id AS VARCHAR)), 9, 24) AS pos
+FROM documents
+"""
+
+
+def _epoch_shuffled(spark, sf_dir):
+    from lakehouse_file_format_compare_spark.operators.sampling import (
+        epoch_shuffle,
+    )
+
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+    return epoch_shuffle(docs, epoch=3, n_shards=8, key_cols=("doc_id",))
+
+
+def test_epoch_shuffle_oracle(spark):
+    ok, msg = compare(spark, SF_CORRECTNESS, _epoch_shuffled, EPOCH_SHUFFLE_SQL)
+    assert ok, msg
+
+
+def test_epoch_shuffle_contracts(spark):
+    """Permutation (every row keeps exactly one (shard, pos) slot, no
+    order-key collisions), near-uniform shards, and epochs are
+    DIFFERENT permutations while each epoch is layout-deterministic."""
+    from lakehouse_file_format_compare_spark.operators.sampling import (
+        epoch_shuffle,
+    )
+
+    docs = table(spark, SF_CORRECTNESS, "documents").select("doc_id")
+    n = docs.count()
+    e3 = epoch_shuffle(docs, 3, 8, ("doc_id",))
+    rows = e3.collect()
+    assert len({(r.shard, r.pos, r.doc_id) for r in rows}) == n
+    assert len({(r.shard, r.pos) for r in rows}) == n  # no slot collision
+    sizes = [0] * 8
+    for r in rows:
+        sizes[r.shard] += 1
+    assert min(sizes) > 0 and max(sizes) < 3 * (n // 8)
+    order3 = [r.doc_id for r in sorted(rows, key=lambda r: (r.shard, r.pos))]
+    rows4 = epoch_shuffle(docs, 4, 8, ("doc_id",)).collect()
+    order4 = [r.doc_id for r in sorted(rows4, key=lambda r: (r.shard, r.pos))]
+    assert sorted(order3) == sorted(order4)  # same membership
+    assert order3 != order4  # different permutation per epoch
+    rows3b = epoch_shuffle(
+        docs.repartition(7), 3, 8, ("doc_id",)
+    ).collect()
+    assert sorted(map(tuple, rows3b)) == sorted(map(tuple, rows))
