@@ -79,6 +79,7 @@ class CorpusFoldState:
     kept_sigs: DataFrame | None = None    # (doc, signature) of final survivors
     pair_store: DataFrame | None = None   # (doc_a, doc_b) split-threshold pairs
     manifest: DataFrame | None = None     # (doc_id, lang, n_tokens) survivors
+    ledger: DataFrame | None = None       # (doc_id, reason) every dropped doc
     #: the current batch's NEW rows per store (same field names) —
     #: what a store-backed caller commits; None on a caller-built state
     delta: "CorpusFoldState | None" = None
@@ -299,6 +300,28 @@ def corpus_fold_batch(
         new_manifest if state.manifest is None
         else state.manifest.unionByName(new_manifest)
     )
+    # drop ledger: per-doc attribution of WHY a doc left the build —
+    # the debuggability surface a production pipeline answers "where
+    # did my document go" from. Anti-joins between adjacent
+    # (checkpointed) stage frames; reasons partition the dropped set.
+    def _dropped(prev, cur, reason):
+        return (
+            prev.select("doc_id")
+            .join(cur.select("doc_id"), "doc_id", "left_anti")
+            .select("doc_id", F.lit(reason).alias("reason"))
+        )
+
+    new_ledger = (
+        _dropped(batch.select(F.col(id_col).alias("doc_id")), s1, "cleaned_empty")
+        .unionByName(_dropped(s1, s2, "exact_duplicate"))
+        .unionByName(_dropped(s2, s3, "near_duplicate"))
+        .unionByName(_dropped(s3, s4, "lm_filtered"))
+        .unionByName(_dropped(s4, s5, "decontaminated"))
+    )
+    ledger = (
+        new_ledger if state.ledger is None
+        else state.ledger.unionByName(new_ledger)  # append: batches are disjoint
+    )
     # per-batch deltas for store-backed callers: the streaming loader
     # commits ONLY these as keyed insert-only merges (merging the full
     # union frame would rewrite the whole store every micro-batch)
@@ -308,6 +331,7 @@ def corpus_fold_batch(
         kept_sigs=surv_sigs,
         pair_store=new_pairs,
         manifest=new_manifest,
+        ledger=new_ledger,
     )
     return s5, CorpusFoldState(
         fp_store=fp_store,
@@ -315,6 +339,7 @@ def corpus_fold_batch(
         kept_sigs=kept_sigs,
         pair_store=pair_store,
         manifest=manifest,
+        ledger=ledger,
         delta=delta,
     )
 

@@ -52,14 +52,21 @@ _STORES = (
     ("keptsigs", ["doc"]),
     ("pairs", ["doc_a", "doc_b"]),
     ("manifest", ["doc_id"]),
+    # drop ledger: (doc_id, reason) — a doc drops at most once across
+    # the whole build (batches are disjoint), so doc_id keys it
+    ("ledger", ["doc_id"]),
 )
-_FIELDS = ("fp_store", "sig_store", "kept_sigs", "pair_store", "manifest")
+_FIELDS = (
+    "fp_store", "sig_store", "kept_sigs", "pair_store", "manifest", "ledger"
+)
 
 
 @dataclass
 class StreamingCorpusBuildLoader:
     """Drain a file-source document stream into a fully-built corpus:
-    kept docs table + the five text-free fold stores."""
+    kept docs table + the six text-free fold stores (incl. the
+    (doc_id, reason) drop ledger — per-doc attribution of why a
+    document left the build)."""
 
     warehouse: Warehouse
     checkpoint_root: str

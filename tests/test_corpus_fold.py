@@ -298,3 +298,25 @@ def test_fold_plans_are_jvm_side(spark, corpus, frozen):
         assert "BatchEvalPython" not in plan
         assert "ArrowEvalPython" not in plan
         assert "CartesianProduct" not in plan
+
+
+def test_drop_ledger_partitions_the_dropped_set(spark, corpus, folded, oneshot):
+    """r12: every doc is either a survivor or appears in the ledger
+    with EXACTLY one reason; per-reason counts match the stage deltas;
+    the ledger is batching-invariant."""
+    state, kept = folded
+    ledger = state.ledger.collect()
+    n_raw = corpus.count()
+    assert len(ledger) == n_raw - len(kept)
+    assert len({r.doc_id for r in ledger}) == len(ledger)  # one reason each
+    assert not ({r.doc_id for r in ledger} & set(kept))
+    reasons = {r.reason for r in ledger}
+    assert reasons <= {
+        "cleaned_empty", "exact_duplicate", "near_duplicate",
+        "lm_filtered", "decontaminated",
+    }
+    assert {"lm_filtered", "decontaminated"} <= reasons  # fixture exercises both
+    s_one, _ = oneshot
+    got = sorted((r.doc_id, r.reason) for r in ledger)
+    want = sorted((r.doc_id, r.reason) for r in s_one.ledger.collect())
+    assert got == want
