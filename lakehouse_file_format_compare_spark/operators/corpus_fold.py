@@ -128,7 +128,10 @@ def _split_pairs_vs_store(
             .join(
                 banded_new.alias("y"),
                 (F.col("x.band") == F.col("y.band"))
-                & (F.col("x.bucket") == F.col("y.bucket")),
+                & (F.col("x.bucket") == F.col("y.bucket"))
+                # no self-pairs if the store ever holds a batch doc's
+                # id (crash-replay window — see corpus_fold_batch)
+                & (F.col("x.doc") != F.col("y.doc")),
             )
             .select(F.col("x.doc").alias("doc_a"), F.col("y.doc").alias("doc_b"))
             .distinct()
@@ -195,6 +198,22 @@ def corpus_fold_batch(
                 "existing state — rebuild the store"
             )
     s1 = _clean_batch(batch, id_col, text_col, lang_col)
+    # Crash-replay idempotency (r12 advisor, high): a store-backed
+    # caller may replay this batch against stores that ALREADY contain
+    # some of its rows (a crash between the per-store commits). Every
+    # doc-keyed store is therefore SCRUBBED of this batch's ids before
+    # any join — each delta below is then a pure function of
+    # (stores \ batch), so a replay re-derives byte-identical deltas
+    # whatever commit prefix landed, and keyed insert-only merges make
+    # the re-commit a no-op. Under the fold contract (disjoint
+    # id-ordered batches) the scrub is itself a no-op, so the normal
+    # path pays only a broadcast anti-join per store. The fingerprint
+    # store is TEXT-keyed and cannot be scrubbed by doc id (a genuine
+    # earlier-batch exact dup shares the fp) — callers must commit it
+    # LAST so no replay window ever sees this batch's fps
+    # (streaming/corpus_build_stream.py commit order).
+    s1 = s1.localCheckpoint(eager=False)
+    batch_ids = s1.select(F.col("doc_id").alias("doc"))
     # exact dedup: keep-first within the batch (min id per fp), drop
     # anything whose fingerprint is already in the store
     with_fp = s1.withColumn("fp", T.fingerprint(F.col("text")))
@@ -225,6 +244,9 @@ def corpus_fold_batch(
     sig_history = state.sig_store
     if horizon is not None and sig_history is not None:
         sig_history = sig_history.select("doc", "signature")
+    if sig_history is not None:
+        # replay scrub (see above): history must not contain this batch
+        sig_history = sig_history.join(batch_ids, "doc", "left_anti")
     s3, sig_store = incremental_minhash_dedup(
         s2,
         sig_history,
@@ -280,8 +302,12 @@ def corpus_fold_batch(
     surv_sigs = new_sigs.join(
         s5.select(F.col("doc_id").alias("doc")), "doc", "left_semi"
     )
+    kept_sigs_hist = state.kept_sigs
+    if kept_sigs_hist is not None:
+        # replay scrub (see above)
+        kept_sigs_hist = kept_sigs_hist.join(batch_ids, "doc", "left_anti")
     new_pairs = _split_pairs_vs_store(
-        surv_sigs, state.kept_sigs, split_threshold, num_hashes, bands
+        surv_sigs, kept_sigs_hist, split_threshold, num_hashes, bands
     )
     # pure append: every new pair has >= 1 endpoint in this batch
     # (unseen before), so it cannot already be in the store

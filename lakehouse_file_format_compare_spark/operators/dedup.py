@@ -932,7 +932,13 @@ def incremental_minhash_dedup(
             .join(
                 banded_new.alias("y"),
                 (F.col("x.band") == F.col("y.band"))
-                & (F.col("x.bucket") == F.col("y.bucket")),
+                & (F.col("x.bucket") == F.col("y.bucket"))
+                # a doc never near-dups ITSELF: if the history store
+                # already contains a batch doc's id (an at-least-once
+                # redelivery, or a crash-replay against a partially
+                # committed store), the self-match would drop the doc
+                # at Jaccard 1 (r12 advisor, high)
+                & (F.col("x.doc") != F.col("y.doc")),
             )
             .select(F.col("x.doc").alias("doc_a"), F.col("y.doc").alias("doc_b"))
             .distinct()

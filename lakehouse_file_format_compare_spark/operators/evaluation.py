@@ -945,9 +945,16 @@ def calibrated_drift_from_counts(
             _guarded_long(
                 F.col(score_col), "calibrated_drift_from_counts score"
             ).alias("s"),
-            (F.col(pos_col).cast("long") + F.col(neg_col).cast("long")).alias(
-                "__c"
-            ),
+            # NULL counts raise (matching _counts_base) instead of
+            # making __c NULL and silently vanishing at the > 0 filter
+            (
+                _guarded_long(
+                    F.col(pos_col), "calibrated_drift_from_counts pos"
+                )
+                + _guarded_long(
+                    F.col(neg_col), "calibrated_drift_from_counts neg"
+                )
+            ).alias("__c"),
         )
         .groupBy("__g", "s")
         .agg(F.sum("__c").cast("long").alias("__c"))

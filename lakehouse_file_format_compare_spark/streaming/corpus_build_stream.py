@@ -7,14 +7,23 @@ LM-filtered, decontaminated, split-and-packable corpus continuously.
       → foreachBatch(corpus_fold_batch vs the warehouse-backed stores
                      → insert-only MERGE the kept docs + store DELTAS)
 
-Commit order per micro-batch (the dedup_store_stream crash-safety
-discipline): kept docs FIRST, then the dedup-correctness stores
-(fingerprints, signatures), then the derived index stores (kept
-signatures, split pairs, manifest). If a later commit fails, a
-replayed batch re-derives the same keys against a history that can
-only have grown, and every merge is keyed insert-only — re-inserts
-are no-ops, so the pipeline is effectively-once end to end
-(checkpointed file progress × idempotent sinks).
+Commit order per micro-batch is REVERSE dependency order (r12
+advisor, high): kept docs and the derived stores (ledger, manifest,
+split pairs, kept signatures) first, then signatures, then
+fingerprints LAST — each store's delta derivation depends only on
+stores committed AFTER it, so a crash between any two merges leaves
+every already-committed store's inputs untouched. Combined with the
+batch-id scrub inside corpus_fold_batch (doc-keyed stores are
+anti-joined against the batch before any history join), a replayed
+batch re-derives byte-identical deltas from ANY partial-commit
+state, and every merge is keyed insert-only — re-inserts are no-ops,
+so the pipeline is effectively-once end to end (checkpointed file
+progress × idempotent sinks). The fingerprint store is the one store
+that cannot be scrubbed (it is text-keyed: a genuine earlier-batch
+exact dup shares the fp), which is exactly why it commits last —
+no replay window ever observes this batch's fps.
+Proven in tests/test_streaming_corpus_build.py::test_crash_replay
+by killing the batch at every commit boundary.
 
 Serving: ``splits()`` / ``packs()`` / ``datasheet()`` re-derive the
 global artifacts from the TEXT-FREE store tables at any point — the
@@ -45,19 +54,18 @@ from ..operators.corpus_fold import (
 )
 from ..storage import Warehouse
 
-#: (store suffix, merge keys) in COMMIT ORDER after the kept docs
+#: (store suffix, fold-state field, merge keys) in COMMIT ORDER after
+#: the kept docs — REVERSE dependency order (module note): derived
+#: stores first, then sigs, then fps LAST (the only unscrubbable one)
 _STORES = (
-    ("fps", ["fp"]),
-    ("sigs", ["doc"]),
-    ("keptsigs", ["doc"]),
-    ("pairs", ["doc_a", "doc_b"]),
-    ("manifest", ["doc_id"]),
     # drop ledger: (doc_id, reason) — a doc drops at most once across
     # the whole build (batches are disjoint), so doc_id keys it
-    ("ledger", ["doc_id"]),
-)
-_FIELDS = (
-    "fp_store", "sig_store", "kept_sigs", "pair_store", "manifest", "ledger"
+    ("ledger", "ledger", ["doc_id"]),
+    ("manifest", "manifest", ["doc_id"]),
+    ("pairs", "pair_store", ["doc_a", "doc_b"]),
+    ("keptsigs", "kept_sigs", ["doc"]),
+    ("sigs", "sig_store", ["doc"]),
+    ("fps", "fp_store", ["fp"]),
 )
 
 
@@ -94,17 +102,33 @@ class StreamingCorpusBuildLoader:
     )
 
     def _read_state(self, name: str) -> CorpusFoldState:
+        # Missing-store detection is an explicit EXISTENCE check, not a
+        # broad except (r12 advisor, medium): a transient read failure
+        # on batch N>0 must fail the micro-batch (the streaming query
+        # retries it) — silently folding with empty state would
+        # re-admit exact/near duplicates of the entire history.
         frames = {}
-        for (suffix, _), fld in zip(_STORES, _FIELDS):
-            try:
+        for suffix, fld, _ in _STORES:
+            if self.warehouse.exists("silver", f"{name}__{suffix}", self.fmt):
                 frames[fld] = self.warehouse.read_table(
                     "silver", f"{name}__{suffix}", self.fmt
                 )
-            except Exception:
+            else:
                 frames[fld] = None  # first batch: no store yet
         return CorpusFoldState(**frames)
 
-    def fold_batch(self, batch: DataFrame, batch_id: int, name: str) -> None:
+    def fold_batch(
+        self,
+        batch: DataFrame,
+        batch_id: int,
+        name: str,
+        _crash_after: int | None = None,
+    ) -> None:
+        """Fold one micro-batch and commit kept docs + store deltas in
+        reverse dependency order (module note). ``_crash_after`` is a
+        TEST hook: commit only the first N merges then raise — the
+        crash-replay test uses it to kill the batch at every commit
+        boundary and prove the replay converges."""
         state = self._read_state(name)
         kept, new_state = corpus_fold_batch(
             batch,
@@ -128,14 +152,23 @@ class StreamingCorpusBuildLoader:
         # reads them without re-running the fold chain
         kept = kept.localCheckpoint(eager=True)
         delta = new_state.delta
-        self.warehouse.merge_table(
-            kept, "silver", name,
-            keys=[self.id_col], fmt=self.fmt, policy="insert_only",
-        )
-        for (suffix, keys), fld in zip(_STORES, _FIELDS):
-            rows = getattr(delta, fld).localCheckpoint(eager=True)
+        # kept docs first — corpus_fold_batch canonicalizes the id
+        # column to 'doc_id' (_clean_batch), so every store INCLUDING
+        # the kept table is keyed by the canonical name regardless of
+        # the loader's id_col (r12 advisor, low)
+        commits = [(name, ["doc_id"], kept)] + [
+            (f"{name}__{suffix}", keys, getattr(delta, fld))
+            for suffix, fld, keys in _STORES
+        ]
+        for i, (tbl, keys, rows) in enumerate(commits):
+            if _crash_after is not None and i >= _crash_after:
+                raise RuntimeError(
+                    f"injected crash before commit #{i} ({tbl})"
+                )
+            if rows is not kept:
+                rows = rows.localCheckpoint(eager=True)
             self.warehouse.merge_table(
-                rows, "silver", f"{name}__{suffix}",
+                rows, "silver", tbl,
                 keys=keys, fmt=self.fmt, policy="insert_only",
             )
         if self.horizon is not None:

@@ -131,6 +131,68 @@ def test_drained_artifacts_equal_batch(spark, drained, oneshot):
     assert ds_got == ds_want
 
 
+_TABLES = ("", "__ledger", "__manifest", "__pairs", "__keptsigs",
+           "__sigs", "__fps")
+
+
+def _snapshot(wh):
+    out = {}
+    for t in _TABLES:
+        out[t] = sorted(
+            tuple(tuple(v) if isinstance(v, list) else v for v in r)
+            for r in wh.read_table("silver", f"docs{t}").collect()
+        )
+    return out
+
+
+def test_crash_replay_converges(spark, corpus, frozen, tmp_path_factory):
+    """Kill the micro-batch at EVERY commit boundary (r12 advisor,
+    high): after a crash between any two store merges, replaying the
+    batch must converge every store and the kept table to the clean
+    no-crash run — the reverse-dependency commit order plus the
+    batch-id scrub in corpus_fold_batch make each replayed delta
+    byte-identical, and the keyed insert-only merges absorb it."""
+    import shutil
+
+    _, eval_docs = frozen
+    batch_a = corpus.where(F.col("doc_id") < 70).localCheckpoint()
+    batch_b = corpus.where(
+        (F.col("doc_id") >= 340) & (F.col("doc_id") < 410)
+    ).localCheckpoint()
+
+    def loader(root):
+        return StreamingCorpusBuildLoader(
+            Warehouse(spark, root), root + "_ckpt",
+            eval_docs=eval_docs, weights=WEIGHTS,
+        )
+
+    # batch A folded once into a base warehouse, copied per scenario
+    base = str(tmp_path_factory.mktemp("crash_base"))
+    loader(base).fold_batch(batch_a, 0, "docs")
+    # the clean reference: batch B folded with no crash
+    clean = str(tmp_path_factory.mktemp("crash_clean"))
+    shutil.rmtree(clean)
+    shutil.copytree(base, clean)
+    loader(clean).fold_batch(batch_b, 1, "docs")
+    want = _snapshot(Warehouse(spark, clean))
+    assert len(want[""]) > 50
+    reasons = {r[1] for r in want["__ledger"]}
+    assert "exact_duplicate" in reasons  # planted cross-batch dups
+    assert "decontaminated" in reasons  # eval fixture overlaps batch A
+
+    for crash_after in range(len(_TABLES)):
+        root = str(tmp_path_factory.mktemp(f"crash_{crash_after}"))
+        shutil.rmtree(root)
+        shutil.copytree(base, root)
+        ld = loader(root)
+        with pytest.raises(RuntimeError, match="injected crash"):
+            ld.fold_batch(batch_b, 1, "docs", _crash_after=crash_after)
+        ld.fold_batch(batch_b, 1, "docs")  # the streaming retry
+        got = _snapshot(ld.warehouse)
+        for t in _TABLES:
+            assert got[t] == want[t], (crash_after, t)
+
+
 def test_replay_is_noop(spark, drained, tmp_path_factory):
     loader, src, schema = drained
     before = {
