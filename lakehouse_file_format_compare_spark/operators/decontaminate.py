@@ -107,6 +107,26 @@ def _cross_shingles(corpus, eval_docs, k, id_col, text_col, eval_id_col, eval_te
     return c_sh, e_sh
 
 
+def _cross_shingles_pinned(
+    corpus, eval_docs, k, id_col, text_col, eval_id_col, eval_text_col
+):
+    """r13 (guide §2.4): both contamination engines consume the corpus
+    shingle table TWICE (candidate/common join + per-doc sizes), and
+    the shingle build itself is a corpus explode + a per-doc window —
+    without a lineage cut every consumer re-ran it. Lazy
+    localCheckpoints pin both sides after first materialization;
+    callers that already hold shingle tables pass them via the
+    ``shingles=`` kwarg instead (the hygiene suite shares ONE build
+    between the exact and the LSH engine)."""
+    c_sh, e_sh = _cross_shingles(
+        corpus, eval_docs, k, id_col, text_col, eval_id_col, eval_text_col
+    )
+    return (
+        c_sh.localCheckpoint(eager=False),
+        e_sh.localCheckpoint(eager=False),
+    )
+
+
 def _jaccard_pairs(common: DataFrame, c_sh, e_sh, threshold: float) -> DataFrame:
     from ..functions.numeric import grid
 
@@ -133,6 +153,7 @@ def jaccard_contamination(
     text_col: str = "text",
     eval_id_col: str = "doc_id",
     eval_text_col: str = "text",
+    shingles: tuple[DataFrame, DataFrame] | None = None,
 ) -> DataFrame:
     """EXACT fuzzy decontamination: (doc_id, eval_id, jaccard) for
     corpus×eval pairs whose k-shingle Jaccard >= threshold, computed
@@ -146,8 +167,13 @@ def jaccard_contamination(
     volume is bounded by shingle co-occurrence with the tiny eval set
     — for corpora with pathological boilerplate overlap, switch to
     :func:`minhash_contamination`, which bounds candidates by banded
-    buckets at a tunable recall."""
-    c_sh, e_sh = _cross_shingles(
+    buckets at a tunable recall.
+
+    ``shingles`` (r13): optional pre-built ``(c_sh, e_sh)`` shingle
+    tables (``(doc_id, shingle)`` / ``(eval_id, shingle)``, distinct
+    per doc, the :func:`_cross_shingles` shape) so a caller running
+    BOTH engines shares one shingle build; values are identical."""
+    c_sh, e_sh = shingles or _cross_shingles_pinned(
         corpus, eval_docs, k, id_col, text_col, eval_id_col, eval_text_col
     )
     common = (
@@ -169,6 +195,7 @@ def minhash_contamination(
     text_col: str = "text",
     eval_id_col: str = "doc_id",
     eval_text_col: str = "text",
+    shingles: tuple[DataFrame, DataFrame] | None = None,
 ) -> DataFrame:
     """FUZZY decontamination, LSH-bounded: like
     :func:`jaccard_contamination` but candidates come from banded
@@ -185,23 +212,32 @@ def minhash_contamination(
     and the eval shingle table broadcast; the corpus is never shuffled
     on document identity before the candidate count. Recall/equality
     contracts: tests/test_decontaminate.py."""
-    from .dedup import banded_signatures, minhash_signatures
+    from .dedup import _signatures_from_shingles, banded_signatures
 
+    # r13 (guide §2.4): ONE shingle build serves the MinHash
+    # signatures, the candidate-verify join and the per-doc sizes —
+    # formerly the corpus was exploded and windowed three times (once
+    # inside minhash_signatures, twice via _cross_shingles).
+    c_sh, e_sh = shingles or _cross_shingles_pinned(
+        corpus, eval_docs, k, id_col, text_col, eval_id_col, eval_text_col
+    )
     rows = num_hashes // bands
     c_banded = banded_signatures(
-        minhash_signatures(corpus, num_hashes, k, id_col, text_col), bands, rows, "doc_id"
+        _signatures_from_shingles(
+            c_sh.withColumnRenamed("doc_id", "doc"), num_hashes
+        ),
+        bands, rows, "doc_id",
     )
     e_banded = banded_signatures(
-        minhash_signatures(eval_docs, num_hashes, k, eval_id_col, eval_text_col),
+        _signatures_from_shingles(
+            e_sh.withColumnRenamed("eval_id", "doc"), num_hashes
+        ),
         bands, rows, "eval_id",
     )
     cand = (
         c_banded.join(F.broadcast(e_banded), ["band", "bucket"])
         .select("doc_id", "eval_id")
         .distinct()
-    )
-    c_sh, e_sh = _cross_shingles(
-        corpus, eval_docs, k, id_col, text_col, eval_id_col, eval_text_col
     )
     common = (
         cand.join(c_sh, "doc_id")

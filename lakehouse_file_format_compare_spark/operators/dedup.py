@@ -161,7 +161,16 @@ def minhash_signatures(
 ) -> DataFrame:
     """MinHash signature per doc: for seed i, sig[i] = min over shingles
     of xxhash64(shingle, i). All JVM-side (explode + groupBy min)."""
-    sh = _shingle_pairs(docs, id_col, text_col, k)
+    return _signatures_from_shingles(
+        _shingle_pairs(docs, id_col, text_col, k), num_hashes
+    )
+
+
+def _signatures_from_shingles(sh: DataFrame, num_hashes: int) -> DataFrame:
+    """:func:`minhash_signatures` over a pre-built (doc, shingle)
+    table — so callers that already hold the shingle frame (e.g. the
+    contamination engines sharing one build) skip the re-explode.
+    Identical arithmetic: the signature mins run over the same rows."""
     mins = sh.groupBy("doc").agg(
         *[F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}") for i in range(num_hashes)]
     )

@@ -116,6 +116,9 @@ def auc_from_counts(
             F.sum("neg").cast("long").alias("neg"),
         )
         .withColumn("b", F.expr(f"s DIV {width}"))
+        # r13 (guide §2.4): consumed by both the bucket-totals subtree
+        # and the cum join — pin so the upstream aggregation runs once
+        .localCheckpoint(eager=False)
     )
     bucket_totals = per_score.groupBy("b").agg(
         F.sum("neg").cast("long").alias("__bneg")
@@ -193,6 +196,9 @@ def grouped_auc_report(
             F.sum(F.lit(1) - F.col("y")).cast("long").alias("neg"),
         )
         .withColumn("b", F.expr(f"s DIV {width}"))
+        # r13 (guide §2.4): consumed by both the offsets subtree and
+        # the cum join — pin so the corpus-sized groupBy runs once
+        .localCheckpoint(eager=False)
     )
     w_buckets = (
         Window.partitionBy(*group_cols)
@@ -277,6 +283,11 @@ def _cum_from_counts(per_score: DataFrame, bucket_shift: int) -> DataFrame:
     would inflate ``n_thresholds`` and, on an all-zero input, zero
     the F1 denominator."""
     width = 1 << bucket_shift
+    # r13 (guide §2.4): the re-aggregated count frame feeds BOTH the
+    # bucket-totals subtree and the final join — without a lineage cut
+    # each consumer re-ran the caller's per-score aggregation (for
+    # full_eval_report that is the corpus-sized groupBy). The lazy
+    # localCheckpoint pins the distinct-score frame once.
     per_score = (
         per_score.groupBy("s")
         .agg(
@@ -285,6 +296,7 @@ def _cum_from_counts(per_score: DataFrame, bucket_shift: int) -> DataFrame:
         )
         .where((F.col("pos") + F.col("neg")) > 0)
         .withColumn("b", F.expr(f"s DIV {width}"))
+        .localCheckpoint(eager=False)
     )
     bucket_totals = per_score.groupBy("b").agg(
         F.sum("pos").cast("long").alias("__bpos"),
@@ -515,6 +527,9 @@ def full_eval_from_counts(
     streaming monitor: a drained count store serves AUC + KS +
     threshold selection in one pass. Duplicate score rows are
     re-aggregated first."""
+    # r13 (guide §2.4): `cum` feeds both the totals row and the metric
+    # frame — the lazy localCheckpoint pins the distinct-score frame so
+    # the window subtree runs once instead of once per consumer.
     cum = _cum_from_counts(
         per_score.select(
             F.col(score_col).cast("long").alias("s"),
@@ -522,7 +537,7 @@ def full_eval_from_counts(
             F.col(neg_col).cast("long").alias("neg"),
         ),
         bucket_shift,
-    )
+    ).localCheckpoint(eager=False)
     tot = cum.agg(
         F.coalesce(F.sum("pos"), F.lit(0)).cast("long").alias("P"),
         F.coalesce(F.sum("neg"), F.lit(0)).cast("long").alias("N"),
@@ -552,57 +567,55 @@ def full_eval_from_counts(
         (F.col("tp") * F.col("N") - F.col("fp") * F.col("P")).alias("j"),
         _dec_div_nanos("2 * tp", "tp + fp + P").alias("f1"),
     )
-    best = m.agg(
+    # r13 (guide §2.3/§2.4): the former shape aggregated `m` TWICE —
+    # a `best` max/sum pass, then a `picks` argmin pass crossJoined
+    # against it. The tie rule "min s among rows achieving the max" is
+    # exactly a lexicographic struct max — max(struct(metric, -s, ...))
+    # picks the max metric, then the max -s (= min s) among its ties,
+    # and `s` is unique per row so the tie-row is unique — so the whole
+    # report is ONE aggregation over ONE evaluation of `m`, bit-equal
+    # column for column to the two-pass form.
+    ns = F.negate(F.col("s")).alias("ns")
+    one = m.agg(
         F.coalesce(F.sum("auc_term"), F.lit(0)).cast("long").alias("auc_num"),
         F.coalesce(F.max("P"), F.lit(0)).cast("long").alias("n_pos"),
         F.coalesce(F.max("N"), F.lit(0)).cast("long").alias("n_neg"),
-        F.coalesce(F.max("gap"), F.lit(0)).cast("long").alias("ks_num"),
         F.count(F.lit(1)).cast("long").alias("n_thresholds"),
-        F.coalesce(F.max("j"), F.lit(0)).cast("long").alias("youden_scaled"),
-        F.coalesce(F.max("f1"), F.lit(0)).cast("long").alias("f1_best_nanos"),
+        F.max(F.struct(F.col("gap"), ns)).alias("__ks"),
+        F.max(F.struct(F.col("j"), ns, F.col("tp"), F.col("fp"))).alias("__yj"),
+        F.max(F.struct(F.col("f1"), ns)).alias("__f1"),
     )
-    picks = m.crossJoin(F.broadcast(best)).agg(
-        F.coalesce(
-            F.min(F.when(F.col("gap") == F.col("ks_num"), F.col("s"))), F.lit(0)
-        )
+    best = one.select(
+        "auc_num",
+        "n_pos",
+        "n_neg",
+        "n_thresholds",
+        F.coalesce(F.col("__ks").getField("gap"), F.lit(0))
+        .cast("long")
+        .alias("ks_num"),
+        F.coalesce(-F.col("__ks").getField("ns"), F.lit(0))
         .cast("long")
         .alias("ks_score"),
-        F.coalesce(
-            F.min(F.when(F.col("j") == F.col("youden_scaled"), F.col("s"))),
-            F.lit(0),
-        )
+        F.coalesce(F.col("__yj").getField("j"), F.lit(0))
+        .cast("long")
+        .alias("youden_scaled"),
+        F.coalesce(-F.col("__yj").getField("ns"), F.lit(0))
         .cast("long")
         .alias("youden_score"),
-        F.coalesce(
-            F.min(F.when(F.col("f1") == F.col("f1_best_nanos"), F.col("s"))),
-            F.lit(0),
-        )
-        .cast("long")
-        .alias("f1_score"),
-        F.coalesce(
-            F.max(
-                F.when(
-                    F.col("j") == F.col("youden_scaled"),
-                    F.struct(F.negate(F.col("s")).alias("ns"), "tp", "fp"),
-                )
-            ).getField("tp"),
-            F.lit(0),
-        )
+        F.coalesce(F.col("__yj").getField("tp"), F.lit(0))
         .cast("long")
         .alias("youden_tp"),
-        F.coalesce(
-            F.max(
-                F.when(
-                    F.col("j") == F.col("youden_scaled"),
-                    F.struct(F.negate(F.col("s")).alias("ns"), "tp", "fp"),
-                )
-            ).getField("fp"),
-            F.lit(0),
-        )
+        F.coalesce(F.col("__yj").getField("fp"), F.lit(0))
         .cast("long")
         .alias("youden_fp"),
+        F.coalesce(F.col("__f1").getField("f1"), F.lit(0))
+        .cast("long")
+        .alias("f1_best_nanos"),
+        F.coalesce(-F.col("__f1").getField("ns"), F.lit(0))
+        .cast("long")
+        .alias("f1_score"),
     )
-    return best.crossJoin(F.broadcast(picks)).select(
+    return best.select(
         "auc_num",
         (F.lit(2) * F.col("n_pos") * F.col("n_neg")).cast("long").alias("auc_den"),
         F.when(
@@ -849,6 +862,11 @@ def _counts_base(per_score, score_col, pos_col, neg_col, what):
             F.sum("neg").cast("long").alias("neg"),
         )
         .where((F.col("pos") + F.col("neg")) > 0)
+        # r13 (guide §2.4): every caller consumes this frame at least
+        # twice (range row + binning, and calibrate_counts a third
+        # time for the map-back) — pin the distinct-score frame so the
+        # upstream aggregation runs once
+        .localCheckpoint(eager=False)
     )
 
 
@@ -969,7 +987,18 @@ def calibrated_drift_from_counts(
 
 
 def _isotonic_from_binned(binned: DataFrame) -> DataFrame:
-    """Shared minimax tail over a (bin_idx, bin_lo, n, pos) frame."""
+    """Shared minimax tail over a (bin_idx, bin_lo, n, pos) frame.
+
+    r13 (guide §2.4/§5): ``cum`` is consumed THREE times (the j side,
+    the k side, and the final map-back join) — without a lineage cut
+    each consumer re-ran the whole corpus-sized binning subtree, so
+    the fit cost three corpus passes instead of one. The lazy
+    localCheckpoint pins the <= n_bins-row frame after its first
+    materialization. The j x k interval join and the map-back join
+    are over <= n_bins rows on each side — broadcast them so the
+    non-equi join plans as BroadcastNestedLoopJoin instead of a
+    CartesianProduct (which multiplies task counts by the partition
+    product) and the map-back needs no shuffle."""
     w_cum = Window.orderBy("bin_idx").rowsBetween(
         Window.unboundedPreceding, 0
     )
@@ -981,7 +1010,7 @@ def _isotonic_from_binned(binned: DataFrame) -> DataFrame:
         F.sum("n").over(w_cum).alias("cumn"),
         F.sum("pos").over(w_cum).alias("cumpos"),
         F.row_number().over(Window.orderBy("bin_idx")).alias("__i"),
-    )
+    ).localCheckpoint(eager=False)
     j = cum.select(
         F.col("__i").alias("__j"),
         (F.col("cumn") - F.col("n")).alias("__nbefore"),
@@ -992,7 +1021,7 @@ def _isotonic_from_binned(binned: DataFrame) -> DataFrame:
         F.col("cumn").alias("__nthru"),
         F.col("cumpos").alias("__pthru"),
     )
-    intervals = j.join(k, F.col("__j") <= F.col("__k")).select(
+    intervals = j.join(F.broadcast(k), F.col("__j") <= F.col("__k")).select(
         "__j",
         _dec_div_nanos(
             "__pthru - __pbefore", "__nthru - __nbefore"
@@ -1006,7 +1035,7 @@ def _isotonic_from_binned(binned: DataFrame) -> DataFrame:
         "__j", F.max("__inner").over(w_run).alias("cal_nanos")
     )
     return (
-        cum.join(outer, cum["__i"] == outer["__j"])
+        cum.join(F.broadcast(outer), cum["__i"] == outer["__j"])
         .select("bin_idx", "bin_lo", "n", "pos", "cal_nanos")
     )
 

@@ -418,7 +418,12 @@ def stupid_backoff_train(train_docs: DataFrame, text_col: str = "text"):
     trictx = tri.groupBy("c2", "c1").agg(
         F.sum("c3").cast("long").alias("ct")
     )
-    bi = tri.groupBy("c1", "w").agg(F.sum("c3").cast("long").alias("cb"))
+    # r13 (guide §2.4): bi feeds four consumers (bictx, uni, the score
+    # join, the report's row-count fact) — pin it so the re-aggregation
+    # of tri runs once, not once per consumer
+    bi = tri.groupBy("c1", "w").agg(
+        F.sum("c3").cast("long").alias("cb")
+    ).localCheckpoint(eager=False)
     bictx = bi.groupBy("c1").agg(F.sum("cb").cast("long").alias("cc"))
     # unigram counts cover every OUTCOME token (BOS is a context,
     # never an outcome — the `w` side already excludes it), including

@@ -85,10 +85,21 @@ def pagerank(
     dp, un = int(damping_pct), int(unit)
     from pyspark import StorageLevel
 
-    e = edges.select(
-        F.col(src_col).cast("long").alias("src"),
-        F.col(dst_col).cast("long").alias("dst"),
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    # r13 (guide §2.4): the edge table is joined on ``src`` and the
+    # rank/base table on ``node`` EVERY iteration — persisting both
+    # already hash-partitioned on their join key lets each iteration's
+    # sort-merge/hash join reuse the cached layout instead of
+    # re-exchanging the (static) heavy side k times. The repartition
+    # count is the session's spark.sql.shuffle.partitions (scale-set
+    # by conf), not a constant.
+    e = (
+        edges.select(
+            F.col(src_col).cast("long").alias("src"),
+            F.col(dst_col).cast("long").alias("dst"),
+        )
+        .repartition(F.col("src"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     nodes = (
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))
@@ -97,9 +108,15 @@ def pagerank(
     deg = e.groupBy(F.col("src").alias("node")).agg(
         F.count(F.lit(1)).alias("out_deg")
     )
-    base = nodes.join(deg, "node", "left").select(
-        "node", F.coalesce(F.col("out_deg"), F.lit(0)).cast("long").alias("out_deg")
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    base = (
+        nodes.join(deg, "node", "left")
+        .select(
+            "node",
+            F.coalesce(F.col("out_deg"), F.lit(0)).cast("long").alias("out_deg"),
+        )
+        .repartition(F.col("node"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     # Exact node count as a driver scalar (one action on the tiny
     # node table — also materializes the persisted loop invariant).
     n = base.count()

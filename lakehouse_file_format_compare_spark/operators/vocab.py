@@ -166,7 +166,8 @@ def bpe_train(
         .groupBy("word")
         .agg(F.count(F.lit(1)).cast("long").alias("__wn"))
         .withColumn("syms", F.split(F.col("word"), ""))
-        .localCheckpoint(eager=True)
+        # r13: lazy — materializes inside the first argmax job
+        .localCheckpoint(eager=False)
     )
     merges: list[tuple[str, str]] = []
     for _ in range(n_merges):
@@ -189,9 +190,13 @@ def bpe_train(
             break
         x, y = best[0]["x"], best[0]["y"]
         merges.append((x, y))
+        # r13: LAZY checkpoint — the fold materializes inside the next
+        # iteration's argmax job instead of as its own eager action,
+        # halving the per-merge job count; the final fold (after the
+        # last accepted merge) is never consumed and never runs
         symtab = symtab.withColumn(
             "syms", _merge_fold(F.col("syms"), x, y)
-        ).localCheckpoint(eager=True)
+        ).localCheckpoint(eager=False)
     return merges
 
 

@@ -35,6 +35,7 @@ from ..functions.numeric import grid, grid_sql
 from ..functions.repetition import _lines, top_ngram_char_fraction
 from ..functions.stats import percentile_summary
 from ..operators.decontaminate import (
+    _cross_shingles_pinned,
     _ngram_set,
     jaccard_contamination,
     minhash_contamination,
@@ -230,7 +231,18 @@ def _bm_agg(docs: DataFrame) -> DataFrame:
     )
 
 
-def _dec_agg(docs: DataFrame) -> DataFrame:
+def _dec_agg(docs: DataFrame, grams=None) -> DataFrame:
+    """``grams`` (r13): optional shared (corpus, eval) per-doc n-gram
+    frames — the suite builds them ONCE for this family and the bf_*
+    family (guide §2.4); values are identical either way."""
+    if grams is not None:
+        cg, eg = grams
+        return cg.join(F.broadcast(eg), "ngram").groupBy(
+            "doc_id", "eval_id"
+        ).agg(F.count(F.lit(1)).alias("shared_ngrams")).agg(
+            F.count(F.lit(1)).alias("decon_pairs"),
+            F.sum("shared_ngrams").cast("long").alias("decon_shared_total"),
+        )
     eval_docs = docs.orderBy("doc_id").limit(DECON_EVAL_DOCS)
     return ngram_contamination(docs, eval_docs, n=DECON_N).agg(
         F.count(F.lit(1)).alias("decon_pairs"),
@@ -246,7 +258,7 @@ BF_WORDS = 256
 BF_K = 4
 
 
-def _bf_agg(docs: DataFrame) -> DataFrame:
+def _bf_agg(docs: DataFrame, grams=None) -> DataFrame:
     """Bloom-filter membership cross-check (operators/membership.py)
     over the SAME eval n-gram set the decon_* block uses: build the
     filter from the eval grams, probe every distinct corpus gram, and
@@ -262,19 +274,25 @@ def _bf_agg(docs: DataFrame) -> DataFrame:
         bloom_probe_literal,
     )
 
-    eval_docs = docs.orderBy("doc_id").limit(DECON_EVAL_DOCS)
     # the gram frames feed multiple consumers (probe / exact semi-join
     # / anti-join) — cut the lineage once so the corpus gram
-    # explode+distinct runs once (the dedup_stage discipline)
+    # explode+distinct runs once (the dedup_stage discipline).
+    # r13 (guide §2.4): when the suite passes shared per-doc gram
+    # frames, the distinct gram sets derive from those instead of
+    # re-exploding the corpus a second time for this family.
+    if grams is not None:
+        cg, eg = grams
+    else:
+        eval_docs = docs.orderBy("doc_id").limit(DECON_EVAL_DOCS)
+        cg = _ngram_set(docs, DECON_N, "doc_id", "text", "doc_id")
+        eg = _ngram_set(eval_docs, DECON_N, "doc_id", "text", "eval_id")
     e = (
-        _ngram_set(eval_docs, DECON_N, "doc_id", "text", "eval_id")
-        .select("ngram")
+        eg.select("ngram")
         .distinct()
         .localCheckpoint(eager=False)
     )
     c = (
-        _ngram_set(docs, DECON_N, "doc_id", "text", "doc_id")
-        .select("ngram")
+        cg.select("ngram")
         .distinct()
         .localCheckpoint(eager=False)
     )
@@ -374,11 +392,14 @@ def _fdecon_eval(docs: DataFrame) -> DataFrame:
     )
 
 
-def _fd_values_agg(docs: DataFrame, ev: DataFrame) -> DataFrame:
+def _fd_values_agg(docs: DataFrame, ev: DataFrame, shingles=None) -> DataFrame:
     """The exact-path fdecon VALUE metrics (deterministic — the
     oracle pins them bit-exact); the probabilistic LSH recall boolean
-    is suite-only and layered on top there."""
-    return jaccard_contamination(docs, ev, threshold=FDECON_TH).agg(
+    is suite-only and layered on top there. ``shingles`` (r13): the
+    suite shares ONE shingle build with the LSH engine."""
+    return jaccard_contamination(
+        docs, ev, threshold=FDECON_TH, shingles=shingles
+    ).agg(
         F.count(F.lit(1)).alias("fdecon_pairs"),
         F.countDistinct("doc_id").alias("fdecon_flagged_docs"),
         grid(
@@ -494,7 +515,17 @@ def corpus_hygiene_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     bm_agg = _bm_agg(docs)
-    dec_agg = _dec_agg(docs)
+    # r13 (guide §2.4): the decon_* and bf_* families consume the SAME
+    # corpus/eval 8-gram sets — build them once (lazy localCheckpoint)
+    # and pass into both, instead of two corpus gram explodes
+    eval_docs = docs.orderBy("doc_id").limit(DECON_EVAL_DOCS)
+    cg = _ngram_set(docs, DECON_N, "doc_id", "text", "doc_id").localCheckpoint(
+        eager=False
+    )
+    eg = _ngram_set(
+        eval_docs, DECON_N, "doc_id", "text", "eval_id"
+    ).localCheckpoint(eager=False)
+    dec_agg = _dec_agg(docs, grams=(cg, eg))
 
     pct = percentile_summary(docs, "n_chars", probs=(0.5, 0.95)).select(
         F.col("p50").alias("len_p50"), F.col("p95").alias("len_p95")
@@ -503,12 +534,21 @@ def corpus_hygiene_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     lm_agg = _lm_agg(docs)
     ch_agg = _ch_agg(docs)
 
-    # exact fdecon values + the suite-only LSH recall boolean
+    # exact fdecon values + the suite-only LSH recall boolean.
+    # r13 (guide §2.4): ONE shingle build (lazy localCheckpoints)
+    # serves the exact engine, the LSH engine's signatures, the
+    # candidate verify and the per-doc sizes — formerly the corpus was
+    # shingle-exploded + windowed five times across the two engines.
     ev = _fdecon_eval(docs)
-    lsh_n = minhash_contamination(docs, ev, threshold=FDECON_TH).agg(
+    fd_sh = _cross_shingles_pinned(
+        docs, ev, 3, "doc_id", "text", "doc_id", "text"
+    )
+    lsh_n = minhash_contamination(
+        docs, ev, threshold=FDECON_TH, shingles=fd_sh
+    ).agg(
         F.count(F.lit(1)).alias("__lsh_n")
     )
-    fd_agg = _fd_values_agg(docs, ev).crossJoin(lsh_n).select(
+    fd_agg = _fd_values_agg(docs, ev, shingles=fd_sh).crossJoin(lsh_n).select(
         "fdecon_pairs", "fdecon_flagged_docs", "fdecon_jaccard_total",
         (
             F.col("__lsh_n")
@@ -575,7 +615,7 @@ def corpus_hygiene_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(lm_agg).crossJoin(ch_agg).crossJoin(fd_agg)
         .crossJoin(sd_agg).crossJoin(ss_agg).crossJoin(bl_agg)
         .crossJoin(_scon_agg(docs)).crossJoin(_nbq_agg(docs))
-        .crossJoin(_bf_agg(docs))
+        .crossJoin(_bf_agg(docs, grams=(cg, eg)))
     )
 
 
