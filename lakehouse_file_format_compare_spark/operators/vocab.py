@@ -633,6 +633,98 @@ def wordpiece_apply(
     )
 
 
+def multi_tokenizer_apply(
+    docs: DataFrame,
+    merges,
+    vocab: dict[str, int],
+    oov_char_nanos: int = 5_000_000_000,
+    longword_nanos: int = 50_000_000_000,
+    max_word_len: int = UV_MAX_WORD,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """All THREE apply families fused over ONE corpus pass (r13, guide
+    §2.3/§2.4): per document ``(id, n_words, n_bpe_tokens,
+    n_uv_tokens, uv_cost_nanos, n_wp_tokens, wp_cost_micros)``.
+
+    :func:`bpe_apply`, :func:`unigram_apply` and
+    :func:`wordpiece_apply` build the IDENTICAL (id, word) aggregate
+    and distinct-word table — run separately, only the word-count
+    exchange is reused while the per-doc map-back aggregation (a
+    corpus-sized shuffle) and the broadcast build run once PER family.
+    This computes the three per-word maps in one projection over the
+    word table and rolls all six totals up in one per-doc
+    aggregation: one corpus explode, one broadcast, one map-back
+    shuffle. Every column is bit-equal to its standalone operator
+    (same per-word expressions, same LONG arithmetic over the same
+    rows)."""
+    if any(c < 0 for c in vocab.values()) or oov_char_nanos < 0:
+        raise ValueError("piece costs must be non-negative")
+    if any(len(p) == 0 or len(p) > max_word_len for p in vocab):
+        raise ValueError("vocab pieces must be 1..max_word_len chars")
+    base = (
+        docs.select(
+            F.col(id_col),
+            F.explode(
+                F.split(F.lower(F.trim(F.col(text_col))), WORD_SPLIT_RE)
+            ).alias("word"),
+        )
+        .where(F.length("word") > 0)
+        .groupBy(id_col, "word")
+        .agg(F.count(F.lit(1)).cast("long").alias("__c"))
+    )
+    words = base.groupBy("word").agg(F.sum("__c").alias("__wn"))
+    bpe_arr = F.split(F.col("word"), "")
+    for x, y in merges:
+        bpe_arr = _merge_fold(bpe_arr, x, y)
+    uv_state = _uv_word_state(F.col("word"), vocab, oov_char_nanos)
+    wp_state = _wp_word_state(F.col("word"), vocab, oov_char_nanos)
+    long_w = F.length("word") > max_word_len
+    word_map = words.select(
+        "word",
+        # "+ __wn * 0" keeps the count consumed so the word aggregate
+        # stays canonical-identical to base's re-aggregation and the
+        # corpus exchange is reused (see bpe_apply)
+        (F.size(bpe_arr) + F.col("__wn") * F.lit(0)).alias("__bt"),
+        F.when(long_w, F.lit(1).cast("long"))
+        .otherwise(uv_state % UV_ENC)
+        .alias("__ut"),
+        F.when(long_w, F.lit(int(longword_nanos)))
+        .otherwise(F.shiftright(uv_state, 10))
+        .cast("long")
+        .alias("__ucost"),
+        F.when(long_w, F.lit(1).cast("long"))
+        .otherwise(wp_state % UV_ENC)
+        .alias("__wt"),
+        F.when(long_w, F.lit(int(longword_nanos) // 1000))
+        .otherwise(F.shiftright(wp_state, 10))
+        .cast("long")
+        .alias("__wcost"),
+    )
+    return (
+        base.join(F.broadcast(word_map), "word")
+        .groupBy(id_col)
+        .agg(
+            F.sum("__c").cast("long").alias("n_words"),
+            F.sum(F.col("__c") * F.col("__bt")).cast("long").alias(
+                "n_bpe_tokens"
+            ),
+            F.sum(F.col("__c") * F.col("__ut")).cast("long").alias(
+                "n_uv_tokens"
+            ),
+            F.sum(F.col("__c") * F.col("__ucost")).cast("long").alias(
+                "uv_cost_nanos"
+            ),
+            F.sum(F.col("__c") * F.col("__wt")).cast("long").alias(
+                "n_wp_tokens"
+            ),
+            F.sum(F.col("__c") * F.col("__wcost")).cast("long").alias(
+                "wp_cost_micros"
+            ),
+        )
+    )
+
+
 def richness_report(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Vocabulary richness + concentration, one exact LONG row — the
     corpus-health companions to :func:`zipf_fit`:

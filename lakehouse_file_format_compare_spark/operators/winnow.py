@@ -125,23 +125,35 @@ def winnow_fingerprints(
         .otherwise(_normalize(F.col(text_col)))
         .alias("__n"),
     )
+    # r13 (guide §2.3): hash the grams INSIDE an array transform and
+    # explode the resulting longs — the former position explode
+    # carried the full normalized text on every gram row (a physical
+    # per-row copy through the Generate operator: O(len²) bytes of
+    # row churn per document) just to substr it one projection later.
+    # The lambda body only references the staged ``__n`` attribute
+    # (no re-evaluated subtree) and does the identical
+    # substr+md5+encode per position, so values are unchanged.
     grams = (
         norm.where(F.length("__n") >= k)
         .select(
             "doc_id",
             F.length("__n").alias("__len"),
-            F.explode(F.sequence(F.lit(1), F.length("__n") - k + 1)).alias("pos"),
-            F.col("__n"),
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(1), F.length("__n") - k + 1),
+                    lambda p: (
+                        gram_hash(F.col("__n").substr(p, F.lit(k))) + 1
+                    )
+                    * F.lit(POS_B)
+                    - p,
+                )
+            ).alias("__i", "__enc"),
         )
         .select(
             "doc_id",
             "__len",
-            "pos",
-            (
-                (gram_hash(F.col("__n").substr(F.col("pos"), F.lit(k))) + 1)
-                * F.lit(POS_B)
-                - F.col("pos")
-            ).alias("__enc"),
+            (F.col("__i") + 1).alias("pos"),
+            "__enc",
         )
     )
     # One streaming per-doc window computes every length-w frame's

@@ -42,24 +42,6 @@ def _bpe_apply_duck_tokens() -> str:
     return f"length(regexp_replace({expr}, '[^<]', '', 'g'))"
 
 
-def _bpe_apply_scalars(docs: DataFrame) -> DataFrame:
-    """One row of bpea_* scalars: corpus-level totals of the BPE-apply
-    tokenization under the fixed merge list, plus an exact per-doc
-    fingerprint (sum of doc_id * token count) so any single document's
-    tokenization moving is visible in the hash."""
-    from ..operators.vocab import bpe_apply
-
-    ap = bpe_apply(docs, BPE_APPLY_MERGES)
-    return ap.agg(
-        F.count(F.lit(1)).cast("long").alias("bpea_docs"),
-        F.sum("n_words").cast("long").alias("bpea_words"),
-        F.sum("n_bpe_tokens").cast("long").alias("bpea_tokens"),
-        F.sum(F.col("doc_id") * F.col("n_bpe_tokens")).cast("long").alias(
-            "bpea_fp"
-        ),
-    )
-
-
 # r10 late-round: the unigram-LM tokenizer (Kudo 2018) rides the
 # driver row the same way BPE does — a FIXED literal model (piece ->
 # integer nano cost), because the oracle is a static SQL string and a
@@ -77,27 +59,14 @@ UV_LONGWORD_NANOS = 50_000_000_000
 UP_TOP_K = 25
 
 
-def _unigram_scalars(docs: DataFrame) -> DataFrame:
-    """One row of uv_*/up_* unigram-tokenizer scalars: corpus totals
-    under the fixed UV_VOCAB Viterbi model (exact LONG DP —
-    operators/vocab.py::unigram_apply) plus the top-K substring
-    piece-frequency seed statistics (unigram_piece_stats)."""
+def _up_scalars(docs: DataFrame) -> DataFrame:
+    """The up_* substring piece-frequency seed block alone."""
     from pyspark.sql import Window
 
-    from ..operators.vocab import unigram_apply, unigram_piece_stats
+    from ..operators.vocab import unigram_piece_stats
 
-    ap = unigram_apply(
-        docs, UV_VOCAB, UV_OOV_NANOS, UV_LONGWORD_NANOS
-    )
-    uv = ap.agg(
-        F.sum("n_uv_tokens").cast("long").alias("uv_tokens"),
-        F.sum("uv_cost_nanos").cast("long").alias("uv_cost_nanos"),
-        F.sum(F.col("doc_id") * F.col("n_uv_tokens")).cast("long").alias(
-            "uv_fp"
-        ),
-    )
     w = Window.orderBy(F.col("n").desc(), F.col("piece"))
-    up = (
+    return (
         unigram_piece_stats(docs, top_k=UP_TOP_K)
         .withColumn("__rn", F.row_number().over(w))
         .agg(
@@ -110,22 +79,31 @@ def _unigram_scalars(docs: DataFrame) -> DataFrame:
             F.sum(F.col("__rn") * F.col("n")).cast("long").alias("up_fp"),
         )
     )
-    return uv.crossJoin(F.broadcast(up))
 
 
-def _wordpiece_scalars(docs: DataFrame) -> DataFrame:
-    """One row of wp_* scalars: corpus totals under greedy
-    longest-match-first tokenization with the SAME fixed UV_VOCAB
-    model (operators/vocab.py::wordpiece_apply) — the third
-    industrial tokenizer family next to BPE and unigram-Viterbi; the
-    uv_*/wp_* delta IS the greedy-vs-optimal gap, surfaced as
-    driver-hashed data."""
-    from ..operators.vocab import wordpiece_apply
+def _apply_scalars_fused(docs: DataFrame) -> DataFrame:
+    """bpea_* + uv_* + wp_* scalars from ONE fused corpus pass (r13,
+    guide §2.3/§2.4 — operators/vocab.py::multi_tokenizer_apply): one
+    explode, one broadcast word map carrying all three tokenizations,
+    one per-doc aggregation, one final rollup. Column-for-column
+    bit-equal to the three standalone blocks."""
+    from ..operators.vocab import multi_tokenizer_apply
 
-    ap = wordpiece_apply(
-        docs, UV_VOCAB, UV_OOV_NANOS, UV_LONGWORD_NANOS
+    ap = multi_tokenizer_apply(
+        docs, BPE_APPLY_MERGES, UV_VOCAB, UV_OOV_NANOS, UV_LONGWORD_NANOS
     )
     return ap.agg(
+        F.count(F.lit(1)).cast("long").alias("bpea_docs"),
+        F.sum("n_words").cast("long").alias("bpea_words"),
+        F.sum("n_bpe_tokens").cast("long").alias("bpea_tokens"),
+        F.sum(F.col("doc_id") * F.col("n_bpe_tokens")).cast("long").alias(
+            "bpea_fp"
+        ),
+        F.sum("n_uv_tokens").cast("long").alias("uv_tokens"),
+        F.sum("uv_cost_nanos").cast("long").alias("uv_cost_nanos"),
+        F.sum(F.col("doc_id") * F.col("n_uv_tokens")).cast("long").alias(
+            "uv_fp"
+        ),
         F.sum("n_wp_tokens").cast("long").alias("wp_tokens"),
         F.sum("wp_cost_micros").cast("long").alias("wp_cost_micros"),
         F.sum(F.col("doc_id") * F.col("n_wp_tokens")).cast("long").alias(
@@ -373,9 +351,10 @@ def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         token_stats_serving(spark, sf_dir)
         .crossJoin(F.broadcast(tokenizer_stats(spark, sf_dir)))
-        .crossJoin(F.broadcast(_bpe_apply_scalars(docs)))
-        .crossJoin(F.broadcast(_unigram_scalars(docs)))
-        .crossJoin(F.broadcast(_wordpiece_scalars(docs)))
+        # r13: the three apply families fused into one corpus pass
+        # (same columns, bit-equal — see _apply_scalars_fused)
+        .crossJoin(F.broadcast(_apply_scalars_fused(docs)))
+        .crossJoin(F.broadcast(_up_scalars(docs)))
         .crossJoin(F.broadcast(richness_report(docs)))
     )
 
@@ -508,10 +487,8 @@ def tokenizer_apply_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
     its own longitudinal signal (the driver contracts live in
     text_token_stats' bpea_*/uv_*/wp_*)."""
     docs = table(spark, sf_dir, "documents")
-    return (
-        _bpe_apply_scalars(docs)
-        .crossJoin(F.broadcast(_unigram_scalars(docs)))
-        .crossJoin(F.broadcast(_wordpiece_scalars(docs)))
+    return _apply_scalars_fused(docs).crossJoin(
+        F.broadcast(_up_scalars(docs))
     )
 
 
@@ -1557,11 +1534,9 @@ def tokenizer_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus token budget under it, and a per-doc fingerprint so any
     document's tokenization moving is visible in the hash."""
     from ..operators.vocab import (
-        bpe_apply,
         bpe_train,
-        unigram_apply,
+        multi_tokenizer_apply,
         unigram_piece_stats,
-        wordpiece_apply,
     )
 
     _ULW = UV_LONGWORD_NANOS
@@ -1586,8 +1561,23 @@ def tokenizer_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col(fp_col).alias("fp"),
         )
 
+    seed = sorted(
+        unigram_piece_stats(docs, top_k=TP_UV_K).collect(),
+        key=lambda r: (-r.n, r.piece),
+    )
+    mx = max(r.n for r in seed)
+    vocab = {r.piece: _tp_vocab_cost(mx, r.n, len(r.piece)) for r in seed}
+    uv_desc = " ".join(r.piece for r in seed)
+    # r13 (guide §2.3/§2.4): ONE fused apply pass serves all three
+    # family rows (operators/vocab.py::multi_tokenizer_apply) — the
+    # per-doc frame is pinned and each row is a cheap rollup of it,
+    # instead of three corpus explode + map-back passes. Values are
+    # bit-equal to the standalone apply operators.
+    fused = multi_tokenizer_apply(
+        docs, merges, vocab, UV_OOV_NANOS, _ULW
+    ).localCheckpoint(eager=False)
     bpe_row = _family(
-        bpe_apply(docs, merges).agg(
+        fused.agg(
             F.sum("n_bpe_tokens").cast("long").alias("__t"),
             F.sum(F.col("doc_id") * F.col("n_bpe_tokens"))
             .cast("long")
@@ -1596,16 +1586,8 @@ def tokenizer_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bpe", TP_BPE_MERGES, bpe_desc,
         "__t", F.lit(0).cast("long"), "__fp",
     )
-
-    seed = sorted(
-        unigram_piece_stats(docs, top_k=TP_UV_K).collect(),
-        key=lambda r: (-r.n, r.piece),
-    )
-    mx = max(r.n for r in seed)
-    vocab = {r.piece: _tp_vocab_cost(mx, r.n, len(r.piece)) for r in seed}
-    uv_desc = " ".join(r.piece for r in seed)
     uv_row = _family(
-        unigram_apply(docs, vocab, UV_OOV_NANOS, _ULW).agg(
+        fused.agg(
             F.sum("n_uv_tokens").cast("long").alias("__t"),
             F.sum("uv_cost_nanos").cast("long").alias("__c"),
             F.sum(F.col("doc_id") * F.col("n_uv_tokens"))
@@ -1616,7 +1598,7 @@ def tokenizer_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         "__t", F.col("__c"), "__fp",
     )
     wp_row = _family(
-        wordpiece_apply(docs, vocab, UV_OOV_NANOS, _ULW).agg(
+        fused.agg(
             F.sum("n_wp_tokens").cast("long").alias("__t"),
             (F.sum("wp_cost_micros") * F.lit(1000)).cast("long").alias("__c"),
             F.sum(F.col("doc_id") * F.col("n_wp_tokens"))
