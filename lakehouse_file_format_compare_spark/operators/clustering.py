@@ -215,21 +215,13 @@ def kmeans_fit(
             centroids = {int(r[id_col]): [int(x) for x in r.v] for r in init}
         dim = len(next(iter(centroids.values())))
         for _ in range(iters):
-            # r13 (guide §2.3): per-dimension sums as k rows of dim
-            # columns via groupBy(cluster) — the former
-            # posexplode + groupBy(cluster, pos) amplified the scan
-            # output dim× before the map-side combine and shuffled
-            # dim× the rows for the same k × dim longs. Identical
-            # LONG arithmetic, identical driver-side update.
             sums = (
                 assign_clusters(cached, centroids, id_col)
-                .groupBy("cluster")
+                .select("cluster", F.posexplode("v").alias("pos", "val"))
+                .groupBy("cluster", "pos")
                 .agg(
+                    F.sum("val").cast("long").alias("s"),
                     F.count(F.lit(1)).cast("long").alias("n"),
-                    *[
-                        F.sum(F.col("v")[p]).cast("long").alias(f"s{p}")
-                        for p in range(dim)
-                    ],
                 )
                 .collect()
             )
@@ -237,9 +229,9 @@ def kmeans_fit(
             for r in sums:
                 # floor(double_sum / count): mirrors the SQL replay's
                 # floor(CAST(s AS DOUBLE) / n) bit for bit (s < 2^53)
-                nxt[int(r["cluster"])] = [
-                    math.floor(r[f"s{p}"] / r["n"]) for p in range(dim)
-                ]
+                nxt.setdefault(r.cluster, [0] * dim)[r.pos] = math.floor(
+                    r.s / r.n
+                )
             centroids = nxt
     finally:
         cached.unpersist()

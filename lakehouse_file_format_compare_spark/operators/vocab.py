@@ -662,6 +662,21 @@ def multi_tokenizer_apply(
         raise ValueError("piece costs must be non-negative")
     if any(len(p) == 0 or len(p) > max_word_len for p in vocab):
         raise ValueError("vocab pieces must be 1..max_word_len chars")
+    # r13 (guide §2.3/§2.4): ONE text repartition on the id column
+    # replaces BOTH corpus-sized exchanges this pass otherwise pays —
+    # the (id, word) count exchange and the per-doc map-back exchange
+    # are ClusteredDistribution(id, ...) requirements that
+    # HashPartitioning(id) satisfies, so with the compact text rows
+    # co-located up front neither aggregation re-exchanges the
+    # exploded word rows. Shuffled bytes drop from ~one row per
+    # distinct (id, word) plus one per doc to one text row per doc,
+    # and the explode runs after the exchange, spread across the
+    # cluster instead of pinned to the scan's input splits (locally a
+    # sub-MB parquet is ONE split — the whole tokenization ran in a
+    # single task). Explicit partition count = defaultParallelism
+    # (cluster-adaptive), which AQE keeps as-is.
+    n_part = docs.sparkSession.sparkContext.defaultParallelism
+    docs = docs.repartition(n_part, F.col(id_col))
     base = (
         docs.select(
             F.col(id_col),

@@ -103,6 +103,25 @@ def winnow_fingerprints(
     """
     if not (k >= 1 and w >= 1):
         raise ValueError("k and w must be >= 1")
+    # r13 (guide §2.3/§2.4): move the ONE shuffle this operator needs
+    # BEFORE the gram explode. The selection window must co-locate a
+    # document's grams; co-locating the compact TEXT rows first (one
+    # hash repartition on doc_id) shuffles strictly fewer bytes than
+    # exchanging the exploded (doc, pos, enc) gram rows — ~len rows
+    # of 24 B per document vs one text row — and the per-gram
+    # md5 hashing then runs AFTER the exchange, spread across the
+    # cluster instead of pinned to the scan's input splits (a 0.6 MB
+    # parquet is ONE split locally: the whole explode+hash ran in a
+    # single task). The window's ClusteredDistribution(doc_id) and
+    # the final distinct's ClusteredDistribution(doc_id, pos, fp) are
+    # both satisfied by HashPartitioning(doc_id), so no further
+    # exchange is introduced: the operator stays ONE shuffle, now of
+    # the smallest frame it touches. The explicit partition count
+    # (defaultParallelism — cluster-adaptive, not a tuned constant)
+    # keeps AQE from coalescing the tiny local frame back to one
+    # partition, which would re-serialize the hashing.
+    n_part = docs.sparkSession.sparkContext.defaultParallelism
+    docs = docs.repartition(n_part, F.col(id_col))
     # Loud runtime guard (r10 advice): positions >= POS_B would wrap
     # into the hash bits of the (hash+1)*B - pos encoding, silently
     # breaking the substring-match guarantee. The guard is fused into
@@ -125,35 +144,23 @@ def winnow_fingerprints(
         .otherwise(_normalize(F.col(text_col)))
         .alias("__n"),
     )
-    # r13 (guide §2.3): hash the grams INSIDE an array transform and
-    # explode the resulting longs — the former position explode
-    # carried the full normalized text on every gram row (a physical
-    # per-row copy through the Generate operator: O(len²) bytes of
-    # row churn per document) just to substr it one projection later.
-    # The lambda body only references the staged ``__n`` attribute
-    # (no re-evaluated subtree) and does the identical
-    # substr+md5+encode per position, so values are unchanged.
     grams = (
         norm.where(F.length("__n") >= k)
         .select(
             "doc_id",
             F.length("__n").alias("__len"),
-            F.posexplode(
-                F.transform(
-                    F.sequence(F.lit(1), F.length("__n") - k + 1),
-                    lambda p: (
-                        gram_hash(F.col("__n").substr(p, F.lit(k))) + 1
-                    )
-                    * F.lit(POS_B)
-                    - p,
-                )
-            ).alias("__i", "__enc"),
+            F.explode(F.sequence(F.lit(1), F.length("__n") - k + 1)).alias("pos"),
+            F.col("__n"),
         )
         .select(
             "doc_id",
             "__len",
-            (F.col("__i") + 1).alias("pos"),
-            "__enc",
+            "pos",
+            (
+                (gram_hash(F.col("__n").substr(F.col("pos"), F.lit(k))) + 1)
+                * F.lit(POS_B)
+                - F.col("pos")
+            ).alias("__enc"),
         )
     )
     # One streaming per-doc window computes every length-w frame's
