@@ -15,8 +15,10 @@ long duplicate chains at 100 TB.
 Scale notes:
 - no ``collect()`` of edges or labels; the only driver-side values are
   the per-round convergence checksum (2 scalars).
-- ``localCheckpoint(eager=True)`` per round truncates the iterative
-  join lineage — without it, round k re-executes rounds 1..k-1.
+- lazy ``localCheckpoint`` per round truncates the iterative join
+  lineage — without it, round k re-executes rounds 1..k-1; the
+  per-round checksum collect is the one action that materializes it
+  (r13: formerly eager, i.e. a second job per round).
 - worst case O(log n) rounds; near-dup graphs (small dense clusters)
   typically converge in 2-3.
 
@@ -115,16 +117,27 @@ def connected_components(
         # full LSH-candidate + verification subtree, i.e. the
         # corpus-sized work, paid twice (measured: the second
         # evaluation was ~8 s of the 15 s components wall at sf0.01).
-        .localCheckpoint(eager=True)
+        # r13: LAZY — the round-1 checksum action materializes it (one
+        # action instead of two); `nodes`, consumed at result time,
+        # reads the already-materialized blocks exactly as before.
+        .localCheckpoint(eager=False)
     )
     nodes = e.select(F.col("u").alias("node")).unionByName(
         e.select(F.col("v").alias("node"))
     ).distinct()
 
-    cur = _symmetrize(e).localCheckpoint(eager=True)
+    # r13 (guide §1.2, fewer actions): the round checkpoints are LAZY —
+    # each round's ONE action is the `_checksum` collect, which
+    # materializes that round's checkpoint as a side effect (blocks
+    # persist as the aggregate computes them). The former eager
+    # checkpoints ran a separate materialization job per round before
+    # the checksum job: 2 actions/round → 1, same lineage truncation
+    # (round k still reads round k-1's materialized RDD, never
+    # re-executes it).
+    cur = _symmetrize(e).localCheckpoint(eager=False)
     prev_sig = None
     for _ in range(max_rounds):
-        cur = _small_star(_large_star(cur)).localCheckpoint(eager=True)
+        cur = _small_star(_large_star(cur)).localCheckpoint(eager=False)
         sig = _checksum(cur)
         if sig == prev_sig:
             break

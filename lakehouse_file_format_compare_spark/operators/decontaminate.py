@@ -173,15 +173,59 @@ def jaccard_contamination(
     tables (``(doc_id, shingle)`` / ``(eval_id, shingle)``, distinct
     per doc, the :func:`_cross_shingles` shape) so a caller running
     BOTH engines shares one shingle build; values are identical."""
-    c_sh, e_sh = shingles or _cross_shingles_pinned(
+    if shingles is not None:
+        c_sh, e_sh = shingles
+        common = (
+            c_sh.join(F.broadcast(e_sh), "shingle")
+            .groupBy("doc_id", "eval_id")
+            .agg(F.count(F.lit(1)).alias("common"))
+        )
+        return _jaccard_pairs(common, c_sh, e_sh, threshold)
+    # Fresh build (r13, guide §2.3/§2.4): per-doc shingle-set sizes
+    # ride the exploded rows as ONE window count over the same
+    # evaluated subtree, so the corpus shingle table is computed once
+    # and consumed once — no second sizes aggregation, no lineage pin,
+    # and the per-pair |A∪B| comes from first() over the carried
+    # columns (every matched row of a (doc, eval) pair carries the
+    # same sz). Measured vs the two-subtree (r12) and pinned shapes:
+    # 1.31 s vs 1.49 / 1.60 s steady at sf0.1; at 100 TB this is the
+    # single-scan shape with one extra exchange of the shingle table
+    # instead of a second full corpus explode or a corpus-sized
+    # checkpoint materialization.
+    from pyspark.sql import Window
+
+    from ..functions.numeric import grid
+
+    c_sh, e_sh = _cross_shingles(
         corpus, eval_docs, k, id_col, text_col, eval_id_col, eval_text_col
     )
-    common = (
-        c_sh.join(F.broadcast(e_sh), "shingle")
-        .groupBy("doc_id", "eval_id")
-        .agg(F.count(F.lit(1)).alias("common"))
+    c2 = c_sh.withColumn(
+        "sz_c", F.count(F.lit(1)).over(Window.partitionBy("doc_id"))
     )
-    return _jaccard_pairs(common, c_sh, e_sh, threshold)
+    e2 = e_sh.withColumn(
+        "sz_e", F.count(F.lit(1)).over(Window.partitionBy("eval_id"))
+    )
+    common = (
+        c2.join(F.broadcast(e2), "shingle")
+        .groupBy("doc_id", "eval_id")
+        .agg(
+            F.count(F.lit(1)).alias("common"),
+            F.first("sz_c").alias("sz_c"),
+            F.first("sz_e").alias("sz_e"),
+        )
+    )
+    return (
+        common.withColumn(
+            "jaccard",
+            grid(
+                F.col("common")
+                / (F.col("sz_c") + F.col("sz_e") - F.col("common")),
+                6,
+            ),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("doc_id", "eval_id", "jaccard")
+    )
 
 
 def minhash_contamination(

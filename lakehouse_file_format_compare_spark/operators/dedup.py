@@ -21,7 +21,7 @@ The reference has no dedup beyond ``dropDuplicates`` on PKs (SURVEY
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions import text as T
@@ -87,19 +87,37 @@ def ngram_jaccard_pairs(
     explode shingles → self-join on shingle → per-pair intersection
     count → |A∪B| from per-doc sizes. Returns (doc_a, doc_b, jaccard)
     with doc_a < doc_b. Quadratic in per-shingle bucket size — use
-    minhash_lsh_pairs at scale."""
-    sh = _shingle_pairs(docs, id_col, text_col, k).cache()
-    sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("sz"))
+    minhash_lsh_pairs at scale.
+
+    r13 (guide §2.3/§2.4): per-doc sizes ride the shingle rows as one
+    window count, so the per-pair |A∪B| is first() over carried
+    columns — the separate sizes aggregation AND the two post-join
+    exchanges of the pair table (on doc_a, then doc_b) are gone. The
+    sized table is slot-cached for the self-join (one cached frame
+    per site, the previous call's unpersisted — the former bare
+    ``.cache()`` leaked one exploded corpus table per invocation into
+    the CacheManager; functions/cacheslot.py)."""
+    from ..functions.cacheslot import slot_cache
+
+    sh = slot_cache(
+        "dedup.ngram_jaccard_pairs.sh",
+        _shingle_pairs(docs, id_col, text_col, k).withColumn(
+            "sz", F.count(F.lit(1)).over(Window.partitionBy("doc"))
+        ),
+    )
     a = sh.alias("a")
     b = sh.alias("b")
     common = (
         a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc") < F.col("b.doc")))
         .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
-        .agg(F.count(F.lit(1)).alias("common"))
+        .agg(
+            F.count(F.lit(1)).alias("common"),
+            F.first(F.col("a.sz")).alias("sz_a"),
+            F.first(F.col("b.sz")).alias("sz_b"),
+        )
     )
     return (
-        common.join(sizes.withColumnRenamed("doc", "doc_a").withColumnRenamed("sz", "sz_a"), "doc_a")
-        .join(sizes.withColumnRenamed("doc", "doc_b").withColumnRenamed("sz", "sz_b"), "doc_b")
+        common
         .withColumn("jaccard", grid(F.col("common") / (F.col("sz_a") + F.col("sz_b") - F.col("common")), 6))
         .where(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
@@ -128,8 +146,17 @@ def ngram_containment_pairs(
     the contained side's size — at scale the identical bucket-size
     caveat applies and the MinHash/LSH pipeline remains the
     candidate generator of record."""
-    sh = _shingle_pairs(docs, id_col, text_col, k).cache()
-    sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("sz"))
+    from ..functions.cacheslot import slot_cache
+
+    # r13: carried window size + slot cache — the ngram_jaccard_pairs
+    # restructure (see there): one sizes pass, no post-join exchange
+    # of the pair table, no unbounded CacheManager leak
+    sh = slot_cache(
+        "dedup.ngram_containment_pairs.sh",
+        _shingle_pairs(docs, id_col, text_col, k).withColumn(
+            "sz", F.count(F.lit(1)).over(Window.partitionBy("doc"))
+        ),
+    )
     a = sh.alias("a")
     b = sh.alias("b")
     common = (
@@ -139,13 +166,13 @@ def ngram_containment_pairs(
             & (F.col("a.doc") != F.col("b.doc")),
         )
         .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
-        .agg(F.count(F.lit(1)).alias("common"))
+        .agg(
+            F.count(F.lit(1)).alias("common"),
+            F.first(F.col("a.sz")).alias("sz_a"),
+        )
     )
     return (
-        common.join(
-            sizes.withColumnRenamed("doc", "doc_a").withColumnRenamed("sz", "sz_a"),
-            "doc_a",
-        )
+        common
         .withColumn("containment", grid(F.col("common") / F.col("sz_a"), 6))
         .where(F.col("containment") >= threshold)
         .select("doc_a", "doc_b", "containment")
@@ -225,7 +252,17 @@ def minhash_lsh_pairs(
     (those are exact-dup-shaped; run exact_duplicates first, as
     ext/corpus.py does). Default None preserves exhaustive behavior."""
     rows = num_hashes // bands
-    sig = minhash_signatures(docs, num_hashes, k, id_col, text_col).cache()
+    from ..functions.cacheslot import slot_cache
+
+    # r13: slot cache, not bare .cache() — same one-computation reuse
+    # across the banding + verify consumers and the same
+    # InMemoryRelation planning, but the previous invocation's cached
+    # signature table is unpersisted instead of leaking into the
+    # CacheManager forever (functions/cacheslot.py)
+    sig = slot_cache(
+        "dedup.minhash_lsh_pairs.sig",
+        minhash_signatures(docs, num_hashes, k, id_col, text_col),
+    )
     banded = banded_signatures(sig, bands, rows)
     if max_bucket_size is not None:
         ok_buckets = (
@@ -351,14 +388,19 @@ def substring_duplicates(
     step is exact arithmetic."""
     from pyspark.sql import Window
 
+    from ..functions.cacheslot import slot_cache
+
     # the gram table feeds both join sides (and the optional cap's
-    # histogram): cache it so the tokenize+explode+hash subtree runs
-    # once, not 2-3 times — locally a cache, at warehouse scale the
-    # persisted anchor table this stands in for. The cache outlives
-    # the call (a lazy result can't unpersist itself); it is
-    # LRU-evicted storage, ~24 B/token at tested SFs — a deployment
-    # persists the anchor table explicitly and owns its lifecycle.
-    gr = _positional_grams(docs, min_span_tokens, id_col, text_col).cache()
+    # histogram): the slot cache runs the tokenize+explode+hash
+    # subtree once, not 2-3 times — at warehouse scale the persisted
+    # anchor table this stands in for. r13: was a bare .cache(),
+    # which no caller could ever unpersist (a lazy result can't
+    # unpersist itself) — one leaked gram table per call; the slot
+    # evicts the previous invocation's frame instead.
+    gr = slot_cache(
+        "dedup.substring_duplicates.gr",
+        _positional_grams(docs, min_span_tokens, id_col, text_col),
+    )
     if max_gram_docs is not None:
         ok = (
             gr.groupBy("h1", "h2")
@@ -410,7 +452,14 @@ def self_duplicate_spans(
     (functions/repetition.py) quarantine anyway."""
     from pyspark.sql import Window
 
-    gr = _positional_grams(docs, min_span_tokens, id_col, text_col).cache()
+    from ..functions.cacheslot import slot_cache
+
+    # r13: slot cache (was a bare .cache() — CacheManager leak per
+    # call; see substring_duplicates)
+    gr = slot_cache(
+        "dedup.self_duplicate_spans.gr",
+        _positional_grams(docs, min_span_tokens, id_col, text_col),
+    )
     if max_gram_occurrences is not None:
         ok = (
             gr.groupBy("doc", "h1", "h2")
@@ -593,7 +642,14 @@ def simhash_near_pairs(
     """SimHash near-dup pairs: block on 16-bit signature quarters (a
     pair within hamming ≤ 3 of 64 bits must agree on ≥1 of 4 blocks),
     verify hamming distance via bit_count(xor)."""
-    sig = simhash_signatures(docs, id_col, text_col).cache()
+    from ..functions.cacheslot import slot_cache
+
+    # r13: slot cache (was a bare .cache() — CacheManager leak per
+    # call; see ngram_jaccard_pairs)
+    sig = slot_cache(
+        "dedup.simhash_near_pairs.sig",
+        simhash_signatures(docs, id_col, text_col),
+    )
     blocks = sig.select(
         "doc",
         "simhash",

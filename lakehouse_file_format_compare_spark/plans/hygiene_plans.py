@@ -479,9 +479,17 @@ def _nbq_agg(docs: DataFrame) -> DataFrame:
     test = src.where(F.pmod(F.col("doc_id"), F.lit(NBQ_SPLIT_MOD)) == 0)
     model = nb_train(train, alpha=NBQ_ALPHA)
     # the model frames feed THREE broadcast subtrees (terms join, meta
-    # crossJoin, vocab column) — cache them so the training scan runs
-    # once, not once per subtree
-    model = type(model)(terms=model.terms.cache(), meta=model.meta.cache())
+    # crossJoin, vocab column) — slot caches run the training scan
+    # once, not once per subtree. r13: was bare .cache(), which leaked
+    # one model pair per suite execution into the CacheManager (no
+    # caller ever unpersisted); the slot evicts the previous
+    # execution's frames (functions/cacheslot.py).
+    from ..functions.cacheslot import slot_cache
+
+    model = type(model)(
+        terms=slot_cache("hygiene.nbq.terms", model.terms),
+        meta=slot_cache("hygiene.nbq.meta", model.meta),
+    )
     scored = nb_score(model, test).join(test.select("doc_id", "label"), "doc_id")
     agg = scored.agg(
         F.count(F.lit(1)).alias("nbq_test_docs"),

@@ -225,8 +225,13 @@ def similarity_scale_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.where(F.col("vec_id") % QUERY_MOD == 0)
     cents = _centroids(emb, sf_dir)
     books = _codebooks(emb, sf_dir)
-    exact = (
-        S.knn_bruteforce(queries, emb, k=K).select("query_id", "neighbor_id").cache()
+    # r13: slot cache (was bare .cache() — one leaked exact pair
+    # table per suite execution; functions/cacheslot.py)
+    from ..functions.cacheslot import slot_cache
+
+    exact = slot_cache(
+        "similarity.scale_suite.exact",
+        S.knn_bruteforce(queries, emb, k=K).select("query_id", "neighbor_id"),
     )
     n_exact = exact.agg(F.count(F.lit(1)).alias("n")).select("n")
 
@@ -296,7 +301,13 @@ def similarity_scale_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import dedup as D
 
     aug = _semdedup_corpus(emb)
-    sem_pairs = D.semantic_near_dup_pairs(aug, cents, threshold=SEMDEDUP_TH).cache()
+    # r13: slot cache (was bare .cache() — per-execution leak)
+    from ..functions.cacheslot import slot_cache
+
+    sem_pairs = slot_cache(
+        "similarity.scale_suite.sem_pairs",
+        D.semantic_near_dup_pairs(aug, cents, threshold=SEMDEDUP_TH),
+    )
     sem_agg = sem_pairs.agg(
         F.count(F.lit(1)).alias("semdedup_pairs"),
         grid(

@@ -46,7 +46,14 @@ def main() -> None:
     warm_up(spark, sf_dir, queries)
     tracker = spark.sparkContext.statusTracker()
 
-    out = {}
+    # r13: the host is a shared sandbox with invisible neighbor load —
+    # the bench's contention sentinel (fixed plan-independent JVM
+    # micro-query) brackets every entry so A/B walls can be read
+    # against CPU availability at measurement time.
+    from bench import _sentinel
+
+    out = {"sentinel_start": _sentinel(spark)}
+    print(json.dumps({"sentinel_start": out["sentinel_start"]}), flush=True)
     for name in args:
         fn = queries[name]
         if explain_dir:
@@ -64,7 +71,12 @@ def main() -> None:
             after = set(tracker.getJobIdsForGroup(None) or [])
             jobs.append(len(after - before))
             spark.sparkContext.setJobDescription(None)
-        out[name] = {"walls": walls, "min": min(walls), "jobs": jobs}
+        out[name] = {
+            "walls": walls,
+            "min": min(walls),
+            "jobs": jobs,
+            "sentinel": _sentinel(spark),
+        }
         print(json.dumps({name: out[name]}), flush=True)
     print(json.dumps({"summary": out}))
     spark.stop()
