@@ -32,12 +32,27 @@ from ..functions.numeric import grid
 def exact_duplicates(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Map every doc to its canonical duplicate-group representative
     (min id among docs sharing a normalized-text fingerprint) plus the
-    group size. One hash shuffle on the fingerprint."""
-    with_fp = docs.select(F.col(id_col), T.fingerprint(F.col(text_col)).alias("fp"))
-    groups = with_fp.groupBy("fp").agg(
-        F.min(id_col).alias("canonical_id"), F.count(F.lit(1)).alias("group_size")
+    group size. One hash shuffle on the fingerprint.
+
+    r13 (guide §2.4): group min/size as unordered-frame WINDOW
+    aggregates over the fingerprint partition instead of groupBy +
+    self-join — the join form scanned (and fingerprinted) the corpus
+    TWICE and its map-back relied on broadcasting the per-fingerprint
+    group table, which is corpus-sized (one row per distinct text) and
+    cannot broadcast at 100 TB, degrading to a sort-merge join with a
+    second full exchange. The window form is one scan, one exchange,
+    one group pass at any scale; values are identical."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("fp")
+    return docs.select(
+        F.col(id_col), T.fingerprint(F.col(text_col)).alias("fp")
+    ).select(
+        id_col,
+        F.min(id_col).over(w).alias("canonical_id"),
+        F.count(F.lit(1)).over(w).alias("group_size"),
+        "fp",
     )
-    return with_fp.join(groups, "fp").select(id_col, "canonical_id", "group_size", "fp")
 
 
 def _shingle_pairs(docs: DataFrame, id_col: str, text_col: str, k: int) -> DataFrame:
