@@ -181,6 +181,11 @@ def _sentinel(spark) -> float:
     return round(time.perf_counter() - start, 3)
 
 
+# public alias for out-of-repo tooling (scripts/profile_query.py):
+# the underscored name stays for the bench's own internal use
+contention_sentinel = _sentinel
+
+
 def build_bench_queries() -> dict:
     queries = all_queries()
     # bench times the raw serving paths, not the driver-facing recall

@@ -26,25 +26,49 @@ from __future__ import annotations
 
 import threading
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 
-_SLOTS: dict[tuple[int, str], DataFrame] = {}
+_SLOTS: dict[tuple[str, str], DataFrame] = {}
 _LOCK = threading.Lock()
+
+
+def _session_key(spark: SparkSession) -> str:
+    """Stable identity for a session: the JVM session UUID when
+    available (CPython ``id()`` can be reused after GC, aliasing a new
+    session onto a dead session's slots)."""
+    try:
+        return str(spark._jsparkSession.sessionUUID())
+    except Exception:  # noqa: BLE001 — connect mode / stopped session
+        return f"id:{id(spark)}"
 
 
 def slot_cache(site: str, df: DataFrame) -> DataFrame:
     """``df.cache()`` whose lifetime is scoped to the call site: the
     next ``slot_cache(site, ...)`` on the same SparkSession unpersists
-    this frame. ``site`` is a stable operator-level key."""
-    cached = df.cache()
-    key = (id(df.sparkSession), site)
+    this frame. ``site`` is a stable operator-level key.
+
+    The CacheManager keys entries by *analyzed plan* equality, so when
+    the new frame is semantically identical to the live slot (a repeat
+    invocation — the bench's warm reps, a production per-batch loop),
+    ``df.cache()`` is a no-op registration against the SAME entry and
+    unpersisting the previous frame would silently drop it, forcing
+    every consumer to recompute on every warm rep. Keep the shared
+    entry (and its already-materialized blocks) in that case; only a
+    genuinely different plan evicts the previous one."""
+    key = (_session_key(df.sparkSession), site)
     with _LOCK:
         prev = _SLOTS.get(key)
         if prev is not None:
             try:
-                prev.unpersist()
+                if prev.sameSemantics(df):
+                    return df.cache()  # shared CacheManager entry stays live
             except Exception:  # noqa: BLE001 — session may be stopped
                 pass
+            try:
+                prev.unpersist()
+            except Exception:  # noqa: BLE001
+                pass
+        cached = df.cache()
         _SLOTS[key] = cached
     return cached
 

@@ -42,8 +42,6 @@ def exact_duplicates(docs: DataFrame, id_col: str = "doc_id", text_col: str = "t
     cannot broadcast at 100 TB, degrading to a sort-merge join with a
     second full exchange. The window form is one scan, one exchange,
     one group pass at any scale; values are identical."""
-    from pyspark.sql import Window
-
     w = Window.partitionBy("fp")
     return docs.select(
         F.col(id_col), T.fingerprint(F.col(text_col)).alias("fp")

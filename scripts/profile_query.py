@@ -50,9 +50,9 @@ def main() -> None:
     # the bench's contention sentinel (fixed plan-independent JVM
     # micro-query) brackets every entry so A/B walls can be read
     # against CPU availability at measurement time.
-    from bench import _sentinel
+    from bench import contention_sentinel
 
-    out = {"sentinel_start": _sentinel(spark)}
+    out = {"sentinel_start": contention_sentinel(spark), "queries": {}}
     print(json.dumps({"sentinel_start": out["sentinel_start"]}), flush=True)
     for name in args:
         fn = queries[name]
@@ -71,13 +71,13 @@ def main() -> None:
             after = set(tracker.getJobIdsForGroup(None) or [])
             jobs.append(len(after - before))
             spark.sparkContext.setJobDescription(None)
-        out[name] = {
+        out["queries"][name] = {
             "walls": walls,
             "min": min(walls),
             "jobs": jobs,
-            "sentinel": _sentinel(spark),
+            "sentinel": contention_sentinel(spark),
         }
-        print(json.dumps({name: out[name]}), flush=True)
+        print(json.dumps({name: out["queries"][name]}), flush=True)
     print(json.dumps({"summary": out}))
     spark.stop()
 

@@ -12,3 +12,6 @@ SF_CORRECTNESS = "/root/testdata/sf0.01"
 def spark():
     spark = build_session(app_name="lakehouse-ffc-tests", master="local[8]", shuffle_partitions=8)
     yield spark
+    from lakehouse_file_format_compare_spark.functions.cacheslot import clear_slots
+
+    clear_slots()
