@@ -107,6 +107,30 @@ def _cross_shingles(corpus, eval_docs, k, id_col, text_col, eval_id_col, eval_te
     return c_sh, e_sh
 
 
+def _sized_cross_shingles(
+    corpus, eval_docs, k, id_col, text_col, eval_id_col, eval_text_col
+):
+    """(c_sh, e_sh) with the per-doc shingle-set size CARRIED on every
+    exploded row as a window count (``sz_c`` / ``sz_e``) — the r13
+    single-pass form, A/B-verified against the two-subtree sizes
+    aggregation at 1x AND the 10x replication tier (r14,
+    scripts/ab_jaccard_forms.py: W 1.79/7.21 s vs T 2.03/9.30 s;
+    values bit-equal)."""
+    from pyspark.sql import Window
+
+    c_sh, e_sh = _cross_shingles(
+        corpus, eval_docs, k, id_col, text_col, eval_id_col, eval_text_col
+    )
+    return (
+        c_sh.withColumn(
+            "sz_c", F.count(F.lit(1)).over(Window.partitionBy("doc_id"))
+        ),
+        e_sh.withColumn(
+            "sz_e", F.count(F.lit(1)).over(Window.partitionBy("eval_id"))
+        ),
+    )
+
+
 def _cross_shingles_pinned(
     corpus, eval_docs, k, id_col, text_col, eval_id_col, eval_text_col
 ):
@@ -117,8 +141,12 @@ def _cross_shingles_pinned(
     localCheckpoints pin both sides after first materialization;
     callers that already hold shingle tables pass them via the
     ``shingles=`` kwarg instead (the hygiene suite shares ONE build
-    between the exact and the LSH engine)."""
-    c_sh, e_sh = _cross_shingles(
+    between the exact and the LSH engine). r14: the pinned tables
+    carry the per-doc sizes (``_sized_cross_shingles``) so NEITHER
+    engine pays its own sizes aggregation + join-back over the pin —
+    formerly each of the two engines re-aggregated the full corpus
+    shingle table for |A| and re-joined it onto its pair table."""
+    c_sh, e_sh = _sized_cross_shingles(
         corpus, eval_docs, k, id_col, text_col, eval_id_col, eval_text_col
     )
     return (
@@ -127,15 +155,14 @@ def _cross_shingles_pinned(
     )
 
 
-def _jaccard_pairs(common: DataFrame, c_sh, e_sh, threshold: float) -> DataFrame:
+def _sized_pair_jaccard(common: DataFrame, threshold: float) -> DataFrame:
+    """Threshold + grid-snap over a pair table that already carries
+    ``common``/``sz_c``/``sz_e`` (first() over the carried window
+    counts — identical values to the former sizes join-back)."""
     from ..functions.numeric import grid
 
-    c_sizes = c_sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz_c"))
-    e_sizes = e_sh.groupBy("eval_id").agg(F.count(F.lit(1)).alias("sz_e"))
     return (
-        common.join(c_sizes, "doc_id")
-        .join(F.broadcast(e_sizes), "eval_id")
-        .withColumn(
+        common.withColumn(
             "jaccard",
             grid(F.col("common") / (F.col("sz_c") + F.col("sz_e") - F.col("common")), 6),
         )
@@ -170,41 +197,30 @@ def jaccard_contamination(
     buckets at a tunable recall.
 
     ``shingles`` (r13): optional pre-built ``(c_sh, e_sh)`` shingle
-    tables (``(doc_id, shingle)`` / ``(eval_id, shingle)``, distinct
-    per doc, the :func:`_cross_shingles` shape) so a caller running
-    BOTH engines shares one shingle build; values are identical."""
+    tables so a caller running BOTH engines shares one shingle build;
+    values are identical. r14: the contract is the SIZED shape
+    (``(doc_id, shingle, sz_c)`` / ``(eval_id, shingle, sz_e)``, the
+    :func:`_sized_cross_shingles` output) — the per-doc sizes ride
+    the rows once instead of each engine re-aggregating them.
+
+    Shape (r13, guide §2.3/§2.4): per-doc shingle-set sizes ride the
+    exploded rows as ONE window count over the same evaluated
+    subtree, so the corpus shingle table is computed once and
+    consumed once — no second sizes aggregation, no lineage pin, and
+    the per-pair |A∪B| comes from first() over the carried columns
+    (every matched row of a (doc, eval) pair carries the same sz).
+    Measured vs the two-subtree (r12) and pinned shapes: 1.31 s vs
+    1.49 / 1.60 s steady at sf0.1, re-verified r14 at the 10x tier
+    (scripts/ab_jaccard_forms.py: 7.21 vs 9.30 s); at 100 TB this is
+    the single-scan shape with one extra exchange of the shingle
+    table instead of a second full corpus explode or a corpus-sized
+    checkpoint materialization."""
     if shingles is not None:
-        c_sh, e_sh = shingles
-        common = (
-            c_sh.join(F.broadcast(e_sh), "shingle")
-            .groupBy("doc_id", "eval_id")
-            .agg(F.count(F.lit(1)).alias("common"))
+        c2, e2 = shingles
+    else:
+        c2, e2 = _sized_cross_shingles(
+            corpus, eval_docs, k, id_col, text_col, eval_id_col, eval_text_col
         )
-        return _jaccard_pairs(common, c_sh, e_sh, threshold)
-    # Fresh build (r13, guide §2.3/§2.4): per-doc shingle-set sizes
-    # ride the exploded rows as ONE window count over the same
-    # evaluated subtree, so the corpus shingle table is computed once
-    # and consumed once — no second sizes aggregation, no lineage pin,
-    # and the per-pair |A∪B| comes from first() over the carried
-    # columns (every matched row of a (doc, eval) pair carries the
-    # same sz). Measured vs the two-subtree (r12) and pinned shapes:
-    # 1.31 s vs 1.49 / 1.60 s steady at sf0.1; at 100 TB this is the
-    # single-scan shape with one extra exchange of the shingle table
-    # instead of a second full corpus explode or a corpus-sized
-    # checkpoint materialization.
-    from pyspark.sql import Window
-
-    from ..functions.numeric import grid
-
-    c_sh, e_sh = _cross_shingles(
-        corpus, eval_docs, k, id_col, text_col, eval_id_col, eval_text_col
-    )
-    c2 = c_sh.withColumn(
-        "sz_c", F.count(F.lit(1)).over(Window.partitionBy("doc_id"))
-    )
-    e2 = e_sh.withColumn(
-        "sz_e", F.count(F.lit(1)).over(Window.partitionBy("eval_id"))
-    )
     common = (
         c2.join(F.broadcast(e2), "shingle")
         .groupBy("doc_id", "eval_id")
@@ -214,18 +230,7 @@ def jaccard_contamination(
             F.first("sz_e").alias("sz_e"),
         )
     )
-    return (
-        common.withColumn(
-            "jaccard",
-            grid(
-                F.col("common")
-                / (F.col("sz_c") + F.col("sz_e") - F.col("common")),
-                6,
-            ),
-        )
-        .where(F.col("jaccard") >= threshold)
-        .select("doc_id", "eval_id", "jaccard")
-    )
+    return _sized_pair_jaccard(common, threshold)
 
 
 def minhash_contamination(
@@ -283,13 +288,22 @@ def minhash_contamination(
         .select("doc_id", "eval_id")
         .distinct()
     )
+    # r14: |A| and |B| ride the shared sized shingle tables into the
+    # verify join — no per-engine sizes aggregation + join-back
     common = (
         cand.join(c_sh, "doc_id")
-        .join(F.broadcast(e_sh), ["eval_id", "shingle"])
+        .join(
+            F.broadcast(e_sh.select("eval_id", "shingle", "sz_e")),
+            ["eval_id", "shingle"],
+        )
         .groupBy("doc_id", "eval_id")
-        .agg(F.count(F.lit(1)).alias("common"))
+        .agg(
+            F.count(F.lit(1)).alias("common"),
+            F.first("sz_c").alias("sz_c"),
+            F.first("sz_e").alias("sz_e"),
+        )
     )
-    return _jaccard_pairs(common, c_sh, e_sh, threshold)
+    return _sized_pair_jaccard(common, threshold)
 
 
 def substring_contamination(

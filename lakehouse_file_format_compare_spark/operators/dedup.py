@@ -267,14 +267,29 @@ def minhash_lsh_pairs(
     rows = num_hashes // bands
     from ..functions.cacheslot import slot_cache
 
-    # r13: slot cache, not bare .cache() — same one-computation reuse
-    # across the banding + verify consumers and the same
-    # InMemoryRelation planning, but the previous invocation's cached
-    # signature table is unpersisted instead of leaking into the
-    # CacheManager forever (functions/cacheslot.py)
+    # r14 (guide §2.4): ONE slot-cached shingle table — carrying the
+    # per-doc set size as a window count — feeds the signature build
+    # AND the two verify join sides. Before, only the signature table
+    # was cached: verification re-exploded the corpus shingles three
+    # more times per execution (both pair-join sides + a separate
+    # sizes aggregation) and attached the sizes through two more
+    # post-aggregation joins. At 100 TB that was three extra full
+    # corpus explodes; now the explode runs once into the bounded
+    # slot and |A|/|B| ride the shingle rows (the r13
+    # ngram_jaccard_pairs restructure — window count == groupBy count
+    # per doc, values identical).
+    sh = slot_cache(
+        "dedup.minhash_lsh_pairs.sh",
+        _shingle_pairs(docs, id_col, text_col, k).withColumn(
+            "sz", F.count(F.lit(1)).over(Window.partitionBy("doc"))
+        ),
+    )
+    # the signature aggregate stays slot-cached too: the banded table
+    # is self-joined (x and y sides), so an uncached sig would run the
+    # 32-hash min aggregate twice per execution
     sig = slot_cache(
         "dedup.minhash_lsh_pairs.sig",
-        minhash_signatures(docs, num_hashes, k, id_col, text_col),
+        _signatures_from_shingles(sh, num_hashes),
     )
     banded = banded_signatures(sig, bands, rows)
     if max_bucket_size is not None:
@@ -296,17 +311,28 @@ def minhash_lsh_pairs(
         .select(F.col("x.doc").alias("doc_a"), F.col("y.doc").alias("doc_b"))
         .distinct()
     )
-    sh = _shingle_pairs(docs, id_col, text_col, k)
-    sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("sz"))
     common = (
-        cand.join(sh.select(F.col("doc").alias("doc_a"), "shingle"), "doc_a")
-        .join(sh.select(F.col("doc").alias("doc_b"), "shingle"), ["doc_b", "shingle"])
+        cand.join(
+            sh.select(
+                F.col("doc").alias("doc_a"), "shingle", F.col("sz").alias("sz_a")
+            ),
+            "doc_a",
+        )
+        .join(
+            sh.select(
+                F.col("doc").alias("doc_b"), "shingle", F.col("sz").alias("sz_b")
+            ),
+            ["doc_b", "shingle"],
+        )
         .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("common"))
+        .agg(
+            F.count(F.lit(1)).alias("common"),
+            F.first("sz_a").alias("sz_a"),
+            F.first("sz_b").alias("sz_b"),
+        )
     )
     return (
-        common.join(sizes.select(F.col("doc").alias("doc_a"), F.col("sz").alias("sz_a")), "doc_a")
-        .join(sizes.select(F.col("doc").alias("doc_b"), F.col("sz").alias("sz_b")), "doc_b")
+        common
         .withColumn("jaccard", grid(F.col("common") / (F.col("sz_a") + F.col("sz_b") - F.col("common")), 6))
         .where(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")

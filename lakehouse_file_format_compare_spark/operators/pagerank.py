@@ -59,6 +59,59 @@ from pyspark.sql import functions as F
 UNIT = 1_000_000_000  # rank fixed-point: 1.0 == 1e9 units
 
 
+def _pagerank_iteration(
+    r: DataFrame, e: DataFrame, base: DataFrame, *, n: int, dp: int, tele: int
+) -> DataFrame:
+    """ONE power-iteration step (module-level so the loop-body plan is
+    inspectable outside the eager :func:`pagerank` — the committed
+    plans/r14 evidence explains exactly this frame). Per step: one
+    left join routes every unit of mass (matched rows carry
+    rank div out_deg to their edge target, unmatched out_deg=0 rows
+    carry the full rank to the sentinel -1); one grouped sum yields
+    per-node incoming mass AND the dangling total (the -1 row). The
+    grouped frame is LAZILY localCheckpoint'd (lineage truncates — a
+    2-reference iteration would otherwise compile as 2^k logical
+    subtrees) and the dangling total folds back as a BROADCAST 1-row
+    join on a constant key."""
+    routed = r.join(e, r["node"] == e["src"], "left").select(
+        F.when(F.col("out_deg") > 0, F.col("dst"))
+        .otherwise(F.lit(-1))
+        .cast("long")
+        .alias("__to"),
+        F.when(
+            F.col("out_deg") > 0, F.expr("rank div out_deg")
+        ).otherwise(F.col("rank")).cast("long").alias("__mass"),
+    )
+    inc = (
+        routed.groupBy(F.col("__to").alias("node"))
+        .agg(F.sum("__mass").cast("long").alias("__in"))
+        .localCheckpoint(eager=False)
+    )
+    # global aggregate: ALWAYS exactly one row (0 when no dangling
+    # nodes), so the broadcast left join below never changes the row
+    # count
+    dang = (
+        inc.where(F.col("node") == -1)
+        .agg(F.coalesce(F.sum("__in"), F.lit(0)).cast("long").alias("__dang"))
+        .withColumn("__k", F.lit(1))
+    )
+    return (
+        base.join(inc.where(F.col("node") != -1), "node", "left")
+        .withColumn("__k", F.lit(1))
+        .join(F.broadcast(dang), "__k", "left")
+        .select(
+            "node",
+            "out_deg",
+            F.expr(
+                f"cast({tele} as bigint)"
+                f" + ({dp} * (coalesce(__in, cast(0 as bigint))"
+                f" + (coalesce(__dang, cast(0 as bigint)) div {n})))"
+                " div 100"
+            ).cast("long").alias("rank"),
+        )
+    )
+
+
 def pagerank(
     edges: DataFrame,
     *,
@@ -91,7 +144,12 @@ def pagerank(
     # sort-merge/hash join reuse the cached layout instead of
     # re-exchanging the (static) heavy side k times. The repartition
     # count is the session's spark.sql.shuffle.partitions (scale-set
-    # by conf), not a constant.
+    # by conf), not a constant. r14 evidence: the committed loop-body
+    # plan (plans/r14/pagerank_loop_iter*.txt) shows the base side
+    # entering the per-iteration join as InMemoryTableScan + Sort with
+    # NO Exchange; the interleaved A/B (scripts/ab_pagerank.py) puts
+    # the two setup exchanges at ~0.5 s once per run at sf0.1 — the
+    # price of exchange-free iterations over the 100 TB side.
     e = (
         edges.select(
             F.col(src_col).cast("long").alias("src"),
@@ -108,13 +166,18 @@ def pagerank(
     deg = e.groupBy(F.col("src").alias("node")).agg(
         F.count(F.lit(1)).alias("out_deg")
     )
+    # r14: no explicit repartition — ``nodes.distinct()`` already hash-
+    # partitions on node and the left join preserves the left side's
+    # partitioning (SMJ and BHJ alike), so the persisted layout is
+    # identical and the explicit exchange was pure setup cost
+    # (verified: plans/r14/pagerank_loop_iter2_after.txt still shows
+    # the base side exchange-free under the iteration join).
     base = (
         nodes.join(deg, "node", "left")
         .select(
             "node",
             F.coalesce(F.col("out_deg"), F.lit(0)).cast("long").alias("out_deg"),
         )
-        .repartition(F.col("node"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     # Exact node count as a driver scalar (one action on the tiny
@@ -149,45 +212,7 @@ def pagerank(
     # at sf0.1). Integer div throughout keeps ranks bit-exact.
     tele = ((100 - dp) * un) // (100 * n)
     for _ in range(iterations):
-        routed = r.join(e, r["node"] == e["src"], "left").select(
-            F.when(F.col("out_deg") > 0, F.col("dst"))
-            .otherwise(F.lit(-1))
-            .cast("long")
-            .alias("__to"),
-            F.when(
-                F.col("out_deg") > 0, F.expr("rank div out_deg")
-            ).otherwise(F.col("rank")).cast("long").alias("__mass"),
-        )
-        inc = (
-            routed.groupBy(F.col("__to").alias("node"))
-            .agg(F.sum("__mass").cast("long").alias("__in"))
-            .localCheckpoint(eager=False)
-        )
-        # global aggregate: ALWAYS exactly one row (0 when no
-        # dangling nodes), so the broadcast left join below never
-        # changes the row count
-        dang = (
-            inc.where(F.col("node") == -1)
-            .agg(
-                F.coalesce(F.sum("__in"), F.lit(0)).cast("long").alias("__dang")
-            )
-            .withColumn("__k", F.lit(1))
-        )
-        r = (
-            base.join(inc.where(F.col("node") != -1), "node", "left")
-            .withColumn("__k", F.lit(1))
-            .join(F.broadcast(dang), "__k", "left")
-            .select(
-                "node",
-                "out_deg",
-                F.expr(
-                    f"cast({tele} as bigint)"
-                    f" + ({dp} * (coalesce(__in, cast(0 as bigint))"
-                    f" + (coalesce(__dang, cast(0 as bigint)) div {n})))"
-                    " div 100"
-                ).cast("long").alias("rank"),
-            )
-        )
+        r = _pagerank_iteration(r, e, base, n=n, dp=dp, tele=tele)
     out = r.select("node", F.col("rank").cast("long").alias("rank"))
     # ONE action runs the whole k-iteration cascade; lineage truncates
     # and the caches release — the returned frame owns its rows

@@ -63,17 +63,36 @@ def bm25_scores(
     """
     terms = [t.lower() for t in query_terms]
     dt = _doc_terms(docs, id_col, text_col)
-    corpus_stats = dt.groupBy().agg(
+    # r14 (guide §2.4): before, THREE consumers each re-ran the full
+    # corpus explode + (doc, term) aggregation — corpus stats, df
+    # stats and the matched scoring side. Now:
+    # - N and avg_len need no explode at all: docs with >=1 token and
+    #   total token count come from one size(tokens) pass (identical
+    #   LONGs, identical double division);
+    # - the matched (doc, term, tf) table — already pruned to the
+    #   query terms, vocabulary-bounded — is slot-cached so the one
+    #   remaining explode feeds both the df aggregation and the
+    #   scoring join.
+    toks = F.filter(
+        F.split(F.lower(F.trim(F.col(text_col))), TOKEN_SPLIT_RE),
+        lambda t: F.length(t) > 0,
+    )
+    sizes = docs.select(
+        F.col(id_col).alias("doc_id"), F.size(toks).alias("__n")
+    ).where(F.col("__n") > 0)
+    corpus_stats = sizes.groupBy().agg(
         F.countDistinct("doc_id").alias("n_docs"),
-        (F.sum("tf") / F.countDistinct("doc_id")).alias("avg_len"),
+        (F.sum("__n") / F.countDistinct("doc_id")).alias("avg_len"),
     )
-    df_stats = (
-        dt.where(F.col("term").isin(*terms))
-        .groupBy("term")
-        .agg(F.countDistinct("doc_id").alias("df"))
+    from ..functions.cacheslot import slot_cache
+
+    dtm = slot_cache(
+        "ranking.bm25_scores.matched_tf",
+        dt.where(F.col("term").isin(*terms)),
     )
+    df_stats = dtm.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
     matched = (
-        dt.where(F.col("term").isin(*terms))
+        dtm
         .join(F.broadcast(df_stats), "term")
         .crossJoin(F.broadcast(corpus_stats))
     )
@@ -237,8 +256,19 @@ def bigram_lm_scores(
         )
         .select("doc_id", "bg.w1", "bg.w2")
     )
+    # r14 (guide §2.4): the bigram explode is the heavy pass — it was
+    # run THREE times per execution (bigram counts, context counts,
+    # scoring join). Now it runs once into a bounded slot cache, and
+    # the context counts derive from the (far smaller) bigram-count
+    # table instead of the corpus: c(w1·) = Σ_w2 c(w1,w2) — the same
+    # LONG by definition.
+    from ..functions.cacheslot import slot_cache
+
+    bi = slot_cache("ranking.bigram_lm_scores.bi", bi)
     bigram_counts = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
-    ctx_counts = bi.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    ctx_counts = bigram_counts.groupBy("w1").agg(
+        F.sum("c12").cast("long").alias("c1")
+    )
     vocab = base.select(F.explode("toks").alias("w")).agg(
         F.countDistinct("w").alias("vsize")
     )

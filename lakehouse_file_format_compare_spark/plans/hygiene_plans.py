@@ -291,11 +291,7 @@ def _bf_agg(docs: DataFrame, grams=None) -> DataFrame:
         .distinct()
         .localCheckpoint(eager=False)
     )
-    c = (
-        cg.select("ngram")
-        .distinct()
-        .localCheckpoint(eager=False)
-    )
+    c = cg.select("ngram").distinct()
     # LITERAL probe: collect the parameter-bounded bitmap (BF_WORDS
     # LONGs — a sanctioned bounded driver read, the k-means
     # literal-centroid discipline) and probe as a pure projection —
@@ -303,13 +299,39 @@ def _bf_agg(docs: DataFrame, grams=None) -> DataFrame:
     words = bloom_literal(
         bloom_build(e, "ngram", n_words=BF_WORDS, k=BF_K), BF_WORDS
     )
-    hits = (
-        bloom_probe_literal(c, "ngram", words, k=BF_K)
-        .where(F.col("bf_member") == 1)
-        .select("ngram")
-        .localCheckpoint(eager=False)
+    # r14 (guide §2.4): probe-hit, true-hit and missed counts fused
+    # into ONE pass over the distinct corpus grams — the bf_member
+    # projection plus a broadcast membership flag from the (tiny,
+    # benchmark-sized) eval gram set replace the former three separate
+    # scalar funnels (probe agg, semi-join agg, anti-join agg), their
+    # checkpointed hits table and two of the three 1-row crossJoins.
+    # Values are identical by definition: bf_probe_hits counts
+    # bf_member=1 grams, bf_true_ngrams counts grams present in the
+    # eval set, bf_missed counts true grams the filter failed to flag
+    # (Bloom guarantees 0; counted, not assumed).
+    flagged = bloom_probe_literal(c, "ngram", words, k=BF_K).join(
+        F.broadcast(e.select("ngram", F.lit(1).alias("__true"))),
+        "ngram",
+        "left",
     )
-    true_g = c.join(e, "ngram", "left_semi")
+    counts = flagged.agg(
+        F.coalesce(F.sum(F.col("bf_member")), F.lit(0))
+        .cast("long")
+        .alias("bf_probe_hits"),
+        F.coalesce(F.sum(F.coalesce(F.col("__true"), F.lit(0))), F.lit(0))
+        .cast("long")
+        .alias("bf_true_ngrams"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    (F.col("__true") == 1) & (F.col("bf_member") == 0), 1
+                ).otherwise(0)
+            ),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("bf_missed"),
+    )
     # filter-shape facts come straight off the collected bitmap — the
     # same values the bloom frame aggregate produced
     spark = docs.sparkSession
@@ -322,15 +344,8 @@ def _bf_agg(docs: DataFrame, grams=None) -> DataFrame:
         ],
         "bf_words_nonzero long, bf_bits_set long",
     )
-    probe = hits.agg(F.count(F.lit(1)).cast("long").alias("bf_probe_hits"))
-    tru = true_g.agg(F.count(F.lit(1)).cast("long").alias("bf_true_ngrams"))
-    missed = true_g.join(hits, "ngram", "left_anti").agg(
-        F.count(F.lit(1)).cast("long").alias("bf_missed")
-    )
     return (
-        filt.crossJoin(F.broadcast(probe))
-        .crossJoin(F.broadcast(tru))
-        .crossJoin(F.broadcast(missed))
+        filt.crossJoin(F.broadcast(counts))
         .select(
             "bf_words_nonzero",
             "bf_bits_set",

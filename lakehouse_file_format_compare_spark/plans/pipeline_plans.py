@@ -46,7 +46,7 @@ row is its LLM-data analog over `documents`.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..ext.datasheet import _tall
@@ -124,13 +124,23 @@ def corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=False)
     )
     # stage 2: exact dedup — keep the canonical (min-id) doc per
-    # normalized-text md5 fingerprint
-    ex = exact_duplicates(s1)
-    s2 = s1.join(
-        ex.where(F.col("doc_id") == F.col("canonical_id")).select("doc_id"),
-        "doc_id",
-        "left_semi",
-    ).localCheckpoint(eager=False)
+    # normalized-text md5 fingerprint. r14 (guide §2.4): the survivor
+    # predicate is the window itself (doc_id == min(doc_id) over the
+    # fingerprint partition — the exact_duplicates arithmetic inline),
+    # so stage 2 is ONE pass over s1 with one exchange; the former
+    # exact_duplicates + left-semi join read the s1 checkpoint twice
+    # and paid the join's second exchange for identical rows.
+    s2 = (
+        s1.withColumn(
+            "__min",
+            F.min("doc_id").over(
+                Window.partitionBy(T.fingerprint(F.col("text")))
+            ),
+        )
+        .where(F.col("doc_id") == F.col("__min"))
+        .drop("__min")
+        .localCheckpoint(eager=False)
+    )
     # stage 3: fuzzy dedup — drop every doc Jaccard-linked (>= 0.5) to
     # a smaller-id survivor (the incremental-dedup drop rule).
     # ONE shingle self-join serves BOTH thresholds: pairs at the lower
@@ -181,9 +191,10 @@ def corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(s5_ids.withColumnRenamed("doc_id", "doc_b"), "doc_b", "left_semi")
         .select("doc_a", "doc_b")
     )
-    assigned = leakage_safe_splits(
-        s5, split_pairs, CP_WEIGHTS, portable=True
-    ).localCheckpoint(eager=False)
+    # r14 (guide §5): no lineage cut here — ``assigned`` has exactly
+    # one consumer (the packing projection below), so a checkpoint
+    # bought a materialization barrier and bought back nothing
+    assigned = leakage_safe_splits(s5, split_pairs, CP_WEIGHTS, portable=True)
     # stage 7: per-split sequence packing
     with_nt = assigned.select("doc_id", "split", _doc_tokens().alias("n_tokens"))
     packed = pack_sequences(
