@@ -261,8 +261,6 @@ def minhash_contamination(
     and the eval shingle table broadcast; the corpus is never shuffled
     on document identity before the candidate count. Recall/equality
     contracts: tests/test_decontaminate.py."""
-    from .dedup import _signatures_from_shingles, banded_signatures
-
     # r13 (guide §2.4): ONE shingle build serves the MinHash
     # signatures, the candidate-verify join and the per-doc sizes —
     # formerly the corpus was exploded and windowed three times (once
@@ -270,24 +268,7 @@ def minhash_contamination(
     c_sh, e_sh = shingles or _cross_shingles_pinned(
         corpus, eval_docs, k, id_col, text_col, eval_id_col, eval_text_col
     )
-    rows = num_hashes // bands
-    c_banded = banded_signatures(
-        _signatures_from_shingles(
-            c_sh.withColumnRenamed("doc_id", "doc"), num_hashes
-        ),
-        bands, rows, "doc_id",
-    )
-    e_banded = banded_signatures(
-        _signatures_from_shingles(
-            e_sh.withColumnRenamed("eval_id", "doc"), num_hashes
-        ),
-        bands, rows, "eval_id",
-    )
-    cand = (
-        c_banded.join(F.broadcast(e_banded), ["band", "bucket"])
-        .select("doc_id", "eval_id")
-        .distinct()
-    )
+    cand = _minhash_candidates(c_sh, e_sh, num_hashes, bands)
     # r14: |A| and |B| ride the shared sized shingle tables into the
     # verify join — no per-engine sizes aggregation + join-back
     common = (
@@ -304,6 +285,39 @@ def minhash_contamination(
         )
     )
     return _sized_pair_jaccard(common, threshold)
+
+
+def _minhash_candidates(
+    c_sh: DataFrame, e_sh: DataFrame, num_hashes: int, bands: int
+) -> DataFrame:
+    """Distinct (doc_id, eval_id) banded-LSH candidate pairs over
+    pre-built shingle tables — the candidate half of
+    :func:`minhash_contamination`, exposed so a caller that ALREADY
+    holds the exact pair set (the hygiene suite runs both engines
+    over one shingle build) can intersect candidates with it instead
+    of re-running the exact-Jaccard verify join over the corpus
+    shingle table: the engine's output is definitionally
+    candidates ∩ {pairs with J >= t} (r14, guide §2.4)."""
+    from .dedup import _signatures_from_shingles, banded_signatures
+
+    rows = num_hashes // bands
+    c_banded = banded_signatures(
+        _signatures_from_shingles(
+            c_sh.withColumnRenamed("doc_id", "doc"), num_hashes
+        ),
+        bands, rows, "doc_id",
+    )
+    e_banded = banded_signatures(
+        _signatures_from_shingles(
+            e_sh.withColumnRenamed("eval_id", "doc"), num_hashes
+        ),
+        bands, rows, "eval_id",
+    )
+    return (
+        c_banded.join(F.broadcast(e_banded), ["band", "bucket"])
+        .select("doc_id", "eval_id")
+        .distinct()
+    )
 
 
 def substring_contamination(

@@ -36,9 +36,9 @@ from ..functions.repetition import _lines, top_ngram_char_fraction
 from ..functions.stats import percentile_summary
 from ..operators.decontaminate import (
     _cross_shingles_pinned,
+    _minhash_candidates,
     _ngram_set,
     jaccard_contamination,
-    minhash_contamination,
     ngram_contamination,
     substring_contamination,
 )
@@ -128,6 +128,12 @@ FDECON_EDIT_EVERY = 12
 FDECON_MOD = 50
 FDECON_TH = 0.4
 FDECON_LSH_RECALL_FLOOR = 0.9
+# the LSH engine's banding dial — MUST stay equal to
+# minhash_contamination's defaults (the suite's recall count now
+# intersects the raw banded candidates with the exact pair set; same
+# banding == same candidates == identical count)
+FDECON_NUM_HASHES = 32
+FDECON_BANDS = 16
 # substring dedup (r7, r6 verdict #2): consecutive doc_id pairs share
 # an injected 13-token span (6 fixed + group token + 6 fixed — the
 # fixed runs are < SDEDUP_MIN_SPAN so only same-group docs can match
@@ -407,19 +413,24 @@ def _fdecon_eval(docs: DataFrame) -> DataFrame:
     )
 
 
-def _fd_values_agg(docs: DataFrame, ev: DataFrame, shingles=None) -> DataFrame:
-    """The exact-path fdecon VALUE metrics (deterministic — the
-    oracle pins them bit-exact); the probabilistic LSH recall boolean
-    is suite-only and layered on top there. ``shingles`` (r13): the
-    suite shares ONE shingle build with the LSH engine."""
-    return jaccard_contamination(
-        docs, ev, threshold=FDECON_TH, shingles=shingles
-    ).agg(
+def _fd_values_from_pairs(pairs: DataFrame) -> DataFrame:
+    """fdecon_* VALUE metrics over an exact pair table."""
+    return pairs.agg(
         F.count(F.lit(1)).alias("fdecon_pairs"),
         F.countDistinct("doc_id").alias("fdecon_flagged_docs"),
         grid(
             F.coalesce(F.sum(grid(F.col("jaccard"), 2)), F.lit(0.0)), 2
         ).alias("fdecon_jaccard_total"),
+    )
+
+
+def _fd_values_agg(docs: DataFrame, ev: DataFrame, shingles=None) -> DataFrame:
+    """The exact-path fdecon VALUE metrics (deterministic — the
+    oracle pins them bit-exact); the probabilistic LSH recall boolean
+    is suite-only and layered on top there. ``shingles`` (r13): the
+    suite shares ONE shingle build with the LSH engine."""
+    return _fd_values_from_pairs(
+        jaccard_contamination(docs, ev, threshold=FDECON_TH, shingles=shingles)
     )
 
 
@@ -562,16 +573,26 @@ def corpus_hygiene_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     # serves the exact engine, the LSH engine's signatures, the
     # candidate verify and the per-doc sizes — formerly the corpus was
     # shingle-exploded + windowed five times across the two engines.
+    # r14: the LSH engine's exact-Jaccard verify join is REDUNDANT
+    # here — its output is definitionally candidates ∩ exact pairs,
+    # and the exact pair table is already computed for the fdecon_*
+    # values in this same row. The recall count is now a semi-join of
+    # the banded candidates against the (pinned, eval-bounded) exact
+    # pair table: one less full pass over the corpus shingle table,
+    # identical count by construction.
     ev = _fdecon_eval(docs)
     fd_sh = _cross_shingles_pinned(
         docs, ev, 3, "doc_id", "text", "doc_id", "text"
     )
-    lsh_n = minhash_contamination(
+    fd_pairs = jaccard_contamination(
         docs, ev, threshold=FDECON_TH, shingles=fd_sh
-    ).agg(
-        F.count(F.lit(1)).alias("__lsh_n")
+    ).localCheckpoint(eager=False)
+    lsh_n = (
+        _minhash_candidates(fd_sh[0], fd_sh[1], FDECON_NUM_HASHES, FDECON_BANDS)
+        .join(fd_pairs, ["doc_id", "eval_id"], "left_semi")
+        .agg(F.count(F.lit(1)).alias("__lsh_n"))
     )
-    fd_agg = _fd_values_agg(docs, ev, shingles=fd_sh).crossJoin(lsh_n).select(
+    fd_agg = _fd_values_from_pairs(fd_pairs).crossJoin(lsh_n).select(
         "fdecon_pairs", "fdecon_flagged_docs", "fdecon_jaccard_total",
         (
             F.col("__lsh_n")

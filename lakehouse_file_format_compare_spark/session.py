@@ -65,6 +65,19 @@ def build_session(
         "spark.sql.adaptive.enabled": "true",
         "spark.sql.adaptive.coalescePartitions.enabled": "true",
         "spark.sql.adaptive.skewJoin.enabled": "true",
+        # r14 (guide §3.1/§9): let the planner pick a shuffled-hash
+        # join when its size conditions hold instead of always
+        # preferring sort-merge. The engine's hot joins are iterative
+        # (pagerank/HITS/components re-join cached unsorted invariants
+        # every round) and aggregation-fed (pair tables), where SMJ
+        # re-sorts both sides per execution; SHJ skips the sorts. The
+        # planner still falls back to SMJ when the build side estimate
+        # doesn't fit, and AQE skew handling stays on. Interleaved A/B
+        # (scripts/ab_conf.py, min-of-4 across alternating sessions):
+        # dedup_minhash_lsh 1.49→1.29 s, pagerank 5.74→5.08,
+        # tokenizer_pipeline 3.37→2.69, kmeans/hygiene flat — no entry
+        # regressed; oracle board re-verified green under the flip.
+        "spark.sql.join.preferSortMergeJoin": "false",
         "spark.sql.execution.arrow.pyspark.enabled": "true",
         "spark.sql.parquet.compression.codec": "snappy",
         # Spark's default INT96 parquet timestamps carry NO column
@@ -81,6 +94,21 @@ def build_session(
     }
     for ext in table_format_extensions:
         conf.update(FORMAT_EXTENSION_CONF[ext])
+    # r14 (guide §9, r13 verdict #5): deployment-tuning overrides ride
+    # an env JSON so a cluster launch can flip them WITHOUT code edits
+    # and the local bench stays on the longitudinal defaults. Measured
+    # candidates and their 100 TB rationale live in
+    # OPTIMIZATION_r14.md §9 (preferSortMergeJoin=false for the
+    # iterative cached-invariant joins; zstd shuffle/parquet codecs
+    # for network/storage-bound clusters). Defaults OFF: none of them
+    # reproducibly wins on local[32] at sf0.1, and a config that only
+    # moves the local bench is exactly the kind of win the rounds
+    # exclude.
+    env_conf = os.environ.get("SPARK_GRAFT_EXTRA_CONF")
+    if env_conf:
+        import json
+
+        conf.update({str(k): str(v) for k, v in json.loads(env_conf).items()})
     if extra_conf:
         conf.update(extra_conf)
     for k, v in conf.items():
@@ -101,4 +129,8 @@ def apply_runtime_defaults(spark: SparkSession) -> SparkSession:
     # INT64-micros timestamps keep parquet min/max stats (INT96 has
     # none -> no row-group pruning on event time); runtime-settable
     spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    # join-strategy preference is runtime-settable and value-neutral;
+    # keep the external-session path consistent with build_session
+    # (r14 §9 — see the rationale on the builder conf)
+    spark.conf.set("spark.sql.join.preferSortMergeJoin", "false")
     return spark

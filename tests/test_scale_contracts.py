@@ -1988,3 +1988,135 @@ def test_corpus_fold_scales_subquadratically(spark):
         f"corpus_fold 10x: {walls['/root/testdata/sf0.01']:.2f}s -> "
         f"{walls[SF_SCALE]:.2f}s (x{ratio:.1f})",
     )
+
+
+# ---------------------------------------------------------------------------
+# r14 (r13 verdict #6): scale contracts for the r13 restructures — the
+# 8-core driver run proved sf0.1 cannot demonstrate parallelism, so
+# the 10x-replication tier is the scaling evidence for the new shapes.
+# ---------------------------------------------------------------------------
+
+
+def _ten_copies(docs):
+    from functools import reduce
+
+    from pyspark.sql import DataFrame
+
+    copies = [
+        docs.select(
+            (F.col("doc_id") + F.lit(i * 10_000_000)).alias("doc_id"),
+            (
+                F.regexp_replace("text", "[aeiou]", str(i))
+                if i
+                else F.col("text")
+            ).alias("text"),
+        )
+        for i in range(10)
+    ]
+    return reduce(DataFrame.unionByName, copies)
+
+
+@pytest.mark.scale
+def test_exact_duplicates_window_form_no_broadcast_single_scan(spark):
+    """r13 rewrote exact_duplicates as window aggregates over one scan
+    BECAUSE the old group-join's build side was one row per distinct
+    text — corpus-sized at 100 TB, where its broadcast map-back
+    degrades to a second full exchange. Contract: the plan contains NO
+    join of any kind and exactly one source scan, and output rows ==
+    input rows at 1x and 10x (every doc gets its canonical row)."""
+    docs = table(spark, SF_SCALE, "documents").select("doc_id", "text")
+    plan = D.exact_duplicates(docs)._jdf.queryExecution().executedPlan().toString()
+    for node in ("BroadcastExchange", "BroadcastHashJoin", "SortMergeJoin",
+                 "ShuffledHashJoin", "CartesianProduct"):
+        assert node not in plan, f"{node} in exact_duplicates plan"
+    assert plan.count("Scan parquet") == 1
+    import time
+
+    n1 = docs.count()
+    t0 = time.perf_counter()
+    assert D.exact_duplicates(docs).count() == n1
+    t1 = time.perf_counter() - t0
+    big = _ten_copies(docs)
+    n10 = big.count()
+    assert n10 == 10 * n1
+    t0 = time.perf_counter()
+    assert D.exact_duplicates(big).count() == n10
+    t10 = time.perf_counter() - t0
+    ratio = t10 / max(t1, 1.0)
+    _check_wall_ratio(ratio, f"exact_duplicates 10x cost {ratio:.1f}x "
+                             f"(t1={t1:.2f}s t10={t10:.2f}s)")
+
+
+@pytest.mark.scale
+def test_winnow_exchange_before_explode_and_linear_wall(spark):
+    """r13 moved winnowing's ONE shuffle before the gram explode
+    (compact text rows cross the exchange; per-gram hashing runs
+    distributed, after it). Contract: the explode (Generate) sits
+    ABOVE the doc_id exchange in the plan, and the 10x corpus costs
+    ~linear wall with ~10x selected fingerprints."""
+    import time
+
+    from lakehouse_file_format_compare_spark.operators.winnow import (
+        winnow_fingerprints,
+    )
+
+    docs = table(spark, SF_SCALE, "documents").select("doc_id", "text")
+    plan = winnow_fingerprints(docs)._jdf.queryExecution().executedPlan().toString()
+    gen, exch = plan.find("Generate"), plan.find("Exchange")
+    assert gen != -1 and exch != -1
+    # formatted trees print parents first: Generate above the exchange
+    # means the gram rows are produced AFTER the shuffle
+    assert gen < exch, "gram explode must consume the exchange, not feed it"
+
+    t0 = time.perf_counter()
+    p1 = winnow_fingerprints(docs).count()
+    t1 = time.perf_counter() - t0
+    big = _ten_copies(docs)
+    t0 = time.perf_counter()
+    p10 = winnow_fingerprints(big).count()
+    t10 = time.perf_counter() - t0
+    # vowel salting rewrites gram hashes, so per-copy selection counts
+    # differ slightly; the total must stay ~linear, never quadratic
+    assert 5 * p1 <= p10 <= 15 * p1, (p1, p10)
+    ratio = t10 / max(t1, 1.0)
+    _check_wall_ratio(ratio, f"winnow 10x cost {ratio:.1f}x "
+                             f"(t1={t1:.2f}s t10={t10:.2f}s)")
+
+
+@pytest.mark.scale
+def test_multi_tokenizer_apply_linear_wall(spark):
+    """r13 fused the three tokenizer-apply families into one corpus
+    pass. Contract: one row per doc at 1x and 10x (rows == docs), wall
+    ~linear in corpus size — the fused map-back shuffle must not
+    introduce any per-pair or per-vocab-square term."""
+    import time
+
+    from lakehouse_file_format_compare_spark.operators.vocab import (
+        multi_tokenizer_apply,
+    )
+    from lakehouse_file_format_compare_spark.plans.text_plans import (
+        BPE_APPLY_MERGES,
+        UV_OOV_NANOS,
+        UV_LONGWORD_NANOS,
+        UV_VOCAB,
+    )
+
+    docs = table(spark, SF_SCALE, "documents").select("doc_id", "text")
+
+    def run(d):
+        return multi_tokenizer_apply(
+            d, BPE_APPLY_MERGES, UV_VOCAB, UV_OOV_NANOS, UV_LONGWORD_NANOS
+        )
+
+    n1 = docs.count()
+    t0 = time.perf_counter()
+    r1 = run(docs).count()
+    t1 = time.perf_counter() - t0
+    big = _ten_copies(docs)
+    t0 = time.perf_counter()
+    r10 = run(big).count()
+    t10 = time.perf_counter() - t0
+    assert r1 <= n1 and r10 == 10 * r1, (n1, r1, r10)
+    ratio = t10 / max(t1, 1.0)
+    _check_wall_ratio(ratio, f"multi_tokenizer_apply 10x cost {ratio:.1f}x "
+                             f"(t1={t1:.2f}s t10={t10:.2f}s)")
