@@ -589,7 +589,11 @@ def corpus_hygiene_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).localCheckpoint(eager=False)
     lsh_n = (
         _minhash_candidates(fd_sh[0], fd_sh[1], FDECON_NUM_HASHES, FDECON_BANDS)
-        .join(fd_pairs, ["doc_id", "eval_id"], "left_semi")
+        # the exact pair table is eval-bounded (the asymmetric-decon
+        # contract: the eval side broadcasts everywhere in this
+        # family) — a broadcast semi-join skips sorting/exchanging
+        # the candidate side
+        .join(F.broadcast(fd_pairs), ["doc_id", "eval_id"], "left_semi")
         .agg(F.count(F.lit(1)).alias("__lsh_n"))
     )
     fd_agg = _fd_values_from_pairs(fd_pairs).crossJoin(lsh_n).select(

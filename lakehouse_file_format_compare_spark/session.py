@@ -67,16 +67,20 @@ def build_session(
         "spark.sql.adaptive.skewJoin.enabled": "true",
         # r14 (guide §3.1/§9): let the planner pick a shuffled-hash
         # join when its size conditions hold instead of always
-        # preferring sort-merge. The engine's hot joins are iterative
-        # (pagerank/HITS/components re-join cached unsorted invariants
-        # every round) and aggregation-fed (pair tables), where SMJ
-        # re-sorts both sides per execution; SHJ skips the sorts. The
-        # planner still falls back to SMJ when the build side estimate
-        # doesn't fit, and AQE skew handling stays on. Interleaved A/B
+        # preferring sort-merge. Plan-proven mechanism: the pagerank
+        # loop-body join over the cached loop invariants flips
+        # SMJ→SHJ and its per-iteration Sorts go 4→0
+        # (plans/r14/pagerank_loop_iter2_{before,after}.txt) — an
+        # iterative join re-SORTED the unsorted cached base table
+        # every iteration under sort-merge. The planner stays
+        # conservative elsewhere (sb/events/filter_eval plans are
+        # byte-identical under the flip — their SMJs' size conditions
+        # don't qualify), so the blast radius is exactly the joins
+        # whose build side provably fits. Interleaved A/B
         # (scripts/ab_conf.py, min-of-4 across alternating sessions):
-        # dedup_minhash_lsh 1.49→1.29 s, pagerank 5.74→5.08,
-        # tokenizer_pipeline 3.37→2.69, kmeans/hygiene flat — no entry
-        # regressed; oracle board re-verified green under the flip.
+        # pagerank 5.74→5.08 s, no entry regressed; full oracle board
+        # re-verified green under the flip (join strategy is
+        # value-neutral).
         "spark.sql.join.preferSortMergeJoin": "false",
         "spark.sql.execution.arrow.pyspark.enabled": "true",
         "spark.sql.parquet.compression.codec": "snappy",
