@@ -74,7 +74,7 @@ def build_session(
         # iterative join re-SORTED the unsorted cached base table
         # every iteration under sort-merge. The planner stays
         # conservative elsewhere (sb/events/filter_eval plans are
-        # byte-identical under the flip — their SMJs' size conditions
+        # node-identical under the flip — their SMJs' size conditions
         # don't qualify), so the blast radius is exactly the joins
         # whose build side provably fits. Interleaved A/B
         # (scripts/ab_conf.py, min-of-4 across alternating sessions):
